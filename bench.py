@@ -1,0 +1,74 @@
+"""Benchmark harness — runs the full registered query suite and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import SparkSession
+
+    import nedp_etl_spark as eng
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("nedp-etl-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = eng.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, sf_dir)
+            n = df.count()  # materialize the full plan
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 4)
+            total += dt
+            print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # keep benching the rest
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 4)
+            total += dt
+            print(f"# {name}: FAILED after {dt:.3f}s: {exc}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall_clock",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

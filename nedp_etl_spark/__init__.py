@@ -1,0 +1,32 @@
+"""nedp_etl_spark — a PySpark-native analytics engine.
+
+Re-expresses the full query/data-processing capability surface that the
+reference repo (vibcloud/nedp-etl — an Airflow→dbt→Spark orchestration shim,
+``dbtoperator.py:273-274``) reaches indirectly through dbt-spark, as an
+in-process PySpark engine.  Every operator is declared DataFrame/SQL-first so
+Catalyst/Tungsten pick the physical strategy; Python UDFs appear only where
+the built-ins genuinely can't express the semantics (and then Arrow-batched).
+
+Importing this package registers every operator-query in the registry that
+``__spark_entry__.py`` exposes to the verification driver.
+"""
+
+from nedp_etl_spark.registry import oracle_sql, queries, register  # noqa: F401
+
+# Import operator modules for their registration side effects.
+from nedp_etl_spark.operators import (  # noqa: F401
+    aggregates,
+    filters,
+    joins,
+    scans,
+    setops,
+    sorts,
+    udfs,
+    windows,
+)
+from nedp_etl_spark.functions import nested, scalar  # noqa: F401
+from nedp_etl_spark.streaming import windows as stream_windows  # noqa: F401
+from nedp_etl_spark import llm  # noqa: F401
+
+__all__ = ["queries", "oracle_sql", "register"]
+__version__ = "0.1.0"

@@ -1,0 +1,77 @@
+"""Fixture loading + per-query session preparation.
+
+The driver owns the SparkSession, so any config our results depend on must be
+runtime-settable and applied on every query call:
+
+- ``spark.sql.session.timeZone=UTC`` — fixtures store timestamp[ms]/[ns];
+  hashing must not depend on the driver host's zone.
+- AQE on — runtime shuffle-partition coalescing + skew-join splitting; this is
+  the 100 TB posture (partition counts chosen at runtime, not hardcoded).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is parquet
+  TIMESTAMP(NANOS), which Spark cannot read natively; we read the raw int64
+  nanos and floor-convert to microsecond timestamps, exactly matching
+  DuckDB's TIMESTAMP_NS→TIMESTAMP(us) view of the same file (verified
+  value-for-value against the oracle).
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under ``sf_dir``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable session conf every query depends on."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable on this build — defaults are fine
+    return spark
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.
+
+    Plain ``spark.read.parquet`` so Catalyst's scan keeps predicate pushdown
+    + column pruning; at cluster scale the same call reads a partitioned
+    directory tree and prunes partitions for free.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table: {name}")
+    prepare(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # int64 nanos → µs timestamp (floor), identical to DuckDB's view.
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views for ``spark.sql`` queries."""
+    for n in names or TABLES:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
