@@ -1,1 +1,238 @@
-"""Placeholder — filled in as the family is implemented (SURVEY.md §2)."""
+"""Scalar function families (SURVEY.md §2 'Scalar functions').
+
+One composite query per family, touching every listed function.  Every
+expression is a built-in ``pyspark.sql.functions`` call — JVM-side, inside
+whole-stage codegen; no Python on the hot path.
+
+Cross-engine gotchas handled here (documented in SURVEY §2):
+- Spark ``dayofweek`` is 1=Sunday; DuckDB ``dayofweek`` is 0=Sunday.
+- Spark ``pmod`` vs DuckDB ``%`` sign semantics.
+- Spark ``regexp_replace`` is global; DuckDB needs the ``'g'`` flag.
+- DuckDB lacks ``initcap`` — emulated with upper/lower/substr.
+- Decimal outputs rendered as strings (engine-stable representation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+# --------------------------------------------------------------------------
+# fn_string
+# --------------------------------------------------------------------------
+
+_FN_STRING_ORACLE = """
+SELECT
+  p_partkey,
+  p_name || '|' || p_brand AS cat,
+  substr(p_name, 1, 4) AS sub4,
+  length(p_name) AS name_len,
+  lower(p_type) AS type_lo,
+  upper(p_name) AS name_up,
+  trim('  ' || p_name || ' ') AS trimmed,
+  lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_pad,
+  split_part(p_name, ' ', 1) AS first_word,
+  regexp_extract(p_name, '^(\\w+)', 1) AS rx_word,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+  replace(p_name, ' ', '-') AS dashed,
+  instr(p_name, 'o') AS o_pos,
+  upper(substr(p_brand, 1, 1)) || lower(substr(p_brand, 2)) AS brand_cap
+FROM part
+"""
+
+
+@register("fn_string", oracle=_FN_STRING_ORACLE)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    name, brand = F.col("p_name"), F.col("p_brand")
+    return p.select(
+        F.col("p_partkey"),
+        F.concat_ws("|", name, brand).alias("cat"),
+        F.substring(name, 1, 4).alias("sub4"),
+        F.length(name).cast("bigint").alias("name_len"),
+        F.lower(F.col("p_type")).alias("type_lo"),
+        F.upper(name).alias("name_up"),
+        F.trim(F.concat(F.lit("  "), name, F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("size_pad"),
+        F.split(name, " ")[0].alias("first_word"),
+        F.regexp_extract(name, r"^(\w+)", 1).alias("rx_word"),
+        F.regexp_replace(name, "[aeiou]", "_").alias("devowel"),
+        F.replace(name, F.lit(" "), F.lit("-")).alias("dashed"),
+        F.instr(name, "o").cast("bigint").alias("o_pos"),
+        # initcap on a single token — matches the upper+lower emulation DuckDB
+        # needs (it has no initcap builtin).
+        F.initcap(brand).alias("brand_cap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_date
+# --------------------------------------------------------------------------
+
+_FN_DATE_ORACLE = """
+SELECT
+  o_orderkey,
+  year(o_orderdate) AS yr,
+  month(o_orderdate) AS mo,
+  day(o_orderdate) AS dy,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(o_orderdate AS DATE) + 30 AS plus30,
+  CAST(o_orderdate AS DATE) - 7 AS minus7,
+  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+  CAST(date_diff('month',
+       CAST(date_trunc('month', TIMESTAMP '1995-06-01 00:00:00') AS DATE),
+       CAST(date_trunc('month', o_orderdate) AS DATE)) AS DOUBLE) AS months_since,
+  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+  make_date(year(o_orderdate), 1, 1) AS year_start,
+  dayofweek(o_orderdate) + 1 AS dow
+FROM orders
+"""
+
+
+@register("fn_date", oracle=_FN_DATE_ORACLE)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    od, odd = F.col("o_orderdate"), F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_orderkey"),
+        F.year(od).cast("bigint").alias("yr"),
+        F.month(od).cast("bigint").alias("mo"),
+        F.dayofmonth(od).cast("bigint").alias("dy"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.date_add(odd, 30).alias("plus30"),
+        F.date_sub(odd, 7).alias("minus7"),
+        F.datediff(F.lit("2000-01-01").cast("date"), odd).cast("bigint").alias("days_to_y2k"),
+        # months_between on month-truncated dates is an exact month count —
+        # the form DuckDB can mirror with date_diff('month', ...).
+        F.months_between(
+            F.date_trunc("month", od), F.lit("1995-06-01").cast("timestamp")
+        ).alias("months_since"),
+        F.last_day(odd).alias("month_end"),
+        F.unix_timestamp(od).alias("epoch_s"),
+        F.make_date(F.year(od), F.lit(1), F.lit(1)).alias("year_start"),
+        F.dayofweek(od).cast("bigint").alias("dow"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_math
+# --------------------------------------------------------------------------
+
+_FN_MATH_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  ROUND(l_extendedprice, 1) AS price_r1,
+  ABS(l_discount - 0.05) AS disc_dev,
+  CAST(CEIL(l_quantity / 7) AS BIGINT) AS qty_ceil,
+  CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_floor,
+  ROUND(POW(l_discount, 2), 6) AS disc_sq,
+  ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+  ROUND(EXP(l_discount), 6) AS disc_exp,
+  ROUND(LN(l_extendedprice), 6) AS price_ln,
+  ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+  CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+  CAST(((CAST(l_quantity AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS qty_pmod,
+  GREATEST(l_quantity, 25.0) AS qty_hi,
+  LEAST(l_quantity, 25.0) AS qty_lo
+FROM lineitem
+"""
+
+
+@register("fn_math", oracle=_FN_MATH_ORACLE)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    q, d, p = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.round(p, 1).alias("price_r1"),
+        F.abs(d - 0.05).alias("disc_dev"),
+        F.ceil(q / 7).alias("qty_ceil"),
+        F.floor(q / 7).alias("qty_floor"),
+        F.round(F.pow(d, 2), 6).alias("disc_sq"),
+        F.round(F.sqrt(q), 6).alias("qty_sqrt"),
+        F.round(F.exp(d), 6).alias("disc_exp"),
+        F.round(F.log(p), 6).alias("price_ln"),
+        F.round(F.log10(p), 6).alias("price_log10"),
+        F.signum(d - 0.05).alias("disc_sign"),
+        # Spark pmod ≡ ((a % b) + b) % b on the oracle side.
+        F.pmod(q.cast("bigint"), F.lit(7)).alias("qty_pmod"),
+        F.greatest(q, F.lit(25.0)).alias("qty_hi"),
+        F.least(q, F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_conditional
+# --------------------------------------------------------------------------
+
+_FN_CONDITIONAL_ORACLE = """
+SELECT
+  o_orderkey,
+  CASE o_orderstatus WHEN 'F' THEN 'closed' WHEN 'O' THEN 'open' ELSE 'other' END AS status_word,
+  CASE
+    WHEN o_totalprice >= 300000 THEN 'large'
+    WHEN o_totalprice >= 100000 THEN 'medium'
+    ELSE 'small'
+  END AS size_band,
+  CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS is_urgent,
+  COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS nvl_status,
+  NULLIF(o_orderstatus, 'O') AS maybe_status
+FROM orders
+"""
+
+
+@register("fn_conditional", oracle=_FN_CONDITIONAL_ORACLE)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    st, tp = F.col("o_orderstatus"), F.col("o_totalprice")
+    return o.select(
+        F.col("o_orderkey"),
+        F.when(st == "F", "closed").when(st == "O", "open").otherwise("other").alias("status_word"),
+        F.when(tp >= 300000, "large").when(tp >= 100000, "medium").otherwise("small").alias("size_band"),
+        F.when(F.col("o_orderpriority").like("1-%"), 1).otherwise(0).alias("is_urgent"),
+        F.nvl(F.nullif(st, F.lit("P")), F.lit("PENDING")).alias("nvl_status"),
+        F.nullif(st, F.lit("O")).alias("maybe_status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_cast_decimal — decimal money math + try_cast; decimals rendered as
+# strings so the value-hash is representation-stable in both engines.
+# --------------------------------------------------------------------------
+
+_FN_CAST_DECIMAL_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
+  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS line_total,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) - CAST(l_extendedprice * l_discount AS DECIMAL(18,4)) AS VARCHAR) AS net_dec,
+  CAST(l_quantity AS BIGINT) AS qty_int,
+  CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS roundtrip_key,
+  TRY_CAST(l_returnflag AS INT) AS bad_int,
+  TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_again
+FROM lineitem
+"""
+
+
+@register("fn_cast_decimal", oracle=_FN_CAST_DECIMAL_ORACLE)
+def fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        p.cast("decimal(12,2)").cast("string").alias("price_dec"),
+        (p.cast("decimal(12,2)") * q.cast("decimal(12,2)")).cast("string").alias("line_total"),
+        (p.cast("decimal(18,4)") - (p * F.col("l_discount")).cast("decimal(18,4)")).cast("string").alias("net_dec"),
+        q.cast("bigint").alias("qty_int"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("roundtrip_key"),
+        F.col("l_returnflag").try_cast("int").alias("bad_int"),
+        q.cast("string").try_cast("double").alias("qty_again"),
+    )
