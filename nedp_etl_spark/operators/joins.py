@@ -1,1 +1,328 @@
-"""Placeholder — filled in as the family is implemented (SURVEY.md §2)."""
+"""Join operators (SURVEY.md §2 'Joins').
+
+Strategy notes (the 100 TB posture — each query's plan is asserted in
+``tests/test_plans.py``):
+
+- Dimension tables (region/nation/supplier, and customer against the fact
+  side) are explicitly ``F.broadcast``-hinted: a BroadcastHashJoin ships the
+  small side to every executor and avoids shuffling the fact table at all.
+- Fact⋈fact (lineitem⋈orders) is left to Catalyst: with AQE on it picks
+  sort-merge or shuffled-hash on the join key and splits skewed partitions
+  at runtime.
+- The non-equi shapes (cross/theta, range, as-of) keep the *small* side on
+  the nested-loop/broadcast axis; the as-of join is the window-rank idiom
+  because Spark SQL has no native ASOF JOIN (DuckDB does — SURVEY §4).
+
+Reference parity: joins exist in the reference only as dbt-model SQL on
+Spark (``/root/reference/dbtoperator.py:273-274``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import dsum, osum
+
+# --------------------------------------------------------------------------
+# join_inner_equi — fact ⋈ fact equi join.
+# --------------------------------------------------------------------------
+
+_JOIN_INNER_ORACLE = f"""
+SELECT
+  o.o_orderstatus,
+  COUNT(*) AS n_lines,
+  {osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+  {osum('o.o_totalprice')} AS order_price_sum
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o.o_orderstatus
+"""
+
+
+@register("join_inner_equi", oracle=_JOIN_INNER_ORACLE)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dsum("o_totalprice").alias("order_price_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# join_left_right_full — outer joins (full outer exercises both null sides;
+# left/right are projections of the same shape, asserted via tag columns).
+# --------------------------------------------------------------------------
+
+_JOIN_OUTER_ORACLE = """
+SELECT
+  c.c_custkey,
+  c.c_name,
+  o.o_orderkey,
+  ROUND(o.o_totalprice, 6) AS o_totalprice,
+  (c.c_custkey IS NOT NULL AND o.o_orderkey IS NOT NULL) AS both_sides,
+  (o.o_orderkey IS NULL) AS cust_only
+FROM customer c
+FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("join_left_right_full", oracle=_JOIN_OUTER_ORACLE)
+def join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.col("c_custkey"),
+        F.col("c_name"),
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice"), 6).alias("o_totalprice"),
+        (F.col("c_custkey").isNotNull() & F.col("o_orderkey").isNotNull()).alias("both_sides"),
+        F.col("o_orderkey").isNull().alias("cust_only"),
+    )
+
+
+# --------------------------------------------------------------------------
+# join_semi_anti — existence / anti-existence as left_semi / left_anti.
+# --------------------------------------------------------------------------
+
+_JOIN_SEMI_ANTI_ORACLE = """
+SELECT c_custkey, c_mktsegment, 'has_big_order' AS tag
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+UNION ALL
+SELECT c_custkey, c_mktsegment, 'no_order' AS tag
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@register("join_semi_anti", oracle=_JOIN_SEMI_ANTI_ORACLE)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000)
+    semi = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("tag", F.lit("has_big_order"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("tag", F.lit("no_order"))
+    )
+    return semi.unionAll(anti)
+
+
+# --------------------------------------------------------------------------
+# join_broadcast — star-dimension join with explicit broadcast hints.
+# --------------------------------------------------------------------------
+
+_JOIN_BROADCAST_ORACLE = f"""
+SELECT
+  r.r_name,
+  n.n_name,
+  COUNT(*) AS n_customers,
+  {osum('c.c_acctbal')} AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@register("join_broadcast", oracle=_JOIN_BROADCAST_ORACLE)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    # nation (25 rows) and region (5 rows) broadcast to every executor —
+    # the customer table never shuffles for the join, only for the agg.
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# join_cross_theta — cross product + non-equi predicate
+# (BroadcastNestedLoopJoin; both sides tiny by construction).
+# --------------------------------------------------------------------------
+
+_JOIN_CROSS_THETA_ORACLE = """
+SELECT a.r_name AS r1, b.r_name AS r2, a.r_regionkey + b.r_regionkey AS key_sum
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey < b.r_regionkey
+"""
+
+
+@register("join_cross_theta", oracle=_JOIN_CROSS_THETA_ORACLE)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "region").alias("a")
+    b = load(spark, sf_dir, "region").alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(
+            F.col("a.r_name").alias("r1"),
+            F.col("b.r_name").alias("r2"),
+            (F.col("a.r_regionkey") + F.col("b.r_regionkey")).alias("key_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# join_range — interval containment with NO equi key.  The interval side is
+# kept small and broadcast, which is the scale path: a nested-loop against a
+# broadcast list of ranges is O(rows × ranges) map-side work, no shuffle.
+# --------------------------------------------------------------------------
+
+_JOIN_RANGE_ORACLE = """
+SELECT
+  w.o_orderkey AS window_id,
+  COUNT(*) AS n_shipped
+FROM (SELECT o_orderkey, o_orderdate AS start_ts,
+             o_orderdate + INTERVAL 60 DAY AS end_ts
+      FROM orders WHERE o_orderkey < 320) w
+JOIN lineitem l
+  ON l.l_shipdate >= w.start_ts AND l.l_shipdate < w.end_ts
+GROUP BY w.o_orderkey
+"""
+
+
+@register("join_range", oracle=_JOIN_RANGE_ORACLE)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    w = o.filter(F.col("o_orderkey") < 320).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.col("o_orderdate").alias("start_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("end_ts"),
+    )
+    return (
+        li.join(
+            F.broadcast(w),
+            (li.l_shipdate >= w.start_ts) & (li.l_shipdate < w.end_ts),
+        )
+        .groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+
+
+# --------------------------------------------------------------------------
+# join_asof — for each purchase event, the latest click by the same user at
+# or before the purchase.  Spark has no ASOF JOIN; the idiom is
+# join + row_number()=1 over (purchase) ordered by click time desc.
+# At scale the equi key (user_id) makes this a plain shuffled join and the
+# per-key rank is bounded by that user's click count.
+# --------------------------------------------------------------------------
+
+_JOIN_ASOF_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     ranked AS (
+       SELECT p.event_id AS purchase_id,
+              p.user_id,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+              c.event_id AS click_id,
+              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ts DESC, c.event_id DESC) AS rn
+       FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+     )
+SELECT purchase_id, user_id, purchase_ts, click_id
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("join_asof", oracle=_JOIN_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(c, (p.user_id == c.c_user) & (c.c_ts <= p.p_ts), "inner")
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "click_id",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# join_multiway — TPC-H Q5-shaped 6-way star join.
+# --------------------------------------------------------------------------
+
+_JOIN_MULTIWAY_ORACLE = f"""
+SELECT
+  n.n_name,
+  COUNT(*) AS n_lines,
+  {osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("join_multiway", oracle=_JOIN_MULTIWAY_ORACLE)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey))
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )

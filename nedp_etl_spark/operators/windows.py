@@ -1,1 +1,194 @@
-"""Placeholder — filled in as the family is implemented (SURVEY.md §2)."""
+"""Window-function operators (SURVEY.md §2 'Window functions').
+
+Determinism discipline: ranking functions that depend on a total order
+(row_number, ntile, lag/lead) use a window spec with a unique tiebreaker
+column; functions defined on the *value* order (rank, dense_rank,
+percent_rank, cume_dist) use the value-only spec so ties behave per spec.
+Both engines then agree exactly.
+
+Scale note: every window here partitions by a key (o_custkey) — state per
+partition is one customer's orders, so the shuffle is the only cost and no
+executor ever materializes more than a partition.  Global (unpartitioned)
+windows appear only in sort_multi (see sorts.py) where the output is
+intentionally tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+# --------------------------------------------------------------------------
+# win_ranking — row_number / rank / dense_rank / ntile / percent_rank.
+# --------------------------------------------------------------------------
+
+_WIN_RANKING_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk,
+  NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+  ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority), 6) AS prank
+FROM orders
+"""
+
+
+@register("win_ranking", oracle=_WIN_RANKING_ORACLE)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    # total order (unique tiebreak) for row_number/ntile …
+    w_total = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    # … value order (ties allowed) for rank-family semantics.
+    w_value = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_value).alias("rnk"),
+        F.dense_rank().over(w_value).alias("drnk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.round(F.percent_rank().over(w_value), 6).alias("prank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# win_analytic — lag / lead / first / last / cume_dist.
+# --------------------------------------------------------------------------
+
+_WIN_ANALYTIC_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  ROUND(LAG(o_totalprice, 1) OVER w, 6) AS prev_price,
+  ROUND(LEAD(o_totalprice, 1) OVER w, 6) AS next_price,
+  ROUND(LAG(o_totalprice, 2, -1.0) OVER w, 6) AS prev2_price,
+  ROUND(FIRST_VALUE(o_totalprice) OVER w, 6) AS first_price,
+  ROUND(LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS last_price,
+  ROUND(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority), 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("win_analytic", oracle=_WIN_ANALYTIC_ORACLE)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_cd = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag(price, 1).over(w), 6).alias("prev_price"),
+        F.round(F.lead(price, 1).over(w), 6).alias("next_price"),
+        F.round(F.lag(price, 2, -1.0).over(w), 6).alias("prev2_price"),
+        F.round(F.first(price).over(w), 6).alias("first_price"),
+        F.round(F.last(price).over(w_full), 6).alias("last_price"),
+        F.round(F.cume_dist().over(w_cd), 6).alias("cd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# win_frame_rows — running sum + moving average with ROWS frames.
+# --------------------------------------------------------------------------
+
+_WIN_FRAME_ROWS_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+  ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+FROM orders
+"""
+
+
+@register("win_frame_rows", oracle=_WIN_FRAME_ROWS_ORACLE)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(price).over(run), 4).alias("running_total"),
+        F.round(F.avg(price).over(mov), 4).alias("moving_avg3"),
+        F.count(F.lit(1)).over(run).alias("n_so_far"),
+    )
+
+
+# --------------------------------------------------------------------------
+# win_frame_range — value-based RANGE frames.
+# --------------------------------------------------------------------------
+
+_WIN_FRAME_RANGE_ORACLE = """
+SELECT
+  c_nationkey,
+  c_custkey,
+  COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+        RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1000,
+  COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+        RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING) AS n_band_500
+FROM customer
+"""
+
+
+@register("win_frame_range", oracle=_WIN_FRAME_RANGE_ORACLE)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.count(F.lit(1)).over(w.rangeBetween(-1000, Window.currentRow)).alias("n_within_1000"),
+        F.count(F.lit(1)).over(w.rangeBetween(-500, 500)).alias("n_band_500"),
+    )
+
+
+# --------------------------------------------------------------------------
+# win_topk_per_group — classic rank-filter top-k.
+# --------------------------------------------------------------------------
+
+_WIN_TOPK_ORACLE = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice, rn AS rank_in_cust
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@register("win_topk_per_group", oracle=_WIN_TOPK_ORACLE)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Catalyst (3.5+) rewrites rank<=k filters into a WindowGroupLimit —
+    # each shuffle partition keeps only k rows per group before the sort.
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            F.col("rn").alias("rank_in_cust"),
+        )
+    )

@@ -1,0 +1,78 @@
+"""Physical-plan assertions — the 100 TB posture, checked mechanically.
+
+These don't compare values (test_correctness does); they assert the *plan
+shape* that survives a 1000× scale-up: broadcast joins where a side is a
+dimension, pushed filters reaching the parquet scan, pruned read schemas,
+and rank-filter top-k compiling to a group-limit instead of a full sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import nedp_etl_spark as eng
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = eng.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_multiway")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = eng.queries()["agg_groupby"](spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in executed
+    assert "l_comment" not in optimized  # sanity: no phantom columns
+
+
+def test_column_pruning(spark, sf_dir):
+    df = eng.queries()["project_select"](spark, sf_dir)
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # ReadSchema must not include unprojected columns.
+    assert "p_retailprice" in executed
+    seg = executed[executed.index("ReadSchema") :]
+    head = seg.split("\n")[0]
+    assert "p_partkey" in head and "p_retailprice" in head
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "win_topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_range_join_broadcasts_interval_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_no_cartesian_in_equi_joins(spark, sf_dir):
+    for name in ("join_inner_equi", "join_left_right_full", "join_semi_anti"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["agg_groupby", "join_inner_equi", "win_ranking"])
+def test_whole_stage_codegen_active(spark, sf_dir, name):
+    # AQE finalizes the plan lazily — materialize, then inspect.
+    df = eng.queries()[name](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages in the finalized plan.
+    assert "*(" in plan
