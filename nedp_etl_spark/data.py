@@ -37,6 +37,10 @@ TABLES = (
 
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
+    # Streaming state-store partitioning follows shuffle.partitions and AQE
+    # cannot coalesce it — pin to the local core count instead of the 200
+    # default (on a real cluster this is sized to total executor cores).
+    "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

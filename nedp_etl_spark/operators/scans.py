@@ -1,1 +1,295 @@
-"""Placeholder — filled in as the family is implemented (SURVEY.md §2)."""
+"""Scan / source / sink operators (SURVEY.md §2 'Scans / sources / sinks').
+
+These mirror the materialization strategies the reference ships through
+dbt-spark (``/root/reference/dbtoperator.py:273-274``): ``seed`` (CSV/JSON
+ingest), ``table`` (full rewrite), ``incremental`` (merge), ``snapshot``
+(SCD2).  Spark's parquet tables don't support MERGE INTO without a
+lakehouse format, so the incremental/snapshot merges are expressed
+algebraically (anti-join + union) — the exact algorithm dbt-spark's
+``incremental`` materialization generates for non-Delta tables, and the
+plan Catalyst produces is the same shuffled join either way.  At 100 TB the
+write path partitions by date so an incremental run rewrites only touched
+partitions.
+
+Sinks write under ``_scratch/<query>/<sf>`` inside the repo (the driver may
+run any query at any sf concurrently — paths are sf-scoped).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "..", "_scratch")
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.abspath(os.path.join(_SCRATCH, name, sf))
+
+
+# --------------------------------------------------------------------------
+# scan_parquet — full-table scan summary.
+# --------------------------------------------------------------------------
+
+_SCAN_PARQUET_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM lineitem) AS lineitem_rows,
+  (SELECT COUNT(*) FROM orders) AS orders_rows,
+  (SELECT COUNT(*) FROM customer) AS customer_rows,
+  (SELECT CAST(MIN(l_shipdate) AS DATE) FROM lineitem) AS min_ship,
+  (SELECT CAST(MAX(l_shipdate) AS DATE) FROM lineitem) AS max_ship
+"""
+
+
+@register("scan_parquet", oracle=_SCAN_PARQUET_ORACLE)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("lineitem_rows"),
+        F.min(F.col("l_shipdate").cast("date")).alias("min_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_ship"),
+    )
+    return (
+        li_agg.crossJoin(o.agg(F.count(F.lit(1)).alias("orders_rows")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("customer_rows")))
+        .select("lineitem_rows", "orders_rows", "customer_rows", "min_ship", "max_ship")
+    )
+
+
+# --------------------------------------------------------------------------
+# scan_csv_json — dbt `seed` analogue: CSV + JSON ingest with explicit
+# schemas, round-tripped from the parquet fixtures so the oracle can check
+# exact equality against the originals.
+# --------------------------------------------------------------------------
+
+_SCAN_CSV_JSON_ORACLE = """
+SELECT n.n_nationkey, n.n_name, n.n_regionkey, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@register("scan_csv_json", oracle=_SCAN_CSV_JSON_ORACLE)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation_csv = _scratch("scan_csv_json/nation_csv", sf_dir)
+    region_json = _scratch("scan_csv_json/region_json", sf_dir)
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(nation_csv)
+    load(spark, sf_dir, "region").write.mode("overwrite").json(region_json)
+
+    nation_schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    region_schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    n = spark.read.schema(nation_schema).option("header", True).csv(nation_csv)
+    r = spark.read.schema(region_schema).json(region_json)
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "n_regionkey", "r_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# scan_partition_prune — filtered scan that skips row groups via parquet
+# min/max stats (and partitions, when the layout is date-partitioned).
+# --------------------------------------------------------------------------
+
+_SCAN_PRUNE_ORACLE = """
+SELECT
+  CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+  COUNT(*) AS n,
+  COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("scan_partition_prune", oracle=_SCAN_PRUNE_ORACLE)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sink_table — dbt `table` materialization: full rewrite, partitioned by a
+# derived date column (the 100 TB layout), then read back.
+# --------------------------------------------------------------------------
+
+_SINK_TABLE_ORACLE = """
+SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 6) AS o_totalprice,
+       CAST(year(o_orderdate) AS INT) AS order_year
+FROM orders WHERE o_totalprice > 150000
+"""
+
+
+@register("sink_table", oracle=_SINK_TABLE_ORACLE)
+def sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("sink_table", sf_dir)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    out = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    out.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    df = spark.read.parquet(path)
+    # partition column comes back last and as read-schema int — re-order and
+    # re-cast so the materialized table equals the declared SELECT.
+    return df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("order_year").cast("int").alias("order_year"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sink_incremental_merge — dbt `incremental` (merge strategy): new+changed
+# source rows override matched target rows; unmatched target rows survive.
+# --------------------------------------------------------------------------
+
+_SINK_MERGE_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 6) AS o_totalprice
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+),
+source AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, ROUND(o_totalprice * 1.1, 6) AS o_totalprice
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice, 'merged' AS src FROM source
+UNION ALL
+SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice, 'kept' AS src
+FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+"""
+
+
+@register("sink_incremental_merge", oracle=_SINK_MERGE_ORACLE)
+def sink_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("sink_incremental_merge", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 6).alias("o_totalprice")
+    )
+    target.write.mode("overwrite").parquet(path)  # existing materialized state
+
+    source = o.filter(
+        F.col("o_orderdate") >= F.lit("1996-06-01 00:00:00").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 6).alias("o_totalprice"),
+    )
+
+    existing = spark.read.parquet(path)
+    # MERGE: source wins on key match, target rows without a match survive.
+    # (left_anti + unionAll ≡ WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT
+    # for whole-row updates; on Delta/Iceberg this becomes MERGE INTO.)
+    kept = existing.join(source, on="o_orderkey", how="left_anti")
+    merged = source.withColumn("src", F.lit("merged")).unionAll(
+        kept.withColumn("src", F.lit("kept"))
+    )
+    merged.write.mode("overwrite").parquet(path + "_v2")
+    return spark.read.parquet(path + "_v2").select("o_orderkey", "o_orderstatus", "o_totalprice", "src")
+
+
+# --------------------------------------------------------------------------
+# sink_snapshot_scd2 — dbt `snapshot`: slowly-changing-dimension type 2
+# with valid_from / valid_to / is_current.
+# --------------------------------------------------------------------------
+
+_SINK_SCD2_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 6) AS c_acctbal FROM customer
+),
+changed AS (SELECT * FROM base WHERE c_acctbal > 5000)
+SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+       '2024-01-01' AS valid_from, '2024-06-01' AS valid_to, FALSE AS is_current
+FROM changed
+UNION ALL
+SELECT c_custkey, 'PREMIUM' AS segment, c_acctbal,
+       '2024-06-01' AS valid_from, NULL AS valid_to, TRUE AS is_current
+FROM changed
+UNION ALL
+SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+       '2024-01-01' AS valid_from, NULL AS valid_to, TRUE AS is_current
+FROM base WHERE c_acctbal <= 5000
+"""
+
+
+@register("sink_snapshot_scd2", oracle=_SINK_SCD2_ORACLE)
+def sink_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("sink_snapshot_scd2", sf_dir)
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+    )
+    # snapshot t0: everyone current as of 2024-01-01
+    t0 = base.select(
+        "c_custkey",
+        "segment",
+        "c_acctbal",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    t0.write.mode("overwrite").parquet(path)
+
+    # update set at 2024-06-01: high-balance customers move to PREMIUM
+    updates = base.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", F.lit("PREMIUM").alias("segment"), "c_acctbal"
+    )
+
+    snap = spark.read.parquet(path)
+    upd_keys = updates.select("c_custkey")
+    # close out current rows for changed keys …
+    closed = (
+        snap.join(upd_keys, "c_custkey", "left_semi")
+        .withColumn("valid_to", F.lit("2024-06-01"))
+        .withColumn("is_current", F.lit(False))
+    )
+    # … keep unchanged rows …
+    untouched = snap.join(upd_keys, "c_custkey", "left_anti")
+    # … append new current versions.
+    opened = updates.select(
+        "c_custkey",
+        "segment",
+        "c_acctbal",
+        F.lit("2024-06-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    result = closed.unionByName(untouched).unionByName(opened)
+    result.write.mode("overwrite").parquet(path + "_v2")
+    return spark.read.parquet(path + "_v2")

@@ -1,1 +1,128 @@
-"""Placeholder — filled in as the family is implemented (SURVEY.md §2)."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 'UDF / UDAF / UDTF surface').
+
+The hierarchy, in preference order for the 100 TB posture:
+
+1. built-in functions (everything else in this repo) — JVM, codegen'd;
+2. ``@pandas_udf`` / ``applyInPandas`` — Arrow-batched columnar transfer,
+   ~10-100× over row UDFs; the ONLY acceptable Python on a hot path;
+3. row-at-a-time ``F.udf`` — registered here strictly to cover the operator
+   surface; its query is identical to ``udf_pandas`` so the bench output
+   directly shows the penalty.
+
+Each UDF's logic is pure double/string arithmetic so the DuckDB oracle can
+mirror it in SQL exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+# --------------------------------------------------------------------------
+# udf_scalar — row-at-a-time Python UDF.
+# --------------------------------------------------------------------------
+
+_UDF_SCALAR_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+FROM lineitem
+WHERE l_quantity >= 45
+"""
+
+
+@register("udf_scalar", oracle=_UDF_SCALAR_ORACLE)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType=T.DoubleType())
+    def charge(price: float, disc: float, tax: float) -> float:
+        # IEEE double ops — bit-identical to the SQL expression.
+        return price * (1 - disc) * (1 + tax)
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(charge("l_extendedprice", "l_discount", "l_tax"), 6).alias("charged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# udf_pandas — Arrow-vectorized scalar UDF (same logic, batched).
+# --------------------------------------------------------------------------
+
+_UDF_PANDAS_ORACLE = _UDF_SCALAR_ORACLE
+
+
+@register("udf_pandas", oracle=_UDF_PANDAS_ORACLE)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(charge("l_extendedprice", "l_discount", "l_tax"), 6).alias("charged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# udaf_pandas — grouped custom aggregate via applyInPandas.
+# --------------------------------------------------------------------------
+
+_UDAF_PANDAS_ORACLE = """
+SELECT
+  l_returnflag,
+  ROUND(SUM(l_extendedprice * l_discount) / SUM(l_extendedprice), 6) AS weighted_disc,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("udaf_pandas", oracle=_UDAF_PANDAS_ORACLE)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def weighted(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        w = (pdf.l_extendedprice * pdf.l_discount).sum() / pdf.l_extendedprice.sum()
+        return pd.DataFrame(
+            {"l_returnflag": [key[0]], "weighted_disc": [round(w, 6)], "n": [len(pdf)]}
+        )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    # One Arrow batch per group; state is bounded by the largest group, and
+    # groups shuffle to executors — the distributed custom-agg pattern.
+    return li.groupBy("l_returnflag").applyInPandas(
+        weighted, "l_returnflag string, weighted_disc double, n bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# udtf_explode — table function: 1 document row → N token rows.
+# --------------------------------------------------------------------------
+
+_UDTF_EXPLODE_ORACLE = """
+SELECT d.doc_id, t.token, length(t.token) AS token_len
+FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(token)
+WHERE d.doc_id < 200
+"""
+
+
+@register("udtf_explode", oracle=_UDTF_EXPLODE_ORACLE)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The set-returning shape: array-producing expression + explode (lateral
+    # view).  Row count multiplies; everything stays JVM-side.
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).withColumn("token_len", F.length("token").cast("bigint"))

@@ -1,1 +1,259 @@
-"""Placeholder — filled in as the family is implemented (SURVEY.md §2)."""
+"""Streaming operators (SURVEY.md §2 'Streaming') over the ``events`` table.
+
+Per SURVEY §7 step 8, each windowed aggregation is registered in its
+*batch form* (same ``F.window``/``F.session_window`` expressions, oracle-
+checked against DuckDB), and the watermark/foreachBatch operators run a REAL
+Structured Streaming query — ``readStream`` over the fixture parquet with an
+availableNow trigger into a memory sink — because state/watermark semantics
+only exist in streaming mode.  ``tests/test_streaming.py`` additionally
+proves batch≡streaming parity for the tumbling window by replaying the same
+data through ``readStream``.
+
+Scale: windowed aggregations key state by (window, key) and drop it at the
+watermark — state is bounded by (windows in flight × keys), independent of
+stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import dsum, osum
+
+# --------------------------------------------------------------------------
+# stream_tumbling — 1-hour tumbling counts per event_type.
+# --------------------------------------------------------------------------
+
+_STREAM_TUMBLING_ORACLE = f"""
+SELECT
+  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  {osum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling", oracle=_STREAM_TUMBLING_ORACLE)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_sliding — 1-hour windows sliding every 15 minutes (each event lands
+# in 4 windows; windows are epoch-aligned in both engines).
+# --------------------------------------------------------------------------
+
+_STREAM_SLIDING_ORACLE = """
+SELECT window_start, event_type, COUNT(*) AS n
+FROM (
+  SELECT
+    strftime(time_bucket(INTERVAL '15 minutes', ts) - (t.i * INTERVAL '15 minutes'),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+    time_bucket(INTERVAL '15 minutes', ts) - (t.i * INTERVAL '15 minutes') AS ws,
+    ts, event_type
+  FROM events, range(0, 4) t(i)
+)
+WHERE ts >= ws AND ts < ws + INTERVAL '1 hour'
+GROUP BY window_start, event_type
+"""
+
+
+@register("stream_sliding", oracle=_STREAM_SLIDING_ORACLE)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# stream_session — session windows with a 30-minute gap, per user.
+# Oracle: gaps-and-islands (lag + cumulative new-session flag) — a new
+# session starts when the gap to the previous event is >= the gap duration,
+# matching Spark's "extend while ts < last_ts + gap" semantics.
+# --------------------------------------------------------------------------
+
+_STREAM_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       {osum('value')} AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("stream_session", oracle=_STREAM_SESSION_ORACLE)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Real Structured Streaming helpers (availableNow → memory sink).
+# --------------------------------------------------------------------------
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture (schema from the batch loader).
+
+    FileStreamSource requires a *directory* — the fixture file is staged
+    (hard-link/copy) into a repo-local scratch dir once per sf.
+    """
+    import os
+    import shutil
+
+    from nedp_etl_spark.operators.scans import _scratch
+
+    stage = _scratch("stream_events_src", sf_dir)
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.link(f"{sf_dir}/events.parquet", dst)
+        except OSError:
+            shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+
+    load(spark, sf_dir, "events")  # applies session conf (nanosAsLong, UTC)
+    raw_schema = spark.read.parquet(dst).schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# stream_watermark_late — watermarked tumbling aggregate run as a REAL
+# streaming query (rows-only: watermark semantics have no SQL oracle).
+# --------------------------------------------------------------------------
+
+
+@register("stream_watermark_late")
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute watermark + 1-hour tumbling count per event_type.
+
+    With the fixture replayed via availableNow the watermark only advances
+    between micro-batches, so all (in-order) fixture data is aggregated;
+    in continuous operation the same plan drops events later than
+    max(event_ts) - 10min and finalizes windows past the watermark.
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _run_to_memory(agg, f"wm_late_{abs(hash(sf_dir)) % 10_000}", "append")
+
+
+# --------------------------------------------------------------------------
+# stream_dedup — stateful dropDuplicates within the watermark, exact-checked
+# in batch form (union-with-self makes the dedup observable).
+# --------------------------------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, event_type, ROUND(value, 6) AS value
+FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+"""
+
+
+@register("stream_dedup", oracle=_STREAM_DEDUP_ORACLE)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch form of withWatermark(...).dropDuplicates(['event_id']): the
+    # doubled input collapses to one row per event_id.  Streaming keeps seen
+    # ids in state and expires them at the watermark — bounded memory.
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    return ev.unionAll(ev).dropDuplicates(["event_id"])
+
+
+# --------------------------------------------------------------------------
+# stream_foreachbatch — incremental sink: each micro-batch merges into a
+# materialized aggregate table (dbt `incremental` streaming analogue).
+# --------------------------------------------------------------------------
+
+
+@register("stream_foreachbatch")
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """writeStream.foreachBatch merge: per-batch counts merged into a running
+    per-event_type total (update-in-place keyed merge, rows-only check)."""
+    state: dict[str, list] = {}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+        ).collect():
+            cur = state.setdefault(row["event_type"], [0, 0.0])
+            cur[0] += row["n"]
+            cur[1] += row["v"]
+
+    ev = _stream_events(spark, sf_dir)
+    q = ev.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    rows = [(k, v[0], round(v[1], 2)) for k, v in sorted(state.items())]
+    return spark.createDataFrame(rows, "event_type string, n bigint, total_value double")

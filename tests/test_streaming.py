@@ -1,0 +1,42 @@
+"""Batch ≡ streaming parity: the same windowed aggregation replayed through
+Structured Streaming (availableNow → memory sink) must produce exactly the
+rows the batch form produces (SURVEY §7 step 8 self-check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import nedp_etl_spark as eng
+from nedp_etl_spark.streaming.windows import _run_to_memory, _stream_events
+
+
+def test_tumbling_batch_equals_streaming(spark, sf_dir):
+    batch = {
+        tuple(r)
+        for r in eng.queries()["stream_tumbling"](spark, sf_dir)
+        .select("window_start", "event_type", "n")
+        .collect()
+    }
+
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    streamed = {tuple(r) for r in _run_to_memory(agg, "parity_tumbling", "complete").collect()}
+    assert streamed == batch
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    batch_n = eng.queries()["stream_dedup"](spark, sf_dir).count()
+    ev = _stream_events(spark, sf_dir)
+    dedup = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"]).select(
+        "event_id", "event_type"
+    )
+    streamed = _run_to_memory(dedup, "parity_dedup", "append")
+    assert streamed.count() == batch_n
