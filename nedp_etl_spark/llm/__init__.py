@@ -1,1 +1,6 @@
-"""Placeholder — filled in as the family is implemented (SURVEY.md §2)."""
+"""LLM training-data pipeline operators (BASELINE.json:6 north star):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + IVF), text analysis, multimodal columns.
+"""
+
+from nedp_etl_spark.llm import dedup, multimodal, simsearch, text  # noqa: F401

@@ -1,0 +1,269 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2
+north-star block): exact hash dedup, MinHash-LSH near-dedup, SimHash
+fingerprints, n-gram Jaccard, bottom-k document fingerprints.
+
+Engine-portability trick that makes these *exact*-checkable: every hash is
+md5 (identical hex in Spark and DuckDB), so even MinHash signatures and
+SimHash bits reproduce bit-for-bit in the oracle.  In production the hash
+would be xxhash64 for speed — the algebra is identical.
+
+Scale shapes:
+- exact dedup: groupBy(hash) — one shuffle of (hash, id), never the text;
+- MinHash-LSH: per-doc signature (map-side) → explode to (band, key) →
+  shuffle on band key → pairs only within buckets.  Candidate-pair count is
+  the banded O(n·similar) not O(n²);
+- SimHash: one 64-ish-bit fingerprint per doc, map-side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+# --------------------------------------------------------------------------
+# llm_dedup_exact — normalized-text hash dedup with deterministic keeper.
+# --------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+SELECT sha256(lower(trim(text))) AS text_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("llm_dedup_exact", oracle=_DEDUP_EXACT_ORACLE)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # groupBy(hash) + min(id) instead of dropDuplicates: the surviving row
+    # is deterministic and only (hash, id) shuffles — at 100 TB the text
+    # never leaves the scan stage.
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2(F.lower(F.trim("text")), 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared shingling helpers (word 3-grams, 1-based indexing both engines).
+# --------------------------------------------------------------------------
+
+
+def _shingles(text: Column) -> Column:
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+
+
+_SHINGLES_SQL = """list_transform(range(1, len(string_split(text,' ')) - 1),
+    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"""
+
+# Augmented corpus: every doc plus a copy with the first token dropped —
+# guaranteed near-duplicates so the LSH path is exercised non-trivially.
+_AUG_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, substr(text, instr(text, ' ') + 1) AS text
+  FROM documents
+"""
+
+
+def _aug_corpus(d: DataFrame) -> DataFrame:
+    clipped = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.select("doc_id", "text").unionAll(clipped)
+
+
+# --------------------------------------------------------------------------
+# llm_dedup_near — MinHash + LSH banding.
+# k=6 hash functions (md5 with seed suffix), 3 bands × 2 rows.
+# --------------------------------------------------------------------------
+
+_N_HASHES = 6
+_BAND_ROWS = 2
+
+_MINHASH_LIST_SQL = "[" + ", ".join(
+    f"list_min(list_transform(s, x -> md5(x || '{i}')))" for i in range(_N_HASHES)
+) + "]"
+
+_DEDUP_NEAR_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM corpus WHERE len(string_split(text,' ')) >= 3
+),
+mh AS (SELECT doc_id, {_MINHASH_LIST_SQL} AS m FROM sh),
+bands AS (
+  SELECT doc_id, CAST(t.j AS INT) AS band,
+         m[CAST(2*t.j + 1 AS INT)] || '|' || m[CAST(2*t.j + 2 AS INT)] AS band_key
+  FROM mh, range(0, {_N_HASHES // _BAND_ROWS}) t(j)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("llm_dedup_near", oracle=_DEDUP_NEAR_ORACLE)
+def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = _aug_corpus(d)
+    sh = corpus.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", _shingles(F.col("text")).alias("s")
+    )
+    def _minhash(seed: str):
+        # NB: the lambda must take exactly one arg — PySpark treats a
+        # two-parameter lambda as (element, index) and would shadow the seed.
+        return F.array_min(F.transform(F.col("s"), lambda x: F.md5(F.concat(x, F.lit(seed)))))
+
+    minhashes = F.array(*[_minhash(str(i)) for i in range(_N_HASHES)])
+    mh = sh.select("doc_id", minhashes.alias("m"))
+    n_bands = _N_HASHES // _BAND_ROWS
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[F.col("m")[b * _BAND_ROWS + r] for r in range(_BAND_ROWS)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_simhash — 8-bit SimHash from per-token md5 nibble parities.
+# bit_b's ±1 vote for a token is the parity of hex digit b of md5(token);
+# the fingerprint packs the sign bits of the vote sums.
+# --------------------------------------------------------------------------
+
+_SIMHASH_BITS = 8
+
+_SIMHASH_VOTE_SQL = ", ".join(
+    f"SUM(2 * (ascii(substr(h, {b + 1}, 1)) % 2) - 1) AS v{b}" for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_PACK_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM documents, UNNEST(string_split(text, ' ')) t(tok)
+),
+votes AS (SELECT doc_id, {_SIMHASH_VOTE_SQL} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_PACK_SQL} AS BIGINT) AS simhash
+FROM votes
+"""
+
+
+@register("llm_simhash", oracle=_SIMHASH_ORACLE)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("h")
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * (F.ascii(F.substring("h", b + 1, 1)) % 2) - 1).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    packed = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return votes.select("doc_id", packed.cast("bigint").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# llm_ngram_jaccard — pairwise 3-gram Jaccard similarity on a probe subset.
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+  FROM documents
+  WHERE doc_id < 30 AND len(string_split(text,' ')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+             len(list_distinct(a.s || b.s)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+"""
+
+
+@register("llm_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    sh = d.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                * 1.0
+                / F.size(F.array_union("sa", "sb")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_fingerprint — bottom-k sketch (winnowing-style document fingerprint):
+# the 3 smallest shingle hashes identify the document robustly.
+# --------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+       array_to_string(list_sort(list_transform({_SHINGLES_SQL}, x -> md5(x)))[1:3], ',') AS fingerprint
+FROM documents
+WHERE len(string_split(text,' ')) >= 3
+"""
+
+
+@register("llm_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.slice(F.array_sort(F.transform(_shingles(F.col("text")), F.md5)), 1, 3),
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,121 @@
+"""Multimodal columns (SURVEY.md §2 'llm_multimodal_col'): image/audio/video
+payloads modeled as opaque binary columns with typed metadata, plus the
+decode/feature-extract plumbing as an Arrow-batched ``mapInPandas`` stage.
+
+The container has no image/audio libraries, so the decoder is a clearly
+marked deterministic fake (header-byte parse) — the Spark-side plumbing
+(schema, batch iteration, column pruning through the UDF) is real and
+tested.  Swapping ``_fake_decode`` for PIL/librosa is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+# --------------------------------------------------------------------------
+# llm_multimodal_col — struct(binary payload, mime, metadata) construction,
+# projection and filtering.  Payload bytes are the document text (a
+# deterministic stand-in for real media bytes).
+# --------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       source AS meta_source,
+       lang AS meta_lang
+FROM documents
+WHERE octet_length(CAST(text AS BLOB)) > 100
+"""
+
+
+@register("llm_multimodal_col", oracle=_MULTIMODAL_ORACLE)
+def llm_multimodal_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id",
+        F.struct(
+            F.col("text").cast("binary").alias("payload"),
+            F.when(F.col("doc_id") % 3 == 0, "image/png")
+            .when(F.col("doc_id") % 3 == 1, "audio/wav")
+            .otherwise("video/mp4")
+            .alias("mime"),
+            F.create_map(
+                F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+            ).alias("meta"),
+        ).alias("media"),
+    )
+    return media.filter(F.length(F.col("media.payload")) > 100).select(
+        "doc_id",
+        F.col("media.mime").alias("mime"),
+        F.length(F.col("media.payload")).cast("bigint").alias("n_bytes"),
+        F.element_at(F.col("media.meta"), "source").alias("meta_source"),
+        F.element_at(F.col("media.meta"), "lang").alias("meta_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_multimodal_decode — Arrow-batched decode/feature-extract stage
+# (rows-only: the decode itself is a stub; the plumbing is the product).
+# --------------------------------------------------------------------------
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes bigint, width int, height int, n_frames int"
+)
+
+
+def _fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image/audio/video decoder.
+
+    Real deployment: PIL.Image.open / soundfile.read / pyav frame sampling
+    here, one library call per row within the Arrow batch.  (The container
+    ships none of these — SURVEY §2 mandates a stubbed decode with real
+    plumbing.)
+    """
+    if not payload:
+        raise NotImplementedError("empty payload — nothing to decode")
+    w = 16 + payload[0] % 64
+    h = 16 + payload[-1] % 64
+    frames = 1 if mime.startswith("image/") else 1 + len(payload) % 30
+    return w, h, frames
+
+
+@register("llm_multimodal_decode")
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One pandas frame per Arrow batch: vectorized transfer, per-row
+        # decode — the standard multimodal feature-extraction shape.
+        for pdf in batches:
+            decoded = [_fake_decode(p, m) for p, m in zip(pdf.payload, pdf.mime)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf.doc_id,
+                    "mime": pdf.mime,
+                    "n_bytes": [len(p) for p in pdf.payload],
+                    "width": [t[0] for t in decoded],
+                    "height": [t[1] for t in decoded],
+                    "n_frames": [t[2] for t in decoded],
+                }
+            )
+
+    return src.mapInPandas(decode_batches, _DECODE_SCHEMA)

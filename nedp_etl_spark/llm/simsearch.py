@@ -1,0 +1,227 @@
+"""Similarity search over embeddings (SURVEY.md §2 north-star block):
+brute-force cosine top-k (the correctness baseline), an IVF-bucketed
+variant (the scale path), and embedding-cosine near-dup.
+
+All dot products are built-in higher-order folds (``zip_with`` +
+``aggregate``) over the embedding cast to double — JVM-side, no Python.
+
+Scale shapes:
+- brute force: probes broadcast, candidates scanned once; O(probes × n) but
+  embarrassingly parallel and shuffle-free until the final per-probe top-k
+  (WindowGroupLimit keeps k rows per probe per partition);
+- IVF: candidates pre-bucketed by centroid (here: the fixture's cluster
+  label); a probe only scans its nearest bucket — the classic
+  inverted-file trade of recall for a ~n_clusters× scan reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+
+def _dvec(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+_DOT_SQL = "list_dot_product({a}, {b})"
+
+
+# --------------------------------------------------------------------------
+# llm_sim_search — brute-force cosine top-k (k=10) for a fixed probe set.
+# --------------------------------------------------------------------------
+
+_SIM_SEARCH_ORACLE = """
+WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(p.e, c.e) /
+               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+  FROM p, c
+  WHERE c.vec_id <> p.vec_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rn FROM s)
+SELECT probe_id, cand_id, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 10
+"""
+
+
+@register("llm_sim_search", oracle=_SIM_SEARCH_ORACLE)
+def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), _dvec("embedding").alias("pe")
+    )
+    cands = emb.select(F.col("vec_id").alias("cand_id"), _dvec("embedding").alias("ce"))
+    scored = (
+        cands.crossJoin(F.broadcast(probes))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "cand_id",
+            F.round(
+                _dot(F.col("pe"), F.col("ce"))
+                / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "cand_id", "cosine", F.col("rn").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_sim_search_ivf — IVF-bucketed ANN: centroids per cluster label, probe
+# routed to its nearest centroid, exhaustive search only inside that bucket.
+# --------------------------------------------------------------------------
+
+_SIM_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pos AS (
+  SELECT label, t.i AS pos, AVG(v[CAST(t.i AS INT)]) AS cv
+  FROM e, range(1, 65) t(i)
+  GROUP BY label, t.i
+),
+cent AS (
+  SELECT label, list(cv ORDER BY pos) AS c FROM pos GROUP BY label
+),
+p AS (SELECT vec_id AS probe_id, v AS pe FROM e WHERE vec_id < 5),
+routed AS (
+  SELECT probe_id, pe, label, ROW_NUMBER() OVER (
+    PARTITION BY probe_id
+    ORDER BY list_dot_product(pe, c) /
+             (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(c, c))) DESC,
+             label
+  ) AS crn
+  FROM p, cent
+),
+bucket AS (SELECT probe_id, pe, label FROM routed WHERE crn = 1),
+s AS (
+  SELECT b.probe_id, e.vec_id AS cand_id, e.label,
+         ROUND(list_dot_product(b.pe, e.v) /
+               (sqrt(list_dot_product(b.pe, b.pe)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM bucket b JOIN e ON e.label = b.label AND e.vec_id <> b.probe_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rn FROM s)
+SELECT probe_id, cand_id, label, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 5
+"""
+
+
+@register("llm_sim_search_ivf", oracle=_SIM_IVF_ORACLE)
+def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec("embedding").alias("v")
+    )
+    # centroids: explode to (label, pos, val) → avg → re-assemble ordered
+    pos = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cv"))
+    )
+    cent = pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("c")
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pe")
+    )
+    # route each probe to its nearest centroid (tiny cross join: P × labels)
+    routed = probes.crossJoin(F.broadcast(cent)).select(
+        "probe_id",
+        "pe",
+        "label",
+        (
+            _dot(F.col("pe"), F.col("c"))
+            / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("c"), F.col("c"))))
+        ).alias("csim"),
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("label"))
+    bucket = routed.withColumn("crn", F.row_number().over(wr)).filter(F.col("crn") == 1).select(
+        "probe_id", "pe", "label"
+    )
+    # exhaustive search inside the routed bucket only
+    scored = (
+        emb.join(F.broadcast(bucket), on="label")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            "label",
+            F.round(
+                _dot(F.col("pe"), F.col("v"))
+                / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "cand_id", "label", "cosine", F.col("rn").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_dedup_embed — embedding-cosine near-duplicate pairs.  The corpus is
+# augmented with exact copies (id+1000000) so the threshold path provably
+# fires; pairs are (a<b, cosine ≥ 0.95).
+# --------------------------------------------------------------------------
+
+_DEDUP_EMBED_ORACLE = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, v FROM base
+),
+s AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.95
+"""
+
+
+@register("llm_dedup_embed", oracle=_DEDUP_EMBED_ORACLE)
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    corpus = base.unionAll(
+        base.select((F.col("vec_id") + 1000000).alias("vec_id"), "v")
+    )
+    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.95)
+    )

@@ -1,0 +1,224 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY.md §2
+north-star block + BASELINE.json:6): token counting, language-ID heuristic,
+quality scoring, corpus statistics.
+
+All pure built-in expressions (split/regexp/arrays) — map-side except the
+final small aggregations, so the shape is one scan of the corpus at any
+scale.  Every ratio is integer-derived (count/count), making the doubles
+bit-identical across engines — no rounding slack needed for comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import osum, r6
+
+# --------------------------------------------------------------------------
+# llm_text_stats — corpus statistics by language.
+# --------------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = f"""
+WITH d AS (
+  SELECT lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_unique
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       ROUND(AVG(n_unique * 1.0 / n_tokens), 6) AS avg_ttr,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM d
+GROUP BY lang
+"""
+
+
+@register("llm_text_stats", oracle=_TEXT_STATS_ORACLE)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "lang",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        r6(F.avg("n_tokens")).alias("avg_tokens"),
+        r6(F.avg(F.col("n_unique") * 1.0 / F.col("n_tokens"))).alias("avg_ttr"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_token_count — whitespace tokens + BPE-ish regex tokens per doc.
+# --------------------------------------------------------------------------
+
+_BPE_RX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RX}')) AS bpe_tokens,
+       n_chars,
+       ROUND(n_chars * 1.0 / len(string_split(text, ' ')), 6) AS chars_per_token
+FROM documents
+"""
+
+
+@register("llm_token_count", oracle=_TOKEN_COUNT_ORACLE)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " ")).cast("bigint")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RX), 0)).cast("bigint")
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        "n_chars",
+        F.round(F.col("n_chars") * 1.0 / ws, 6).alias("chars_per_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_lang_id — n-gram/stopword-overlap language heuristic.  The marker
+# lists are engine-vocabulary words (the fixture corpus is synthetic word
+# soup); the *mechanism* — per-language marker-hit ratio, deterministic
+# argmax — is the real lang-ID shape.  Both sides evaluate identical
+# integer-ratio comparisons, so the argmax is engine-stable.
+# --------------------------------------------------------------------------
+
+_MARKERS = {
+    "en": ("the", "fast", "join", "order"),
+    "de": ("scan", "merge", "window"),
+    "fr": ("table", "sort", "stream"),
+    "es": ("hash", "batch", "spark"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return f"len(list_intersect(toks, [{lst}])) * 1.0 / len(toks)"
+
+
+_LANG_ID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang AS actual_lang, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, actual_lang,
+         {_marker_sql('en')} AS r_en,
+         {_marker_sql('de')} AS r_de,
+         {_marker_sql('fr')} AS r_fr,
+         {_marker_sql('es')} AS r_es
+  FROM t
+)
+SELECT doc_id, actual_lang,
+       ROUND(r_en, 6) AS r_en, ROUND(r_de, 6) AS r_de,
+       ROUND(r_fr, 6) AS r_fr, ROUND(r_es, 6) AS r_es,
+       CASE WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+            WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+            WHEN r_fr >= r_es THEN 'fr'
+            ELSE 'es' END AS predicted
+FROM scored
+"""
+
+
+@register("llm_lang_id", oracle=_LANG_ID_ORACLE)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    base = d.select("doc_id", F.col("lang").alias("actual_lang"), toks.alias("toks"))
+
+    def ratio(lang: str):
+        markers = F.array(*[F.lit(w) for w in _MARKERS[lang]])
+        return F.size(F.array_intersect(F.col("toks"), markers)) * 1.0 / F.size(F.col("toks"))
+
+    scored = base.select(
+        "doc_id",
+        "actual_lang",
+        ratio("en").alias("r_en"),
+        ratio("de").alias("r_de"),
+        ratio("fr").alias("r_fr"),
+        ratio("es").alias("r_es"),
+    )
+    pred = (
+        F.when(
+            (F.col("r_en") >= F.col("r_de"))
+            & (F.col("r_en") >= F.col("r_fr"))
+            & (F.col("r_en") >= F.col("r_es")),
+            "en",
+        )
+        .when((F.col("r_de") >= F.col("r_fr")) & (F.col("r_de") >= F.col("r_es")), "de")
+        .when(F.col("r_fr") >= F.col("r_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        r6(F.col("r_en")).alias("r_en"),
+        r6(F.col("r_de")).alias("r_de"),
+        r6(F.col("r_fr")).alias("r_fr"),
+        r6(F.col("r_es")).alias("r_es"),
+        pred.alias("predicted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_quality_score — length / punctuation / stopword / shape heuristics
+# composed into one score, the standard pre-training quality-filter shape.
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH q AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+         len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['the','a','of','and','scan','join'], t))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       ROUND(n_chars * 1.0 / n_tokens, 6) AS mean_token_len,
+       ROUND(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+       ROUND(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+       (n_tokens >= 10 AND n_punct * 1.0 / n_chars < 0.1) AS passes_filter
+FROM q
+"""
+
+
+@register("llm_quality_score", oracle=_QUALITY_ORACLE)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "scan", "join")])
+    base = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)).cast("bigint").alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("bigint").alias("n_stop"),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.col("n_chars") * 1.0 / F.col("n_tokens"), 6).alias("mean_token_len"),
+        F.round(F.col("n_punct") * 1.0 / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(F.col("n_stop") * 1.0 / F.col("n_tokens"), 6).alias("stop_ratio"),
+        ((F.col("n_tokens") >= 10) & (F.col("n_punct") * 1.0 / F.col("n_chars") < 0.1)).alias(
+            "passes_filter"
+        ),
+    )
