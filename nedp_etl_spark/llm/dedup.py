@@ -54,8 +54,10 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _shingles(text: Column) -> Column:
-    toks = F.split(text, " ")
+def _shingles(toks: Column) -> Column:
+    """Word 3-grams from a pre-split token array.  Callers must materialize
+    the token array as its own column first — referencing split() inside the
+    lambda would re-evaluate it per element."""
     n = F.size(toks)
     return F.transform(
         F.sequence(F.lit(1), n - 2),
@@ -94,8 +96,12 @@ def _aug_corpus(d: DataFrame) -> DataFrame:
 _N_HASHES = 6
 _BAND_ROWS = 2
 
+# One md5 per shingle; the 6 MinHash functions are disjoint 5-hex-digit
+# slices of that digest (independent bits of a good hash ≈ independent
+# hash functions).  6× cheaper than seeded re-hashing at 100 TB, and still
+# bit-reproducible in the oracle.
 _MINHASH_LIST_SQL = "[" + ", ".join(
-    f"list_min(list_transform(s, x -> md5(x || '{i}')))" for i in range(_N_HASHES)
+    f"list_min(list_transform(hs, h -> substr(h, {i * 5 + 1}, 5)))" for i in range(_N_HASHES)
 ) + "]"
 
 _DEDUP_NEAR_ORACLE = f"""
@@ -104,7 +110,8 @@ sh AS (
   SELECT doc_id, {_SHINGLES_SQL} AS s
   FROM corpus WHERE len(string_split(text,' ')) >= 3
 ),
-mh AS (SELECT doc_id, {_MINHASH_LIST_SQL} AS m FROM sh),
+hsh AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hs FROM sh),
+mh AS (SELECT doc_id, {_MINHASH_LIST_SQL} AS m FROM hsh),
 bands AS (
   SELECT doc_id, CAST(t.j AS INT) AS band,
          m[CAST(2*t.j + 1 AS INT)] || '|' || m[CAST(2*t.j + 2 AS INT)] AS band_key
@@ -121,16 +128,19 @@ GROUP BY 1, 2
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     corpus = _aug_corpus(d)
-    sh = corpus.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", _shingles(F.col("text")).alias("s")
+    tok = corpus.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
     )
-    def _minhash(seed: str):
-        # NB: the lambda must take exactly one arg — PySpark treats a
-        # two-parameter lambda as (element, index) and would shadow the seed.
-        return F.array_min(F.transform(F.col("s"), lambda x: F.md5(F.concat(x, F.lit(seed)))))
+    sh = tok.select("doc_id", _shingles(F.col("toks")).alias("s"))
+    def _minhash(i: int):
+        # NB: single-arg lambdas only — PySpark treats a two-parameter
+        # lambda as (element, index).
+        off = i * 5 + 1
+        return F.array_min(F.transform(F.col("hs"), lambda h: F.substring(h, off, 5)))
 
-    minhashes = F.array(*[_minhash(str(i)) for i in range(_N_HASHES)])
-    mh = sh.select("doc_id", minhashes.alias("m"))
+    hsh = sh.select("doc_id", F.transform(F.col("s"), F.md5).alias("hs"))
+    minhashes = F.array(*[_minhash(i) for i in range(_N_HASHES)])
+    mh = hsh.select("doc_id", minhashes.alias("m"))
     n_bands = _N_HASHES // _BAND_ROWS
     bands = mh.select(
         "doc_id",
@@ -224,8 +234,10 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 @register("llm_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
-    sh = d.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("s")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("s"))
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
@@ -260,10 +272,14 @@ WHERE len(string_split(text,' ')) >= 3
 @register("llm_fingerprint", oracle=_FINGERPRINT_ORACLE)
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return d.filter(F.size(F.split("text", " ")) >= 3).select(
-        "doc_id",
-        F.concat_ws(
-            ",",
-            F.slice(F.array_sort(F.transform(_shingles(F.col("text")), F.md5)), 1, 3),
-        ).alias("fingerprint"),
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ",",
+                F.slice(F.array_sort(F.transform(_shingles(F.col("toks")), F.md5)), 1, 3),
+            ).alias("fingerprint"),
+        )
     )

@@ -81,11 +81,11 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UDAF_PANDAS_ORACLE = """
 SELECT
-  l_returnflag,
+  l_suppkey,
   ROUND(SUM(l_extendedprice * l_discount) / SUM(l_extendedprice), 6) AS weighted_disc,
   COUNT(*) AS n
 FROM lineitem
-GROUP BY l_returnflag
+GROUP BY l_suppkey
 """
 
 
@@ -94,16 +94,18 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def weighted(key, pdf: pd.DataFrame) -> pd.DataFrame:
         w = (pdf.l_extendedprice * pdf.l_discount).sum() / pdf.l_extendedprice.sum()
         return pd.DataFrame(
-            {"l_returnflag": [key[0]], "weighted_disc": [round(w, 6)], "n": [len(pdf)]}
+            {"l_suppkey": [key[0]], "weighted_disc": [round(w, 6)], "n": [len(pdf)]}
         )
 
     li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice", "l_discount"
+        "l_suppkey", "l_extendedprice", "l_discount"
     )
-    # One Arrow batch per group; state is bounded by the largest group, and
-    # groups shuffle to executors — the distributed custom-agg pattern.
-    return li.groupBy("l_returnflag").applyInPandas(
-        weighted, "l_returnflag string, weighted_disc double, n bigint"
+    # Grouped by a high-cardinality key so groups spread across all cores —
+    # one Arrow batch per group; state bounded by the largest group.  A
+    # low-cardinality key would serialize the whole table through a handful
+    # of Python workers.
+    return li.groupBy("l_suppkey").applyInPandas(
+        weighted, "l_suppkey bigint, weighted_disc double, n bigint"
     )
 
 

@@ -169,15 +169,23 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # State-store partition count is frozen at query start from
+    # shuffle.partitions; 8 is plenty for the fixture replay and an order
+    # of magnitude less store-init overhead than the batch setting.
     spark = stream_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
@@ -253,7 +261,12 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur[1] += row["v"]
 
     ev = _stream_events(spark, sf_dir)
-    q = ev.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = ev.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     rows = [(k, v[0], round(v[1], 2)) for k, v in sorted(state.items())]
     return spark.createDataFrame(rows, "event_type string, n bigint, total_value double")

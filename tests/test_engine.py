@@ -1,0 +1,42 @@
+"""EngineSession control-surface parity tests (reference R1-R11 mapping)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nedp_etl_spark.engine import EngineSession
+
+
+def test_run_before_initialize_raises(spark, sf_dir):
+    eng = EngineSession(spark, sf_dir)
+    with pytest.raises(RuntimeError, match="not initialized"):
+        eng.run("agg_groupby")
+
+
+def test_context_manager_lifecycle(spark, sf_dir):
+    with EngineSession(spark, sf_dir) as eng:
+        res = eng.run("agg_groupby")
+        assert res["success"] and res["rows"] > 0
+        # raw SQL path (views registered by initialize)
+        res2 = eng.run("SELECT COUNT(*) AS n FROM lineitem")
+        assert res2["success"] and res2["rows"] == 1
+    # after exit, views are dropped
+    assert not spark.catalog.tableExists("lineitem")
+
+
+def test_execute_fail_fast(spark, sf_dir):
+    eng = EngineSession(spark, sf_dir)
+    eng.initialize()
+    out = eng.execute(["agg_groupby", "SELECT bogus FROM nowhere", "agg_global"])
+    assert out["status"] == "failed"
+    assert out["failed_command"] == "SELECT bogus FROM nowhere"
+    assert len(out["results"]) == 2  # stopped before agg_global
+
+
+def test_dbt_schema_tests_all_pass(spark, sf_dir):
+    import nedp_etl_spark as eng
+
+    rows = {r["test_name"]: r["violations"] for r in
+            eng.queries()["dbt_schema_tests"](spark, sf_dir).collect()}
+    assert len(rows) == 5
+    assert all(v == 0 for v in rows.values()), rows
