@@ -16,6 +16,7 @@ from nedp_etl_spark.registry import oracle_sql, queries, register  # noqa: F401
 # Import operator modules for their registration side effects.
 from nedp_etl_spark.operators import (  # noqa: F401
     aggregates,
+    bucketing,
     dbt_tests,
     filters,
     joins,
@@ -26,6 +27,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     windows,
 )
 from nedp_etl_spark.functions import nested, scalar  # noqa: F401
+from nedp_etl_spark.streaming import stateful as stream_stateful  # noqa: F401
 from nedp_etl_spark.streaming import windows as stream_windows  # noqa: F401
 from nedp_etl_spark import llm  # noqa: F401
 

@@ -1,0 +1,42 @@
+"""Custom stateful streaming + bucketed-join assertions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import nedp_etl_spark as eng
+
+
+def test_custom_state_matches_batch_groupby(spark, sf_dir):
+    profiles = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in eng.queries()["stream_custom_state"](spark, sf_dir).collect()
+    }
+    from nedp_etl_spark.data import load
+
+    batch = {
+        r["user_id"]: (r["n"], round(r["v"], 4))
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        .collect()
+    }
+    assert profiles == batch
+
+
+def test_bucketed_join_has_no_shuffle_on_key(spark, sf_dir):
+    from nedp_etl_spark.operators.bucketing import _bucket_tables
+
+    t_orders, t_cust = _bucket_tables(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, c = spark.table(t_orders), spark.table(t_cust)
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # both sides bucketed on the key → SortMergeJoin with no Exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
