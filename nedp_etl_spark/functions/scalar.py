@@ -78,16 +78,16 @@ SELECT
   year(o_orderdate) AS yr,
   month(o_orderdate) AS mo,
   day(o_orderdate) AS dy,
-  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-  CAST(o_orderdate AS DATE) + 30 AS plus30,
-  CAST(o_orderdate AS DATE) - 7 AS minus7,
+  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
+  CAST(CAST(o_orderdate AS DATE) - 7 AS VARCHAR) AS minus7,
   date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
   CAST(date_diff('month',
        CAST(date_trunc('month', TIMESTAMP '1995-06-01 00:00:00') AS DATE),
        CAST(date_trunc('month', o_orderdate) AS DATE)) AS DOUBLE) AS months_since,
-  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
   CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
-  make_date(year(o_orderdate), 1, 1) AS year_start,
+  CAST(make_date(year(o_orderdate), 1, 1) AS VARCHAR) AS year_start,
   dayofweek(o_orderdate) + 1 AS dow
 FROM orders
 """
@@ -102,18 +102,18 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(od).cast("bigint").alias("yr"),
         F.month(od).cast("bigint").alias("mo"),
         F.dayofmonth(od).cast("bigint").alias("dy"),
-        F.date_trunc("month", od).cast("date").alias("month_start"),
-        F.date_add(odd, 30).alias("plus30"),
-        F.date_sub(odd, 7).alias("minus7"),
+        F.date_trunc("month", od).cast("date").cast("string").alias("month_start"),
+        F.date_add(odd, 30).cast("string").alias("plus30"),
+        F.date_sub(odd, 7).cast("string").alias("minus7"),
         F.datediff(F.lit("2000-01-01").cast("date"), odd).cast("bigint").alias("days_to_y2k"),
         # months_between on month-truncated dates is an exact month count —
         # the form DuckDB can mirror with date_diff('month', ...).
         F.months_between(
             F.date_trunc("month", od), F.lit("1995-06-01").cast("timestamp")
         ).alias("months_since"),
-        F.last_day(odd).alias("month_end"),
+        F.last_day(odd).cast("string").alias("month_end"),
         F.unix_timestamp(od).alias("epoch_s"),
-        F.make_date(F.year(od), F.lit(1), F.lit(1)).alias("year_start"),
+        F.make_date(F.year(od), F.lit(1), F.lit(1)).cast("string").alias("year_start"),
         F.dayofweek(od).cast("bigint").alias("dow"),
     )
 

@@ -43,8 +43,8 @@ SELECT
   (SELECT COUNT(*) FROM lineitem) AS lineitem_rows,
   (SELECT COUNT(*) FROM orders) AS orders_rows,
   (SELECT COUNT(*) FROM customer) AS customer_rows,
-  (SELECT CAST(MIN(l_shipdate) AS DATE) FROM lineitem) AS min_ship,
-  (SELECT CAST(MAX(l_shipdate) AS DATE) FROM lineitem) AS max_ship
+  (SELECT CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) FROM lineitem) AS min_ship,
+  (SELECT CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR) FROM lineitem) AS max_ship
 """
 
 
@@ -55,8 +55,8 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     li_agg = li.agg(
         F.count(F.lit(1)).alias("lineitem_rows"),
-        F.min(F.col("l_shipdate").cast("date")).alias("min_ship"),
-        F.max(F.col("l_shipdate").cast("date")).alias("max_ship"),
+        F.min(F.col("l_shipdate").cast("date")).cast("string").alias("min_ship"),
+        F.max(F.col("l_shipdate").cast("date")).cast("string").alias("max_ship"),
     )
     return (
         li_agg.crossJoin(o.agg(F.count(F.lit(1)).alias("orders_rows")))
@@ -111,7 +111,7 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCAN_PRUNE_ORACLE = """
 SELECT
-  CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+  CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR) AS ship_month,
   COUNT(*) AS n,
   COUNT(DISTINCT l_orderkey) AS n_orders
 FROM lineitem
@@ -129,7 +129,7 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
         )
-        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").cast("string").alias("ship_month"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("l_orderkey").alias("n_orders"),
