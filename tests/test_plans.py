@@ -68,6 +68,18 @@ def test_no_cartesian_in_equi_joins(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir):
+    # sink_table writes partitioned by order_year; a filter on the partition
+    # column must become a PartitionFilter (no data files from other years
+    # are even listed — the 100 TB date-partitioned layout).
+    eng.queries()["sink_table"](spark, sf_dir).count()  # ensure materialized
+    from nedp_etl_spark.operators.scans import _scratch
+
+    df = spark.read.parquet(_scratch("sink_table", sf_dir)).filter("order_year = 1997")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan or "PartitionFilters: [(order_year" in plan
+
+
 @pytest.mark.parametrize("name", ["agg_groupby", "join_inner_equi", "win_ranking"])
 def test_whole_stage_codegen_active(spark, sf_dir, name):
     # AQE finalizes the plan lazily — materialize, then inspect.
