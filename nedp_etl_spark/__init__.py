@@ -20,6 +20,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     dbt_tests,
     filters,
     joins,
+    pivots,
     scans,
     setops,
     skew,
@@ -27,7 +28,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     udfs,
     windows,
 )
-from nedp_etl_spark.functions import nested, scalar  # noqa: F401
+from nedp_etl_spark.functions import bits, nested, scalar  # noqa: F401
 from nedp_etl_spark.streaming import stateful as stream_stateful  # noqa: F401
 from nedp_etl_spark.streaming import windows as stream_windows  # noqa: F401
 from nedp_etl_spark import llm  # noqa: F401
