@@ -144,3 +144,24 @@ def filter_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RewritePredicateSubquery — the same SQL is its own oracle.
     views(spark, sf_dir, "orders", "lineitem", "customer")
     return spark.sql(_FILTER_SUBQUERY_SQL)
+
+
+# --------------------------------------------------------------------------
+# filter_corr_subquery — correlated scalar subquery (per-row aggregate over
+# the same table; Catalyst decorrelates it into an aggregate + join, so no
+# per-row re-execution at any scale).
+# --------------------------------------------------------------------------
+
+_FILTER_CORR_SQL = """
+SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 6) AS o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+  SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@register("filter_corr_subquery", oracle=_FILTER_CORR_SQL)
+def filter_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    return spark.sql(_FILTER_CORR_SQL)
