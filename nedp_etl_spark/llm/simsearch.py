@@ -225,3 +225,44 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.95)
     )
+
+
+# --------------------------------------------------------------------------
+# llm_embed_norm — L2 normalization + int8 scalar quantization, the standard
+# embedding post-processing before ANN indexing (map-side only; at 100 TB
+# this is a pure scan→write pipeline stage).
+# --------------------------------------------------------------------------
+
+_EMBED_NORM_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT vec_id,
+       ROUND(nrm, 6) AS l2_norm,
+       ROUND(list_dot_product(list_transform(v, x -> x / nrm),
+                              list_transform(v, x -> x / nrm)), 6) AS unit_dot,
+       array_to_string(list_transform(v, x -> CAST(CAST(round(127 * x / nrm) AS BIGINT) AS VARCHAR)), ',') AS q_int8
+FROM n
+"""
+
+
+@register("llm_embed_norm", oracle=_EMBED_NORM_ORACLE)
+def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    n = e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+    unit = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    return n.select(
+        "vec_id",
+        F.round("nrm", 6).alias("l2_norm"),
+        F.round(_dot(unit, unit), 6).alias("unit_dot"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(127 * x / F.col("nrm")).cast("bigint").cast("string"),
+            ),
+        ).alias("q_int8"),
+    )
