@@ -11,9 +11,17 @@ registry; this module just re-exports the registry and the flagship query.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The driver may load this module by file path from any cwd — make the
+# repo importable regardless.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 import nedp_etl_spark
 
