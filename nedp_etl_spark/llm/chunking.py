@@ -1,0 +1,85 @@
+"""Document chunking + text scrubbing — core LLM training-data prep stages.
+
+Chunking: overlapping token windows (size 50, stride 40) per document —
+the pre-tokenization shape for context-window packing.  Map-side explode;
+output rows ≈ docs × (tokens/stride), linear at any scale.
+
+Scrubbing: global regex redaction (the PII-scrub shape — here digit runs,
+since the synthetic corpus has no real PII; the mechanism is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+_CHUNK = 50
+_STRIDE = 40
+
+_CHUNKING_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  -- DuckDB's range() can't take lateral column args: use a fixed spine and
+  -- filter to the per-doc chunk count.
+  SELECT doc_id, t,
+         CAST(i.i AS INT) AS chunk_id,
+         CAST(i.i * {_STRIDE} + 1 AS INT) AS start_tok
+  FROM tok, range(0, 64) i(i)
+  WHERE i.i <= CAST(floor(greatest(len(t) - {_CHUNK}, 0) * 1.0 / {_STRIDE}) AS BIGINT)
+)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(t, start_tok, start_tok + {_CHUNK} - 1), ' ') AS chunk_text,
+       len(list_slice(t, start_tok, start_tok + {_CHUNK} - 1)) AS chunk_tokens
+FROM spans
+"""
+
+
+@register("llm_chunking", oracle=_CHUNKING_ORACLE)
+def llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks = 1 + F.floor(
+        F.greatest(F.size("t") - _CHUNK, F.lit(0)) * 1.0 / _STRIDE
+    ).cast("bigint")
+    spans = tok.select(
+        "doc_id",
+        "t",
+        F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id", "_one"),
+    ).select(
+        "doc_id",
+        "t",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * _STRIDE + 1).cast("int").alias("start_tok"),
+    )
+    piece = F.slice(F.col("t"), F.col("start_tok"), F.lit(_CHUNK))
+    return spans.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("chunk_tokens"),
+    )
+
+
+_SCRUB_ORACLE = """
+SELECT doc_id,
+       regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_redactions
+FROM documents WHERE doc_id < 300
+"""
+
+
+@register("llm_pii_scrub", oracle=_SCRUB_ORACLE)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("bigint").alias(
+            "n_redactions"
+        ),
+    )
