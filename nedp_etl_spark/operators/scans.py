@@ -293,3 +293,21 @@ def sink_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = closed.unionByName(untouched).unionByName(opened)
     result.write.mode("overwrite").parquet(path + "_v2")
     return spark.read.parquet(path + "_v2")
+
+
+# --------------------------------------------------------------------------
+# scan_orc — ORC ingest (columnar source beyond parquet/CSV/JSON).  DuckDB
+# cannot read ORC, so the oracle checks the round-trip against the source
+# table instead — format conversion must be lossless.
+# --------------------------------------------------------------------------
+
+_SCAN_ORC_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("scan_orc", oracle=_SCAN_ORC_ORACLE)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("scan_orc/nation", sf_dir)
+    load(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")

@@ -128,3 +128,35 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).withColumn("token_len", F.length("token").cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# udtf_native — Spark 3.5+ Python UDTF class (the first-class table-function
+# API, vs. the explode idiom above).
+# --------------------------------------------------------------------------
+
+_UDTF_NATIVE_ORACLE = """
+SELECT d.doc_id, CAST(t.i - 1 AS INT) AS pos, string_split(d.text, ' ')[CAST(t.i AS INT)] AS token
+FROM documents d, range(1, 2000) t(i)
+WHERE d.doc_id < 50 AND t.i <= len(string_split(d.text, ' '))
+"""
+
+
+@register("udtf_native", oracle=_UDTF_NATIVE_ORACLE)
+def udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # lateral-join the UDTF against each document row
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t"
+    )
