@@ -88,3 +88,21 @@ def test_whole_stage_codegen_active(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen stages in the finalized plan.
     assert "*(" in plan
+
+
+def test_sim_search_broadcasts_probes(spark, sf_dir):
+    df = eng.queries()["llm_sim_search"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dedup_near_single_band_shuffle(spark, sf_dir):
+    # MinHash-LSH: signatures are map-side; the only exchanges are the band
+    # self-join + final pair aggregate — no shuffle of raw text.
+    df = eng.queries()["llm_dedup_near"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        first_exchange = plan.split("Exchange")[1][:400]
+        assert "text" not in first_exchange
+    assert plan.count("FileScan") >= 1
