@@ -91,7 +91,7 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_IVF_ORACLE = """
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 pos AS (
-  SELECT label, t.i AS pos, AVG(v[CAST(t.i AS INT)]) AS cv
+  SELECT label, t.i AS pos, ROUND(AVG(v[CAST(t.i AS INT)]), 9) AS cv
   FROM e, range(1, 65) t(i)
   GROUP BY label, t.i
 ),
@@ -130,7 +130,7 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (
         emb.select("label", F.posexplode("v").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.avg("val").alias("cv"))
+        .agg(F.round(F.avg("val"), 9).alias("cv"))
     )
     cent = pos.groupBy("label").agg(
         F.transform(
