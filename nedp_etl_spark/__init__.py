@@ -19,6 +19,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     bucketing,
     ctes,
     dbt_tests,
+    extras,
     filters,
     joins,
     pivots,

@@ -1,0 +1,139 @@
+"""Additional SQL-surface operators beyond SURVEY §2's baseline inventory:
+FILTER-clause aggregates, IGNORE NULLS window functions, LATERAL joins,
+URL parsing.  The first three run as shared SQL text (both engines accept
+the identical statement — the strongest parity form); ``fn_url`` mirrors
+Spark's ``parse_url`` with regexp extraction on the oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load, views
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import osum
+
+# --------------------------------------------------------------------------
+# agg_filter_clause — per-aggregate FILTER (WHERE ...) predicates: one scan,
+# many conditional aggregates (the idiomatic replacement for N subqueries).
+# --------------------------------------------------------------------------
+
+_AGG_FILTER_SQL = f"""
+SELECT
+  l_returnflag,
+  COUNT(*) AS n_all,
+  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+  COUNT(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+  {osum('l_extendedprice')} AS sum_all,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) FILTER (WHERE l_quantity > 25) AS DOUBLE) AS sum_big
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_filter_clause", oracle=_AGG_FILTER_SQL)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(_AGG_FILTER_SQL)
+
+
+# --------------------------------------------------------------------------
+# win_ignore_nulls — LAG / LAST_VALUE with IGNORE NULLS (gap-fill /
+# last-observation-carried-forward, the standard time-series fill idiom).
+# --------------------------------------------------------------------------
+
+# Spark: `LAG(x) IGNORE NULLS OVER ...`; DuckDB puts the modifier inside
+# the call: `LAG(x IGNORE NULLS) OVER ...` — same semantics, two texts.
+_WIN_IGNORE_NULLS_TEMPLATE = """
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE ROUND(o_totalprice, 6) END AS price_gap
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_gap,
+       {lag} OVER w AS prev_known,
+       {last} OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+FROM t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+"""
+
+_WIN_IGNORE_NULLS_SPARK = _WIN_IGNORE_NULLS_TEMPLATE.format(
+    lag="LAG(price_gap) IGNORE NULLS", last="LAST_VALUE(price_gap) IGNORE NULLS"
+)
+_WIN_IGNORE_NULLS_DUCK = _WIN_IGNORE_NULLS_TEMPLATE.format(
+    lag="LAG(price_gap IGNORE NULLS)", last="LAST_VALUE(price_gap IGNORE NULLS)"
+)
+
+
+@register("win_ignore_nulls", oracle=_WIN_IGNORE_NULLS_DUCK)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "orders")
+    return spark.sql(_WIN_IGNORE_NULLS_SPARK)
+
+
+# --------------------------------------------------------------------------
+# join_lateral — correlated LATERAL subquery (per-row derived table;
+# Catalyst decorrelates to a join, same as DuckDB's planner).
+# --------------------------------------------------------------------------
+
+_JOIN_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.max_price
+FROM customer c,
+LATERAL (
+  SELECT COUNT(*) AS n_orders, ROUND(MAX(o.o_totalprice), 6) AS max_price
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+) t
+WHERE t.n_orders > 0
+"""
+
+
+@register("join_lateral", oracle=_JOIN_LATERAL_SQL)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_JOIN_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# fn_url — parse_url over synthesized URLs (host/path/query/protocol).
+# DuckDB has no parse_url; the oracle extracts with anchored regexps.
+# --------------------------------------------------------------------------
+
+_FN_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?lang=' || lang AS url
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query
+FROM u
+"""
+
+
+@register("fn_url", oracle=_FN_URL_ORACLE)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+    )
