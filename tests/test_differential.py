@@ -60,6 +60,38 @@ def _gen_query(seed: int) -> str:
     )
 
 
+def _gen_join_query(seed: int) -> str:
+    rng = random.Random(seed)
+    pred = _gen_predicate(rng)
+    dim_key = rng.choice(["o_orderstatus", "o_orderpriority"])
+    fn = rng.choice(["MIN", "MAX"])
+    col = rng.choice(_NUM_COLS)
+    return (
+        f"SELECT o.{dim_key}, COUNT(*) AS n, "
+        f"ROUND({fn}(l.{col}), 6) AS m, "
+        f"CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS total "
+        f"FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        f"WHERE ({pred}) GROUP BY o.{dim_key}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(25, 40))
+def test_generated_join_differential(spark, sf_dir, seed):
+    sql = _gen_join_query(seed)
+    views(spark, sf_dir, "lineitem", "orders")
+    sdf = spark.sql(sql)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    con = duck_connect(sf_dir)
+    try:
+        res = con.execute(sql)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(o_cols), sql
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
+
+
 @pytest.mark.parametrize("seed", range(25))
 def test_generated_query_differential(spark, sf_dir, seed):
     sql = _gen_query(seed)
