@@ -83,3 +83,47 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_redactions"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_seq_packing — pack documents into fixed token-budget training
+# sequences: running token count in a deterministic order, floor-divided by
+# the context budget.  One window pass, no shuffle beyond the ordering —
+# at 100 TB the order key is (shard, doc_id) and packing is per-shard.
+# --------------------------------------------------------------------------
+
+_PACK_CAP = 512
+
+_SEQ_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / {_PACK_CAP}) AS BIGINT) AS pack_id,
+       CAST(cum - n_tokens - floor((cum - n_tokens) / {_PACK_CAP}) * {_PACK_CAP} AS BIGINT) AS offset_in_pack
+FROM c
+"""
+
+
+@register("llm_seq_packing", oracle=_SEQ_PACKING_ORACLE)
+def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    pack = F.floor(start / _PACK_CAP)
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        pack.cast("bigint").alias("pack_id"),
+        (start - pack * _PACK_CAP).cast("bigint").alias("offset_in_pack"),
+    )

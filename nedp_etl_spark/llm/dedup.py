@@ -283,3 +283,83 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fingerprint"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_dedup_lsh_verified — the full two-stage near-dedup pipeline: LSH
+# banding proposes candidate pairs (cheap, high recall), then TRUE 3-gram
+# Jaccard verifies each candidate (exact, computed only on the candidate
+# set — never O(n²)).  Output: verified near-duplicate pairs at τ=0.5.
+# --------------------------------------------------------------------------
+
+_LSH_VERIFIED_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS s
+  FROM corpus WHERE len(string_split(text,' ')) >= 3
+),
+hsh AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hs, list_distinct(s) AS sd FROM sh),
+mh AS (SELECT doc_id, sd, {_MINHASH_LIST_SQL} AS m FROM hsh),
+bands AS (
+  SELECT doc_id, sd, CAST(t.j AS INT) AS band,
+         m[CAST(2*t.j + 1 AS INT)] || '|' || m[CAST(2*t.j + 2 AS INT)] AS band_key
+  FROM mh, range(0, {_N_HASHES // _BAND_ROWS}) t(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sd AS sa, b.sd AS sb
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(sa, sb)) * 1.0 / len(list_distinct(sa || sb)), 6) AS jaccard
+FROM cand
+WHERE len(list_intersect(sa, sb)) * 2 >= len(list_distinct(sa || sb))
+"""
+
+
+@register("llm_dedup_lsh_verified", oracle=_LSH_VERIFIED_ORACLE)
+def llm_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = _aug_corpus(d)
+    tok = corpus.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sh = tok.select("doc_id", _shingles(F.col("toks")).alias("s"))
+    hsh = sh.select(
+        "doc_id",
+        F.transform(F.col("s"), F.md5).alias("hs"),
+        F.array_distinct("s").alias("sd"),
+    )
+
+    def _minhash(i: int):
+        off = i * 5 + 1
+        return F.array_min(F.transform(F.col("hs"), lambda h: F.substring(h, off, 5)))
+
+    mh = hsh.select("doc_id", "sd", F.array(*[_minhash(i) for i in range(_N_HASHES)]).alias("m"))
+    n_bands = _N_HASHES // _BAND_ROWS
+    bands = mh.select(
+        "doc_id",
+        "sd",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("|", *[F.col("m")[b * _BAND_ROWS + r] for r in range(_BAND_ROWS)])
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sa"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sb"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return (
+        cand.filter(inter * 2 >= union)
+        .select("doc_a", "doc_b", F.round(inter * 1.0 / union, 6).alias("jaccard"))
+    )

@@ -270,3 +270,30 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     rows = [(k, v[0], round(v[1], 2)) for k, v in sorted(state.items())]
     return spark.createDataFrame(rows, "event_type string, n bigint, total_value double")
+
+
+# --------------------------------------------------------------------------
+# stream_static_join — enrich the event stream with a static dimension
+# (broadcast at micro-batch planning time; the standard stream-enrichment
+# shape).  Batch form is exact-checked; the same plan runs under
+# readStream unchanged.
+# --------------------------------------------------------------------------
+
+_STREAM_STATIC_JOIN_ORACLE = f"""
+SELECT n.n_name, e.event_type, COUNT(*) AS n, {osum('e.value')} AS total_value
+FROM events e
+JOIN nation n ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
+GROUP BY n.n_name, e.event_type
+"""
+
+
+@register("stream_static_join", oracle=_STREAM_STATIC_JOIN_ORACLE)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    n = load(spark, sf_dir, "nation")
+    enriched = ev.join(
+        F.broadcast(n), (F.col("user_id") % 25).cast("int") == F.col("n_nationkey")
+    )
+    return enriched.groupBy("n_name", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
