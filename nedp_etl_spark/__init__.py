@@ -27,6 +27,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     setops,
     skew,
     sorts,
+    tpch,
     udfs,
     windows,
 )
