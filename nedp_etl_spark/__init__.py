@@ -22,6 +22,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     extras,
     filters,
     joins,
+    misc,
     pivots,
     scans,
     setops,

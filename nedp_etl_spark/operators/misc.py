@@ -1,0 +1,131 @@
+"""Remaining scalar/aggregate/window surface: boolean aggregates,
+nth_value windows, trigonometry, printf-style formatting.  All built-ins;
+trig outputs are rounded to 6 dp (libm last-ulp differences between
+engines are far below that at these magnitudes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+# --------------------------------------------------------------------------
+# agg_any_all — bool_and / bool_or per group.
+# --------------------------------------------------------------------------
+
+_AGG_ANY_ALL_ORACLE = """
+SELECT
+  o_orderstatus,
+  bool_and(o_totalprice > 1000) AS all_over_1k,
+  bool_or(o_totalprice > 400000) AS any_over_400k,
+  COUNT(*) FILTER (WHERE o_totalprice > 400000) AS n_over_400k
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_any_all", oracle=_AGG_ANY_ALL_ORACLE)
+def agg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 400000
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(big).alias("any_over_400k"),
+        F.count(F.when(big, 1)).alias("n_over_400k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# win_nth_value — nth_value with a total order.
+# --------------------------------------------------------------------------
+
+_WIN_NTH_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(NTH_VALUE(o_totalprice, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS second_highest,
+       ROUND(NTH_VALUE(o_totalprice, 3) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS third_highest
+FROM orders
+"""
+
+
+@register("win_nth_value", oracle=_WIN_NTH_ORACLE)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.nth_value("o_totalprice", 2).over(w), 6).alias("second_highest"),
+        F.round(F.nth_value("o_totalprice", 3).over(w), 6).alias("third_highest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_trig — trigonometric / inverse-trig functions.
+# --------------------------------------------------------------------------
+
+_FN_TRIG_ORACLE = """
+SELECT
+  l_orderkey, l_linenumber,
+  ROUND(sin(l_discount), 6) AS sin_d,
+  ROUND(cos(l_discount), 6) AS cos_d,
+  ROUND(tan(l_discount), 6) AS tan_d,
+  ROUND(atan2(l_discount, l_tax + 0.01), 6) AS atan2_dt,
+  ROUND(asin(l_discount), 6) AS asin_d,
+  ROUND(degrees(l_discount), 6) AS deg_d,
+  ROUND(pi(), 6) AS pi_v
+FROM lineitem WHERE l_orderkey < 2000
+"""
+
+
+@register("fn_trig", oracle=_FN_TRIG_ORACLE)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    d, t = F.col("l_discount"), F.col("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(d), 6).alias("sin_d"),
+        F.round(F.cos(d), 6).alias("cos_d"),
+        F.round(F.tan(d), 6).alias("tan_d"),
+        F.round(F.atan2(d, t + 0.01), 6).alias("atan2_dt"),
+        F.round(F.asin(d), 6).alias("asin_d"),
+        F.round(F.degrees(d), 6).alias("deg_d"),
+        F.round(F.lit(3.141592653589793), 6).alias("pi_v"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_format — printf-style string formatting.
+# --------------------------------------------------------------------------
+
+_FN_FORMAT_ORACLE = """
+SELECT
+  o_orderkey,
+  printf('%d/%s', o_orderkey, o_orderstatus) AS key_status,
+  printf('%08d', o_orderkey) AS key_pad,
+  printf('%.2f', ROUND(o_totalprice, 2)) AS price_2dp
+FROM orders WHERE o_orderkey < 3000
+"""
+
+
+@register("fn_format", oracle=_FN_FORMAT_ORACLE)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.format_string("%d/%s", "o_orderkey", "o_orderstatus").alias("key_status"),
+        F.format_string("%08d", "o_orderkey").alias("key_pad"),
+        F.format_string("%.2f", F.round("o_totalprice", 2)).alias("price_2dp"),
+    )
