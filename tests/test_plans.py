@@ -106,3 +106,31 @@ def test_dedup_near_single_band_shuffle(spark, sf_dir):
         first_exchange = plan.split("Exchange")[1][:400]
         assert "text" not in first_exchange
     assert plan.count("FileScan") >= 1
+
+
+# Queries allowed to show row-at-a-time Python in their plans (the one
+# intentional row UDF and the native UDTF).
+_ROW_PYTHON_OK = {"udf_scalar", "udtf_native"}
+# Non-equi/cross shapes where a nested-loop/cartesian strategy is the point.
+_NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
+                   "llm_ngram_jaccard", "llm_dedup_embed", "scan_parquet",
+                   "set_union", "llm_sim_search_ivf",
+                   "join_skew_salted"}  # dim × 8-row salt spine is a cross join by design
+
+
+def test_registry_wide_plan_audit(spark, sf_dir):
+    """Every registered batch query: no accidental row-Python, no
+    accidental cartesian product.  Streaming/sink queries execute real
+    side effects and are audited by their own tests — skipped here."""
+    skip_prefixes = ("stream_", "sink_", "scan_csv_json", "scan_orc", "join_bucketed")
+    offenders = []
+    for name, fn in sorted(eng.queries().items()):
+        if name.startswith(skip_prefixes):
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan and name not in _ROW_PYTHON_OK:
+            offenders.append((name, "row-at-a-time Python"))
+        if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)                 and name not in _NESTED_LOOP_OK:
+            offenders.append((name, "unexpected nested-loop/cartesian"))
+    assert not offenders, offenders
