@@ -58,6 +58,12 @@ def prepare(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# DataFrame plans are immutable and reusable — cache per (session, sf,
+# table) so a 100-query suite doesn't re-list files and re-read footers on
+# every load.  Keyed on the session id so a new driver session re-reads.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
@@ -68,10 +74,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
     prepare(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # int64 nanos → µs timestamp (floor), identical to DuckDB's view.
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    key = (id(spark._jsparkSession), sf_dir, name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            # int64 nanos → µs timestamp (floor), identical to DuckDB's view.
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        _DF_CACHE[key] = df
     return df
 
 
