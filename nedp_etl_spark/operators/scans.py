@@ -311,3 +311,105 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("scan_orc/nation", sf_dir)
     load(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+# --------------------------------------------------------------------------
+# sink_view — dbt `view` materialization: the query is stored, not the data;
+# reads re-execute the plan (createOrReplaceTempView in-session).
+# --------------------------------------------------------------------------
+
+_SINK_VIEW_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus
+"""
+
+
+@register("sink_view", oracle=_SINK_VIEW_ORACLE)
+def sink_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    o.createOrReplaceTempView("v_big_orders")
+    return spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total "
+        "FROM v_big_orders GROUP BY o_orderstatus"
+    )
+
+
+# --------------------------------------------------------------------------
+# sink_ephemeral — dbt `ephemeral` materialization: the model never
+# materializes anywhere; it is inlined into downstream queries as a CTE.
+# --------------------------------------------------------------------------
+
+_SINK_EPHEMERAL_ORACLE = """
+WITH eph_order_value AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(e.spend AS DECIMAL(25,6))) AS DOUBLE) AS segment_spend
+FROM customer c JOIN eph_order_value e ON c.c_custkey = e.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("sink_ephemeral", oracle=_SINK_EPHEMERAL_ORACLE)
+def sink_ephemeral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the "ephemeral model" is just a DataFrame expression composed inline —
+    # exactly how dbt inlines ephemeral models as CTEs.
+    o = load(spark, sf_dir, "orders")
+    eph = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("spend")
+    )
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(eph, c.c_custkey == eph.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("spend").cast("decimal(25,6)")).cast("double").alias("segment_spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# scan_csv_malformed — robust ingest: a CSV with injected bad rows read in
+# PERMISSIVE mode (corrupt rows captured, not fatal) vs DROPMALFORMED.
+# Rows-only: DuckDB's CSV error handling differs by design; the in-repo
+# test asserts the permissive/drop counts differ by exactly the bad rows.
+# --------------------------------------------------------------------------
+
+
+@register("scan_csv_malformed")
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    stage = _scratch("scan_csv_malformed", sf_dir)
+    os.makedirs(stage, exist_ok=True)
+    path = os.path.join(stage, "nation_bad.csv")
+    if not os.path.exists(path):
+        rows = load(spark, sf_dir, "nation").collect()
+        with open(path, "w") as f:
+            f.write("n_nationkey,n_name,n_regionkey\n")
+            for i, r in enumerate(rows):
+                f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+                if i % 10 == 0:
+                    f.write(f"not_an_int,BROKEN_ROW_{i},also_bad\n")  # malformed
+
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt STRING"
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        # Spark disallows corrupt-column-only queries on a raw CSV scan
+        # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+        # documented pattern is to materialize the parse first.
+        .cache()
+    )
+    return permissive.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+    )

@@ -40,3 +40,18 @@ def test_dbt_schema_tests_all_pass(spark, sf_dir):
             eng.queries()["dbt_schema_tests"](spark, sf_dir).collect()}
     assert len(rows) == 5
     assert all(v == 0 for v in rows.values()), rows
+
+
+def test_malformed_csv_permissive_captures_bad_rows(spark, sf_dir):
+    import nedp_etl_spark as eng
+
+    df = eng.queries()["scan_csv_malformed"](spark, sf_dir)
+    total = df.count()
+    corrupt = df.filter("is_corrupt").count()
+    clean = df.filter("NOT is_corrupt").count()
+    from nedp_etl_spark.data import load
+
+    n_nation = load(spark, sf_dir, "nation").count()
+    assert clean == n_nation          # every good row survives
+    assert corrupt > 0                # bad rows captured, not fatal
+    assert total == clean + corrupt
