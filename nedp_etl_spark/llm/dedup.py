@@ -363,3 +363,79 @@ def llm_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(inter * 2 >= union)
         .select("doc_a", "doc_b", F.round(inter * 1.0 / union, 6).alias("jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# llm_dedup_cluster — connected components over the near-duplicate pair
+# graph (the step that turns pairs into dedup groups), via min-label
+# propagation.  Iterations are FIXED at 4 so the oracle can unroll the same
+# steps; the fixture graph (planted doc↔doc+1e6 pairs plus small triangles)
+# has diameter ≤ 3, so 4 steps reach the fixpoint.  Production runs
+# until-convergence with localCheckpoint every few steps — the per-step
+# shape (join + min-agg on the edge list) is exactly what scales.
+# --------------------------------------------------------------------------
+
+_CC_ITERS = 4
+
+_CC_EDGES_SQL = f"""
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    WITH corpus AS ({_AUG_SQL}),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS s
+      FROM corpus WHERE len(string_split(text,' ')) >= 3
+    ),
+    hsh AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hs FROM sh),
+    mh AS (SELECT doc_id, {_MINHASH_LIST_SQL} AS m FROM hsh),
+    bands AS (
+      SELECT doc_id, CAST(t.j AS INT) AS band,
+             m[CAST(2*t.j + 1 AS INT)] || '|' || m[CAST(2*t.j + 2 AS INT)] AS band_key
+      FROM mh, range(0, {_N_HASHES // _BAND_ROWS}) t(j)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  )
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+  UNION ALL SELECT doc_a, doc_a FROM pairs
+  UNION ALL SELECT doc_b, doc_b FROM pairs
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM edges)
+"""
+
+_CC_STEPS_SQL = ",\n".join(
+    f"l{i+1} AS (SELECT e.a AS node, MIN(l{i}.label) AS label "
+    f"FROM edges e JOIN l{i} ON l{i}.node = e.b GROUP BY e.a)"
+    for i in range(_CC_ITERS)
+)
+
+_DEDUP_CLUSTER_ORACLE = f"""
+WITH {_CC_EDGES_SQL},
+{_CC_STEPS_SQL}
+SELECT node AS doc_id, label AS cluster_id FROM l{_CC_ITERS}
+"""
+
+
+@register("llm_dedup_cluster", oracle=_DEDUP_CLUSTER_ORACLE)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .unionAll(pairs.select(F.col("doc_a").alias("a"), F.col("doc_a").alias("b")))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_b").alias("b")))
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(_CC_ITERS):
+        labels = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("n"))
+            .agg(F.min("label").alias("l"))
+            .select(F.col("n").alias("node"), F.col("l").alias("label"))
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
