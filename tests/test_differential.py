@@ -110,3 +110,39 @@ def test_generated_query_differential(spark, sf_dir, seed):
     assert sorted(s_cols) == sorted(o_cols), sql
     assert len(s_rows) == len(o_rows), sql
     assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
+
+
+def _gen_window_query(seed: int) -> str:
+    rng = random.Random(seed)
+    part = rng.choice(["l_returnflag", "l_suppkey", "l_linestatus"])
+    order_col = rng.choice(_NUM_COLS)
+    fn = rng.choice(
+        ["ROW_NUMBER()", "RANK()", "DENSE_RANK()",
+         f"ROUND(SUM({order_col}) OVER w2, 4)", "COUNT(*) OVER w2"]
+    )
+    head = fn if "OVER" in fn else fn + " OVER w"
+    pred = _gen_predicate(rng)
+    return (
+        f"SELECT l_orderkey, l_linenumber, {head} AS wv "
+        f"FROM lineitem WHERE ({pred}) "
+        f"WINDOW w AS (PARTITION BY {part} ORDER BY {order_col}, l_orderkey, l_linenumber), "
+        f"w2 AS (PARTITION BY {part} ORDER BY {order_col}, l_orderkey, l_linenumber "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+
+
+@pytest.mark.parametrize("seed", range(40, 55))
+def test_generated_window_differential(spark, sf_dir, seed):
+    sql = _gen_window_query(seed)
+    views(spark, sf_dir, "lineitem")
+    sdf = spark.sql(sql)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    con = duck_connect(sf_dir)
+    try:
+        res = con.execute(sql)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(o_cols), sql
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
