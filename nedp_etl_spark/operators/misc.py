@@ -129,3 +129,66 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%08d", "o_orderkey").alias("key_pad"),
         F.format_string("%.2f", F.round("o_totalprice", 2)).alias("price_2dp"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_fuzzy_levenshtein — fuzzy string matching (entity-resolution staple):
+# candidate pairs of part names within edit distance 3.  The fixture side is
+# pre-blocked (first 150 parts) — at scale the block key is a cheap
+# canonicalization (first char + length band) so the quadratic edit-distance
+# only runs inside blocks.
+# --------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 150)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register("join_fuzzy_levenshtein", oracle=_FUZZY_ORACLE)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 150)
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 3)
+        .select("key_a", "key_b", "name_a", "name_b", dist.cast("bigint").alias("edit_dist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_histogram — fixed-width binning (profiling/distribution staple).
+# width_bucket has no DuckDB twin; the floor-division bin is the portable
+# (and at-scale identical) formulation.
+# --------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+       CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bin_lo,
+       COUNT(*) AS n,
+       ROUND(AVG(o_totalprice), 4) AS bin_avg
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("agg_histogram", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 50000)
+    return (
+        o.groupBy(
+            bin_.cast("bigint").alias("bin"),
+            (bin_ * 50000).cast("bigint").alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("bin_avg"),
+        )
+    )
