@@ -133,10 +133,12 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # join_fuzzy_levenshtein — fuzzy string matching (entity-resolution staple):
-# candidate pairs of part names within edit distance 3.  The fixture side is
-# pre-blocked (first 150 parts) — at scale the block key is a cheap
-# canonicalization (first char + length band) so the quadratic edit-distance
-# only runs inside blocks.
+# candidate pairs of part names within edit distance 3.  Blocked on length
+# bands: edit distance <= 3 implies |len(a)-len(b)| <= 3, so equi-joining on
+# width-4 length bands (one side exploded to its band +/- 1) is lossless and
+# keeps the plan a hash join — the quadratic edit-distance only runs inside
+# a band.  At 100 TB the band key would also fold in a cheap canonical
+# prefix; the shape (explode small constant factor -> equi join) is the same.
 # --------------------------------------------------------------------------
 
 _FUZZY_ORACLE = """
@@ -152,12 +154,21 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 @register("join_fuzzy_levenshtein", oracle=_FUZZY_ORACLE)
 def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 150)
-    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
-    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    band = F.floor(F.length("p_name") / 4)
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        band.alias("band"),
+    )
     dist = F.levenshtein("name_a", "name_b")
     return (
-        a.join(b, F.col("key_a") < F.col("key_b"))
-        .filter(dist <= 3)
+        a.join(b, "band")
+        .filter((F.col("key_a") < F.col("key_b")) & (dist <= 3))
         .select("key_a", "key_b", "name_a", "name_b", dist.cast("bigint").alias("edit_dist"))
     )
 
