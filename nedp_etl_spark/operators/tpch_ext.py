@@ -1,0 +1,260 @@
+"""TPC-H workload queries, part 2 — the multi-nation / part-dimension
+shapes (Q5, Q7, Q8, Q14, Q19).  Together with ``tpch.py`` this covers every
+classic TPC-H query expressible on the driver fixtures (no partsupp table,
+no shipmode/commitdate columns — Q2/Q4/Q9/Q11/Q12/Q13/Q15-17/Q20-22 need
+those).
+
+Scale posture: in every query the dimension sides (region, nation, supplier,
+part, customer at these ratios) are broadcast so the only shuffle is the
+final aggregation on a handful of group keys; lineitem predicates are left
+as plain column comparisons so they push into the parquet scan.
+
+Reference parity: the reference runs arbitrary dbt-model SQL on Spark
+(``dbtoperator.py:273-274``, ``:342-347``) — these are the canonical
+analytical models such a deployment serves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import dsum, osum
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume: revenue per nation where customer and supplier
+# share a nation, for one region and one order year.
+# --------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n.n_name,
+       {osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("tpch_q5", oracle=_Q5_ORACLE)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, per direction per ship year.
+# --------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year, {osum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7", oracle=_Q7_ORACLE)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share: fraction of one region's PROMO-part volume
+# supplied by one nation, per order year.
+# --------------------------------------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT o_year,
+       ROUND({osum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+           / {osum('volume')}, 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+) all_sales
+GROUP BY o_year
+"""
+
+
+@register("tpch_q8", oracle=_Q8_ORACLE)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / dsum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion effect: percent of one month's revenue from PROMO parts.
+# --------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT ROUND(
+         100.0 * {osum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+       / {osum('l.l_extendedprice * (1 - l.l_discount)')}, 6) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register("tpch_q14", oracle=_Q14_ORACLE)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / dsum(vol),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue under an OR-of-conjunctions predicate mixing both
+# join sides (brand/size from part, quantity from lineitem).  The pushdown
+# showcase: Catalyst distributes the disjunction so each side's scan still
+# receives a pushed filter, and the join stays broadcast-hash.
+# --------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {osum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 5 AND 35)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 15 AND 45)
+"""
+
+
+@register("tpch_q19", oracle=_Q19_ORACLE)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(5, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(15, 45)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
