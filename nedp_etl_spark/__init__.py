@@ -17,6 +17,7 @@ from nedp_etl_spark.registry import oracle_sql, queries, register  # noqa: F401
 from nedp_etl_spark.operators import (  # noqa: F401
     aggregates,
     bucketing,
+    core_ext,
     ctes,
     dbt_tests,
     extras,

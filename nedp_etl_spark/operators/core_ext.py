@@ -1,0 +1,234 @@
+"""Second-wave core operators: deterministic hash sampling, struct
+construction/access, median+mode aggregation, sequence generation, and
+dynamic partition overwrite.
+
+All are plain DataFrame compositions (reference parity: arbitrary dbt-model
+SQL on Spark, ``dbtoperator.py:273-274``); the sampling and
+partition-overwrite entries are the two patterns a 100 TB deployment leans
+on hardest — content-hash sampling is reproducible across runs/engines and
+pushes into the scan, and dynamic overwrite rewrites only the partitions a
+batch touches instead of the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.operators.scans import _scratch
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import dsum, osum
+
+# --------------------------------------------------------------------------
+# sample_hash — deterministic content-hash sampling (~10.2%: first two md5
+# hex chars < '1a').  Unlike rand()-based sampling this is reproducible on
+# any engine and any partitioning — the right way to sample 100 TB.
+# --------------------------------------------------------------------------
+
+_SAMPLE_HASH_ORACLE = f"""
+SELECT COUNT(*) AS n_sampled,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       {osum('l_extendedprice')} AS sampled_price
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+"""
+
+
+@register("sample_hash", oracle=_SAMPLE_HASH_ORACLE)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.substring(F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber")), 1, 2)
+    return li.filter(bucket < "1a").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_extendedprice").alias("sampled_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_struct — struct construction, nested structs, field access, struct
+# equality; rendered via to_json (hash-safe string output both engines).
+# --------------------------------------------------------------------------
+
+_FN_STRUCT_ORACLE = """
+SELECT o_orderkey,
+       to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS order_json,
+       to_json(struct_pack(hdr := struct_pack(k := o_orderkey, pr := o_orderpriority),
+                           yr := CAST(EXTRACT(year FROM o_orderdate) AS BIGINT))) AS nested_json,
+       struct_pack(k := o_orderkey, s := o_orderstatus).s AS status_field,
+       struct_pack(k := o_orderkey, s := o_orderstatus)
+         = struct_pack(k := o_orderkey, s := 'O') AS is_open
+FROM orders
+WHERE o_orderkey < 500
+"""
+
+
+@register("fn_struct", oracle=_FN_STRUCT_ORACLE)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    st = F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s"))
+    nested = F.struct(
+        F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("pr")).alias("hdr"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    )
+    open_st = F.struct(F.col("o_orderkey").alias("k"), F.lit("O").alias("s"))
+    return o.select(
+        "o_orderkey",
+        F.to_json(st).alias("order_json"),
+        F.to_json(nested).alias("nested_json"),
+        st.getField("s").alias("status_field"),
+        (st == open_st).alias("is_open"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_mode_median — exact median (interpolated) plus a deterministic mode
+# (max count, ties broken by smallest value — spelled out identically in
+# both engines rather than relying on either engine's mode() tie behavior).
+# --------------------------------------------------------------------------
+
+_MODE_MEDIAN_ORACLE = """
+WITH m AS (
+  SELECT o_orderstatus, ROUND(MEDIAN(o_totalprice), 6) AS median_price, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus
+),
+c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+md AS (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority
+  FROM (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY cnt DESC, o_orderpriority) AS rn
+        FROM c)
+  WHERE rn = 1
+)
+SELECT m.o_orderstatus, m.median_price, m.n, md.mode_priority
+FROM m JOIN md USING (o_orderstatus)
+"""
+
+
+@register("agg_mode_median", oracle=_MODE_MEDIAN_ORACLE)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("cnt").desc(), "o_orderpriority")
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    return med.join(mode, "o_orderstatus").select(
+        "o_orderstatus", "median_price", "n", "mode_priority"
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_sequence — interval sequence generation + explode: a 1996 month
+# calendar left-joined to per-month order stats (empty months kept).  At
+# scale the calendar side is a constant — Spark broadcasts it for free.
+# --------------------------------------------------------------------------
+
+_FN_SEQUENCE_ORACLE = f"""
+WITH cal AS (
+  SELECT CAST(m AS DATE) AS month_start
+  FROM generate_series(DATE '1996-01-01', DATE '1996-12-01', INTERVAL 1 MONTH) t(m)
+),
+agg AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         COUNT(*) AS n_orders,
+         {osum('o_totalprice')} AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1
+)
+SELECT CAST(cal.month_start AS VARCHAR) AS month,
+       COALESCE(agg.n_orders, 0) AS n_orders,
+       COALESCE(agg.revenue, 0.0) AS revenue
+FROM cal LEFT JOIN agg USING (month_start)
+"""
+
+
+@register("fn_sequence", oracle=_FN_SEQUENCE_ORACLE)
+def fn_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    agg = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+    return cal.join(agg, "month_start", "left").select(
+        F.col("month_start").cast("string").alias("month"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sink_partition_overwrite — dbt `incremental` insert_overwrite strategy:
+# dynamic partition overwrite rewrites ONLY the partitions present in the
+# incoming batch (here: order_year=1997 repriced), leaving all other
+# partitions untouched.  At 100 TB this is the difference between rewriting
+# one day and rewriting the table.
+# --------------------------------------------------------------------------
+
+_SINK_DYN_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+         CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+              THEN ROUND(ROUND(o_totalprice, 6) * 1.1, 6)
+              ELSE ROUND(o_totalprice, 6) END AS price
+  FROM orders
+)
+SELECT order_year, COUNT(*) AS n, {osum('price')} AS total_price
+FROM t GROUP BY order_year
+"""
+
+
+@register("sink_partition_overwrite", oracle=_SINK_DYN_ORACLE)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("sink_partition_overwrite", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("price"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    base.write.mode("overwrite").partitionBy("order_year").parquet(path)
+
+    upd = base.filter(F.col("order_year") == 1997).withColumn(
+        "price", F.round(F.col("price") * 1.1, 6)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        upd.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("order_year").cast("int").alias("order_year"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("price").alias("total_price"))
+    )
