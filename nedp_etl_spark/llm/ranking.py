@@ -1,0 +1,188 @@
+"""Corpus ranking / n-gram statistics for LLM training-data pipelines:
+TF-IDF term extraction, BM25 retrieval scoring, corpus-wide top-k n-grams.
+
+All plain DataFrame compositions over ``documents``.  Scale shape: token
+explode is map-side; the only shuffles are the (doc, term) / term
+aggregates; corpus scalars (N, avgdl) are 1-row broadcasts — a
+BroadcastNestedLoopJoin against one row is O(n) and the correct plan, and
+the plan audit whitelists these two queries for exactly that reason.
+
+Determinism: every score is rounded to 6 dp before it participates in
+ordering or summation, and double sums go through the decimal accumulator
+(``util.dsum``), so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import dsum, osum
+
+# --------------------------------------------------------------------------
+# llm_tfidf — top-3 TF-IDF terms per document (smoothed idf), for a stable
+# probe subset of docs; document frequencies computed over the full corpus.
+# --------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+  WHERE tf.doc_id < 50
+)
+SELECT doc_id, term, tfidf, rank
+FROM (SELECT scored.*,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+@register("llm_tfidf", oracle=_TFIDF_ORACLE)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_bm25 — Okapi BM25 (k1=1.2, b=0.75) for a fixed query term set,
+# top-20 documents.  Per-term partial scores are rounded to 6 dp and summed
+# through the decimal accumulator so the 2-3-addend sum is order-free.
+# --------------------------------------------------------------------------
+
+_BM25_QTERMS = ("spark", "query", "join")
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl
+),
+parts AS (
+  SELECT tf.doc_id,
+         ROUND(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) AS s
+  FROM tf
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN ('spark', 'query', 'join')
+)
+SELECT doc_id, ROUND({osum('s')}, 6) AS bm25
+FROM parts GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@register("llm_bm25", oracle=_BM25_ORACLE)
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    part = F.round(idf * F.col("tf") * 2.2 / norm, 6)
+    return (
+        tf.filter(F.col("term").isin(*_BM25_QTERMS))
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(dsum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_ngram_topk — corpus-wide top-25 bigrams.  Spark side builds bigrams
+# entirely map-side (higher-order transform over the token array — no
+# per-doc window shuffle); the only shuffle is the final bigram count.
+# The oracle spells the same bigrams with the positional-unnest idiom.
+# --------------------------------------------------------------------------
+
+_NGRAM_TOPK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+b AS (
+  SELECT term || ' ' || LEAD(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM t
+)
+SELECT bigram, COUNT(*) AS n
+FROM b WHERE bigram IS NOT NULL
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 25
+"""
+
+
+@register("llm_ngram_topk", oracle=_NGRAM_TOPK_ORACLE)
+def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # Materialize the token array first: a lambda that re-referenced
+    # split(...) would re-evaluate it per element (see memory note on
+    # F.transform lambda arity — two-param lambdas receive (element, index)).
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("t"), i + 2)),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )

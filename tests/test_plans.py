@@ -115,7 +115,8 @@ _ROW_PYTHON_OK = {"udf_scalar", "udtf_native"}
 _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_ngram_jaccard", "llm_dedup_embed", "scan_parquet",
                    "set_union", "llm_sim_search_ivf",
-                   "join_skew_salted"}  # dim × 8-row salt spine is a cross join by design
+                   "join_skew_salted",  # dim × 8-row salt spine is a cross join by design
+                   "llm_tfidf", "llm_bm25"}  # 1-row corpus-scalar broadcast (O(n))
 
 
 def test_registry_wide_plan_audit(spark, sf_dir):
