@@ -186,3 +186,51 @@ def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# llm_unigram_logprob — unigram language-model scoring (the classic cheap
+# quality filter): p(w) estimated on the full corpus, each probe document
+# scored by its mean token log-probability.  Per-token log-probs are rounded
+# to 6 dp before the decimal-accumulator sum, so the mean is order-free and
+# engine-identical.
+# --------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT COUNT(*) AS n_tokens FROM toks),
+probs AS (
+  SELECT term, ROUND(ln(cnt * 1.0 / total.n_tokens), 6) AS lp
+  FROM counts CROSS JOIN total
+)
+SELECT toks.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND({osum('probs.lp')} / COUNT(*), 6) AS avg_logprob
+FROM toks JOIN probs ON toks.term = probs.term
+WHERE toks.doc_id < 100
+GROUP BY toks.doc_id
+"""
+
+
+@register("llm_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_tokens_corpus"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("cnt") * 1.0 / F.col("n_tokens_corpus")), 6).alias("lp"),
+    )
+    return (
+        toks.filter(F.col("doc_id") < 100)
+        .join(F.broadcast(probs), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(dsum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )

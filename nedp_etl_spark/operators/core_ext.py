@@ -232,3 +232,78 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("order_year").cast("int").alias("order_year"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("price").alias("total_price"))
     )
+
+
+# --------------------------------------------------------------------------
+# scan_schema_evolution — mergeSchema read across batches whose schemas
+# drifted (a column added mid-history): old rows surface NULL for the new
+# column.  This is the schema-on-read contract a long-lived 100 TB table
+# lives by — readers never require a rewrite of old files.
+# --------------------------------------------------------------------------
+
+_SCHEMA_EVOLUTION_ORACLE = f"""
+WITH t AS (
+  SELECT o_orderkey, ROUND(o_totalprice, 6) AS price,
+         CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              THEN o_orderstatus ELSE NULL END AS o_orderstatus
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS n, {osum('price')} AS total_price
+FROM t GROUP BY o_orderstatus
+"""
+
+
+@register("scan_schema_evolution", oracle=_SCHEMA_EVOLUTION_ORACLE)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _scratch("scan_schema_evolution", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    old = o.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("price")
+    )
+    new = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("price"), "o_orderstatus"
+    )
+    old.write.mode("overwrite").parquet(f"{root}/b1")
+    new.write.mode("overwrite").parquet(f"{root}/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{root}/b1", f"{root}/b2")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("price").alias("total_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# sink_compaction — small-file compaction: 64 tiny files coalesced to 4
+# WITHOUT a shuffle (coalesce merges co-located partitions).  The table
+# maintenance job every 100 TB parquet lake schedules nightly; file count
+# is asserted via input_file_name on the read-back.
+# --------------------------------------------------------------------------
+
+_COMPACTION_ORACLE = f"""
+SELECT CAST(4 AS BIGINT) AS n_files,
+       COUNT(*) AS n_rows,
+       {osum('l_extendedprice')} AS total_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+@register("sink_compaction", oracle=_COMPACTION_ORACLE)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small_path = _scratch("sink_compaction/small", sf_dir)
+    out_path = _scratch("sink_compaction/compacted", sf_dir)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+    li.repartition(64).write.mode("overwrite").parquet(small_path)
+
+    spark.read.parquet(small_path).coalesce(4).write.mode("overwrite").parquet(out_path)
+
+    back = spark.read.parquet(out_path).withColumn("_file", F.input_file_name())
+    return back.agg(
+        F.countDistinct("_file").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+    )

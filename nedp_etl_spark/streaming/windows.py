@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
-from nedp_etl_spark.util import dsum, osum
+from nedp_etl_spark.util import dsum, osum, ots_str, ts_str
 
 # --------------------------------------------------------------------------
 # stream_tumbling — 1-hour tumbling counts per event_type.
@@ -297,3 +297,63 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("n_name", "event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
     )
+
+
+# --------------------------------------------------------------------------
+# stream_stream_join — watermarked stream-stream join (click -> purchase
+# attribution by user within 1 hour).  Registered in its batch form (exact
+# oracle); tests/test_streaming.py replays the same join as a genuine
+# stream-stream self-join with watermarks on both sides and proves parity.
+# Scale: state is bounded by the watermark + time-range condition — each
+# side retains at most 1h (+ watermark slack) of events per user key.
+# --------------------------------------------------------------------------
+
+_STREAM_STREAM_JOIN_ORACLE = f"""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       {ots_str('c.ts')} AS click_ts,
+       {ots_str('p.ts')} AS purchase_ts,
+       p.value AS purchase_value
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+"""
+
+
+def _stream_stream_join_sides(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks, purchases
+
+
+def _stream_stream_join_plan(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("interval 1 hour")),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        ts_str("click_ts").alias("click_ts"),
+        ts_str("purchase_ts").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+@register("stream_stream_join", oracle=_STREAM_STREAM_JOIN_ORACLE)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks, purchases = _stream_stream_join_sides(ev)
+    return _stream_stream_join_plan(clicks, purchases)

@@ -73,3 +73,29 @@ def test_checkpoint_restart_no_reprocessing(spark, sf_dir):
     second = run()
     assert first > 0
     assert second == first, "restart reprocessed already-committed input"
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream self-join (click -> purchase within 1h)
+    must emit exactly the pairs the batch join emits."""
+    from nedp_etl_spark.streaming.windows import (
+        _stream_stream_join_plan,
+        _stream_stream_join_sides,
+    )
+
+    batch = {
+        tuple(r) for r in eng.queries()["stream_stream_join"](spark, sf_dir).collect()
+    }
+
+    ev = _stream_events(spark, sf_dir)
+    clicks, purchases = _stream_stream_join_sides(ev)
+    joined = _stream_stream_join_plan(
+        clicks.withWatermark("click_ts", "2 hours"),
+        purchases.withWatermark("purchase_ts", "2 hours"),
+    )
+    streamed = {
+        tuple(r)
+        for r in _run_to_memory(joined, "parity_ss_join", "append").collect()
+    }
+    assert len(streamed) > 0
+    assert streamed == batch
