@@ -421,7 +421,10 @@ SELECT node AS doc_id, label AS cluster_id FROM l{_CC_ITERS}
 
 @register("llm_dedup_cluster", oracle=_DEDUP_CLUSTER_ORACLE)
 def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the pair graph ONCE: every propagation step re-walks the
+    # edge lineage, and without truncation that re-runs the whole
+    # MinHash-LSH pipeline per iteration (~5× the work).
+    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
