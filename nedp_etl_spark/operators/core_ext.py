@@ -307,3 +307,101 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_string_agg — LISTAGG/string_agg: ordered string concatenation per
+# group, both DISTINCT-sorted and explicit ORDER BY forms.  Spark spells it
+# collect + array_sort + array_join (deterministic by construction — a bare
+# collect order would not be).
+# --------------------------------------------------------------------------
+
+_STRING_AGG_ORACLE = """
+SELECT o.o_custkey,
+       array_to_string(list_sort(list_distinct(list(o.o_orderpriority))), ',')
+         AS priorities,
+       string_agg(o.o_orderstatus, '' ORDER BY o.o_orderkey) AS status_seq,
+       COUNT(*) AS n
+FROM orders o
+WHERE o.o_custkey < 50
+GROUP BY o.o_custkey
+"""
+
+
+@register("agg_string_agg", oracle=_STRING_AGG_ORACLE)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    by_key = F.array_sort(
+        F.collect_list(F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v")))
+    )
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+        F.array_join(F.transform(by_key, lambda s: s.getField("v")), "").alias("status_seq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# join_null_safe — null-safe equality join (<=> / IS NOT DISTINCT FROM):
+# rows with NULL keys match the dimension's NULL row instead of dropping
+# out — the canonical "route unknowns to an UNKNOWN bucket" dim join.
+# --------------------------------------------------------------------------
+
+_NULL_SAFE_ORACLE = f"""
+WITH c2 AS (
+  SELECT c_custkey, c_acctbal,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer
+),
+dim AS (
+  SELECT DISTINCT c_mktsegment AS seg, c_mktsegment AS label FROM customer
+  UNION ALL SELECT NULL, 'UNKNOWN'
+)
+SELECT dim.label, COUNT(*) AS n, {osum('c2.c_acctbal')} AS total_bal
+FROM c2 JOIN dim ON c2.seg IS NOT DISTINCT FROM dim.seg
+GROUP BY dim.label
+"""
+
+
+@register("join_null_safe", oracle=_NULL_SAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    c2 = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    dim = (
+        c.select(F.col("c_mktsegment").alias("dseg"))
+        .distinct()
+        .select("dseg", F.col("dseg").alias("label"))
+        .unionAll(
+            c.sparkSession.range(1).select(
+                F.lit(None).cast("string").alias("dseg"), F.lit("UNKNOWN").alias("label")
+            )
+        )
+    )
+    return (
+        c2.join(F.broadcast(dim), c2.seg.eqNullSafe(F.col("dseg")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("total_bal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_approx_percentile — sketch-based percentile (rows-only check like
+# agg_approx; exact percentiles ride along so the in-repo sanity test can
+# assert the band).  The sketch is one-pass and mergeable — the 100 TB path
+# where exact percentile would need a full sort.
+# --------------------------------------------------------------------------
+
+
+@register("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("approx_p95"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("exact_p50"),
+        F.round(F.percentile("l_extendedprice", 0.95), 6).alias("exact_p95"),
+    )

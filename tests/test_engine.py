@@ -55,3 +55,15 @@ def test_malformed_csv_permissive_captures_bad_rows(spark, sf_dir):
     assert clean == n_nation          # every good row survives
     assert corrupt > 0                # bad rows captured, not fatal
     assert total == clean + corrupt
+
+
+def test_approx_percentile_within_band(spark, sf_dir):
+    """Sketch percentiles must land within 5% of the exact percentiles
+    (rows-only query — this is its correctness check)."""
+    import nedp_etl_spark as eng
+
+    rows = eng.queries()["agg_approx_percentile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * r.exact_p50, r
+        assert abs(r.approx_p95 - r.exact_p95) <= 0.05 * r.exact_p95, r
