@@ -146,3 +146,64 @@ def test_generated_window_differential(spark, sf_dir, seed):
         con.close()
     assert sorted(s_cols) == sorted(o_cols), sql
     assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
+
+
+def _gen_scalar_expr(rng: random.Random) -> str:
+    kind = rng.choice(["str", "math", "case", "date", "null"])
+    if kind == "str":
+        c = rng.choice(_STR_COLS)
+        return rng.choice(
+            [
+                f"upper({c})",
+                f"lower({c}) || '_' || {rng.choice(_STR_COLS)}",
+                f"CAST(length({c}) AS BIGINT)",
+                f"replace({c}, 'A', 'x')",
+            ]
+        )
+    if kind == "math":
+        n = rng.choice(_NUM_COLS)
+        return rng.choice(
+            [
+                f"ROUND(abs({n}) + {rng.randint(1, 9)}, 4)",
+                f"CAST(floor({n}) AS BIGINT)",
+                f"ROUND(greatest({n}, {rng.choice(_NUM_COLS)}), 6)",
+                f"CAST(l_orderkey % {rng.choice([7, 97, 101])} AS BIGINT)",
+            ]
+        )
+    if kind == "case":
+        return f"CASE WHEN {_gen_predicate(rng)} THEN 'hi' ELSE 'lo' END"
+    if kind == "date":
+        return rng.choice(
+            [
+                f"CAST(EXTRACT({rng.choice(['year', 'month', 'day'])} FROM l_shipdate) AS BIGINT)",
+                "CAST(CAST(l_shipdate AS DATE) AS STRING)",
+            ]
+        )
+    return f"coalesce(nullif({rng.choice(_STR_COLS)}, 'N'), 'none')"
+
+
+def _gen_scalar_query(seed: int) -> str:
+    rng = random.Random(seed)
+    exprs = [f"{_gen_scalar_expr(rng)} AS e{i}" for i in range(3)]
+    pred = _gen_predicate(rng)
+    return (
+        f"SELECT l_orderkey, l_linenumber, {', '.join(exprs)} "
+        f"FROM lineitem WHERE l_orderkey < 1500 AND ({pred})"
+    )
+
+
+@pytest.mark.parametrize("seed", range(55, 70))
+def test_generated_scalar_differential(spark, sf_dir, seed):
+    sql = _gen_scalar_query(seed)
+    views(spark, sf_dir, "lineitem")
+    sdf = spark.sql(sql)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    con = duck_connect(sf_dir)
+    try:
+        res = con.execute(sql)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(o_cols), sql
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
