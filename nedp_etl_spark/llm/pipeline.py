@@ -74,3 +74,39 @@ def llm_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         r6(F.avg("n_tokens")).alias("avg_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_dataset_split — deterministic train/val/test assignment by content
+# hash (90/5/5): reproducible on any engine/partitioning, stable under
+# re-runs and appends — the only split strategy that survives a 100 TB
+# corpus rebuild (rand()-based splits reshuffle every run).
+# --------------------------------------------------------------------------
+
+_DATASET_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT lang,
+         CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) < 'e6' THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) < 'f3' THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n
+FROM assigned GROUP BY split, lang
+"""
+
+
+@register("llm_dataset_split", oracle=_DATASET_SPLIT_ORACLE)
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.concat_ws(":", "doc_id", "text")), 1, 2)
+    split = (
+        F.when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

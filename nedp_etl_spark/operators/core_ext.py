@@ -405,3 +405,65 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", 0.5), 6).alias("exact_p50"),
         F.round(F.percentile("l_extendedprice", 0.95), 6).alias("exact_p95"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_regex — the full regexp surface beyond extract/replace (fn_string):
+# extract-all, match counting, boolean match, first-match position.
+# --------------------------------------------------------------------------
+
+_FN_REGEX_ORACLE = """
+SELECT p_partkey,
+       array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+       regexp_matches(p_name, '^(small|large)') AS sized,
+       CAST(CASE WHEN regexp_matches(p_name, 'o') THEN instr(p_name, 'o') ELSE 0 END AS BIGINT)
+         AS first_o
+FROM part
+WHERE p_partkey < 300
+"""
+
+
+@register("fn_regex", oracle=_FN_REGEX_ORACLE)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.array_join(F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0), "|").alias("words"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("bigint").alias("n_vowels"),
+        F.col("p_name").rlike("^(small|large)").alias("sized"),
+        F.regexp_instr("p_name", F.lit("o")).cast("bigint").alias("first_o"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sink_jsonl — JSON-lines sink + re-ingest (the interchange format every
+# LLM data pipeline emits): write a projection as .jsonl, read it back with
+# an explicit schema, aggregate.  Lossless for int/string columns.
+# --------------------------------------------------------------------------
+
+_SINK_JSONL_ORACLE = """
+SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+FROM documents WHERE doc_id < 200
+GROUP BY lang
+"""
+
+
+@register("sink_jsonl", oracle=_SINK_JSONL_ORACLE)
+def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    path = _scratch("sink_jsonl", sf_dir)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d.select("doc_id", "lang", "n_chars").write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
+    )
