@@ -29,6 +29,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     setops,
     skew,
     sorts,
+    timeseries,
     tpch,
     tpch_ext,
     udfs,

@@ -1,0 +1,171 @@
+"""Time-series operators: sessionization, calendar gap-fill, ROLLUP.
+
+The reference only reaches time-series semantics through dbt-generated SQL
+(``/root/reference/dbtoperator.py:273-274``); these are the hypertable-style
+operations an analytics engine is expected to provide natively.
+
+Scale notes:
+- ``ts_sessionize`` is two windows over the same ``user_id`` partitioning —
+  one shuffle total, per-key state bounded by one user's events.  At 100 TB
+  the user_id key space is wide, so partitions stay balanced.
+- ``ts_gapfill`` builds the calendar *per group* by exploding
+  ``sequence(min_day, max_day)`` inside the grouped row — no driver loop, no
+  cross join; the explode output is proportional to (groups x days), which is
+  the result size itself.  The forward-fill is one more window over the same
+  ``event_type`` partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import dsum, osum, ts_str
+
+# --------------------------------------------------------------------------
+# agg_rollup — ROLLUP over two keys (hierarchical subtotals; 3 grouping sets
+# in one Expand pass, vs CUBE's 4 — see aggregates.agg_cube).
+# --------------------------------------------------------------------------
+
+_AGG_ROLLUP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+  COUNT(*) AS n,
+  {osum('l_extendedprice')} AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_rollup", oracle=_AGG_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_sessionize — batch sessionization: a new session starts when a user's
+# inter-event gap exceeds 30 minutes.  lag → boundary flag → running sum
+# assigns session numbers; then one grouped aggregate per session.
+# --------------------------------------------------------------------------
+
+_TS_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_num
+  FROM flagged
+)
+SELECT
+  user_id,
+  CAST(session_num AS INT) AS session_num,
+  COUNT(*) AS n_events,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM sess
+GROUP BY user_id, session_num
+"""
+
+
+@register("ts_sessionize", oracle=_TS_SESSIONIZE_ORACLE)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_num",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(
+        "user_id", F.col("session_num").cast("int").alias("session_num")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ts_str(F.min("ts")).alias("session_start"),
+        ts_str(F.max("ts")).alias("session_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_gapfill — dense daily calendar per event_type over that type's active
+# range; days with no events appear with n_events = 0 and the daily average
+# value forward-filled from the last observed day.  The 6-dp round happens
+# BEFORE the carry-forward so both engines carry identical values.
+# --------------------------------------------------------------------------
+
+_TS_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_val
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+spans AS (
+  SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY event_type
+),
+cal AS (
+  SELECT s.event_type, CAST(u.day AS DATE) AS d
+  FROM spans s,
+       LATERAL unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS u(day)
+)
+SELECT
+  cal.event_type,
+  strftime(cal.d, '%Y-%m-%d') AS day,
+  COALESCE(daily.n, 0) AS n_events,
+  last_value(daily.avg_val IGNORE NULLS) OVER (
+    PARTITION BY cal.event_type ORDER BY cal.d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_avg_val
+FROM cal LEFT JOIN daily
+  ON daily.event_type = cal.event_type AND daily.d = cal.d
+"""
+
+
+@register("ts_gapfill", oracle=_TS_GAPFILL_ORACLE)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_val"),
+    )
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("d"),
+        )
+    )
+    joined = cal.join(daily, ["event_type", "d"], "left")
+    wff = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("avg_val", ignorenulls=True).over(wff).alias("ff_avg_val"),
+    )
