@@ -169,3 +169,50 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.last("avg_val", ignorenulls=True).over(wff).alias("ff_avg_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_bucket_rollup — hypertable continuous-aggregate pattern: raw events →
+# 6-hour bucket partials (count + exact decimal sum) → daily level
+# re-aggregated FROM the partials, never from raw rows.  That second hop is
+# the scale story: a 100 TB table re-rolls from the (groups x buckets)-sized
+# partial table, and the daily avg derives from carried sums, not a re-scan.
+# --------------------------------------------------------------------------
+
+_TS_BUCKET_ROLLUP_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '6 hours', ts) AS bucket,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(25,6))) AS s
+  FROM events GROUP BY event_type, time_bucket(INTERVAL '6 hours', ts)
+)
+SELECT
+  event_type,
+  strftime(CAST(bucket AS DATE), '%Y-%m-%d') AS day,
+  CAST(COUNT(*) AS INT) AS n_buckets,
+  SUM(n) AS n_events,
+  CAST(SUM(s) AS DOUBLE) AS sum_value,
+  ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n), 6) AS avg_value
+FROM b GROUP BY event_type, CAST(bucket AS DATE)
+"""
+
+
+@register("ts_bucket_rollup", oracle=_TS_BUCKET_ROLLUP_ORACLE)
+def ts_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.window("ts", "6 hours").start.alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("s"),
+    )
+    return buckets.groupBy(
+        "event_type", F.date_format(F.col("bucket").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+        F.sum("n").alias("n_events"),
+        F.sum("s").cast("double").alias("sum_value"),
+        F.round(F.sum("s").cast("double") / F.sum("n"), 6).alias("avg_value"),
+    )
