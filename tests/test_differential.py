@@ -207,3 +207,48 @@ def test_generated_scalar_differential(spark, sf_dir, seed):
         con.close()
     assert sorted(s_cols) == sorted(o_cols), sql
     assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
+
+
+def _gen_grouping_query(seed: int) -> str:
+    rng = random.Random(seed)
+    pred = _gen_predicate(rng)
+    keys = rng.sample(_KEY_COLS, 2)
+    shape = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if shape == "SETS":
+        clause = (
+            f"GROUPING SETS (({keys[0]}, {keys[1]}), ({keys[0]}), ())"
+        )
+    else:
+        clause = f"{shape} ({keys[0]}, {keys[1]})"
+    col = rng.choice(_NUM_COLS)
+    return (
+        f"SELECT {keys[0]}, {keys[1]}, "
+        f"CAST(GROUPING({keys[0]}) AS INT) AS g0, "
+        f"CAST(GROUPING({keys[1]}) AS INT) AS g1, "
+        f"COUNT(*) AS n, "
+        f"CAST(SUM(CAST({col} AS DECIMAL(25,6))) AS DOUBLE) AS total "
+        f"FROM lineitem WHERE ({pred}) GROUP BY {clause} "
+        # Known engine divergence, not a bug in our layer: on EMPTY input
+        # DuckDB emits the SQL-standard grand-total row for the () grouping
+        # set (n=0), Spark emits no rows.  The HAVING guard removes that
+        # row on both sides so the template compares the non-degenerate
+        # space (seed 82's predicate is vacuous: l_linestatus is O/F).
+        f"HAVING COUNT(*) > 0"
+    )
+
+
+@pytest.mark.parametrize("seed", range(70, 85))
+def test_generated_grouping_differential(spark, sf_dir, seed):
+    sql = _gen_grouping_query(seed)
+    views(spark, sf_dir, "lineitem")
+    sdf = spark.sql(sql)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    con = duck_connect(sf_dir)
+    try:
+        res = con.execute(sql)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(o_cols), sql
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
