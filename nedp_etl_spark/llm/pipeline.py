@@ -40,7 +40,7 @@ deduped AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(AVG(n_tokens), 6) AS avg_tokens
 FROM deduped
 GROUP BY source

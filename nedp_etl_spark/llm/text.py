@@ -30,7 +30,7 @@ WITH d AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(AVG(n_tokens), 6) AS avg_tokens,
        ROUND(AVG(n_unique * 1.0 / n_tokens), 6) AS avg_ttr,
        MIN(n_tokens) AS min_tokens,

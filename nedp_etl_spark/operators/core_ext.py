@@ -443,7 +443,7 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SINK_JSONL_ORACLE = """
-SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE doc_id < 200
 GROUP BY lang
 """

