@@ -79,8 +79,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
-            # int64 nanos → µs timestamp (floor), identical to DuckDB's view.
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # int64 nanos → µs timestamp via integer division: epoch-nanos
+            # (~1.7e18) exceed 2^53, so a float `/ 1000` round-trip can floor
+            # 1µs low; `div` stays exact like DuckDB's integer truncation.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         _DF_CACHE[key] = df
     return df
 

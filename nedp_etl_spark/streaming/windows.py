@@ -165,27 +165,31 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # Integer `div`, not float `/`: epoch-nanos exceed 2^53 (see data.load).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _isolated(spark: SparkSession) -> SparkSession:
+    """A sibling session (shared SparkContext, private SQLConf) for streaming
+    runs.  State-store partition count is frozen at query start from
+    shuffle.partitions; the real streaming queries pin it to 8 — plenty for
+    the fixture replay, an order of magnitude less store-init overhead than
+    the batch setting — WITHOUT mutating the driver's shared session conf
+    (the driver may plan other queries concurrently)."""
+    return spark.newSession()
 
 
 def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
-    # State-store partition count is frozen at query start from
-    # shuffle.partitions; 8 is plenty for the fixture replay and an order
-    # of magnitude less store-init overhead than the batch setting.
-    spark = stream_df.sparkSession
-    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark = stream_df.sparkSession  # the isolated session
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
     return spark.table(name)
 
 
@@ -204,7 +208,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     in continuous operation the same plan drops events later than
     max(event_ts) - 10min and finalizes windows past the watermark.
     """
-    ev = _stream_events(spark, sf_dir)
+    ev = _stream_events(_isolated(spark), sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -248,28 +252,43 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stream_foreachbatch")
 def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """writeStream.foreachBatch merge: per-batch counts merged into a running
-    per-event_type total (update-in-place keyed merge, rows-only check)."""
-    state: dict[str, list] = {}
+    """writeStream.foreachBatch incremental sink: each micro-batch is
+    aggregated and MERGEd into a materialized per-event_type totals table —
+    the dbt `incremental` streaming analogue (same left_anti+union merge as
+    ``sink_incremental_merge``), entirely executor-side.  No per-batch
+    ``collect()``: state lives in the warehouse table, so the pattern is
+    driver-light and survives arbitrarily many keys at 100 TB."""
+    import shutil
+
+    from nedp_etl_spark.operators.scans import _scratch
+
+    base = _scratch("stream_foreachbatch_tgt", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    latest: list[str] = []  # path of the current table version (a name, not data)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        for row in batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
-        ).collect():
-            cur = state.setdefault(row["event_type"], [0, 0.0])
-            cur[0] += row["n"]
-            cur[1] += row["v"]
+        s = batch_df.sparkSession
+        agg = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        if latest:
+            existing = s.read.parquet(latest[-1])
+            # keyed running-total MERGE: matched keys accumulate, unmatched
+            # insert (sum over the union ≡ WHEN MATCHED UPDATE SET n=n+...).
+            agg = existing.unionByName(agg).groupBy("event_type").agg(
+                F.sum("n").alias("n"),
+                F.round(F.sum("total_value"), 2).alias("total_value"),
+            )
+        version = f"{base}/v{batch_id}"
+        agg.write.mode("overwrite").parquet(version)
+        latest.append(version)
 
-    ev = _stream_events(spark, sf_dir)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = ev.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
-        q.awaitTermination(120)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-    rows = [(k, v[0], round(v[1], 2)) for k, v in sorted(state.items())]
-    return spark.createDataFrame(rows, "event_type string, n bigint, total_value double")
+    ev = _stream_events(_isolated(spark), sf_dir)
+    ev.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
+    q = ev.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return spark.read.parquet(latest[-1]).select("event_type", "n", "total_value")
 
 
 # --------------------------------------------------------------------------
