@@ -2,8 +2,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": sf}.
 
+Robust-capture posture (BENCH_r01 came back `parsed: null` with a truncated
+tail): stdout carries NOTHING but the single JSON summary line; per-query
+progress goes to stderr only when SPARK_GRAFT_BENCH_VERBOSE=1; and the same
+summary is re-written to BENCH_LATEST.json after EVERY query, so even a
+timeout-killed run leaves a complete, parseable partial result on disk.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_VERBOSE.
 """
 
 from __future__ import annotations
@@ -46,25 +52,15 @@ def main() -> None:
     except Exception:
         pass
 
+    verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest = os.path.join(here, "BENCH_LATEST.json")
+
     timings: dict[str, float] = {}
     total = 0.0
-    for name in sorted(qs):
-        t0 = time.perf_counter()
-        try:
-            df = qs[name](spark, sf_dir)
-            n = df.count()  # materialize the full plan
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 4)
-            total += dt
-            print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        except Exception as exc:  # keep benching the rest
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 4)
-            total += dt
-            print(f"# {name}: FAILED after {dt:.3f}s: {exc}", file=sys.stderr)
 
-    print(
-        json.dumps(
+    def summary() -> str:
+        return json.dumps(
             {
                 "metric": "suite_total_wall_clock",
                 "value": round(total, 4),
@@ -73,7 +69,31 @@ def main() -> None:
                 "sf": sf,
             }
         )
-    )
+
+    def checkpoint() -> None:
+        tmp = latest + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(summary() + "\n")
+        os.replace(tmp, latest)
+
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            df = qs[name](spark, sf_dir)
+            n = df.count()  # materialize the full plan
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 4)
+            total += dt
+            if verbose:
+                print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # keep benching the rest
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 4)
+            total += dt
+            print(f"# {name}: FAILED after {dt:.3f}s: {exc}", file=sys.stderr)
+        checkpoint()
+
+    print(summary())
     spark.stop()
 
 

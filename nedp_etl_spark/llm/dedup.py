@@ -233,6 +233,16 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 
 @register("llm_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-definition demo: exact pairwise n-gram Jaccard over an
+    explicitly probe-bounded slice (doc_id < 30 → ≤435 pairs).
+
+    This key intentionally keeps the all-pairs shape — it *defines* the
+    similarity metric that the scale path verifies against.  Deduplicating a
+    full corpus with this metric goes through ``llm_dedup_lsh_verified``
+    (banded-LSH candidates → true Jaccard verify on candidates only), which
+    is the 100 TB plan; the nested-loop here is allow-listed in
+    ``tests/test_plans.py`` solely because of the probe bound.
+    """
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     sh = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
@@ -441,4 +451,51 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("l"))
             .select(F.col("n").alias("node"), F.col("l").alias("label"))
         )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register("llm_dedup_cluster_converged", oracle=_DEDUP_CLUSTER_ORACLE)
+def llm_dedup_cluster_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production connected components: min-label propagation iterated to
+    FIXPOINT (label-change count = 0) instead of a fixed unroll.
+
+    Each step is the same join+min-agg as ``llm_dedup_cluster``; the labels
+    frame is ``localCheckpoint``-ed every step so (a) the lineage never grows
+    with the iteration count (the 100 TB failure mode of iterative Spark
+    jobs) and (b) the convergence count re-reads the checkpointed frame, not
+    the whole propagation chain.  Steps are bounded by the cluster graph's
+    diameter — the fixture converges in ≤ 4, so the fixed-unroll oracle SQL
+    is exactly the fixpoint and this key stays exact-checked.
+    """
+    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .unionAll(pairs.select(F.col("doc_a").alias("a"), F.col("doc_a").alias("b")))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_b").alias("b")))
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(64):  # hard bound: diameter of any real dedup graph is tiny
+        new_labels = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("n"))
+            .agg(F.min("label").alias("l"))
+            .select(F.col("n").alias("node"), F.col("l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 64 steps")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

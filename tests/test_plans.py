@@ -113,7 +113,7 @@ def test_dedup_near_single_band_shuffle(spark, sf_dir):
 _ROW_PYTHON_OK = {"udf_scalar", "udtf_native"}
 # Non-equi/cross shapes where a nested-loop/cartesian strategy is the point.
 _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
-                   "llm_ngram_jaccard", "llm_dedup_embed", "scan_parquet",
+                   "llm_ngram_jaccard", "scan_parquet",
                    "set_union", "llm_sim_search_ivf",
                    "join_skew_salted",  # dim × 8-row salt spine is a cross join by design
                    "llm_tfidf", "llm_bm25",
