@@ -1,0 +1,268 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+contamination checking, deterministic stratified sampling, intra-document
+repetition filtering, and length-bucket batching.
+
+These extend the SURVEY.md §2 LLM block (dedup / quality / packing — see
+``llm/dedup.py``, ``llm/text.py``, ``llm/chunking.py``) with the remaining
+steps a 100 TB pre-training pipeline runs between raw scrape and tokenizer:
+
+- contamination: eval-set n-grams must not leak into train — a two-corpus
+  equi-join keyed on the n-gram (shuffle by n-gram hash, never all-pairs);
+- stratified sampling: per-stratum rates applied via a deterministic
+  content hash, so re-runs and retries pick the same rows (no RNG state to
+  coordinate across 1000 executors);
+- repetition filter: map-side array statistics over the token list;
+- length buckets: pow-2 token-count buckets → padding-waste accounting,
+  map-side + a tiny aggregate.
+
+Reference parity: the reference repo (vibcloud/nedp-etl, dbtoperator.py)
+reaches arbitrary SQL through dbt-spark; these are the dbt-model shapes an
+LLM-data team would materialize with it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+# --------------------------------------------------------------------------
+# llm_contamination — benchmark-contamination check: which eval documents
+# share 3-grams with the train split, and how much.  The join is keyed on
+# the n-gram string (equi-join → hash shuffle); at 100 TB the train side
+# explodes to (ngram, doc) pairs once and the tiny eval side broadcasts.
+# --------------------------------------------------------------------------
+
+_CONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                FOR i IN range(1, len(t) - 1)]) AS gs
+  FROM toks WHERE len(t) >= 3
+),
+eval_g AS (
+  SELECT doc_id, UNNEST(gs) AS g FROM grams WHERE doc_id < 50
+),
+train_g AS (
+  SELECT DISTINCT UNNEST(gs) AS g FROM grams WHERE doc_id >= 50
+),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_hits
+  FROM eval_g e JOIN train_g t ON e.g = t.g
+  GROUP BY e.doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams FROM grams WHERE doc_id < 50
+)
+SELECT t.doc_id,
+       t.n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+       ROUND(COALESCE(h.n_hits, 0) * 1.0 / t.n_grams, 6) AS contamination_rate
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+def _trigram_set(tok_col) -> F.Column:
+    """Distinct 3-gram strings from a token array (JVM-side transform)."""
+    grams = F.transform(
+        F.slice(tok_col, 1, F.size(tok_col) - 2),
+        lambda _, i: F.concat_ws(
+            " ", tok_col[i], tok_col[i + 1], tok_col[i + 2]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+@register("llm_contamination", oracle=_CONTAM_ORACLE)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", _trigram_set(F.col("t")).alias("gs"))
+    )
+    eval_g = grams.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    train_g = (
+        grams.filter(F.col("doc_id") >= 50)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    hits = (
+        eval_g.join(train_g, on="g")  # equi-join on the n-gram: shuffle by key
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = grams.filter(F.col("doc_id") < 50).select(
+        "doc_id", F.size("gs").cast("bigint").alias("n_grams")
+    )
+    return totals.join(hits, on="doc_id", how="left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) * F.lit(1.0) / F.col("n_grams"), 6
+        ).alias("contamination_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_stratified_sample — deterministic per-stratum downsampling: each lang
+# keeps a different fraction, selected by a content hash (md5 of the doc id)
+# rather than an RNG, so the sample is reproducible under retries and
+# independent of partitioning.  Pure map-side filter at any scale.
+# --------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 0.8, "es": 0.5, "de": 0.25, "fr": 0.25}
+_DEFAULT_RATE = 0.1
+
+_RATE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+_STRAT_SAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u,
+         {_RATE_CASE_SQL} AS rate
+  FROM documents
+)
+SELECT doc_id, lang, source, ROUND(CAST(rate AS DOUBLE), 6) AS rate
+FROM h WHERE u < rate
+"""
+
+
+@register("llm_stratified_sample", oracle=_STRAT_SAMPLE_ORACLE)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return (
+        d.select("doc_id", "lang", "source", F.round(rate, 6).alias("rate"), u.alias("u"))
+        .filter(F.col("u") < F.col("rate"))
+        .drop("u")
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_repetition_filter — intra-document repetition metrics (the n-gram
+# repetition family of quality filters): most-frequent-token share and
+# distinct-bigram ratio, with a keep/drop verdict.  Map-side array math.
+# --------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         (SELECT MAX(c) FROM (
+            SELECT COUNT(*) AS c FROM UNNEST(toks) u(x) GROUP BY x
+          )) AS max_tok_freq,
+         CAST(len(list_distinct([toks[i] || ' ' || toks[i+1]
+                                 FOR i IN range(1, len(toks))])) AS BIGINT)
+           AS n_distinct_bigrams
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id, lang, n_tokens,
+       ROUND(max_tok_freq * 1.0 / n_tokens, 6) AS top_token_share,
+       ROUND(n_distinct_bigrams * 1.0 / (n_tokens - 1), 6) AS bigram_diversity,
+       (max_tok_freq * 1.0 / n_tokens <= 0.2
+        AND n_distinct_bigrams * 1.0 / (n_tokens - 1) >= 0.5) AS keep
+FROM m
+"""
+
+
+@register("llm_repetition_filter", oracle=_REPETITION_ORACLE)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    # max token frequency without a per-token explode: fold the distinct
+    # token list, counting occurrences via filter(size) — O(distinct × n)
+    # inside one task, no shuffle.
+    max_freq = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("toks")),
+            lambda tok: F.size(F.filter(F.col("toks"), lambda x: x == tok)),
+        )
+    )
+    bigrams = F.transform(
+        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+        lambda _, i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+    )
+    m = t.select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        max_freq.cast("bigint").alias("max_tok_freq"),
+        F.size(F.array_distinct(bigrams)).cast("bigint").alias("n_distinct_bigrams"),
+    )
+    top_share = F.col("max_tok_freq") * 1.0 / F.col("n_tokens")
+    diversity = F.col("n_distinct_bigrams") * 1.0 / (F.col("n_tokens") - 1)
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(top_share, 6).alias("top_token_share"),
+        F.round(diversity, 6).alias("bigram_diversity"),
+        ((top_share <= 0.2) & (diversity >= 0.5)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_length_buckets — pow-2 token-length buckets for batch packing: how
+# many documents land in each bucket and how much padding a naive
+# pad-to-bucket-max batching would waste.  Map-side bucket id + small agg.
+# --------------------------------------------------------------------------
+
+_LENGTH_BUCKETS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+b AS (
+  SELECT doc_id, n,
+         CAST(POWER(2, CEIL(LOG2(GREATEST(n, 1)))) AS BIGINT) AS bucket
+  FROM t
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(bucket - n) AS BIGINT) AS padding_tokens,
+       ROUND(SUM(bucket - n) * 1.0 / SUM(bucket), 6) AS padding_waste
+FROM b GROUP BY bucket
+"""
+
+
+@register("llm_length_buckets", oracle=_LENGTH_BUCKETS_ORACLE)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    bucket = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.greatest(F.col("n"), F.lit(1))))
+    ).cast("bigint")
+    b = t.select("n", bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("bucket") - F.col("n")).cast("bigint").alias("padding_tokens"),
+        F.round(
+            F.sum(F.col("bucket") - F.col("n")) * F.lit(1.0) / F.sum("bucket"), 6
+        ).alias("padding_waste"),
+    )
