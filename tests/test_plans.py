@@ -96,6 +96,24 @@ def test_sim_search_broadcasts_probes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_dedup_embed_bucketed_no_all_pairs(spark, sf_dir):
+    # Round-2 fix: embedding dedup must route through IVF buckets — the
+    # candidate join is an equi-join on the bucket id, never a nested loop
+    # over the corpus (the round-1 all-pairs plan died at 100×).
+    plan = _plan(spark, sf_dir, "llm_dedup_embed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_contamination_is_keyed_join(spark, sf_dir):
+    # eval↔train n-gram check: an equi-join keyed on the n-gram string —
+    # shuffles by key, no quadratic comparison.
+    plan = _plan(spark, sf_dir, "llm_contamination")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_near_single_band_shuffle(spark, sf_dir):
     # MinHash-LSH: signatures are map-side; the only exchanges are the band
     # self-join + final pair aggregate — no shuffle of raw text.
