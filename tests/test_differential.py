@@ -237,6 +237,40 @@ def _gen_grouping_query(seed: int) -> str:
     )
 
 
+def _gen_setop_query(seed: int) -> str:
+    rng = random.Random(seed)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    cols = rng.sample(
+        ["l_returnflag", "l_linestatus", "l_suppkey", "l_linenumber"], 2
+    )
+    p1, p2 = _gen_predicate(rng), _gen_predicate(rng)
+    sel = ", ".join(cols)
+    return (
+        f"SELECT {sel} FROM lineitem WHERE ({p1}) "
+        f"{op} "
+        f"SELECT {sel} FROM lineitem WHERE ({p2})"
+        # EXCEPT/INTERSECT/UNION are set-distinct in both engines; UNION ALL
+        # is a bag — compare as multisets either way (the harness sorts).
+    )
+
+
+@pytest.mark.parametrize("seed", range(85, 100))
+def test_generated_setop_differential(spark, sf_dir, seed):
+    sql = _gen_setop_query(seed)
+    views(spark, sf_dir, "lineitem")
+    sdf = spark.sql(sql)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    con = duck_connect(sf_dir)
+    try:
+        res = con.execute(sql)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(o_cols), sql
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
+
+
 @pytest.mark.parametrize("seed", range(70, 85))
 def test_generated_grouping_differential(spark, sf_dir, seed):
     sql = _gen_grouping_query(seed)

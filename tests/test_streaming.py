@@ -42,6 +42,32 @@ def test_streaming_dedup_matches_batch(spark, sf_dir):
     assert streamed.count() == batch_n
 
 
+def test_session_window_batch_equals_streaming(spark, sf_dir):
+    """Session windows are the trickiest stateful op (variable-length state,
+    merge-on-overlap): the streaming replay must produce exactly the batch
+    sessions."""
+    from nedp_etl_spark.streaming.windows import _isolated
+
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in eng.queries()["stream_session"](spark, sf_dir).collect()
+    }
+    ev = _stream_events(_isolated(spark), sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    streamed = {
+        tuple(r) for r in _run_to_memory(agg, "parity_session", "complete").collect()
+    }
+    assert streamed == batch
+
+
 def test_checkpoint_restart_no_reprocessing(spark, sf_dir):
     """Exactly-once file ingestion: restarting a checkpointed stream over
     unchanged input must emit nothing new (offsets are durable)."""
