@@ -413,3 +413,75 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         F.col("_corrupt").isNotNull().alias("is_corrupt"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_jsonl_nested — nested-JSONL ingestion (the LLM-corpus interchange
+# shape: per-line records with nested metadata structs and tag arrays):
+# stage a nested projection, re-ingest with an EXPLICIT nested schema (no
+# sampling-based inference job at 100 TB), flatten via dot-paths + explode,
+# aggregate.  Struct field pruning keeps unread nested fields out of the
+# scan, exactly like top-level column pruning.
+# --------------------------------------------------------------------------
+
+_SCAN_JSONL_NESTED_ORACLE = """
+WITH flat AS (
+  SELECT doc_id, lang, n_chars,
+         UNNEST([CASE WHEN n_chars < 100 THEN 'short' ELSE 'long' END, source]) AS tag
+  FROM documents WHERE doc_id < 500
+)
+SELECT lang, tag, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM flat GROUP BY lang, tag
+"""
+
+
+@register("scan_jsonl_nested", oracle=_SCAN_JSONL_NESTED_ORACLE)
+def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("scan_jsonl_nested", sf_dir)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    nested = d.select(
+        "doc_id",
+        F.struct(F.col("lang"), F.col("source")).alias("meta"),
+        F.struct(
+            F.col("n_chars"),
+            F.array(
+                F.when(F.col("n_chars") < 100, "short").otherwise("long"),
+                F.col("source"),
+            ).alias("tags"),
+        ).alias("stats"),
+    )
+    nested.write.mode("overwrite").json(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("lang", T.StringType()),
+                        T.StructField("source", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "stats",
+                T.StructType(
+                    [
+                        T.StructField("n_chars", T.LongType()),
+                        T.StructField("tags", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    flat = back.select(
+        F.col("meta.lang").alias("lang"),
+        F.col("stats.n_chars").alias("n_chars"),
+        F.explode("stats.tags").alias("tag"),
+    )
+    return flat.groupBy("lang", "tag").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
