@@ -1,0 +1,223 @@
+"""TPC-H Q4/Q13/Q15/Q17/Q22, adapted to the fixture schema (no
+l_commitdate/l_receiptdate, o_comment, c_phone, or partsupp — each query
+keeps its canonical *shape*: EXISTS semi-join, outer-join histogram,
+revenue view + argmax, correlated-average filter, anti-join with scalar
+threshold).  With these, every TPC-H query expressible on the fixture
+columns is registered (Q1-shape=agg_groupby, Q3/5/6/7/8/10/14/18/19 in
+tpch*.py; Q2/9/11/12/16/20/21 need the omitted columns/tables).
+
+Scale notes per query in the docstrings — the shapes here are the
+benchmark's canonical shuffle/broadcast patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import dsum, osum
+
+# --------------------------------------------------------------------------
+# Q4 — order priority checking.  Canonical: COUNT orders per priority WHERE
+# EXISTS a lineitem violating its date contract.  Adapted violation
+# predicate: shipped strictly after the order quarter started + 60 days
+# (l_shipdate > o_orderdate + 60 days) — commitdate/receiptdate are not in
+# the fixture.  Shape: semi-join (no row duplication) then tiny agg.
+# --------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("tpch_q4", oracle=_Q4_ORACLE)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("interval 60 days")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution.  Canonical: LEFT OUTER JOIN
+# customer→orders (filtered), COUNT per customer, then histogram of counts.
+# Adapted filter: o_orderpriority <> '1-URGENT' stands in for the o_comment
+# NOT LIKE regex.  Shape: two cascaded aggregations; the first shuffles by
+# custkey, the second is tiny.
+# --------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
+@register("tpch_q13", oracle=_Q13_ORACLE)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier.  Canonical: a revenue view over a shipdate quarter,
+# then the supplier(s) achieving MAX(total_revenue).  The max is a 1-row
+# aggregate joined back (in SQL: scalar subquery) — at scale the view is
+# computed once and reused for both sides.
+# --------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {osum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("tpch_q15", oracle=_Q15_ORACLE)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    # rank-1 filter instead of a scalar-subquery re-scan: one window over the
+    # (small) aggregated view, keeps ties exactly like `= MAX(...)`.
+    from pyspark.sql.window import Window
+
+    top = (
+        revenue.withColumn(
+            "rk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return s.join(F.broadcast(top), s.s_suppkey == top.supplier_no).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue.  Canonical: lineitems under 20% of
+# the part's average quantity; p_container → p_type for the part filter.
+# Spark-first formulation: the correlated AVG becomes a grouped aggregate
+# broadcast back onto the fact scan (one lineitem pass per side, no
+# per-row subquery execution).
+# --------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT CAST(SUM(l.l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND p.p_type LIKE '%BRASS'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@register("tpch_q17", oracle=_Q17_ORACLE)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type").like("%BRASS"))
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+    )
+    return joined.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(25,6)")) / 7.0)
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity.  Canonical: customers from selected
+# countries with above-average positive balance and NO orders.  c_phone
+# country codes → c_nationkey; the scalar AVG threshold is a 1-row
+# broadcast (allow-listed cross join), the NOT EXISTS is a left_anti join.
+# --------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+SELECT c.c_nationkey AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (1, 5, 9, 13, 17, 21)
+  AND c.c_acctbal > (
+    SELECT AVG(c2.c_acctbal) FROM customer c2
+    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 5, 9, 13, 17, 21)
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+"""
+
+_Q22_NATIONS = (1, 5, 9, 13, 17, 21)
+
+
+@register("tpch_q22", oracle=_Q22_ORACLE)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*_Q22_NATIONS)
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("threshold")
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("threshold")
+    )
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double").alias("totacctbal"),
+    )

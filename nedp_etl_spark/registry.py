@@ -68,8 +68,9 @@ _PRIORITY: list[str] = [
     "join_fuzzy_levenshtein", "join_skew_salted",
     "scan_jsonl_nested", "profile_table",
     "ts_sessionize", "ts_gapfill", "ts_bucket_rollup",
-    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q10",
-    "tpch_q14", "tpch_q18", "tpch_q19",
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q22",
     "udtf_native",
     "llm_token_count", "llm_lang_id", "llm_quality_score", "llm_chunking",
     "llm_pii_scrub", "llm_seq_packing", "llm_simhash", "llm_ngram_jaccard",

@@ -135,7 +135,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "set_union", "llm_sim_search_ivf",
                    "join_skew_salted",  # dim × 8-row salt spine is a cross join by design
                    "llm_tfidf", "llm_bm25",
-                   "llm_unigram_logprob"}  # 1-row corpus-scalar broadcast (O(n))
+                   "llm_unigram_logprob",  # 1-row corpus-scalar broadcast (O(n))
+                   "tpch_q22"}  # 1-row AVG-threshold broadcast (O(n))
 
 
 def test_registry_wide_plan_audit(spark, sf_dir):
