@@ -467,3 +467,43 @@ def sink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# sink_file_sizing — output file-size control (the small-files problem):
+# maxRecordsPerFile rolls the writer to a new file every N records, so a
+# 100 TB job emits uniformly-sized parquet instead of one file per task
+# (or thousands of KB-sized ones).  File count is arithmetic —
+# ceil(rows / N) for a single write partition — so the check is exact.
+# --------------------------------------------------------------------------
+
+_FILE_SIZING_N = 1000
+
+_SINK_FILE_SIZING_ORACLE = f"""
+SELECT
+  CAST(CEIL(COUNT(*) / {_FILE_SIZING_N}.0) AS BIGINT) AS n_files,
+  COUNT(*) AS total_rows,
+  CAST(LEAST({_FILE_SIZING_N}, COUNT(*)) AS BIGINT) AS max_rows_per_file
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@register("sink_file_sizing", oracle=_SINK_FILE_SIZING_ORACLE)
+def sink_file_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("sink_file_sizing", sf_dir)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    (
+        o.repartition(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", _FILE_SIZING_N)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    per_file = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.count(F.lit(1)).alias("rows_in_file")
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("rows_in_file").alias("total_rows"),
+        F.max("rows_in_file").alias("max_rows_per_file"),
+    )

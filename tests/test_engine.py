@@ -67,3 +67,26 @@ def test_approx_percentile_within_band(spark, sf_dir):
     for r in rows:
         assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * r.exact_p50, r
         assert abs(r.approx_p95 - r.exact_p95) <= 0.05 * r.exact_p95, r
+
+
+def test_hll_mergeable_estimate_within_error(spark, sf_dir):
+    """Merged daily HLL sketches must estimate per-event_type distinct users
+    within HLL error (default lgK=12 → ~1.6% rel. std. error; assert 5%)."""
+    import nedp_etl_spark as eng
+    from nedp_etl_spark.data import load
+    from pyspark.sql import functions as F
+
+    est = {
+        r["event_type"]: r["est_users"]
+        for r in eng.queries()["agg_hll_mergeable"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])
