@@ -507,3 +507,40 @@ def sink_file_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rows_in_file").alias("total_rows"),
         F.max("rows_in_file").alias("max_rows_per_file"),
     )
+
+
+# --------------------------------------------------------------------------
+# sink_observe_metrics — pipeline data-quality metrics via df.observe():
+# the metrics (row count, null count, exact total) are computed DURING the
+# write pass — no second scan of the data, which at 100 TB is the
+# difference between free monitoring and doubling the job.  The dbt
+# post-hook test analogue, fused into the sink.
+# --------------------------------------------------------------------------
+
+_SINK_OBSERVE_ORACLE = """
+SELECT COUNT(*) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT) AS n_null_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
+@register("sink_observe_metrics", oracle=_SINK_OBSERVE_ORACLE)
+def sink_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    path = _scratch("sink_observe_metrics", sf_dir)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    obs = Observation("sink_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderpriority").isNull().cast("bigint")).alias("n_null_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("total_price"),
+    )
+    observed.write.mode("overwrite").parquet(path)  # the ONLY pass over the data
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_null_priority"], float(m["total_price"]))],
+        "n_rows bigint, n_null_priority bigint, total_price double",
+    )

@@ -326,3 +326,30 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_hint_shuffle_hash — explicit physical-strategy control: the
+# SHUFFLE_HASH hint builds a hash map on the (smaller) orders side instead
+# of sort-merging both sides — skips both sorts when one side comfortably
+# fits a per-partition hash map.  Same rows as the unhinted join (hints
+# change the physical plan only); tests/test_plans.py asserts the strategy.
+# --------------------------------------------------------------------------
+
+_JOIN_HINT_ORACLE = f"""
+SELECT o.o_orderpriority, COUNT(*) AS n, {osum('l.l_extendedprice')} AS total
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 150000
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_hint_shuffle_hash", oracle=_JOIN_HINT_ORACLE)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("total"))
+    )

@@ -96,6 +96,35 @@ def test_sim_search_broadcasts_probes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_shuffle_hash_hint_respected(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_hint_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    # A join keyed on the partition column of the date-partitioned sink
+    # layout, with a selective filter on the dim side, must compile to a
+    # dynamicpruning PartitionFilter — at 100 TB only the matching
+    # partitions' files are even listed.
+    import nedp_etl_spark as eng
+    from nedp_etl_spark.operators.scans import _scratch
+    from pyspark.sql import functions as F
+
+    eng.queries()["sink_table"](spark, sf_dir).count()  # materialize layout
+    fact = spark.read.parquet(_scratch("sink_table", sf_dir))
+    dim = spark.createDataFrame(
+        [(1996, "keep"), (1997, "drop")], "order_year int, tag string"
+    ).filter(F.col("tag") == "keep")
+    plan = (
+        fact.join(dim, "order_year")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_dedup_embed_bucketed_no_all_pairs(spark, sf_dir):
     # Round-2 fix: embedding dedup must route through IVF buckets — the
     # candidate join is an equi-join on the bucket id, never a nested loop
