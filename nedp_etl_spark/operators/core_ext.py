@@ -544,3 +544,36 @@ def sink_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_null_priority"], float(m["total_price"]))],
         "n_rows bigint, n_null_priority bigint, total_price double",
     )
+
+
+# --------------------------------------------------------------------------
+# sink_surrogate_keys — stable surrogate-key assignment (dbt ID-generation
+# pattern): dense row_number over the business key, NOT
+# monotonically_increasing_id (whose values depend on partition layout and
+# change between runs/clusters).  Deterministic ⇒ exact-checked.
+# --------------------------------------------------------------------------
+
+_SINK_SURROGATE_ORACLE = """
+SELECT c_custkey,
+       ROW_NUMBER() OVER (ORDER BY c_mktsegment, c_custkey) AS sk,
+       md5(c_mktsegment || '|' || CAST(c_custkey AS VARCHAR)) AS sk_hash
+FROM customer WHERE c_acctbal > 9000
+"""
+
+
+@register("sink_surrogate_keys", oracle=_SINK_SURROGATE_ORACLE)
+def sink_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    # Global row_number needs a total order — fine for dimension-sized
+    # tables; for fact-scale keys use the hash variant (second column),
+    # which is embarrassingly parallel and collision-checked downstream.
+    w = Window.orderBy("c_mktsegment", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.row_number().over(w).alias("sk"),
+        F.md5(F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string"))).alias(
+            "sk_hash"
+        ),
+    )

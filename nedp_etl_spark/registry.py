@@ -67,7 +67,8 @@ _PRIORITY: list[str] = [
     "win_nth_value", "fn_trig", "fn_format", "fn_bitwise", "fn_hash",
     "join_fuzzy_levenshtein", "join_skew_salted",
     "scan_jsonl_nested", "sink_file_sizing", "agg_hll_mergeable",
-    "join_hint_shuffle_hash", "sink_observe_metrics", "profile_table",
+    "join_hint_shuffle_hash", "sink_observe_metrics", "sink_surrogate_keys",
+    "profile_table",
     "ts_sessionize", "ts_gapfill", "ts_bucket_rollup",
     "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
     "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18",
@@ -83,6 +84,7 @@ _PRIORITY: list[str] = [
     "llm_ngram_topk", "llm_unigram_logprob", "llm_sim_search_ivf",
     "llm_embed_norm", "llm_dedup_embed", "llm_multimodal_decode",
     "stream_static_join", "stream_stream_join", "stream_custom_state",
+    "stream_rate_source",
 ]
 
 

@@ -376,3 +376,46 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     clicks, purchases = _stream_stream_join_sides(ev)
     return _stream_stream_join_plan(clicks, purchases)
+
+
+# --------------------------------------------------------------------------
+# stream_rate_source — non-file streaming source (the built-in `rate`
+# source): N rows/sec of (timestamp, value), windowed count.  Rows-only:
+# demonstrates that every windowed operator above runs identically on a
+# socket/Kafka-shaped source — only the readStream line changes.
+# --------------------------------------------------------------------------
+
+
+@register("stream_rate_source")
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _isolated(spark)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    rate = (
+        s.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .option("numPartitions", 2)
+        .load()
+    )
+    agg = (
+        rate.groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "max_value")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_demo")
+        .outputMode("complete")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    # let a few micro-batches land, then stop — bounded, deterministic-shape
+    import time
+
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        if s.table("rate_demo").count() > 0:
+            break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination(30)
+    return s.table("rate_demo")
