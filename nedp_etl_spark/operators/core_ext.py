@@ -577,3 +577,37 @@ def sink_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sk_hash"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_count_min — Count-Min-Sketch heavy-hitter counts (the mergeable-
+# sketch companion to agg_hll_mergeable).  The sketch is built by the JVM
+# aggregate ``count_min_sketch`` (map-side partial sketches, merged in the
+# reduce — raw rows never leave their partitions; only the fixed-size
+# 7x2000 counter table shuffles), then the driver queries the tiny merged
+# sketch via Spark's public CountMinSketch reader.  With depth 7 a key's
+# estimate is exact unless it collides in EVERY row (p < 1e-15 at this
+# cardinality), so the oracle is the exact GROUP BY count.
+# Reference parity: approximate aggregates reach the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_AGG_CMS_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_n
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_count_min", oracle=_AGG_CMS_ORACLE)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    buf = ev.agg(
+        F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.999), F.lit(42)).alias("s")
+    ).head()["s"]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(buf))
+    # The key list is a cheap distinct over the dictionary-encoded column;
+    # in a real heavy-hitter pipeline it would come from a sample or a
+    # space-saving pass, and the sketch answers point queries for them.
+    keys = [r[0] for r in ev.select("event_type").distinct().collect()]
+    rows = [(k, int(cms.estimateCount(k))) for k in sorted(keys)]
+    return spark.createDataFrame(rows, "event_type string, est_n bigint")

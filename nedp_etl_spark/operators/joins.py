@@ -353,3 +353,70 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("total"))
     )
+
+
+# --------------------------------------------------------------------------
+# join_range_binned — the 100 TB-safe range join.  ``join_range`` above is
+# the broadcast nested-loop shape (right when the window side is tiny);
+# when BOTH sides are fact-scale, the scalable idiom is bin bucketing:
+# quantize the range dimension into fixed-width bins, explode each window
+# to the bins it covers (<= 2 bins for window width <= bin width), then
+# equi-join on the bin key with the range predicate as a residual filter.
+# The join becomes a plain shuffled hash/sort-merge join on ``bin`` —
+# partitionable, AQE-skew-splittable, no nested loop anywhere.  Each
+# lineitem row lands in exactly one bin, so no dedup pass is needed.
+# Reference parity: range-predicate joins reach the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_BIN_DAYS = 60
+_BIN_EPOCH = "1992-01-01"
+
+_JOIN_RANGE_BINNED_ORACLE = """
+SELECT
+  w.o_orderkey AS window_id,
+  COUNT(*) AS n_shipped
+FROM (SELECT o_orderkey, o_orderdate AS start_ts,
+             o_orderdate + INTERVAL 60 DAY AS end_ts
+      FROM orders WHERE o_orderkey < 2000) w
+JOIN lineitem l
+  ON l.l_shipdate >= w.start_ts AND l.l_shipdate < w.end_ts
+GROUP BY w.o_orderkey
+"""
+
+
+@register("join_range_binned", oracle=_JOIN_RANGE_BINNED_ORACLE)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    epoch = F.lit(_BIN_EPOCH).cast("date")
+    w = o.filter(F.col("o_orderkey") < 2000).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.col("o_orderdate").alias("start_ts"),
+        (F.col("o_orderdate") + F.expr(f"INTERVAL {_BIN_DAYS} DAYS")).alias("end_ts"),
+    )
+    # A [start, end) window of width <= _BIN_DAYS covers at most 2 bins.
+    wb = w.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff(F.col("start_ts").cast("date"), epoch) / _BIN_DAYS),
+                F.floor(
+                    (F.datediff(F.col("end_ts").cast("date"), epoch) - 1) / _BIN_DAYS
+                ),
+            )
+        ),
+    )
+    lb = li.withColumn(
+        "bin", F.floor(F.datediff(F.col("l_shipdate").cast("date"), epoch) / _BIN_DAYS)
+    )
+    return (
+        lb.join(
+            wb,
+            (lb.bin == wb.bin)
+            & (lb.l_shipdate >= wb.start_ts)
+            & (lb.l_shipdate < wb.end_ts),
+        )
+        .groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )

@@ -216,3 +216,66 @@ def ts_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("double").alias("sum_value"),
         F.round(F.sum("s").cast("double") / F.sum("n"), 6).alias("avg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_anomaly — trailing-window z-score anomaly detection on the daily event
+# counts per type: each day is scored against the mean/stddev of the 7
+# PRECEDING days (frame excludes the current row, so the detector never
+# "explains away" the spike it is scoring).  One shuffle on event_type; the
+# window state is 7 rows per key regardless of corpus size, so the plan is
+# identical at 100 TB — the daily pre-aggregation (map-side partial count)
+# is what touches the raw rows.
+# Reference parity: anomaly SQL reaches the reference only via dbt models
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_TS_ANOMALY_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+         AVG(n) OVER w AS mean7,
+         STDDEV_SAMP(n) OVER w AS sd7,
+         COUNT(*) OVER w AS n_hist
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n,
+       ROUND(mean7, 6) AS mean7,
+       ROUND(CASE WHEN sd7 > 0 THEN (n - mean7) / sd7 END, 6) AS z,
+       COALESCE(sd7 > 0 AND abs((n - mean7) / sd7) > 2, FALSE) AS is_anomaly
+FROM s WHERE n_hist >= 4
+"""
+
+
+@register("ts_anomaly", oracle=_TS_ANOMALY_ORACLE)
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    mean7 = F.avg("n").over(w)
+    sd7 = F.stddev_samp("n").over(w)
+    z = F.when(sd7 > 0, (F.col("n") - mean7) / sd7)
+    return (
+        d.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(mean7, 6).alias("mean7"),
+            F.round(z, 6).alias("z"),
+            F.coalesce((sd7 > 0) & (F.abs(z) > 2), F.lit(False)).alias("is_anomaly"),
+            F.count(F.lit(1)).over(w).alias("n_hist"),
+        )
+        .filter(F.col("n_hist") >= 4)
+        .drop("n_hist")
+    )

@@ -69,7 +69,8 @@ _PRIORITY: list[str] = [
     "scan_jsonl_nested", "sink_file_sizing", "agg_hll_mergeable",
     "join_hint_shuffle_hash", "sink_observe_metrics", "sink_surrogate_keys",
     "profile_table",
-    "ts_sessionize", "ts_gapfill", "ts_bucket_rollup",
+    "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",
+    "join_range_binned", "agg_count_min",
     "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
     "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q22",

@@ -62,6 +62,30 @@ def test_range_join_broadcasts_interval_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_range_join_binned_is_equi(spark, sf_dir):
+    # The scale path: bin bucketing turns the range predicate into an
+    # equi join on `bin` + residual filter — no nested loop anywhere.
+    plan = _plan(spark, sf_dir, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_count_min_sketch_is_partial_agg(spark, sf_dir):
+    # The sketch aggregate must show a two-phase (partial/final) hash or
+    # sort aggregate: map-side partial sketches, fixed-size merge.
+    import nedp_etl_spark as eng
+    from pyspark.sql import functions as F
+    from nedp_etl_spark.data import load
+
+    ev = load(spark, sf_dir, "events")
+    df = ev.agg(
+        F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.999), F.lit(42))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("count_min_sketch") >= 2  # partial + final
+
+
 def test_no_cartesian_in_equi_joins(spark, sf_dir):
     for name in ("join_inner_equi", "join_left_right_full", "join_semi_anti"):
         plan = _plan(spark, sf_dir, name)
