@@ -266,3 +266,120 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("bucket") - F.col("n")) * F.lit(1.0) / F.sum("bucket"), 6
         ).alias("padding_waste"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_source_rebalance — corpus-stat-driven resampling to a target mix.
+# Unlike llm_stratified_sample (fixed per-stratum rates), the keep-rate here
+# is COMPUTED from the corpus itself: every lang should end up with an
+# equal share, so rate(lang) = min(1, (total/n_langs) / count(lang)).
+# Two tiny aggregates (per-lang counts) broadcast back onto a map-side
+# deterministic-hash filter — the full corpus is touched exactly once, and
+# re-runs keep identical rows (no RNG).  This is the domain/language
+# re-weighting step of a pre-training data recipe.
+# --------------------------------------------------------------------------
+
+_SOURCE_REBALANCE_ORACLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         LEAST(1.0, (SELECT SUM(n) FROM counts) * 1.0
+                     / (SELECT COUNT(*) FROM counts) / n) AS rate
+  FROM counts
+),
+h AS (
+  SELECT d.doc_id, d.lang, r.rate,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents d JOIN rates r ON d.lang = r.lang
+)
+SELECT doc_id, lang, ROUND(CAST(rate AS DOUBLE), 6) AS rate
+FROM h WHERE u < rate
+"""
+
+
+@register("llm_source_rebalance", oracle=_SOURCE_REBALANCE_ORACLE)
+def llm_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # total/n_langs as a 1-row frame crossed onto the per-lang counts: both
+    # sides of this join are O(#langs) — driver never sees row data.
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), F.col("total") / F.col("n_langs") / F.col("n")
+        ).alias("rate"),
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) / F.lit(4294967296.0)
+    return (
+        d.join(F.broadcast(rates), on="lang")
+        .select("doc_id", "lang", F.round("rate", 6).alias("rate"), u.alias("u"))
+        .filter(F.col("u") < F.col("rate"))
+        .drop("u")
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_contrastive_pairs — positive-pair mining for contrastive training:
+# for each anchor vector, the nearest same-label neighbour by cosine.
+# The join is EQUI on ``label`` — per-class blocking, so the pair space is
+# sum(class²), not corpus², and the shuffle key is the label.  For huge
+# classes the same query runs on IVF cells within the class (see
+# llm_sim_search_ivf); the rank-1 filter compiles to WindowGroupLimit.
+# --------------------------------------------------------------------------
+
+_CONTRASTIVE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+s AS (
+  SELECT a.vec_id AS anchor_id, a.label, b.vec_id AS positive_id,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT anchor_id, label, positive_id, cosine FROM s WHERE rn = 1
+"""
+
+
+@register("llm_contrastive_pairs", oracle=_CONTRASTIVE_ORACLE)
+def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from nedp_etl_spark.llm.simsearch import _dot, _dvec
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("anchor_id"), "label", _dvec("embedding").alias("ae")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("positive_id"),
+        F.col("label").alias("b_label"),
+        _dvec("embedding").alias("be"),
+    )
+    cos = _dot(F.col("ae"), F.col("be")) / (
+        F.sqrt(_dot(F.col("ae"), F.col("ae"))) * F.sqrt(_dot(F.col("be"), F.col("be")))
+    )
+    pairs = (
+        a.join(b, (a.label == b.b_label) & (a.anchor_id != b.positive_id))
+        .select("anchor_id", "label", "positive_id", cos.alias("c"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("c").desc(), "positive_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "label", "positive_id", F.round("c", 6).alias("cosine"))
+    )

@@ -504,3 +504,54 @@ def llm_dedup_cluster_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError("label propagation did not converge in 64 steps")
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# --------------------------------------------------------------------------
+# llm_cross_dedup — incremental (shard-vs-corpus) exact dedup: new-shard
+# documents are dropped when their content hash already exists in the
+# reference corpus.  This is the production cadence — you never re-cluster
+# the whole corpus when a crawl lands; you anti-join the new shard against
+# the corpus hash index.  The corpus side pre-aggregates to (hash,
+# min doc_id) before the join, so only 16-byte hashes + ids shuffle and the
+# join key is unique on the build side; text never leaves the scan.  At
+# 100 TB the hash index is a bucketed table and this join is co-located.
+# Reference parity: incremental-materialization semantics are the
+# reference's own (`dbt run` incremental models,
+# /root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_CROSS_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS dup_of
+  FROM documents WHERE CAST(substr(source, 4) AS INT) < 10
+  GROUP BY md5(text)
+),
+shard AS (
+  SELECT doc_id, source, lang, md5(text) AS h
+  FROM documents WHERE CAST(substr(source, 4) AS INT) >= 10
+)
+SELECT s.doc_id, s.source, s.lang, c.dup_of,
+       (c.dup_of IS NULL) AS keep
+FROM shard s LEFT JOIN corpus c ON s.h = c.h
+"""
+
+
+@register("llm_cross_dedup", oracle=_CROSS_DEDUP_ORACLE)
+def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    corpus = (
+        d.filter(src_num < 10)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    shard = d.filter(src_num >= 10).select(
+        "doc_id", "source", "lang", F.md5("text").alias("h")
+    )
+    return shard.join(corpus, on="h", how="left").select(
+        "doc_id",
+        "source",
+        "lang",
+        "dup_of",
+        F.col("dup_of").isNull().alias("keep"),
+    )

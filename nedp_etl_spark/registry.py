@@ -81,7 +81,8 @@ _PRIORITY: list[str] = [
     "llm_dedup_cluster_converged",
     "llm_filter_pipeline", "llm_dataset_split", "llm_tfidf", "llm_bm25",
     "llm_contamination", "llm_stratified_sample", "llm_repetition_filter",
-    "llm_length_buckets",
+    "llm_length_buckets", "llm_cross_dedup", "llm_source_rebalance",
+    "llm_contrastive_pairs",
     "llm_ngram_topk", "llm_unigram_logprob", "llm_sim_search_ivf",
     "llm_embed_norm", "llm_dedup_embed", "llm_multimodal_decode",
     "stream_static_join", "stream_stream_join", "stream_custom_state",
