@@ -286,3 +286,56 @@ def test_generated_grouping_differential(spark, sf_dir, seed):
         con.close()
     assert sorted(s_cols) == sorted(o_cols), sql
     assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
+
+
+def _gen_date_expr(rng: random.Random) -> str:
+    """Date/interval expressions valid verbatim in BOTH engines."""
+    kind = rng.choice(["extract", "trunc", "interval", "case", "least"])
+    if kind == "extract":
+        part = rng.choice(["YEAR", "MONTH", "DAY", "QUARTER"])
+        return f"CAST(EXTRACT({part} FROM o_orderdate) AS BIGINT)"
+    if kind == "trunc":
+        part = rng.choice(["month", "quarter", "year", "week"])
+        return f"CAST(date_trunc('{part}', o_orderdate) AS DATE)"
+    if kind == "interval":
+        n = rng.randint(1, 400)
+        unit = rng.choice(["DAY", "MONTH"])
+        op = rng.choice(["+", "-"])
+        return f"CAST(o_orderdate {op} INTERVAL {n} {unit} AS DATE)"
+    if kind == "case":
+        m = rng.randint(1, 12)
+        return (
+            f"CASE WHEN EXTRACT(MONTH FROM o_orderdate) <= {m} "
+            f"THEN 'H1' ELSE 'H2' END"
+        )
+    d = f"DATE '199{rng.randint(2, 8)}-0{rng.randint(1, 9)}-15'"
+    fn = rng.choice(["GREATEST", "LEAST"])
+    return f"CAST({fn}(CAST(o_orderdate AS DATE), {d}) AS DATE)"
+
+
+def _gen_date_query(seed: int) -> str:
+    rng = random.Random(seed)
+    exprs = [f"{_gen_date_expr(rng)} AS e{i}" for i in range(rng.randint(2, 4))]
+    lo = f"199{rng.randint(2, 7)}-01-01"
+    return (
+        f"SELECT o_orderkey, {', '.join(exprs)} FROM orders "
+        f"WHERE o_orderdate >= DATE '{lo}' "
+        f"AND o_orderkey % {rng.randint(3, 11)} = 0"
+    )
+
+
+@pytest.mark.parametrize("seed", range(85, 100))
+def test_generated_date_differential(spark, sf_dir, seed):
+    sql = _gen_date_query(seed)
+    views(spark, sf_dir, "orders")
+    sdf = spark.sql(sql)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    con = duck_connect(sf_dir)
+    try:
+        res = con.execute(sql)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(o_cols), sql
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
