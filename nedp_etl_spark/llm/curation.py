@@ -362,17 +362,23 @@ def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nedp_etl_spark.llm.simsearch import _dot, _dvec
 
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("anchor_id"), "label", _dvec("embedding").alias("ae")
+    # Norms are computed ONCE per vector before the join (map-side), not
+    # per pair — the cached sqrt(dot(e,e)) is the identical double the
+    # per-pair formula would produce, so oracle parity is exact while the
+    # pair loop does 1 dot product instead of 3.
+    v = emb.select(
+        "vec_id", "label", _dvec("embedding").alias("e")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a = v.select(
+        F.col("vec_id").alias("anchor_id"), "label",
+        F.col("e").alias("ae"), F.col("nrm").alias("an"),
     )
-    b = emb.select(
+    b = v.select(
         F.col("vec_id").alias("positive_id"),
         F.col("label").alias("b_label"),
-        _dvec("embedding").alias("be"),
+        F.col("e").alias("be"), F.col("nrm").alias("bn"),
     )
-    cos = _dot(F.col("ae"), F.col("be")) / (
-        F.sqrt(_dot(F.col("ae"), F.col("ae"))) * F.sqrt(_dot(F.col("be"), F.col("be")))
-    )
+    cos = _dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))
     pairs = (
         a.join(b, (a.label == b.b_label) & (a.anchor_id != b.positive_id))
         .select("anchor_id", "label", "positive_id", cos.alias("c"))

@@ -601,13 +601,14 @@ FROM events GROUP BY event_type
 @register("agg_count_min", oracle=_AGG_CMS_ORACLE)
 def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    buf = ev.agg(
-        F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.999), F.lit(42)).alias("s")
-    ).head()["s"]
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(buf))
-    # The key list is a cheap distinct over the dictionary-encoded column;
-    # in a real heavy-hitter pipeline it would come from a sample or a
+    # Sketch + key discovery fused into ONE aggregate pass (collect_set on a
+    # low-cardinality column is a few strings per partition); in a real
+    # heavy-hitter pipeline the probe keys would come from a sample or a
     # space-saving pass, and the sketch answers point queries for them.
-    keys = [r[0] for r in ev.select("event_type").distinct().collect()]
-    rows = [(k, int(cms.estimateCount(k))) for k in sorted(keys)]
+    row = ev.agg(
+        F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.999), F.lit(42)).alias("s"),
+        F.collect_set("event_type").alias("keys"),
+    ).head()
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row["s"]))
+    rows = [(k, int(cms.estimateCount(k))) for k in sorted(row["keys"])]
     return spark.createDataFrame(rows, "event_type string, est_n bigint")
