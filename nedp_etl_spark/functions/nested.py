@@ -150,3 +150,39 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rebuilt"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_variant — the VARIANT semi-structured type (Spark 4): parse once into
+# the binary variant encoding, then typed path extraction without
+# re-parsing JSON text per access.  At 100 TB this is the schema-on-read
+# path for ragged event payloads: variant columns store shredded binary,
+# so `variant_get` is a field probe, not a string parse, and untouched
+# fields are never decoded.  ``try_variant_get`` is the error-tolerant
+# form (NULL, not failure, on path/type misses).
+# Reference parity: semi-structured access reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_FN_VARIANT_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+  json_extract_string(props, '$.k') AS k_str,
+  json_extract_string(props, '$.missing') AS missing,
+  CAST(json(props) AS VARCHAR) AS roundtrip
+FROM events WHERE event_id % 7 = 0
+"""
+
+
+@register("fn_variant", oracle=_FN_VARIANT_ORACLE)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+        F.to_json(v).alias("roundtrip"),
+    )

@@ -320,3 +320,96 @@ def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("q_int8"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_semantic_lsh — label-free near-duplicate detection via random-
+# hyperplane (SimHash-for-vectors) LSH.  ``llm_dedup_embed`` buckets on IVF
+# centroids derived from the label column; this variant needs NO labels:
+# each vector is hashed map-side to an 8-bit signature (sign of the dot
+# product against 8 fixed hyperplanes), candidates are an equi self-join on
+# the signature, and exact cosine runs on candidates only.  Identical
+# vectors hash identically, so exact duplicates can never straddle buckets;
+# cosine-similar vectors collide with probability (1 - θ/π)^8.
+#
+# The hyperplanes are deterministic md5-derived constants (no RNG state to
+# ship to 1000 executors) burned into the plan as literals — model
+# parameters, not data; the oracle embeds the identical doubles, so the
+# comparison is exact.  Cost: O(n) hashing + O(Σ bucket²) verify; the only
+# shuffle carries (signature, id, vector).
+# --------------------------------------------------------------------------
+
+_LSH_DIM = 64
+_LSH_PLANES = 8
+
+
+def _lsh_planes() -> list[list[float]]:
+    import hashlib
+
+    planes = []
+    for k in range(_LSH_PLANES):
+        row = []
+        for i in range(_LSH_DIM):
+            h = hashlib.md5(f"{k}:{i}".encode()).hexdigest()[:8]
+            row.append(int(h, 16) / 2**32 - 0.5)  # exact dyadic rational
+        planes.append(row)
+    return planes
+
+
+def _semantic_lsh_oracle() -> str:
+    planes = _lsh_planes()
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(c) for c in row)}]) >= 0 "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k, row in enumerate(planes)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 300
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id < 50
+),
+sig AS (
+  SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket FROM corpus
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+"""
+
+
+@register("llm_semantic_lsh", oracle=_semantic_lsh_oracle())
+def llm_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    corpus = base.unionAll(
+        base.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "v"
+        )
+    )
+    bucket = None
+    for k, row in enumerate(_lsh_planes()):
+        lit = F.array(*[F.lit(c) for c in row])
+        bit = F.when(_dot(F.col("v"), lit) >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sig = corpus.select("vec_id", "v", bucket.cast("bigint").alias("bucket"))
+    a = sig.select("bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = sig.select("bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("c", cos)
+        .filter(F.col("c") >= 0.95)
+        .select("vec_a", "vec_b", "bucket", F.round("c", 6).alias("cosine"))
+    )

@@ -65,6 +65,7 @@ _PRIORITY: list[str] = [
     # --- extras unchecked in round 1 (cheap relational first) ---
     "agg_any_all", "agg_histogram", "agg_pivot", "agg_unpivot", "agg_rollup",
     "win_nth_value", "fn_trig", "fn_format", "fn_bitwise", "fn_hash",
+    "fn_variant",
     "join_fuzzy_levenshtein", "join_skew_salted",
     "scan_jsonl_nested", "sink_file_sizing", "agg_hll_mergeable",
     "join_hint_shuffle_hash", "sink_observe_metrics", "sink_surrogate_keys",
@@ -84,7 +85,8 @@ _PRIORITY: list[str] = [
     "llm_length_buckets", "llm_cross_dedup", "llm_source_rebalance",
     "llm_contrastive_pairs",
     "llm_ngram_topk", "llm_unigram_logprob", "llm_sim_search_ivf",
-    "llm_embed_norm", "llm_dedup_embed", "llm_multimodal_decode",
+    "llm_embed_norm", "llm_dedup_embed", "llm_semantic_lsh",
+    "llm_multimodal_decode",
     "stream_static_join", "stream_stream_join", "stream_custom_state",
     "stream_rate_source",
 ]
