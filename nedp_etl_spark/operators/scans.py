@@ -485,3 +485,102 @@ def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_binaryfile — whole-file binary ingestion via the ``binaryFile``
+# source (path, modificationTime, length, content), the standard Spark
+# entry point for image/audio/model-file corpora: each file becomes one row
+# with the raw bytes as a ``binary`` column, feeding the multimodal stack
+# (llm_multimodal_col / llm_multimodal_decode) without any custom reader.
+# At 100 TB the source lists and splits by FILE (content is never split),
+# so small-file consolidation happens upstream (sink_compaction) and
+# ``pathGlobFilter`` prunes by extension at listing time, before any read.
+# The fixture files are materialized deterministically from ``documents``;
+# the oracle recomputes byte length + md5 from the same table, so the
+# whole write→list→read→hash round-trip is exact-checked.
+# Reference parity: file ingestion appears in the reference only as S3
+# download staging (/root/reference/dbtoperator.py, R4) — here it is a
+# first-class distributed scan.
+# --------------------------------------------------------------------------
+
+_SCAN_BINARYFILE_ORACLE = """
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 40
+"""
+
+
+@register("scan_binaryfile", oracle=_SCAN_BINARYFILE_ORACLE)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("scan_binaryfile", sf_dir)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .collect()  # 40 rows — fixture materialization only, like the
+    )  # nation-CSV setup in scan_csv_json; the SCAN under test is distributed.
+    os.makedirs(path, exist_ok=True)
+    for r in docs:
+        with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sink_sorted_layout — write-for-data-skipping: ``repartitionByRange`` on
+# the filter column + ``sortWithinPartitions`` before the parquet write, so
+# every output file covers a narrow, non-overlapping o_orderdate range and
+# each row group's min/max statistics become selective.  On the read-back,
+# a date-band predicate reaches the scan as PushedFilters and parquet
+# skips whole row groups / files by footer stats — at 100 TB this layout
+# (clustering by the dominant filter dimension) is the difference between
+# scanning 100 TB and scanning one date band's worth of files.  The write
+# path costs ONE range-shuffle (sampled range boundaries keep output files
+# balanced even under date skew).
+# Reference parity: dbt clustered/sorted materializations
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SINK_SORTED_ORACLE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+GROUP BY 1
+"""
+
+
+@register("sink_sorted_layout", oracle=_SINK_SORTED_ORACLE)
+def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("sink_sorted_layout", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    (
+        o.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("date"))
+    )
+    return back.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("total"),
+    )

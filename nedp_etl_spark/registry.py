@@ -67,7 +67,8 @@ _PRIORITY: list[str] = [
     "win_nth_value", "fn_trig", "fn_format", "fn_bitwise", "fn_hash",
     "fn_variant",
     "join_fuzzy_levenshtein", "join_skew_salted",
-    "scan_jsonl_nested", "sink_file_sizing", "agg_hll_mergeable",
+    "scan_jsonl_nested", "scan_binaryfile", "sink_file_sizing",
+    "sink_sorted_layout", "agg_hll_mergeable",
     "join_hint_shuffle_hash", "sink_observe_metrics", "sink_surrogate_keys",
     "profile_table",
     "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",

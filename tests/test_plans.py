@@ -86,6 +86,16 @@ def test_count_min_sketch_is_partial_agg(spark, sf_dir):
     assert plan.count("count_min_sketch") >= 2  # partial + final
 
 
+def test_sorted_layout_pushes_date_band(spark, sf_dir):
+    # The read-back of the range-partitioned sorted layout must carry the
+    # date-band predicate into the parquet scan (footer min/max skipping).
+    plan = _plan(spark, sf_dir, "sink_sorted_layout")
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan and "PushedFilters" in scan[0]
+    assert "GreaterThanOrEqual(o_orderdate" in scan[0]
+    assert "LessThan(o_orderdate" in scan[0]
+
+
 def test_no_cartesian_in_equi_joins(spark, sf_dir):
     for name in ("join_inner_equi", "join_left_right_full", "join_semi_anti"):
         plan = _plan(spark, sf_dir, name)
