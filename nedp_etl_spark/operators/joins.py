@@ -420,3 +420,50 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_id")
         .agg(F.count(F.lit(1)).alias("n_shipped"))
     )
+
+
+# --------------------------------------------------------------------------
+# join_bloom_prefilter — runtime Bloom-filter join pruning: when one join
+# side is made selective by a local predicate, Catalyst builds a Bloom
+# filter over its join keys at runtime (bloom_filter_agg, partial/final —
+# itself a mergeable-sketch aggregate) and injects a ``might_contain``
+# filter on the OTHER side's scan, so non-matching fact rows are dropped
+# BEFORE the shuffle.  At 100 TB this is the single biggest shuffle
+# reducer for selective fact⋈fact joins — the filter travels to the probe
+# side's map tasks instead of 99% of the probe rows travelling to the
+# join.  Runs on an isolated session: the thresholds are tuned so the
+# demo triggers at fixture scale without touching shared session conf.
+# Reference parity: runtime join pruning has no reference counterpart
+# (the reference delegates planning entirely, dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_JOIN_BLOOM_ORACLE = f"""
+SELECT o.o_orderpriority, COUNT(*) AS n_lines, {osum('l.l_extendedprice')} AS total
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_bloom_prefilter", oracle=_JOIN_BLOOM_ORACLE)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    # Broadcast off: at real scale the selective side exceeds the broadcast
+    # threshold, and InjectRuntimeFilter only fires on non-broadcast joins
+    # (a broadcast join never shuffles the probe side to begin with).
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load(s, sf_dir, "lineitem")
+    o = load(s, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("total"),
+        )
+    )

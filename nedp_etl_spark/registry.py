@@ -69,7 +69,8 @@ _PRIORITY: list[str] = [
     "join_fuzzy_levenshtein", "join_skew_salted",
     "scan_jsonl_nested", "scan_binaryfile", "sink_file_sizing",
     "sink_sorted_layout", "agg_hll_mergeable",
-    "join_hint_shuffle_hash", "sink_observe_metrics", "sink_surrogate_keys",
+    "join_hint_shuffle_hash", "join_bloom_prefilter",
+    "sink_observe_metrics", "sink_surrogate_keys",
     "profile_table",
     "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",
     "join_range_binned", "agg_count_min",

@@ -86,6 +86,14 @@ def test_count_min_sketch_is_partial_agg(spark, sf_dir):
     assert plan.count("count_min_sketch") >= 2  # partial + final
 
 
+def test_bloom_prefilter_injects_might_contain(spark, sf_dir):
+    # Runtime Bloom-filter pruning: the probe side's scan must carry a
+    # might_contain(...) filter built from the selective side's keys.
+    plan = _plan(spark, sf_dir, "join_bloom_prefilter")
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+
+
 def test_sorted_layout_pushes_date_band(spark, sf_dir):
     # The read-back of the range-partitioned sorted layout must carry the
     # date-band predicate into the parquet scan (footer min/max skipping).
