@@ -279,3 +279,60 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hist") >= 4)
         .drop("n_hist")
     )
+
+
+# --------------------------------------------------------------------------
+# ts_downsample — extreme-preserving decimation (the dashboard/monitoring
+# downsampler): per (event_type, day) bucket keep only the min-value and
+# max-value points, so a 100 TB series renders from bucket_count × 2 rows
+# while spikes and dips survive (naive every-Nth decimation erases them).
+# Two rank windows over the SAME (event_type, day) partitioning — one
+# shuffle; per-bucket state is one day of one event type.  Ties break on
+# event_id so re-runs are deterministic.
+# --------------------------------------------------------------------------
+
+_TS_DOWNSAMPLE_ORACLE = """
+WITH r AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY value ASC, event_id) AS rn_min,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY value DESC, event_id) AS rn_max
+  FROM events
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, 'min' AS kind,
+       event_id, ROUND(value, 6) AS value
+FROM r WHERE rn_min = 1
+UNION ALL
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, 'max' AS kind,
+       event_id, ROUND(value, 6) AS value
+FROM r WHERE rn_max = 1
+"""
+
+
+@register("ts_downsample", oracle=_TS_DOWNSAMPLE_ORACLE)
+def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day"), "event_id", "value"
+    )
+    part = Window.partitionBy("event_type", "day")
+    r = d.select(
+        "*",
+        F.row_number()
+        .over(part.orderBy(F.col("value").asc(), "event_id"))
+        .alias("rn_min"),
+        F.row_number()
+        .over(part.orderBy(F.col("value").desc(), "event_id"))
+        .alias("rn_max"),
+    )
+    day_s = F.date_format("day", "yyyy-MM-dd").alias("day")
+    mins = r.filter(F.col("rn_min") == 1).select(
+        "event_type", day_s, F.lit("min").alias("kind"),
+        "event_id", F.round("value", 6).alias("value"),
+    )
+    maxs = r.filter(F.col("rn_max") == 1).select(
+        "event_type", day_s, F.lit("max").alias("kind"),
+        "event_id", F.round("value", 6).alias("value"),
+    )
+    return mins.unionAll(maxs)

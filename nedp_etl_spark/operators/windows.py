@@ -192,3 +192,43 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").alias("rank_in_cust"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# win_frame_interval — TIME-interval RANGE frames (trailing one hour per
+# event): Spark windows take numeric RANGE bounds, so the idiom is
+# ORDER BY unix seconds with the interval expressed in seconds — the
+# per-event sliding aggregate that complements the bucketed stream
+# windows (stream_sliding gives one row per window; this gives one row
+# per EVENT with its trailing-hour context, e.g. for rate limiting or
+# velocity features).  One shuffle on user_id; frame state is bounded by
+# one user's events in one hour.
+# --------------------------------------------------------------------------
+
+_WIN_FRAME_INTERVAL_ORACLE = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("win_frame_interval", oracle=_WIN_FRAME_INTERVAL_ORACLE)
+def win_frame_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # Microsecond-precision ordering: unix_timestamp() truncates to whole
+    # seconds, which would shift the frame boundary off the oracle's
+    # full-precision INTERVAL arithmetic for sub-second timestamps.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_trailing_1h"),
+    )

@@ -64,8 +64,8 @@ _PRIORITY: list[str] = [
     "stream_watermark_late", "stream_dedup", "stream_foreachbatch",
     # --- extras unchecked in round 1 (cheap relational first) ---
     "agg_any_all", "agg_histogram", "agg_pivot", "agg_unpivot", "agg_rollup",
-    "win_nth_value", "fn_trig", "fn_format", "fn_bitwise", "fn_hash",
-    "fn_variant",
+    "win_nth_value", "win_frame_interval", "fn_trig", "fn_format",
+    "fn_bitwise", "fn_hash", "fn_variant",
     "join_fuzzy_levenshtein", "join_skew_salted",
     "scan_jsonl_nested", "scan_binaryfile", "sink_file_sizing",
     "sink_sorted_layout", "agg_hll_mergeable",
@@ -73,6 +73,7 @@ _PRIORITY: list[str] = [
     "sink_observe_metrics", "sink_surrogate_keys",
     "profile_table",
     "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",
+    "ts_downsample",
     "join_range_binned", "agg_count_min",
     "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
     "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18",
