@@ -85,8 +85,8 @@ FROM (
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
     AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
 ) shipping
@@ -107,8 +107,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10")
+    ) | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12"))
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)

@@ -185,6 +185,11 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # countries with above-average positive balance and NO orders.  c_phone
 # country codes → c_nationkey; the scalar AVG threshold is a 1-row
 # broadcast (allow-listed cross join), the NOT EXISTS is a left_anti join.
+# Fixture adaptation: every fixture customer has at least one order, which
+# made the canonical predicate vacuously empty (a 0-row oracle check
+# proves nothing) — so "no orders" becomes "no orders since 2000-01-01"
+# (dormant customers), same NOT EXISTS / anti-join plan, non-empty result
+# at every fixture scale.
 # --------------------------------------------------------------------------
 
 _Q22_ORACLE = """
@@ -197,7 +202,8 @@ WHERE c.c_nationkey IN (1, 5, 9, 13, 17, 21)
     SELECT AVG(c2.c_acctbal) FROM customer c2
     WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 5, 9, 13, 17, 21)
   )
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c.c_nationkey
 """
 
@@ -212,7 +218,11 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("threshold")
     )
-    o = load(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
     rich = c.crossJoin(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("threshold")
     )

@@ -165,6 +165,10 @@ def compare(spark, name: str, sf_dir: str) -> None:
         f"representation-sensitive; cast the oracle or the Spark side:\n  "
         + "\n  ".join(shape_diff)
     )
+    assert len(o_rows) > 0, (
+        f"{name}: oracle returned 0 rows — the check is vacuous (an empty "
+        f"result proves nothing); adapt the query's predicates to the fixture"
+    )
     assert len(s_rows) == len(o_rows), (
         f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}"
     )
