@@ -1,0 +1,116 @@
+"""Model DAG — dbt-style ``ref()`` dependency graphs over Spark SQL.
+
+The reference is a dbt orchestrator: its whole value is running a DAG of
+SQL models in dependency order with a materialization per model
+(``/root/reference/dbtoperator.py:273-274`` delegates the SQL to dbt-spark;
+``run --select`` at ``dbtoperator.py:35,491`` selects subgraphs).  This
+module is that surface in-process:
+
+- models are SQL strings with ``{{ ref('other_model') }}`` templating;
+- dependencies are parsed from the refs, the graph is Kahn-topo-sorted
+  (cycles raise), and each model materializes in order as a temp view
+  (``view``/``ephemeral``) or a parquet-backed table (``table``);
+- ``select('model')`` gives the upstream closure — dbt's ``+model``.
+
+Scale posture: the DAG runner only *sequences* Spark actions; each model
+is still one declarative query that Catalyst optimizes independently —
+view-materialized models collapse into downstream plans exactly like dbt
+ephemeral models compile to CTEs, so a 4-model DAG can still execute as
+ONE fused job with pushdown through every layer.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REF_RE = re.compile(r"\{\{\s*ref\(\s*'([A-Za-z0-9_]+)'\s*\)\s*\}\}")
+
+
+class ModelGraph:
+    """A DAG of named SQL models connected by ``{{ ref('...') }}``."""
+
+    def __init__(self) -> None:
+        self._sql: dict[str, str] = {}
+        self._mat: dict[str, str] = {}
+
+    def add_model(self, name: str, sql: str, materialization: str = "view") -> None:
+        if name in self._sql:
+            raise ValueError(f"duplicate model: {name}")
+        if materialization not in ("view", "table", "ephemeral"):
+            raise ValueError(f"unknown materialization: {materialization}")
+        self._sql[name] = sql
+        self._mat[name] = materialization
+
+    def refs(self, name: str) -> list[str]:
+        return sorted(set(_REF_RE.findall(self._sql[name])))
+
+    def topo_order(self, targets: Optional[list[str]] = None) -> list[str]:
+        """Kahn topological order over the (optionally target-closed) graph."""
+        names = set(self._sql) if targets is None else self._closure(targets)
+        missing = {r for n in names for r in self.refs(n)} - set(self._sql)
+        if missing:
+            raise ValueError(f"unresolved refs: {sorted(missing)}")
+        indeg = {n: 0 for n in names}
+        out: dict[str, list[str]] = {n: [] for n in names}
+        for n in names:
+            for r in self.refs(n):
+                if r in names:
+                    indeg[n] += 1
+                    out[r].append(n)
+        ready = sorted(n for n, d in indeg.items() if d == 0)
+        order: list[str] = []
+        while ready:
+            n = ready.pop(0)
+            order.append(n)
+            for m in sorted(out[n]):
+                indeg[m] -= 1
+                if indeg[m] == 0:
+                    ready.append(m)
+        if len(order) != len(names):
+            cyc = sorted(set(names) - set(order))
+            raise ValueError(f"cycle among models: {cyc}")
+        return order
+
+    def _closure(self, targets: list[str]) -> set[str]:
+        """Upstream closure of ``targets`` (dbt ``+model`` selection)."""
+        seen: set[str] = set()
+        stack = list(targets)
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            if n not in self._sql:
+                raise ValueError(f"unknown model: {n}")
+            seen.add(n)
+            stack.extend(self.refs(n))
+        return seen
+
+    def run(
+        self,
+        spark: SparkSession,
+        select: Optional[list[str]] = None,
+        table_dir: Optional[str] = None,
+    ) -> dict[str, DataFrame]:
+        """Materialize models in dependency order; returns name → DataFrame.
+
+        ``view``/``ephemeral`` models become temp views (Catalyst inlines
+        them into downstream plans — dbt's ephemeral-as-CTE compilation);
+        ``table`` models write parquet under ``table_dir`` and re-read, the
+        dbt table materialization (requires ``table_dir``).
+        """
+        results: dict[str, DataFrame] = {}
+        for name in self.topo_order(select):
+            sql = _REF_RE.sub(lambda m: m.group(1), self._sql[name])
+            df = spark.sql(sql)
+            if self._mat[name] == "table":
+                if table_dir is None:
+                    raise ValueError(f"model {name}: table needs table_dir")
+                path = f"{table_dir}/{name}"
+                df.write.mode("overwrite").parquet(path)
+                df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            results[name] = df
+        return results

@@ -612,3 +612,66 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row["s"]))
     rows = [(k, int(cms.estimateCount(k))) for k in sorted(row["keys"])]
     return spark.createDataFrame(rows, "event_type string, est_n bigint")
+
+
+# --------------------------------------------------------------------------
+# dbt_model_dag — a 4-model dbt-style DAG run through ModelGraph
+# (nedp_etl_spark/models.py): staging views over orders/lineitem, a fact
+# model joining both refs, and a report model over the fact.  The view
+# materializations inline into downstream plans (dbt ephemeral-as-CTE), so
+# the whole DAG executes as one fused Catalyst job with pushdown through
+# every layer — the oracle is the equivalent nested SQL.
+# Reference parity: `dbt run` DAG execution + `--select` subgraphs
+# (/root/reference/dbtoperator.py:35,273-274,491).
+# --------------------------------------------------------------------------
+
+_MODEL_DAG_ORACLE = """
+WITH stg_orders AS (
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 100000
+),
+stg_lineitem AS (
+  SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+  WHERE l_quantity >= 10
+),
+fct_revenue AS (
+  SELECT o.o_orderpriority,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM stg_orders o JOIN stg_lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM fct_revenue
+GROUP BY o_orderpriority
+"""
+
+
+@register("dbt_model_dag", oracle=_MODEL_DAG_ORACLE)
+def dbt_model_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.data import views
+    from nedp_etl_spark.models import ModelGraph
+
+    views(spark, sf_dir, "orders", "lineitem")
+    g = ModelGraph()
+    g.add_model(
+        "stg_orders",
+        "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 100000",
+    )
+    g.add_model(
+        "stg_lineitem",
+        "SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem "
+        "WHERE l_quantity >= 10",
+    )
+    g.add_model(
+        "fct_revenue",
+        "SELECT o.o_orderpriority, l.l_extendedprice * (1 - l.l_discount) AS rev "
+        "FROM {{ ref('stg_orders') }} o "
+        "JOIN {{ ref('stg_lineitem') }} l ON l.l_orderkey = o.o_orderkey",
+    )
+    g.add_model(
+        "rpt_priority",
+        "SELECT o_orderpriority, COUNT(*) AS n_lines, "
+        "CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS revenue "
+        "FROM {{ ref('fct_revenue') }} GROUP BY o_orderpriority",
+    )
+    return g.run(spark, select=["rpt_priority"])["rpt_priority"]

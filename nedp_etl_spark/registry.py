@@ -70,7 +70,7 @@ _PRIORITY: list[str] = [
     "scan_jsonl_nested", "scan_binaryfile", "sink_file_sizing",
     "sink_sorted_layout", "agg_hll_mergeable",
     "join_hint_shuffle_hash", "join_bloom_prefilter",
-    "sink_observe_metrics", "sink_surrogate_keys",
+    "sink_observe_metrics", "sink_surrogate_keys", "dbt_model_dag",
     "profile_table",
     "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",
     "ts_downsample",

@@ -90,3 +90,62 @@ def test_hll_mergeable_estimate_within_error(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in est.items():
         assert abs(e - exact[k]) <= max(2, 0.05 * exact[k]), (k, e, exact[k])
+
+
+# ---------------------------------------------------------------------------
+# ModelGraph — dbt-style DAG semantics (ref parsing, topo order, selection,
+# cycle/unresolved errors, view inlining).
+# ---------------------------------------------------------------------------
+
+
+def _demo_graph():
+    from nedp_etl_spark.models import ModelGraph
+
+    g = ModelGraph()
+    g.add_model("a", "SELECT 1 AS x")
+    g.add_model("b", "SELECT x FROM {{ ref('a') }}")
+    g.add_model("c", "SELECT x FROM {{ ref('a') }}")
+    g.add_model("d", "SELECT b.x FROM {{ ref('b') }} b JOIN {{ ref('c') }} c ON b.x = c.x")
+    return g
+
+
+def test_model_graph_topo_order():
+    g = _demo_graph()
+    order = g.topo_order()
+    assert order.index("a") < order.index("b") < order.index("d")
+    assert order.index("a") < order.index("c") < order.index("d")
+
+
+def test_model_graph_select_closure():
+    g = _demo_graph()
+    assert set(g.topo_order(["b"])) == {"a", "b"}
+    assert set(g.topo_order(["d"])) == {"a", "b", "c", "d"}
+
+
+def test_model_graph_cycle_raises():
+    from nedp_etl_spark.models import ModelGraph
+
+    g = ModelGraph()
+    g.add_model("x", "SELECT * FROM {{ ref('y') }}")
+    g.add_model("y", "SELECT * FROM {{ ref('x') }}")
+    import pytest
+
+    with pytest.raises(ValueError, match="cycle"):
+        g.topo_order()
+
+
+def test_model_graph_unresolved_ref_raises():
+    from nedp_etl_spark.models import ModelGraph
+
+    g = ModelGraph()
+    g.add_model("x", "SELECT * FROM {{ ref('nope') }}")
+    import pytest
+
+    with pytest.raises(ValueError, match="unresolved"):
+        g.topo_order()
+
+
+def test_model_graph_runs_dag(spark):
+    g = _demo_graph()
+    out = g.run(spark, select=["d"])
+    assert [r["x"] for r in out["d"].collect()] == [1]
