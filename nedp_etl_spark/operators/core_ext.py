@@ -675,3 +675,64 @@ def dbt_model_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM {{ ref('fct_revenue') }} GROUP BY o_orderpriority",
     )
     return g.run(spark, select=["rpt_priority"])["rpt_priority"]
+
+
+# --------------------------------------------------------------------------
+# profile_skew — join/groupBy key-skew diagnostic (the measurement you run
+# BEFORE choosing between plain shuffle, AQE skew-split, and salting — see
+# operators/skew.py for the treatment): per-key counts → top-10 heavy
+# keys, each annotated with its share of all rows and the max/avg
+# imbalance ratio.  One count aggregate + TakeOrderedAndProject over the
+# (small) per-key counts; the global totals are a 1-row broadcast onto 10
+# rows.  At 100 TB the per-key count table is the only shuffle and is
+# itself map-side combined.
+# --------------------------------------------------------------------------
+
+_PROFILE_SKEW_ORACLE = """
+WITH k AS (
+  SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, AVG(n) AS avg_n, MAX(n) AS max_n
+  FROM k
+),
+top AS (
+  SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank
+  FROM k
+)
+SELECT t.rank, t.key, t.n,
+       ROUND(t.n * 1.0 / tot.total, 6) AS share,
+       ROUND(tot.max_n * 1.0 / tot.avg_n, 6) AS skew_ratio
+FROM top t, tot
+WHERE t.rank <= 10
+"""
+
+
+@register("profile_skew", oracle=_PROFILE_SKEW_ORACLE)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.avg("n").alias("avg_n"),
+        F.max("n").alias("max_n"),
+    )
+    # Top-10 via orderBy+limit first (TakeOrderedAndProject — distributed
+    # top-k over the per-key counts), THEN the global rank window runs on
+    # 10 rows, not on every distinct key.
+    top = (
+        k.orderBy(F.col("n").desc(), "key")
+        .limit(10)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.col("n").desc(), "key"))
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "key",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
+        F.round(F.col("max_n") * 1.0 / F.col("avg_n"), 6).alias("skew_ratio"),
+    )
