@@ -10,13 +10,23 @@ module is that surface in-process:
 - dependencies are parsed from the refs, the graph is Kahn-topo-sorted
   (cycles raise), and each model materializes in order as a temp view
   (``view``/``ephemeral``) or a parquet-backed table (``table``);
-- ``select('model')`` gives the upstream closure — dbt's ``+model``.
+- ``select('model')`` gives the upstream closure — dbt's ``+model``;
+- ``incremental`` models support dbt's ``{% if is_incremental() %}`` block
+  and ``{{ this }}`` self-reference: the first run full-builds the target,
+  later runs evaluate only the incremental slice and MERGE it on
+  ``unique_key`` (source wins; unmatched target rows survive — dbt-spark's
+  ``merge`` strategy; without a key it appends).
 
 Scale posture: the DAG runner only *sequences* Spark actions; each model
 is still one declarative query that Catalyst optimizes independently —
 view-materialized models collapse into downstream plans exactly like dbt
 ephemeral models compile to CTEs, so a 4-model DAG can still execute as
-ONE fused job with pushdown through every layer.
+ONE fused job with pushdown through every layer.  Incremental targets use
+versioned parquet paths with a read-latest pointer (the poor-man's atomic
+swap; on Delta/Iceberg the same merge compiles to ``MERGE INTO`` with no
+rewrite of untouched files), and the anti-join keeps only the incremental
+slice's keys on the shuffle — the full target never rehashes when the
+slice is small.
 """
 
 from __future__ import annotations
@@ -27,6 +37,8 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 _REF_RE = re.compile(r"\{\{\s*ref\(\s*'([A-Za-z0-9_]+)'\s*\)\s*\}\}")
+_THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+_INCR_RE = re.compile(r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.S)
 
 
 class ModelGraph:
@@ -35,14 +47,23 @@ class ModelGraph:
     def __init__(self) -> None:
         self._sql: dict[str, str] = {}
         self._mat: dict[str, str] = {}
+        self._key: dict[str, Optional[str]] = {}
+        self._version: dict[str, int] = {}
 
-    def add_model(self, name: str, sql: str, materialization: str = "view") -> None:
+    def add_model(
+        self,
+        name: str,
+        sql: str,
+        materialization: str = "view",
+        unique_key: Optional[str] = None,
+    ) -> None:
         if name in self._sql:
             raise ValueError(f"duplicate model: {name}")
-        if materialization not in ("view", "table", "ephemeral"):
+        if materialization not in ("view", "table", "ephemeral", "incremental"):
             raise ValueError(f"unknown materialization: {materialization}")
         self._sql[name] = sql
         self._mat[name] = materialization
+        self._key[name] = unique_key
 
     def refs(self, name: str) -> list[str]:
         return sorted(set(_REF_RE.findall(self._sql[name])))
@@ -99,18 +120,59 @@ class ModelGraph:
         ``view``/``ephemeral`` models become temp views (Catalyst inlines
         them into downstream plans — dbt's ephemeral-as-CTE compilation);
         ``table`` models write parquet under ``table_dir`` and re-read, the
-        dbt table materialization (requires ``table_dir``).
+        dbt table materialization; ``incremental`` models full-build on
+        their first run and merge the ``is_incremental()``-guarded slice on
+        later runs (both require ``table_dir``).  Call ``run`` again on the
+        same graph to advance incremental state one batch.
         """
         results: dict[str, DataFrame] = {}
         for name in self.topo_order(select):
-            sql = _REF_RE.sub(lambda m: m.group(1), self._sql[name])
-            df = spark.sql(sql)
-            if self._mat[name] == "table":
-                if table_dir is None:
-                    raise ValueError(f"model {name}: table needs table_dir")
-                path = f"{table_dir}/{name}"
-                df.write.mode("overwrite").parquet(path)
-                df = spark.read.parquet(path)
+            if self._mat[name] == "incremental":
+                df = self._run_incremental(spark, name, table_dir)
+            else:
+                sql = _REF_RE.sub(lambda m: m.group(1), self._sql[name])
+                df = spark.sql(sql)
+                if self._mat[name] == "table":
+                    if table_dir is None:
+                        raise ValueError(f"model {name}: table needs table_dir")
+                    path = f"{table_dir}/{name}"
+                    df.write.mode("overwrite").parquet(path)
+                    df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
             results[name] = df
         return results
+
+    def _run_incremental(
+        self, spark: SparkSession, name: str, table_dir: Optional[str]
+    ) -> DataFrame:
+        """One incremental batch: full build first, merge-on-key after.
+
+        Each batch writes a NEW versioned path and flips the read pointer —
+        parquet has no atomic MERGE, and Spark cannot overwrite a path it is
+        reading; on Delta/Iceberg this whole method is one ``MERGE INTO``.
+        """
+        if table_dir is None:
+            raise ValueError(f"model {name}: incremental needs table_dir")
+        ver = self._version.get(name, 0)
+        is_inc = ver > 0
+        this_view = f"{name}__current"
+        sql = _INCR_RE.sub(lambda m: m.group(1) if is_inc else "", self._sql[name])
+        sql = _THIS_RE.sub(this_view, sql)
+        sql = _REF_RE.sub(lambda m: m.group(1), sql)
+        if is_inc:
+            existing = spark.read.parquet(f"{table_dir}/{name}/v{ver}")
+            existing.createOrReplaceTempView(this_view)
+        df = spark.sql(sql)
+        if is_inc:
+            key = self._key[name]
+            if key is not None:
+                # dbt-spark `merge`: source wins on key match; target rows
+                # without a match survive.  Only the slice's keys shuffle.
+                kept = existing.join(df.select(key).distinct(), on=key, how="left_anti")
+            else:
+                kept = existing  # `append` strategy
+            df = df.unionByName(kept)
+        self._version[name] = ver + 1
+        path = f"{table_dir}/{name}/v{ver + 1}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)

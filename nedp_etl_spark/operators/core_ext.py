@@ -678,6 +678,72 @@ def dbt_model_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# dbt_incremental_dag — dbt's flagship `incremental` materialization run
+# through ModelGraph (models.py): same model SQL on every run, an
+# `{% if is_incremental() %}` date guard that only applies once the target
+# exists, and a MERGE on unique_key.  Two batches: run 1 full-builds from
+# snapshot 1 (plain orders); the source then "advances" (orders from
+# 1995-12-01 re-land with status 'U' and a 10% price bump) and run 2
+# processes ONLY the guarded slice and merges it over the target.
+# At 100 TB the second run scans just the slice (the guard is a pushed
+# partition/date filter) and anti-joins the target on the slice's keys.
+# Reference parity: dbt-spark incremental models are the reference's main
+# production mode (/root/reference/dbtoperator.py:273-274 delegates
+# `dbt run`, whose incremental strategy compiles to Spark SQL MERGE).
+# --------------------------------------------------------------------------
+
+_INCR_DAG_ORACLE = """
+WITH t0 AS (
+  SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 6) AS o_totalprice
+  FROM orders
+),
+inc AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, ROUND(o_totalprice * 1.1, 6) AS o_totalprice
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-12-01 00:00:00'
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM inc
+UNION ALL
+SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice
+FROM t0 t
+WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = t.o_orderkey)
+"""
+
+
+@register("dbt_incremental_dag", oracle=_INCR_DAG_ORACLE)
+def dbt_incremental_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.models import ModelGraph
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-12-01 00:00:00").cast("timestamp")
+
+    g = ModelGraph()
+    g.add_model(
+        "inc_orders",
+        "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 6) AS o_totalprice "
+        "FROM feed "
+        "{% if is_incremental() %} WHERE o_orderdate >= DATE '1995-12-01' {% endif %}",
+        materialization="incremental",
+        unique_key="o_orderkey",
+    )
+    table_dir = _scratch("dbt_incremental_dag", sf_dir)
+
+    # batch 1: initial snapshot → full build (guard compiled out)
+    o.createOrReplaceTempView("feed")
+    g.run(spark, table_dir=table_dir)
+
+    # batch 2: source advanced — late rows re-land updated; guard active
+    updated = F.col("o_orderdate") >= cutoff
+    snap2 = o.withColumn(
+        "o_orderstatus", F.when(updated, F.lit("U")).otherwise(F.col("o_orderstatus"))
+    ).withColumn(
+        "o_totalprice",
+        F.when(updated, F.col("o_totalprice") * 1.1).otherwise(F.col("o_totalprice")),
+    )
+    snap2.createOrReplaceTempView("feed")
+    return g.run(spark, table_dir=table_dir)["inc_orders"]
+
+
+# --------------------------------------------------------------------------
 # profile_skew — join/groupBy key-skew diagnostic (the measurement you run
 # BEFORE choosing between plain shuffle, AQE skew-split, and salting — see
 # operators/skew.py for the treatment): per-key counts → top-10 heavy

@@ -71,6 +71,7 @@ _PRIORITY: list[str] = [
     "sink_sorted_layout", "agg_hll_mergeable",
     "join_hint_shuffle_hash", "join_bloom_prefilter",
     "sink_observe_metrics", "sink_surrogate_keys", "dbt_model_dag",
+    "dbt_incremental_dag",
     "profile_table", "profile_skew",
     "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",
     "ts_downsample",

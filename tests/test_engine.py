@@ -149,3 +149,48 @@ def test_model_graph_runs_dag(spark):
     g = _demo_graph()
     out = g.run(spark, select=["d"])
     assert [r["x"] for r in out["d"].collect()] == [1]
+
+
+def test_model_graph_incremental_merge(spark, tmp_path):
+    """Run 1 full-builds (guard compiled out); run 2 applies the guard and
+    merges on unique_key — source wins, unmatched target rows survive."""
+    from nedp_etl_spark.models import ModelGraph
+
+    g = ModelGraph()
+    g.add_model(
+        "inc",
+        "SELECT k, v FROM src_feed {% if is_incremental() %} WHERE k >= 2 {% endif %}",
+        materialization="incremental",
+        unique_key="k",
+    )
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").createOrReplaceTempView("src_feed")
+    out1 = g.run(spark, table_dir=str(tmp_path))["inc"]
+    assert sorted((r.k, r.v) for r in out1.collect()) == [(1, "a"), (2, "b")]
+
+    # source advances: k=2 updated, k=3 new, k=1 touched but OUTSIDE the
+    # incremental guard — its update must NOT land.
+    spark.createDataFrame(
+        [(1, "STALE"), (2, "B"), (3, "c")], "k int, v string"
+    ).createOrReplaceTempView("src_feed")
+    out2 = g.run(spark, table_dir=str(tmp_path))["inc"]
+    assert sorted((r.k, r.v) for r in out2.collect()) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_model_graph_incremental_this_highwater(spark, tmp_path):
+    """`{{ this }}` resolves to the existing target — the classic
+    max-timestamp high-water-mark guard only ingests rows beyond it."""
+    from nedp_etl_spark.models import ModelGraph
+
+    g = ModelGraph()
+    g.add_model(
+        "hw",
+        "SELECT k FROM hw_feed "
+        "{% if is_incremental() %} WHERE k > (SELECT MAX(k) FROM {{ this }}) {% endif %}",
+        materialization="incremental",
+    )
+    spark.createDataFrame([(1,), (2,)], "k int").createOrReplaceTempView("hw_feed")
+    g.run(spark, table_dir=str(tmp_path))
+    spark.createDataFrame([(1,), (2,), (4,)], "k int").createOrReplaceTempView("hw_feed")
+    out = g.run(spark, table_dir=str(tmp_path))["hw"]
+    # no unique_key → append strategy; duplicates of 1/2 excluded by the guard
+    assert sorted(r.k for r in out.collect()) == [1, 2, 4]
