@@ -32,6 +32,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     timeseries,
     tpch,
     tpch_ext,
+    tpch_full,
     tpch_more,
     udfs,
     windows,

@@ -2,9 +2,9 @@
 l_commitdate/l_receiptdate, o_comment, c_phone, or partsupp — each query
 keeps its canonical *shape*: EXISTS semi-join, outer-join histogram,
 revenue view + argmax, correlated-average filter, anti-join with scalar
-threshold).  With these, every TPC-H query expressible on the fixture
-columns is registered (Q1-shape=agg_groupby, Q3/5/6/7/8/10/14/18/19 in
-tpch*.py; Q2/9/11/12/16/20/21 need the omitted columns/tables).
+threshold).  Q3/5/6/7/8/10/14/18/19 live in tpch.py / tpch_ext.py;
+Q1/Q2/Q9/Q11/Q12/Q16/Q20/Q21 in tpch_full.py (synthesized-partsupp
+adaptations) — all 22 TPC-H queries are registered.
 
 Scale notes per query in the docstrings — the shapes here are the
 benchmark's canonical shuffle/broadcast patterns.

@@ -209,7 +209,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_unigram_logprob",  # 1-row corpus-scalar broadcast (O(n))
                    "llm_source_rebalance",  # 1-row total/n_langs broadcast (O(#langs))
                    "profile_skew",  # 1-row totals broadcast onto top-10 rows
-                   "tpch_q22"}  # 1-row AVG-threshold broadcast (O(n))
+                   "tpch_q22",  # 1-row AVG-threshold broadcast (O(n))
+                   "tpch_q11"}  # 1-row total/nparts broadcast (O(#parts))
 
 
 def test_registry_wide_plan_audit(spark, sf_dir):
