@@ -45,6 +45,13 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Local-fixture split sizing: the default 4 MB file-open cost caps a
+    # 10 MB parquet at ~3 input splits, serializing scan-heavy aggregates
+    # (decimal accumulators) onto 3 of 32 cores.  256 KB lets maxSplitBytes
+    # fall to totalBytes/defaultParallelism so scans use every core.  On a
+    # real cluster files outnumber cores and this knob is irrelevant —
+    # maxPartitionBytes (default 128 MB) governs there.
+    "spark.sql.files.openCostInBytes": "262144",
 }
 
 

@@ -119,3 +119,54 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return src.mapInPandas(decode_batches, _DECODE_SCHEMA)
+
+# --------------------------------------------------------------------------
+# llm_multimodal_framesample — video frame sampling: each video document
+# explodes to one row per sampled frame (stride 5) through an Arrow-batched
+# 1→N ``mapInPandas`` stage.  The frame "decode" is the deterministic fake
+# (frame count / signature derived from payload bytes), so — unlike
+# ``llm_multimodal_decode`` — the op is exact-checkable: the oracle
+# reproduces the arithmetic over octet_length.  The Spark-side plumbing is
+# the real shape: batch iteration, per-row explode inside the batch,
+# map-side only (no shuffle; at 100 TB this is a pure scan→transform→write
+# stage that parallelizes by input split).
+# --------------------------------------------------------------------------
+
+_FRAMESAMPLE_ORACLE = """
+WITH vids AS (
+  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+         1 + octet_length(CAST(text AS BLOB)) % 30 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, CAST(t.f AS BIGINT) AS frame_idx, CAST(n_frames AS BIGINT) AS n_frames,
+       CAST((n_bytes * (t.f + 1)) % 997 AS BIGINT) AS frame_sig
+FROM vids, UNNEST(range(0, n_frames, 5)) AS t(f)
+"""
+
+
+@register("llm_multimodal_framesample", oracle=_FRAMESAMPLE_ORACLE)
+def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    src = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # 1→N inside the Arrow batch: real deployment replaces the modular
+        # arithmetic with pyav keyframe extraction per sampled index.
+        for pdf in batches:
+            ids, idxs, totals, sigs = [], [], [], []
+            for doc_id, payload in zip(pdf.doc_id, pdf.payload):
+                n = len(payload)
+                n_frames = 1 + n % 30
+                for f in range(0, n_frames, 5):
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    totals.append(n_frames)
+                    sigs.append((n * (f + 1)) % 997)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n_frames": totals, "frame_sig": sigs}
+            )
+
+    return src.mapInPandas(
+        sample_batches,
+        "doc_id bigint, frame_idx bigint, n_frames bigint, frame_sig bigint",
+    )

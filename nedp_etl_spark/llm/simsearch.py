@@ -413,3 +413,129 @@ def llm_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 0.95)
         .select("vec_a", "vec_b", "bucket", F.round("c", 6).alias("cosine"))
     )
+
+# --------------------------------------------------------------------------
+# llm_ann_recall — the ANN quality gate: recall@5 of the IVF index against
+# the brute-force ground truth, per probe.  This is the metric a production
+# index build reports before swapping an ANN index in; at 100 TB the ground
+# truth is computed on a sampled probe set exactly like this fixed one.
+# Both rankings round cosine to 6 dp before ranking with a cand_id
+# tie-break, so the orderings are engine-deterministic.
+# --------------------------------------------------------------------------
+
+_ANN_RECALL_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT vec_id AS probe_id, v AS pe FROM e WHERE vec_id < 5),
+bf AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT p.probe_id, c.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+             ROUND(list_dot_product(p.pe, c.v) /
+                   (sqrt(list_dot_product(p.pe, p.pe)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+             c.vec_id) AS rn
+    FROM p, e c WHERE c.vec_id <> p.probe_id
+  ) WHERE rn <= 5
+),
+pos AS (
+  SELECT label, t.i AS pos, ROUND(AVG(v[CAST(t.i AS INT)]), 9) AS cv
+  FROM e, range(1, 65) t(i) GROUP BY label, t.i
+),
+cent AS (SELECT label, list(cv ORDER BY pos) AS c FROM pos GROUP BY label),
+routed AS (
+  SELECT probe_id, pe, label, ROW_NUMBER() OVER (
+    PARTITION BY probe_id
+    ORDER BY list_dot_product(pe, c) /
+             (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(c, c))) DESC,
+             label) AS crn
+  FROM p, cent
+),
+bucket AS (SELECT probe_id, pe, label FROM routed WHERE crn = 1),
+ivf AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT b.probe_id, e.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY b.probe_id ORDER BY
+             ROUND(list_dot_product(b.pe, e.v) /
+                   (sqrt(list_dot_product(b.pe, b.pe)) * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+             e.vec_id) AS rn
+    FROM bucket b JOIN e ON e.label = b.label AND e.vec_id <> b.probe_id
+  ) WHERE rn <= 5
+)
+SELECT bf.probe_id, CAST(COUNT(ivf.cand_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(ivf.cand_id) / 5.0, 6) AS recall_at_5
+FROM bf LEFT JOIN ivf ON bf.probe_id = ivf.probe_id AND bf.cand_id = ivf.cand_id
+GROUP BY bf.probe_id
+"""
+
+
+@register("llm_ann_recall", oracle=_ANN_RECALL_ORACLE)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec("embedding").alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pe")
+    )
+
+    def _cos(a: str, b: str) -> Column:
+        return F.round(
+            _dot(F.col(a), F.col(b))
+            / (F.sqrt(_dot(F.col(a), F.col(a))) * F.sqrt(_dot(F.col(b), F.col(b)))),
+            6,
+        )
+
+    # ground truth: brute-force top-5 (fixed probe set broadcast, one scan)
+    wbf = Window.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("cand_id"))
+    bf = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("v"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .withColumn("c", _cos("pe", "v"))
+        .withColumn("rn", F.row_number().over(wbf))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "cand_id")
+    )
+
+    # IVF: route to nearest centroid, search only that bucket (scale path)
+    pos = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 9).alias("cv"))
+    )
+    cent = pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("c")
+    )
+    routed = probes.crossJoin(F.broadcast(cent)).select(
+        "probe_id",
+        "pe",
+        "label",
+        (
+            _dot(F.col("pe"), F.col("c"))
+            / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("c"), F.col("c"))))
+        ).alias("csim"),
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("label"))
+    bucket = (
+        routed.withColumn("crn", F.row_number().over(wr))
+        .filter(F.col("crn") == 1)
+        .select("probe_id", "pe", "label")
+    )
+    wivf = Window.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("cand_id"))
+    ivf = (
+        emb.join(F.broadcast(bucket), on="label")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("cand_id"), _cos("pe", "v").alias("c"))
+        .withColumn("rn", F.row_number().over(wivf))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "cand_id", F.lit(1).alias("hit"))
+    )
+
+    return (
+        bf.join(ivf, ["probe_id", "cand_id"], "left_outer")
+        .groupBy("probe_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
+        )
+    )

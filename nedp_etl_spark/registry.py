@@ -91,8 +91,8 @@ _PRIORITY: list[str] = [
     "llm_length_buckets", "llm_cross_dedup", "llm_source_rebalance",
     "llm_contrastive_pairs",
     "llm_ngram_topk", "llm_unigram_logprob", "llm_sim_search_ivf",
-    "llm_embed_norm", "llm_dedup_embed", "llm_semantic_lsh",
-    "llm_multimodal_decode",
+    "llm_ann_recall", "llm_embed_norm", "llm_dedup_embed", "llm_semantic_lsh",
+    "llm_multimodal_framesample", "llm_multimodal_decode",
     "stream_static_join", "stream_stream_join", "stream_custom_state",
     "stream_rate_source",
 ]

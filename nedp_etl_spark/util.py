@@ -19,13 +19,42 @@ _DEC = "decimal(25,6)"
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent SUM of a double column (exact decimal accumulate)."""
+    """Order-independent SUM of a double column (exact fixed-point accumulate).
+
+    Each value is quantized to 6 dp as ``floor(x*1e6 + 0.5)`` — pure IEEE
+    primitives, bit-identical in Spark and DuckDB — and summed as a long.
+    ~1000× cheaper per row than the decimal accumulator it replaces (the
+    double→decimal cast goes through BigDecimal string parsing; profiled at
+    ~2 s for 2.4 M casts single-core on the sf0.1 fixture, which has one
+    parquet row group and therefore one scan task).
+
+    Bound: the scaled sum must fit a signed 64-bit long, i.e. |Σx| < 9.2e12.
+    Money-sum magnitudes here are ≤ ~1e11 at sf0.1 (~100× headroom); a
+    deployment summing beyond that per group sizes the scale per column or
+    uses :func:`dsum_dec`, the exact-decimal slow path.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(F.floor(c * 1_000_000.0 + 0.5).cast("long")) / 1_000_000.0).alias(
+        "dsum"
+    )
+
+
+def osum(expr: str) -> str:
+    """DuckDB oracle twin of :func:`dsum` (identical fixed-point formula)."""
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 1000000.0)"
+    )
+
+
+def dsum_dec(col: Column | str) -> Column:
+    """Exact-decimal order-independent SUM — unbounded-magnitude slow path."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(_DEC)).cast("double")
 
 
-def osum(expr: str) -> str:
-    """DuckDB oracle twin of :func:`dsum`."""
+def osum_dec(expr: str) -> str:
+    """DuckDB oracle twin of :func:`dsum_dec`."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
 
 
