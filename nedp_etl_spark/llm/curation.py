@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
@@ -388,4 +389,163 @@ def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("anchor_id", "label", "positive_id", F.round("c", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_quality_gopher — named-rule quality gate (Gopher/C4-style heuristics,
+# published in Rae et al. 2021 §A1.1 and Raffel et al. 2020 §2.2): each rule
+# is a boolean column, the keep decision is their conjunction, and the
+# failure reasons ride along as an array — production curation tracks WHY a
+# document drops, not just that it dropped.  All rules are built-in column
+# expressions over one scan; map-side only, no shuffle, trivially 100 TB-safe.
+# Thresholds are scaled to the synthetic fixture's short documents.
+# --------------------------------------------------------------------------
+
+_QUALITY_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         str_split(text, ' ') AS toks,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_words_calc
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_words,
+         ROUND(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks), 6)
+           AS mean_word_len,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+           / len(toks) AS alpha_frac,
+         len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to')))
+           AS n_stop
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+       (n_words BETWEEN 10 AND 500) AS rule_word_count,
+       (mean_word_len BETWEEN 2 AND 12) AS rule_mean_word_len,
+       (alpha_frac >= 0.8) AS rule_alpha_frac,
+       (n_stop >= 1) AS rule_stopwords,
+       ((n_words BETWEEN 10 AND 500) AND (mean_word_len BETWEEN 2 AND 12)
+        AND alpha_frac >= 0.8 AND n_stop >= 1) AS keep,
+       COALESCE(array_to_string(
+         list_sort(
+           CASE WHEN n_words BETWEEN 10 AND 500 THEN [] ELSE ['word_count'] END
+           || CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN [] ELSE ['mean_word_len'] END
+           || CASE WHEN alpha_frac >= 0.8 THEN [] ELSE ['alpha_frac'] END
+           || CASE WHEN n_stop >= 1 THEN [] ELSE ['stopwords'] END),
+         ','), '') AS fail_reasons
+FROM r
+"""
+
+
+@register("llm_quality_gopher", oracle=_QUALITY_GOPHER_ORACLE)
+def llm_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "is", "to")])
+    r = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+            )
+            * 1.0
+            / F.size(toks),
+            6,
+        ).alias("mean_word_len"),
+        (
+            F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) * 1.0 / F.size(toks)
+        ).alias("alpha_frac"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias("n_stop"),
+    )
+    rules = {
+        "word_count": F.col("n_words").between(10, 500),
+        "mean_word_len": F.col("mean_word_len").between(2, 12),
+        "alpha_frac": F.col("alpha_frac") >= 0.8,
+        "stopwords": F.col("n_stop") >= 1,
+    }
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    fails = F.array_compact(
+        F.array(*[F.when(~c, F.lit(n)) for n, c in rules.items()])
+    )
+    return r.select(
+        "doc_id", "lang", "n_words", "mean_word_len",
+        rules["word_count"].alias("rule_word_count"),
+        rules["mean_word_len"].alias("rule_mean_word_len"),
+        rules["alpha_frac"].alias("rule_alpha_frac"),
+        rules["stopwords"].alias("rule_stopwords"),
+        keep.alias("keep"),
+        F.array_join(F.array_sort(fails), ",").alias("fail_reasons"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_dedup_keep_best — representative selection for exact-dup clusters:
+# instead of the min-id keeper (llm_dedup_exact), rank cluster members by a
+# quality key (longest text, then lowest id) and keep the best.  This is the
+# curation-grade dedup: when near-identical crawls differ in truncation, you
+# keep the longest.  One shuffle on the 16-byte hash; text itself never
+# shuffles (only doc_id/n_chars ride along).
+# --------------------------------------------------------------------------
+
+_DEDUP_KEEP_BEST_ORACLE = """
+WITH aug AS (
+  SELECT doc_id, length(text) AS n_chars,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS hh
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000,
+         length(array_to_string(string_split(text, ' ')[1:12], ' ')),
+         md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+  FROM documents WHERE len(string_split(text, ' ')) >= 12
+), r AS (
+  SELECT doc_id, n_chars, hh,
+         ROW_NUMBER() OVER (PARTITION BY hh ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY hh) AS cluster_size
+  FROM aug
+)
+SELECT doc_id AS kept_doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM r WHERE rn = 1 AND cluster_size > 1
+"""
+
+
+@register("llm_dedup_keep_best", oracle=_DEDUP_KEEP_BEST_ORACLE)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixture has no natural exact dups — manufacture truncation-duplicates
+    # (doc + its 12-token prefix, same idiom as dedup._AUG_SQL) so the
+    # keep-longest rule selects the untruncated original per cluster.  The
+    # cluster key is the 8-token prefix hash: the real-world "same article,
+    # different truncation point" signature.
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    key = F.md5(F.concat_ws(" ", F.slice(toks, 1, 8)))
+    full = base.select("doc_id", F.length("text").alias("n_chars"), key.alias("hh"))
+    trunc = (
+        base.filter(F.size(toks) >= 12)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.length(F.concat_ws(" ", F.slice(toks, 1, 12))).alias("n_chars"),
+            key.alias("hh"),
+        )
+    )
+    d = full.unionAll(trunc)
+    w = Window.partitionBy("hh")
+    r = d.select(
+        "doc_id", "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return (
+        r.filter((F.col("rn") == 1) & (F.col("cluster_size") > 1))
+        .select(
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_chars",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
     )

@@ -467,3 +467,69 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_asof_fwd_tol — FORWARD as-of join with a bounded tolerance: each
+# purchase matches the EARLIEST click by the same user within the next hour,
+# or nothing.  ``join_asof`` above is the backward-unbounded shape; bounding
+# the search makes the fact⋈fact case scalable the same way as
+# join_range_binned — quantize ts into 1-hour bins, a (p_ts, p_ts+1h]
+# search window covers <= 2 bins, explode the probe side to both, equi-join
+# on (user_id, bin) with the time predicate as residual, then keep the
+# earliest candidate per purchase (WindowGroupLimit).  No nested loop; the
+# shuffle key (user_id, hour-bin) is wide and unskewed at 100 TB.
+# --------------------------------------------------------------------------
+
+_JOIN_ASOF_FWD_TOL_ORACLE = """
+SELECT purchase_id, user_id, click_id,
+       CAST(gap_s AS BIGINT) AS gap_s
+FROM (
+  SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+         date_diff('second', p.ts, c.ts) AS gap_s,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts, c.event_id) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id AND c.ts > p.ts
+   AND c.ts <= p.ts + INTERVAL 1 HOUR
+) WHERE rn = 1
+"""
+
+
+@register("join_asof_fwd_tol", oracle=_JOIN_ASOF_FWD_TOL_ORACLE)
+def join_asof_fwd_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hour_bin = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        hour_bin(F.col("ts")).alias("bin"),
+    )
+    # (p_ts, p_ts+1h] spans at most the purchase's own hour-bin and the next.
+    pb = p.withColumn(
+        "bin", F.explode(F.array(hour_bin(F.col("p_ts")), hour_bin(F.col("p_ts")) + 1))
+    )
+    cand = pb.join(
+        c,
+        (pb.bin == c.bin)
+        & (pb.user_id == c.c_user)
+        & (c.c_ts > pb.p_ts)
+        & (c.c_ts <= pb.p_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("gap_s"),
+        )
+    )

@@ -584,3 +584,103 @@ def sink_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_text_lines — whole-line text source (``spark.read.text``): the
+# ingestion shape for raw log/corpus files where each line is one record and
+# parsing happens IN the engine (split/regexp on the `value` column), not in
+# the reader.  Staged from nation (25 rows) as pipe-delimited lines; the
+# oracle reconstructs the same lines relationally, so the parse logic — not
+# the file handling — is what gets verified.  Scale: the text reader splits
+# by line ranges exactly like CSV; parsing is map-side whole-stage codegen.
+# --------------------------------------------------------------------------
+
+_SCAN_TEXT_LINES_ORACLE = """
+WITH lines AS (
+  SELECT n_name || '|' || n_regionkey || '|' || upper(n_name) AS value
+  FROM nation
+)
+SELECT string_split(value, '|')[1] AS name,
+       CAST(string_split(value, '|')[2] AS INT) AS region_key,
+       length(value) AS line_len
+FROM lines
+"""
+
+
+@register("scan_text_lines", oracle=_SCAN_TEXT_LINES_ORACLE)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _scratch("scan_text_lines", sf_dir)
+    (
+        load(spark, sf_dir, "nation")
+        .select(
+            F.concat_ws(
+                "|", "n_name", F.col("n_regionkey").cast("string"), F.upper("n_name")
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(stage)
+    )
+    lines = spark.read.text(stage)
+    parts = F.split("value", "\\|")
+    return lines.select(
+        parts.getItem(0).alias("name"),
+        parts.getItem(1).cast("int").alias("region_key"),
+        F.length("value").cast("bigint").alias("line_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sink_csv_roundtrip — CSV sink with options (header, explicit null marker,
+# quoting) + schema-ed re-ingest.  CSV is lossy for floats unless the write
+# pins a format — prices are pre-rounded to 2 dp (exact in both engines) so
+# the roundtrip is value-stable.  The verified output is an aggregate over
+# the re-read data: equality proves write→read fidelity, not just that the
+# files appeared.
+# --------------------------------------------------------------------------
+
+_SINK_CSV_ROUNDTRIP_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+         AS total_price
+FROM orders WHERE o_orderkey < 5000
+GROUP BY o_orderpriority
+"""
+
+
+@register("sink_csv_roundtrip", oracle=_SINK_CSV_ROUNDTRIP_ORACLE)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _scratch("sink_csv_roundtrip", sf_dir)
+    # Prices travel as integer cents (floor(x*100+0.5) — the dsum idiom,
+    # bit-identical in both engines): integer CSV roundtrip is lossless,
+    # where 2-dp float text would re-parse inexactly.
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_cents"),
+        )
+    )
+    (
+        src.write.mode("overwrite")
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .option("quoteAll", False)
+        .csv(stage)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("price_cents", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).option("nullValue", "\\N").csv(stage)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("price_cents").cast("double") / 100).alias("total_price"),
+    )

@@ -336,3 +336,116 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.round("value", 6).alias("value"),
     )
     return mins.unionAll(maxs)
+
+
+# --------------------------------------------------------------------------
+# ts_ohlc — hourly OHLC (open/high/low/close) candle resampling per series,
+# the canonical financial downsample (reference surface: dbt-generated SQL,
+# /root/reference/dbtoperator.py:273-274).  open/close come from one
+# unbounded-frame window (first/last by (ts, event_id) within the hour);
+# high/low/volume from the grouped aggregate over the SAME
+# (event_type, hour) keys — Catalyst reuses the window shuffle for the
+# aggregate, so the whole candle build is ONE exchange.  At 100 TB the
+# (series, hour) key space is wide and uniform: no skew, state bounded by
+# one hour of one series per task.
+# --------------------------------------------------------------------------
+
+_TS_OHLC_ORACLE = """
+WITH w AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, value,
+         first_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+         last_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+  FROM events
+)
+SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       ROUND(MIN(o), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(MIN(c), 6) AS close
+FROM w GROUP BY event_type, hr
+"""
+
+
+@register("ts_ohlc", oracle=_TS_OHLC_ORACLE)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr"), "ts", "event_id", "value"
+    )
+    frame = (
+        Window.partitionBy("event_type", "hr")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = ev.select(
+        "event_type",
+        "hr",
+        "value",
+        F.first("value").over(frame).alias("o"),
+        F.last("value").over(frame).alias("c"),
+    )
+    return w.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.round(F.min("o"), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.min("c"), 6).alias("close"),
+    ).select(
+        "event_type", ts_str("hr").alias("hour"),
+        "n_ticks", "open", "high", "low", "close",
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_ewma — exponentially weighted moving average (α=0.3) over each series,
+# bounded to the trailing 10 ticks so the window state is O(k) per row.
+# The trailing values are collected into an in-row array by a ROWS frame,
+# then the weighted fold happens in a higher-order function — no Python, no
+# self-join, one shuffle on the series key.  The geometric normalizer uses
+# the closed form (1-β^n)/(1-β), not a second fold.  An unbounded EWMA
+# needs a true running recurrence (applyInPandasWithState in streaming —
+# see stream_custom_state); the k-bounded form is what batch backfills use
+# because weights below β^k are numerically irrelevant.
+# --------------------------------------------------------------------------
+
+_TS_EWMA_ORACLE = """
+WITH t AS (
+  SELECT event_type, event_id, ts, value,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_type, event_id, ROUND(value, 6) AS value,
+       ROUND(
+         list_sum(list_transform(l, (x, i) -> x * pow(0.7, len(l) - i)))
+         / ((1 - pow(0.7, len(l))) / 0.3), 6) AS ewma
+FROM t
+"""
+
+
+@register("ts_ewma", oracle=_TS_EWMA_ORACLE)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    frame = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    t = ev.select(
+        "event_type", "event_id", "value",
+        F.collect_list("value").over(frame).alias("l"),
+    )
+    # Spark transform index is 0-based; DuckDB list_transform is 1-based —
+    # both weight the j-th most recent tick by 0.7^j.
+    num = F.expr(
+        "aggregate(transform(l, (x, i) -> x * pow(0.7, size(l) - 1 - i)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    denom = (F.lit(1.0) - F.pow(F.lit(0.7), F.size("l"))) / F.lit(0.3)
+    return t.select(
+        "event_type", "event_id",
+        F.round("value", 6).alias("value"),
+        F.round(num / denom, 6).alias("ewma"),
+    )

@@ -63,7 +63,9 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = _run_to_memory(profiles, f"custom_state_{abs(hash(sf_dir)) % 10_000}", "update")
+    out = _run_to_memory(
+        profiles, f"custom_state_{abs(hash(sf_dir)) % 10_000}", "update", partitions=32
+    )
     # update mode may emit a row per key per batch — keep the final state
     # per user (max n_events is monotone in batches).
     from pyspark.sql import functions as F

@@ -179,9 +179,15 @@ def _isolated(spark: SparkSession) -> SparkSession:
     return spark.newSession()
 
 
-def _run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append", partitions: int = 8
+) -> DataFrame:
+    # State-store partition count is frozen at first query start.  8 suits the
+    # tiny windowed aggregates (store init dominates); key-heavy stateful ops
+    # (one Python group per key per batch) pass 32 so groups fan out across
+    # every core — on a cluster this is shuffle.partitions sizing, tasks/core.
     spark = stream_df.sparkSession  # the isolated session
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
