@@ -539,3 +539,118 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_kmeans — Lloyd's k-means over the embedding corpus (the operator that
+# LEARNS the IVF coarse quantizer ``llm_sim_search_ivf`` assumes; reference
+# reaches clustering only as a dbt-model black box,
+# ``/root/reference/dbtoperator.py:273-274``).  Architecture is the MLlib
+# one: the k×d centroid matrix lives on the driver (k·d doubles — tiny at
+# any corpus size) and each iteration is (1) a pure map-side assignment of
+# every vector against the centroids baked in as literal arrays — no join,
+# no shuffle of vectors — and (2) one partial+final hash aggregate of
+# per-dimension sums to re-estimate centroids.  Per iteration the shuffle
+# carries k×d partial means, independent of corpus size; 100 TB of vectors
+# streams through unchanged.
+#
+# Determinism for the oracle: centroids are rounded to 9 dp after each
+# update and distances to 6 dp before the argmin (ties broken by lowest
+# centroid id), so both engines compare bit-identical values — the same
+# fixed-point idiom as the IVF oracle above.  Init = the first K vectors by
+# vec_id (deterministic), 3 iterations unrolled in the oracle SQL.
+# --------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    assign = """
+{a} AS (
+  SELECT vec_id, v, cid, ROUND(d, 6) AS dist FROM (
+    SELECT e.vec_id, e.v, c.cid, list_distance(e.v, c.c) AS d,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cid) AS rn
+    FROM e, {c} c) WHERE rn = 1
+)"""
+    update = """
+{cn} AS (
+  SELECT cid, list(cv ORDER BY pos) AS c FROM (
+    SELECT cid, t.i AS pos, ROUND(AVG(v[CAST(t.i AS INT)]), 9) AS cv
+    FROM {a}, range(1, 65) t(i) GROUP BY cid, t.i) GROUP BY cid
+)"""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < {_KMEANS_K})",
+    ]
+    for i in range(1, _KMEANS_ITERS + 1):
+        parts.append(assign.format(a=f"a{i}", c=f"c{i - 1}").strip())
+        if i < _KMEANS_ITERS:
+            parts.append(update.format(cn=f"c{i}", a=f"a{i}").strip())
+    last = f"a{_KMEANS_ITERS}"
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT vec_id, cid AS cluster, dist,
+       COUNT(*) OVER (PARTITION BY cid) AS cluster_size
+FROM {last}
+"""
+    )
+
+
+_KMEANS_ORACLE = _kmeans_oracle()
+
+
+def _sqdist(v: Column, centroid: list[float]) -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+@register("llm_kmeans", oracle=_KMEANS_ORACLE)
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 Lloyd iterations, centroids driver-resident (k·d values — the one
+    collect() that is *architecturally correct* here, exactly what MLlib's
+    KMeans does between iterations); vectors never shuffle."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("v"))
+
+    def assign(centroids: list[tuple[int, list[float]]]) -> DataFrame:
+        # map-side only: distance array against literal centroids, argmin by
+        # first-match of the min (= lowest cid on rounded ties).
+        darr = F.array(*[F.round(F.sqrt(_sqdist(F.col("v"), c)), 6) for _, c in centroids])
+        cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+        idx = F.array_position(darr, F.array_min(darr)).cast("int")
+        return emb.select(
+            "vec_id",
+            "v",
+            F.element_at(cids, idx).alias("cluster"),
+            F.element_at(darr, idx).alias("dist"),
+        )
+
+    cents = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.filter(F.col("vec_id") < _KMEANS_K).orderBy("vec_id").collect()
+    ]
+    assigned = assign(cents)
+    for _ in range(_KMEANS_ITERS - 1):
+        new = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 9).alias("cv"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+            .select("cluster", F.col("pc.cv").alias("c"))
+            .orderBy("cluster")
+            .collect()
+        )
+        assigned = assign([(int(r["cluster"]), list(r["c"])) for r in new])
+
+    w_size = Window.partitionBy("cluster")
+    return assigned.select(
+        "vec_id",
+        F.col("cluster"),
+        "dist",
+        F.count(F.lit(1)).over(w_size).alias("cluster_size"),
+    )

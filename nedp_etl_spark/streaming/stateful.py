@@ -63,9 +63,7 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = _run_to_memory(
-        profiles, f"custom_state_{abs(hash(sf_dir)) % 10_000}", "update", partitions=32
-    )
+    out = _run_to_memory(profiles, f"custom_state_{abs(hash(sf_dir)) % 10_000}", "update")
     # update mode may emit a row per key per batch — keep the final state
     # per user (max n_events is monotone in batches).
     from pyspark.sql import functions as F

@@ -182,10 +182,12 @@ def _isolated(spark: SparkSession) -> SparkSession:
 def _run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append", partitions: int = 8
 ) -> DataFrame:
-    # State-store partition count is frozen at first query start.  8 suits the
-    # tiny windowed aggregates (store init dominates); key-heavy stateful ops
-    # (one Python group per key per batch) pass 32 so groups fan out across
-    # every core — on a cluster this is shuffle.partitions sizing, tasks/core.
+    # State-store partition count is frozen at first query start.  8 suits
+    # every fixture-scale query: store + state-worker init dominates a single
+    # availableNow micro-batch (measured: custom-state 8.8 s at 8 partitions
+    # vs 10.5 s at 32, both ~2 s warm), so fewer stores win.  On a real
+    # cluster this is shuffle.partitions sizing — one state partition per
+    # core across executors.
     spark = stream_df.sparkSession  # the isolated session
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     q = (
