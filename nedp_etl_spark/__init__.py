@@ -16,6 +16,7 @@ from nedp_etl_spark.registry import oracle_sql, queries, register  # noqa: F401
 # Import operator modules for their registration side effects.
 from nedp_etl_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     bucketing,
     core_ext,
     ctes,

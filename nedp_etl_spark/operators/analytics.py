@@ -1,0 +1,339 @@
+"""Product-analytics operators: retention cohorts, funnels, CUSUM change
+detection, windowed distinct counts, exact percentiles.
+
+The reference reaches analytics semantics only through dbt-generated SQL
+(``/root/reference/dbtoperator.py:273-274``); these are the event-analytics
+primitives (Amplitude/Mixpanel-style) an engine at this layer must provide.
+
+Scale notes:
+- ``ts_retention_cohort`` re-uses ONE shuffle key (``user_id``) for both the
+  cohort assignment and the activity join, so Catalyst plans a single
+  exchange feeding both aggregates; the final (cohort × offset) matrix is
+  tiny at any corpus size.
+- ``ts_funnel`` is the one-shuffle funnel: per-user events are sorted into an
+  array and the step state machine runs as a JVM ``aggregate`` expression —
+  no per-step self-joins (the naive SQL cascade is 4 shuffles; see the
+  oracle, which is exactly that cascade). State per user is its own event
+  list, bounded by per-user activity, not corpus size.
+- ``ts_cusum`` aggregates first (days × types rows — already tiny), walks the
+  recursive clamp per type over a sorted array. The walk input is the
+  *aggregate*, never raw events, so the non-parallel recursion touches only
+  O(days) rows per group.
+- ``win_count_distinct`` shows the scalable rewrite of COUNT(DISTINCT) OVER:
+  first-occurrence flags + running sum — two windows over one partitioning,
+  no per-row distinct state (Spark has no native distinct window aggregate,
+  and the naive correlated rewrite is O(n²)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+# --------------------------------------------------------------------------
+# ts_retention_cohort — weekly cohort retention matrix: users are assigned to
+# the week of their first event; each (cohort, week-offset) cell counts the
+# distinct users active that many weeks later, plus retention vs the cohort's
+# own week-0 size.
+# --------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events
+),
+cell AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort, a.w) / 7 AS INT) AS offset_weeks,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM a JOIN f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       offset_weeks,
+       n_active,
+       ROUND(n_active * 1.0 /
+             FIRST_VALUE(n_active) OVER (PARTITION BY cohort
+                                         ORDER BY offset_weeks), 6)
+         AS retention
+FROM cell
+"""
+
+
+@register("ts_retention_cohort", oracle=_RETENTION_ORACLE)
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    )
+    # both aggregates key on user_id → one exchange, reused
+    cohort = ev.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    active = ev.distinct()
+    cell = (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff("w", "cohort") / 7).cast("int").alias("offset_weeks"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    w0 = Window.partitionBy("cohort").orderBy("offset_weeks")
+    return cell.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "offset_weeks",
+        "n_active",
+        F.round(F.col("n_active") / F.first("n_active").over(w0), 6).alias("retention"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_funnel — ordered conversion funnel signup → view → click → purchase.
+# Greedy earliest-completion semantics: step k+1 must occur strictly after
+# the timestamp at which step k was satisfied.  Implemented as a sorted
+# per-user event array walked by a JVM `aggregate` lambda (state = (step,
+# last_ts)); greedy is optimal for this semantics, so it equals the oracle's
+# 4-stage min-timestamp cascade.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+_FUNNEL_ORACLE = """
+WITH t1 AS (SELECT user_id, MIN(ts) AS ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > t1.ts GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t2.ts GROUP BY e.user_id),
+t4 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e JOIN t3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t3.ts GROUP BY e.user_id),
+counts AS (
+  SELECT 1 AS step, 'signup' AS step_name, COUNT(*) AS n_users FROM t1
+  UNION ALL SELECT 2, 'view', COUNT(*) FROM t2
+  UNION ALL SELECT 3, 'click', COUNT(*) FROM t3
+  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM t4
+)
+SELECT step, step_name, n_users,
+       ROUND(n_users * 1.0 / FIRST_VALUE(n_users) OVER (ORDER BY step), 6)
+         AS conv_pct
+FROM counts
+"""
+
+
+@register("ts_funnel", oracle=_FUNNEL_ORACLE)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    steps = F.array(*[F.lit(s) for s in _FUNNEL_STEPS])
+    walk = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))),
+        F.struct(
+            F.lit(0).alias("step"), F.lit("1900-01-01").cast("timestamp").alias("last")
+        ),
+        lambda s, e: F.when(
+            (s.step < len(_FUNNEL_STEPS))
+            & (e.event_type == F.element_at(steps, s.step + 1))
+            & (e.ts > s.last),
+            F.struct((s.step + 1).alias("step"), e.ts.alias("last")),
+        ).otherwise(s),
+    )
+    reached = ev.groupBy("user_id").agg(walk.step.alias("max_step"))
+    # max_step >= k ⇒ user counted at every step ≤ k: explode to one row per
+    # achieved step (≤4 rows/user), then a tiny groupBy.
+    counts = (
+        reached.filter(F.col("max_step") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), "max_step")).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    w = Window.orderBy("step")
+    return counts.select(
+        "step",
+        F.element_at(steps, F.col("step")).alias("step_name"),
+        "n_users",
+        F.round(F.col("n_users") / F.first("n_users").over(w), 6).alias("conv_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_cusum — one-sided CUSUM change detection on daily event counts:
+# S_t = max(0, S_{t-1} + x_t − μ − k), alarm when S_t > h (k = σ/2, h = 3σ).
+# The clamp makes it inherently sequential, so Spark walks a sorted
+# per-type array of daily aggregates; the oracle replays the identical
+# recurrence as a recursive CTE.  Both engines run the same IEEE double ops
+# in the same order ⇒ bit-identical, rounded at the output only.
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, ROUND(AVG(x), 6) AS mu, ROUND(STDDEV_SAMP(x), 6) AS sd
+  FROM daily GROUP BY 1
+),
+seq AS (
+  SELECT d.event_type, d.day, d.x, st.mu, st.sd,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+  FROM daily d JOIN st USING (event_type)
+),
+rec AS (
+  SELECT event_type, day, x, mu, sd, rn,
+         GREATEST(0.0, x - mu - 0.5 * sd) AS s
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT seq.event_type, seq.day, seq.x, seq.mu, seq.sd, seq.rn,
+         GREATEST(0.0, rec.s + seq.x - seq.mu - 0.5 * seq.sd)
+  FROM rec JOIN seq ON seq.event_type = rec.event_type AND seq.rn = rec.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(x AS BIGINT) AS n_events,
+       ROUND(s, 6) AS cusum,
+       s > 3 * sd AS alarm
+FROM rec
+"""
+
+
+@register("ts_cusum", oracle=_CUSUM_ORACLE)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    wt = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.round(F.avg("x").over(wt), 6).alias("mu"),
+        F.round(F.stddev_samp("x").over(wt), 6).alias("sd"),
+    )
+    # sequential clamp over the per-type daily series (O(days) per group);
+    # mu/sd are constant per type, so they join the grouping key and stay
+    # referencable inside the walk lambda.
+    walked = scored.groupBy("event_type", "mu", "sd").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            F.array().cast("array<struct<day:date,x:double,s:double>>"),
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        e.day.alias("day"),
+                        e.x.alias("x"),
+                        F.greatest(
+                            F.lit(0.0),
+                            F.coalesce(F.try_element_at(acc, F.lit(-1)).s, F.lit(0.0))
+                            + e.x
+                            - F.col("mu")
+                            - 0.5 * F.col("sd"),
+                        ).alias("s"),
+                    )
+                ),
+            ),
+        ).alias("walk"),
+    )
+    row = walked.select("event_type", "sd", F.explode("walk").alias("r"))
+    return row.select(
+        "event_type",
+        F.date_format("r.day", "yyyy-MM-dd").alias("day"),
+        F.col("r.x").cast("bigint").alias("n_events"),
+        F.round("r.s", 6).alias("cusum"),
+        (F.col("r.s") > 3 * F.col("sd")).alias("alarm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# win_count_distinct — cumulative COUNT(DISTINCT user_id) per event_type over
+# days.  Spark has no distinct window aggregate; the scalable rewrite marks
+# each user's first day per type (min-aggregate), pre-counts new users per
+# day, and takes a running sum — two narrow aggregates + one tiny window
+# instead of per-row distinct state.  (DuckDB *does* support the distinct
+# window aggregate, which is the oracle.)
+# --------------------------------------------------------------------------
+
+_WIN_CD_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cum_users FROM (
+  SELECT DISTINCT e.event_type, CAST(date_trunc('day', e.ts) AS DATE) AS day,
+         COUNT(DISTINCT e.user_id)
+           OVER (PARTITION BY e.event_type
+                 ORDER BY CAST(date_trunc('day', e.ts) AS DATE)) AS cum_users
+  FROM events e
+)
+"""
+
+
+@register("win_count_distinct", oracle=_WIN_CD_ORACLE)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    )
+    first_day = ev.groupBy("event_type", "user_id").agg(F.min("day").alias("fday"))
+    new_per_day = first_day.groupBy("event_type", F.col("fday").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    all_days = ev.select("event_type", "day").distinct()
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        all_days.join(new_per_day, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_users"),
+        )
+        .select(
+            "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"), "cum_users"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_percentile_exact — exact PERCENTILE_CONT / PERCENTILE_DISC by group
+# (Spark WITHIN GROUP syntax vs DuckDB quantile_cont/_disc; both use linear
+# interpolation resp. lower-rank conventions — verified identical).  Exact
+# percentiles buffer per-group values; the 100 TB path is
+# ``agg_approx_percentile`` (KLL-style sketch, mergeable) — this operator is
+# the small-group/medium-cardinality exact companion.
+# --------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT
+  l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+  ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+  ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS p90,
+  ROUND(quantile_disc(l_extendedprice, 0.50), 6) AS p50_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentile_exact", oracle=_PCT_ORACLE)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__pct_lineitem")
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p25,
+          ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50,
+          ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p75,
+          ROUND(percentile_cont(0.90) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p90,
+          ROUND(percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50_disc
+        FROM __pct_lineitem
+        GROUP BY l_returnflag
+        """
+    )

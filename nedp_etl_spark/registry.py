@@ -79,6 +79,8 @@ _PRIORITY: list[str] = [
     "ts_ohlc", "ts_ewma", "join_asof_fwd_tol", "agg_weighted",
     "scan_text_lines", "sink_csv_roundtrip",
     "llm_quality_gopher", "llm_dedup_keep_best", "agg_regr", "llm_kmeans",
+    "ts_retention_cohort", "ts_funnel", "ts_cusum", "win_count_distinct",
+    "agg_percentile_exact",
     "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
     "tpch_q20", "tpch_q21",
     "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
