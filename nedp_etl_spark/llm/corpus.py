@@ -1,0 +1,376 @@
+"""Web-corpus curation operators: URL-canonicalization dedup, duplicated-span
+detection, tokenizer fertility, multi-query BM25 retrieval, bigram LM scoring.
+
+The reference reaches data curation only as dbt-model SQL
+(``/root/reference/dbtoperator.py:273-274``); these are the CommonCrawl-style
+pipeline stages (URL dedup before fetch, exact-substring dedup à la
+"Deduplicating Training Data Makes Language Models Better", tokenizer
+fertility audits, retrieval and LM-quality scoring) re-expressed Spark-first.
+
+Scale shape:
+- ``llm_url_dedup`` is one map-side canonicalization expression chain
+  (parse_url + higher-order filter/sort over query params — no UDF) and one
+  groupBy on the canonical key: only (canonical, doc_id) pairs shuffle.
+- ``llm_span_dedup`` hashes every W-token window map-side (transform over
+  sequence — no self-join, no window function) and shuffles only (hash,
+  doc_id); duplicated spans come from one count-distinct per hash.  This is
+  the bucketed shape of suffix-array dedup: candidates are found by equality
+  on the span hash, never by pairwise comparison.
+- ``llm_rag_retrieval`` is inverted-index retrieval: the query set is a
+  broadcast, scoring is an equi-join on term + partial agg per (query, doc),
+  top-k per query via WindowGroupLimit.  At 100 TB the posting lists shard
+  by term; nothing pairwise.
+- ``llm_bigram_logprob`` builds bigrams map-side (zip of shifted slices),
+  so the only shuffles are the bigram/unigram count aggregates; the LM
+  tables broadcast back (vocab-sized, corpus-size-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import dsum, osum
+
+# --------------------------------------------------------------------------
+# llm_url_dedup — canonicalize synthetic crawl URLs (lowercase host, strip
+# leading www., drop fragment, drop tracking params utm_*/ref, sort kept
+# params) and collapse duplicates, keeping the lowest doc_id.  The URL is
+# deterministically derived from (source, lang, doc_id) on BOTH sides so the
+# oracle exercises the identical canonicalization contract.
+# --------------------------------------------------------------------------
+
+_URL_EXPR_SQL = (
+    "'https://WWW.' || source || '.Example.COM/articles/' || (doc_id % 40)"
+    " || '?utm_source=feed&page=' || (doc_id % 3) || '&utm_campaign=c'"
+    " || (doc_id % 7) || '&ref=' || lang || '#sec' || (doc_id % 5)"
+)
+
+_URL_DEDUP_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents),
+canon AS (
+  SELECT doc_id,
+         'https://' ||
+         regexp_replace(lower(regexp_extract(url, 'https://([^/]+)', 1)),
+                        '^www\\.', '') ||
+         regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1) || '?' ||
+         array_to_string(
+           list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                                 p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))),
+           '&') AS canonical_url
+  FROM u
+)
+SELECT canonical_url, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+FROM canon GROUP BY canonical_url
+"""
+
+
+@register("llm_url_dedup", oracle=_URL_DEDUP_ORACLE)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM/articles/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=feed&page="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&utm_campaign=c"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref="), F.col("lang"),
+        F.lit("#sec"), (F.col("doc_id") % 5).cast("string"),
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    host = F.regexp_replace(F.lower(F.parse_url("url", F.lit("HOST"))), r"^www\.", "")
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.parse_url("url", F.lit("QUERY")), "&"),
+            lambda p: ~(p.like("utm_%") | p.like("ref=%")),
+        )
+    )
+    canonical = F.concat(
+        F.lit("https://"), host, F.parse_url("url", F.lit("PATH")),
+        F.lit("?"), F.array_join(kept, "&"),
+    )
+    return (
+        with_url.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"))
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_span_dedup — exact-substring duplication audit: hash every window of
+# W=8 consecutive tokens; a span is "duplicated" when its hash occurs in ≥2
+# distinct documents.  Per-document output: total spans, duplicated-span
+# instances, duplication fraction.
+# --------------------------------------------------------------------------
+
+_SPAN_W = 8
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+spans AS (
+  SELECT doc_id,
+         md5(array_to_string(l[CAST(i AS INT):CAST(i + {_SPAN_W - 1} AS INT)], ' ')) AS h
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(1, CAST(len(l) - {_SPAN_W} + 1 AS BIGINT))) AS i
+        FROM t WHERE len(l) >= {_SPAN_W})
+),
+dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       CAST(COUNT(dup.h) AS BIGINT) AS n_dup_spans,
+       ROUND(COUNT(dup.h) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM spans s LEFT JOIN dup ON s.h = dup.h
+GROUP BY s.doc_id
+"""
+
+
+@register("llm_span_dedup", oracle=_SPAN_DEDUP_ORACLE)
+def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l")).filter(
+        F.size("l") >= _SPAN_W
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - _SPAN_W + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("l", i, _SPAN_W))),
+            )
+        ).alias("h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return (
+        spans.join(F.broadcast(dup.withColumn("is_dup", F.lit(1))), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("is_dup").cast("bigint").alias("n_dup_spans"),
+            F.round(F.count("is_dup") / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_tokenizer_fertility — subword fertility audit per language: a BPE-ish
+# deterministic proxy (ceil(len(word)/4) subwords per word) aggregated to
+# tokens-per-word by language.  Pure higher-order array math — zero shuffles
+# beyond the final per-language aggregate.
+# --------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                       w -> CAST(CEIL(LENGTH(w) / 4.0) AS BIGINT))) AS BIGINT)
+           AS n_subwords
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+       ROUND(SUM(n_subwords) * 1.0 / SUM(n_words), 6) AS fertility
+FROM per_doc GROUP BY lang
+"""
+
+
+@register("llm_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    subwords = F.aggregate(
+        F.transform(words, lambda w: F.ceil(F.length(w) / 4.0)),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(words).cast("bigint").alias("n_words"),
+        subwords.alias("n_subwords"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_subwords").alias("total_subwords"),
+        F.round(F.sum("n_subwords") / F.sum("n_words"), 6).alias("fertility"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_rag_retrieval — multi-query BM25 top-3 retrieval (k1=1.2, b=0.75) over
+# an inverted index: query set broadcast, equi-join on term, per-(query,doc)
+# partial-score sum, WindowGroupLimit top-k per query.
+# --------------------------------------------------------------------------
+
+_RAG_QUERIES: list[tuple[str, str]] = [
+    ("q_join", "hash join merge"),
+    ("q_scan", "scan filter fast"),
+    ("q_sort", "sort window line"),
+    ("q_table", "table value part"),
+    ("q_spark", "spark batch key"),
+]
+
+_RAG_VALUES = ", ".join(
+    f"('{q}', '{t}')" for q, terms in _RAG_QUERIES for t in terms.split(" ")
+)
+
+_RAG_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl
+),
+q(query_id, term) AS (VALUES {_RAG_VALUES}),
+parts AS (
+  SELECT q.query_id, tf.doc_id,
+         ROUND(
+           ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) AS s
+  FROM q
+  JOIN tf ON q.term = tf.term
+  JOIN dfreq ON tf.term = dfreq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_id, doc_id, ROUND({osum('s')}, 6) AS bm25
+  FROM parts GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, bm25, rank FROM (
+  SELECT scored.*,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("llm_rag_retrieval", oracle=_RAG_ORACLE)
+def llm_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _RAG_QUERIES for t in terms.split(" ")],
+        "query_id string, term string",
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    part = F.round(idf * F.col("tf") * 2.2 / norm, 6)
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", part.alias("s"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(dsum("s"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_bigram_logprob — interpolated bigram LM quality score:
+# p(w2|w1) = 0.7·c(w1,w2)/c(w1·) + 0.3·c(w2)/N, avg log-prob per document
+# for a stable probe subset.  Bigrams are built map-side (zip of shifted
+# slices) — no self-join, no window; LM tables broadcast back.
+# --------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bi AS (
+  SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i + 1 AS INT)] AS w2
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(1, CAST(len(l) - 1 AS BIGINT))) AS i
+        FROM t)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+uni AS (
+  SELECT term, COUNT(*) AS cu
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+n AS (SELECT CAST(SUM(cu) AS DOUBLE) AS nt FROM uni),
+scored AS (
+  SELECT bi.doc_id,
+         ROUND(ln(0.7 * c12.c12 * 1.0 / c1.c1 + 0.3 * uni.cu / n.nt), 6) AS lp
+  FROM bi
+  JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+  JOIN c1 ON bi.w1 = c1.w1
+  JOIN uni ON bi.w2 = uni.term
+  CROSS JOIN n
+  WHERE bi.doc_id < 100
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND({osum('lp')} / COUNT(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("llm_bigram_logprob", oracle=_BIGRAM_ORACLE)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    l = F.split("text", " ")
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(l, 1, F.size(l) - 1).alias("w1"),
+                F.slice(l, 2, F.size(l) - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = (
+        d.select(F.explode(l).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    n = uni.agg(F.sum("cu").cast("double").alias("nt"))
+    lp = F.round(
+        F.log(
+            0.7 * F.col("c12") / F.col("c1") + 0.3 * F.col("cu") / F.col("nt")
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("doc_id") < 100)
+        .join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("term", "w2")), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(dsum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )

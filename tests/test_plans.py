@@ -209,6 +209,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "join_skew_salted",  # dim × 8-row salt spine is a cross join by design
                    "llm_tfidf", "llm_bm25",
                    "llm_unigram_logprob",  # 1-row corpus-scalar broadcast (O(n))
+                   "llm_rag_retrieval",  # 1-row avgdl/n_docs broadcast (O(n))
+                   "llm_bigram_logprob",  # 1-row token-total broadcast (O(n))
                    "llm_source_rebalance",  # 1-row total/n_langs broadcast (O(#langs))
                    "profile_skew",  # 1-row totals broadcast onto top-10 rows
                    "tpch_q22",  # 1-row AVG-threshold broadcast (O(n))
