@@ -23,6 +23,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     dbt_tests,
     extras,
     filters,
+    graph,
     joins,
     misc,
     pivots,

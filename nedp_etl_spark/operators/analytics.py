@@ -337,3 +337,164 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# agg_ab_ztest — two-sample z-test per experiment metric (A/B testing at
+# corpus scale).  Arm assignment is the deterministic hash idiom
+# (user_id % 2 — in production a salted hash of the unit id).  One pass
+# computes per-(event_type, arm) n / Σx / Σx² — count + two exact
+# fixed-decimal sums, i.e. a single balanced shuffle of 10 tiny rows — and
+# the z statistic is assembled from the sufficient statistics on the
+# (already tiny) aggregate.  No per-row state, no second pass over events:
+# the classic sufficient-statistics pattern that scales to any corpus size.
+# Variance from Σx² uses the textbook (Σx² − (Σx)²/n)/(n−1); fine here
+# because value magnitudes are O(100) — a deployment with extreme means
+# would center first (Welford partials via an exact decimal accumulator).
+# --------------------------------------------------------------------------
+
+_AB_ZTEST_ORACLE = """
+WITH s AS (
+  SELECT event_type, user_id % 2 AS arm,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(25,6)) * CAST(value AS DECIMAL(25,6)))
+              AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type, user_id % 2
+),
+p AS (
+  SELECT event_type,
+         MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+         MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+         MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+         MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+  FROM s GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n0 AS BIGINT) AS n_control,
+       CAST(n1 AS BIGINT) AS n_treat,
+       ROUND(sx0 / n0, 6) AS mean_control,
+       ROUND(sx1 / n1, 6) AS mean_treat,
+       ROUND((sx1 / n1 - sx0 / n0) /
+             sqrt(((sxx0 - sx0 * sx0 / n0) / (n0 - 1)) / n0
+                  + ((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1), 6) AS z_score
+FROM p
+"""
+
+
+@register("agg_ab_ztest", oracle=_AB_ZTEST_ORACLE)
+def agg_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(25,6)")
+    s = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("double").alias("sx"),
+        F.sum(vdec * vdec).cast("double").alias("sxx"),
+    )
+    arm = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
+    p = s.groupBy("event_type").agg(
+        arm(0, "n").alias("n0"), arm(1, "n").alias("n1"),
+        arm(0, "sx").alias("sx0"), arm(1, "sx").alias("sx1"),
+        arm(0, "sxx").alias("sxx0"), arm(1, "sxx").alias("sxx1"),
+    )
+    var0 = (F.col("sxx0") - F.col("sx0") * F.col("sx0") / F.col("n0")) / (
+        F.col("n0") - 1
+    )
+    var1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    return p.select(
+        "event_type",
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treat"),
+        F.round(F.col("sx0") / F.col("n0"), 6).alias("mean_control"),
+        F.round(F.col("sx1") / F.col("n1"), 6).alias("mean_treat"),
+        F.round(
+            (F.col("sx1") / F.col("n1") - F.col("sx0") / F.col("n0"))
+            / F.sqrt(var0 / F.col("n0") + var1 / F.col("n1")),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_attribution — first-touch / last-touch conversion attribution.  Each
+# converting user's first purchase is found with one (user_id)-keyed
+# aggregation; the strictly-prior touch events re-use the SAME shuffle key
+# for the join and the per-user first/last pick (row_number over ts,
+# event_id — total order, deterministic under timestamp ties).  Channel
+# counts are then a tiny aggregate.  One logical exchange on user_id does
+# all the per-user work — the same reused-partitioning posture as
+# ts_retention_cohort.
+# --------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH conv AS (
+  SELECT user_id, MIN(ts) AS conv_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+prior AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id
+  FROM events e JOIN conv USING (user_id)
+  WHERE e.ts < conv.conv_ts
+),
+ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM prior
+),
+ft AS (SELECT event_type, COUNT(*) AS n_first_touch
+       FROM ranked WHERE rn_first = 1 GROUP BY event_type),
+lt AS (SELECT event_type, COUNT(*) AS n_last_touch
+       FROM ranked WHERE rn_last = 1 GROUP BY event_type)
+SELECT COALESCE(ft.event_type, lt.event_type) AS channel,
+       CAST(COALESCE(ft.n_first_touch, 0) AS BIGINT) AS n_first_touch,
+       CAST(COALESCE(lt.n_last_touch, 0) AS BIGINT) AS n_last_touch
+FROM ft FULL OUTER JOIN lt ON ft.event_type = lt.event_type
+"""
+
+
+@register("ts_attribution", oracle=_ATTRIBUTION_ORACLE)
+def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    prior = ev.join(conv, "user_id").filter(F.col("ts") < F.col("conv_ts"))
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = prior.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    ft = (
+        ranked.filter(F.col("rn_first") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first_touch"))
+    )
+    lt = (
+        ranked.filter(F.col("rn_last") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_last_touch"))
+    )
+    return (
+        ft.join(lt, "event_type", "full_outer")
+        .select(
+            F.col("event_type").alias("channel"),
+            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
+            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""Iterative graph analytics: weighted PageRank over a synthesized crawl
+graph.
+
+The reference reaches graph-shaped workloads only as dbt-model SQL
+(``/root/reference/dbtoperator.py:273-274``); link-graph ranking is the
+canonical *iterative* workload a crawl-curation engine needs (rank pages
+before fetch/keep decisions — the same role it plays in CommonCrawl-style
+pipelines next to the URL dedup in ``llm/corpus.py``).
+
+Scale shape:
+- The edge list is built once, aggregated to ``(src, dst, weight)`` +
+  per-src out-weight, and ``localCheckpoint``-ed: iterations re-join the
+  *materialized* edges, never re-derive them from the corpus.
+- Each iteration is one equi-join (edges × current ranks on ``src``) and one
+  aggregation by ``dst`` — the textbook distributed PageRank step.  At 100 TB
+  the rank table is node-sized (≪ edge table); it broadcasts while edges
+  stay put, so the per-iteration shuffle is only the (dst, contribution)
+  pairs of the aggregation.  Edge partitioning by ``src`` is reused across
+  all iterations.
+- Cross-engine determinism: per-edge contributions are quantized to 12 dp
+  (``FLOOR(x*1e12 + 0.5)`` — pure IEEE primitives) and summed as longs, so
+  the per-iteration sum is order-independent and bit-identical in Spark and
+  DuckDB (same trick as ``util.dsum``, higher precision because rank mass
+  is ≤ 1).  The oracle unrolls the same 4 iterations as a CTE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load
+from nedp_etl_spark.registry import register
+
+# 40 article nodes (doc_id % 40; every fixture sf has ≥ 40 docs).  Two edge
+# families with multipliers coprime to 40, so both cover all residues and
+# neither produces self-loops (6d+3 ≡ 0 and 12d+1 ≡ 0 are unsolvable mod 40).
+_N_NODES = 40
+_DAMP = 0.85
+# Literal (NOT 0.15/_N_NODES): both engines parse the same decimal string to
+# the same nearest double; dividing 0.15 by 40 at runtime could differ by 1 ulp.
+_TELEPORT = 0.00375
+_ITERS = 4
+_Q = "1000000000000.0"  # 12-dp fixed-point scale for rank contributions
+
+
+def _oracle() -> str:
+    ctes = [
+        f"""e0 AS (
+  SELECT doc_id % {_N_NODES} AS src, (doc_id * 7 + 3) % {_N_NODES} AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id % {_N_NODES}, (doc_id * 13 + 1) % {_N_NODES} FROM documents
+)""",
+        "e1 AS (SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst)",
+        "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM e1 GROUP BY src)",
+        "e AS (SELECT e1.src, e1.dst, e1.w, ow.ow FROM e1 JOIN ow USING (src))",
+        "n AS (SELECT DISTINCT src AS node FROM e1)",
+        "r0 AS (SELECT node, CAST(0.025 AS DOUBLE) AS pr FROM n)",
+    ]
+    for i in range(_ITERS):
+        ctes.append(f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST(0.00375 AS DOUBLE) + CAST(0.85 AS DOUBLE) * (
+           CAST(COALESCE(SUM(CAST(FLOOR(
+             r.pr * e.w / e.ow * {_Q} + 0.5) AS BIGINT)), 0) AS DOUBLE)
+           / {_Q}) AS pr
+  FROM n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN r{i} r ON r.node = e.src
+  GROUP BY n.node
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(pr, 6) AS pr FROM r{_ITERS}"
+    )
+
+
+@register("graph_pagerank", oracle=_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    raw = d.select(
+        (F.col("doc_id") % _N_NODES).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % _N_NODES).alias("dst"),
+    ).unionAll(
+        d.select(
+            (F.col("doc_id") % _N_NODES).alias("src"),
+            ((F.col("doc_id") * 13 + 1) % _N_NODES).alias("dst"),
+        )
+    )
+    e1 = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    ow = e1.groupBy("src").agg(F.sum("w").alias("ow"))
+    # materialize once: iterations must not re-derive edges from the corpus
+    e = e1.join(ow, "src").localCheckpoint()
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+
+    ranks = nodes.select("node", F.lit(0.025).cast("double").alias("pr"))
+    for _ in range(_ITERS):
+        contrib = e.join(
+            F.broadcast(ranks), e["src"] == ranks["node"]
+        ).select(
+            "dst",
+            F.floor(
+                F.col("pr") * F.col("w") / F.col("ow") * float(_Q) + 0.5
+            ).cast("long").alias("q"),
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("q").alias("sq"))
+        ranks = (
+            nodes.join(F.broadcast(agg), nodes["node"] == agg["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(_TELEPORT)
+                    + F.lit(_DAMP)
+                    * (F.coalesce(F.col("sq"), F.lit(0)).cast("double") / float(_Q))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pr"))

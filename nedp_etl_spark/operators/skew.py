@@ -58,3 +58,45 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_skew_twophase — two-phase (salted) aggregation for skewed group keys.
+# events has ~5 event_type values over the whole corpus: a single
+# groupBy(event_type) funnels every row of a hot key through one reduce
+# task.  Phase 1 aggregates by (event_type, salt) — 16-way fan-out of each
+# hot key, map-side partials stay balanced — phase 2 merges the ≤ 5×16
+# partial rows.  The per-salt partial keeps the *scaled long* sum from the
+# fixed-point trick (no early division), so merging partials is exact and
+# the result is bit-identical to the single-phase oracle.
+# --------------------------------------------------------------------------
+
+_TWOPHASE_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {osum('value')} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_skew_twophase", oracle=_TWOPHASE_ORACLE)
+def agg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn(
+            "salt", F.pmod(F.col("event_id").cast("int"), F.lit(2 * _N_SALTS))
+        )
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            # scaled-long partial: division deferred to the merge phase
+            F.sum(
+                F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("long")
+            ).alias("pq"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        (F.sum("pq") / 1_000_000.0).alias("total_value"),
+    )
