@@ -110,3 +110,100 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# llm_epoch_shuffle — deterministic global shuffle + sharding for a training
+# epoch.  Each doc's position is md5(seed:doc_id): a content-independent,
+# engine-independent pseudo-random total order (rand() reshuffles per run
+# and per partitioning — useless for reproducible epochs).  Docs land in 16
+# shards by the first hash byte; within a shard the epoch order is the hash
+# order.  At 100 TB this is one hash computation map-side plus one
+# repartition-by-shard with a per-shard sort — exactly how training shards
+# are materialized (shard = output file, rank = line number).
+# --------------------------------------------------------------------------
+
+_EPOCH_SHUFFLE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(hx, 1, 2) AS INT) % 16 AS INT) AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST('0x' || substr(hx, 1, 2) AS INT) % 16
+           ORDER BY hx, doc_id) AS epoch_rank
+  FROM h
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(CASE WHEN epoch_rank = 1 THEN doc_id END) AS BIGINT)
+         AS head_doc
+FROM sharded GROUP BY shard
+"""
+
+
+@register("llm_epoch_shuffle", oracle=_EPOCH_SHUFFLE_ORACLE)
+def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring("hx", 1, 2), 16, 10).cast("int") % 16).cast("int")
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    sharded = (
+        d.select("doc_id", hx.alias("hx"))
+        .select("doc_id", "hx", shard.alias("shard"))
+        .withColumn("epoch_rank", F.row_number().over(w))
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max(F.when(F.col("epoch_rank") == 1, F.col("doc_id"))).alias("head_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_chat_format — render documents into the single-string chat template a
+# tokenizer consumes (SFT-data materialization).  Pure map-side string
+# assembly from built-in expressions (concat/replace): no UDF, no shuffle —
+# the entire op pipelines inside the scan stage at any corpus size.  Quote
+# and backslash escaping is applied so the rendered JSON-lines string is
+# well-formed even for hostile text.
+# --------------------------------------------------------------------------
+
+_CHAT_FORMAT_ORACLE = r"""
+WITH esc AS (
+  SELECT doc_id, lang,
+         replace(replace(text, '\', '\\'), '"', '\"') AS t
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       '{"messages":[{"role":"system","content":"You are a helpful '
+       || 'assistant. Reply in ' || lang || '."},{"role":"user","content":"'
+       || t || '"}]}' AS chat_jsonl,
+       CAST(length(t) AS BIGINT) AS content_len
+FROM esc
+"""
+
+
+@register("llm_chat_format", oracle=_CHAT_FORMAT_ORACLE)
+def llm_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.regexp_replace(
+        F.regexp_replace("text", r"\\", r"\\\\"), '"', r'\\"'
+    )
+    esc = d.select("doc_id", "lang", t.alias("t"))
+    return esc.select(
+        "doc_id",
+        F.concat(
+            F.lit('{"messages":[{"role":"system","content":"You are a helpful '
+                  'assistant. Reply in '),
+            F.col("lang"),
+            F.lit('."},{"role":"user","content":"'),
+            F.col("t"),
+            F.lit('"}]}'),
+        ).alias("chat_jsonl"),
+        F.length("t").cast("bigint").alias("content_len"),
+    )

@@ -217,6 +217,27 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "tpch_q11"}  # 1-row total/nparts broadcast (O(#parts))
 
 
+def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
+    # Iterative PageRank must not re-derive the edge list from the corpus
+    # each iteration: the edges/nodes inputs are localCheckpoint-ed RDD
+    # scans, and each of the 4 rank updates joins the node-sized rank table
+    # as a broadcast (edges never move between iterations).
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    assert "Scan ExistingRDD" in plan          # checkpointed edges/nodes
+    assert "Scan parquet" not in plan          # corpus not re-read per iter
+    assert plan.count("BroadcastHashJoin") >= 8  # 2 joins x 4 iterations
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twophase_agg_is_two_exchanges(spark, sf_dir):
+    # Salted two-phase aggregation: exactly the (key, salt) exchange and the
+    # key-merge exchange — the hot key fans out in phase 1 and the phase-2
+    # input is bounded by keys x salts, independent of corpus size.
+    df = __import__("nedp_etl_spark").queries()["agg_skew_twophase"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+
+
 def test_registry_wide_plan_audit(spark, sf_dir):
     """Every registered batch query: no accidental row-Python, no
     accidental cartesian product.  Streaming/sink queries execute real
