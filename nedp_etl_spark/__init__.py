@@ -31,6 +31,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     setops,
     skew,
     sorts,
+    spark4,
     timeseries,
     tpch,
     tpch_ext,

@@ -1,0 +1,144 @@
+"""Spark 4.x native surface: batch ``session_window`` aggregation, collated
+(case-insensitive) grouping, and SQL pipe syntax.
+
+The reference delegates all SQL to whatever Spark version the cluster runs
+(``/root/reference/dbtoperator.py:273-274``), so a replacement engine should
+also expose the *current* engine surface, not just the lowest common
+denominator.  Each op here is the Spark-4-native form of a pattern already
+proven elsewhere in the repo, with the classic rewrite as its oracle:
+
+- ``win_session_native`` is the engine-native form of ``ts_sessionize``
+  (timeseries.py): one ``groupBy(session_window(...))`` instead of the
+  lag→flag→running-sum island rewrite.  Catalyst plans it as a single
+  exchange on ``user_id`` + a sort-based session merge — the same one-shuffle
+  posture, with per-key state bounded by one user's events.  Boundary
+  semantics differ from the manual rewrite: the native window half-open
+  interval starts a NEW session at gap >= 30 min (the island oracle here
+  uses ``>=`` to match; ``ts_sessionize`` keeps the ``>`` form).
+- ``fn_collate`` groups under UTF8_LCASE collation — the collation travels
+  in the type, so the same hash-aggregate machinery applies (no lower()
+  materialization on the hot path); the oracle is the classic lower() twin.
+- ``sql_pipe_syntax`` runs a pipe-syntax (|>) aggregation — Spark 4 parses
+  pipes into the identical logical plan as the nested-SQL oracle, so this
+  also pins that no plan regression hides behind the new parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nedp_etl_spark.data import load, views
+from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import osum
+
+# --------------------------------------------------------------------------
+# win_session_native — per-user session stats via the native session_window.
+# --------------------------------------------------------------------------
+
+_SESSION_NATIVE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_num
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_num, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_num
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM per_session
+GROUP BY user_id
+"""
+
+
+@register("win_session_native", oracle=_SESSION_NATIVE_ORACLE)
+def win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_collate — case-insensitive grouping via UTF8_LCASE collation.  A
+# deterministic mixed-case rendering of `source` (half the docs upper-cased)
+# collapses back to one group per source under the collation.
+# --------------------------------------------------------------------------
+
+_COLLATE_ORACLE = """
+WITH mixed AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS s
+  FROM documents
+)
+SELECT min(s) AS representative, COUNT(*) AS n
+FROM mixed
+GROUP BY lower(s)
+"""
+
+
+@register("fn_collate", oracle=_COLLATE_ORACLE)
+def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    mixed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("s")
+    )
+    # the collation travels in the type: grouping is collation-aware, no
+    # lower() is materialized; min() runs on the original (binary) strings
+    return (
+        mixed.groupBy(F.collate("s", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min("s").alias("representative"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("representative", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# sql_pipe_syntax — Spark 4 pipe-syntax aggregation; oracle is the plain
+# nested form of the same query.
+# --------------------------------------------------------------------------
+
+_PIPE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       {osum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+WHERE l_quantity > 10
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 10
+        |> EXTEND l_extendedprice * (1 - l_discount) AS rev
+        |> AGGREGATE COUNT(*) AS n_lines,
+             CAST(SUM(CAST(FLOOR(rev * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
