@@ -142,3 +142,114 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+# --------------------------------------------------------------------------
+# scan_python_datasource — Spark 4 Python DataSource API: a custom source
+# with real partition planning (one InputPartition per shard → one parallel
+# read task each), simulating a sharded crawl/feed ingest.  Row content is
+# deterministic from (shard, i), so the DuckDB oracle reproduces the source
+# exactly from generate_series.  At 100 TB the partitions() list is the
+# shard/file/offset-range manifest; each task streams only its slice.  (The
+# per-row yield here is the demo-scale simple reader; bulk Python ingest
+# would use the Arrow-batch reader variant or land as parquet first.)
+# --------------------------------------------------------------------------
+
+_PYSOURCE_PARTS = 8
+_PYSOURCE_ROWS = 2000
+
+_PYSOURCE_ORACLE = f"""
+WITH src AS (
+  SELECT p.p AS shard, i.i AS i,
+         (p.p * 1000 + i.i) / 7.0 AS val
+  FROM generate_series(0, {_PYSOURCE_PARTS - 1}) p(p),
+       generate_series(0, {_PYSOURCE_ROWS - 1}) i(i)
+)
+SELECT shard,
+       COUNT(*) AS n_rows,
+       {osum('val')} AS total_val
+FROM src GROUP BY shard
+"""
+
+
+@register("scan_python_datasource", oracle=_PYSOURCE_ORACLE)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class CrawlFeedSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "crawl_feed"
+
+        def schema(self) -> str:
+            return "shard int, i int, val double"
+
+        def reader(self, schema):  # noqa: ANN001
+            return CrawlFeedReader(self.options)
+
+    class CrawlFeedReader(DataSourceReader):
+        def __init__(self, options) -> None:  # noqa: ANN001
+            self.n_parts = int(options.get("parts", "4"))
+            self.rows_per = int(options.get("rows", "100"))
+
+        def partitions(self):  # one InputPartition per shard → parallel tasks
+            return [InputPartition(p) for p in range(self.n_parts)]
+
+        def read(self, partition):  # noqa: ANN001
+            p = partition.value
+            for i in range(self.rows_per):
+                yield (p, i, (p * 1000 + i) / 7.0)
+
+    spark.dataSource.register(CrawlFeedSource)
+    src = (
+        spark.read.format("crawl_feed")
+        .option("parts", str(_PYSOURCE_PARTS))
+        .option("rows", str(_PYSOURCE_ROWS))
+        .load()
+    )
+    from nedp_etl_spark.util import dsum
+
+    return src.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("val").alias("total_val"),
+    )
+
+
+# --------------------------------------------------------------------------
+# fn_xml — XML ingest round-trip: a deterministic XML rendering of each
+# order is parsed back with from_xml (Spark 4 native XML support) and
+# aggregated.  The oracle computes the same aggregate from the base columns
+# directly — DuckDB has no XML parser, so agreement proves the parse is a
+# faithful inverse of the render.  Pure map-side expressions; the double
+# survives the text round-trip exactly (shortest-repr rendering).
+# --------------------------------------------------------------------------
+
+_FN_XML_ORACLE = f"""
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       {osum('round(o_totalprice, 2)')} AS total_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("fn_xml", oracle=_FN_XML_ORACLE)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import dsum
+
+    o = load(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"), F.round("o_totalprice", 2).cast("string"),
+        F.lit("</p><s>"), F.col("o_orderstatus"),
+        F.lit("</s></o>"),
+    )
+    parsed = o.select(
+        F.from_xml(xml.alias("x"), "k BIGINT, p DOUBLE, s STRING").alias("r")
+    ).select(F.col("r.k").alias("k"), F.col("r.p").alias("p"), F.col("r.s").alias("s"))
+    return parsed.groupBy(F.col("s").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("k").alias("max_key"),
+        dsum("p").alias("total_price"),
+    )
