@@ -42,6 +42,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
 )
 from nedp_etl_spark.functions import bits, nested, scalar  # noqa: F401
 from nedp_etl_spark.streaming import stateful as stream_stateful  # noqa: F401
+from nedp_etl_spark.streaming import transformstate as stream_transformstate  # noqa: F401
 from nedp_etl_spark.streaming import windows as stream_windows  # noqa: F401
 from nedp_etl_spark import llm  # noqa: F401
 

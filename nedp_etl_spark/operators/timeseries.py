@@ -449,3 +449,127 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.round(num / denom, 6).alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_interpolate — linear interpolation at unobserved grid points (the
+# hypertable `interpolate()` twin of ts_gapfill's locf).  Observations are
+# deterministically sparsified (every 3rd day kept) so gaps exist at any
+# fixture scale; each missing day gets prev + (next-prev)·(d-d_prev)/
+# (d_next-d_prev) from its bracketing observations.  Same scale shape as
+# gapfill: the calendar explodes per group (output-sized), and the
+# prev/next lookups are four IGNORE-NULLS window passes over ONE
+# (event_type, day) ordering — no self-joins, no point-query loops.
+# --------------------------------------------------------------------------
+
+_TS_INTERPOLATE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS v
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+obs AS (
+  SELECT event_type, d,
+         CASE WHEN day(d) % 3 = 0 THEN v END AS v
+  FROM daily
+),
+spans AS (
+  SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM obs GROUP BY event_type
+),
+cal AS (
+  SELECT s.event_type, CAST(u.day AS DATE) AS d
+  FROM spans s,
+       LATERAL unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS u(day)
+),
+g AS (
+  SELECT cal.event_type, cal.d, obs.v,
+         datediff('day', DATE '1970-01-01', cal.d) AS x
+  FROM cal LEFT JOIN obs ON obs.event_type = cal.event_type AND obs.d = cal.d
+),
+w AS (
+  SELECT event_type, d, v, x,
+         last_value(v IGNORE NULLS) OVER pb AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+           OVER pb AS px,
+         first_value(v IGNORE NULLS) OVER fb AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+           OVER fb AS nx
+  FROM g
+  WINDOW pb AS (PARTITION BY event_type ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fb AS (PARTITION BY event_type ORDER BY x
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * (x - px) * 1.0 / (nx - px)
+       END, 6) AS value
+FROM w
+"""
+
+
+@register("ts_interpolate", oracle=_TS_INTERPOLATE_ORACLE)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("v0"))
+    obs = daily.select(
+        "event_type",
+        "d",
+        F.when(F.dayofmonth("d") % 3 == 0, F.col("v0")).alias("v"),
+    )
+    cal = (
+        obs.groupBy("event_type")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    g = cal.join(obs, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        "v",
+        F.datediff("d", F.lit("1970-01-01").cast("date")).alias("x"),
+    )
+    pb = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fb = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    vx = F.when(F.col("v").isNotNull(), F.col("x"))
+    w = g.select(
+        "event_type",
+        "d",
+        "v",
+        "x",
+        F.last("v", ignorenulls=True).over(pb).alias("pv"),
+        F.last(vx, ignorenulls=True).over(pb).alias("px"),
+        F.first("v", ignorenulls=True).over(fb).alias("nv"),
+        F.first(vx, ignorenulls=True).over(fb).alias("nx"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("x") - F.col("px"))
+            * 1.0
+            / (F.col("nx") - F.col("px"))
+        )
+    )
+    return w.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("interpolated"),
+        F.round(interp, 6).alias("value"),
+    )

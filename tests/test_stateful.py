@@ -40,3 +40,31 @@ def test_bucketed_join_has_no_shuffle_on_key(spark, sf_dir):
         assert "Exchange hashpartitioning" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_transform_state_matches_batch_groupby(spark, sf_dir):
+    # Spark 4 transformWithStateInPandas twin of the test above.  The API's
+    # state-server protocol needs a working google.protobuf; in containers
+    # without one the key is unregistered by design (see
+    # streaming/transformstate.py) and this test documents that gate.
+    import pytest
+
+    from nedp_etl_spark.streaming.transformstate import _PROTOBUF_OK
+
+    if not _PROTOBUF_OK:
+        assert "stream_transform_state" not in eng.queries()
+        pytest.skip("google.protobuf unavailable - transformWithState gated off")
+    profiles = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in eng.queries()["stream_transform_state"](spark, sf_dir).collect()
+    }
+    from nedp_etl_spark.data import load
+
+    batch = {
+        r["user_id"]: (r["n"], round(r["v"], 4))
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        .collect()
+    }
+    assert profiles == batch
