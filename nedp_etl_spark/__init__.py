@@ -18,6 +18,7 @@ from nedp_etl_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
     bucketing,
+    cdc,
     core_ext,
     ctes,
     dbt_tests,

@@ -210,6 +210,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_tfidf", "llm_bm25",
                    "llm_unigram_logprob",  # 1-row corpus-scalar broadcast (O(n))
                    "llm_rag_retrieval",  # 1-row avgdl/n_docs broadcast (O(n))
+                   "dbt_source_freshness",  # 1-row watermark broadcast (O(n))
                    "llm_bigram_logprob",  # 1-row token-total broadcast (O(n))
                    "llm_source_rebalance",  # 1-row total/n_langs broadcast (O(#langs))
                    "profile_skew",  # 1-row totals broadcast onto top-10 rows
