@@ -7,11 +7,12 @@ runtime-settable and applied on every query call:
   hashing must not depend on the driver host's zone.
 - AQE on — runtime shuffle-partition coalescing + skew-join splitting; this is
   the 100 TB posture (partition counts chosen at runtime, not hardcoded).
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.ts`` is parquet
-  TIMESTAMP(NANOS), which Spark cannot read natively; we read the raw int64
-  nanos and floor-convert to microsecond timestamps, exactly matching
-  DuckDB's TIMESTAMP_NS→TIMESTAMP(us) view of the same file (verified
-  value-for-value against the oracle).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — kept as a no-op guard:
+  older fixture builds stored ``events.ts`` as parquet TIMESTAMP(NANOS)
+  (unreadable natively; read as int64 nanos and floor-converted to µs);
+  current builds store timestamp[us] which loads directly.  ``load`` branches
+  on the actual loaded dtype so both fixture generations work — see the
+  fixture-drift canary in ``tests/test_data.py``.
 
 Tables (TESTDATA.md): region nation customer supplier part orders lineitem
 events documents embeddings — one parquet file per table under ``sf_dir``.
@@ -86,10 +87,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
-            # int64 nanos → µs timestamp via integer division: epoch-nanos
-            # (~1.7e18) exceed 2^53, so a float `/ 1000` round-trip can floor
-            # 1µs low; `div` stays exact like DuckDB's integer truncation.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # Fixture generations differ: older builds wrote parquet
+            # TIMESTAMP(NANOS), which (under nanosAsLong) reads as int64
+            # epoch-nanos; current builds write timestamp[us], which reads as
+            # a native timestamp.  Branch on the loaded dtype so both work.
+            ts_type = df.schema["ts"].dataType.typeName()
+            if ts_type in ("long", "integer"):
+                # int64 nanos → µs timestamp via integer division: epoch-nanos
+                # (~1.7e18) exceed 2^53, so a float `/ 1000` round-trip can
+                # floor 1µs low; `div` stays exact like DuckDB's truncation.
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif ts_type == "timestamp_ntz":
+                # NTZ → session-zone timestamp; session tz is pinned UTC so
+                # wall-clock values (and oracle hashes) are unchanged.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # plain "timestamp" passes through untouched
         _DF_CACHE[key] = df
     return df
 

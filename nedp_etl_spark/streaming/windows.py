@@ -151,12 +151,23 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = _scratch("stream_events_src", sf_dir)
     os.makedirs(stage, exist_ok=True)
+    src = f"{sf_dir}/events.parquet"
     dst = os.path.join(stage, "events.parquet")
+    if os.path.exists(dst):
+        try:
+            stale = not os.path.samefile(src, dst) and (
+                os.path.getsize(src) != os.path.getsize(dst)
+                or os.path.getmtime(src) > os.path.getmtime(dst)
+            )
+        except OSError:
+            stale = True
+        if stale:  # fixtures were regenerated since we staged them
+            os.remove(dst)
     if not os.path.exists(dst):
         try:
-            os.link(f"{sf_dir}/events.parquet", dst)
+            os.link(src, dst)
         except OSError:
-            shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+            shutil.copyfile(src, dst)
 
     load(spark, sf_dir, "events")  # applies session conf (nanosAsLong, UTC)
     raw_schema = spark.read.parquet(dst).schema
@@ -165,8 +176,15 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    # Integer `div`, not float `/`: epoch-nanos exceed 2^53 (see data.load).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Same fixture-generation branch as data.load: int64-nanos builds need
+    # integer `div` (epoch-nanos exceed 2^53, float `/` can floor 1µs low);
+    # timestamp[us] builds read as NTZ and just need the session-tz cast.
+    ts_type = raw_schema["ts"].dataType.typeName()
+    if ts_type in ("long", "integer"):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _isolated(spark: SparkSession) -> SparkSession:

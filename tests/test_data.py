@@ -1,0 +1,78 @@
+"""Fixture-drift canary for the events loader.
+
+Round-2 postmortem: the driver regenerated ``events.parquet`` from parquet
+TIMESTAMP(NANOS) (reads as int64 under ``nanosAsLong``) to timestamp[us]
+(reads as TIMESTAMP_NTZ), and the loader's unconditional ``ts div 1000``
+broke ~35 operators at analysis time.  This test writes a tiny events table
+in BOTH encodings and asserts ``data.load`` returns identical µs-timestamp
+values for each, so the next fixture regeneration fails here first, not in
+the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from nedp_etl_spark.data import _DF_CACHE, load
+
+_UTC = datetime.timezone.utc
+
+# Epoch-micros chosen so nanos (x1000) exceed 2^53 — catches any float
+# round-trip sneaking back into the conversion.
+_MICROS = [1704067200_000000, 1704067201_123456, 1704070000_999999]
+
+
+def _write_events(path, ts_array):
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(['{"k": 1}', '{"k": 2}', '{"k": 3}']),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_events_loader_handles_both_fixture_encodings(spark, tmp_path):
+    # Generation A: parquet TIMESTAMP(NANOS) — Spark reads int64 under
+    # spark.sql.legacy.parquet.nanosAsLong=true.
+    dir_ns = tmp_path / "gen_ns"
+    dir_ns.mkdir()
+    _write_events(
+        str(dir_ns / "events.parquet"),
+        pa.array([m * 1000 for m in _MICROS], pa.timestamp("ns")),
+    )
+    # Generation B: timestamp[us] — current driver fixtures.
+    dir_us = tmp_path / "gen_us"
+    dir_us.mkdir()
+    _write_events(
+        str(dir_us / "events.parquet"),
+        pa.array(_MICROS, pa.timestamp("us")),
+    )
+
+    expected = [
+        datetime.datetime.fromtimestamp(m / 1e6, tz=_UTC).replace(tzinfo=None)
+        for m in _MICROS
+    ]
+    try:
+        for d in (dir_ns, dir_us):
+            df = load(spark, str(d), "events")
+            assert df.schema["ts"].dataType.typeName() == "timestamp", str(d)
+            got = [r.ts for r in df.orderBy("event_id").select("ts").collect()]
+            assert got == expected, f"{d}: {got} != {expected}"
+    finally:
+        # Don't pollute the session-scoped plan cache with tmp dirs.
+        for k in [k for k in _DF_CACHE if str(tmp_path) in k[1]]:
+            del _DF_CACHE[k]
+
+
+def test_events_loader_real_fixtures(spark, sf_dir):
+    df = load(spark, sf_dir, "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.limit(1).count() == 1
