@@ -1,6 +1,6 @@
 """Benchmark harness — runs the full registered query suite and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}.
+"queries": {name: sec}, "errors": {name: msg}, "sf": sf}.
 
 Robust-capture posture (BENCH_r01 came back `parsed: null` with a truncated
 tail): stdout carries NOTHING but the single JSON summary line; per-query
@@ -8,8 +8,14 @@ progress goes to stderr only when SPARK_GRAFT_BENCH_VERBOSE=1; and the same
 summary is re-written to BENCH_LATEST.json after EVERY query, so even a
 timeout-killed run leaves a complete, parseable partial result on disk.
 
+Failing queries are recorded in "errors" and EXCLUDED from "queries"/total —
+a 0.16 s analysis failure must not masquerade as a 0.16 s query (the r02
+bench contamination).  Repo-local derived state (_scratch, spark-warehouse)
+is wiped at start so every recorded run is cold and comparable.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_VERBOSE.
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_VERBOSE,
+     SPARK_GRAFT_BENCH_KEEP_SCRATCH=1 to skip the cold-start wipe.
 """
 
 from __future__ import annotations
@@ -17,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
 import time
 
@@ -27,7 +34,11 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    if os.environ.get("SPARK_GRAFT_BENCH_KEEP_SCRATCH") != "1":
+        for d in ("_scratch", "spark-warehouse"):
+            shutil.rmtree(os.path.join(here, d), ignore_errors=True)
     from pyspark.sql import SparkSession
 
     import nedp_etl_spark as eng
@@ -45,18 +56,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = eng.queries()
-    # Untimed warmup: JVM/codegen/parquet-footer caches — so the first
-    # measured query isn't charged for session startup.
-    try:
-        qs["agg_global"](spark, sf_dir).count()
-    except Exception:
-        pass
+    # Untimed warmup: JVM/codegen/parquet-footer caches, plus the Python
+    # DataSource plan-time worker (~6 s one-off on first use in a session)
+    # — so no measured query is charged for session startup.  Results are
+    # NOT cached: every registry call rebuilds its DataFrame and re-executes.
+    for warm in ("agg_global", "scan_python_datasource"):
+        try:
+            qs[warm](spark, sf_dir).count()
+        except Exception:
+            pass
 
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
-    here = os.path.dirname(os.path.abspath(__file__))
     latest = os.path.join(here, "BENCH_LATEST.json")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
 
     def summary() -> str:
@@ -66,6 +80,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
             }
         )
@@ -86,10 +101,9 @@ def main() -> None:
             total += dt
             if verbose:
                 print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
-        except Exception as exc:  # keep benching the rest
+        except Exception as exc:  # keep benching the rest; never time a failure
             dt = time.perf_counter() - t0
-            timings[name] = round(dt, 4)
-            total += dt
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED after {dt:.3f}s: {exc}", file=sys.stderr)
         checkpoint()
 

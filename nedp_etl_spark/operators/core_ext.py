@@ -396,14 +396,40 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("agg_approx_percentile")
+_AGG_APPROX_PCT_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5),  6) AS exact_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+       TRUE AS approx_p50_in_band,
+       TRUE AS approx_p95_in_band
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_approx_percentile", oracle=_AGG_APPROX_PCT_ORACLE)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-checkable form: the GK-sketch estimate is engine-specific, so
+    # the hashed output is the exact percentile (Spark PERCENTILE and DuckDB
+    # quantile_cont — both linear interpolation, verified identical) plus
+    # in-band booleans for the sketch (accuracy=1000 → rank error ≤ 1/1000;
+    # a 2% value band on this distribution is deterministically true).
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
-        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("approx_p95"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("ap50"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("ap95"),
         F.round(F.percentile("l_extendedprice", 0.5), 6).alias("exact_p50"),
         F.round(F.percentile("l_extendedprice", 0.95), 6).alias("exact_p95"),
+    )
+    in_band = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.02 * F.col(exact)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p95",
+        in_band("ap50", "exact_p50").alias("approx_p50_in_band"),
+        in_band("ap95", "exact_p95").alias("approx_p95_in_band"),
     )
 
 

@@ -374,12 +374,24 @@ def sink_ephemeral(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # scan_csv_malformed — robust ingest: a CSV with injected bad rows read in
 # PERMISSIVE mode (corrupt rows captured, not fatal) vs DROPMALFORMED.
-# Rows-only: DuckDB's CSV error handling differs by design; the in-repo
-# test asserts the permissive/drop counts differ by exactly the bad rows.
+# Exact-checkable form: one bad row is injected after every 10th good row,
+# so good = COUNT(nation) and bad = CEIL(good/10) deterministically; the
+# output is those counts as parsed by Spark's CSV reader, the oracle derives
+# the same numbers from the nation view (DuckDB's own CSV error handling
+# differs by design, so it never reads the staged file).
 # --------------------------------------------------------------------------
 
+_SCAN_CSV_MALFORMED_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT)                          AS good_rows,
+  CAST(CEIL(COUNT(*) / 10.0) AS BIGINT)             AS corrupt_rows,
+  CAST(COUNT(*) + CEIL(COUNT(*) / 10.0) AS BIGINT)  AS total_rows,
+  CAST(COUNT(*) AS BIGINT)                          AS dropmalformed_rows
+FROM nation
+"""
 
-@register("scan_csv_malformed")
+
+@register("scan_csv_malformed", oracle=_SCAN_CSV_MALFORMED_ORACLE)
 def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -407,11 +419,21 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # documented pattern is to materialize the parse first.
         .cache()
     )
-    return permissive.select(
-        "n_nationkey",
-        "n_name",
-        "n_regionkey",
-        F.col("_corrupt").isNotNull().alias("is_corrupt"),
+    dropped = (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    return permissive.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("good_rows"),
+        F.count(F.col("_corrupt")).alias("corrupt_rows"),
+        F.count(F.lit(1)).alias("total_rows"),
+    ).crossJoin(
+        # count(*) would prune every column and CSV malformed-detection only
+        # fires on columns actually parsed — count a real column so the bad
+        # rows are parsed, detected, and dropped.
+        dropped.agg(F.count("n_nationkey").alias("dropmalformed_rows"))
     )
 
 

@@ -150,9 +150,10 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # read task each), simulating a sharded crawl/feed ingest.  Row content is
 # deterministic from (shard, i), so the DuckDB oracle reproduces the source
 # exactly from generate_series.  At 100 TB the partitions() list is the
-# shard/file/offset-range manifest; each task streams only its slice.  (The
-# per-row yield here is the demo-scale simple reader; bulk Python ingest
-# would use the Arrow-batch reader variant or land as parquet first.)
+# shard/file/offset-range manifest; each task streams only its slice.
+# read() yields pyarrow RecordBatches — the recommended bulk form of the
+# API: column values are built vectorized (numpy) and cross the
+# Python→JVM boundary as Arrow buffers, not per-row pickled tuples.
 # --------------------------------------------------------------------------
 
 _PYSOURCE_PARTS = 8
@@ -196,9 +197,23 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             return [InputPartition(p) for p in range(self.n_parts)]
 
         def read(self, partition):  # noqa: ANN001
+            import numpy as np
+            import pyarrow as pa
+
             p = partition.value
-            for i in range(self.rows_per):
-                yield (p, i, (p * 1000 + i) / 7.0)
+            # 64k-row batches bound per-batch memory regardless of shard
+            # size; one shard may be arbitrarily large at real scale.
+            step = 65536
+            for lo in range(0, self.rows_per, step):
+                i = np.arange(lo, min(lo + step, self.rows_per), dtype=np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(len(i), p, dtype=np.int32)),
+                        pa.array(i.astype(np.int32)),
+                        pa.array((p * 1000 + i) / 7.0),
+                    ],
+                    names=["shard", "i", "val"],
+                )
 
     spark.dataSource.register(CrawlFeedSource)
     src = (

@@ -40,64 +40,60 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Verification priority: the driver sweeps registry keys IN ORDER and only a
-# prefix fits its budget (round 1: exactly the first 50 keys got a
+# prefix fits its budget (rounds 1–2: exactly the first 50 keys each got a
 # CORRECTNESS entry).  Keys named here are emitted first, in this order;
-# everything else follows in registration order.  Round-2 ordering: the fixed
-# sink_jsonl (round-1 red row) first, then every SURVEY §2.2 contract key
-# with no round-1 driver entry (streaming last within the tier — they carry
-# micro-batch fixed overhead), then unchecked extras; round-1-green keys sort
-# last (their results are already on record).
+# everything else follows in registration order.  Round-3 ordering: the 13
+# round-2 red rows first (all loader-bug casualties or no_oracle keys, all
+# fixed this round — the driver re-verifies the fixes), then the
+# highest-value unchecked blocks (TPC-H workload queries, the extended LLM
+# curation family), then remaining unchecked keys; the 86 already-green keys
+# sort last (their results are on record).
 _PRIORITY: list[str] = [
-    "sink_jsonl",
-    # --- §2.2 contract keys unchecked in round 1 ---
-    "join_range", "join_asof", "join_multiway",
-    "win_ranking", "win_analytic", "win_frame_rows", "win_frame_range",
-    "win_topk_per_group",
-    "sort_multi", "limit_topk",
-    "set_union", "set_intersect_except", "dedup_exact",
-    "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_cast_decimal",
-    "fn_array", "fn_map", "fn_json",
-    "udf_scalar", "udf_pandas", "udaf_pandas", "udtf_explode",
-    "llm_dedup_exact", "llm_dedup_near", "llm_sim_search", "llm_text_stats",
-    "llm_multimodal_col",
+    # --- round-2 red rows, fixed this round ---
+    "join_asof", "fn_json", "fn_variant", "win_frame_interval",
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_dedup", "stream_foreachbatch",
-    # --- extras unchecked in round 1 (cheap relational first) ---
-    "agg_any_all", "agg_histogram", "agg_pivot", "agg_unpivot", "agg_rollup",
-    "win_nth_value", "win_frame_interval", "fn_trig", "fn_format",
-    "fn_bitwise", "fn_hash", "fn_variant",
-    "join_fuzzy_levenshtein", "join_skew_salted",
-    "scan_jsonl_nested", "scan_binaryfile", "sink_file_sizing",
-    "sink_sorted_layout", "agg_hll_mergeable",
-    "join_hint_shuffle_hash", "join_bloom_prefilter",
-    "sink_observe_metrics", "sink_surrogate_keys", "dbt_model_dag",
-    "dbt_incremental_dag",
-    "profile_table", "profile_skew",
-    "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",
-    "ts_downsample",
-    "join_range_binned", "agg_count_min",
-    "ts_ohlc", "ts_ewma", "join_asof_fwd_tol", "agg_weighted",
-    "scan_text_lines", "sink_csv_roundtrip",
-    "llm_quality_gopher", "llm_dedup_keep_best", "agg_regr", "llm_kmeans",
-    "ts_retention_cohort", "ts_funnel", "ts_cusum", "win_count_distinct",
-    "agg_percentile_exact",
-    "tpch_q1", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
-    "tpch_q20", "tpch_q21",
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
-    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q22",
-    "udtf_native",
+    "agg_approx", "agg_approx_percentile", "scan_csv_malformed",
+    # --- TPC-H workload (unchecked block #1) ---
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # --- extended LLM curation family (unchecked block #2) ---
+    "llm_dedup_lsh_verified", "llm_dedup_cluster_converged", "llm_dedup_embed",
+    "llm_sim_search_ivf", "llm_ann_recall", "llm_contamination",
+    "llm_stratified_sample", "llm_repetition_filter", "llm_length_buckets",
     "llm_token_count", "llm_lang_id", "llm_quality_score", "llm_chunking",
-    "llm_pii_scrub", "llm_seq_packing", "llm_simhash", "llm_ngram_jaccard",
-    "llm_fingerprint", "llm_dedup_lsh_verified", "llm_dedup_cluster",
-    "llm_dedup_cluster_converged",
-    "llm_filter_pipeline", "llm_dataset_split", "llm_tfidf", "llm_bm25",
-    "llm_contamination", "llm_stratified_sample", "llm_repetition_filter",
-    "llm_length_buckets", "llm_cross_dedup", "llm_source_rebalance",
-    "llm_contrastive_pairs",
-    "llm_ngram_topk", "llm_unigram_logprob", "llm_sim_search_ivf",
-    "llm_ann_recall", "llm_embed_norm", "llm_dedup_embed", "llm_semantic_lsh",
+    "llm_fingerprint", "llm_simhash",
+    "llm_pii_scrub", "llm_seq_packing", "llm_ngram_jaccard",
+    "llm_dedup_cluster", "llm_dedup_keep_best", "llm_filter_pipeline",
+    "llm_dataset_split", "llm_tfidf", "llm_bm25", "llm_cross_dedup",
+    "llm_source_rebalance", "llm_contrastive_pairs", "llm_ngram_topk",
+    "llm_unigram_logprob", "llm_bigram_logprob", "llm_embed_norm",
+    "llm_semantic_lsh", "llm_quality_gopher", "llm_url_dedup",
+    "llm_span_dedup", "llm_tokenizer_fertility", "llm_rag_retrieval",
+    "llm_epoch_shuffle", "llm_chat_format", "llm_kmeans",
     "llm_multimodal_framesample", "llm_multimodal_decode",
+    # --- time-series / analytics (unchecked block #3) ---
+    "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",
+    "ts_downsample", "ts_ohlc", "ts_ewma", "ts_retention_cohort",
+    "ts_funnel", "ts_cusum", "ts_attribution", "ts_interpolate",
+    "win_count_distinct", "win_session_native", "agg_percentile_exact",
+    "agg_weighted", "agg_regr", "agg_count_min", "agg_hll_mergeable",
+    "agg_skew_twophase", "agg_ab_ztest", "graph_pagerank",
+    # --- remaining unchecked ---
+    "join_skew_salted", "join_range_binned", "join_asof_fwd_tol",
+    "join_hint_shuffle_hash", "join_bloom_prefilter",
+    "scan_jsonl_nested", "scan_binaryfile", "scan_text_lines",
+    "scan_python_datasource", "scan_orc", "scan_schema_evolution",
+    "sink_file_sizing", "sink_sorted_layout", "sink_observe_metrics",
+    "sink_surrogate_keys", "sink_csv_roundtrip", "sink_cdc_apply",
+    "sink_compaction",
+    "dbt_model_dag", "dbt_incremental_dag", "dbt_source_freshness",
+    "dbt_catalog",
+    "profile_table", "profile_skew", "udtf_native",
+    "fn_collate", "fn_xml", "sql_pipe_syntax",
+    "cte_chain", "cte_recursive",
     "stream_static_join", "stream_stream_join", "stream_custom_state",
     "stream_rate_source",
 ]

@@ -276,14 +276,26 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("stream_foreachbatch")
+_STREAM_FOREACHBATCH_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n, {osum('value')} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_foreachbatch", oracle=_STREAM_FOREACHBATCH_ORACLE)
 def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """writeStream.foreachBatch incremental sink: each micro-batch is
     aggregated and MERGEd into a materialized per-event_type totals table —
     the dbt `incremental` streaming analogue (same left_anti+union merge as
     ``sink_incremental_merge``), entirely executor-side.  No per-batch
     ``collect()``: state lives in the warehouse table, so the pattern is
-    driver-light and survives arbitrarily many keys at 100 TB."""
+    driver-light and survives arbitrarily many keys at 100 TB.
+
+    The running total accumulates as fixed-point micros (long) — exact and
+    order-independent across batches, so the final table equals the batch
+    aggregate regardless of micro-batch count, making the key
+    hash-checkable against the plain-SQL oracle."""
     import shutil
 
     from nedp_etl_spark.operators.scans import _scratch
@@ -296,7 +308,9 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = batch_df.sparkSession
         agg = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+            ).alias("value_micros"),
         )
         if latest:
             existing = s.read.parquet(latest[-1])
@@ -304,7 +318,7 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             # insert (sum over the union ≡ WHEN MATCHED UPDATE SET n=n+...).
             agg = existing.unionByName(agg).groupBy("event_type").agg(
                 F.sum("n").alias("n"),
-                F.round(F.sum("total_value"), 2).alias("total_value"),
+                F.sum("value_micros").alias("value_micros"),
             )
         version = f"{base}/v{batch_id}"
         agg.write.mode("overwrite").parquet(version)
@@ -314,7 +328,11 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
     q = ev.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
     q.awaitTermination(120)
-    return spark.read.parquet(latest[-1]).select("event_type", "n", "total_value")
+    return spark.read.parquet(latest[-1]).select(
+        "event_type",
+        "n",
+        (F.col("value_micros").cast("double") / 1000000.0).alias("total_value"),
+    )
 
 
 # --------------------------------------------------------------------------
