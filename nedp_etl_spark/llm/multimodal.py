@@ -170,3 +170,116 @@ def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_batches,
         "doc_id bigint, frame_idx bigint, n_frames bigint, frame_sig bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# llm_multimodal_resize — image preprocessing: aspect-preserving resize to
+# fit a 224×224 vision-model input, as a 1→1 Arrow-batched ``mapInPandas``
+# stage.  Input dims come from the deterministic fake decode (derived from
+# octet_length so the oracle can reproduce them); the resize arithmetic is
+# pure integers (scale to the long side), so the op is exact-checkable.
+# Real deployment: PIL ``Image.open(...).thumbnail((224, 224))`` per row in
+# the batch loop — the schema, pruning, and batch shape stay identical.
+# Map-side only: at 100 TB this parallelizes by input split, no shuffle.
+# --------------------------------------------------------------------------
+
+_RESIZE_ORACLE = """
+WITH imgs AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) AS n_bytes,
+         16 + octet_length(CAST(text AS BLOB)) % 64 AS in_w,
+         16 + (octet_length(CAST(text AS BLOB)) // 7) % 64 AS in_h
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, CAST(in_w AS INT) AS in_w, CAST(in_h AS INT) AS in_h,
+       CAST(in_w * 224 // GREATEST(in_w, in_h) AS INT) AS out_w,
+       CAST(in_h * 224 // GREATEST(in_w, in_h) AS INT) AS out_h
+FROM imgs
+"""
+
+
+@register("llm_multimodal_resize", oracle=_RESIZE_ORACLE)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    src = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            in_w, in_h, out_w, out_h = [], [], [], []
+            for payload in pdf.payload:
+                n = len(payload)
+                w, h = 16 + n % 64, 16 + (n // 7) % 64
+                long_side = max(w, h)
+                in_w.append(w)
+                in_h.append(h)
+                out_w.append(w * 224 // long_side)
+                out_h.append(h * 224 // long_side)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf.doc_id,
+                    "in_w": in_w,
+                    "in_h": in_h,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return src.mapInPandas(
+        resize_batches, "doc_id bigint, in_w int, in_h int, out_w int, out_h int"
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_multimodal_audio_window — audio feature extraction: each audio
+# document explodes to one row per 1-second analysis window (1→N inside the
+# Arrow batch, like framesample but on the audio branch).  Sample count and
+# per-window energy are the deterministic fake (octet_length arithmetic:
+# 16 kHz mono, 4 "samples" per payload byte), so the oracle reproduces the
+# windowing exactly.  Real deployment: soundfile.read + per-window RMS/FFT
+# in the batch loop.
+# --------------------------------------------------------------------------
+
+_AUDIO_WINDOW_ORACLE = """
+WITH auds AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) * 4 AS n_samples
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id,
+       CAST(t.w AS BIGINT) AS window_idx,
+       CAST(LEAST(16000, n_samples - t.w * 16000) AS BIGINT) AS n_window_samples,
+       CAST((n_samples * (t.w + 1)) % 1000 AS BIGINT) AS energy_milli
+FROM auds, UNNEST(range(0, CAST(CEIL(n_samples / 16000.0) AS BIGINT))) AS t(w)
+"""
+
+
+@register("llm_multimodal_audio_window", oracle=_AUDIO_WINDOW_ORACLE)
+def llm_multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    src = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rate = 16000  # 1-second windows at 16 kHz
+        for pdf in batches:
+            ids, idxs, counts, energies = [], [], [], []
+            for doc_id, payload in zip(pdf.doc_id, pdf.payload):
+                n_samples = len(payload) * 4
+                n_windows = -(-n_samples // rate)
+                for w in range(n_windows):
+                    ids.append(doc_id)
+                    idxs.append(w)
+                    counts.append(min(rate, n_samples - w * rate))
+                    energies.append((n_samples * (w + 1)) % 1000)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_idx": idxs,
+                    "n_window_samples": counts,
+                    "energy_milli": energies,
+                }
+            )
+
+    return src.mapInPandas(
+        window_batches,
+        "doc_id bigint, window_idx bigint, n_window_samples bigint, energy_milli bigint",
+    )

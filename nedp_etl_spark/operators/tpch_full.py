@@ -201,11 +201,17 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("ps_supplycost") * F.col("l_quantity")
     )
     return (
-        li.join(
+        # Broadcast the selective p_name filter FIRST: it cuts lineitem to
+        # ~the filter's part share before the expensive composite-key
+        # shuffle join against partsupp — the shuffle then carries only
+        # matching rows (join order is as-written for shuffle joins; CBO
+        # isn't on to reorder it for us).
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
             ps,
-            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+            (F.col("l_partkey") == ps.ps_partkey)
+            & (F.col("l_suppkey") == ps.ps_suppkey),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

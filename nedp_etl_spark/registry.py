@@ -73,7 +73,8 @@ _PRIORITY: list[str] = [
     "llm_semantic_lsh", "llm_quality_gopher", "llm_url_dedup",
     "llm_span_dedup", "llm_tokenizer_fertility", "llm_rag_retrieval",
     "llm_epoch_shuffle", "llm_chat_format", "llm_kmeans",
-    "llm_multimodal_framesample", "llm_multimodal_decode",
+    "llm_multimodal_framesample", "llm_multimodal_resize",
+    "llm_multimodal_audio_window", "llm_multimodal_decode",
     # --- time-series / analytics (unchecked block #3) ---
     "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",
     "ts_downsample", "ts_ohlc", "ts_ewma", "ts_retention_cohort",
