@@ -358,8 +358,6 @@ SELECT anchor_id, label, positive_id, cosine FROM s WHERE rn = 1
 
 @register("llm_contrastive_pairs", oracle=_CONTRASTIVE_ORACLE)
 def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     from nedp_etl_spark.llm.simsearch import _dot, _dvec
 
     emb = load(spark, sf_dir, "embeddings")
@@ -384,11 +382,23 @@ def llm_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a.label == b.b_label) & (a.anchor_id != b.positive_id))
         .select("anchor_id", "label", "positive_id", cos.alias("c"))
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.col("c").desc(), "positive_id")
+    # Rank-1 as a hash aggregate, not a sort window: max of
+    # struct(c, -positive_id) is exactly "ORDER BY c DESC, positive_id ASC
+    # LIMIT 1" per anchor, but aggregates partially map-side — the shuffle
+    # carries one candidate per (anchor, map partition) instead of every
+    # pair, and no per-anchor sort runs at all.
+    best = F.max(
+        F.struct(F.col("c"), (-F.col("positive_id")).alias("neg_id"))
+    ).alias("best")
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("anchor_id", "label", "positive_id", F.round("c", 6).alias("cosine"))
+        pairs.groupBy("anchor_id", "label")
+        .agg(best)
+        .select(
+            "anchor_id",
+            "label",
+            (-F.col("best.neg_id")).alias("positive_id"),
+            F.round("best.c", 6).alias("cosine"),
+        )
     )
 
 

@@ -347,9 +347,13 @@ def llm_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mh = hsh.select("doc_id", "sd", F.array(*[_minhash(i) for i in range(_N_HASHES)]).alias("m"))
     n_bands = _N_HASHES // _BAND_ROWS
+    # Band rows carry ONLY (doc_id, band, band_key): the shingle sets would
+    # otherwise be replicated ×n_bands through the explode and shuffled on
+    # both sides of the self-join — at corpus scale that dominates the
+    # shuffle.  The sets re-join by doc_id onto the deduped candidate pairs
+    # (one shuffle per side, proportional to candidates, not bands).
     bands = mh.select(
         "doc_id",
-        "sd",
         F.posexplode(
             F.array(
                 *[
@@ -359,13 +363,18 @@ def llm_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_key"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sa"), "band", "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sb"), "band", "band_key")
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = mh.select("doc_id", "sd")
+    cand = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sd").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sd").alias("sb")), "doc_b")
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size(F.array_union("sa", "sb"))
