@@ -564,3 +564,93 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_of",
         F.col("dup_of").isNull().alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_minhash_recall — dedup quality gate (the MinHash twin of
+# llm_ann_recall): for a deterministic probe subset, compute the TRUE
+# near-duplicate pairs by exact shingle Jaccard (>= 0.5), then measure what
+# fraction the banded MinHash-LSH candidate generation recovers.  This is
+# the measurement that justifies band/row parameters before a production
+# dedup run.  Scale shape: the probe set is tiny and broadcast, so ground
+# truth costs one map-side pass over the corpus (O(n x probes)); the LSH
+# side reuses the banded pipeline (O(n x similar)).  Integer-exact
+# threshold test (3*inter >= |a|+|b|  <=>  Jaccard >= 0.5) keeps the oracle
+# bit-identical.
+# --------------------------------------------------------------------------
+
+_MINHASH_RECALL_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+sh AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s
+  FROM corpus WHERE len(string_split(text,' ')) >= 3
+),
+probes AS (
+  SELECT doc_id AS p_id, s AS ps FROM sh
+  WHERE doc_id < 1000000 AND doc_id % 200 = 0
+),
+truth AS (
+  SELECT p.p_id, c.doc_id AS other
+  FROM probes p JOIN sh c ON c.doc_id <> p.p_id
+  WHERE 3 * len(list_filter(p.ps, x -> list_contains(c.s, x)))
+        >= len(p.ps) + len(c.s)
+),
+hsh AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS hs FROM sh),
+mh AS (SELECT doc_id, {_MINHASH_LIST_SQL} AS m FROM hsh),
+bands AS (
+  SELECT doc_id, CAST(t.j AS INT) AS band,
+         m[CAST(2*t.j + 1 AS INT)] || '|' || m[CAST(2*t.j + 2 AS INT)] AS band_key
+  FROM mh, range(0, {_N_HASHES // _BAND_ROWS}) t(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT t.p_id,
+       COUNT(*) AS n_true,
+       COUNT(c.doc_a) AS n_found,
+       ROUND(COUNT(c.doc_a) * 1.0 / COUNT(*), 6) AS recall
+FROM truth t
+LEFT JOIN cand c
+  ON c.doc_a = LEAST(t.p_id, t.other) AND c.doc_b = GREATEST(t.p_id, t.other)
+GROUP BY t.p_id
+"""
+
+
+@register("llm_minhash_recall", oracle=_MINHASH_RECALL_ORACLE)
+def llm_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = _aug_corpus(d)
+    tok = corpus.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    sets = tok.select(
+        "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("s")
+    )
+    probes = sets.filter(
+        (F.col("doc_id") < 1000000) & (F.col("doc_id") % 200 == 0)
+    ).select(F.col("doc_id").alias("p_id"), F.col("s").alias("ps"))
+    # Ground truth: one broadcast pass — every corpus doc against every
+    # probe, exact distinct-shingle Jaccard, integer threshold.
+    inter = F.size(F.array_intersect("ps", "s"))
+    truth = (
+        sets.join(F.broadcast(probes), F.col("doc_id") != F.col("p_id"))
+        .filter(3 * inter >= F.size("ps") + F.size("s"))
+        .select("p_id", F.col("doc_id").alias("other"))
+    )
+    cand = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        truth.join(
+            cand,
+            (cand.doc_a == F.least("p_id", "other"))
+            & (cand.doc_b == F.greatest("p_id", "other")),
+            "left",
+        )
+        .groupBy("p_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("doc_a").alias("n_found"),
+            F.round(F.count("doc_a") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )

@@ -61,7 +61,8 @@ _PRIORITY: list[str] = [
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # --- extended LLM curation family (unchecked block #2) ---
     "llm_dedup_lsh_verified", "llm_dedup_cluster_converged", "llm_dedup_embed",
-    "llm_sim_search_ivf", "llm_ann_recall", "llm_contamination",
+    "llm_sim_search_ivf", "llm_ann_recall", "llm_minhash_recall",
+    "llm_contamination",
     "llm_stratified_sample", "llm_repetition_filter", "llm_length_buckets",
     "llm_token_count", "llm_lang_id", "llm_quality_score", "llm_chunking",
     "llm_fingerprint", "llm_simhash",
