@@ -88,7 +88,8 @@ _PRIORITY: list[str] = [
     "join_hint_shuffle_hash", "join_bloom_prefilter",
     "scan_jsonl_nested", "scan_binaryfile", "scan_text_lines",
     "scan_python_datasource", "scan_orc", "scan_schema_evolution",
-    "sink_file_sizing", "sink_sorted_layout", "sink_observe_metrics",
+    "sink_file_sizing", "sink_sorted_layout", "sink_zorder",
+    "sink_observe_metrics",
     "sink_surrogate_keys", "sink_csv_roundtrip", "sink_cdc_apply",
     "sink_compaction",
     "dbt_model_dag", "dbt_incremental_dag", "dbt_source_freshness",
