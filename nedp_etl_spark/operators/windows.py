@@ -232,3 +232,44 @@ def win_frame_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
         F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias("sum_trailing_1h"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_rolling_median — exact rolling quantiles over a ROWS frame (the
+# anomaly-detection primitive: compare each point to its trailing window's
+# median/p90 instead of a mean that outliers drag).  Spark's PERCENTILE is
+# a true aggregate, so it runs over any window frame; DuckDB's
+# quantile_cont matches its linear interpolation exactly.  Scale: one
+# shuffle on the partition key; frame state is the 7-row buffer per
+# position — independent of corpus size.
+# --------------------------------------------------------------------------
+
+_WIN_ROLLING_MEDIAN_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  ROUND(quantile_cont(o_totalprice, 0.5) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_median7,
+  ROUND(quantile_cont(o_totalprice, 0.9) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_p90_7
+FROM orders
+"""
+
+
+@register("win_rolling_median", oracle=_WIN_ROLLING_MEDIAN_ORACLE)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percentile(price, 0.5).over(w), 6).alias("rolling_median7"),
+        F.round(F.percentile(price, 0.9).over(w), 6).alias("rolling_p90_7"),
+    )

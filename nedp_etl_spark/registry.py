@@ -80,7 +80,8 @@ _PRIORITY: list[str] = [
     "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",
     "ts_downsample", "ts_ohlc", "ts_ewma", "ts_retention_cohort",
     "ts_funnel", "ts_cusum", "ts_attribution", "ts_interpolate",
-    "win_count_distinct", "win_session_native", "agg_percentile_exact",
+    "win_count_distinct", "win_session_native", "win_rolling_median",
+    "agg_percentile_exact",
     "agg_weighted", "agg_regr", "agg_count_min", "agg_hll_mergeable",
     "agg_skew_twophase", "agg_ab_ztest", "graph_pagerank",
     # --- remaining unchecked ---

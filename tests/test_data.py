@@ -76,3 +76,20 @@ def test_events_loader_real_fixtures(spark, sf_dir):
     df = load(spark, sf_dir, "events")
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     assert df.limit(1).count() == 1
+
+
+def test_all_tables_consistent_across_scale_factors(spark):
+    """Cross-SF schema canary: every fixture table must load with an
+    identical schema at all three scale factors — the generalization of the
+    events-encoding lesson (a driver-side fixture regeneration should fail
+    HERE, not in the correctness gate)."""
+    import os
+
+    from nedp_etl_spark.data import TABLES, load
+
+    dirs = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                        "/root/testdata/sf0.1") if os.path.isdir(d)]
+    assert dirs, "no fixture dirs present"
+    for name in TABLES:
+        schemas = {d: load(spark, d, name).schema.simpleString() for d in dirs}
+        assert len(set(schemas.values())) == 1, (name, schemas)
