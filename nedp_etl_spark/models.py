@@ -49,6 +49,8 @@ class ModelGraph:
         self._mat: dict[str, str] = {}
         self._key: dict[str, Optional[str]] = {}
         self._version: dict[str, int] = {}
+        self._pre: dict[str, list[str]] = {}
+        self._post: dict[str, list[str]] = {}
 
     def add_model(
         self,
@@ -56,7 +58,13 @@ class ModelGraph:
         sql: str,
         materialization: str = "view",
         unique_key: Optional[str] = None,
+        pre_hook: Optional[list[str]] = None,
+        post_hook: Optional[list[str]] = None,
     ) -> None:
+        """``pre_hook``/``post_hook``: SQL statements run around the model's
+        materialization (dbt's per-model hooks); ``{{ this }}`` in a hook
+        resolves to the materialized model's view name — the dbt audit
+        pattern (`INSERT INTO audit SELECT ... FROM {{ this }}`)."""
         if name in self._sql:
             raise ValueError(f"duplicate model: {name}")
         if materialization not in ("view", "table", "ephemeral", "incremental"):
@@ -64,6 +72,8 @@ class ModelGraph:
         self._sql[name] = sql
         self._mat[name] = materialization
         self._key[name] = unique_key
+        self._pre[name] = list(pre_hook or [])
+        self._post[name] = list(post_hook or [])
 
     def refs(self, name: str) -> list[str]:
         return sorted(set(_REF_RE.findall(self._sql[name])))
@@ -114,6 +124,8 @@ class ModelGraph:
         spark: SparkSession,
         select: Optional[list[str]] = None,
         table_dir: Optional[str] = None,
+        on_run_start: Optional[list[str]] = None,
+        on_run_end: Optional[list[str]] = None,
     ) -> dict[str, DataFrame]:
         """Materialize models in dependency order; returns name → DataFrame.
 
@@ -124,9 +136,17 @@ class ModelGraph:
         their first run and merge the ``is_incremental()``-guarded slice on
         later runs (both require ``table_dir``).  Call ``run`` again on the
         same graph to advance incremental state one batch.
+
+        ``on_run_start``/``on_run_end`` are run-level hook SQL statements
+        (dbt's project hooks); per-model ``pre_hook``/``post_hook`` run
+        around each materialization with ``{{ this }}`` resolved.
         """
+        for stmt in on_run_start or []:
+            spark.sql(stmt)
         results: dict[str, DataFrame] = {}
         for name in self.topo_order(select):
+            for stmt in self._pre.get(name, []):
+                spark.sql(_THIS_RE.sub(name, stmt))
             if self._mat[name] == "incremental":
                 df = self._run_incremental(spark, name, table_dir)
             else:
@@ -139,7 +159,11 @@ class ModelGraph:
                     df.write.mode("overwrite").parquet(path)
                     df = spark.read.parquet(path)
             df.createOrReplaceTempView(name)
+            for stmt in self._post.get(name, []):
+                spark.sql(_THIS_RE.sub(name, stmt))
             results[name] = df
+        for stmt in on_run_end or []:
+            spark.sql(stmt)
         return results
 
     def _run_incremental(

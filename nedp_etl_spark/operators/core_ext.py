@@ -12,6 +12,8 @@ batch touches instead of the whole table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -828,3 +830,68 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
         F.round(F.col("max_n") * 1.0 / F.col("avg_n"), 6).alias("skew_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# dbt_run_hooks — dbt's hook surface: per-model post-hooks append (model,
+# row count) rows to a warehouse audit table, bracketed by
+# on-run-start/on-run-end project hooks (DDL + run marker) — the canonical
+# dbt audit pattern ("INSERT INTO audit SELECT ... FROM {{ this }}").
+# Hooks are plain Spark SQL against the session catalog, so the audit table
+# is a real parquet-backed table, not a temp view.  Scale: hooks add one
+# tiny aggregate job per model; the DAG's own plans are untouched.
+# Reference parity: dbt pre/post/on-run hooks ride the same `dbt run` the
+# reference delegates (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_RUN_HOOKS_ORACLE = """
+SELECT 'run_end' AS model, CAST(2 AS BIGINT) AS n_rows
+UNION ALL
+SELECT 'rpt_priority', CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+FROM orders WHERE o_totalprice > 100000
+UNION ALL
+SELECT 'stg_big_orders', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_totalprice > 100000
+"""
+
+
+@register("dbt_run_hooks", oracle=_RUN_HOOKS_ORACLE)
+def dbt_run_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.data import views
+    from nedp_etl_spark.models import ModelGraph
+
+    views(spark, sf_dir, "orders")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    audit = f"nedp_audit_{sf_tag}"
+
+    g = ModelGraph()
+    g.add_model(
+        "stg_big_orders",
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+        "WHERE o_totalprice > 100000",
+        post_hook=[
+            f"INSERT INTO {audit} "
+            "SELECT 'stg_big_orders', COUNT(*) FROM {{ this }}"
+        ],
+    )
+    g.add_model(
+        "rpt_priority",
+        "SELECT o_orderpriority, COUNT(*) AS n "
+        "FROM {{ ref('stg_big_orders') }} GROUP BY o_orderpriority",
+        post_hook=[
+            f"INSERT INTO {audit} "
+            "SELECT 'rpt_priority', COUNT(*) FROM {{ this }}"
+        ],
+    )
+    g.run(
+        spark,
+        on_run_start=[
+            f"DROP TABLE IF EXISTS {audit}",
+            f"CREATE TABLE {audit} (model STRING, n_rows BIGINT) USING PARQUET",
+        ],
+        on_run_end=[
+            f"INSERT INTO {audit} "
+            f"SELECT 'run_end', COUNT(*) FROM (SELECT model FROM {audit} GROUP BY model)"
+        ],
+    )
+    return spark.table(audit).select("model", "n_rows")

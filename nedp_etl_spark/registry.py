@@ -94,7 +94,7 @@ _PRIORITY: list[str] = [
     "sink_surrogate_keys", "sink_csv_roundtrip", "sink_cdc_apply",
     "sink_compaction",
     "dbt_model_dag", "dbt_incremental_dag", "dbt_source_freshness",
-    "dbt_catalog",
+    "dbt_catalog", "dbt_run_hooks",
     "profile_table", "profile_skew", "udtf_native",
     "fn_collate", "fn_xml", "sql_pipe_syntax",
     "cte_chain", "cte_recursive",
