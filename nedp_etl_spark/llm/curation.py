@@ -559,3 +559,75 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_temperature_sample — temperature-scaled source mixing (the mT5/XLM-R
+# multilingual recipe): sample languages with probability proportional to
+# p^alpha (alpha = 0.5 here), flattening the head without fully equalizing.
+# Keep-rate r_i = min(1, q_i * total / n_i) with q_i = sqrt(n_i)/SUM sqrt(n_j);
+# upsampling beyond rate 1 is epoch replication, out of scope for a filter.
+# Determinism across engines: sqrt is IEEE-correctly-rounded, but a SUM of
+# doubles is order-sensitive — so sqrt(n) is quantized to integer micros
+# and summed as BIGINTs (order-independent, exact), and the rate is one
+# double division of exact integer products.  Same deterministic-hash
+# uniform as the other samplers: no RNG, re-runs keep identical rows.
+# Scale: two O(#langs) aggregates broadcast onto one map-side filter pass.
+# --------------------------------------------------------------------------
+
+_TEMPERATURE_SAMPLE_ORACLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(FLOOR(sqrt(COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS smicros
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n) AS total, SUM(smicros) AS denom FROM counts),
+rates AS (
+  SELECT c.lang,
+         LEAST(1.0, CAST(c.smicros * t.total AS DOUBLE)
+                    / CAST(t.denom * c.n AS DOUBLE)) AS rate
+  FROM counts c, tot t
+),
+h AS (
+  SELECT d.doc_id, d.lang, r.rate,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents d JOIN rates r ON d.lang = r.lang
+)
+SELECT doc_id, lang, ROUND(rate, 6) AS rate
+FROM h WHERE u < rate
+"""
+
+
+@register("llm_temperature_sample", oracle=_TEMPERATURE_SAMPLE_ORACLE)
+def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sqrt(F.count(F.lit(1))) * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("smicros"),
+    )
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.sum("smicros").alias("denom")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("smicros") * F.col("total")).cast("double")
+            / (F.col("denom") * F.col("n")).cast("double"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.join(F.broadcast(rates), on="lang")
+        .select("doc_id", "lang", F.round("rate", 6).alias("rate"), u.alias("u"))
+        .filter(F.col("u") < F.col("rate"))
+        .drop("u")
+        .select("doc_id", "lang", "rate")
+    )

@@ -69,7 +69,8 @@ _PRIORITY: list[str] = [
     "llm_pii_scrub", "llm_seq_packing", "llm_ngram_jaccard",
     "llm_dedup_cluster", "llm_dedup_keep_best", "llm_filter_pipeline",
     "llm_dataset_split", "llm_tfidf", "llm_bm25", "llm_cross_dedup",
-    "llm_source_rebalance", "llm_contrastive_pairs", "llm_ngram_topk",
+    "llm_source_rebalance", "llm_temperature_sample",
+    "llm_contrastive_pairs", "llm_ngram_topk",
     "llm_unigram_logprob", "llm_bigram_logprob", "llm_embed_norm",
     "llm_semantic_lsh", "llm_quality_gopher", "llm_url_dedup",
     "llm_span_dedup", "llm_tokenizer_fertility", "llm_rag_retrieval",
