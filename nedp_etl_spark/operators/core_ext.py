@@ -864,6 +864,18 @@ def dbt_run_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     audit = f"nedp_audit_{sf_tag}"
 
+    # The in-memory catalog forgets tables across sessions but the managed
+    # location survives on disk; CREATE TABLE then fails with
+    # LOCATION_ALREADY_EXISTS.  If the catalog doesn't know the table,
+    # clear any stale location first (on a real metastore this never fires).
+    if not spark.catalog.tableExists(audit):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh_path = urlparse(wh).path or wh
+        shutil.rmtree(os.path.join(wh_path, audit), ignore_errors=True)
+
     g = ModelGraph()
     g.add_model(
         "stg_big_orders",
