@@ -117,3 +117,50 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+# --------------------------------------------------------------------------
+# graph_triangle_count — triangle counting over the near-duplicate pair
+# graph (the density diagnostic for dedup clusters: triangle-rich
+# components are true duplicate groups, triangle-free stars are often
+# band-collision noise).  Edges are oriented low-id → high-id, so each
+# triangle a<b<c is counted exactly once by the standard compact-forward
+# join: (a,b)⋈(b,c) then close with (a,c).  Scale: both joins are
+# equi-joins on node ids (shuffle by id); orientation bounds the join
+# fan-out by each node's forward-degree — the classic trick that keeps
+# distributed triangle counting feasible on power-law graphs.
+# --------------------------------------------------------------------------
+
+from nedp_etl_spark.llm.dedup import _CC_EDGES_SQL as _PAIR_EDGES_SQL
+
+_TRIANGLE_ORACLE = f"""
+WITH {_PAIR_EDGES_SQL}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+       ) AS n_triangles
+FROM pairs
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.llm.dedup import llm_dedup_near
+
+    pairs = (
+        llm_dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # iterately re-joined; freeze the LSH lineage
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    wedges = e1.join(e2, e1.b == e2.b2)
+    tris = wedges.join(
+        e3, (wedges.a == e3.a3) & (wedges.c == e3.c3)
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -573,3 +573,68 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("interpolated"),
         F.round(interp, 6).alias("value"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_seasonal_decompose — additive day-of-week decomposition: daily totals
+# split into a weekly seasonal component (day-of-week mean) and a residual
+# (the anomaly signal after seasonality removal).  Determinism: daily
+# totals are dsum-stable doubles quantized to integer micros, the seasonal
+# mean is SUM(long)/COUNT — one double division of exact integers — so both
+# engines produce bit-identical components.  Day-of-week comes from
+# epoch-day arithmetic (datediff from a known Monday, mod 7), avoiding
+# engine-specific dayofweek() numbering.  Scale: two tiny aggregates over
+# the daily grain (O(days), already reduced map-side from raw events).
+# --------------------------------------------------------------------------
+
+_TS_SEASONAL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, {osum('value')} AS total
+  FROM events GROUP BY 1
+),
+q AS (
+  SELECT day, total,
+         CAST(date_diff('day', DATE '1970-01-05', day) % 7 AS INT) AS dow,
+         CAST(FLOOR(total * 1000000.0 + 0.5) AS BIGINT) AS tmicros
+  FROM daily
+),
+seas AS (
+  SELECT dow,
+         CAST(SUM(tmicros) AS DOUBLE) / COUNT(*) AS mean_micros
+  FROM q GROUP BY dow
+)
+SELECT q.day, q.dow,
+       ROUND(q.total, 6) AS daily_total,
+       ROUND(s.mean_micros / 1000000.0, 6) AS seasonal,
+       ROUND((CAST(q.tmicros AS DOUBLE) - s.mean_micros) / 1000000.0, 6)
+         AS residual
+FROM q JOIN seas s ON q.dow = s.dow
+"""
+
+
+@register("ts_seasonal_decompose", oracle=_TS_SEASONAL_ORACLE)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value").alias("total")
+    )
+    q = daily.select(
+        "day",
+        "total",
+        (F.datediff("day", F.lit("1970-01-05").cast("date")) % 7)
+        .cast("int")
+        .alias("dow"),
+        F.floor(F.col("total") * 1000000.0 + 0.5).cast("long").alias("tmicros"),
+    )
+    seas = q.groupBy("dow").agg(
+        (F.sum("tmicros").cast("double") / F.count(F.lit(1))).alias("mean_micros")
+    )
+    return q.join(F.broadcast(seas), "dow").select(
+        "day",
+        "dow",
+        F.round("total", 6).alias("daily_total"),
+        F.round(F.col("mean_micros") / 1000000.0, 6).alias("seasonal"),
+        F.round(
+            (F.col("tmicros").cast("double") - F.col("mean_micros")) / 1000000.0, 6
+        ).alias("residual"),
+    )

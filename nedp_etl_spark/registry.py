@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "agg_percentile_exact",
     "agg_weighted", "agg_regr", "agg_count_min", "agg_hll_mergeable",
     "agg_skew_twophase", "agg_ab_ztest", "graph_pagerank",
+    "graph_triangle_count", "ts_seasonal_decompose",
     # --- remaining unchecked ---
     "join_skew_salted", "join_range_binned", "join_asof_fwd_tol",
     "join_hint_shuffle_hash", "join_bloom_prefilter",

@@ -217,6 +217,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_temperature_sample",  # 1-row total/denom broadcast (O(#langs))
                    "profile_skew",  # 1-row totals broadcast onto top-10 rows
                    "scan_csv_malformed",  # 1-row × 1-row count crossJoin
+                   "graph_triangle_count",  # 1-row × 1-row count crossJoin
                    "tpch_q22",  # 1-row AVG-threshold broadcast (O(n))
                    "tpch_q11"}  # 1-row total/nparts broadcast (O(#parts))
 
