@@ -785,3 +785,38 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum("price_cents").cast("double") / 100).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# sink_parquet_bloom — point-lookup layout: write with a parquet BLOOM
+# FILTER on the lookup key (parquet.bloom.filter.enabled#col) plus
+# dictionary fallback disabled for the key so the bloom filter is actually
+# consulted, then point-probe a key set on the read-back.  Min/max stats
+# only help range-clustered columns; bloom filters are the skipping
+# mechanism for HIGH-CARDINALITY EQUALITY probes (order ids, content
+# hashes) on columns the file is NOT sorted by — at 100 TB a 1%-fpp bloom
+# per row group turns a full-table point lookup into a handful of row-group
+# reads.  The probe results are exact-checked against the base table.
+# --------------------------------------------------------------------------
+
+_SINK_BLOOM_ORACLE = """
+SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 6) AS o_totalprice
+FROM orders WHERE o_orderkey % 1000 = 7
+"""
+
+
+@register("sink_parquet_bloom", oracle=_SINK_BLOOM_ORACLE)
+def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("sink_parquet_bloom", sf_dir)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 6).alias("o_totalprice")
+    )
+    (
+        o.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+        .option("parquet.enable.dictionary#o_orderkey", "false")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.filter(F.col("o_orderkey") % 1000 == 7)

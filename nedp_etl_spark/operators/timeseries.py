@@ -638,3 +638,92 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tmicros").cast("double") - F.col("mean_micros")) / 1000000.0, 6
         ).alias("residual"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_forecast_linear — per-key ordinary-least-squares trend + forecast:
+# daily totals per event_type regressed on the day index, then extrapolated
+# 7 days past the observed window (the capacity-planning primitive).
+# Determinism: y is quantized to integer micros and x is the integer day
+# index, so the OLS sums (Σx, Σy, Σxy, Σx²) are EXACT longs aggregated
+# order-independently; slope/intercept are single double divisions of
+# exact integers — bit-identical in both engines (regr_slope over raw
+# doubles would be partition-order-sensitive).  Scale: one daily rollup
+# (map-side partial) + one O(keys) aggregate.
+# --------------------------------------------------------------------------
+
+_TS_FORECAST_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(FLOOR(({osum('value')}) * 1000000.0 + 0.5) AS BIGINT) AS ymicros
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(x) AS sx, SUM(ymicros) AS sy,
+         SUM(x * ymicros) AS sxy, SUM(x * x) AS sxx,
+         MAX(x) AS last_x
+  FROM daily GROUP BY event_type
+),
+fit AS (
+  SELECT event_type, n, last_x,
+         (CAST(n * sxy - sx * sy AS DOUBLE))
+           / (CAST(n * sxx - sx * sx AS DOUBLE)) AS slope_micros,
+         (CAST(sy AS DOUBLE)
+           - (CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS icpt_micros
+  FROM s
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       ROUND(slope_micros / 1000000.0, 6) AS slope_per_day,
+       ROUND(icpt_micros / 1000000.0, 6) AS intercept,
+       ROUND((icpt_micros + slope_micros * (last_x + 7)) / 1000000.0, 6)
+         AS forecast_7d
+FROM fit
+"""
+
+
+@register("ts_forecast_linear", oracle=_TS_FORECAST_ORACLE)
+def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"),
+    ).agg(
+        F.floor(dsum("value") * 1000000.0 + 0.5).cast("long").alias("ymicros")
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("ymicros").alias("sy"),
+        F.sum(F.col("x") * F.col("ymicros")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("last_x"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    fit = s.select(
+        "event_type", "n", "last_x",
+        slope.alias("slope_micros"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("icpt_micros"),
+    )
+    return fit.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("slope_micros") / 1000000.0, 6).alias("slope_per_day"),
+        F.round(F.col("icpt_micros") / 1000000.0, 6).alias("intercept"),
+        F.round(
+            (F.col("icpt_micros") + F.col("slope_micros") * (F.col("last_x") + 7))
+            / 1000000.0,
+            6,
+        ).alias("forecast_7d"),
+    )

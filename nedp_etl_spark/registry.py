@@ -85,13 +85,14 @@ _PRIORITY: list[str] = [
     "agg_percentile_exact",
     "agg_weighted", "agg_regr", "agg_count_min", "agg_hll_mergeable",
     "agg_skew_twophase", "agg_ab_ztest", "graph_pagerank",
-    "graph_triangle_count", "ts_seasonal_decompose",
+    "graph_triangle_count", "ts_seasonal_decompose", "ts_forecast_linear",
     # --- remaining unchecked ---
     "join_skew_salted", "join_range_binned", "join_asof_fwd_tol",
     "join_hint_shuffle_hash", "join_bloom_prefilter",
     "scan_jsonl_nested", "scan_binaryfile", "scan_text_lines",
     "scan_python_datasource", "scan_orc", "scan_schema_evolution",
     "sink_file_sizing", "sink_sorted_layout", "sink_zorder",
+    "sink_parquet_bloom",
     "sink_observe_metrics",
     "sink_surrogate_keys", "sink_csv_roundtrip", "sink_cdc_apply",
     "sink_compaction",
