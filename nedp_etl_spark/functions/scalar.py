@@ -236,3 +236,58 @@ def fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("int").alias("bad_int"),
         q.cast("string").try_cast("double").alias("qty_again"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_try_safe — ANSI-mode error-safe arithmetic: try_divide/try_add/
+# try_multiply return NULL instead of raising on division-by-zero and
+# overflow (the ingestion posture for dirty numeric data — a single bad row
+# must not kill a 100 TB job).  The oracle reproduces the NULL semantics
+# with explicit guards; overflow probes use BIGINT bounds that genuinely
+# overflow int64.
+# --------------------------------------------------------------------------
+
+_FN_TRY_SAFE_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CASE WHEN (CAST(l_quantity AS BIGINT) % 5) = 0 THEN NULL
+       ELSE ROUND(l_extendedprice / (CAST(l_quantity AS BIGINT) % 5), 6)
+  END AS price_per_bucket,
+  CASE WHEN CAST(l_quantity AS BIGINT) = 0 THEN NULL
+       ELSE CAST(FLOOR(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                       / CAST(l_quantity AS BIGINT)) AS BIGINT)
+  END AS int_div,
+  CASE WHEN l_orderkey * 7 > 10 THEN NULL
+       ELSE (9223372036854775807 - 10) + l_orderkey * 7
+  END AS near_overflow_add
+FROM lineitem
+WHERE l_orderkey < 100
+"""
+
+
+@register("fn_try_safe", oracle=_FN_TRY_SAFE_ORACLE)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    qb = F.col("l_quantity").cast("bigint") % 5
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), qb), 6).alias(
+            "price_per_bucket"
+        ),
+        # floor() before the divide on BOTH sides: DuckDB rounds
+        # double->bigint casts while Spark truncates, so only an explicit
+        # floor is engine-neutral.
+        F.floor(
+            F.try_divide(
+                F.floor("l_extendedprice").cast("bigint"),
+                F.col("l_quantity").cast("bigint"),
+            )
+        ).cast("bigint").alias("int_div"),
+        # try_add returns NULL on int64 overflow; keys 1..2 stay in range,
+        # larger keys overflow (lit is max_long - 10).
+        F.try_add(
+            F.lit(9223372036854775807 - 10), F.col("l_orderkey") * 7
+        ).alias("near_overflow_add"),
+    )

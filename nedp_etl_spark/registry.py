@@ -99,7 +99,7 @@ _PRIORITY: list[str] = [
     "dbt_model_dag", "dbt_incremental_dag", "dbt_source_freshness",
     "dbt_catalog", "dbt_run_hooks",
     "profile_table", "profile_skew", "udtf_native",
-    "fn_collate", "fn_xml", "sql_pipe_syntax",
+    "fn_collate", "fn_xml", "fn_try_safe", "sql_pipe_syntax",
     "cte_chain", "cte_recursive",
     "stream_static_join", "stream_stream_join", "stream_custom_state",
     "stream_rate_source",
