@@ -654,3 +654,53 @@ def llm_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("doc_a") / F.count(F.lit(1)), 6).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_winnowing — positional winnowing fingerprints (Schleimer et al.,
+# SIGMOD 2003, the MOSS algorithm): slide a window of w consecutive shingle
+# hashes and keep each window's minimum.  Unlike the bottom-k sketch
+# (llm_fingerprint), winnowing GUARANTEES any shared substring of length
+# >= w+k-1 tokens contributes a common fingerprint — the property span-level
+# plagiarism/dedup needs.  Map-side only (array ops inside codegen, one
+# explode); the only shuffle is the per-doc count aggregate.  w=4, k=3.
+# --------------------------------------------------------------------------
+
+_WINNOW_W = 4
+
+_WINNOWING_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, list_transform({_SHINGLES_SQL}, x -> md5(x)) AS hs
+  FROM documents WHERE len(string_split(text,' ')) >= {2 + _WINNOW_W}
+),
+wins AS (
+  SELECT doc_id,
+         UNNEST([list_min(hs[i:i+{_WINNOW_W - 1}])
+                 FOR i IN range(1, len(hs) - {_WINNOW_W} + 2)]) AS fp
+  FROM sh
+)
+SELECT doc_id, fp, COUNT(*) AS n_windows
+FROM wins GROUP BY doc_id, fp
+"""
+
+
+@register("llm_winnowing", oracle=_WINNOWING_ORACLE)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # Need at least w shingles = w+2 tokens for one full window.
+    tok = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2 + _WINNOW_W
+    )
+    hs = tok.select(
+        "doc_id", F.transform(_shingles(F.col("toks")), F.md5).alias("hs")
+    )
+    wins = hs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("hs") - _WINNOW_W + 1),
+                lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+            )
+        ).alias("fp"),
+    )
+    return wins.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("n_windows"))

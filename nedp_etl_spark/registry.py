@@ -65,7 +65,7 @@ _PRIORITY: list[str] = [
     "llm_contamination",
     "llm_stratified_sample", "llm_repetition_filter", "llm_length_buckets",
     "llm_token_count", "llm_lang_id", "llm_quality_score", "llm_chunking",
-    "llm_fingerprint", "llm_simhash",
+    "llm_fingerprint", "llm_winnowing", "llm_simhash",
     "llm_pii_scrub", "llm_seq_packing", "llm_ngram_jaccard",
     "llm_dedup_cluster", "llm_dedup_keep_best", "llm_filter_pipeline",
     "llm_dataset_split", "llm_tfidf", "llm_bm25", "llm_cross_dedup",
