@@ -533,3 +533,75 @@ def join_asof_fwd_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("gap_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_spatial_grid — proximity (within-radius) join via grid bucketing:
+# the 2-D analogue of join_range_binned.  Coordinates are quantized to a
+# grid of cell size = radius r, the SMALL side (centers) explodes to its
+# 3x3 cell neighbourhood, and the join is a plain equi-join on the cell id
+# with the exact distance predicate as a residual filter — complete by
+# construction (any point within r of a center lies in the center's 3x3
+# neighbourhood when cell >= r), and never a nested loop.  At 100 TB both
+# sides shuffle by cell id (AQE-skew-splittable); the 9x explode happens on
+# the small side only.  Coordinates here are synthesized deterministically
+# from the keys (no geo columns in the fixtures); distances are integer
+# arithmetic, so the all-pairs DuckDB oracle is bit-exact.
+# --------------------------------------------------------------------------
+
+_SPATIAL_R = 5
+
+_JOIN_SPATIAL_ORACLE = f"""
+SELECT c.c_custkey, s.s_suppkey,
+       CAST(((c.c_custkey * 13) % 100 - (s.s_suppkey * 37) % 100)
+            * ((c.c_custkey * 13) % 100 - (s.s_suppkey * 37) % 100)
+            + ((c.c_custkey * 29) % 100 - (s.s_suppkey * 73) % 100)
+            * ((c.c_custkey * 29) % 100 - (s.s_suppkey * 73) % 100)
+            AS BIGINT) AS d2
+FROM customer c, supplier s
+WHERE ((c.c_custkey * 13) % 100 - (s.s_suppkey * 37) % 100)
+      * ((c.c_custkey * 13) % 100 - (s.s_suppkey * 37) % 100)
+      + ((c.c_custkey * 29) % 100 - (s.s_suppkey * 73) % 100)
+      * ((c.c_custkey * 29) % 100 - (s.s_suppkey * 73) % 100)
+      <= {_SPATIAL_R * _SPATIAL_R}
+"""
+
+
+@register("join_spatial_grid", oracle=_JOIN_SPATIAL_ORACLE)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _SPATIAL_R
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 13) % 100).alias("px"),
+        ((F.col("c_custkey") * 29) % 100).alias("py"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 37) % 100).alias("sx"),
+        ((F.col("s_suppkey") * 73) % 100).alias("sy"),
+    )
+    pts = c.select(
+        "c_custkey", "px", "py",
+        F.concat_ws(":", (F.col("px") / r).cast("int"), (F.col("py") / r).cast("int")).alias("cell"),
+    )
+    # centers explode to the 3x3 neighbourhood (small side only)
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    cells = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                ((F.col("sx") / r).cast("int") + dx),
+                ((F.col("sy") / r).cast("int") + dy),
+            )
+            for dx, dy in offsets
+        ]
+    )
+    ctr = s.select("s_suppkey", "sx", "sy", F.explode(cells).alias("cell"))
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    return (
+        pts.join(ctr, "cell")
+        .filter(d2 <= r * r)
+        .select("c_custkey", "s_suppkey", d2.cast("bigint").alias("d2"))
+    )

@@ -87,7 +87,8 @@ _PRIORITY: list[str] = [
     "agg_skew_twophase", "agg_ab_ztest", "graph_pagerank",
     "graph_triangle_count", "ts_seasonal_decompose", "ts_forecast_linear",
     # --- remaining unchecked ---
-    "join_skew_salted", "join_range_binned", "join_asof_fwd_tol",
+    "join_skew_salted", "join_range_binned", "join_spatial_grid",
+    "join_asof_fwd_tol",
     "join_hint_shuffle_hash", "join_bloom_prefilter",
     "scan_jsonl_nested", "scan_binaryfile", "scan_text_lines",
     "scan_python_datasource", "scan_orc", "scan_schema_evolution",
