@@ -605,3 +605,72 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d2 <= r * r)
         .select("c_custkey", "s_suppkey", d2.cast("bigint").alias("d2"))
     )
+
+
+# --------------------------------------------------------------------------
+# join_asof_nearest — nearest-in-time match in EITHER direction within a
+# tolerance (completes the as-of family: join_asof = backward,
+# join_asof_fwd_tol = forward+tolerance).  Equi key (user) keeps it a plain
+# shuffled join; the rank-1 selection is a hash aggregate
+# min(struct(|Δt|, ts, id)) — partial map-side, no per-key sort (same
+# pattern as llm_contrastive_pairs).  Time deltas are integer epoch-micros,
+# so ordering and tie-breaks (earlier click, lower id) are engine-exact.
+# --------------------------------------------------------------------------
+
+_JOIN_ASOF_NEAREST_ORACLE = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     cand AS (
+       SELECT p.event_id AS purchase_id, p.user_id,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+              c.event_id AS click_id,
+              ABS(epoch_us(p.ts) - epoch_us(c.ts)) AS adiff,
+              epoch_us(c.ts) AS c_us
+       FROM p JOIN c ON p.user_id = c.user_id
+       WHERE ABS(epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000
+     )
+SELECT purchase_id, user_id, purchase_ts,
+       CAST((MIN(struct_pack(adiff := adiff, c_us := c_us, click_id := click_id))).click_id AS BIGINT) AS click_id,
+       CAST((MIN(struct_pack(adiff := adiff, c_us := c_us, click_id := click_id))).adiff AS BIGINT) AS abs_us
+FROM cand GROUP BY purchase_id, user_id, purchase_ts
+"""
+
+
+@register("join_asof_nearest", oracle=_JOIN_ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    adiff = F.abs(F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+    cand = (
+        p.join(c, p.user_id == c.c_user)
+        .filter(adiff <= 3600 * 1_000_000)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            "click_id",
+            adiff.alias("adiff"),
+            F.unix_micros("c_ts").alias("c_us"),
+        )
+    )
+    best = F.min(F.struct("adiff", "c_us", "click_id")).alias("best")
+    return (
+        cand.groupBy("purchase_id", "user_id", "purchase_ts")
+        .agg(best)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            F.col("best.click_id").alias("click_id"),
+            F.col("best.adiff").alias("abs_us"),
+        )
+    )

@@ -88,7 +88,7 @@ _PRIORITY: list[str] = [
     "graph_triangle_count", "ts_seasonal_decompose", "ts_forecast_linear",
     # --- remaining unchecked ---
     "join_skew_salted", "join_range_binned", "join_spatial_grid",
-    "join_asof_fwd_tol",
+    "join_asof_fwd_tol", "join_asof_nearest",
     "join_hint_shuffle_hash", "join_bloom_prefilter",
     "scan_jsonl_nested", "scan_binaryfile", "scan_text_lines",
     "scan_python_datasource", "scan_orc", "scan_schema_evolution",
