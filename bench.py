@@ -1,12 +1,14 @@
 """Benchmark harness — runs the full registered query suite and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "errors": {name: msg}, "sf": sf}.
+COMPACT JSON line (<=1 KB): {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {only the 5 slowest}, "n_queries": N, "n_errors": N,
+"sf": sf}.  The FULL per-query map lives in BENCH_LATEST.json.
 
-Robust-capture posture (BENCH_r01 came back `parsed: null` with a truncated
-tail): stdout carries NOTHING but the single JSON summary line; per-query
-progress goes to stderr only when SPARK_GRAFT_BENCH_VERBOSE=1; and the same
-summary is re-written to BENCH_LATEST.json after EVERY query, so even a
-timeout-killed run leaves a complete, parseable partial result on disk.
+Robust-capture posture (BENCH_r01–r03 all came back `parsed: null`: the
+driver captures only a ~2 KB stdout tail, so a 229-key inline map can never
+parse): stdout carries NOTHING but the single compact summary line, written
+LAST; per-query progress goes to stderr only when SPARK_GRAFT_BENCH_VERBOSE=1;
+and the full summary is re-written to BENCH_LATEST.json after EVERY query, so
+even a timeout-killed run leaves a complete, parseable partial result on disk.
 
 Failing queries are recorded in "errors" and EXCLUDED from "queries"/total —
 a 0.16 s analysis failure must not masquerade as a 0.16 s query (the r02
@@ -73,17 +75,26 @@ def main() -> None:
     errors: dict[str, str] = {}
     total = 0.0
 
-    def summary() -> str:
-        return json.dumps(
-            {
-                "metric": "suite_total_wall_clock",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": sf,
-            }
-        )
+    def summary(compact: bool = False) -> str:
+        # compact=True: the <=1KB stdout line — totals + 5 slowest only.
+        # The driver only captures a ~2KB stdout tail; the full 229-key map
+        # (~6KB) lives in BENCH_LATEST.json via compact=False.
+        qmap = timings
+        if compact:
+            slowest = sorted(timings, key=timings.get, reverse=True)[:5]
+            qmap = {k: timings[k] for k in slowest}
+        out = {
+            "metric": "suite_total_wall_clock",
+            "value": round(total, 4),
+            "unit": "sec",
+            "queries": qmap,
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "sf": sf,
+        }
+        if not compact:
+            out["errors"] = errors
+        return json.dumps(out, separators=(",", ":"))
 
     def checkpoint() -> None:
         tmp = latest + ".tmp"
@@ -107,8 +118,10 @@ def main() -> None:
             print(f"# {name}: FAILED after {dt:.3f}s: {exc}", file=sys.stderr)
         checkpoint()
 
-    print(summary())
     spark.stop()
+    # The LAST stdout write, after spark.stop(), so no JVM shutdown chatter
+    # can land after it in the driver's captured tail.
+    print(summary(compact=True), flush=True)
 
 
 if __name__ == "__main__":

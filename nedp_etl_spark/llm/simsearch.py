@@ -602,13 +602,6 @@ FROM {last}
 _KMEANS_ORACLE = _kmeans_oracle()
 
 
-def _sqdist(v: Column, centroid: list[float]) -> Column:
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, x: s + x
-    )
-
-
 @register("llm_kmeans", oracle=_KMEANS_ORACLE)
 def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd iterations, centroids driver-resident (k·d values — the one
@@ -617,16 +610,49 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("v"))
 
     def assign(centroids: list[tuple[int, list[float]]]) -> DataFrame:
-        # map-side only: distance array against literal centroids, argmin by
-        # first-match of the min (= lowest cid on rounded ties).
-        darr = F.array(*[F.round(F.sqrt(_sqdist(F.col("v"), c)), 6) for _, c in centroids])
-        cids = F.array(*[F.lit(cid) for cid, _ in centroids])
-        idx = F.array_position(darr, F.array_min(darr)).cast("int")
-        return emb.select(
-            "vec_id",
-            "v",
-            F.element_at(cids, idx).alias("cluster"),
-            F.element_at(darr, idx).alias("dist"),
+        # Map-side only, and plan size independent of K·dim: the centroids
+        # travel as DATA in a broadcast single-row array<struct<cid,c>>, not
+        # as K×dim literals inlined into the plan (the literal form bloats
+        # codegen/plan size at production K — IVF lists are 4k–64k; round-3
+        # verdict).  Argmin via array_min over struct(dist, cid): lexicographic
+        # struct ordering = lowest rounded distance, then lowest cid on ties —
+        # the oracle's ROW_NUMBER tie-break exactly.
+        cdf = spark.createDataFrame(
+            [(int(cid), [float(x) for x in c]) for cid, c in centroids],
+            "cid INT, c ARRAY<DOUBLE>",
+        )
+        cents = cdf.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda x: F.struct(
+                    F.round(
+                        F.sqrt(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("v"), x["c"], lambda a, b: (a - b) * (a - b)
+                                ),
+                                F.lit(0.0),
+                                lambda s, t: s + t,
+                            )
+                        ),
+                        6,
+                    ).alias("d"),
+                    x["cid"].alias("cid"),
+                ),
+            )
+        )
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("m", best)
+            .select(
+                "vec_id",
+                "v",
+                F.col("m.cid").alias("cluster"),
+                F.col("m.d").alias("dist"),
+            )
         )
 
     cents = [

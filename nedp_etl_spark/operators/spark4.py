@@ -101,13 +101,19 @@ def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("source"))
         .alias("s")
     )
-    # the collation travels in the type: grouping is collation-aware, no
-    # lower() is materialized; min() runs on the original (binary) strings
+    # Collated group-bys fall off the hash-aggregate/codegen path in Spark
+    # 4.1 (the plan degrades to SortAggregate over EVERY row — 6.8 s on 5k
+    # docs at sf0.1, a scale-killer).  Two-phase instead: an exact binary
+    # pre-aggregate (hash agg, whole-stage codegen) collapses the input to
+    # its distinct keys, then the collation-aware merge — the part only the
+    # collation can express — runs on that tiny intermediate.  Same answer,
+    # and the sort-agg cost is O(distinct keys), not O(rows).  See SCALE.md.
+    pre = mixed.groupBy("s").agg(F.count(F.lit(1)).alias("pre_n"))
     return (
-        mixed.groupBy(F.collate("s", "UTF8_LCASE").alias("k"))
+        pre.groupBy(F.collate("s", "UTF8_LCASE").alias("k"))
         .agg(
             F.min("s").alias("representative"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("pre_n").alias("n"),
         )
         .select("representative", "n")
     )

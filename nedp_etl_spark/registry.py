@@ -40,70 +40,63 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Verification priority: the driver sweeps registry keys IN ORDER and only a
-# prefix fits its budget (rounds 1–2: exactly the first 50 keys each got a
-# CORRECTNESS entry).  Keys named here are emitted first, in this order;
-# everything else follows in registration order.  Round-3 ordering: the 13
-# round-2 red rows first (all loader-bug casualties or no_oracle keys, all
-# fixed this round — the driver re-verifies the fixes), then the
-# highest-value unchecked blocks (TPC-H workload queries, the extended LLM
-# curation family), then remaining unchecked keys; the 86 already-green keys
-# sort last (their results are on record).
+# prefix fits its budget (~50 keys/round got CORRECTNESS entries in r1–r3).
+# Keys named here are emitted first, in this order; everything else follows
+# in registration order.  Round-4 ordering: (a) keys MODIFIED this round
+# (promoted oracles + perf/scale fixes — the driver must re-verify them),
+# then (b) the 93 keys that have never received a driver CORRECTNESS row
+# across r1–r3, leading with the 32 unchecked llm_* keys per the round-3
+# verdict, then ts_*, win_*/agg_*/graph, and the remaining join/scan/sink/
+# dbt/fn/stream blocks.  The 136 already-checked keys sort last (their green
+# results are on record in CORRECTNESS_r01–r03).
 _PRIORITY: list[str] = [
-    # --- round-2 red rows, fixed this round ---
-    "join_asof", "fn_json", "fn_variant", "win_frame_interval",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark_late", "stream_dedup", "stream_foreachbatch",
-    "agg_approx", "agg_approx_percentile", "scan_csv_malformed",
-    # --- TPC-H workload (unchecked block #1) ---
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # --- extended LLM curation family (unchecked block #2) ---
-    "llm_dedup_lsh_verified", "llm_dedup_cluster_converged", "llm_dedup_embed",
-    "llm_sim_search_ivf", "llm_ann_recall", "llm_minhash_recall",
-    "llm_contamination",
-    "llm_stratified_sample", "llm_repetition_filter", "llm_length_buckets",
-    "llm_token_count", "llm_lang_id", "llm_quality_score", "llm_chunking",
-    "llm_fingerprint", "llm_winnowing", "llm_simhash",
-    "llm_pii_scrub", "llm_seq_packing", "llm_ngram_jaccard",
-    "llm_dedup_cluster", "llm_dedup_keep_best", "llm_filter_pipeline",
-    "llm_dataset_split", "llm_tfidf", "llm_bm25", "llm_cross_dedup",
-    "llm_source_rebalance", "llm_temperature_sample",
-    "llm_contrastive_pairs", "llm_ngram_topk",
+    # --- (a) modified this round: promoted to exact oracles / fixed ---
+    "stream_watermark_late",      # rows-only -> exact batch-analogue oracle
+    "llm_multimodal_decode",      # rows-only -> deterministic (w,h,frames)
+    "stream_rate_source",         # rows-only -> exact cadence oracle
+    "fn_collate",                 # 6.8s collation agg fixed
+    "graph_pagerank",             # broadcast-ranks -> shuffle-join iteration
+    "llm_kmeans",                 # K*dim literal plan -> broadcast centroids
+    "llm_temperature_sample",     # int64-overflow guard (ADVICE r3)
+    "ts_forecast_linear",         # zero-divisor guard (ADVICE r3)
+    "scan_csv_malformed",         # staleness guard on staged CSV (ADVICE r3)
+    # --- (b) never driver-checked: llm_* block (north-star first) ---
+    "llm_cross_dedup", "llm_winnowing", "llm_semantic_lsh", "llm_bm25",
+    "llm_tfidf", "llm_multimodal_framesample", "llm_multimodal_resize",
+    "llm_multimodal_audio_window", "llm_pii_scrub", "llm_seq_packing",
+    "llm_simhash", "llm_ngram_jaccard", "llm_dedup_cluster",
+    "llm_dedup_keep_best", "llm_filter_pipeline", "llm_dataset_split",
+    "llm_source_rebalance", "llm_contrastive_pairs", "llm_ngram_topk",
     "llm_unigram_logprob", "llm_bigram_logprob", "llm_embed_norm",
-    "llm_semantic_lsh", "llm_quality_gopher", "llm_url_dedup",
-    "llm_span_dedup", "llm_tokenizer_fertility", "llm_rag_retrieval",
-    "llm_epoch_shuffle", "llm_chat_format", "llm_kmeans",
-    "llm_multimodal_framesample", "llm_multimodal_resize",
-    "llm_multimodal_audio_window", "llm_multimodal_decode",
-    # --- time-series / analytics (unchecked block #3) ---
+    "llm_quality_gopher", "llm_url_dedup", "llm_span_dedup",
+    "llm_tokenizer_fertility", "llm_rag_retrieval", "llm_epoch_shuffle",
+    "llm_chat_format",
+    # --- never checked: time-series block ---
     "ts_sessionize", "ts_gapfill", "ts_bucket_rollup", "ts_anomaly",
     "ts_downsample", "ts_ohlc", "ts_ewma", "ts_retention_cohort",
     "ts_funnel", "ts_cusum", "ts_attribution", "ts_interpolate",
+    "ts_seasonal_decompose",
+    # --- never checked: window/aggregate extensions + graph ---
     "win_count_distinct", "win_session_native", "win_rolling_median",
-    "agg_percentile_exact",
-    "agg_weighted", "agg_regr", "agg_count_min", "agg_hll_mergeable",
-    "agg_skew_twophase", "agg_ab_ztest", "graph_pagerank",
-    "graph_triangle_count", "ts_seasonal_decompose", "ts_forecast_linear",
-    # --- remaining unchecked ---
+    "agg_percentile_exact", "agg_weighted", "agg_regr", "agg_count_min",
+    "agg_hll_mergeable", "agg_skew_twophase", "agg_ab_ztest",
+    "graph_triangle_count",
+    # --- never checked: join extensions ---
     "join_skew_salted", "join_range_binned", "join_spatial_grid",
     "join_asof_fwd_tol", "join_asof_nearest",
     "join_hint_shuffle_hash", "join_bloom_prefilter",
+    # --- never checked: scans / sinks ---
     "scan_jsonl_nested", "scan_binaryfile", "scan_text_lines",
-    "scan_python_datasource", "scan_orc", "scan_schema_evolution",
+    "scan_python_datasource",
     "sink_file_sizing", "sink_sorted_layout", "sink_zorder",
-    "sink_parquet_bloom",
-    "sink_observe_metrics",
+    "sink_parquet_bloom", "sink_observe_metrics",
     "sink_surrogate_keys", "sink_csv_roundtrip", "sink_cdc_apply",
-    "sink_compaction",
+    # --- never checked: dbt parity / profiling / misc ---
     "dbt_model_dag", "dbt_incremental_dag", "dbt_source_freshness",
     "dbt_catalog", "dbt_run_hooks",
     "profile_table", "profile_skew", "udtf_native",
-    "fn_collate", "fn_xml", "fn_try_safe", "sql_pipe_syntax",
-    "cte_chain", "cte_recursive",
+    "fn_xml", "fn_try_safe", "sql_pipe_syntax",
     "stream_static_join", "stream_stream_join", "stream_custom_state",
-    "stream_rate_source",
 ]
 
 

@@ -214,6 +214,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "dbt_source_freshness",  # 1-row watermark broadcast (O(n))
                    "llm_bigram_logprob",  # 1-row token-total broadcast (O(n))
                    "llm_source_rebalance",  # 1-row total/n_langs broadcast (O(#langs))
+                   "llm_kmeans",  # 1-row broadcast centroid-array crossJoin (O(n))
                    "llm_temperature_sample",  # 1-row total/denom broadcast (O(#langs))
                    "profile_skew",  # 1-row totals broadcast onto top-10 rows
                    "scan_csv_malformed",  # 1-row × 1-row count crossJoin
@@ -224,14 +225,22 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
     # Iterative PageRank must not re-derive the edge list from the corpus
-    # each iteration: the edges/nodes inputs are localCheckpoint-ed RDD
-    # scans, and each of the 4 rank updates joins the node-sized rank table
-    # as a broadcast (edges never move between iterations).
-    plan = _plan(spark, sf_dir, "graph_pagerank")
+    # each iteration (edges/nodes are localCheckpoint-ed RDD scans), and —
+    # the 100 TB posture — must NOT broadcast the O(nodes) rank relation by
+    # hint.  With stats-based auto-broadcast disabled, any BroadcastExchange
+    # left in the plan could only come from an explicit broadcast() hint, so
+    # zero is the assertion; at runtime AQE remains free to downgrade a
+    # genuinely small side on its own stats.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "graph_pagerank")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "Scan ExistingRDD" in plan          # checkpointed edges/nodes
     assert "Scan parquet" not in plan          # corpus not re-read per iter
-    assert plan.count("BroadcastHashJoin") >= 8  # 2 joins x 4 iterations
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan     # no hinted broadcast of ranks
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 8
 
 
 def test_twophase_agg_is_two_exchanges(spark, sf_dir):
