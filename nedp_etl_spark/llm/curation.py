@@ -584,8 +584,12 @@ WITH counts AS (
 tot AS (SELECT SUM(n) AS total, SUM(smicros) AS denom FROM counts),
 rates AS (
   SELECT c.lang,
-         LEAST(1.0, CAST(c.smicros * t.total AS DOUBLE)
-                    / CAST(t.denom * c.n AS DOUBLE)) AS rate
+         -- factors cast to DOUBLE BEFORE multiplying: at claimed corpus
+         -- scales (~1e12 docs) the int64 products smicros*total and
+         -- denom*n overflow (ADVICE r3); rate precision doesn't need the
+         -- exact integer product.
+         LEAST(1.0, (CAST(c.smicros AS DOUBLE) * CAST(t.total AS DOUBLE))
+                    / (CAST(t.denom AS DOUBLE) * CAST(c.n AS DOUBLE))) AS rate
   FROM counts c, tot t
 ),
 h AS (
@@ -615,8 +619,8 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.least(
             F.lit(1.0),
-            (F.col("smicros") * F.col("total")).cast("double")
-            / (F.col("denom") * F.col("n")).cast("double"),
+            (F.col("smicros").cast("double") * F.col("total").cast("double"))
+            / (F.col("denom").cast("double") * F.col("n").cast("double")),
         ).alias("rate"),
     )
     u = (

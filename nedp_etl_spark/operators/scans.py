@@ -398,14 +398,16 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _scratch("scan_csv_malformed", sf_dir)
     os.makedirs(stage, exist_ok=True)
     path = os.path.join(stage, "nation_bad.csv")
-    if not os.path.exists(path):
-        rows = load(spark, sf_dir, "nation").collect()
-        with open(path, "w") as f:
-            f.write("n_nationkey,n_name,n_regionkey\n")
-            for i, r in enumerate(rows):
-                f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
-                if i % 10 == 0:
-                    f.write(f"not_an_int,BROKEN_ROW_{i},also_bad\n")  # malformed
+    # Always rewrite (nation is 25 rows): a staged CSV surviving a fixture
+    # regeneration would silently diverge from the oracle's nation-derived
+    # counts (ADVICE r3 — same drift mode as the _stream_events staleness fix).
+    rows = load(spark, sf_dir, "nation").collect()
+    with open(path, "w") as f:
+        f.write("n_nationkey,n_name,n_regionkey\n")
+        for i, r in enumerate(rows):
+            f.write(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}\n")
+            if i % 10 == 0:
+                f.write(f"not_an_int,BROKEN_ROW_{i},also_bad\n")  # malformed
 
     schema = "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt STRING"
     permissive = (

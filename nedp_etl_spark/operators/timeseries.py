@@ -666,6 +666,11 @@ s AS (
          SUM(x * ymicros) AS sxy, SUM(x * x) AS sxx,
          MAX(x) AS last_x
   FROM daily GROUP BY event_type
+  -- n >= 2: with a single observed day the fit denominator n*sxx - sx*sx
+  -- is 0 and the engines disagree (Spark non-ANSI divide -> NULL, DuckDB
+  -- double divide -> inf/NaN); a 1-point series has no defined slope
+  -- anyway (ADVICE r3).
+  HAVING COUNT(*) >= 2
 ),
 fit AS (
   SELECT event_type, n, last_x,
@@ -703,7 +708,7 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("ymicros")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.max("x").alias("last_x"),
-    )
+    ).filter(F.col("n") >= 2)  # 1-day series: zero fit denominator (ADVICE r3)
     slope = (
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")

@@ -18,7 +18,6 @@ import pyarrow.parquet as pq
 
 from nedp_etl_spark.data import _DF_CACHE, load
 
-_UTC = datetime.timezone.utc
 
 # Epoch-micros chosen so nanos (x1000) exceed 2^53 — catches any float
 # round-trip sneaking back into the conversion.
@@ -56,8 +55,11 @@ def test_events_loader_handles_both_fixture_encodings(spark, tmp_path):
         pa.array(_MICROS, pa.timestamp("us")),
     )
 
+    # Exact integer construction: fromtimestamp(m / 1e6) pushes ~1.7e15
+    # micros through a double (16 significant digits) and leans on
+    # microsecond rounding (ADVICE r3).
     expected = [
-        datetime.datetime.fromtimestamp(m / 1e6, tz=_UTC).replace(tzinfo=None)
+        datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=m)
         for m in _MICROS
     ]
     try:

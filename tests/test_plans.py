@@ -71,6 +71,30 @@ def test_range_join_binned_is_equi(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_spatial_grid_join_is_equi(spark, sf_dir):
+    # Grid bucketing must turn the within-radius predicate into an equi
+    # join on cell id (+ residual distance filter), with the 3x3 explode on
+    # the small side — never a nested loop over the points table.
+    plan = _plan(spark, sf_dir, "join_spatial_grid")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "Generate explode" in plan  # neighbourhood explode, small side only
+
+
+def test_asof_nearest_is_equi_join_hash_agg(spark, sf_dir):
+    # Nearest-in-time within tolerance: plain equi join on the user key,
+    # rank-1 via a two-phase min(struct(...)) aggregate (struct buffers
+    # plan as SortAggregate, but the partial runs map-side) — no nested
+    # loop, and no per-key window sort.
+    plan = _plan(spark, sf_dir, "join_asof_nearest")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "partial_min(struct" in plan  # map-side partial rank-1
+    assert "Window" not in plan
+
+
 def test_count_min_sketch_is_partial_agg(spark, sf_dir):
     # The sketch aggregate must show a two-phase (partial/final) hash or
     # sort aggregate: map-side partial sketches, fixed-size merge.
