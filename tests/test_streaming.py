@@ -101,6 +101,71 @@ def test_checkpoint_restart_no_reprocessing(spark, sf_dir):
     assert second == first, "restart reprocessed already-committed input"
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """REAL late-data semantics (what the stream_watermark_late batch oracle
+    cannot show): an event arriving in a later micro-batch, older than the
+    already-advanced watermark, must be dropped — its (finalized) window is
+    emitted once with the on-time count and never updated."""
+    import os
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nedp_etl_spark.streaming.windows import _isolated
+
+    stage = str(tmp_path / "late_src")
+    os.makedirs(stage)
+
+    def write(name: str, hours_minutes: list, mtime: int) -> None:
+        ts = [
+            datetime(2024, 1, 1, h, m, tzinfo=timezone.utc) for h, m in hours_minutes
+        ]
+        t = pa.table({"ts": pa.array(ts, pa.timestamp("us", tz="UTC"))})
+        p = os.path.join(stage, name)
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    s = _isolated(spark)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_available() -> None:
+        raw = s.readStream.schema("ts timestamp").parquet(stage)
+        agg = (
+            raw.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n"
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two 10:xx events + a 12:00 event -> the committed watermark is
+    # 11:50 and the [10:00, 11:00) window finalizes with n=2.
+    write("a.parquet", [(10, 0), (10, 30), (12, 0)], 1_700_000_000)
+    run_available()
+    # run 2 (same checkpoint — the watermark is RESTORED from it): a 10:15
+    # straggler, older than the restored watermark -> must be dropped.
+    write("b.parquet", [(10, 15)], 1_700_000_100)
+    run_available()
+
+    got = {(r.ws, r.n) for r in spark.read.parquet(out).collect()}
+    # the straggler did NOT bump the count to 3; the in-flight 12:00 window
+    # is withheld (not finalized at stream end)
+    assert got == {("2024-01-01 10:00:00", 2)}
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     """Watermarked stream-stream self-join (click -> purchase within 1h)
     must emit exactly the pairs the batch join emits."""
