@@ -54,6 +54,7 @@ _PRIORITY: list[str] = [
     "stream_watermark_late",      # rows-only -> exact batch-analogue oracle
     "llm_multimodal_decode",      # rows-only -> deterministic (w,h,frames)
     "stream_rate_source",         # rows-only -> exact cadence oracle
+    "stream_custom_state",        # rows-only -> fixed-point profile oracle
     "fn_collate",                 # 6.8s collation agg fixed
     "graph_pagerank",             # broadcast-ranks -> shuffle-join iteration
     "llm_kmeans",                 # K*dim literal plan -> broadcast centroids
@@ -96,7 +97,7 @@ _PRIORITY: list[str] = [
     "dbt_catalog", "dbt_run_hooks",
     "profile_table", "profile_skew", "udtf_native",
     "fn_xml", "fn_try_safe", "sql_pipe_syntax",
-    "stream_static_join", "stream_stream_join", "stream_custom_state",
+    "stream_static_join", "stream_stream_join",
 ]
 
 
