@@ -9,9 +9,10 @@ and emits the updated profile.  State lives in the (RocksDB-capable) state
 store, partitioned by the grouping key — per-key bounded, corpus-size
 independent — and the processor sees only one key's rows per call, so the
 operator scales with the number of executors exactly like any keyed
-aggregation.  Rows-only check (arbitrary-state semantics have no SQL
-oracle); ``tests/test_stateful.py`` asserts final profiles equal the batch
-groupBy when the environment supports the API (see gate below).
+aggregation.  Exact-checked where registered: fixed-point state converges
+to the batch aggregate, which is the registered oracle;
+``tests/test_stateful.py`` asserts the same equality through the DataFrame
+API when the environment supports the API (see gate below).
 
 Environment gate: the transformWithState state-server protocol needs a
 working ``google.protobuf`` (the processor talks to the JVM state store
@@ -33,6 +34,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.streaming.windows import _run_to_memory, _stream_events
+from nedp_etl_spark.util import osum
 
 try:  # the state-server protocol requires a working protobuf runtime
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
@@ -76,8 +78,19 @@ class _ProfileProcessor(StatefulProcessor):
         pass
 
 
+# Exact oracle (same reasoning as stream_custom_state: fixed-point state +
+# single-file availableNow replay converge to the batch aggregate).  Only
+# used where the protobuf gate lets the key register.
+_TRANSFORM_STATE_ORACLE = f"""
+SELECT user_id, COUNT(*) AS n_events, {osum('value')} AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 def _register_if_supported(fn):
-    return register("stream_transform_state")(fn) if _PROTOBUF_OK else fn
+    if _PROTOBUF_OK:
+        return register("stream_transform_state", oracle=_TRANSFORM_STATE_ORACLE)(fn)
+    return fn
 
 
 @_register_if_supported
