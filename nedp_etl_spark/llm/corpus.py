@@ -148,7 +148,9 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     return (
-        spans.join(F.broadcast(dup.withColumn("is_dup", F.lit(1))), "h", "left")
+        # dup grows with duplicated-content volume (unbounded at 100 TB):
+        # plain shuffle join on the span hash; AQE broadcasts iff small.
+        spans.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -278,8 +280,9 @@ def llm_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
     part = F.round(idf * F.col("tf") * 2.2 / norm, 6)
     scored = (
-        tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(q), "term")  # q: a handful of query terms
+        # dfreq is vocabulary-sized: no broadcast hint, AQE decides
+        .join(dfreq, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", part.alias("s"))
@@ -364,8 +367,9 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bi.filter(F.col("doc_id") < 100)
         .join(c12, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
-        .join(F.broadcast(uni.withColumnRenamed("term", "w2")), "w2")
+        # c1/uni are vocabulary-sized: plain shuffle joins, AQE decides
+        .join(c1, "w1")
+        .join(uni.withColumnRenamed("term", "w2"), "w2")
         .crossJoin(F.broadcast(n))
         .select("doc_id", lp.alias("lp"))
         .groupBy("doc_id")

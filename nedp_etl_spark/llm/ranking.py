@@ -58,7 +58,9 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.filter(F.col("doc_id") < 50)
-        .join(F.broadcast(dfreq), "term")
+        # dfreq is vocabulary-sized (unbounded at corpus scale): plain
+        # shuffle join on term; AQE broadcasts it at runtime iff small.
+        .join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -128,7 +130,8 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = F.round(idf * F.col("tf") * 2.2 / norm, 6)
     return (
         tf.filter(F.col("term").isin(*_BM25_QTERMS))
-        .join(F.broadcast(dfreq), "term")
+        # vocabulary-sized dfreq: no broadcast hint (see llm_tfidf)
+        .join(dfreq, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", part.alias("s"))
@@ -227,7 +230,8 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         toks.filter(F.col("doc_id") < 100)
-        .join(F.broadcast(probs), "term")
+        # probs is vocabulary-sized: plain shuffle join, AQE decides
+        .join(probs, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
