@@ -239,25 +239,41 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
         ).alias("c")
     )
-    centroids = [(r["label"], list(r["c"])) for r in cent.collect()]
-
-    # -- 2. join-free routing: cosine against each literal centroid,
-    #       top-2 via array_sort over (−cosine, label) structs.
-    def _cos_to(cvec: list[float]) -> Column:
-        lit = F.array(*[F.lit(x) for x in cvec])
-        cnorm = sum(x * x for x in cvec) ** 0.5
-        return _dot(F.col("v"), lit) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(cnorm))
-
+    # -- 2. map-side routing, plan size independent of K (same rework as
+    #       llm_kmeans): centroids travel as DATA in a 1-row broadcast
+    #       array<struct<label,c>>, cosine + top-2 via array_sort over
+    #       (−cosine, label) structs computed by transform().
+    cents_row = cent.agg(
+        F.array_sort(F.collect_list(F.struct("label", "c"))).alias("cents")
+    )
     scored_cents = F.array_sort(
-        F.array(
-            *[
-                F.struct((-_cos_to(cv)).alias("neg"), F.lit(lbl).alias("bucket"))
-                for lbl, cv in centroids
-            ]
+        F.transform(
+            F.col("cents"),
+            lambda x: F.struct(
+                (
+                    -(
+                        _dot(F.col("v"), x["c"])
+                        / (
+                            F.sqrt(_dot(F.col("v"), F.col("v")))
+                            * F.sqrt(_dot(x["c"], x["c"]))
+                        )
+                    )
+                ).alias("neg"),
+                x["label"].alias("bucket"),
+            ),
         )
     )
-    assigned = corpus.select(
-        "vec_id", "v", F.explode(F.slice(scored_cents, 1, 2).bucket).alias("bucket")
+    # Materialize the routed set once: it feeds BOTH sides of the bucket
+    # self-join below, and without the checkpoint each side would re-derive
+    # the full routing (centroid agg + broadcast attach) independently.
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents_row))
+        .select(
+            "vec_id",
+            "v",
+            F.explode(F.slice(scored_cents, 1, 2).bucket).alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     # -- 3. within-bucket exact verify (equi join ⇒ shuffle by bucket, no
