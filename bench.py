@@ -118,9 +118,13 @@ def main() -> None:
             print(f"# {name}: FAILED after {dt:.3f}s: {exc}", file=sys.stderr)
         checkpoint()
 
-    spark.stop()
     # The LAST stdout write, after spark.stop(), so no JVM shutdown chatter
-    # can land after it in the driver's captured tail.
+    # can land after it in the driver's captured tail — but the summary must
+    # reach stdout even if JVM shutdown misbehaves, so stop() is guarded.
+    try:
+        spark.stop()
+    except Exception as exc:
+        print(f"# spark.stop() failed: {exc}", file=sys.stderr)
     print(summary(compact=True), flush=True)
 
 

@@ -87,9 +87,13 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # llm_seq_packing — pack documents into fixed token-budget training
-# sequences: running token count in a deterministic order, floor-divided by
-# the context budget.  One window pass, no shuffle beyond the ordering —
-# at 100 TB the order key is (shard, doc_id) and packing is per-shard.
+# sequences: running token count in doc_id order, floor-divided by the
+# context budget.  The global prefix sum is two-phase so no single task ever
+# holds the corpus: range-partition by doc_id, per-partition running sums
+# (window keyed by the physical partition id — balanced, never global),
+# then a bounded collect of the ~num-partitions partial totals whose
+# cumulative offsets are broadcast-joined back.  Scales as one range
+# shuffle + one balanced hash shuffle regardless of corpus size.
 # --------------------------------------------------------------------------
 
 _PACK_CAP = 512
@@ -113,12 +117,11 @@ FROM c
 
 @register("llm_seq_packing", oracle=_SEQ_PACKING_ORACLE)
 def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from nedp_etl_spark.util import global_running_sum
 
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    c = global_running_sum(t, ["doc_id"], F.col("n_tokens"), "cum")
     start = F.col("cum") - F.col("n_tokens")
     pack = F.floor(start / _PACK_CAP)
     return c.select(

@@ -129,6 +129,25 @@ FROM counts
 @register("ts_funnel", oracle=_FUNNEL_ORACLE)
 def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # Windowed pre-filter (semantics-preserving, bounds the per-user array):
+    # 1. only funnel-step events can advance the walk — the IN filter pushes
+    #    to the parquet scan and drops every other event map-side;
+    # 2. nothing before the user's FIRST signup can advance it either (the
+    #    walk requires signup first), so restrict to each user's horizon via
+    #    a user-keyed window.  The window hash-partitions by user_id, which
+    #    the groupBy below reuses — still exactly one shuffle end-to-end,
+    #    and the collected array is O(step events in horizon), not O(user
+    #    lifetime events).
+    ev = ev.filter(F.col("event_type").isin(_FUNNEL_STEPS))
+    wu = Window.partitionBy("user_id")
+    ev = (
+        ev.withColumn(
+            "first_signup",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(wu),
+        )
+        .filter(F.col("ts") >= F.col("first_signup"))
+        .drop("first_signup")
+    )
     steps = F.array(*[F.lit(s) for s in _FUNNEL_STEPS])
     walk = F.aggregate(
         F.array_sort(F.collect_list(F.struct("ts", "event_type"))),

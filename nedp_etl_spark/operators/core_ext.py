@@ -578,7 +578,12 @@ def sink_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sink_surrogate_keys — stable surrogate-key assignment (dbt ID-generation
 # pattern): dense row_number over the business key, NOT
 # monotonically_increasing_id (whose values depend on partition layout and
-# change between runs/clusters).  Deterministic ⇒ exact-checked.
+# change between runs/clusters).  The total-order rank is computed with the
+# two-phase prefix-sum idiom (util.global_running_sum: range-partition →
+# per-partition rank → broadcast partition offsets), so ``sk`` itself is
+# fact-scale-safe — no single-partition window anywhere.  ``sk_hash`` stays
+# as the shuffle-free alternative when density isn't required.
+# Deterministic ⇒ exact-checked.
 # --------------------------------------------------------------------------
 
 _SINK_SURROGATE_ORACLE = """
@@ -591,16 +596,13 @@ FROM customer WHERE c_acctbal > 9000
 
 @register("sink_surrogate_keys", oracle=_SINK_SURROGATE_ORACLE)
 def sink_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from nedp_etl_spark.util import global_running_sum
 
     c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
-    # Global row_number needs a total order — fine for dimension-sized
-    # tables; for fact-scale keys use the hash variant (second column),
-    # which is embarrassingly parallel and collision-checked downstream.
-    w = Window.orderBy("c_mktsegment", "c_custkey")
-    return c.select(
+    ranked = global_running_sum(c, ["c_mktsegment", "c_custkey"], F.lit(1), "sk")
+    return ranked.select(
         "c_custkey",
-        F.row_number().over(w).alias("sk"),
+        F.col("sk").cast("bigint").alias("sk"),
         F.md5(F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string"))).alias(
             "sk_hash"
         ),

@@ -118,20 +118,25 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
-    )
-    # rank-1 filter instead of a scalar-subquery re-scan: one window over the
-    # (small) aggregated view, keeps ties exactly like `= MAX(...)`.
-    from pyspark.sql.window import Window
-
-    top = (
-        revenue.withColumn(
-            "rk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
         )
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        # materialize the supplier-sized view once so both the MAX pass and
+        # the equality probe reuse it — one lineitem scan, not two.
+        .localCheckpoint(eager=True)
     )
+    # `= MAX(...)` as a 1-row aggregate broadcast back onto the view (exact
+    # equality is safe: total_revenue is dsum's fixed-point result).  Keeps
+    # ties like the scalar subquery, and — unlike a rank-1 window — never
+    # funnels the supplier-cardinality view through one partition.
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("mx")
+    ).drop("mx")
     s = load(spark, sf_dir, "supplier")
     return s.join(F.broadcast(top), s.s_suppkey == top.supplier_no).select(
         "s_suppkey", "s_name", "total_revenue"

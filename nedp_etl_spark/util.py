@@ -72,3 +72,62 @@ def ts_str(col: Column | str) -> Column:
 def ots_str(expr: str) -> str:
     """DuckDB oracle twin of :func:`ts_str`."""
     return f"strftime(CAST(({expr}) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')"
+
+
+def global_running_sum(df, order_cols, value, out_col, num_partitions=None):
+    """Distributed ``SUM(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING AND CURRENT ROW)`` — the two-phase prefix-sum idiom.
+
+    A naked ``Window.orderBy(...)`` makes Spark move the whole input to ONE
+    partition; this helper gets the identical answer with balanced work:
+
+    1. range-partition on the order keys (contiguous key ranges per
+       partition, ascending pid for ascending ranges), freeze the layout
+       with an eager ``localCheckpoint`` so every downstream job sees the
+       same pids;
+    2. per-partition running sum via a window keyed by the physical
+       partition id — balanced, never a global exchange;
+    3. collect the ≤ num_partitions per-partition totals (bounded driver
+       traffic), turn their exclusive prefix into per-pid offsets, and
+       broadcast-join the offsets back for a map-side add.
+
+    Row order among duplicate order keys is unspecified (as in any engine),
+    but range partitioning keeps equal keys in one partition, so the
+    cumulative value after each full key group is deterministic; with a
+    unique order key the result is exact everywhere.
+
+    ``value`` is a Column (e.g. ``F.lit(1)`` turns this into a scalable
+    global ``row_number``).  Returns ``df`` plus ``out_col`` (bigint-ish).
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_part = num_partitions or max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
+    ranged = (
+        df.withColumn("__grs_v", value)
+        .repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+        .withColumn("__grs_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_local = (
+        Window.partitionBy("__grs_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(out_col, F.sum("__grs_v").over(w_local))
+    partials = (
+        ranged.groupBy("__grs_pid").agg(F.sum("__grs_v").alias("__grs_s")).collect()
+    )
+    running = 0
+    offsets = []
+    for row in sorted(partials, key=lambda r: r["__grs_pid"]):
+        offsets.append((row["__grs_pid"], running))
+        running += row["__grs_s"] or 0
+    off = spark.createDataFrame(offsets, "__grs_pid int, __grs_off bigint")
+    return (
+        local.join(F.broadcast(off), "__grs_pid")
+        .withColumn(out_col, F.col(out_col) + F.col("__grs_off"))
+        .drop("__grs_pid", "__grs_v", "__grs_off")
+    )

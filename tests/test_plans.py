@@ -276,9 +276,33 @@ def test_twophase_agg_is_two_exchanges(spark, sf_dir):
     assert plan.count("Exchange") == 2
 
 
+# Queries allowed to contain a single-partition window: the window input is
+# a bounded aggregate/top-k, not the raw corpus.  Keep this list justified
+# row by row — the llm_seq_packing incident (r4 verdict) is exactly what
+# this guard exists to catch.
+_GLOBAL_WINDOW_OK = {
+    "sort_multi",  # the contract's total-order demo; input bounded by o_orderkey < 2000
+    "ts_funnel",  # conv_pct first_value over the ≤4-row step-count aggregate
+}
+
+
+def _has_global_window(plan: str) -> bool:
+    """True if any Window node sits directly on a SinglePartition exchange
+    (the physical signature of ``Window.orderBy`` with no partitionBy:
+    Window ← Sort ← Exchange SinglePartition)."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        if any("Exchange SinglePartition" in nxt for nxt in lines[i + 1 : i + 4]):
+            return True
+    return False
+
+
 def test_registry_wide_plan_audit(spark, sf_dir):
     """Every registered batch query: no accidental row-Python, no
-    accidental cartesian product.  Streaming/sink queries execute real
+    accidental cartesian product, no un-partitioned (single-partition)
+    window over unbounded input.  Streaming/sink queries execute real
     side effects and are audited by their own tests — skipped here."""
     skip_prefixes = ("stream_", "sink_", "scan_csv_json", "scan_orc", "join_bucketed")
     offenders = []
@@ -291,4 +315,24 @@ def test_registry_wide_plan_audit(spark, sf_dir):
             offenders.append((name, "row-at-a-time Python"))
         if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)                 and name not in _NESTED_LOOP_OK:
             offenders.append((name, "unexpected nested-loop/cartesian"))
+        if _has_global_window(plan) and name not in _GLOBAL_WINDOW_OK:
+            offenders.append((name, "un-partitioned window (SinglePartition exchange)"))
     assert not offenders, offenders
+
+
+def test_seq_packing_no_global_window(spark, sf_dir):
+    # Two-phase prefix sum: the running-sum window must be keyed by the
+    # physical partition id, never a corpus-wide SinglePartition exchange,
+    # and the partition offsets come back as a broadcast join.
+    plan = _plan(spark, sf_dir, "llm_seq_packing")
+    assert not _has_global_window(plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_surrogate_keys_no_global_window(spark, sf_dir):
+    # sink_surrogate_keys is skipped by the registry-wide audit (sink_
+    # prefix), so pin its plan here: total-order row_number via the same
+    # two-phase idiom — no single-partition window at fact scale.
+    plan = _plan(spark, sf_dir, "sink_surrogate_keys")
+    assert not _has_global_window(plan)
+    assert "Exchange SinglePartition" not in plan
