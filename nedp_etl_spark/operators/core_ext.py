@@ -611,12 +611,18 @@ def sink_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # agg_count_min — Count-Min-Sketch heavy-hitter counts (the mergeable-
-# sketch companion to agg_hll_mergeable).  The sketch is built by the JVM
-# aggregate ``count_min_sketch`` (map-side partial sketches, merged in the
-# reduce — raw rows never leave their partitions; only the fixed-size
-# 7x2000 counter table shuffles), then the driver queries the tiny merged
-# sketch via Spark's public CountMinSketch reader.  With depth 7 a key's
-# estimate is exact unless it collides in EVERY row (p < 1e-15 at this
+# sketch companion to agg_hll_mergeable), built entirely with public
+# DataFrame ops: each row hashes into one cell per sketch row
+# (xxhash64(key, depth) mod width), the counter table is a (depth, cell)
+# groupBy whose map-side partial aggregation bounds the shuffle at
+# depth x width counters per partition regardless of input size, and the
+# point estimate is the classic min-over-depths, computed by probing the
+# counter table with the key set.  Sketches merge by union + re-sum — the
+# mergeable property falls out of the representation.  (Earlier versions
+# used the JVM ``count_min_sketch`` aggregate, but PySpark has no public
+# reader for its binary payload; the DataFrame-native table avoids the
+# private ``spark._jvm`` bridge entirely.)  With depth 5 a key's estimate
+# is exact unless it collides in EVERY row (p < 1e-15 at this
 # cardinality), so the oracle is the exact GROUP BY count.
 # Reference parity: approximate aggregates reach the reference only as
 # dbt-model SQL (/root/reference/dbtoperator.py:273-274).
@@ -627,21 +633,40 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS est_n
 FROM events GROUP BY event_type
 """
 
+_CMS_DEPTH = 5
+_CMS_WIDTH = 2048
+
+
+def _cms_cells(df: DataFrame, key: str) -> DataFrame:
+    """Explode each row into its (depth, cell) sketch coordinates."""
+    depths = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])  # design constant
+    return df.select(
+        F.col(key),
+        F.explode(depths).alias("d"),
+    ).select(
+        F.col(key),
+        "d",
+        F.pmod(F.xxhash64(F.col(key), F.col("d")), F.lit(_CMS_WIDTH)).alias("cell"),
+    )
+
 
 @register("agg_count_min", oracle=_AGG_CMS_ORACLE)
 def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    # Sketch + key discovery fused into ONE aggregate pass (collect_set on a
-    # low-cardinality column is a few strings per partition); in a real
-    # heavy-hitter pipeline the probe keys would come from a sample or a
-    # space-saving pass, and the sketch answers point queries for them.
-    row = ev.agg(
-        F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.999), F.lit(42)).alias("s"),
-        F.collect_set("event_type").alias("keys"),
-    ).head()
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(row["s"]))
-    rows = [(k, int(cms.estimateCount(k))) for k in sorted(row["keys"])]
-    return spark.createDataFrame(rows, "event_type string, est_n bigint")
+    sketch = (
+        _cms_cells(ev, "event_type")
+        .groupBy("d", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Probe keys: in a real heavy-hitter pipeline these come from a sample
+    # or a space-saving pass; here the distinct set is a few strings.
+    keys = ev.select("event_type").distinct()
+    probe = _cms_cells(keys, "event_type")
+    return (
+        probe.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy("event_type")
+        .agg(F.min("n").alias("est_n"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -14,16 +14,25 @@ to the batch aggregate, which is the registered oracle;
 ``tests/test_stateful.py`` asserts the same equality through the DataFrame
 API when the environment supports the API (see gate below).
 
-Environment gate: the transformWithState state-server protocol needs a
-working ``google.protobuf`` (the processor talks to the JVM state store
-over a protobuf socket).  This container ships a broken protobuf
-(``ImportError: cannot import name 'descriptor'``), so registration is
-gated on the import — on a normal cluster the key registers and runs; here
-the module stays importable and documents the API surface.
+Environment gate + bootstrap: the transformWithState state-server protocol
+needs a working ``google.protobuf`` (the processor talks to the JVM state
+store over a protobuf socket).  When the interpreter has no protobuf
+package, :func:`_ensure_protobuf` probes known locations of a pure-python
+protobuf runtime (e.g. the one bundled with a locally-installed
+google-cloud-sdk) and appends it to ``sys.path`` — never shadowing a real
+install — using protobuf's own documented
+``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` escape hatch for a
+one-minor-version-older runtime.  The bootstrap runs at module import, so
+it also runs inside Python workers when the stateful processor
+deserializes there (workers import this module before pyspark's
+state-server client imports the generated proto).  If no runtime can be
+found, the key stays unregistered and the module documents the surface.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,12 +45,39 @@ from nedp_etl_spark.registry import register
 from nedp_etl_spark.streaming.windows import _run_to_memory, _stream_events
 from nedp_etl_spark.util import osum
 
-try:  # the state-server protocol requires a working protobuf runtime
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+# Directories that may carry a complete pure-python google.protobuf tree.
+_PB_CANDIDATES = ("/usr/lib/google-cloud-sdk/platform/google_appengine",)
 
-    _PROTOBUF_OK = True
-except ImportError:  # pragma: no cover - environment-dependent
-    _PROTOBUF_OK = False
+
+def _ensure_protobuf() -> bool:
+    """True if a usable google.protobuf runtime is importable (bootstrapping
+    one from a known local copy if the environment lacks the package)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    for cand in _PB_CANDIDATES:
+        if not os.path.isdir(os.path.join(cand, "google", "protobuf")):
+            continue
+        # protobuf's own documented override for gencode-newer-than-runtime
+        # (pyspark 4.1 gencode is 6.33; the bundled runtime is 6.32).
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+        if cand not in sys.path:
+            sys.path.append(cand)
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            if cand in sys.path:
+                sys.path.remove(cand)
+    return False
+
+
+_PROTOBUF_OK = _ensure_protobuf()
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 
@@ -95,7 +131,33 @@ def _register_if_supported(fn):
 
 @_register_if_supported
 def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _stream_events(spark, sf_dir).select("user_id", "value")
+    # The state-server client runs in separate Python worker processes that
+    # import the generated proto before any user code — propagate the
+    # bootstrap there via the PythonFunction env (sc.environment feeds the
+    # worker's environment, including its PYTHONPATH merge).
+    bootstrap_dir = next(
+        (c for c in _PB_CANDIDATES if c in sys.path), None
+    )
+    if bootstrap_dir is not None:
+        env = spark.sparkContext.environment
+        env.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        env.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+        existing = env.get("PYTHONPATH", "")
+        if bootstrap_dir not in existing:
+            env["PYTHONPATH"] = (
+                f"{existing}{os.pathsep}{bootstrap_dir}" if existing else bootstrap_dir
+            )
+    from nedp_etl_spark.streaming.windows import _isolated
+
+    s = _isolated(spark)
+    # transformWithState keeps its typed state variables in separate column
+    # families — only the RocksDB provider supports those (the default
+    # HDFS-backed store refuses); set it on the isolated session only.
+    s.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = _stream_events(s, sf_dir).select("user_id", "value")
     out = ev.groupBy("user_id").transformWithStateInPandas(
         _ProfileProcessor(),
         outputStructType=_OUT_SCHEMA,

@@ -229,7 +229,11 @@ def _run_to_memory(
 # --------------------------------------------------------------------------
 
 _STREAM_WATERMARK_ORACLE = """
-WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+-- max(ts) is millisecond-truncated to mirror Spark's watermark arithmetic
+-- (event-time watermarks are tracked in epoch millis): if a fixture's
+-- max(ts) carries sub-ms digits just above an hour+10min boundary, the
+-- micro-precision watermark would finalize a window Spark withholds.
+WITH wm AS (SELECT date_trunc('ms', max(ts)) - INTERVAL 10 MINUTE AS w FROM events)
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n
 FROM events, wm
@@ -486,6 +490,13 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         time.sleep(0.25)
     q.stop()
     q.awaitTermination(30)
+    n = s.table(name).count()
+    if n < 1000:
+        # Surface an environment stall as an explicit failure, not a silent
+        # partial table that reads as a correctness miss downstream.
+        raise RuntimeError(
+            f"rate source produced {n}/1000 rows within the 60s deadline"
+        )
     return (
         s.table(name)
         .groupBy(F.expr("value div 100").alias("bucket"))

@@ -96,18 +96,14 @@ def test_asof_nearest_is_equi_join_hash_agg(spark, sf_dir):
 
 
 def test_count_min_sketch_is_partial_agg(spark, sf_dir):
-    # The sketch aggregate must show a two-phase (partial/final) hash or
-    # sort aggregate: map-side partial sketches, fixed-size merge.
-    import nedp_etl_spark as eng
-    from pyspark.sql import functions as F
-    from nedp_etl_spark.data import load
-
-    ev = load(spark, sf_dir, "events")
-    df = ev.agg(
-        F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.999), F.lit(42))
-    )
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("count_min_sketch") >= 2  # partial + final
+    # The DataFrame-native sketch build must aggregate the (depth, cell)
+    # counters in two phases — map-side partial counts, then the merge —
+    # so the shuffle carries at most depth x width counters per partition,
+    # never raw rows; and the bounded counter table reaches the probe as a
+    # broadcast.
+    plan = _plan(spark, sf_dir, "agg_count_min")
+    assert plan.count("partial_count") >= 1  # map-side combine
+    assert "BroadcastHashJoin" in plan       # sketch table broadcast to probe
 
 
 def test_bloom_prefilter_injects_might_contain(spark, sf_dir):
