@@ -94,7 +94,10 @@ class _ProfileProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues  # noqa: ANN001
     ) -> Iterator[pd.DataFrame]:
-        got = self._state.get() if self._state.exists() else None
+        # get() returns None when the key has no state yet — one state-server
+        # round trip per key instead of the exists()+get() pair (the RPC
+        # chatter is the dominant per-key cost under pure-python protobuf)
+        got = self._state.get()
         n, total_q = got if got is not None else (0, 0)
         for pdf in rows:
             n += len(pdf)
