@@ -1,0 +1,132 @@
+"""Opt-in scale smoke — flagship corpus operators on a 4×/16× corpus.
+
+Routine tests verify correctness at fixture scale; this module verifies the
+*scaling shape* the 100 TB posture claims, on corpora synthesized in
+``_scratch`` (replicas of the sf documents table with every token tagged
+per replica, so replicas are mutually distinct documents whose internal
+duplicate/near-duplicate structure is isomorphic to the base corpus).  The
+assertions are ALGEBRAIC, not wall-clock (this box shows ±12 s single-key
+jitter — SCALE.md round 5): candidate volume must grow linearly in corpus
+size (refutes any all-pairs path), exact-dedup group counts must scale
+exactly R× (the replica construction guarantees it), and the two-phase
+global prefix sum must stay exact and range-balanced at 16× the fixture.
+
+Enable with ``SPARK_GRAFT_SCALE_SMOKE=1`` (skipped otherwise: the 16×
+corpus costs ~30 s of build+run, too slow for the routine suite):
+
+    SPARK_GRAFT_SCALE_SMOKE=1 python -m pytest tests/test_scale_smoke.py -q
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import nedp_etl_spark as eng
+from nedp_etl_spark.data import load
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
+    reason="scale smoke is opt-in: set SPARK_GRAFT_SCALE_SMOKE=1",
+)
+
+# Replica doc_id spacing must clear _aug_corpus's +1_000_000 augmentation.
+_REPLICA_STRIDE = 10_000_000
+
+
+def _scaled_dir(spark, sf_dir: str, factor: int) -> str:
+    """Write a ``factor``× documents corpus under _scratch and return its dir.
+
+    Replica 0 is the base table verbatim; replica i > 0 prepends ``r{i}`` to
+    EVERY token.  Token-level tagging keeps each replica's shingle/equality
+    structure isomorphic to the base corpus while making replicas mutually
+    distinct — so corpus-level statistics (duplicate groups, near-dup pairs)
+    must scale ~linearly in ``factor``, never quadratically.
+    """
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(here, "_scratch", "scale_smoke", f"x{factor}")
+    d = load(spark, sf_dir, "documents")
+    reps = []
+    for i in range(factor):
+        r = d.withColumn("doc_id", F.col("doc_id") + F.lit(i * _REPLICA_STRIDE))
+        if i > 0:
+            tag = F.lit(f"r{i}")
+            r = r.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(F.split("text", " "), lambda t: F.concat(tag, t)),
+                    " ",
+                ),
+            )
+        reps.append(r)
+    corpus = reps[0]
+    for r in reps[1:]:
+        corpus = corpus.unionAll(r)
+    corpus.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, sf_dir):
+    return {f: _scaled_dir(spark, sf_dir, f) for f in (4, 16)}
+
+
+def test_exact_dedup_groups_scale_exactly_linearly(spark, sf_dir, dirs):
+    # The replica construction makes this equality exact, not approximate:
+    # every replica contributes precisely the base corpus's hash groups.
+    base = eng.queries()["llm_dedup_exact"](spark, sf_dir).count()
+    for f, d in dirs.items():
+        scaled = eng.queries()["llm_dedup_exact"](spark, d).count()
+        assert scaled == f * base, (f, scaled, base)
+
+
+def test_lsh_candidate_volume_stays_linear(spark, sf_dir, dirs):
+    # An all-pairs (quadratic) path would grow 16×-corpus candidates ~256×.
+    # LSH banding grows them ~linearly: each replica reproduces the base
+    # corpus's intra-replica collisions (MinHash values differ per replica —
+    # md5 of tagged shingles — so allow generous slack both ways).
+    base = eng.queries()["llm_dedup_near"](spark, sf_dir).count()
+    assert base > 0, "fixture corpus produced no LSH candidates — vacuous"
+    for f, d in dirs.items():
+        scaled = eng.queries()["llm_dedup_near"](spark, d).count()
+        assert scaled <= 5 * f * base, (
+            f"superlinear candidate growth at {f}x: {scaled} vs base {base}"
+        )
+        assert scaled >= 0.2 * f * base, (
+            f"candidate recall collapsed at {f}x: {scaled} vs base {base}"
+        )
+
+
+def test_global_prefix_sum_exact_and_balanced_at_16x(spark, dirs):
+    from nedp_etl_spark.llm.chunking import _PACK_CAP
+
+    d16 = dirs[16]
+    packed = eng.queries()["llm_seq_packing"](spark, d16)
+    # cum is strictly increasing, so the max of (pack start + offset + len)
+    # over all rows equals the corpus-total token count — any lost or
+    # double-counted partition offset in the two-phase prefix sum breaks it.
+    got = packed.agg(
+        F.max(
+            F.col("pack_id") * _PACK_CAP
+            + F.col("offset_in_pack")
+            + F.col("n_tokens")
+        ).alias("m"),
+        F.sum("n_tokens").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert got["m"] == got["s"], (got["m"], got["s"])
+    assert got["n"] == load(spark, d16, "documents").count()
+
+    # Range layout balance on the scaled ids (replica ids cluster in blocks
+    # of 10M — the range partitioner's sampling must still spread them).
+    toks = load(spark, d16, "documents").select("doc_id")
+    per_part = (
+        toks.repartitionByRange(32, F.col("doc_id"))
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+        .collect()[0]
+    )
+    assert per_part["mx"] <= 4 * per_part["av"], per_part
