@@ -4,7 +4,7 @@ COMPACT JSON line (<=1 KB): {"metric": ..., "value": total_sec, "unit":
 "sf": sf}.  The FULL per-query map lives in BENCH_LATEST.json.
 
 Robust-capture posture (BENCH_r01–r03 all came back `parsed: null`: the
-driver captures only a ~2 KB stdout tail, so a 229-key inline map can never
+driver captures only a ~2 KB stdout tail, so a full per-query inline map can never
 parse): stdout carries NOTHING but the single compact summary line, written
 LAST; per-query progress goes to stderr only when SPARK_GRAFT_BENCH_VERBOSE=1;
 and the full summary is re-written to BENCH_LATEST.json after EVERY query, so
@@ -77,7 +77,7 @@ def main() -> None:
 
     def summary(compact: bool = False) -> str:
         # compact=True: the <=1KB stdout line — totals + 5 slowest only.
-        # The driver only captures a ~2KB stdout tail; the full 229-key map
+        # The driver only captures a ~2KB stdout tail; the full per-query map
         # (~6KB) lives in BENCH_LATEST.json via compact=False.
         qmap = timings
         if compact:
