@@ -67,6 +67,17 @@ def main() -> None:
             qs[warm](spark, sf_dir).count()
         except Exception:
             pass
+    # Materialize every fixture table's file listing + parquet footer (no
+    # data scan): otherwise the alphabetically-first key to reference a
+    # table is charged the suite's one-time lazy fixture init (measured:
+    # dbt_catalog, a metadata-only query, billed 2.7-4.9 s for it).
+    from nedp_etl_spark.data import TABLES, load as _load
+
+    for t in TABLES:
+        try:
+            _load(spark, sf_dir, t).schema
+        except Exception:
+            pass
 
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
     latest = os.path.join(here, "BENCH_LATEST.json")
