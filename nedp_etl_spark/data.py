@@ -56,28 +56,22 @@ _RUNTIME_CONF = {
 }
 
 
-_PREPARED: set[int] = set()
-
-
 def prepare(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable session conf every query depends on.
 
-    Memoized per session: each ``spark.conf.set`` is a py4j round trip and
-    ``load`` calls this on every table reference — hundreds of times per
-    suite run — while the conf only needs pinning once per session.  (A
-    sibling session that later re-pins its own conf, e.g. the streaming
-    helpers' shuffle-partition override, is a different session id and
-    unaffected.)
+    Deliberately NOT memoized: the driver owns the session and may mutate
+    conf between queries, so the module contract (docstring above) is that
+    every query call re-pins what results depend on.  The cost is a few
+    py4j round trips per ``load`` — ~2 s across a 230-query suite run,
+    cheap insurance against a silently drifted timezone or shuffle conf
+    (and a per-session-id memo would carry an id-recycling hazard: ids of
+    collected py4j proxies can be reused by new sessions).
     """
-    sid = id(spark._jsparkSession)
-    if sid in _PREPARED:
-        return spark
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime-settable on this build — defaults are fine
-    _PREPARED.add(sid)
     return spark
 
 

@@ -118,17 +118,19 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
         )
-        # materialize the supplier-sized view once so both the MAX pass and
-        # the equality probe reuse it — one lineitem scan, not two.
-        .localCheckpoint(eager=True)
     )
+    # The view feeds two consumers (MAX pass + equality probe) as a plain
+    # lazy plan: every node in it is deterministic, so recomputation is
+    # sound and AQE's stage reuse deduplicates the shuffle at runtime.  (An
+    # earlier revision pinned it with an eager localCheckpoint — needless
+    # here, and the checkpoint blocks outlive the query: construction-time
+    # jobs + storage accumulation across repeated builds in one session.
+    # Contrast util.global_running_sum, where the layout contains
+    # nondeterministic spark_partition_id and materialization IS required.)
     # `= MAX(...)` as a 1-row aggregate broadcast back onto the view (exact
     # equality is safe: total_revenue is dsum's fixed-point result).  Keeps
     # ties like the scalar subquery, and — unlike a rank-1 window — never

@@ -47,11 +47,14 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # (re-)verify them — led by the newly-live stream_transform_state
 # (protobuf bootstrap landed, first possible driver row) and
 # llm_dedup_embed (reworked in r4 but absent from r4's re-verify block, so
-# its only green row predates the rework); then (b) the 45 keys that have
-# never received a driver CORRECTNESS row across r1–r4 (r4 verdict's
-# coverage list).  (a)+(b) = 52, but the 50-row budget takes exactly the
-# first 50 = (a) + all of (b) — closing cumulative driver coverage to
-# 230/230 distinct keys.  The two round-5 DEFENSIVE-ONLY edits sort at
+# its only green row predates the rework); then (b) the 43 keys that have
+# never received a driver CORRECTNESS row across r1–r4 and are NOT already
+# in (a).  Never-checked ledger: 46 keys total = the r4 verdict's 45-key
+# list + the new stream_transform_state; 3 of the 46 sit in section (a)
+# (stream_transform_state, agg_count_min, sink_surrogate_keys), 43 in (b).
+# The 50-row budget takes exactly the first 50 = (a) 7 + (b) 43 — covering
+# all 46 and closing cumulative driver coverage to 230/230 distinct keys.
+# The two round-5 DEFENSIVE-ONLY edits sort at
 # positions 51–52 (section c): their success-path output is unchanged
 # (stream_watermark_late's oracle gained sub-ms truncation that is
 # value-identical on the current fixtures; stream_rate_source gained an

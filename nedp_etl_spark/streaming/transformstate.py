@@ -62,7 +62,18 @@ def _ensure_protobuf() -> bool:
         if not os.path.isdir(os.path.join(cand, "google", "protobuf")):
             continue
         # protobuf's own documented override for gencode-newer-than-runtime
-        # (pyspark 4.1 gencode is 6.33; the bundled runtime is 6.32).
+        # (pyspark 4.1 gencode is 6.33; the bundled runtime is 6.32).  Track
+        # which env vars WE set so a failed bootstrap leaves no process-wide
+        # residue (they would silently force the pure-python implementation
+        # on any protobuf installed later in this interpreter).
+        ours = [
+            k
+            for k in (
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK",
+                "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
+            )
+            if k not in os.environ
+        ]
         os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
         if cand not in sys.path:
@@ -74,6 +85,8 @@ def _ensure_protobuf() -> bool:
         except ImportError:
             if cand in sys.path:
                 sys.path.remove(cand)
+            for k in ours:
+                os.environ.pop(k, None)
     return False
 
 
@@ -137,12 +150,24 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The state-server client runs in separate Python worker processes that
     # import the generated proto before any user code — propagate the
     # bootstrap there via the PythonFunction env (sc.environment feeds the
-    # worker's environment, including its PYTHONPATH merge).
+    # worker's environment, including its PYTHONPATH merge).  The mutation
+    # is SCOPED: restored after the availableNow run drains, so workers
+    # launched by unrelated later queries don't inherit a PYTHONPATH that
+    # would shadow a real worker-side protobuf install (PYTHONPATH entries
+    # precede site-packages in a worker's sys.path).
     bootstrap_dir = next(
         (c for c in _PB_CANDIDATES if c in sys.path), None
     )
+    env = spark.sparkContext.environment
+    saved = {
+        k: env.get(k)
+        for k in (
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK",
+            "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
+            "PYTHONPATH",
+        )
+    }
     if bootstrap_dir is not None:
-        env = spark.sparkContext.environment
         env.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         env.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
         existing = env.get("PYTHONPATH", "")
@@ -160,16 +185,24 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    ev = _stream_events(s, sf_dir).select("user_id", "value")
-    out = ev.groupBy("user_id").transformWithStateInPandas(
-        _ProfileProcessor(),
-        outputStructType=_OUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
-    res = _run_to_memory(
-        out, f"transform_state_{abs(hash(sf_dir)) % 10_000}", "update"
-    )
+    try:
+        ev = _stream_events(s, sf_dir).select("user_id", "value")
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            _ProfileProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        res = _run_to_memory(
+            out, f"transform_state_{abs(hash(sf_dir)) % 10_000}", "update"
+        )
+    finally:
+        if bootstrap_dir is not None:
+            for k, v in saved.items():
+                if v is None:
+                    env.pop(k, None)
+                else:
+                    env[k] = v
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 

@@ -91,6 +91,21 @@ def global_running_sum(df, order_cols, value, out_col, num_partitions=None):
        traffic), turn their exclusive prefix into per-pid offsets, and
        broadcast-join the offsets back for a map-side add.
 
+    Why the eager checkpoint is load-bearing (a fully-lazy formulation is
+    UNSOUND, verified empirically): deriving both the running sums and the
+    per-pid totals from the un-materialized range layout makes two plan
+    branches over one ``repartitionByRange``, and Spark does NOT evaluate
+    that exchange once — ``spark_partition_id()`` is a nondeterministic
+    expression, which blocks AQE stage canonicalization, so each branch
+    re-executes the range shuffle with an independent bounds SAMPLING (two
+    distinct ShuffleQueryStages observed on the final adaptive plan).  Two
+    samplings can draw different bounds, silently mis-assigning boundary
+    rows' offsets.  Materializing the layout once is the correctness fix,
+    and ``RDD.zipWithIndex`` (an eager count job before the map) is the
+    same shape for the same reason.  The checkpoint costs one transient
+    copy of the input in executor-local storage at construction time —
+    the price of an exact, balanced global prefix sum.
+
     Row order among duplicate order keys is unspecified (as in any engine),
     but range partitioning keeps equal keys in one partition, so the
     cumulative value after each full key group is deterministic; with a

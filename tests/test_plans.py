@@ -285,7 +285,11 @@ _GLOBAL_WINDOW_OK = {
 def _has_global_window(plan: str) -> bool:
     """True if any Window node sits directly on a SinglePartition exchange
     (the physical signature of ``Window.orderBy`` with no partitionBy:
-    Window ← Sort ← Exchange SinglePartition)."""
+    Window ← Sort ← Exchange SinglePartition).
+
+    (No carve-outs: the prefix-sum helper builds its per-pid offsets
+    driver-side from a bounded collect, so its plans contain no
+    single-partition window at all.)"""
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Window [" not in line:
