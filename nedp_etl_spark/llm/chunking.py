@@ -24,17 +24,16 @@ WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 spans AS (
-  -- DuckDB's range() can't take lateral column args: use a fixed spine and
-  -- filter to the per-doc chunk count.
+  -- per-doc chunk spine via the LIST-valued range() + unnest (the TABLE
+  -- function range() cannot take lateral column args; a fixed-width spine
+  -- would silently cap chunks per doc on longer-document fixtures)
   SELECT doc_id, t,
-         CAST(i.i AS INT) AS chunk_id,
-         CAST(i.i * {_STRIDE} + 1 AS INT) AS start_tok
-  FROM tok, range(0, 64) i(i)
-  WHERE i.i <= CAST(floor(greatest(len(t) - {_CHUNK}, 0) * 1.0 / {_STRIDE}) AS BIGINT)
+         CAST(unnest(range(0, 1 + CAST(floor(greatest(len(t) - {_CHUNK}, 0) * 1.0 / {_STRIDE}) AS BIGINT))) AS INT) AS chunk_id
+  FROM tok
 )
 SELECT doc_id, chunk_id,
-       array_to_string(list_slice(t, start_tok, start_tok + {_CHUNK} - 1), ' ') AS chunk_text,
-       len(list_slice(t, start_tok, start_tok + {_CHUNK} - 1)) AS chunk_tokens
+       array_to_string(list_slice(t, chunk_id * {_STRIDE} + 1, chunk_id * {_STRIDE} + {_CHUNK}), ' ') AS chunk_text,
+       len(list_slice(t, chunk_id * {_STRIDE} + 1, chunk_id * {_STRIDE} + {_CHUNK})) AS chunk_tokens
 FROM spans
 """
 

@@ -57,14 +57,22 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles(toks: Column) -> Column:
     """Word 3-grams from a pre-split token array.  Callers must materialize
     the token array as its own column first — referencing split() inside the
-    lambda would re-evaluate it per element."""
+    lambda would re-evaluate it per element.  Total for ANY input length:
+    Spark's sequence() auto-steps DOWNWARD when start > stop, so an
+    unguarded ``sequence(1, n-2)`` on a 2-token doc yields indices [1, 0]
+    and element_at(toks, 0) throws at execution (1-token: [1, 0, -1],
+    where -1 silently aliases the last token) — docs shorter than one
+    shingle therefore return an empty array via a per-row branch (the
+    untaken branch is not evaluated for a row, so the bad indices never
+    execute)."""
     n = F.size(toks)
-    return F.transform(
-        F.sequence(F.lit(1), n - 2),
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
         lambda i: F.concat_ws(
             " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
     )
+    return F.when(n >= 3, shingles).otherwise(F.array().cast("array<string>"))
 
 
 _SHINGLES_SQL = """list_transform(range(1, len(string_split(text,' ')) - 1),

@@ -101,7 +101,15 @@ FROM assigned GROUP BY split, lang
 @register("llm_dataset_split", oracle=_DATASET_SPLIT_ORACLE)
 def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.concat_ws(":", "doc_id", "text")), 1, 2)
+    # F.concat, not concat_ws: concat_ws silently DROPS null elements, so a
+    # null text would hash as just the doc_id while the oracle's || operator
+    # (null-propagating) yields NULL -> 'test'.  concat matches the oracle:
+    # null text -> null hash -> every WHEN is null -> otherwise('test').
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+        1,
+        2,
+    )
     split = (
         F.when(bucket < "e6", "train").when(bucket < "f3", "val").otherwise("test")
     )

@@ -58,10 +58,16 @@ FROM r WHERE rn <= 10
 @register("llm_sim_search", oracle=_SIM_SEARCH_ORACLE)
 def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    # Norms cached per VECTOR before the pair join (the llm_contrastive_pairs
+    # idiom): one O(dim) fold per vector instead of two extra folds per
+    # scored PAIR — the dominant cost of brute-force scoring.  sqrt(dot(e,e))
+    # is the same double arithmetic either way, so results are bit-identical.
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), _dvec("embedding").alias("pe")
-    )
-    cands = emb.select(F.col("vec_id").alias("cand_id"), _dvec("embedding").alias("ce"))
+    ).withColumn("pn", F.sqrt(_dot(F.col("pe"), F.col("pe"))))
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"), _dvec("embedding").alias("ce")
+    ).withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
     scored = (
         cands.crossJoin(F.broadcast(probes))
         .filter(F.col("cand_id") != F.col("probe_id"))
@@ -69,9 +75,7 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "cand_id",
             F.round(
-                _dot(F.col("pe"), F.col("ce"))
-                / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))),
-                6,
+                _dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn")), 6
             ).alias("cosine"),
         )
     )
@@ -137,35 +141,37 @@ def llm_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
         ).alias("c")
     )
+    # probe norm cached once per probe (one fold per vector, not per pair)
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pe")
-    )
+    ).withColumn("pn", F.sqrt(_dot(F.col("pe"), F.col("pe"))))
     # route each probe to its nearest centroid (tiny cross join: P × labels)
     routed = probes.crossJoin(F.broadcast(cent)).select(
         "probe_id",
         "pe",
+        "pn",
         "label",
         (
             _dot(F.col("pe"), F.col("c"))
-            / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("c"), F.col("c"))))
+            / (F.col("pn") * F.sqrt(_dot(F.col("c"), F.col("c"))))
         ).alias("csim"),
     )
     wr = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("label"))
     bucket = routed.withColumn("crn", F.row_number().over(wr)).filter(F.col("crn") == 1).select(
-        "probe_id", "pe", "label"
+        "probe_id", "pe", "pn", "label"
     )
-    # exhaustive search inside the routed bucket only
+    # exhaustive search inside the routed bucket only; candidate norms are
+    # computed BEFORE the bucket join, once per vector
     scored = (
-        emb.join(F.broadcast(bucket), on="label")
+        emb.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .join(F.broadcast(bucket), on="label")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             F.col("vec_id").alias("cand_id"),
             "label",
             F.round(
-                _dot(F.col("pe"), F.col("v"))
-                / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
-                6,
+                _dot(F.col("pe"), F.col("v")) / (F.col("pn") * F.col("vn")), 6
             ).alias("cosine"),
         )
     )
@@ -243,21 +249,18 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     #       llm_kmeans): centroids travel as DATA in a 1-row broadcast
     #       array<struct<label,c>>, cosine + top-2 via array_sort over
     #       (−cosine, label) structs computed by transform().
-    cents_row = cent.agg(
-        F.array_sort(F.collect_list(F.struct("label", "c"))).alias("cents")
+    # centroid norms ride along in the broadcast struct (one fold per
+    # centroid at build time); vector norms come from the pre-computed vn
+    # column — routing is then one dot-fold per (vector, centroid)
+    cents_row = cent.withColumn("nc", F.sqrt(_dot(F.col("c"), F.col("c")))).agg(
+        F.array_sort(F.collect_list(F.struct("label", "c", "nc"))).alias("cents")
     )
     scored_cents = F.array_sort(
         F.transform(
             F.col("cents"),
             lambda x: F.struct(
                 (
-                    -(
-                        _dot(F.col("v"), x["c"])
-                        / (
-                            F.sqrt(_dot(F.col("v"), F.col("v")))
-                            * F.sqrt(_dot(x["c"], x["c"]))
-                        )
-                    )
+                    -(_dot(F.col("v"), x["c"]) / (F.col("vn") * x["nc"]))
                 ).alias("neg"),
                 x["label"].alias("bucket"),
             ),
@@ -267,19 +270,32 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join below, and without the checkpoint each side would re-derive
     # the full routing (centroid agg + broadcast attach) independently.
     assigned = (
-        corpus.crossJoin(F.broadcast(cents_row))
+        corpus.withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .crossJoin(F.broadcast(cents_row))
         .select(
             "vec_id",
             "v",
+            "vn",  # norm computed once per vector, pre-explode, materialized
             F.explode(F.slice(scored_cents, 1, 2).bucket).alias("bucket"),
         )
         .localCheckpoint(eager=True)
     )
 
     # -- 3. within-bucket exact verify (equi join ⇒ shuffle by bucket, no
-    #       nested loop), then pair-level dedup across the two probes.
-    a = assigned.select("bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = assigned.select("bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    #       nested loop), then pair-level dedup across the two probes.  The
+    #       checkpointed norms make scoring one fold per pair, not three.
+    a = assigned.select(
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    b = assigned.select(
+        "bucket",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
     return (
         a.join(b, on="bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -287,9 +303,7 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
-                6,
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.95)
@@ -416,12 +430,26 @@ def llm_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lit = F.array(*[F.lit(c) for c in row])
         bit = F.when(_dot(F.col("v"), lit) >= 0, F.lit(1 << k)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    sig = corpus.select("vec_id", "v", bucket.cast("bigint").alias("bucket"))
-    a = sig.select("bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = sig.select("bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    # norms once per vector, pre-self-join: one fold per verified pair
+    sig = corpus.select(
+        "vec_id",
+        "v",
+        bucket.cast("bigint").alias("bucket"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("vn"),
     )
+    a = sig.select(
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    b = sig.select(
+        "bucket",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, on="bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -487,25 +515,27 @@ GROUP BY bf.probe_id
 def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dvec("embedding").alias("v")
-    )
+    ).withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     probes = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pe"),
+        F.col("vn").alias("pn"),
     )
 
-    def _cos(a: str, b: str) -> Column:
+    # norms ride the per-vector columns (pn/vn) — scoring is one dot fold
+    # per pair, not three O(dim) folds (the llm_contrastive_pairs idiom)
+    def _cos() -> Column:
         return F.round(
-            _dot(F.col(a), F.col(b))
-            / (F.sqrt(_dot(F.col(a), F.col(a))) * F.sqrt(_dot(F.col(b), F.col(b)))),
-            6,
+            _dot(F.col("pe"), F.col("v")) / (F.col("pn") * F.col("vn")), 6
         )
 
     # ground truth: brute-force top-5 (fixed probe set broadcast, one scan)
     wbf = Window.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("cand_id"))
     bf = (
-        emb.select(F.col("vec_id").alias("cand_id"), F.col("v"))
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("v"), F.col("vn"))
         .crossJoin(F.broadcast(probes))
         .filter(F.col("cand_id") != F.col("probe_id"))
-        .withColumn("c", _cos("pe", "v"))
+        .withColumn("c", _cos())
         .withColumn("rn", F.row_number().over(wbf))
         .filter(F.col("rn") <= 5)
         .select("probe_id", "cand_id")
@@ -525,23 +555,24 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = probes.crossJoin(F.broadcast(cent)).select(
         "probe_id",
         "pe",
+        "pn",
         "label",
         (
             _dot(F.col("pe"), F.col("c"))
-            / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("c"), F.col("c"))))
+            / (F.col("pn") * F.sqrt(_dot(F.col("c"), F.col("c"))))
         ).alias("csim"),
     )
     wr = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("label"))
     bucket = (
         routed.withColumn("crn", F.row_number().over(wr))
         .filter(F.col("crn") == 1)
-        .select("probe_id", "pe", "label")
+        .select("probe_id", "pe", "pn", "label")
     )
     wivf = Window.partitionBy("probe_id").orderBy(F.col("c").desc(), F.col("cand_id"))
     ivf = (
         emb.join(F.broadcast(bucket), on="label")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", F.col("vec_id").alias("cand_id"), _cos("pe", "v").alias("c"))
+        .select("probe_id", F.col("vec_id").alias("cand_id"), _cos().alias("c"))
         .withColumn("rn", F.row_number().over(wivf))
         .filter(F.col("rn") <= 5)
         .select("probe_id", "cand_id", F.lit(1).alias("hit"))

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
-from nedp_etl_spark.util import osum, r6
+from nedp_etl_spark.util import r6
 
 # --------------------------------------------------------------------------
 # llm_text_stats — corpus statistics by language.

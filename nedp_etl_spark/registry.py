@@ -95,6 +95,18 @@ _PRIORITY: list[str] = [
     # 50-row budget line, still ahead of the 178 keys with current green rows
     "stream_watermark_late",      # oracle watermark ms-truncated (ADVICE r4)
     "stream_rate_source",         # explicit raise on <1000-row stall (ADVICE r4)
+    # --- (d) round-5 OUTPUT-IDENTICAL hardening/perf edits, next in line
+    # for any spare driver budget.  Per-vector norm caching (one O(dim)
+    # fold per vector instead of three per scored pair — identical double
+    # arithmetic), the _shingles total-function guard (empty array for
+    # docs shorter than one shingle; unreachable on current fixtures), the
+    # llm_chunking oracle's per-doc spine (was fixed-width 64), and
+    # llm_dataset_split's null-propagating hash input.  All re-verified
+    # hash-exact at sf0.01 by the in-repo replica this round
+    # (tests/test_llm_edges.py pins the edge behaviors).
+    "llm_sim_search", "llm_sim_search_ivf", "llm_ann_recall",
+    "llm_semantic_lsh", "llm_chunking", "llm_dataset_split",
+    "llm_dedup_near", "llm_dedup_lsh_verified",
 ]
 
 
