@@ -404,7 +404,11 @@ def llm_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_ITERS = 4
 
-_CC_EDGES_SQL = f"""
+# Public: the LSH candidate-pair CTE — the distinct (doc_a < doc_b) band
+# collisions of llm_dedup_near.  Shared with graph_triangle_count's oracle
+# (operators/graph.py), so it deliberately carries ONLY the pairs CTE; the
+# connected-components edges/l0 scaffolding is appended privately below.
+PAIRS_SQL = f"""
 pairs AS (
   SELECT doc_a, doc_b FROM (
     WITH corpus AS ({_AUG_SQL}),
@@ -423,7 +427,9 @@ pairs AS (
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
   )
-),
+)"""
+
+_CC_EDGES_SQL = f"""{PAIRS_SQL},
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs

@@ -73,16 +73,23 @@ def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
     )
-    # both aggregates key on user_id → one exchange, reused
-    cohort = ev.groupBy("user_id").agg(F.min("w").alias("cohort"))
-    active = ev.distinct()
+    # ONE user_id exchange: cohort week and the user's distinct active
+    # weeks come from the same groupBy (collect_set is bounded by the
+    # number of calendar weeks in the dataset, O(100s) at any corpus
+    # size).  The previous distinct()+join shape shuffled on (user_id, w)
+    # and then AGAIN on user_id for the join — two full-data exchanges.
+    per_user = ev.groupBy("user_id").agg(
+        F.min("w").alias("cohort"), F.collect_set("w").alias("weeks")
+    )
     cell = (
-        active.join(cohort, "user_id")
+        per_user.select("user_id", "cohort", F.explode("weeks").alias("w"))
         .groupBy(
             "cohort",
             (F.datediff("w", "cohort") / 7).cast("int").alias("offset_weeks"),
         )
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        # (user_id, w) is unique after the per-user set explode, so a plain
+        # count equals the old countDistinct without the distinct expansion
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
     w0 = Window.partitionBy("cohort").orderBy("offset_weeks")
     return cell.select(
@@ -170,12 +177,24 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("step")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+    # Left-join against the literal step spine: the oracle's UNION ALL of
+    # scalar COUNTs emits EVERY step row even when zero users complete it,
+    # so a step nobody reaches must surface as n_users = 0, not as a
+    # missing row.  (conv_pct guards the all-zero funnel: Spark 4's ANSI
+    # division would raise on 0/0 where DuckDB yields NULL.)
+    spine = spark.range(1, len(_FUNNEL_STEPS) + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    counts = spine.join(counts, "step", "left").select(
+        "step", F.coalesce("n_users", F.lit(0)).alias("n_users")
+    )
     w = Window.orderBy("step")
+    first = F.first("n_users").over(w)
     return counts.select(
         "step",
         F.element_at(steps, F.col("step")).alias("step_name"),
         "n_users",
-        F.round(F.col("n_users") / F.first("n_users").over(w), 6).alias("conv_pct"),
+        F.when(first > 0, F.round(F.col("n_users") / first, 6)).alias("conv_pct"),
     )
 
 
@@ -377,7 +396,11 @@ WITH s AS (
   SELECT event_type, user_id % 2 AS arm,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(value AS DECIMAL(25,6)) * CAST(value AS DECIMAL(25,6)))
+         -- squares at DECIMAL(18,6): the product keeps scale 12 in BOTH
+         -- engines (25,6 squared overflows Spark's 38-digit cap, which
+         -- clamps scale to 6 while DuckDB keeps 12 — a latent mismatch
+         -- for values with >3 decimal digits)
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
               AS DOUBLE) AS sxx
   FROM events GROUP BY event_type, user_id % 2
 ),
@@ -407,12 +430,16 @@ FROM p
 def agg_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     vdec = F.col("value").cast("decimal(25,6)")
+    # squares at decimal(18,6): product = decimal(37,12), inside Spark's
+    # 38-digit cap, so the scale-12 result matches DuckDB exactly (a
+    # (25,6) square would clamp scale to 6 on the Spark side only)
+    vsq = F.col("value").cast("decimal(18,6)")
     s = ev.groupBy(
         "event_type", (F.col("user_id") % 2).alias("arm")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(vdec).cast("double").alias("sx"),
-        F.sum(vdec * vdec).cast("double").alias("sxx"),
+        F.sum(vsq * vsq).cast("double").alias("sxx"),
     )
     arm = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
     p = s.groupBy("event_type").agg(
@@ -499,21 +526,21 @@ def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wf).alias("rn_first"),
         F.row_number().over(wl).alias("rn_last"),
     )
-    ft = (
-        ranked.filter(F.col("rn_first") == 1)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_first_touch"))
-    )
-    lt = (
-        ranked.filter(F.col("rn_last") == 1)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_last_touch"))
-    )
+    # One pass over the ranked relation: separate first/last branches would
+    # re-execute the join + both rank windows per branch before a full-outer
+    # re-join.  Filtering to touch rows once and conditional-summing both
+    # counts in a single groupBy gets the identical result (a channel with
+    # only one touch kind shows 0 for the other; a channel with neither
+    # never appears — exactly the old full_outer + coalesce semantics).
     return (
-        ft.join(lt, "event_type", "full_outer")
-        .select(
-            F.col("event_type").alias("channel"),
-            F.coalesce("n_first_touch", F.lit(0)).alias("n_first_touch"),
-            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+        ranked.filter((F.col("rn_first") == 1) | (F.col("rn_last") == 1))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0)).alias(
+                "n_first_touch"
+            ),
+            F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0)).alias(
+                "n_last_touch"
+            ),
         )
     )

@@ -141,7 +141,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed triangle counting feasible on power-law graphs.
 # --------------------------------------------------------------------------
 
-from nedp_etl_spark.llm.dedup import _CC_EDGES_SQL as _PAIR_EDGES_SQL
+from nedp_etl_spark.llm.dedup import PAIRS_SQL as _PAIR_EDGES_SQL
 
 _TRIANGLE_ORACLE = f"""
 WITH {_PAIR_EDGES_SQL}

@@ -89,10 +89,16 @@ GROUP BY user_id, session_num
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # microsecond-exact gap: cast("long") floors to whole SECONDS, which
+    # disagrees with the oracle's exact interval compare for true gaps in
+    # (1800 s, 1801 s) — e.g. events at :00.1 and 30:00.9 are one session
+    # under a floored diff (1800 ≯ 1800) but two under the real 1800.8 s
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
     flagged = ev.withColumn(
         "is_new",
-        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     sess = flagged.withColumn(
         "session_num",
@@ -326,16 +332,27 @@ def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(part.orderBy(F.col("value").desc(), "event_id"))
         .alias("rn_max"),
     )
+    # One pass over the windowed relation: a unionAll of two filtered
+    # branches would re-evaluate the whole two-window subtree per branch
+    # (the exchange is reused at best; the sorts and window evaluation run
+    # twice).  Keep min-or-max rows once and explode the (≤2) kinds — a
+    # single-row day is BOTH min and max and still yields two rows, like
+    # the oracle's UNION ALL.
     day_s = F.date_format("day", "yyyy-MM-dd").alias("day")
-    mins = r.filter(F.col("rn_min") == 1).select(
-        "event_type", day_s, F.lit("min").alias("kind"),
-        "event_id", F.round("value", 6).alias("value"),
+    kinds = F.filter(
+        F.array(
+            F.when(F.col("rn_min") == 1, F.lit("min")),
+            F.when(F.col("rn_max") == 1, F.lit("max")),
+        ),
+        lambda x: x.isNotNull(),
     )
-    maxs = r.filter(F.col("rn_max") == 1).select(
-        "event_type", day_s, F.lit("max").alias("kind"),
-        "event_id", F.round("value", 6).alias("value"),
+    return (
+        r.filter((F.col("rn_min") == 1) | (F.col("rn_max") == 1))
+        .select(
+            "event_type", day_s, F.explode(kinds).alias("kind"),
+            "event_id", F.round("value", 6).alias("value"),
+        )
     )
-    return mins.unionAll(maxs)
 
 
 # --------------------------------------------------------------------------
@@ -701,17 +718,28 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.floor(dsum("value") * 1000000.0 + 0.5).cast("long").alias("ymicros")
     )
+    # sxy and the normal-equation products run in decimal(38,0): the DuckDB
+    # oracle accumulates these in HUGEINT (int128), while a bigint Spark
+    # side would overflow near the dsum magnitude bound over multi-year
+    # spans (n*sxy ~ 1e21+) — under Spark 4's default ANSI mode that is an
+    # ARITHMETIC_OVERFLOW error, not even a quiet mismatch.  Both engines
+    # compute the same exact integers, so the double casts agree exactly.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     s = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum("ymicros").alias("sy"),
-        F.sum(F.col("x") * F.col("ymicros")).alias("sxy"),
+        F.sum(dec(F.col("ymicros"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("ymicros"))).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.max("x").alias("last_x"),
     ).filter(F.col("n") >= 2)  # 1-day series: zero fit denominator (ADVICE r3)
     slope = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        (dec(F.col("n")) * F.col("sxy") - dec(F.col("sx")) * F.col("sy")).cast(
+            "double"
+        )
+        / (
+            dec(F.col("n")) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx"))
+        ).cast("double")
     )
     fit = s.select(
         "event_type", "n", "last_x",

@@ -107,6 +107,18 @@ _PRIORITY: list[str] = [
     "llm_sim_search", "llm_sim_search_ivf", "llm_ann_recall",
     "llm_semantic_lsh", "llm_chunking", "llm_dataset_split",
     "llm_dedup_near", "llm_dedup_lsh_verified",
+    # ...and the timeseries/analytics hardening of the same review program:
+    # ts_sessionize (microsecond-exact gap compare — the floored-second
+    # diff disagreed with the oracle for true gaps in (1800 s, 1801 s)),
+    # ts_forecast_linear (normal-equation products in decimal(38,0),
+    # matching the oracle's HUGEINT against int64 overflow under ANSI),
+    # ts_downsample / ts_attribution (single-pass over the windowed
+    # relation instead of two filtered branches re-evaluating it),
+    # ts_retention_cohort (cohort + active weeks from ONE user_id
+    # exchange).  ts_funnel's zero-user step spine and agg_ab_ztest's
+    # decimal(18,6) squares are already inside the 50-row budget above.
+    "ts_sessionize", "ts_forecast_linear", "ts_downsample",
+    "ts_attribution", "ts_retention_cohort",
 ]
 
 
