@@ -222,12 +222,17 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = base.filter(F.col("order_year") == 1997).withColumn(
         "price", F.round(F.col("price") * 1.1, 6)
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        upd.write.mode("overwrite").partitionBy("order_year").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-WRITE option, not a session-conf save/restore: two interleaved
+    # runs on the shared session could each read the other's "previous"
+    # value and leave the session stuck in dynamic mode, silently switching
+    # every later partitioned overwrite in the session to per-partition
+    # semantics.  The writer option scopes the mode to this one write.
+    (
+        upd.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("order_year")
+        .parquet(path)
+    )
 
     return (
         spark.read.parquet(path)
@@ -559,7 +564,10 @@ def sink_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _scratch("sink_observe_metrics", sf_dir)
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
-    obs = Observation("sink_metrics")
+    # anonymous Observation: the listener matches observations BY NAME, so
+    # two concurrent runs sharing the literal name "sink_metrics" could
+    # capture each other's metrics; the auto-generated UUID name is unique
+    obs = Observation()
     observed = o.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
@@ -706,7 +714,11 @@ def dbt_model_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nedp_etl_spark.data import views
     from nedp_etl_spark.models import ModelGraph
 
-    views(spark, sf_dir, "orders", "lineitem")
+    # sibling session: temp views are session-scoped, so the DAG's
+    # 'orders'/'lineitem' source views can't collide with a concurrent run
+    # at another sf (scratch paths are sf-scoped; names must be too)
+    s = spark.newSession()
+    views(s, sf_dir, "orders", "lineitem")
     g = ModelGraph()
     g.add_model(
         "stg_orders",
@@ -729,7 +741,7 @@ def dbt_model_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS revenue "
         "FROM {{ ref('fct_revenue') }} GROUP BY o_orderpriority",
     )
-    return g.run(spark, select=["rpt_priority"])["rpt_priority"]
+    return g.run(s, select=["rpt_priority"])["rpt_priority"]
 
 
 # --------------------------------------------------------------------------
@@ -768,7 +780,11 @@ WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = t.o_orderkey)
 def dbt_incremental_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nedp_etl_spark.models import ModelGraph
 
-    o = load(spark, sf_dir, "orders")
+    # sibling session: the 'feed' source view is re-pointed between the two
+    # batches below, and a concurrent run at another sf must see ITS feed,
+    # not this one's (temp views are session-scoped)
+    s = spark.newSession()
+    o = load(s, sf_dir, "orders")
     cutoff = F.lit("1995-12-01 00:00:00").cast("timestamp")
 
     g = ModelGraph()
@@ -784,7 +800,7 @@ def dbt_incremental_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # batch 1: initial snapshot → full build (guard compiled out)
     o.createOrReplaceTempView("feed")
-    g.run(spark, table_dir=table_dir)
+    g.run(s, table_dir=table_dir)
 
     # batch 2: source advanced — late rows re-land updated; guard active
     updated = F.col("o_orderdate") >= cutoff
@@ -795,7 +811,7 @@ def dbt_incremental_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(updated, F.col("o_totalprice") * 1.1).otherwise(F.col("o_totalprice")),
     )
     snap2.createOrReplaceTempView("feed")
-    return g.run(spark, table_dir=table_dir)["inc_orders"]
+    return g.run(s, table_dir=table_dir)["inc_orders"]
 
 
 # --------------------------------------------------------------------------
@@ -887,7 +903,10 @@ def dbt_run_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nedp_etl_spark.data import views
     from nedp_etl_spark.models import ModelGraph
 
-    views(spark, sf_dir, "orders")
+    # sibling session for the session-scoped 'orders' source view; the
+    # audit TABLE lives in the shared catalog and is already sf-scoped
+    s = spark.newSession()
+    views(s, sf_dir, "orders")
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     audit = f"nedp_audit_{sf_tag}"
 
@@ -923,7 +942,7 @@ def dbt_run_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     g.run(
-        spark,
+        s,
         on_run_start=[
             f"DROP TABLE IF EXISTS {audit}",
             f"CREATE TABLE {audit} (model STRING, n_rows BIGINT) USING PARQUET",
@@ -933,4 +952,6 @@ def dbt_run_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT 'run_end', COUNT(*) FROM (SELECT model FROM {audit} GROUP BY model)"
         ],
     )
+    # the audit table lives in the SHARED catalog — readable from either
+    # session; the caller's session is the natural return surface
     return spark.table(audit).select("model", "n_rows")

@@ -25,8 +25,15 @@ from pyspark.sql import types as T
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import dsum_dec, osum_dec
 
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "..", "_scratch")
+
+
+def _sf_tag(sf_dir: str) -> str:
+    """Identifier-safe scale-factor tag (view/observation name suffixes)."""
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return sf.replace(".", "_").replace("-", "_")
 
 
 def _scratch(name: str, sf_dir: str) -> str:
@@ -318,8 +325,8 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reads re-execute the plan (createOrReplaceTempView in-session).
 # --------------------------------------------------------------------------
 
-_SINK_VIEW_ORACLE = """
-SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+_SINK_VIEW_ORACLE = f"""
+SELECT o_orderstatus, COUNT(*) AS n, {osum_dec('o_totalprice')} AS total
 FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus
 """
 
@@ -327,11 +334,14 @@ FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderstatus
 @register("sink_view", oracle=_SINK_VIEW_ORACLE)
 def sink_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    o.createOrReplaceTempView("v_big_orders")
+    # sf-scoped view name: temp views are SESSION-global, so concurrent
+    # runs at different sfs must not share one name (the module contract
+    # at the top of this file scopes every other resource by sf)
+    view = f"v_big_orders_{_sf_tag(sf_dir)}"
+    o.createOrReplaceTempView(view)
     return spark.sql(
-        "SELECT o_orderstatus, COUNT(*) AS n, "
-        "CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total "
-        "FROM v_big_orders GROUP BY o_orderstatus"
+        f"SELECT o_orderstatus, COUNT(*) AS n, {osum_dec('o_totalprice')} AS total "
+        f"FROM {view} GROUP BY o_orderstatus"
     )
 
 
@@ -340,13 +350,13 @@ def sink_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # materializes anywhere; it is inlined into downstream queries as a CTE.
 # --------------------------------------------------------------------------
 
-_SINK_EPHEMERAL_ORACLE = """
+_SINK_EPHEMERAL_ORACLE = f"""
 WITH eph_order_value AS (
-  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+  SELECT o_custkey, {osum_dec('o_totalprice')} AS spend
   FROM orders GROUP BY o_custkey
 )
 SELECT c.c_mktsegment, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(e.spend AS DECIMAL(25,6))) AS DOUBLE) AS segment_spend
+       {osum_dec('e.spend')} AS segment_spend
 FROM customer c JOIN eph_order_value e ON c.c_custkey = e.o_custkey
 GROUP BY c.c_mktsegment
 """
@@ -358,7 +368,7 @@ def sink_ephemeral(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly how dbt inlines ephemeral models as CTEs.
     o = load(spark, sf_dir, "orders")
     eph = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("spend")
+        dsum_dec("o_totalprice").alias("spend")
     )
     c = load(spark, sf_dir, "customer")
     return (
@@ -366,7 +376,7 @@ def sink_ephemeral(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("spend").cast("decimal(25,6)")).cast("double").alias("segment_spend"),
+            dsum_dec("spend").alias("segment_spend"),
         )
     )
 
@@ -393,8 +403,6 @@ FROM nation
 
 @register("scan_csv_malformed", oracle=_SCAN_CSV_MALFORMED_ORACLE)
 def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     stage = _scratch("scan_csv_malformed", sf_dir)
     os.makedirs(stage, exist_ok=True)
     path = os.path.join(stage, "nation_bad.csv")
@@ -419,7 +427,11 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark disallows corrupt-column-only queries on a raw CSV scan
         # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
         # documented pattern is to materialize the parse first.
-        .cache()
+        # localCheckpoint, not cache(): each invocation builds a fresh plan,
+        # so cache() would pin a NEW CacheManager entry per call for the
+        # session's lifetime (never GC'd); checkpoint blocks are freed with
+        # the DataFrame.  The input is a 28-line staged CSV.
+        .localCheckpoint(eager=True)
     )
     dropped = (
         spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -545,6 +557,13 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .collect()  # 40 rows — fixture materialization only, like the
     )  # nation-CSV setup in scan_csv_json; the SCAN under test is distributed.
+    # clear the stage first: the scan lists every *.bin, so doc_N.bin files
+    # surviving from a previous fixture generation (different doc_id set)
+    # would be read alongside the fresh ones — the scan_csv_malformed
+    # staleness-drift class
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     for r in docs:
         with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as fh:

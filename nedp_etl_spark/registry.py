@@ -119,6 +119,15 @@ _PRIORITY: list[str] = [
     # decimal(18,6) squares are already inside the 50-row budget above.
     "ts_sessionize", "ts_forecast_linear", "ts_downsample",
     "ts_attribution", "ts_retention_cohort",
+    # ...and the sink/scan isolation pass: sink_view (sf-scoped view name),
+    # sink_partition_overwrite (per-write option replaces the racy
+    # session-conf save/restore), sink_ephemeral (dsum_dec reuse),
+    # scan_csv_malformed (localCheckpoint replaces an unbounded cache-entry
+    # leak).  The dbt_* DAG ops' sibling-session isolation and
+    # scan_binaryfile's stage-dir clearing are already inside the 50-row
+    # budget; the streaming stall guards only fire on environment timeouts.
+    "sink_view", "sink_partition_overwrite", "sink_ephemeral",
+    "scan_csv_malformed", "stream_foreachbatch",
 ]
 
 

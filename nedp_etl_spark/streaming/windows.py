@@ -153,17 +153,20 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     src = f"{sf_dir}/events.parquet"
     dst = os.path.join(stage, "events.parquet")
+    # Re-stage unconditionally unless dst IS src (same inode): size/mtime
+    # staleness heuristics miss a regenerated fixture with identical byte
+    # size and a preserved (older) mtime — e.g. an rsync -a restore — which
+    # would silently diverge the streamed events from the batch reads.
+    # Re-linking one file per call is cheap; the hard-link path is O(1).
+    same = False
     if os.path.exists(dst):
         try:
-            stale = not os.path.samefile(src, dst) and (
-                os.path.getsize(src) != os.path.getsize(dst)
-                or os.path.getmtime(src) > os.path.getmtime(dst)
-            )
+            same = os.path.samefile(src, dst)
         except OSError:
-            stale = True
-        if stale:  # fixtures were regenerated since we staged them
+            same = False
+        if not same:
             os.remove(dst)
-    if not os.path.exists(dst):
+    if not same:
         try:
             os.link(src, dst)
         except OSError:
@@ -215,7 +218,17 @@ def _run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination(timeout) returns False on timeout WITHOUT raising: an
+    # environment stall would otherwise hand back a partial (still-growing)
+    # memory table that reads as a silent correctness mismatch.  Surface it
+    # as an explicit failure instead (the stream_rate_source hardening,
+    # applied to every availableNow run).
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {name!r} did not drain within 120s — "
+            "environment stall, not a correctness result"
+        )
     return spark.table(name)
 
 
@@ -345,7 +358,15 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _stream_events(_isolated(spark), sf_dir)
     ev.sparkSession.conf.set("spark.sql.shuffle.partitions", "8")
     q = ev.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    # same stall guard as _run_to_memory: a timed-out run would leave
+    # `latest` empty (opaque IndexError) or pointing at an intermediate
+    # version (silently under-accumulated totals)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError(
+            "stream_foreachbatch did not drain within 120s — "
+            "environment stall, not a correctness result"
+        )
     return spark.read.parquet(latest[-1]).select(
         "event_type",
         "n",
