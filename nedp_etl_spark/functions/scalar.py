@@ -285,8 +285,10 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_quantity").cast("bigint"),
             )
         ).cast("bigint").alias("int_div"),
-        # try_add returns NULL on int64 overflow; keys 1..2 stay in range,
-        # larger keys overflow (lit is max_long - 10).
+        # try_add returns NULL on int64 overflow; the lit is max_long - 10,
+        # so ONLY key 1 stays in range (7 <= 10) — key 2 already overflows
+        # (14 > 10), and the oracle's `l_orderkey * 7 > 10 THEN NULL` twin
+        # encodes exactly that boundary.
         F.try_add(
             F.lit(9223372036854775807 - 10), F.col("l_orderkey") * 7
         ).alias("near_overflow_add"),

@@ -69,6 +69,14 @@ class ModelGraph:
             raise ValueError(f"duplicate model: {name}")
         if materialization not in ("view", "table", "ephemeral", "incremental"):
             raise ValueError(f"unknown materialization: {materialization}")
+        if materialization != "incremental" and _THIS_RE.search(sql):
+            # dbt defines {{ this }} only where a prior materialization
+            # exists to refer to; in a view/table model body it would reach
+            # spark.sql verbatim and die with an opaque ParseException
+            raise ValueError(
+                f"model {name}: '{{{{ this }}}}' is only valid in "
+                "incremental model SQL (hooks may always use it)"
+            )
         self._sql[name] = sql
         self._mat[name] = materialization
         self._key[name] = unique_key
@@ -150,7 +158,11 @@ class ModelGraph:
             if self._mat[name] == "incremental":
                 df = self._run_incremental(spark, name, table_dir)
             else:
-                sql = _REF_RE.sub(lambda m: m.group(1), self._sql[name])
+                # compile out is_incremental() guards exactly as dbt does
+                # in a non-incremental context (the guard body only applies
+                # when merging into an existing target)
+                sql = _INCR_RE.sub("", self._sql[name])
+                sql = _REF_RE.sub(lambda m: m.group(1), sql)
                 df = spark.sql(sql)
                 if self._mat[name] == "table":
                     if table_dir is None:
@@ -196,7 +208,20 @@ class ModelGraph:
             else:
                 kept = existing  # `append` strategy
             df = df.unionByName(kept)
-        self._version[name] = ver + 1
         path = f"{table_dir}/{name}/v{ver + 1}"
+        # WRITE FIRST, then flip the pointer: the model SQL evaluates
+        # lazily inside the write, so a failed batch (ANSI error in the
+        # slice, disk full, interruption) must leave the pointer at the
+        # last good version — a pre-flipped pointer would brick the model
+        # (every later run reads a v{ver+1} that never materialized).
         df.write.mode("overwrite").parquet(path)
+        self._version[name] = ver + 1
+        # prune versions nobody can read anymore (two behind the pointer:
+        # v{ver} may still back a caller's lazily-evaluated DataFrame from
+        # the PREVIOUS batch, so keep one superseded copy) — without this,
+        # every batch permanently adds a full copy of the target table
+        import shutil
+
+        for old in range(1, ver):
+            shutil.rmtree(f"{table_dir}/{name}/v{old}", ignore_errors=True)
         return spark.read.parquet(path)

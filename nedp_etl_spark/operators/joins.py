@@ -445,18 +445,33 @@ GROUP BY o.o_orderpriority
 """
 
 
+# One bloom-conf sibling session per root session, reused across calls:
+# a fresh newSession() per invocation leaks — the loader's plan cache pins
+# each sibling's JVM session state for the process lifetime, growing by
+# one session + two cached plans per call.  Keyed by the root session
+# OBJECT (strong reference — no id-recycling hazard).
+_BLOOM_SESSIONS: dict[SparkSession, SparkSession] = {}
+
+
 @register("join_bloom_prefilter", oracle=_JOIN_BLOOM_ORACLE)
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = spark.newSession()
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-    s.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
-    )
-    # Broadcast off: at real scale the selective side exceeds the broadcast
-    # threshold, and InjectRuntimeFilter only fires on non-broadcast joins
-    # (a broadcast join never shuffles the probe side to begin with).
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s = _BLOOM_SESSIONS.get(spark)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        s.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        s.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # Broadcast off: at real scale the selective side exceeds the
+        # broadcast threshold, and InjectRuntimeFilter only fires on
+        # non-broadcast joins (a broadcast join never shuffles the probe
+        # side to begin with).
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _BLOOM_SESSIONS[spark] = s
     li = load(s, sf_dir, "lineitem")
     o = load(s, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (

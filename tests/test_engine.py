@@ -189,3 +189,43 @@ def test_model_graph_incremental_this_highwater(spark, tmp_path):
     out = g.run(spark, table_dir=str(tmp_path))["hw"]
     # no unique_key → append strategy; duplicates of 1/2 excluded by the guard
     assert sorted(r.k for r in out.collect()) == [1, 2, 4]
+
+
+def test_model_graph_incremental_failed_batch_recovers(spark, tmp_path):
+    """A failed incremental batch must NOT advance the version pointer:
+    the write runs before the bump, so a retry merges onto the last good
+    version instead of chasing a v{N+1} that never materialized."""
+    import pytest
+
+    from nedp_etl_spark.models import ModelGraph
+
+    g = ModelGraph()
+    g.add_model(
+        "rec",
+        "SELECT k, v FROM rec_feed {% if is_incremental() %} WHERE k >= 2 {% endif %}",
+        materialization="incremental",
+        unique_key="k",
+    )
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").createOrReplaceTempView("rec_feed")
+    g.run(spark, table_dir=str(tmp_path))
+
+    # batch 2 fails: the source lost column v — analysis error mid-batch
+    spark.createDataFrame([(2,), (3,)], "k int").createOrReplaceTempView("rec_feed")
+    with pytest.raises(Exception):
+        g.run(spark, table_dir=str(tmp_path))
+    assert g._version["rec"] == 1  # pointer still at the last good build
+
+    # source repaired: the SAME graph retries batch 2 successfully
+    spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string").createOrReplaceTempView("rec_feed")
+    out = g.run(spark, table_dir=str(tmp_path))["rec"]
+    assert sorted((r.k, r.v) for r in out.collect()) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_model_graph_rejects_this_outside_incremental():
+    from nedp_etl_spark.models import ModelGraph
+
+    g = ModelGraph()
+    import pytest
+
+    with pytest.raises(ValueError, match="incremental"):
+        g.add_model("bad", "SELECT * FROM {{ this }}", materialization="view")
