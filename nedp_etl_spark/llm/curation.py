@@ -635,3 +635,95 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("u")
         .select("doc_id", "lang", "rate")
     )
+
+
+# --------------------------------------------------------------------------
+# llm_dsir_importance — data-selection importance weights (the DSIR recipe,
+# Xie et al. 2023, arXiv:2302.03169): score every document by the
+# log-likelihood ratio of a target-domain hashed-unigram LM over the raw
+# corpus LM.  Docs scoring > 0 look more like the target domain than like
+# the average of the crawl — the standard pre-training data-selection
+# signal.  Hashed-ngram LMs make this scale-free: both models are B=256
+# fixed buckets (first 2 hex chars of md5(token) — identical in Spark and
+# DuckDB), so the "model" is a 256-row table regardless of corpus size.
+#
+# Scale shape: token explode is map-side; the two LM aggregates shuffle at
+# most 256 rows per partition after map-side partial aggregation; the
+# per-bucket log-ratio table (256 rows, corpus-size-independent) broadcasts
+# back for map-side scoring; the per-doc reduce is one hash aggregate on
+# doc_id.  Nothing pairwise, nothing corpus-sized on the driver.
+#
+# Cross-engine determinism: the four ln() calls happen once per BUCKET (256
+# evaluations over exact integer counts, quantized to 1e-6 fixed-point
+# immediately), and per-doc totals are bigint sums of those quantized
+# per-bucket values — order-independent, no float accumulation.
+# Target domain here = sources 'src1*' (a deterministic ~half split of the
+# synthetic corpus); in production it is the trusted high-quality slice.
+# Reference parity: curation reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_DSIR_B = 256
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         substr(md5(unnest(string_split(text, ' '))), 1, 2) AS b
+  FROM documents
+),
+raw_lm AS (SELECT b, COUNT(*) AS n_r FROM toks GROUP BY b),
+tgt_lm AS (SELECT b, COUNT(*) AS n_t FROM toks WHERE source LIKE 'src1%' GROUP BY b),
+lm AS (
+  SELECT r.b, r.n_r, COALESCE(t.n_t, 0) AS n_t
+  FROM raw_lm r LEFT JOIN tgt_lm t USING (b)
+),
+tot AS (SELECT SUM(n_r) AS nr_tot, SUM(n_t) AS nt_tot FROM lm),
+q AS (
+  SELECT b,
+         CAST(FLOOR((ln(n_t + 1) - ln(nt_tot + {_DSIR_B})
+                     - ln(n_r + 1) + ln(nr_tot + {_DSIR_B})) * 1000000.0 + 0.5)
+              AS BIGINT) AS qv
+  FROM lm, tot
+)
+SELECT doc_id, COUNT(*) AS n_tok,
+       ROUND(CAST(SUM(qv) AS DOUBLE) / 1000000.0, 6) AS dsir_weight,
+       CAST(CASE WHEN SUM(qv) > 0 THEN 1 ELSE 0 END AS INT) AS selected
+FROM toks JOIN q USING (b)
+GROUP BY doc_id
+"""
+
+
+@register("llm_dsir_importance", oracle=_DSIR_ORACLE)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", "source", F.substring(F.md5("tok"), 1, 2).alias("b"))
+    raw_lm = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_r"))
+    tgt_lm = (
+        toks.filter(F.col("source").like("src1%"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    lm = raw_lm.join(tgt_lm, "b", "left_outer").withColumn(
+        "n_t", F.coalesce("n_t", F.lit(0))
+    )
+    tot = lm.agg(F.sum("n_r").alias("nr_tot"), F.sum("n_t").alias("nt_tot"))
+    qv = (
+        F.log(F.col("n_t") + 1)
+        - F.log(F.col("nt_tot") + _DSIR_B)
+        - F.log(F.col("n_r") + 1)
+        + F.log(F.col("nr_tot") + _DSIR_B)
+    )
+    q = lm.crossJoin(F.broadcast(tot)).select(
+        "b", F.floor(qv * 1000000.0 + 0.5).cast("long").alias("qv")
+    )
+    return (
+        toks.join(F.broadcast(q), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.sum("qv").cast("double") / 1000000.0, 6).alias("dsir_weight"),
+            (F.sum("qv") > 0).cast("int").alias("selected"),
+        )
+    )

@@ -955,3 +955,41 @@ def dbt_run_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the audit table lives in the SHARED catalog — readable from either
     # session; the caller's session is the natural return surface
     return spark.table(audit).select("model", "n_rows")
+
+
+# --------------------------------------------------------------------------
+# sample_bottomk — EXACT-size deterministic sample: the k rows with the
+# smallest content hash.  sample_hash above gives a reproducible ~p% slice;
+# this gives a reproducible exactly-k subset (the "give me exactly 100k
+# docs, same ones every run, on any engine/partitioning" contract a
+# training-data pipeline needs for pinned eval sets).  Spark executes
+# orderBy(h).limit(k) as TakeOrderedAndProject — each partition keeps its
+# local k smallest and only k rows per partition reach the driver-side
+# merge; the 100 TB input is never globally sorted.  Equivalent to bottom-k
+# consistent sampling / a KMV sketch membership pass.
+# --------------------------------------------------------------------------
+
+_SAMPLE_BOTTOMK_K = 200
+
+_SAMPLE_BOTTOMK_ORACLE = f"""
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS h
+FROM lineitem
+ORDER BY h, l_extendedprice
+LIMIT {_SAMPLE_BOTTOMK_K}
+"""
+
+
+@register("sample_bottomk", oracle=_SAMPLE_BOTTOMK_ORACLE)
+def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    h = F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    # The synthetic lineitem is NOT keyed by (l_orderkey, l_linenumber) —
+    # the fixture carries duplicate pairs — so the hash alone leaves the
+    # k-th-row boundary tie engine-defined; the extendedprice tie-breaker
+    # pins it on both sides.
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", h.alias("h"))
+        .orderBy("h", "l_extendedprice")
+        .limit(_SAMPLE_BOTTOMK_K)
+    )

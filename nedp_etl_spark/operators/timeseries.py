@@ -760,3 +760,103 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("forecast_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_changepoint — CUSUM mean-shift detection per series (the classic
+# cumulative-deviation chart): for each event_type's daily-total series,
+# the candidate changepoint is the day maximizing |Σ_{i<=t}(x_i - mean)|.
+# All arithmetic is exact-integer so both engines agree bit-for-bit:
+# daily totals are fixed-point micro-units (the dsum idiom), and the
+# cumulative deviation is computed scaled by n —
+# C_scaled(t) = n·cumsum(t) - t·total — with the n·/t· products widened to
+# decimal(38,0) (Spark) / HUGEINT (DuckDB): at 100 TB a series' micro-unit
+# total can pass 1e17 and days·total would overflow int64, which under
+# Spark 4's default ANSI mode is an ARITHMETIC_OVERFLOW error (the same
+# hazard ts_forecast_linear hardens against).  No float accumulation order
+# to disagree on; the reported magnitude divides back at the end.  The running sum is windowed PER SERIES (partitionBy
+# event_type), and rows-per-series is calendar-bounded (days), so the
+# window state stays tiny at any corpus size; the argmax reuses the same
+# partitioning — one exchange on event_type after the daily pre-aggregate.
+# Reference parity: time-series semantics reach the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_TS_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS xq
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+cum AS (
+  SELECT event_type, day, xq,
+         SUM(xq) OVER w AS cs,
+         ROW_NUMBER() OVER w AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(xq) OVER (PARTITION BY event_type) AS total
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dev AS (
+  SELECT event_type, day, n,
+         abs(CAST(n AS HUGEINT) * cs - CAST(t AS HUGEINT) * total) AS c_abs
+  FROM cum
+)
+SELECT event_type,
+       CAST(day AS VARCHAR) AS cp_date,
+       ROUND(CAST(c_abs AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+         AS cusum_peak,
+       CAST(n AS BIGINT) AS n_days
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY c_abs DESC, day) AS rn FROM dev)
+WHERE rn = 1
+"""
+
+
+@register("ts_changepoint", oracle=_TS_CHANGEPOINT_ORACLE)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")).alias("xq"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("xq").over(w).alias("cs"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).alias("t"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("xq").over(wall).alias("total"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = cum.select(
+        "event_type",
+        "day",
+        "n",
+        F.abs(d38(F.col("n")) * d38(F.col("cs")) - d38(F.col("t")) * d38(F.col("total"))).alias(
+            "c_abs"
+        ),
+    )
+    peak = (
+        dev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.col("c_abs").desc(), "day")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return peak.select(
+        "event_type",
+        F.col("day").cast("string").alias("cp_date"),
+        F.round(
+            F.col("c_abs").cast("double") / (F.col("n").cast("double") * 1000000.0), 6
+        ).alias("cusum_peak"),
+        F.col("n").cast("long").alias("n_days"),
+    )

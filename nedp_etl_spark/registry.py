@@ -91,11 +91,22 @@ _PRIORITY: list[str] = [
     "profile_table", "profile_skew", "udtf_native",
     "fn_xml", "fn_try_safe", "sql_pipe_syntax",
     "stream_static_join", "stream_stream_join",
-    # --- (c) defensive-only round-5 edits (see note above): first past the
-    # 50-row budget line, still ahead of the 178 keys with current green rows
+    # --- (c) the 4 NEW round-5 keys, first past the 50-row budget line.
+    # They do NOT displace section (b): spending budget on them would leave
+    # 4 of the never-checked backlog unverified forever, whereas these lead
+    # round 6's section (a) either way — the closure of the pre-existing
+    # 230-key registry is the milestone worth protecting this round.  All 4
+    # are hash-exact at sf0.01 against their DuckDB oracles in the in-repo
+    # suite (tests/test_correctness.py parametrizes over the registry).
+    "llm_pq_encode",              # NEW: product quantization (IVF-PQ codes)
+    "llm_dsir_importance",        # NEW: DSIR hashed-unigram importance weights
+    "ts_changepoint",             # NEW: CUSUM mean-shift per series
+    "sample_bottomk",             # NEW: exact-k deterministic bottom-k sample
+    # --- (d) defensive-only round-5 edits (see note above): next in line,
+    # still ahead of the 178 keys with current green rows
     "stream_watermark_late",      # oracle watermark ms-truncated (ADVICE r4)
     "stream_rate_source",         # explicit raise on <1000-row stall (ADVICE r4)
-    # --- (d) round-5 OUTPUT-IDENTICAL hardening/perf edits, next in line
+    # --- (e) round-5 OUTPUT-IDENTICAL hardening/perf edits, next in line
     # for any spare driver budget.  Per-vector norm caching (one O(dim)
     # fold per vector instead of three per scored pair — identical double
     # arithmetic), the _shingles total-function guard (empty array for

@@ -235,6 +235,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_bigram_logprob",  # 1-row token-total broadcast (O(n))
                    "llm_source_rebalance",  # 1-row total/n_langs broadcast (O(#langs))
                    "llm_kmeans",  # 1-row broadcast centroid-array crossJoin (O(n))
+                   "llm_dsir_importance",  # 256-row LM × 1-row totals crossJoin
                    "llm_temperature_sample",  # 1-row total/denom broadcast (O(#langs))
                    "profile_skew",  # 1-row totals broadcast onto top-10 rows
                    "scan_csv_malformed",  # 1-row × 1-row count crossJoin
