@@ -337,3 +337,28 @@ def test_surrogate_keys_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sink_surrogate_keys")
     assert not _has_global_window(plan)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_sample_bottomk_is_take_ordered(spark, sf_dir):
+    # Exact-k sampling must be per-partition local top-k + bounded merge
+    # (TakeOrderedAndProject), never a global sort of the input.
+    plan = _plan(spark, sf_dir, "sample_bottomk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pq_encode_codebook_broadcasts(spark, sf_dir):
+    # The M·K-subcentroid codebook joins the (vec_id, m) stream as a
+    # broadcast — vectors never shuffle for assignment, and there is no
+    # nested-loop over the corpus.
+    plan = _plan(spark, sf_dir, "llm_pq_encode")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
+    # The 256-row log-ratio table must broadcast to the token stream; the
+    # token explode side never shuffles on the bucket key for scoring.
+    plan = _plan(spark, sf_dir, "llm_dsir_importance")
+    assert "BroadcastHashJoin" in plan
