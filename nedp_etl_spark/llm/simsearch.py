@@ -754,6 +754,8 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lowest code (array_min over struct(d, cid) ≡ the oracle's ROW_NUMBER),
 # updated centroid components ROUND(·,9) — the llm_kmeans fixed-point
 # idiom, green since r4.
+# Reference parity: vector workloads reach the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274); PQ is net-new capability.
 # --------------------------------------------------------------------------
 
 _PQ_M = 4

@@ -967,6 +967,8 @@ def dbt_run_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # local k smallest and only k rows per partition reach the driver-side
 # merge; the 100 TB input is never globally sorted.  Equivalent to bottom-k
 # consistent sampling / a KMV sketch membership pass.
+# Reference parity: sampling reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
 # --------------------------------------------------------------------------
 
 _SAMPLE_BOTTOMK_K = 200

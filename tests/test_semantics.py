@@ -1,0 +1,155 @@
+"""Semantic property tests for the round-5 operators.
+
+The oracle gate (tests/test_correctness.py) proves Spark and DuckDB compute
+the SAME answer; these prove the answer MEANS what the operator claims, on
+inputs constructed to have a known ground truth — a planted mean shift, two
+separable vocabulary domains, the Lloyd-iteration error monotonicity — plus
+an independent numpy re-derivation of the PQ codes (a third engine, so a
+shared Spark/DuckDB misreading of the spec can't self-confirm).
+
+Synthetic fixtures are written as parquet tables into a tmp sf_dir and fed
+through the REGISTERED operator callables — the exact code path the driver
+runs — never through test-local reimplementations.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+import nedp_etl_spark as eng
+
+
+def _write(spark, tmp_path, table, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / f"{table}.parquet")
+    )
+
+
+def test_changepoint_finds_planted_shift(spark, tmp_path):
+    # 30 one-event days: value 10.0 for days 1-15, 30.0 for days 16-30.
+    # For a step change the cumulative deviation |sum(x_i - mean)| peaks at
+    # the last pre-shift day — the CUSUM estimate must land on day 15.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(days=i),
+            1,
+            "a",
+            10.0 if i < 15 else 30.0,
+            "{}",
+        )
+        for i in range(30)
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["event_type"]: r
+        for r in eng.queries()["ts_changepoint"](spark, str(tmp_path)).collect()
+    }
+    assert out["a"]["n_days"] == 30
+    assert out["a"]["cp_date"] == "2024-01-15"  # last day of the first regime
+    # peak |C| for a 15/15 step of height 20 is 15*(30-20) = 150
+    assert out["a"]["cusum_peak"] == pytest.approx(150.0)
+
+
+def test_dsir_prefers_target_domain_docs(spark, tmp_path):
+    # Target docs (source src1) draw from vocabulary A, background docs
+    # (src9) from vocabulary B.  Importance weights must separate the
+    # domains: every A-doc scores positive, every B-doc negative.
+    a_text = " ".join(f"alpha{i}" for i in range(20))
+    b_text = " ".join(f"beta{i}" for i in range(20))
+    rows = [(i, a_text, "en", "src1", len(a_text)) for i in range(10)] + [
+        (100 + i, b_text, "en", "src9", len(b_text)) for i in range(30)
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in eng.queries()["llm_dsir_importance"](spark, str(tmp_path)).collect()
+    }
+    assert all(out[i]["dsir_weight"] > 0 and out[i]["selected"] == 1 for i in range(10))
+    assert all(
+        out[100 + i]["dsir_weight"] < 0 and out[100 + i]["selected"] == 0
+        for i in range(30)
+    )
+
+
+def test_pq_codes_match_numpy_and_update_reduces_error(spark, sf_dir):
+    # Independent third-engine check: re-derive the PQ pipeline (init ->
+    # assign -> Lloyd update -> assign) in numpy with the operator's exact
+    # rounding contract and require identical codes AND that the trained
+    # codebook's total quantization error is <= the init codebook's (Lloyd
+    # monotonicity — the property that makes the update worth a corpus pass).
+    np = pytest.importorskip("numpy")
+    from nedp_etl_spark.data import load
+
+    emb = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    }
+    M, K, SUB = 4, 16, 16
+
+    def assign(codebook):
+        codes, dists = {}, {}
+        for vid, v in emb.items():
+            for m in range(M):
+                sv = v[m * SUB : (m + 1) * SUB]
+                d = [
+                    (round(float(np.sqrt(((sv - c) ** 2).sum())), 6), cid)
+                    for cid, c in codebook[m].items()
+                ]
+                dists[(vid, m)], codes[(vid, m)] = min(d)
+        return codes, dists
+
+    c0 = {
+        m: {vid: emb[vid][m * SUB : (m + 1) * SUB] for vid in range(K)}
+        for m in range(M)
+    }
+    codes1, _ = assign(c0)
+    c1 = {m: {} for m in range(M)}
+    for m in range(M):
+        members = {}
+        for (vid, mm), cid in codes1.items():
+            if mm == m:
+                members.setdefault(cid, []).append(emb[vid][m * SUB : (m + 1) * SUB])
+        for cid, svs in members.items():
+            c1[m][cid] = np.round(np.mean(svs, axis=0), 9)
+    codes2, dists2 = assign(c1)
+
+    got = {
+        (int(r["vec_id"]), int(r["m"])): (int(r["code"]), float(r["dist"]))
+        for r in eng.queries()["llm_pq_encode"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(codes2)
+    mismatched = [k for k in codes2 if got[k][0] != codes2[k]]
+    assert not mismatched, mismatched[:5]
+    _, dists1 = assign(c0)
+    assert sum(dists2.values()) <= sum(dists1.values())
+
+
+def test_bottomk_returns_all_rows_when_k_exceeds_input(spark, tmp_path):
+    rows = [(1, 1, 10.0), (2, 1, 20.0), (3, 1, 30.0)]
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        rows,
+        "l_orderkey bigint, l_linenumber int, l_extendedprice double",
+    )
+    out = eng.queries()["sample_bottomk"](spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    assert sorted(r["h"] for r in out) == [r["h"] for r in out]
