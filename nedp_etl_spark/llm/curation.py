@@ -699,14 +699,15 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
     ).select("doc_id", "source", F.substring(F.md5("tok"), 1, 2).alias("b"))
-    raw_lm = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_r"))
-    tgt_lm = (
-        toks.filter(F.col("source").like("src1%"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("n_t"))
-    )
-    lm = raw_lm.join(tgt_lm, "b", "left_outer").withColumn(
-        "n_t", F.coalesce("n_t", F.lit(0))
+    # ONE pass builds both LMs: a conditional aggregate yields the target
+    # count alongside the raw count, halving the corpus-wide explode +
+    # partial-aggregate work vs two independent scans of `toks` (review
+    # finding; output-identical to the oracle's two-CTE formulation).
+    lm = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(
+            F.when(F.col("source").like("src1%"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_t"),
     )
     tot = lm.agg(F.sum("n_r").alias("nr_tot"), F.sum("n_t").alias("nt_tot"))
     qv = (

@@ -32,6 +32,33 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
+def _argmin_centroid(vec: Column, cents: Column) -> Column:
+    """struct(d, cid) of the nearest centroid in ``cents`` (an
+    array<struct<cid,c>>): Euclidean distances ROUND(·,6) BEFORE the argmin,
+    ties to the lowest cid — array_min's lexicographic struct order ≡ the
+    oracles' ROW_NUMBER tie-break.  The single home of the assignment
+    contract shared by llm_kmeans and llm_pq_encode (factored so a future
+    hardening pass cannot desynchronize the two copies)."""
+    return F.array_min(
+        F.transform(
+            cents,
+            lambda x: F.struct(
+                F.round(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(vec, x["c"], lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0),
+                            lambda s, t: s + t,
+                        )
+                    ),
+                    6,
+                ).alias("d"),
+                x["cid"].alias("cid"),
+            ),
+        )
+    )
+
+
 _DOT_SQL = "list_dot_product({a}, {b})"
 
 
@@ -671,26 +698,7 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = cdf.agg(
             F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
         )
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda x: F.struct(
-                    F.round(
-                        F.sqrt(
-                            F.aggregate(
-                                F.zip_with(
-                                    F.col("v"), x["c"], lambda a, b: (a - b) * (a - b)
-                                ),
-                                F.lit(0.0),
-                                lambda s, t: s + t,
-                            )
-                        ),
-                        6,
-                    ).alias("d"),
-                    x["cid"].alias("cid"),
-                ),
-            )
-        )
+        best = _argmin_centroid(F.col("v"), F.col("cents"))
         return (
             emb.crossJoin(F.broadcast(cents))
             .withColumn("m", best)
@@ -811,26 +819,7 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = cdf.groupBy("m").agg(
             F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
         )
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda x: F.struct(
-                    F.round(
-                        F.sqrt(
-                            F.aggregate(
-                                F.zip_with(
-                                    F.col("sv"), x["c"], lambda a, b: (a - b) * (a - b)
-                                ),
-                                F.lit(0.0),
-                                lambda s, t: s + t,
-                            )
-                        ),
-                        6,
-                    ).alias("d"),
-                    x["cid"].alias("cid"),
-                ),
-            )
-        )
+        best = _argmin_centroid(F.col("sv"), F.col("cents"))
         return (
             sub.join(F.broadcast(cents), "m")
             .withColumn("b", best)

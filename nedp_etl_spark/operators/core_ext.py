@@ -985,7 +985,16 @@ LIMIT {_SAMPLE_BOTTOMK_K}
 @register("sample_bottomk", oracle=_SAMPLE_BOTTOMK_ORACLE)
 def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    h = F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    # concat (NULL-propagating) mirrors the oracle's || operator; concat_ws
+    # would silently drop a NULL key part and hash the remainder — the
+    # llm_dataset_split hazard class.
+    h = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
     # The synthetic lineitem is NOT keyed by (l_orderkey, l_linenumber) —
     # the fixture carries duplicate pairs — so the hash alone leaves the
     # k-th-row boundary tie engine-defined; the extendedprice tie-breaker

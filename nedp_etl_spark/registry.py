@@ -118,6 +118,7 @@ _PRIORITY: list[str] = [
     "llm_sim_search", "llm_sim_search_ivf", "llm_ann_recall",
     "llm_semantic_lsh", "llm_chunking", "llm_dataset_split",
     "llm_dedup_near", "llm_dedup_lsh_verified",
+    "llm_kmeans",  # argmin factored into _argmin_centroid (shared w/ PQ)
     # ...and the timeseries/analytics hardening of the same review program:
     # ts_sessionize (microsecond-exact gap compare — the floored-second
     # diff disagreed with the oracle for true gaps in (1800 s, 1801 s)),

@@ -103,15 +103,26 @@ def test_pq_codes_match_numpy_and_update_reduces_error(spark, sf_dir):
     }
     M, K, SUB = 4, 16, 16
 
+    def half_up(x: float, dp: int) -> float:
+        # Spark/DuckDB ROUND is half-away-from-zero; Python round()/np.round
+        # are half-to-even — implement the engines' contract explicitly so a
+        # boundary value can't make this third engine disagree spuriously.
+        s = 10.0 ** dp
+        import math
+
+        return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
     def assign(codebook):
         codes, dists = {}, {}
         for vid, v in emb.items():
             for m in range(M):
                 sv = v[m * SUB : (m + 1) * SUB]
-                d = [
-                    (round(float(np.sqrt(((sv - c) ** 2).sum())), 6), cid)
-                    for cid, c in codebook[m].items()
-                ]
+                d = []
+                for cid, c in codebook[m].items():
+                    acc = 0.0  # sequential fold, matching F.aggregate's order
+                    for a, b in zip(sv, c):
+                        acc += (a - b) * (a - b)
+                    d.append((half_up(float(np.sqrt(acc)), 6), cid))
                 dists[(vid, m)], codes[(vid, m)] = min(d)
         return codes, dists
 
@@ -123,11 +134,12 @@ def test_pq_codes_match_numpy_and_update_reduces_error(spark, sf_dir):
     c1 = {m: {} for m in range(M)}
     for m in range(M):
         members = {}
-        for (vid, mm), cid in codes1.items():
+        for (vid, mm), cid in sorted(codes1.items()):
             if mm == m:
                 members.setdefault(cid, []).append(emb[vid][m * SUB : (m + 1) * SUB])
         for cid, svs in members.items():
-            c1[m][cid] = np.round(np.mean(svs, axis=0), 9)
+            mean = sum(svs[1:], svs[0]) / len(svs)  # sequential accumulate
+            c1[m][cid] = np.asarray([half_up(float(x), 9) for x in mean])
     codes2, dists2 = assign(c1)
 
     got = {
@@ -137,8 +149,12 @@ def test_pq_codes_match_numpy_and_update_reduces_error(spark, sf_dir):
     assert len(got) == len(codes2)
     mismatched = [k for k in codes2 if got[k][0] != codes2[k]]
     assert not mismatched, mismatched[:5]
+    # Lloyd monotonicity holds for the summed SQUARED error (not the
+    # unsquared distance sum, which a skewed cluster can legally increase).
     _, dists1 = assign(c0)
-    assert sum(dists2.values()) <= sum(dists1.values())
+    sq2 = sum(d * d for d in dists2.values())
+    sq1 = sum(d * d for d in dists1.values())
+    assert sq2 <= sq1 + 1e-6
 
 
 def test_bottomk_returns_all_rows_when_k_exceeds_input(spark, tmp_path):
