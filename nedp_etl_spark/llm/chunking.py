@@ -129,3 +129,85 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack.cast("bigint").alias("pack_id"),
         (start - pack * _PACK_CAP).cast("bigint").alias("offset_in_pack"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_html_extract — web-page boilerplate removal, the first stage of any
+# crawl-derived training corpus: drop non-content elements (nav / footer /
+# ad blocks), strip remaining markup, collapse whitespace.  The synthetic
+# page is deterministically derived from (doc_id, source, text) on BOTH
+# sides — the llm_url_dedup pattern — so the oracle exercises the identical
+# extraction contract, and the round-trip flag (extracted == original
+# body text) proves the pipeline is lossless on content.  Pure map-side
+# regexp chains (Java regex and RE2 agree on this subset: explicit
+# alternation, non-greedy spans, NO backreferences — RE2 has none); zero
+# shuffles, linear at any corpus size.
+# Reference parity: text extraction reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_HTML_SQL = (
+    "'<html><head><title>' || source || '-' || doc_id || "
+    "'</title></head><body><nav>Home | About</nav>"
+    "<div class=\"ad\">Buy now!</div><p>' || text || "
+    "'</p><footer>(c) example.com</footer></body></html>'"
+)
+
+_BOILERPLATE_RX = (
+    '<head>.*?</head>|<nav>.*?</nav>|<footer>.*?</footer>'
+    '|<div class="ad">.*?</div>'
+)
+
+_HTML_EXTRACT_ORACLE = f"""
+WITH page AS (
+  SELECT doc_id, text, {_HTML_SQL} AS html FROM documents WHERE doc_id < 300
+),
+stripped AS (
+  SELECT doc_id, text, html,
+         trim(regexp_replace(regexp_replace(regexp_replace(html,
+              '{_BOILERPLATE_RX}', ' ', 'g'),
+              '<[^>]*>', ' ', 'g'),
+              ' +', ' ', 'g')) AS extracted
+  FROM page
+)
+SELECT doc_id, extracted,
+       CAST(LENGTH(extracted) AS BIGINT) AS n_chars_kept,
+       ROUND(LENGTH(extracted) * 1.0 / LENGTH(html), 6) AS keep_ratio,
+       (extracted = text) AS roundtrip_clean
+FROM stripped
+"""
+
+
+@register("llm_html_extract", oracle=_HTML_EXTRACT_ORACLE)
+def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit("-"),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><nav>Home | About</nav>'
+              '<div class="ad">Buy now!</div><p>'),
+        F.col("text"),
+        F.lit("</p><footer>(c) example.com</footer></body></html>"),
+    )
+    page = d.select("doc_id", "text", html.alias("html"))
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("html"), _BOILERPLATE_RX, " "),
+                "<[^>]*>",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    s = page.select("doc_id", "text", "html", extracted.alias("extracted"))
+    return s.select(
+        "doc_id",
+        "extracted",
+        F.length("extracted").cast("bigint").alias("n_chars_kept"),
+        F.round(F.length("extracted") * 1.0 / F.length("html"), 6).alias("keep_ratio"),
+        (F.col("extracted") == F.col("text")).alias("roundtrip_clean"),
+    )

@@ -378,3 +378,58 @@ def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_bpe_merges — the first round of BPE tokenizer training at corpus
+# scale (Sennrich et al. 2016): count every adjacent character pair
+# weighted by word frequency; the top pairs are the first merge
+# candidates.  This is the map-reduce shape real tokenizer training uses —
+# the corpus collapses to a word-frequency table first (vocab-sized, NOT
+# corpus-sized), so the pair explode runs over distinct words only and the
+# pair aggregate is pair-vocab-bounded.  Top-k via orderBy+limit compiles
+# to TakeOrderedAndProject (per-partition local top-k).  Shuffles: one
+# vocab-sized word count, one pair-vocab-sized pair count — both with
+# map-side partial aggregation; 100 TB of text streams through the first.
+# Reference parity: tokenizer workloads reach the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+_BPE_MERGES_ORACLE = f"""
+WITH wf AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS f FROM wf GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(unnest(range(1, len(w))) AS INT), 2) AS pair, f
+  FROM freq WHERE len(w) >= 2
+)
+SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+@register("llm_bpe_merges", oracle=_BPE_MERGES_ORACLE)
+def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = freq.select(
+        F.posexplode(F.sequence(F.lit(1), F.length("w") - 1)).alias("_p", "i"),
+        F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(_BPE_TOP)
+    )

@@ -102,6 +102,8 @@ _PRIORITY: list[str] = [
     "llm_dsir_importance",        # NEW: DSIR hashed-unigram importance weights
     "ts_changepoint",             # NEW: CUSUM mean-shift per series
     "sample_bottomk",             # NEW: exact-k deterministic bottom-k sample
+    "llm_bpe_merges",             # NEW: BPE round-1 merge-pair counts
+    "llm_html_extract",           # NEW: boilerplate-strip text extraction
     # --- (d) defensive-only round-5 edits (see note above): next in line,
     # still ahead of the 178 keys with current green rows
     "stream_watermark_late",      # oracle watermark ms-truncated (ADVICE r4)

@@ -169,3 +169,27 @@ def test_bottomk_returns_all_rows_when_k_exceeds_input(spark, tmp_path):
     out = eng.queries()["sample_bottomk"](spark, str(tmp_path)).collect()
     assert len(out) == 3
     assert sorted(r["h"] for r in out) == [r["h"] for r in out]
+
+
+def test_bpe_merges_counts_known_corpus(spark, tmp_path):
+    # "ab ab abc" per doc: pair 'ab' appears in every word (3 per doc),
+    # 'bc' only in 'abc' (1 per doc) — the merge ranking must reflect it.
+    rows = [(i, "ab ab abc", "en", "src1", 9) for i in range(5)]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {r["pair"]: r["n"] for r in
+           eng.queries()["llm_bpe_merges"](spark, str(tmp_path)).collect()}
+    assert out == {"ab": 15, "bc": 5}
+
+
+def test_html_extract_roundtrip_is_lossless(spark, sf_dir):
+    # The boilerplate/markup strip must reconstruct the original body text
+    # exactly — the flag is part of the compared output, but only this
+    # assertion pins that it is actually TRUE, not merely cross-engine-equal.
+    rows = eng.queries()["llm_html_extract"](spark, sf_dir).collect()
+    assert rows and all(r["roundtrip_clean"] for r in rows)
