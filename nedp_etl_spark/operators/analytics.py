@@ -544,3 +544,75 @@ def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_percentile_histogram — EXACT per-group median via two-phase
+# histogram refinement, the 100 TB path that agg_percentile_exact cannot
+# take: Spark's percentile_cont/disc aggregates buffer every group value
+# in executor memory (O(group size) state — fine for dimension-sized
+# groups, fatal for fact-sized ones).  Phase 1 is one bounded aggregate —
+# counts per (group, fixed-width bucket), a few hundred rows per group
+# regardless of input size.  The driver walks the (bounded) histogram to
+# locate each group's median bucket and the residual rank inside it, then
+# phase 2 sorts ONLY that bucket's occupants (≈ n/n_buckets rows per
+# group; a deployment needing a harder bound recurses the histogram one
+# more level) and picks the residual-rank row.  Total: two passes, both
+# shuffles bounded or bucket-local, no full sort, no per-group value
+# buffer.  The driver-side histogram walk is the bounded-collect pattern
+# (llm_kmeans centroids): groups × buckets rows, data-size-independent.
+# Exactness: the k-th-smallest VALUE is well-defined under ties, so the
+# rank-residual pick is deterministic even though row_number ties are not.
+# Reference parity: percentile reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_PCT_HIST_W = 512.0  # bucket width; price domain ~[900, 105000] -> ~205 buckets
+
+_PCT_HIST_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       l_extendedprice AS p50_disc
+FROM ranked WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+"""
+
+
+@register("agg_percentile_histogram", oracle=_PCT_HIST_ORACLE)
+def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice",
+        F.floor(F.col("l_extendedprice") / _PCT_HIST_W).cast("long").alias("b"),
+    )
+    hist = (
+        li.groupBy("l_returnflag", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # bounded: groups x ~205 buckets, input-size-independent
+    )
+    by_group: dict[str, list] = {}
+    for r in hist:
+        by_group.setdefault(r["l_returnflag"], []).append((r["b"], r["c"]))
+    targets = []
+    for g, buckets in by_group.items():
+        n = sum(c for _, c in buckets)
+        rank = -(-n // 2)  # ceil(0.5 * n)
+        below = 0
+        for b, c in sorted(buckets):
+            if below + c >= rank:
+                targets.append((g, b, rank - below, n))
+                break
+            below += c
+    tgt = spark.createDataFrame(
+        targets, "l_returnflag string, b long, k long, n long"
+    )
+    sub = li.join(F.broadcast(tgt), ["l_returnflag", "b"])
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    return (
+        sub.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("k"))
+        .select("l_returnflag", "n", F.col("l_extendedprice").alias("p50_disc"))
+    )

@@ -104,6 +104,7 @@ _PRIORITY: list[str] = [
     "sample_bottomk",             # NEW: exact-k deterministic bottom-k sample
     "llm_bpe_merges",             # NEW: BPE round-1 merge-pair counts
     "llm_html_extract",           # NEW: boilerplate-strip text extraction
+    "agg_percentile_histogram",   # NEW: two-phase exact median (scale path)
     # --- (d) defensive-only round-5 edits (see note above): next in line,
     # still ahead of the 178 keys with current green rows
     "stream_watermark_late",      # oracle watermark ms-truncated (ADVICE r4)

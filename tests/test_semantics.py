@@ -193,3 +193,29 @@ def test_html_extract_roundtrip_is_lossless(spark, sf_dir):
     # assertion pins that it is actually TRUE, not merely cross-engine-equal.
     rows = eng.queries()["llm_html_extract"](spark, sf_dir).collect()
     assert rows and all(r["roundtrip_clean"] for r in rows)
+
+
+def test_percentile_histogram_true_median(spark, tmp_path):
+    # Known medians, odd and even group sizes: n=101 values 0..100 ->
+    # rank ceil(50.5)=51 -> 50.0; n=10 values 0..9 -> rank 5 -> 4.0.
+    # Values are scaled by 300 so the groups span multiple 512-wide buckets.
+    rows = [(i, 1, 300.0 * i) for i in range(101)] + [
+        (1000 + i, 2, 300.0 * i) for i in range(10)
+    ]
+    rows = [(oid, ln, price) for oid, ln, price in rows]
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        [(oid, ln, "A" if ln == 1 else "B", price) for oid, ln, price in rows],
+        "l_orderkey bigint, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double",
+    )
+    out = {
+        r["l_returnflag"]: (r["n"], r["p50_disc"])
+        for r in eng.queries()["agg_percentile_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["A"] == (101, 300.0 * 50)
+    assert out["B"] == (10, 300.0 * 4)
