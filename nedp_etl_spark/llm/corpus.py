@@ -418,9 +418,9 @@ def llm_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)  # drop 1-char/empty tokens BEFORE the shuffle
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
-        .filter(F.length("w") >= 2)
     )
     pairs = freq.select(
         F.posexplode(F.sequence(F.lit(1), F.length("w") - 1)).alias("_p", "i"),

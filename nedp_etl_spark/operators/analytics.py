@@ -574,7 +574,7 @@ WITH ranked AS (
   SELECT l_returnflag, l_extendedprice,
          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        l_extendedprice AS p50_disc
@@ -584,7 +584,14 @@ FROM ranked WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
 
 @register("agg_percentile_histogram", oracle=_PCT_HIST_ORACLE)
 def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select(
+    # NULL measures are excluded up front — the standard percentile-
+    # ignores-NULLs semantics, stated in the oracle's WHERE too.  Without
+    # the filter a NULL price would put a None bucket into the driver-side
+    # histogram walk (TypeError on sort) and the engines would disagree on
+    # null rank order anyway (Spark sorts nulls first, DuckDB last).
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    ).select(
         "l_returnflag", "l_extendedprice",
         F.floor(F.col("l_extendedprice") / _PCT_HIST_W).cast("long").alias("b"),
     )

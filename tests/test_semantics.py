@@ -202,7 +202,6 @@ def test_percentile_histogram_true_median(spark, tmp_path):
     rows = [(i, 1, 300.0 * i) for i in range(101)] + [
         (1000 + i, 2, 300.0 * i) for i in range(10)
     ]
-    rows = [(oid, ln, price) for oid, ln, price in rows]
     _write(
         spark,
         tmp_path,
@@ -219,3 +218,21 @@ def test_percentile_histogram_true_median(spark, tmp_path):
     }
     assert out["A"] == (101, 300.0 * 50)
     assert out["B"] == (10, 300.0 * 4)
+
+
+def test_percentile_histogram_ignores_null_measures(spark, tmp_path):
+    # Standard percentile semantics: NULL measures are excluded, not
+    # ranked — and the driver-side histogram walk must not see a None
+    # bucket (review finding: unguarded, it raised TypeError on sort).
+    rows = [(1, 1, "A", 100.0), (2, 1, "A", None), (3, 1, "A", 300.0)]
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        rows,
+        "l_orderkey bigint, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double",
+    )
+    out = eng.queries()["agg_percentile_histogram"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 2 and out[0]["p50_disc"] == 100.0
