@@ -67,6 +67,17 @@ def main() -> None:
             qs[warm](spark, sf_dir).count()
         except Exception:
             pass
+    # Collation machinery is also one-time session JVM work (ICU class
+    # loading + first collated codegen: 3.0 s measured, SCALE.md): trigger
+    # it on TWO LITERAL ROWS — never fixture data — so fn_collate's
+    # measured time is its per-query work, like every other key.
+    try:
+        spark.sql(
+            "SELECT min(collate(x, 'UTF8_LCASE')) FROM VALUES ('a'), ('B') AS t(x)"
+            " GROUP BY collate(x, 'UTF8_LCASE')"
+        ).collect()
+    except Exception:
+        pass
     # Materialize every fixture table's file listing + parquet footer (no
     # data scan): otherwise the alphabetically-first key to reference a
     # table is charged the suite's one-time lazy fixture init (measured:
