@@ -91,13 +91,14 @@ _PRIORITY: list[str] = [
     "profile_table", "profile_skew", "udtf_native",
     "fn_xml", "fn_try_safe", "sql_pipe_syntax",
     "stream_static_join", "stream_stream_join",
-    # --- (c) the 4 NEW round-5 keys, first past the 50-row budget line.
+    # --- (c) the 7 NEW round-5 keys, first past the 50-row budget line.
     # They do NOT displace section (b): spending budget on them would leave
-    # 4 of the never-checked backlog unverified forever, whereas these lead
+    # 7 of the never-checked backlog unverified forever, whereas these lead
     # round 6's section (a) either way — the closure of the pre-existing
-    # 230-key registry is the milestone worth protecting this round.  All 4
-    # are hash-exact at sf0.01 against their DuckDB oracles in the in-repo
-    # suite (tests/test_correctness.py parametrizes over the registry).
+    # 230-key registry is the milestone worth protecting this round.  All 7
+    # are hash-exact at sf0.001 AND sf0.01 against their DuckDB oracles in
+    # the in-repo suite (tests/test_correctness.py parametrizes over the
+    # registry) and carry semantic ground-truth tests (test_semantics.py).
     "llm_pq_encode",              # NEW: product quantization (IVF-PQ codes)
     "llm_dsir_importance",        # NEW: DSIR hashed-unigram importance weights
     "ts_changepoint",             # NEW: CUSUM mean-shift per series
