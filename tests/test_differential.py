@@ -11,12 +11,22 @@ parquet — any divergence is an engine-semantics bug in our query layer
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
 
 from nedp_etl_spark.data import views
 from tests.oracle import duck_connect, _norm_rows
+
+# Opt-in wide sweep (like the scale smoke): SPARK_GRAFT_FUZZ_WIDE=1 widens
+# every generator's seed range by +300 fresh seeds (~2100 extra engine
+# comparisons, ~8 min) — the hunt mode that ran clean at round 5.
+_WIDE = 300 if os.environ.get("SPARK_GRAFT_FUZZ_WIDE") == "1" else 0
+
+
+def _seeds(lo: int, hi: int) -> range:
+    return range(lo, hi + _WIDE)
 
 _NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _KEY_COLS = ["l_returnflag", "l_linestatus", "l_suppkey"]
@@ -75,7 +85,7 @@ def _gen_join_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(25, 40))
+@pytest.mark.parametrize("seed", _seeds(25, 40))
 def test_generated_join_differential(spark, sf_dir, seed):
     sql = _gen_join_query(seed)
     views(spark, sf_dir, "lineitem", "orders")
@@ -92,7 +102,7 @@ def test_generated_join_differential(spark, sf_dir, seed):
     assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
 
 
-@pytest.mark.parametrize("seed", range(25))
+@pytest.mark.parametrize("seed", _seeds(0, 25))
 def test_generated_query_differential(spark, sf_dir, seed):
     sql = _gen_query(seed)
     views(spark, sf_dir, "lineitem")
@@ -131,7 +141,7 @@ def _gen_window_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(40, 55))
+@pytest.mark.parametrize("seed", _seeds(40, 55))
 def test_generated_window_differential(spark, sf_dir, seed):
     sql = _gen_window_query(seed)
     views(spark, sf_dir, "lineitem")
@@ -192,7 +202,7 @@ def _gen_scalar_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(55, 70))
+@pytest.mark.parametrize("seed", _seeds(55, 70))
 def test_generated_scalar_differential(spark, sf_dir, seed):
     sql = _gen_scalar_query(seed)
     views(spark, sf_dir, "lineitem")
@@ -254,7 +264,7 @@ def _gen_setop_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(85, 100))
+@pytest.mark.parametrize("seed", _seeds(85, 100))
 def test_generated_setop_differential(spark, sf_dir, seed):
     sql = _gen_setop_query(seed)
     views(spark, sf_dir, "lineitem")
@@ -271,7 +281,7 @@ def test_generated_setop_differential(spark, sf_dir, seed):
     assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
 
 
-@pytest.mark.parametrize("seed", range(70, 85))
+@pytest.mark.parametrize("seed", _seeds(70, 85))
 def test_generated_grouping_differential(spark, sf_dir, seed):
     sql = _gen_grouping_query(seed)
     views(spark, sf_dir, "lineitem")
@@ -324,7 +334,7 @@ def _gen_date_query(seed: int) -> str:
     )
 
 
-@pytest.mark.parametrize("seed", range(85, 100))
+@pytest.mark.parametrize("seed", _seeds(85, 100))
 def test_generated_date_differential(spark, sf_dir, seed):
     sql = _gen_date_query(seed)
     views(spark, sf_dir, "orders")
