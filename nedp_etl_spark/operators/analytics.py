@@ -551,9 +551,10 @@ def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # histogram refinement, the 100 TB path that agg_percentile_exact cannot
 # take: Spark's percentile_cont/disc aggregates buffer every group value
 # in executor memory (O(group size) state — fine for dimension-sized
-# groups, fatal for fact-sized ones).  Phase 1 is one bounded aggregate —
-# counts per (group, fixed-width bucket), a few hundred rows per group
-# regardless of input size.  The driver walks the (bounded) histogram to
+# groups, fatal for fact-sized ones).  Phase 1 is a 2-double min/max
+# pre-pass that fixes the bucket width (so the histogram is <=256 buckets
+# per group for ANY value domain, by construction), then one bounded
+# aggregate of (group, bucket) counts.  The driver walks the histogram to
 # locate each group's median bucket and the residual rank inside it, then
 # phase 2 sorts ONLY that bucket's occupants (≈ n/n_buckets rows per
 # group; a deployment needing a harder bound recurses the histogram one
@@ -567,7 +568,7 @@ def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL (/root/reference/dbtoperator.py:273-274).
 # --------------------------------------------------------------------------
 
-_PCT_HIST_W = 512.0  # bucket width; price domain ~[900, 105000] -> ~205 buckets
+_PCT_HIST_B = 256  # bucket COUNT — fixed by construction, domain-independent
 
 _PCT_HIST_ORACLE = """
 WITH ranked AS (
@@ -589,16 +590,35 @@ def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the filter a NULL price would put a None bucket into the driver-side
     # histogram walk (TypeError on sort) and the engines would disagree on
     # null rank order anyway (Spark sorts nulls first, DuckDB last).
-    li = load(spark, sf_dir, "lineitem").filter(
+    base = load(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
-    ).select(
+    )
+    # Bucket width comes from a min/max pre-pass, so the histogram is
+    # AT MOST _PCT_HIST_B buckets per group for ANY value domain — a fixed
+    # width would make the driver-side collect data-dependent (a measure
+    # spanning 1e12 would explode it).  The extra pass is one 2-double
+    # aggregate; W's exact value never affects correctness (the refinement
+    # picks the true rank inside whichever bucket the walk lands on), only
+    # the phase-2 subset size.
+    lo, hi = base.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice")
+    ).first()
+    if lo is None:  # empty input: no groups, empty result with the contract schema
+        return spark.createDataFrame(
+            [], "l_returnflag string, n bigint, p50_disc double"
+        )
+    width = (hi - lo) / _PCT_HIST_B if hi > lo else 1.0
+    li = base.select(
         "l_returnflag", "l_extendedprice",
-        F.floor(F.col("l_extendedprice") / _PCT_HIST_W).cast("long").alias("b"),
+        F.least(
+            F.floor((F.col("l_extendedprice") - lo) / width).cast("long"),
+            F.lit(_PCT_HIST_B - 1),  # x == max lands exactly on B — clamp
+        ).alias("b"),
     )
     hist = (
         li.groupBy("l_returnflag", "b")
         .agg(F.count(F.lit(1)).alias("c"))
-        .collect()  # bounded: groups x ~205 buckets, input-size-independent
+        .collect()  # bounded: groups x <=256 buckets BY CONSTRUCTION
     )
     by_group: dict[str, list] = {}
     for r in hist:

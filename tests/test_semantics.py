@@ -236,3 +236,29 @@ def test_percentile_histogram_ignores_null_measures(spark, tmp_path):
     out = eng.queries()["agg_percentile_histogram"](spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0]["n"] == 2 and out[0]["p50_disc"] == 100.0
+
+
+def test_percentile_histogram_bounded_for_any_domain(spark, tmp_path):
+    # The bucket width derives from a min/max pre-pass, so a measure
+    # spanning 1e13 still produces a <=256-bucket histogram (a fixed width
+    # would make the driver-side collect data-dependent); and a constant
+    # column (zero span) degenerates gracefully to a single bucket.
+    rows = [(i, 1, "A", 1.0e12 * i) for i in range(11)] + [
+        (100 + i, 1, "B", 7.0) for i in range(5)
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        rows,
+        "l_orderkey bigint, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double",
+    )
+    out = {
+        r["l_returnflag"]: (r["n"], r["p50_disc"])
+        for r in eng.queries()["agg_percentile_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["A"] == (11, 5.0e12)
+    assert out["B"] == (5, 7.0)
