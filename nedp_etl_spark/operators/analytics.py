@@ -636,7 +636,16 @@ def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = spark.createDataFrame(
         targets, "l_returnflag string, b long, k long, n long"
     )
-    sub = li.join(F.broadcast(tgt), ["l_returnflag", "b"])
+    # eqNullSafe on the group key: GROUP BY keeps a NULL group (the oracle's
+    # PARTITION BY emits its median row), and a plain equi-join would
+    # silently drop it (NULL = NULL is not true) — the one NULL edge the
+    # measure filter above does not cover.
+    cond = li["l_returnflag"].eqNullSafe(tgt["l_returnflag"]) & (li["b"] == tgt["b"])
+    sub = (
+        li.join(F.broadcast(tgt), cond)
+        .drop(tgt["l_returnflag"])
+        .drop(tgt["b"])
+    )
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     return (
         sub.withColumn("rn", F.row_number().over(w))

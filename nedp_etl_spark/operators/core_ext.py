@@ -18,9 +18,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nedp_etl_spark.data import load
-from nedp_etl_spark.operators.scans import _scratch
+from nedp_etl_spark.operators.scans import _scratch, _sf_tag
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import dsum, osum
+
+# Sibling-session memo for the dbt DAG operators: temp views are
+# session-scoped (so each sf gets its own namespace — the isolation these
+# siblings exist for), but a NEW session per invocation pins a JVM
+# SessionState plus data.py's cached plans forever (the leak class the
+# join_bloom_prefilter memo closes; joins.py documents the growth rate).
+# One sibling per (root session, operator, sf) gives the same isolation
+# with a bounded session count; every view/model inside is
+# create-or-replace, so re-running on a memoized sibling is idempotent.
+_SIBLING_SESSIONS: dict[tuple, SparkSession] = {}
+
+
+def _sibling(spark: SparkSession, op: str, sf_dir: str) -> SparkSession:
+    key = (spark, op, sf_dir)
+    s = _SIBLING_SESSIONS.get(key)
+    if s is None:
+        s = spark.newSession()
+        _SIBLING_SESSIONS[key] = s
+    return s
 
 # --------------------------------------------------------------------------
 # sample_hash — deterministic content-hash sampling (~10.2%: first two md5
@@ -714,10 +733,10 @@ def dbt_model_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nedp_etl_spark.data import views
     from nedp_etl_spark.models import ModelGraph
 
-    # sibling session: temp views are session-scoped, so the DAG's
+    # memoized sibling session: temp views are session-scoped, so the DAG's
     # 'orders'/'lineitem' source views can't collide with a concurrent run
     # at another sf (scratch paths are sf-scoped; names must be too)
-    s = spark.newSession()
+    s = _sibling(spark, "dbt_model_dag", sf_dir)
     views(s, sf_dir, "orders", "lineitem")
     g = ModelGraph()
     g.add_model(
@@ -780,10 +799,10 @@ WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.o_orderkey = t.o_orderkey)
 def dbt_incremental_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nedp_etl_spark.models import ModelGraph
 
-    # sibling session: the 'feed' source view is re-pointed between the two
-    # batches below, and a concurrent run at another sf must see ITS feed,
-    # not this one's (temp views are session-scoped)
-    s = spark.newSession()
+    # memoized sibling session: the 'feed' source view is re-pointed between
+    # the two batches below, and a concurrent run at another sf must see ITS
+    # feed, not this one's (temp views are session-scoped)
+    s = _sibling(spark, "dbt_incremental_dag", sf_dir)
     o = load(s, sf_dir, "orders")
     cutoff = F.lit("1995-12-01 00:00:00").cast("timestamp")
 
@@ -903,12 +922,11 @@ def dbt_run_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nedp_etl_spark.data import views
     from nedp_etl_spark.models import ModelGraph
 
-    # sibling session for the session-scoped 'orders' source view; the
-    # audit TABLE lives in the shared catalog and is already sf-scoped
-    s = spark.newSession()
+    # memoized sibling session for the session-scoped 'orders' source view;
+    # the audit TABLE lives in the shared catalog and is already sf-scoped
+    s = _sibling(spark, "dbt_run_hooks", sf_dir)
     views(s, sf_dir, "orders")
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    audit = f"nedp_audit_{sf_tag}"
+    audit = f"nedp_audit_{_sf_tag(sf_dir)}"
 
     # The in-memory catalog forgets tables across sessions but the managed
     # location survives on disk; CREATE TABLE then fails with
@@ -953,7 +971,13 @@ def dbt_run_hooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     # the audit table lives in the SHARED catalog — readable from either
-    # session; the caller's session is the natural return surface
+    # session; the caller's session is the natural return surface.  Refresh
+    # first: a PRIOR run's read left the caller's relation cache holding
+    # the old file listing, and this run just dropped/recreated the table
+    # (FAILED_READ_FILE.FILE_NOT_EXIST on any repeat invocation otherwise —
+    # latent before the sibling memo too, since the drop always happened in
+    # a different session from this read).
+    spark.catalog.refreshTable(audit)
     return spark.table(audit).select("model", "n_rows")
 
 
@@ -977,7 +1001,7 @@ _SAMPLE_BOTTOMK_ORACLE = f"""
 SELECT l_orderkey, l_linenumber, l_extendedprice,
        md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS h
 FROM lineitem
-ORDER BY h, l_extendedprice
+ORDER BY h NULLS LAST, l_extendedprice NULLS LAST
 LIMIT {_SAMPLE_BOTTOMK_K}
 """
 
@@ -998,9 +1022,15 @@ def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic lineitem is NOT keyed by (l_orderkey, l_linenumber) —
     # the fixture carries duplicate pairs — so the hash alone leaves the
     # k-th-row boundary tie engine-defined; the extendedprice tie-breaker
-    # pins it on both sides.
+    # pins it on both sides.  NULLS LAST explicitly: a NULL-keyed row gets
+    # h = NULL via the null-propagating concat, and Spark's ASC default
+    # (nulls FIRST) would sample the opposite end from DuckDB's (nulls
+    # last) — NULL keys sort out of the sample in both engines.
     return (
         li.select("l_orderkey", "l_linenumber", "l_extendedprice", h.alias("h"))
-        .orderBy("h", "l_extendedprice")
+        .orderBy(
+            F.col("h").asc_nulls_last(),
+            F.col("l_extendedprice").asc_nulls_last(),
+        )
         .limit(_SAMPLE_BOTTOMK_K)
     )

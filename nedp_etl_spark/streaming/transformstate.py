@@ -151,22 +151,20 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # import the generated proto before any user code — propagate the
     # bootstrap there via the PythonFunction env (sc.environment feeds the
     # worker's environment, including its PYTHONPATH merge).  The mutation
-    # is SCOPED: restored after the availableNow run drains, so workers
-    # launched by unrelated later queries don't inherit a PYTHONPATH that
-    # would shadow a real worker-side protobuf install (PYTHONPATH entries
-    # precede site-packages in a worker's sys.path).
+    # is APPLY-ONCE AND PERMANENT, not save/restored: a restore races with
+    # any concurrently launching query on the shared SparkContext (its
+    # workers could start between our pop and its own read, or our restore
+    # could resurrect a snapshot of someone else's transient state — the
+    # same hazard class the sink_partition_overwrite conf save/restore fix
+    # removed).  Leaving it resident is safe BY CONSTRUCTION: bootstrap_dir
+    # is non-None only when this interpreter had no google.protobuf at all
+    # (the _PROTOBUF_OK probe inserted the candidate into sys.path), so
+    # there is no real worker-side install for the PYTHONPATH entry to
+    # shadow.
     bootstrap_dir = next(
         (c for c in _PB_CANDIDATES if c in sys.path), None
     )
     env = spark.sparkContext.environment
-    saved = {
-        k: env.get(k)
-        for k in (
-            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK",
-            "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION",
-            "PYTHONPATH",
-        )
-    }
     if bootstrap_dir is not None:
         env.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
         env.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
@@ -185,24 +183,16 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    try:
-        ev = _stream_events(s, sf_dir).select("user_id", "value")
-        out = ev.groupBy("user_id").transformWithStateInPandas(
-            _ProfileProcessor(),
-            outputStructType=_OUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
-        )
-        res = _run_to_memory(
-            out, f"transform_state_{abs(hash(sf_dir)) % 10_000}", "update"
-        )
-    finally:
-        if bootstrap_dir is not None:
-            for k, v in saved.items():
-                if v is None:
-                    env.pop(k, None)
-                else:
-                    env[k] = v
+    ev = _stream_events(s, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        _ProfileProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    res = _run_to_memory(
+        out, f"transform_state_{abs(hash(sf_dir)) % 10_000}", "update"
+    )
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 

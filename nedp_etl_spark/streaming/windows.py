@@ -157,20 +157,28 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staleness heuristics miss a regenerated fixture with identical byte
     # size and a preserved (older) mtime — e.g. an rsync -a restore — which
     # would silently diverge the streamed events from the batch reads.
-    # Re-linking one file per call is cheap; the hard-link path is O(1).
+    # The refresh is ATOMIC: stage to a tmp name, then os.replace — a
+    # remove+copy would open a window where a concurrently running
+    # streaming query at the same sf lists a missing or half-written file
+    # (copyfile is not atomic; the shared stage dir is this module's
+    # documented concurrent-runs posture).  Hard-link path is O(1).
     same = False
     if os.path.exists(dst):
         try:
             same = os.path.samefile(src, dst)
         except OSError:
             same = False
-        if not same:
-            os.remove(dst)
     if not same:
+        tmp = dst + f".staging.{os.getpid()}"
         try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copyfile(src, dst)
+            try:
+                os.link(src, tmp)
+            except OSError:
+                shutil.copyfile(src, tmp)
+            os.replace(tmp, dst)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     load(spark, sf_dir, "events")  # applies session conf (nanosAsLong, UTC)
     raw_schema = spark.read.parquet(dst).schema

@@ -262,3 +262,43 @@ def test_percentile_histogram_bounded_for_any_domain(spark, tmp_path):
     }
     assert out["A"] == (11, 5.0e12)
     assert out["B"] == (5, 7.0)
+
+
+def test_percentile_histogram_keeps_null_group(spark, tmp_path):
+    # GROUP BY keeps a NULL group; a plain equi-join in the phase-2 re-find
+    # would silently drop it (review finding) — the null-safe join must
+    # emit its median row exactly like the oracle's PARTITION BY does.
+    rows = [(1, 1, None, 10.0), (2, 1, None, 20.0), (3, 1, "A", 5.0)]
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        rows,
+        "l_orderkey bigint, l_linenumber int, l_returnflag string,"
+        " l_extendedprice double",
+    )
+    out = {
+        r["l_returnflag"]: (r["n"], r["p50_disc"])
+        for r in eng.queries()["agg_percentile_histogram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[None] == (2, 10.0)
+    assert out["A"] == (1, 5.0)
+
+
+def test_bottomk_sorts_null_hash_out_of_sample(spark, tmp_path):
+    # A NULL key part null-propagates into h; with explicit NULLS LAST the
+    # NULL-h row must sort past the cutoff in BOTH engines, not lead the
+    # sample as Spark's ASC default (nulls first) would.
+    rows = [(i, 1, 10.0 * i) for i in range(1, 300)] + [(None, 1, 0.5)]
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        rows,
+        "l_orderkey bigint, l_linenumber int, l_extendedprice double",
+    )
+    out = eng.queries()["sample_bottomk"](spark, str(tmp_path)).collect()
+    assert len(out) == 200
+    assert all(r["h"] is not None for r in out)
