@@ -238,3 +238,143 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_perplexity_buckets — CCNet-style quality bucketing (Wenzek et al.,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+# Data", 2019): score every document by mean token log-probability under
+# the corpus unigram LM, then split the corpus into head / middle / tail
+# terciles of that score (head = least perplexed = highest quality).
+#
+# The scale-critical step is the tercile CUTOFFS.  percentile_cont over
+# per-doc scores buffers every score in one aggregation buffer (fatal at
+# 10^10 docs), and ntile() is a corpus-wide single-partition window — both
+# rejected.  Instead the cutoffs are EXACT k-th-smallest values found by
+# the two-phase histogram refinement of agg_percentile_histogram
+# (operators/analytics.py): a min/max pre-pass fixes the bucket width so
+# the histogram is <=256 buckets BY CONSTRUCTION, the driver walks the
+# bounded (bucket, count) table to the bucket holding each target rank,
+# and a second pass ranks only that bucket's occupants (~n/256 rows).
+# The two cutoff VALUES then flow back as a broadcast 1-row relation and
+# the bucket label is a pure map-side CASE — so the corpus is never
+# globally sorted and no window ever sees more than one histogram
+# bucket per cut.  Scores are localCheckpoint-ed: four downstream
+# consumers (min/max, histogram, refinement, labeling) reuse the one
+# corpus-LM scoring pass instead of re-running the explode+join lineage.
+#
+# Tie semantics are value-based (score >= cutoff), so both engines agree
+# even when many docs share a rounded score; k-th-smallest VALUE is
+# well-defined under ties.
+# Reference parity: quality filtering reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_PPL_B = 256  # histogram bucket count — fixed by construction
+
+_PPL_BUCKETS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+total AS (SELECT COUNT(*) AS n_tokens FROM toks),
+probs AS (
+  SELECT term, ROUND(ln(cnt * 1.0 / total.n_tokens), 6) AS lp
+  FROM counts CROSS JOIN total
+),
+scores AS (
+  SELECT toks.doc_id, COUNT(*) AS n_tokens,
+         ROUND({osum('probs.lp')} / COUNT(*), 6) AS avg_logprob
+  FROM toks JOIN probs ON toks.term = probs.term
+  GROUP BY toks.doc_id
+),
+ranked AS (
+  SELECT avg_logprob AS s,
+         ROW_NUMBER() OVER (ORDER BY avg_logprob) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scores
+),
+cuts AS (
+  SELECT MAX(CASE WHEN rn = CAST(CEIL(n / 3.0) AS BIGINT) THEN s END) AS c1,
+         MAX(CASE WHEN rn = CAST(CEIL(2 * n / 3.0) AS BIGINT) THEN s END) AS c2
+  FROM ranked
+)
+SELECT doc_id, n_tokens, avg_logprob,
+       CASE WHEN avg_logprob >= c2 THEN 'head'
+            WHEN avg_logprob >= c1 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scores CROSS JOIN cuts
+"""
+
+
+def _tercile_cuts(spark: SparkSession, scores: DataFrame) -> DataFrame:
+    """1-row DataFrame (c1, c2): exact k-th-smallest ``avg_logprob`` at
+    ranks ceil(n/3) and ceil(2n/3), via two-phase histogram refinement."""
+    lo, hi = scores.agg(F.min("avg_logprob"), F.max("avg_logprob")).first()
+    if lo is None:  # empty corpus: label pass below also yields no rows
+        return spark.createDataFrame([(None, None)], "c1 double, c2 double")
+    width = (hi - lo) / _PPL_B if hi > lo else 1.0
+    li = scores.select(
+        F.col("avg_logprob").alias("v"),
+        F.least(
+            F.floor((F.col("avg_logprob") - lo) / width).cast("long"),
+            F.lit(_PPL_B - 1),  # v == max lands exactly on B — clamp
+        ).alias("b"),
+    )
+    hist = sorted(
+        (r["b"], r["c"])
+        for r in li.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+    )  # bounded: <=256 rows BY CONSTRUCTION (the llm_kmeans collect pattern)
+    n = sum(c for _, c in hist)
+    targets = []
+    for cut_id, rank in ((1, -(-n // 3)), (2, -(-(2 * n) // 3))):
+        below = 0
+        for b, c in hist:
+            if below + c >= rank:
+                targets.append((cut_id, b, rank - below))
+                break
+            below += c
+    tgt = spark.createDataFrame(targets, "cut_id int, b long, k long")
+    # Each cut ranks ONE bucket's occupants (~n/256 rows): keyed window,
+    # never a corpus-wide sort.
+    w = Window.partitionBy("cut_id").orderBy("v")
+    cut_rows = (
+        li.join(F.broadcast(tgt), "b")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("k"))
+    )
+    return cut_rows.agg(
+        F.max(F.when(F.col("cut_id") == 1, F.col("v"))).alias("c1"),
+        F.max(F.when(F.col("cut_id") == 2, F.col("v"))).alias("c2"),
+    )
+
+
+@register("llm_perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_tokens_corpus"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("cnt") * 1.0 / F.col("n_tokens_corpus")), 6).alias("lp"),
+    )
+    scores = (
+        toks.join(probs, "term")  # vocabulary-sized: plain shuffle join
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(dsum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+        .localCheckpoint(eager=True)  # one scoring pass, four consumers
+    )
+    cuts = _tercile_cuts(spark, scores)
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("c2"), "head")
+        .when(F.col("avg_logprob") >= F.col("c1"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

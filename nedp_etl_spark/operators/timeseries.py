@@ -860,3 +860,59 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum_peak"),
         F.col("n").cast("long").alias("n_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_streaks — consecutive-day activity streaks per user (the classic
+# gaps-and-islands shape): collapse events to distinct (user, day), number
+# the days per user, and group by day-minus-rownumber — consecutive days
+# share the constant, so each island is one streak.  Complements
+# ts_sessionize (timestamp-gap sessions) with calendar-day semantics.
+#
+# Scale shape: one distinct shuffle on (user_id, day) — the day collapse
+# pre-aggregates map-side, so the shuffle carries at most (users x active
+# days) rows, not events; the numbering window partitions by user_id
+# (per-key state = one user's active days, bounded by the calendar); the
+# two following aggregates reuse the same user_id hash partitioning.  No
+# global window, no driver loop, linear at any event volume.
+# Reference parity: streak SQL reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+numbered AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+),
+islands AS (
+  SELECT user_id, d - CAST(rn AS INT) AS grp, COUNT(*) AS len
+  FROM numbered GROUP BY user_id, d - CAST(rn AS INT)
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM islands
+GROUP BY user_id
+"""
+
+
+@register("ts_streaks", oracle=_STREAKS_ORACLE)
+def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    numbered = days.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    )
+    islands = numbered.groupBy(
+        "user_id", F.date_sub(F.col("d"), F.col("rn")).alias("grp")
+    ).agg(F.count(F.lit(1)).alias("len"))
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )

@@ -230,6 +230,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "join_skew_salted",  # dim × 8-row salt spine is a cross join by design
                    "llm_tfidf", "llm_bm25",
                    "llm_unigram_logprob",  # 1-row corpus-scalar broadcast (O(n))
+                   "llm_perplexity_buckets",  # 1-row corpus-total + 1-row tercile-cut broadcasts (O(n))
                    "llm_rag_retrieval",  # 1-row avgdl/n_docs broadcast (O(n))
                    "dbt_source_freshness",  # 1-row watermark broadcast (O(n))
                    "llm_bigram_logprob",  # 1-row token-total broadcast (O(n))
@@ -362,3 +363,21 @@ def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
     # token explode side never shuffles on the bucket key for scoring.
     plan = _plan(spark, sf_dir, "llm_dsir_importance")
     assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_buckets_no_global_window(spark, sf_dir):
+    # Tercile cutoffs come from the two-phase histogram refinement: the
+    # only window ranks ONE bucket's occupants per cut (keyed by cut_id),
+    # never the whole score distribution; the cut values flow back as a
+    # 1-row broadcast for the map-side CASE labeling.
+    plan = _plan(spark, sf_dir, "llm_perplexity_buckets")
+    assert not _has_global_window(plan)
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cuts broadcast
+
+
+def test_streaks_windows_keyed_by_user(spark, sf_dir):
+    # Gaps-and-islands: the numbering window partitions by user_id (state
+    # = one user's active days); no corpus-wide SinglePartition exchange.
+    plan = _plan(spark, sf_dir, "ts_streaks")
+    assert not _has_global_window(plan)
+    assert "partitionBy: [user_id" in plan or "user_id" in plan

@@ -302,3 +302,64 @@ def test_bottomk_sorts_null_hash_out_of_sample(spark, tmp_path):
     out = eng.queries()["sample_bottomk"](spark, str(tmp_path)).collect()
     assert len(out) == 200
     assert all(r["h"] is not None for r in out)
+
+
+def test_perplexity_buckets_tercile_membership(spark, tmp_path):
+    # Doc i carries (30-i) copies of the corpus-dominant token and i
+    # singleton tokens, so avg logprob is strictly decreasing in doc_id.
+    # Ascending rank r holds doc 30-r; the tercile cutoffs are the values
+    # at ranks 10 (doc 20) and 20 (doc 10), and the value-based >= rule
+    # puts docs 0-10 in head, 11-20 in middle, 21-29 in tail.
+    rows = []
+    for i in range(30):
+        toks = ["w0"] * (30 - i) + [f"u{i}x{j}" for j in range(i)]
+        text = " ".join(toks)
+        rows.append((i, text, "en", "src0", len(text)))
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in eng.queries()["llm_perplexity_buckets"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 30
+    scores = [out[i]["avg_logprob"] for i in range(30)]
+    assert all(a > b for a, b in zip(scores, scores[1:]))  # strictly decreasing
+    assert {i for i in out if out[i]["ppl_bucket"] == "head"} == set(range(0, 11))
+    assert {i for i in out if out[i]["ppl_bucket"] == "middle"} == set(range(11, 21))
+    assert {i for i in out if out[i]["ppl_bucket"] == "tail"} == set(range(21, 30))
+
+
+def test_streaks_known_calendar(spark, tmp_path):
+    # User 1: active Jan 1,2,3 (day 2 twice — must collapse), Jan 10,11,
+    # Jan 20 -> 6 active days in streaks of 3+2+1.  User 2: one day.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    u1_days = [0, 1, 1, 2, 9, 10, 19]  # offsets; day-2 duplicate event
+    rows = [
+        (i, base + datetime.timedelta(days=d), 1, "click", 1.0, "{}")
+        for i, d in enumerate(u1_days)
+    ] + [(100, base, 2, "view", 1.0, "{}")]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["user_id"]: r
+        for r in eng.queries()["ts_streaks"](spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_active_days"] == 6
+    assert out[1]["longest_streak"] == 3
+    assert out[1]["n_streaks"] == 3
+    assert out[2]["n_active_days"] == 1
+    assert out[2]["longest_streak"] == 1
+    assert out[2]["n_streaks"] == 1
