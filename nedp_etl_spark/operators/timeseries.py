@@ -916,3 +916,99 @@ def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_holt — Holt's linear-trend double exponential smoothing per series:
+# level l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1}),
+# trend b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}, initialized l_1 = x_1,
+# b_1 = 0.  A TRUE two-variable recurrence — no closed form exists (unlike
+# ts_ewma's k-bounded geometric fold), so this is the repo's batch
+# instance of the "custom operator via Arrow-batched grouped map"
+# category: ``applyInPandas`` runs the recurrence per series, exactly the
+# shape Spark's built-ins cannot express.
+#
+# Scale shape: the corpus collapses FIRST to (series, day) daily partials
+# — a map-side partial aggregate, so the shuffle carries daily rows, not
+# events — and the grouped map sees one series' calendar-bounded daily
+# rows per Arrow batch (the ts_changepoint bound).  Series key count
+# spreads groups across executors; raw events never reach Python.
+#
+# Cross-engine determinism WITHOUT per-step rounding: α = β = 0.5 are
+# exact binary fractions, so every recurrence step is IEEE-exact scaling
+# + adds; both engines execute the identical op sequence on the identical
+# 6-dp-rounded daily inputs, so the trajectories agree bit-for-bit (the
+# oracle recomputes l_t inline in the trend line — same ops, same value).
+# Reference parity: smoothing reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         ROUND({osum('value')} / COUNT(*), 6) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+numbered AS (
+  SELECT event_type, d, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM daily
+),
+holt AS (
+  SELECT event_type, d, v, rn, v AS level, CAST(0 AS DOUBLE) AS trend
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.d, n.v, n.rn,
+         0.5 * n.v + 0.5 * (h.level + h.trend),
+         0.5 * ((0.5 * n.v + 0.5 * (h.level + h.trend)) - h.level)
+           + 0.5 * h.trend
+  FROM numbered n
+  JOIN holt h ON n.event_type = h.event_type AND n.rn = h.rn + 1
+)
+SELECT event_type, d, v,
+       ROUND(level, 6) AS level,
+       ROUND(trend, 6) AS trend,
+       ROUND(level + trend, 6) AS forecast_next
+FROM holt
+"""
+
+
+@register("ts_holt", oracle=_HOLT_ORACLE)
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v")
+    )
+
+    def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        levels, trends = [], []
+        l_prev, b_prev = 0.0, 0.0
+        for i, x in enumerate(pdf["v"]):
+            if i == 0:
+                lvl, tr = x, 0.0
+            else:
+                lvl = 0.5 * x + 0.5 * (l_prev + b_prev)
+                tr = 0.5 * (lvl - l_prev) + 0.5 * b_prev
+            levels.append(lvl)
+            trends.append(tr)
+            l_prev, b_prev = lvl, tr
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        return pdf
+
+    # Display rounding happens Spark-side (F.round ≡ DuckDB ROUND, the
+    # established parity pair) — Python's round() is banker's rounding and
+    # would diverge on exact half-ties.
+    raw = daily.groupBy("event_type").applyInPandas(
+        _holt,
+        "event_type string, d date, v double, level double, trend double",
+    )
+    return raw.select(
+        "event_type", "d", "v",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6).alias("forecast_next"),
+    )

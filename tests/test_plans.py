@@ -381,3 +381,14 @@ def test_streaks_windows_keyed_by_user(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_streaks")
     assert not _has_global_window(plan)
     assert "partitionBy: [user_id" in plan or "user_id" in plan
+
+
+def test_holt_grouped_map_sees_daily_partials_only(spark, sf_dir):
+    # The recurrence runs per series over DAILY rows: the (event_type, d)
+    # aggregate must combine map-side (partial_ before its exchange) so raw
+    # events never shuffle or reach Python; the grouped map is Arrow-batched
+    # (FlatMapGroupsInPandas), not row-at-a-time.
+    plan = _plan(spark, sf_dir, "ts_holt")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan

@@ -363,3 +363,32 @@ def test_streaks_known_calendar(spark, tmp_path):
     assert out[2]["n_active_days"] == 1
     assert out[2]["longest_streak"] == 1
     assert out[2]["n_streaks"] == 1
+
+
+def test_holt_recurrence_hand_computed(spark, tmp_path):
+    # Linear series 10,12,14,16,18 (one event/day): with alpha=beta=0.5 and
+    # l1=x1, b1=0 the recurrence is exactly representable in binary at
+    # every step — levels 10, 11, 12.75, 14.9375, 17.296875 and trends
+    # 0, 0.5, 1.125, 1.65625, 2.0078125 (hand-computed; the last rounds to
+    # 2.007813 at 6 dp half-up).  The trend must climb toward the true
+    # slope 2.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 1, "a", 10.0 + 2.0 * i, "{}")
+        for i in range(5)
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = sorted(
+        eng.queries()["ts_holt"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["d"],
+    )
+    assert [r["level"] for r in out] == [10.0, 11.0, 12.75, 14.9375, 17.296875]
+    assert [r["trend"] for r in out] == [0.0, 0.5, 1.125, 1.65625, 2.007813]
+    assert out[-1]["forecast_next"] == 19.304688  # 17.296875 + 2.0078125
