@@ -945,9 +945,12 @@ def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HOLT_ORACLE = f"""
 WITH RECURSIVE daily AS (
+  -- observed days only: an all-NULL day would reach pandas as NaN but
+  -- stay NULL in SQL (NaN != NULL under the hash), so both sides drop it
   SELECT event_type, CAST(ts AS DATE) AS d,
          ROUND({osum('value')} / COUNT(*), 6) AS v
   FROM events GROUP BY event_type, CAST(ts AS DATE)
+  HAVING {osum('value')} IS NOT NULL
 ),
 numbered AS (
   SELECT event_type, d, v,
@@ -980,7 +983,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v")
-    )
+    ).filter(F.col("v").isNotNull())  # mirror the oracle's observed-days HAVING
 
     def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("d").reset_index(drop=True)

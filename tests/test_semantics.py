@@ -392,3 +392,29 @@ def test_holt_recurrence_hand_computed(spark, tmp_path):
     assert [r["level"] for r in out] == [10.0, 11.0, 12.75, 14.9375, 17.296875]
     assert [r["trend"] for r in out] == [0.0, 0.5, 1.125, 1.65625, 2.007813]
     assert out[-1]["forecast_next"] == 19.304688  # 17.296875 + 2.0078125
+
+
+def test_holt_drops_all_null_days(spark, tmp_path):
+    # An all-NULL value day must be dropped on BOTH engines (in pandas it
+    # would surface as NaN, in SQL as NULL — which the hash treats as
+    # different); the recurrence then runs over observed days only.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (0, base, 1, "a", 10.0, "{}"),
+        (1, base + datetime.timedelta(days=1), 1, "a", None, "{}"),
+        (2, base + datetime.timedelta(days=2), 1, "a", 12.0, "{}"),
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = sorted(
+        eng.queries()["ts_holt"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["d"],
+    )
+    assert [str(r["d"]) for r in out] == ["2024-01-01", "2024-01-03"]
+    assert [r["level"] for r in out] == [10.0, 11.0]  # 0.5*12 + 0.5*10
