@@ -392,3 +392,12 @@ def test_holt_grouped_map_sees_daily_partials_only(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "partial_sum" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bitmap_distinct_is_two_partial_aggs(spark, sf_dir):
+    # Both phases must combine map-side: the word build (partial bit_or) so
+    # the shuffle carries (group, word, bits) not raw keys, and the
+    # popcount sum (partial_sum) — the exact-distinct shuffle-volume win.
+    plan = _plan(spark, sf_dir, "agg_bitmap_distinct")
+    assert "partial_bit_or" in plan
+    assert "partial_sum" in plan

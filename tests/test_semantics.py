@@ -418,3 +418,33 @@ def test_holt_drops_all_null_days(spark, tmp_path):
     )
     assert [str(r["d"]) for r in out] == ["2024-01-01", "2024-01-03"]
     assert [r["level"] for r in out] == [10.0, 11.0]  # 0.5*12 + 0.5*10
+
+
+def test_bitmap_distinct_counts_planted_duplicates(spark, tmp_path):
+    # Group 'a': custkeys {1, 64, 65, 128} each appearing 3x (64/65 share a
+    # word with different bits; 128 opens a third word) -> 4 distinct.
+    # Group 'b': one custkey repeated -> 1.  Exercises word packing, bit
+    # packing within a word, and duplicate collapse across rows.
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    oid = 0
+    for ck in (1, 64, 65, 128):
+        for _ in range(3):
+            rows.append((oid, ck, "O", 10.0, base, "a"))
+            oid += 1
+    for _ in range(5):
+        rows.append((oid, 999, "O", 10.0, base, "b"))
+        oid += 1
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {
+        r["o_orderpriority"]: r["n_distinct"]
+        for r in eng.queries()["agg_bitmap_distinct"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"a": 4, "b": 1}
