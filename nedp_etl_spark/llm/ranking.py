@@ -196,11 +196,12 @@ def llm_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality filter): p(w) estimated on the full corpus, each probe document
 # scored by its mean token log-probability.  Per-token log-probs are rounded
 # to 6 dp before the decimal-accumulator sum, so the mean is order-free and
-# engine-identical.
+# engine-identical.  The corpus-LM block is shared with
+# llm_perplexity_buckets (``_lm_token_logprobs`` / ``_LM_CTES``) so the
+# scoring contract cannot drift between the two operators.
 # --------------------------------------------------------------------------
 
-_UNIGRAM_ORACLE = f"""
-WITH toks AS (
+_LM_CTES = """toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
 counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
@@ -208,7 +209,25 @@ total AS (SELECT COUNT(*) AS n_tokens FROM toks),
 probs AS (
   SELECT term, ROUND(ln(cnt * 1.0 / total.n_tokens), 6) AS lp
   FROM counts CROSS JOIN total
-)
+)"""
+
+
+def _lm_token_logprobs(d: DataFrame):
+    """(toks, probs): the exploded (doc_id, term) stream and the 6-dp
+    rounded corpus unigram log-probability per term — the Spark twin of
+    ``_LM_CTES``."""
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_tokens_corpus"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("cnt") * 1.0 / F.col("n_tokens_corpus")), 6).alias("lp"),
+    )
+    return toks, probs
+
+
+_UNIGRAM_ORACLE = f"""
+WITH {_LM_CTES}
 SELECT toks.doc_id,
        COUNT(*) AS n_tokens,
        ROUND({osum('probs.lp')} / COUNT(*), 6) AS avg_logprob
@@ -221,13 +240,7 @@ GROUP BY toks.doc_id
 @register("llm_unigram_logprob", oracle=_UNIGRAM_ORACLE)
 def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_tokens_corpus"))
-    probs = counts.crossJoin(F.broadcast(total)).select(
-        "term",
-        F.round(F.log(F.col("cnt") * 1.0 / F.col("n_tokens_corpus")), 6).alias("lp"),
-    )
+    toks, probs = _lm_token_logprobs(d)
     return (
         toks.filter(F.col("doc_id") < 100)
         # probs is vocabulary-sized: plain shuffle join, AQE decides
@@ -273,15 +286,7 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPL_B = 256  # histogram bucket count — fixed by construction
 
 _PPL_BUCKETS_ORACLE = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-),
-counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
-total AS (SELECT COUNT(*) AS n_tokens FROM toks),
-probs AS (
-  SELECT term, ROUND(ln(cnt * 1.0 / total.n_tokens), 6) AS lp
-  FROM counts CROSS JOIN total
-),
+WITH {_LM_CTES},
 scores AS (
   SELECT toks.doc_id, COUNT(*) AS n_tokens,
          ROUND({osum('probs.lp')} / COUNT(*), 6) AS avg_logprob
@@ -313,7 +318,16 @@ def _tercile_cuts(spark: SparkSession, scores: DataFrame) -> DataFrame:
     lo, hi = scores.agg(F.min("avg_logprob"), F.max("avg_logprob")).first()
     if lo is None:  # empty corpus: label pass below also yields no rows
         return spark.createDataFrame([(None, None)], "c1 double, c2 double")
-    width = (hi - lo) / _PPL_B if hi > lo else 1.0
+    if lo == hi:
+        # Degenerate distribution (every doc shares one rounded score):
+        # every rank's value IS that score — emitting it directly avoids
+        # a refinement window over the entire corpus in one bucket.  The
+        # milder skew case (one bucket dominating but lo < hi) keeps the
+        # agg_percentile_histogram stance: phase-2 work is that bucket's
+        # occupancy, and a deployment needing a harder bound recurses the
+        # histogram one more level inside the bucket.
+        return spark.createDataFrame([(lo, hi)], "c1 double, c2 double")
+    width = (hi - lo) / _PPL_B
     li = scores.select(
         F.col("avg_logprob").alias("v"),
         F.least(
@@ -352,13 +366,7 @@ def _tercile_cuts(spark: SparkSession, scores: DataFrame) -> DataFrame:
 @register("llm_perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE)
 def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_tokens_corpus"))
-    probs = counts.crossJoin(F.broadcast(total)).select(
-        "term",
-        F.round(F.log(F.col("cnt") * 1.0 / F.col("n_tokens_corpus")), 6).alias("lp"),
-    )
+    toks, probs = _lm_token_logprobs(d)
     scores = (
         toks.join(probs, "term")  # vocabulary-sized: plain shuffle join
         .groupBy("doc_id")

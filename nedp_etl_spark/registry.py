@@ -95,7 +95,7 @@ _PRIORITY: list[str] = [
     # They do NOT displace section (b): spending budget on them would leave
     # 11 of the never-checked backlog unverified forever, whereas these lead
     # round 6's section (a) either way — the closure of the pre-existing
-    # 230-key registry is the milestone worth protecting this round.  All 7
+    # 230-key registry is the milestone worth protecting this round.  All 11
     # are hash-exact at sf0.001 AND sf0.01 against their DuckDB oracles in
     # the in-repo suite (tests/test_correctness.py parametrizes over the
     # registry) and carry semantic ground-truth tests (test_semantics.py).

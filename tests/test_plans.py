@@ -380,7 +380,9 @@ def test_streaks_windows_keyed_by_user(spark, sf_dir):
     # = one user's active days); no corpus-wide SinglePartition exchange.
     plan = _plan(spark, sf_dir, "ts_streaks")
     assert not _has_global_window(plan)
-    assert "partitionBy: [user_id" in plan or "user_id" in plan
+    # The physical Window node prints its partition spec inside
+    # windowspecdefinition(...) — pin user_id as the leading key.
+    assert "windowspecdefinition(user_id" in plan
 
 
 def test_holt_grouped_map_sees_daily_partials_only(spark, sf_dir):

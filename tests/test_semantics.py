@@ -448,3 +448,45 @@ def test_bitmap_distinct_counts_planted_duplicates(spark, tmp_path):
         for r in eng.queries()["agg_bitmap_distinct"](spark, str(tmp_path)).collect()
     }
     assert out == {"a": 4, "b": 1}
+
+
+def test_bitmap_distinct_negative_keys_do_not_alias(spark, tmp_path):
+    # custkey -1 must NOT collide with custkey 63: a sign-preserving %
+    # would give bit -1, which Java shift-count masking aliases onto
+    # 1<<63 — key 63's slot.  pmod + exact floor-div words keep them in
+    # distinct (word, bit) cells: -1 -> (-1, 63), 63 -> (0, 63).
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (0, -1, "O", 10.0, base, "a"),
+        (1, 63, "O", 10.0, base, "a"),
+        (2, -64, "O", 10.0, base, "a"),
+        (3, 0, "O", 10.0, base, "a"),
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = eng.queries()["agg_bitmap_distinct"](spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["n_distinct"] == 4
+
+
+def test_perplexity_buckets_degenerate_all_equal(spark, tmp_path):
+    # Every doc shares one rounded score: the cutoffs short-circuit to that
+    # value (no refinement window over a corpus-sized bucket) and the
+    # value-based >= rule puts every doc in head — matching the oracle's
+    # rank-value arithmetic for the tied distribution.
+    rows = [(i, "same same same", "en", "src0", 14) for i in range(9)]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = eng.queries()["llm_perplexity_buckets"](spark, str(tmp_path)).collect()
+    assert len(out) == 9
+    assert all(r["ppl_bucket"] == "head" for r in out)
