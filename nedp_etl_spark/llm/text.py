@@ -12,10 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
-from nedp_etl_spark.util import r6
+from nedp_etl_spark.util import dsum, osum, r6
 
 # --------------------------------------------------------------------------
 # llm_text_stats — corpus statistics by language.
@@ -221,4 +222,68 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_tokens") >= 10) & (F.col("n_punct") * 1.0 / F.col("n_chars") < 0.1)).alias(
             "passes_filter"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_entropy_filter — character-entropy gibberish detection, the quality
+# rule that catches what ratio heuristics (llm_quality_score,
+# llm_quality_gopher) miss: binary junk, base64 blobs, and key-mash have
+# near-uniform character distributions (high Shannon entropy), while
+# single-character runs and template spam sit near zero.  H = -sum(p_c *
+# ln p_c) over the doc's character histogram.
+#
+# Scale shape: ONE char explode, map-side; the only raw shuffle carries
+# (doc_id, char) partial counts (alphabet-bounded per doc — at most a few
+# hundred distinct chars regardless of doc length).  The per-doc total is
+# a window sum over that bounded histogram keyed by doc_id — NOT a
+# re-derivation join, which would re-run the explode lineage twice — and
+# the final entropy fold reuses the same doc_id partitioning.  Per-char
+# entropy terms are rounded to 6 dp then summed with the fixed-point
+# accumulator, so H is partition-order-free and engine-identical.  (The
+# total comes from the histogram, not length(text), so the empty-string
+# edge — both engines split '' to [''] — stays consistent.)
+# Reference parity: quality filtering reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+hist AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+),
+withn AS (
+  SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM hist
+),
+terms AS (
+  SELECT doc_id, n,
+         ROUND(-(c * 1.0 / n) * ln(c * 1.0 / n), 6) AS term
+  FROM withn
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_chars,
+       ROUND({osum('term')}, 6) AS entropy,
+       ({osum('term')} BETWEEN 2.0 AND 5.0) AS passes_filter
+FROM terms
+GROUP BY doc_id
+"""
+
+
+@register("llm_entropy_filter", oracle=_ENTROPY_ORACLE)
+def llm_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    chars = d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c") * 1.0 / F.col("n")
+    terms = hist.select("doc_id", "c", n.alias("n")).select(
+        "doc_id", "n", F.round(-p * F.log(p), 6).alias("term")
+    )
+    h = dsum("term")
+    return terms.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_chars"),
+        F.round(h, 6).alias("entropy"),
+        h.between(2.0, 5.0).alias("passes_filter"),
     )

@@ -273,3 +273,64 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(price, 0.5).over(w), 6).alias("rolling_median7"),
         F.round(F.percentile(price, 0.9).over(w), 6).alias("rolling_p90_7"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_pattern_match — MATCH_RECOGNIZE-style sequential pattern detection,
+# an operator Spark SQL lacks natively (Flink CEP / Trino / Snowflake ship
+# it as MATCH_RECOGNIZE): find STRICTLY-CONSECUTIVE view -> click ->
+# purchase runs in each user's event stream.  Fixed-length patterns
+# compile to lag() flags over one keyed window — the whole per-user event
+# history is never materialized into a row (contrast ts_funnel, which
+# answers the across-history ordered-steps question via per-step
+# first-timestamps).  The tiebreaker (ts, event_id) totally orders each
+# stream so both engines see the identical sequence.
+#
+# Scale shape: one shuffle on user_id; window state is one user's events;
+# the match flags and the final per-user aggregate reuse that
+# partitioning.  Variable-length patterns (A+ B*) would chain a
+# gaps-and-islands run-id (the ts_streaks device) before the flags —
+# still one keyed window, noted as the upgrade path.
+# Reference parity: pattern SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_PATTERN_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type, 2) OVER w AS p2,
+         lag(event_type, 1) OVER w AS p1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+hits AS (
+  SELECT user_id, ts
+  FROM seq
+  WHERE p2 = 'view' AND p1 = 'click' AND event_type = 'purchase'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       MIN(ts) AS first_match_ts
+FROM hits
+GROUP BY user_id
+"""
+
+
+@register("win_pattern_match", oracle=_PATTERN_ORACLE)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "ts", "event_type",
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+    )
+    hits = seq.filter(
+        (F.col("p2") == "view")
+        & (F.col("p1") == "click")
+        & (F.col("event_type") == "purchase")
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("ts").alias("first_match_ts"),
+    )

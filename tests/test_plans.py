@@ -403,3 +403,18 @@ def test_bitmap_distinct_is_two_partial_aggs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_bitmap_distinct")
     assert "partial_bit_or" in plan
     assert "partial_sum" in plan
+
+
+def test_pattern_match_window_keyed_by_user(spark, sf_dir):
+    # Fixed-length CEP compiles to lag flags over ONE user-keyed window —
+    # no per-user history materialization, no SinglePartition exchange.
+    plan = _plan(spark, sf_dir, "win_pattern_match")
+    assert not _has_global_window(plan)
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_entropy_filter_histogram_combines_map_side(spark, sf_dir):
+    # The (doc, char) histogram must pre-aggregate before its exchange so
+    # the shuffle carries alphabet-bounded counts, never raw characters.
+    plan = _plan(spark, sf_dir, "llm_entropy_filter")
+    assert "partial_count" in plan

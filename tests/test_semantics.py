@@ -490,3 +490,58 @@ def test_perplexity_buckets_degenerate_all_equal(spark, tmp_path):
     out = eng.queries()["llm_perplexity_buckets"](spark, str(tmp_path)).collect()
     assert len(out) == 9
     assert all(r["ppl_bucket"] == "head" for r in out)
+
+
+def test_pattern_match_strict_consecutiveness(spark, tmp_path):
+    # User 1: v,c,p (one match) then v,p (gap — no match).  User 2: two
+    # clean v,c,p runs -> 2.  User 3: v,c,c,p — the extra click breaks
+    # strict adjacency, so NO row is emitted for them at all.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, user, typ):
+        return (i, base + datetime.timedelta(minutes=i), user, typ, 1.0, "{}")
+
+    rows = (
+        [ev(i, 1, t) for i, t in enumerate(["view", "click", "purchase", "view", "purchase"])]
+        + [ev(10 + i, 2, t) for i, t in enumerate(
+            ["view", "click", "purchase", "view", "click", "purchase"])]
+        + [ev(20 + i, 3, t) for i, t in enumerate(["view", "click", "click", "purchase"])]
+    )
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["user_id"]: r["n_matches"]
+        for r in eng.queries()["win_pattern_match"](spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 1, 2: 2}
+
+
+def test_entropy_filter_known_distributions(spark, tmp_path):
+    # 'aaaa' -> H = 0 (degenerate), 'abab' -> H = ln 2 (0.693148 at the
+    # operator's 6-dp per-term rounding), 30 distinct chars -> H = ln 30
+    # (~3.40): only the last clears the [2, 5] gibberish band.
+    rows = [
+        (0, "aaaa", "en", "src0", 4),
+        (1, "abab", "en", "src0", 4),
+        (2, "abcdefghijklmnopqrstuvwxyz0123", "en", "src0", 30),
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in eng.queries()["llm_entropy_filter"](spark, str(tmp_path)).collect()
+    }
+    assert out[0]["entropy"] == 0.0 and not out[0]["passes_filter"]
+    assert out[1]["entropy"] == 0.693148 and not out[1]["passes_filter"]
+    assert abs(out[2]["entropy"] - 3.401190) < 1e-6 and out[2]["passes_filter"]
