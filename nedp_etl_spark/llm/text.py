@@ -228,10 +228,15 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # llm_entropy_filter — character-entropy gibberish detection, the quality
 # rule that catches what ratio heuristics (llm_quality_score,
-# llm_quality_gopher) miss: binary junk, base64 blobs, and key-mash have
-# near-uniform character distributions (high Shannon entropy), while
+# llm_quality_gopher) miss: binary junk and base64 blobs have
+# near-uniform character distributions (high Shannon entropy — base64
+# sits near log2(64) = 6 bits, above any natural language), while
 # single-character runs and template spam sit near zero.  H = -sum(p_c *
-# ln p_c) over the doc's character histogram.
+# log2 p_c) over the doc's character histogram, in BITS — the [2, 5]
+# bits pass band keeps natural text (English ~4 bits/char) and rejects
+# both tails.  (In nats the same constants would be dead code: printable
+# ASCII caps at ln 95 ~= 4.55 nats, so a 5.0 upper bound could never
+# fire — caught in review.)
 #
 # Scale shape: ONE char explode, map-side; the only raw shuffle carries
 # (doc_id, char) partial counts (alphabet-bounded per doc — at most a few
@@ -259,7 +264,7 @@ withn AS (
 ),
 terms AS (
   SELECT doc_id, n,
-         ROUND(-(c * 1.0 / n) * ln(c * 1.0 / n), 6) AS term
+         ROUND(-(c * 1.0 / n) * log2(c * 1.0 / n), 6) AS term
   FROM withn
 )
 SELECT doc_id,
@@ -279,11 +284,11 @@ def llm_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.sum("c").over(Window.partitionBy("doc_id"))
     p = F.col("c") * 1.0 / F.col("n")
     terms = hist.select("doc_id", "c", n.alias("n")).select(
-        "doc_id", "n", F.round(-p * F.log(p), 6).alias("term")
+        "doc_id", "n", r6(-p * F.log2(p)).alias("term")
     )
     h = dsum("term")
     return terms.groupBy("doc_id").agg(
         F.max("n").cast("bigint").alias("n_chars"),
-        F.round(h, 6).alias("entropy"),
+        r6(h).alias("entropy"),
         h.between(2.0, 5.0).alias("passes_filter"),
     )

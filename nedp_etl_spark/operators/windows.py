@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import ts_str
 
 # --------------------------------------------------------------------------
 # win_ranking — row_number / rank / dense_rank / ntile / percent_rank.
@@ -310,7 +311,7 @@ hits AS (
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_matches,
-       MIN(ts) AS first_match_ts
+       strftime(CAST(MIN(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_match_ts
 FROM hits
 GROUP BY user_id
 """
@@ -330,7 +331,11 @@ def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p1") == "click")
         & (F.col("event_type") == "purchase")
     )
+    # ts_str rendering: raw TimestampType would collect through the
+    # driver's LOCAL timezone (datetime.fromtimestamp) while DuckDB hands
+    # back naive wall-clock — string rendering is the repo's
+    # deterministic-timestamp convention (util.ts_str).
     return hits.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
-        F.min("ts").alias("first_match_ts"),
+        ts_str(F.min("ts")).alias("first_match_ts"),
     )

@@ -523,13 +523,20 @@ def test_pattern_match_strict_consecutiveness(spark, tmp_path):
 
 
 def test_entropy_filter_known_distributions(spark, tmp_path):
-    # 'aaaa' -> H = 0 (degenerate), 'abab' -> H = ln 2 (0.693148 at the
-    # operator's 6-dp per-term rounding), 30 distinct chars -> H = ln 30
-    # (~3.40): only the last clears the [2, 5] gibberish band.
+    # Entropy is in BITS: 'aaaa' -> 0, 'abab' -> exactly 1 bit, 30
+    # distinct chars -> log2(30) ~= 4.907 (natural-text-like, passes),
+    # and 64 distinct chars -> exactly 6 bits — the base64-alphabet
+    # uniform distribution the high side of the [2, 5] band exists to
+    # reject (in nats that bound was unreachable for ASCII: ln 95 < 5).
+    b64 = "".join(
+        chr(c) for c in list(range(65, 91)) + list(range(97, 123))
+    ) + "0123456789+/"
+    assert len(b64) == 64 and len(set(b64)) == 64
     rows = [
         (0, "aaaa", "en", "src0", 4),
         (1, "abab", "en", "src0", 4),
         (2, "abcdefghijklmnopqrstuvwxyz0123", "en", "src0", 30),
+        (3, b64, "en", "src0", 64),
     ]
     _write(
         spark,
@@ -543,5 +550,6 @@ def test_entropy_filter_known_distributions(spark, tmp_path):
         for r in eng.queries()["llm_entropy_filter"](spark, str(tmp_path)).collect()
     }
     assert out[0]["entropy"] == 0.0 and not out[0]["passes_filter"]
-    assert out[1]["entropy"] == 0.693148 and not out[1]["passes_filter"]
-    assert abs(out[2]["entropy"] - 3.401190) < 1e-6 and out[2]["passes_filter"]
+    assert out[1]["entropy"] == 1.0 and not out[1]["passes_filter"]
+    assert abs(out[2]["entropy"] - 4.906891) < 2e-6 and out[2]["passes_filter"]
+    assert out[3]["entropy"] == 6.0 and not out[3]["passes_filter"]
