@@ -1015,3 +1015,79 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
         F.round(F.col("level") + F.col("trend"), 6).alias("forecast_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_mad_anomaly — robust outlier detection per series via median absolute
+# deviation: a point is anomalous when |x - median| > 3 * 1.4826 * MAD
+# (1.4826 scales MAD to sigma-equivalent under normality).  The robust
+# complement to ts_anomaly's rolling z-score: mean/stddev are themselves
+# dragged by the outliers they're meant to find, median/MAD are not.
+#
+# Scale shape: raw events collapse to (series, day) daily partials first
+# (map-side combine — the ts_holt shape), so the exact percentile
+# aggregates buffer only one series' calendar-bounded daily rows (the
+# agg_percentile_exact stance: exact percentiles are safe when group size
+# is bounded by construction; unbounded groups take the
+# agg_percentile_histogram route).  The median and MAD tables are
+# series-count-sized and broadcast back — two bounded joins, no window
+# over raw data.
+#
+# MAD = 0 (over half the days share the median value) degrades
+# deterministically on both engines: robust_z is NULL (NULLIF guard) and
+# any nonzero deviation is flagged.
+# Reference parity: anomaly SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_MAD_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         ROUND({osum('value')} / COUNT(*), 6) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+med AS (
+  SELECT event_type, ROUND(quantile_cont(v, 0.5), 6) AS med
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT daily.event_type, daily.d, daily.v,
+         ROUND(ABS(daily.v - med.med), 6) AS dev
+  FROM daily JOIN med ON daily.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type, strftime(dev.d, '%Y-%m-%d') AS day, dev.v,
+       ROUND(dev.dev / NULLIF(1.4826 * mad.mad, 0.0), 6) AS robust_z,
+       (dev.dev > 3 * 1.4826 * mad.mad) AS is_anomaly
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+"""
+
+
+@register("ts_mad_anomaly", oracle=_MAD_ORACLE)
+def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.round(F.percentile("v", F.lit(0.5)), 6).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type", "d", "v",
+        F.round(F.abs(F.col("v") - F.col("med")), 6).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("dev", F.lit(0.5)), 6).alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "v",
+        F.round(
+            F.col("dev") / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)), 6
+        ).alias("robust_z"),
+        (F.col("dev") > F.lit(3) * F.lit(1.4826) * F.col("mad")).alias("is_anomaly"),
+    )

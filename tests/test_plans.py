@@ -418,3 +418,13 @@ def test_entropy_filter_histogram_combines_map_side(spark, sf_dir):
     # the shuffle carries alphabet-bounded counts, never raw characters.
     plan = _plan(spark, sf_dir, "llm_entropy_filter")
     assert "partial_count" in plan
+
+
+def test_mad_anomaly_daily_partials_and_broadcast_stats(spark, sf_dir):
+    # Raw events collapse to daily partials map-side before any shuffle;
+    # the series-count-sized median/MAD tables come back as broadcasts —
+    # no window over raw data anywhere.
+    plan = _plan(spark, sf_dir, "ts_mad_anomaly")
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan

@@ -553,3 +553,33 @@ def test_entropy_filter_known_distributions(spark, tmp_path):
     assert out[1]["entropy"] == 1.0 and not out[1]["passes_filter"]
     assert abs(out[2]["entropy"] - 4.906891) < 2e-6 and out[2]["passes_filter"]
     assert out[3]["entropy"] == 6.0 and not out[3]["passes_filter"]
+
+
+def test_mad_anomaly_flags_planted_outlier(spark, tmp_path):
+    # 10 alternating days of 10/12 plus one day at 100: median = 12,
+    # deviations {2x5, 0x5, 88} -> MAD = 2, so the outlier's robust z is
+    # 88 / (1.4826*2) ~= 29.68 and ONLY that day crosses the 3-sigma
+    # threshold.  Mean/stddev would be dragged to ~19.8/26.6 (z ~= 3.0
+    # borderline) — the point of the robust statistic.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 1, "a",
+         10.0 if i % 2 == 0 else 12.0, "{}")
+        for i in range(10)
+    ] + [(10, base + datetime.timedelta(days=10), 1, "a", 100.0, "{}")]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["day"]: r
+        for r in eng.queries()["ts_mad_anomaly"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 11
+    anomalies = [d for d, r in out.items() if r["is_anomaly"]]
+    assert anomalies == ["2024-01-11"]
+    assert abs(out["2024-01-11"]["robust_z"] - 29.677594) < 1e-6
