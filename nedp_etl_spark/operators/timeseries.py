@@ -1091,3 +1091,92 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robust_z"),
         (F.col("dev") > F.lit(3) * F.lit(1.4826) * F.col("mad")).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_acf — autocorrelation function per series at calendar lags 1..7 days,
+# the seasonality detector that complements ts_seasonal_decompose (which
+# assumes a period; ACF peaks reveal it).  acf(k) = sum(x_t * x_{t+k}) /
+# sum(x_t^2) over mean-centered daily values — lag pairing is an
+# EQUI-JOIN on (series, day + k), not 7 window passes: true calendar
+# lags (a gap day breaks the pair, as it should) and one hash join
+# keyed (event_type, day) instead of 7 sorts.
+#
+# Scale shape: raw events collapse to daily partials map-side (the
+# ts_holt shape); the series means and sum-of-squares denominators are
+# series-count-sized broadcasts; the lag join's build side is the daily
+# table exploded x7 — still (series x days x 7), output-proportional.
+# Determinism: v and the mean are 6-dp rounded, so centered values are
+# bit-identical across engines; products are rounded then fixed-point
+# summed (util.dsum), so acf never drifts with partitioning.  A constant
+# series (zero variance) yields NULL acf via NULLIF on both engines.
+# Reference parity: correlation SQL reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         ROUND({osum('value')} / COUNT(*), 6) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+stats AS (
+  SELECT event_type, ROUND({osum('v')} / COUNT(*), 6) AS m FROM daily
+  GROUP BY event_type
+),
+x AS (
+  SELECT daily.event_type, daily.d, daily.v - stats.m AS x
+  FROM daily JOIN stats ON daily.event_type = stats.event_type
+),
+den AS (
+  SELECT event_type, {osum('x * x')} AS ss FROM x GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type, k.k, a.x AS xa, b.x AS xb
+  FROM x a
+  JOIN (SELECT UNNEST(range(1, 8)) AS k) k ON TRUE
+  JOIN x b ON b.event_type = a.event_type AND b.d = a.d + CAST(k.k AS INT)
+)
+SELECT p.event_type, CAST(p.k AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND({osum('p.xa * p.xb')} / NULLIF(den.ss, 0.0), 6) AS acf
+FROM pairs p JOIN den ON p.event_type = den.event_type
+GROUP BY p.event_type, p.k, den.ss
+"""
+
+
+@register("ts_acf", oracle=_ACF_ORACLE)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.round(dsum("v") / F.count(F.lit(1)), 6).alias("m")
+    )
+    x = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type", "d", (F.col("v") - F.col("m")).alias("x")
+    )
+    den = x.groupBy("event_type").agg(dsum(F.col("x") * F.col("x")).alias("ss"))
+    lagged = x.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
+        F.col("d").alias("d0"),
+        F.col("x").alias("xa"),
+    ).withColumn("d_pair", F.expr("date_add(d0, k)"))
+    pairs = lagged.join(
+        x.select("event_type", F.col("d").alias("d_pair"), F.col("x").alias("xb")),
+        ["event_type", "d_pair"],
+    )
+    return (
+        pairs.groupBy("event_type", F.col("k").cast("int").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            dsum(F.col("xa") * F.col("xb")).alias("num"),
+        )
+        .join(F.broadcast(den), "event_type")
+        .select(
+            "event_type", "k", "n_pairs",
+            F.round(F.col("num") / F.nullif(F.col("ss"), F.lit(0.0)), 6).alias("acf"),
+        )
+    )

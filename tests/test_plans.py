@@ -428,3 +428,23 @@ def test_mad_anomaly_daily_partials_and_broadcast_stats(spark, sf_dir):
     assert "partial_sum" in plan
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_bitmap_intersect_single_scan_two_partial_aggs(spark, sf_dir):
+    # Both class bitmaps build as conditional bit_or in ONE scan (no
+    # self-join, no second FileScan) with map-side partials; the set
+    # algebra is word-wise popcounts in the final bounded aggregate.
+    plan = _plan(spark, sf_dir, "agg_bitmap_intersect")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_bit_or" in plan
+    assert "Join" not in plan
+
+
+def test_acf_lag_join_is_equi_with_broadcast_stats(spark, sf_dir):
+    # Lag pairing must be an equi hash join on (series, shifted day) — not
+    # 7 window sorts and no nested loop — with the series-sized mean and
+    # denominator tables broadcast.
+    plan = _plan(spark, sf_dir, "ts_acf")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

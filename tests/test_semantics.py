@@ -583,3 +583,63 @@ def test_mad_anomaly_flags_planted_outlier(spark, tmp_path):
     anomalies = [d for d, r in out.items() if r["is_anomaly"]]
     assert anomalies == ["2024-01-11"]
     assert abs(out["2024-01-11"]["robust_z"] - 29.677594) < 1e-6
+
+
+def test_bitmap_intersect_set_algebra(spark, tmp_path):
+    # Membership plan: custkeys 1,2 urgent-only; 3 low-only; 64,65 in BOTH
+    # (same word, different bits — exercises word-wise AND/OR/XOR); 127
+    # urgent-only in word 1.  Expected: both=2, either=6, exactly_one=4.
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    oid = 0
+    plan = [
+        (1, ["1-URGENT"]), (2, ["1-URGENT"]), (3, ["5-LOW"]),
+        (64, ["1-URGENT", "5-LOW"]), (65, ["5-LOW", "1-URGENT"]),
+        (127, ["1-URGENT", "1-URGENT"]),
+        (999, ["3-MEDIUM"]),  # out-of-scope priority: must not count at all
+    ]
+    for ck, prios in plan:
+        for p in prios:
+            rows.append((oid, ck, "O", 10.0, base, p))
+            oid += 1
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = eng.queries()["agg_bitmap_intersect"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_both"], r["n_either"], r["n_exactly_one"]) == (2, 6, 4)
+
+
+def test_acf_detects_planted_period(spark, tmp_path):
+    # Period-2 series 10,20,10,20,... over 14 days: mean 15, centered +/-5,
+    # so acf(k) = (14-k)/14 * (-1)^k exactly — strong negative at lag 1,
+    # strong positive at lag 2, the signature ACF of a period-2 signal.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 1, "a",
+         10.0 if i % 2 == 0 else 20.0, "{}")
+        for i in range(14)
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["k"]: r
+        for r in eng.queries()["ts_acf"](spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == list(range(1, 8))
+    assert all(out[k]["n_pairs"] == 14 - k for k in range(1, 8))
+    assert out[1]["acf"] == -0.928571
+    assert out[2]["acf"] == 0.857143
+    assert out[7]["acf"] == -0.5
