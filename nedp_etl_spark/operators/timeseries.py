@@ -919,6 +919,32 @@ def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared (series, day) daily partial — the first stage of ts_holt /
+# ts_mad_anomaly / ts_acf.  ONE definition on each engine so the daily
+# contract (6-dp deterministic average via the fixed-point sum, observed
+# days only) cannot drift between the three operators.  The HAVING/filter
+# drops all-NULL-value days: such a day would reach pandas as NaN but
+# stay NULL in SQL, and NaN != NULL under the value hash.
+# --------------------------------------------------------------------------
+
+_DAILY_CTE = f"""daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         ROUND({osum('value')} / COUNT(*), 6) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+  HAVING {osum('value')} IS NOT NULL
+)"""
+
+
+def _daily(ev: DataFrame) -> DataFrame:
+    """Spark twin of ``_DAILY_CTE``."""
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+
+
+# --------------------------------------------------------------------------
 # ts_holt — Holt's linear-trend double exponential smoothing per series:
 # level l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1}),
 # trend b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}, initialized l_1 = x_1,
@@ -944,14 +970,7 @@ def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _HOLT_ORACLE = f"""
-WITH RECURSIVE daily AS (
-  -- observed days only: an all-NULL day would reach pandas as NaN but
-  -- stay NULL in SQL (NaN != NULL under the hash), so both sides drop it
-  SELECT event_type, CAST(ts AS DATE) AS d,
-         ROUND({osum('value')} / COUNT(*), 6) AS v
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
-  HAVING {osum('value')} IS NOT NULL
-),
+WITH RECURSIVE {_DAILY_CTE},
 numbered AS (
   SELECT event_type, d, v,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
@@ -981,9 +1000,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v")
-    ).filter(F.col("v").isNotNull())  # mirror the oracle's observed-days HAVING
+    daily = _daily(ev)
 
     def _holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("d").reset_index(drop=True)
@@ -1041,11 +1058,7 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _MAD_ORACLE = f"""
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS d,
-         ROUND({osum('value')} / COUNT(*), 6) AS v
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
-),
+WITH {_DAILY_CTE},
 med AS (
   SELECT event_type, ROUND(quantile_cont(v, 0.5), 6) AS med
   FROM daily GROUP BY event_type
@@ -1069,9 +1082,10 @@ FROM dev JOIN mad ON dev.event_type = mad.event_type
 @register("ts_mad_anomaly", oracle=_MAD_ORACLE)
 def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v")
-    )
+    # checkpoint: med / dev / mad / output all branch off `daily` —
+    # without it each branch re-runs the events scan + daily aggregation
+    # (the plan showed 4 FileScans; review catch).
+    daily = _daily(ev).localCheckpoint(eager=True)
     med = daily.groupBy("event_type").agg(
         F.round(F.percentile("v", F.lit(0.5)), 6).alias("med")
     )
@@ -1115,11 +1129,7 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _ACF_ORACLE = f"""
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS d,
-         ROUND({osum('value')} / COUNT(*), 6) AS v
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
-),
+WITH {_DAILY_CTE},
 stats AS (
   SELECT event_type, ROUND({osum('v')} / COUNT(*), 6) AS m FROM daily
   GROUP BY event_type
@@ -1148,9 +1158,11 @@ GROUP BY p.event_type, p.k, den.ss
 @register("ts_acf", oracle=_ACF_ORACLE)
 def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v")
-    )
+    # checkpoint: stats and the three x-consumers (den, both join sides)
+    # all branch off `daily` — without it the plan re-ran the events scan
+    # + daily aggregation 7 times (review catch); x itself recomputes from
+    # the checkpointed daily (a broadcast join + projection, no scan).
+    daily = _daily(ev).localCheckpoint(eager=True)
     stats = daily.groupBy("event_type").agg(
         F.round(dsum("v") / F.count(F.lit(1)), 6).alias("m")
     )

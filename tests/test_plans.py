@@ -421,11 +421,13 @@ def test_entropy_filter_histogram_combines_map_side(spark, sf_dir):
 
 
 def test_mad_anomaly_daily_partials_and_broadcast_stats(spark, sf_dir):
-    # Raw events collapse to daily partials map-side before any shuffle;
-    # the series-count-sized median/MAD tables come back as broadcasts —
-    # no window over raw data anywhere.
+    # The daily collapse runs ONCE (eager localCheckpoint) — the med/dev/
+    # mad/output branches all read the checkpointed daily table, never the
+    # events parquet again; median/MAD tables broadcast; no window over
+    # raw data anywhere.
     plan = _plan(spark, sf_dir, "ts_mad_anomaly")
-    assert "partial_sum" in plan
+    assert "FileScan parquet" not in plan  # events scanned only at checkpoint
+    assert "Scan ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
 
@@ -443,8 +445,10 @@ def test_bitmap_intersect_single_scan_two_partial_aggs(spark, sf_dir):
 def test_acf_lag_join_is_equi_with_broadcast_stats(spark, sf_dir):
     # Lag pairing must be an equi hash join on (series, shifted day) — not
     # 7 window sorts and no nested loop — with the series-sized mean and
-    # denominator tables broadcast.
+    # denominator tables broadcast, and the daily collapse run ONCE
+    # (checkpoint) rather than re-scanned per branch.
     plan = _plan(spark, sf_dir, "ts_acf")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "FileScan parquet" not in plan  # events scanned only at checkpoint

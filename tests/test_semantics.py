@@ -643,3 +643,24 @@ def test_acf_detects_planted_period(spark, tmp_path):
     assert out[1]["acf"] == -0.928571
     assert out[2]["acf"] == 0.857143
     assert out[7]["acf"] == -0.5
+
+
+def test_bitmap_intersect_empty_scope_all_null(spark, tmp_path):
+    # No order matches the two target priorities: Spark's global aggregate
+    # over the empty word table yields ONE all-NULL row — and the oracle's
+    # SUM-based counters (deliberately not COUNT(*)) are NULL on empty
+    # input too, keeping the hash gate consistent on this edge.
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(0, 7, "O", 10.0, base, "3-MEDIUM")]
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = eng.queries()["agg_bitmap_intersect"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_both"] is None and r["n_either"] is None and r["n_exactly_one"] is None
