@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
-from nedp_etl_spark.util import dsum, osum
+from nedp_etl_spark.util import dsum, histogram_rank_walk, osum
 
 # --------------------------------------------------------------------------
 # llm_tfidf — top-3 TF-IDF terms per document (smoothed idf), for a stable
@@ -342,12 +342,8 @@ def _tercile_cuts(spark: SparkSession, scores: DataFrame) -> DataFrame:
     n = sum(c for _, c in hist)
     targets = []
     for cut_id, rank in ((1, -(-n // 3)), (2, -(-(2 * n) // 3))):
-        below = 0
-        for b, c in hist:
-            if below + c >= rank:
-                targets.append((cut_id, b, rank - below))
-                break
-            below += c
+        b, k = histogram_rank_walk(hist, rank)
+        targets.append((cut_id, b, k))
     tgt = spark.createDataFrame(targets, "cut_id int, b long, k long")
     # Each cut ranks ONE bucket's occupants (~n/256 rows): keyed window,
     # never a corpus-wide sort.

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
+from nedp_etl_spark.util import histogram_rank_walk
 
 # --------------------------------------------------------------------------
 # ts_retention_cohort — weekly cohort retention matrix: users are assigned to
@@ -627,12 +628,8 @@ def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g, buckets in by_group.items():
         n = sum(c for _, c in buckets)
         rank = -(-n // 2)  # ceil(0.5 * n)
-        below = 0
-        for b, c in sorted(buckets):
-            if below + c >= rank:
-                targets.append((g, b, rank - below, n))
-                break
-            below += c
+        b, k = histogram_rank_walk(sorted(buckets), rank)
+        targets.append((g, b, k, n))
     tgt = spark.createDataFrame(
         targets, "l_returnflag string, b long, k long, n long"
     )

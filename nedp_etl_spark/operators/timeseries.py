@@ -929,17 +929,23 @@ def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DAILY_CTE = f"""daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
-         ROUND({osum('value')} / COUNT(*), 6) AS v
+         ROUND({osum('value')} / COUNT(value), 6) AS v
   FROM events GROUP BY event_type, CAST(ts AS DATE)
   HAVING {osum('value')} IS NOT NULL
 )"""
 
 
 def _daily(ev: DataFrame) -> DataFrame:
-    """Spark twin of ``_DAILY_CTE``."""
+    """Spark twin of ``_DAILY_CTE``.
+
+    COUNT(value), not COUNT(*): the sum skips NULLs, so dividing by the
+    all-rows count would silently shrink the mean on a day mixing NULL
+    and observed values (both engines would agree on the wrong number —
+    the hash gate can't catch it; review catch, pinned by the mixed-NULL
+    edge test)."""
     return (
         ev.groupBy("event_type", F.to_date("ts").alias("d"))
-        .agg(F.round(dsum("value") / F.count(F.lit(1)), 6).alias("v"))
+        .agg(F.round(dsum("value") / F.count("value"), 6).alias("v"))
         .filter(F.col("v").isNotNull())
     )
 
@@ -985,7 +991,11 @@ holt AS (
          0.5 * ((0.5 * n.v + 0.5 * (h.level + h.trend)) - h.level)
            + 0.5 * h.trend
   FROM numbered n
-  JOIN holt h ON n.event_type = h.event_type AND n.rn = h.rn + 1
+  -- IS NOT DISTINCT FROM: a NULL-keyed series is a real group on the
+  -- Spark side (groupBy keeps it), and a plain = join would silently
+  -- truncate its recursion after the rn=1 anchor (review catch)
+  JOIN holt h ON n.event_type IS NOT DISTINCT FROM h.event_type
+             AND n.rn = h.rn + 1
 )
 SELECT event_type, d, v,
        ROUND(level, 6) AS level,

@@ -146,3 +146,24 @@ def global_running_sum(df, order_cols, value, out_col, num_partitions=None):
         .withColumn(out_col, F.col(out_col) + F.col("__grs_off"))
         .drop("__grs_pid", "__grs_v", "__grs_off")
     )
+
+
+def histogram_rank_walk(buckets: list, rank: int):
+    """Locate 1-based ``rank`` in a SORTED (bucket, count) histogram:
+    returns (bucket, residual_rank_within_bucket).
+
+    The shared driver-side core of the two-phase exact-percentile
+    refinement — ``operators.analytics.agg_percentile_histogram`` (per
+    group) and ``llm.ranking._tercile_cuts`` (global, two ranks) both
+    walk their bounded histograms through this function, so the
+    cumulative-count arithmetic cannot drift between them.  The phases
+    around it intentionally differ (grouped vs global pre-pass; width
+    fallback vs all-equal short-circuit) and are documented at each
+    call site.
+    """
+    below = 0
+    for b, c in buckets:
+        if below + c >= rank:
+            return b, rank - below
+        below += c
+    raise ValueError(f"rank {rank} exceeds histogram total {below}")

@@ -664,3 +664,63 @@ def test_bitmap_intersect_empty_scope_all_null(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert r["n_both"] is None and r["n_either"] is None and r["n_exactly_one"] is None
+
+
+def test_daily_mean_ignores_null_values_in_mixed_days(spark, tmp_path):
+    # A day with values [10.0, NULL] must average to 10.0 (SQL AVG
+    # semantics: mean of OBSERVED values), not 5.0 — the COUNT(*) bug both
+    # engines would have agreed on, invisible to the hash gate.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (0, base, 1, "a", 10.0, "{}"),
+        (1, base, 1, "a", None, "{}"),
+        (2, base + datetime.timedelta(days=1), 1, "a", 20.0, "{}"),
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = sorted(
+        eng.queries()["ts_holt"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["d"],
+    )
+    assert [r["v"] for r in out] == [10.0, 20.0]
+    assert out[1]["level"] == 15.0  # 0.5*20 + 0.5*10 — from the TRUE means
+
+
+def test_holt_null_series_full_trajectory_both_engines(spark, tmp_path):
+    # A NULL event_type series is a real group: Spark's groupBy keeps it
+    # and emits the full 3-row trajectory; the oracle's recursive join
+    # must too (IS NOT DISTINCT FROM — a plain = join truncates after the
+    # rn=1 anchor).  Run BOTH engines on the same fixture and compare.
+    import duckdb
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(days=i), 1, None, 10.0 + i, "{}")
+        for i in range(3)
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    s_rows = eng.queries()["ts_holt"](spark, str(tmp_path)).collect()
+    assert len(s_rows) == 3
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    d_rows = con.execute(eng.oracle_sql()["ts_holt"]).fetchall()
+    assert len(d_rows) == 3
+    assert sorted(round(r["level"], 6) for r in s_rows) == sorted(
+        round(r[3], 6) for r in d_rows
+    )
