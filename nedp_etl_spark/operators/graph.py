@@ -174,3 +174,84 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         tris.agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# --------------------------------------------------------------------------
+# graph_bfs_reach — multi-source BFS over the LSH near-duplicate pair
+# graph: minimum hop-distance from the seed set (graph nodes with
+# doc_id % 100 == 0) out to 4 hops.  The third member of the iterative
+# graph family — pagerank (fixed-point value iteration), triangle count
+# (closed-walk join), and now frontier expansion, the primitive under
+# reachability/impact analysis ("every doc transitively near-duplicate of
+# a seed within k steps").
+#
+# Scale shape: the pair graph is materialized ONCE (localCheckpoint —
+# the triangle-count discipline: iterations must never re-run the
+# MinHash-LSH lineage), and each BFS step is one equi-join of the
+# CURRENT FRONTIER (shrinking) against the edges plus an anti-join
+# against the visited set — the per-step shuffle carries frontier-sized
+# and visited-key-sized relations only, never the corpus.  Per-step
+# localCheckpoint truncates the growing lineage exactly as
+# llm_dedup_cluster's propagation does.  BFS visits each node once, so
+# total work is O(edges) regardless of step count.
+#
+# The oracle is a recursive CTE with UNION-distinct semantics (cycle-safe
+# BFS) and a final MIN(depth) — a genuinely different evaluation strategy
+# (DuckDB's recursive fixpoint vs Spark's explicit frontier loop), so the
+# hash gate proves min-hop-distance semantics, not shared code.
+# Reference parity: reachability SQL reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_BFS_DEPTH = 4
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE {_PAIR_EDGES_SQL},
+bedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+bnodes AS (SELECT DISTINCT src AS id FROM bedges),
+reach(id, depth) AS (
+  SELECT id, 0 FROM bnodes WHERE id % 100 = 0
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN bedges e ON e.src = r.id
+  WHERE r.depth < {_BFS_DEPTH}
+)
+SELECT id AS doc_id, CAST(MIN(depth) AS INT) AS depth
+FROM reach GROUP BY id
+"""
+
+
+@register("graph_bfs_reach", oracle=_BFS_ORACLE)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.llm.dedup import llm_dedup_near
+
+    pairs = (
+        llm_dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # freeze the LSH lineage (one derivation)
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    visited = nodes.filter(F.col("id") % 100 == 0).select(
+        "id", F.lit(0).alias("depth")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for k in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .select("id", F.lit(k).alias("depth"))
+            .localCheckpoint(eager=True)  # truncate per-step lineage
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited.select(
+        F.col("id").alias("doc_id"), F.col("depth").cast("int").alias("depth")
+    )

@@ -452,3 +452,12 @@ def test_acf_lag_join_is_equi_with_broadcast_stats(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
     assert "FileScan parquet" not in plan  # events scanned only at checkpoint
+
+
+def test_bfs_iterates_over_checkpointed_pairs(spark, sf_dir):
+    # The frontier loop must re-join MATERIALIZED pairs (Scan ExistingRDD),
+    # never re-derive the MinHash-LSH lineage per step — no parquet scan
+    # and no shingle explode may appear in the final plan.
+    plan = _plan(spark, sf_dir, "graph_bfs_reach")
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan

@@ -724,3 +724,29 @@ def test_holt_null_series_full_trajectory_both_engines(spark, tmp_path):
     assert sorted(round(r["level"], 6) for r in s_rows) == sorted(
         round(r[3], 6) for r in d_rows
     )
+
+
+def test_bfs_reach_invariants(spark, sf_dir):
+    # BFS ground truth, checked structurally against the SAME pair graph:
+    # depth-0 nodes are exactly the graph nodes with id % 100 == 0; every
+    # deeper node has at least one neighbor one level shallower (the
+    # defining property of min-hop distance); nothing exceeds the cap.
+    depths = {
+        r["doc_id"]: r["depth"]
+        for r in eng.queries()["graph_bfs_reach"](spark, sf_dir).collect()
+    }
+    pairs = eng.queries()["llm_dedup_near"](spark, sf_dir).collect()
+    adj: dict = {}
+    nodes = set()
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        nodes.update((a, b))
+    assert {n for n, d in depths.items() if d == 0} == {
+        n for n in nodes if n % 100 == 0
+    }
+    assert all(0 <= d <= 4 for d in depths.values())
+    for n, d in depths.items():
+        if d > 0:
+            assert any(depths.get(m) == d - 1 for m in adj[n]), (n, d)
