@@ -649,3 +649,90 @@ def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.col("k"))
         .select("l_returnflag", "n", F.col("l_extendedprice").alias("p50_disc"))
     )
+
+
+# --------------------------------------------------------------------------
+# agg_ks_test — exact two-sample Kolmogorov–Smirnov statistic between the
+# value distributions of two event segments: D = max over observed values
+# of |F1(v) − F2(v)|, with the α=0.05 large-sample rejection decision
+# (c(α)=1.358).  Complements agg_ab_ztest (mean difference) with the
+# whole-distribution test — the drift detector a data pipeline runs
+# between ingestion batches.
+#
+# The scale hazard is the empirical CDF: a naked cumulative window over
+# values is a corpus-wide SinglePartition sort.  Instead the segment
+# counts collapse to ONE row per distinct value (bounded shuffle, map-
+# side partials), and BOTH cumulative counts run through the two-phase
+# prefix sum (util.global_running_sum: range partition → per-pid running
+# sums → broadcast offsets) — the same machinery as llm_seq_packing, so
+# no single task ever holds the distribution.  The order key (v) is
+# unique after the group-by, so the prefix sums are exact everywhere.
+#
+# Determinism: values are 6-dp rounded before grouping (identical group
+# keys cross-engine), cumulative counts are integers, and the final
+# D/critical-value comparison is the same double arithmetic on both
+# engines.
+# Reference parity: distribution-test SQL reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH vals AS (
+  SELECT event_type, ROUND(value, 6) AS v FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+),
+per_v AS (
+  SELECT v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+  FROM vals GROUP BY v
+),
+cum AS (
+  SELECT v,
+         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+         SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+  FROM per_v
+),
+tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2 FROM per_v)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(MAX(ABS(cum1 * 1.0 / n1 - cum2 * 1.0 / n2)), 6) AS ks_d,
+       (MAX(ABS(cum1 * 1.0 / n1 - cum2 * 1.0 / n2))
+          > 1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2))) AS reject_05
+FROM cum CROSS JOIN tot
+GROUP BY n1, n2
+"""
+
+
+@register("agg_ks_test", oracle=_KS_ORACLE)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import global_running_sums
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    per_v = ev.groupBy(F.round("value", 6).alias("v")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+    )
+    # both CDFs cumulate along the same ordering: ONE range shuffle
+    cum = global_running_sums(
+        per_v, ["v"], [(F.col("c1"), "cum1"), (F.col("c2"), "cum2")]
+    )
+    tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    diff = F.abs(
+        F.col("cum1") * 1.0 / F.col("n1") - F.col("cum2") * 1.0 / F.col("n2")
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")) * 1.0 / (F.col("n1") * F.col("n2"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(F.max(diff).alias("_d"))
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.round(F.col("_d"), 6).alias("ks_d"),
+            (F.col("_d") > crit).alias("reject_05"),
+        )
+    )

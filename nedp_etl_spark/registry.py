@@ -91,11 +91,11 @@ _PRIORITY: list[str] = [
     "profile_table", "profile_skew", "udtf_native",
     "fn_xml", "fn_try_safe", "sql_pipe_syntax",
     "stream_static_join", "stream_stream_join",
-    # --- (c) the 17 NEW round-5 keys, first past the 50-row budget line.
+    # --- (c) the 18 NEW round-5 keys, first past the 50-row budget line.
     # They do NOT displace section (b): spending budget on them would leave
-    # 17 of the never-checked backlog unverified forever, whereas these lead
+    # 18 of the never-checked backlog unverified forever, whereas these lead
     # round 6's section (a) either way — the closure of the pre-existing
-    # 230-key registry is the milestone worth protecting this round.  All 17
+    # 230-key registry is the milestone worth protecting this round.  All 18
     # are hash-exact at sf0.001 AND sf0.01 against their DuckDB oracles in
     # the in-repo suite (tests/test_correctness.py parametrizes over the
     # registry) and carry semantic ground-truth tests (test_semantics.py).
@@ -116,6 +116,7 @@ _PRIORITY: list[str] = [
     "agg_bitmap_intersect",       # NEW: word-wise bitmap set algebra
     "ts_acf",                     # NEW: per-series autocorrelation (lag join)
     "graph_bfs_reach",            # NEW: multi-source BFS (frontier loop)
+    "agg_ks_test",                # NEW: exact two-sample KS via prefix sum
     # --- (d) defensive-only round-5 edits (see note above): next in line,
     # still ahead of the 178 keys with current green rows
     "stream_watermark_late",      # oracle watermark ms-truncated (ADVICE r4)

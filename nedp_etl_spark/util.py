@@ -113,6 +113,23 @@ def global_running_sum(df, order_cols, value, out_col, num_partitions=None):
 
     ``value`` is a Column (e.g. ``F.lit(1)`` turns this into a scalable
     global ``row_number``).  Returns ``df`` plus ``out_col`` (bigint-ish).
+
+    For SEVERAL running sums over the same ordering, use
+    :func:`global_running_sums` — n columns share the one range shuffle +
+    checkpoint instead of paying it n times.
+    """
+    return global_running_sums(df, order_cols, [(value, out_col)], num_partitions)
+
+
+def global_running_sums(df, order_cols, values, num_partitions=None):
+    """Multi-column form of :func:`global_running_sum` (see its docstring
+    for the algorithm and why the eager checkpoint is load-bearing).
+
+    ``values`` is a list of ``(value_column, out_col)`` pairs that all
+    cumulate along the SAME ``order_cols`` ordering: one range shuffle,
+    one checkpoint, one per-pid window pass, and one bounded partials
+    collect serve every column (``agg_ks_test``'s two empirical CDFs cost
+    one shuffle, not two).
     """
     from pyspark.sql.window import Window
 
@@ -120,9 +137,11 @@ def global_running_sum(df, order_cols, value, out_col, num_partitions=None):
     n_part = num_partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1
     )
+    staged = df
+    for i, (value, _) in enumerate(values):
+        staged = staged.withColumn(f"__grs_v{i}", value)
     ranged = (
-        df.withColumn("__grs_v", value)
-        .repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+        staged.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
         .withColumn("__grs_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -131,20 +150,31 @@ def global_running_sum(df, order_cols, value, out_col, num_partitions=None):
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn(out_col, F.sum("__grs_v").over(w_local))
+    local = ranged
+    for i, (_, out_col) in enumerate(values):
+        local = local.withColumn(out_col, F.sum(f"__grs_v{i}").over(w_local))
     partials = (
-        ranged.groupBy("__grs_pid").agg(F.sum("__grs_v").alias("__grs_s")).collect()
+        ranged.groupBy("__grs_pid")
+        .agg(*[F.sum(f"__grs_v{i}").alias(f"__grs_s{i}") for i in range(len(values))])
+        .collect()
     )
-    running = 0
+    running = [0] * len(values)
     offsets = []
     for row in sorted(partials, key=lambda r: r["__grs_pid"]):
-        offsets.append((row["__grs_pid"], running))
-        running += row["__grs_s"] or 0
-    off = spark.createDataFrame(offsets, "__grs_pid int, __grs_off bigint")
-    return (
-        local.join(F.broadcast(off), "__grs_pid")
-        .withColumn(out_col, F.col(out_col) + F.col("__grs_off"))
-        .drop("__grs_pid", "__grs_v", "__grs_off")
+        offsets.append((row["__grs_pid"], *running))
+        for i in range(len(values)):
+            running[i] += row[f"__grs_s{i}"] or 0
+    off_schema = "__grs_pid int, " + ", ".join(
+        f"__grs_off{i} bigint" for i in range(len(values))
+    )
+    off = spark.createDataFrame(offsets, off_schema)
+    out = local.join(F.broadcast(off), "__grs_pid")
+    for i, (_, out_col) in enumerate(values):
+        out = out.withColumn(out_col, F.col(out_col) + F.col(f"__grs_off{i}"))
+    return out.drop(
+        "__grs_pid",
+        *[f"__grs_v{i}" for i in range(len(values))],
+        *[f"__grs_off{i}" for i in range(len(values))],
     )
 
 

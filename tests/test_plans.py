@@ -231,6 +231,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_tfidf", "llm_bm25",
                    "llm_unigram_logprob",  # 1-row corpus-scalar broadcast (O(n))
                    "llm_perplexity_buckets",  # 1-row corpus-total + 1-row tercile-cut broadcasts (O(n))
+                   "agg_ks_test",  # 1-row (n1, n2) totals broadcast (O(distinct values))
                    "llm_rag_retrieval",  # 1-row avgdl/n_docs broadcast (O(n))
                    "dbt_source_freshness",  # 1-row watermark broadcast (O(n))
                    "llm_bigram_logprob",  # 1-row token-total broadcast (O(n))
@@ -461,3 +462,12 @@ def test_bfs_iterates_over_checkpointed_pairs(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_bfs_reach")
     assert "Scan ExistingRDD" in plan
     assert "FileScan parquet" not in plan
+
+
+def test_ks_test_no_global_window(spark, sf_dir):
+    # Both empirical-CDF prefix sums must go through the two-phase helper:
+    # no SinglePartition window anywhere, and the per-pid offsets return
+    # as broadcast joins.
+    plan = _plan(spark, sf_dir, "agg_ks_test")
+    assert not _has_global_window(plan)
+    assert "BroadcastHashJoin" in plan

@@ -90,3 +90,30 @@ def test_row_number_mode(spark):
     out = global_running_sum(df, ["k"], F.lit(1), "rn", num_partitions=16)
     got = sorted((r["k"], r["rn"]) for r in out.collect())
     assert got == [(k, i + 1) for i, k in enumerate(sorted(k for k, _ in pairs))]
+
+
+def test_multi_column_matches_sequential_single_calls(spark):
+    # global_running_sums must equal two independent single-column passes
+    # exactly — the multi-column form only shares the shuffle/checkpoint,
+    # never changes the arithmetic.
+    from nedp_etl_spark.util import global_running_sums
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 9), rng.randint(0, 9)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k bigint, a bigint, b bigint")
+    multi = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in global_running_sums(
+            df, ["k"], [(F.col("a"), "ca"), (F.col("b"), "cb")], num_partitions=7
+        ).collect()
+    }
+    single_a = {
+        r["k"]: r["ca"]
+        for r in global_running_sum(df, ["k"], F.col("a"), "ca", 7).collect()
+    }
+    single_b = {
+        r["k"]: r["cb"]
+        for r in global_running_sum(df, ["k"], F.col("b"), "cb", 7).collect()
+    }
+    assert len(multi) == 500
+    assert all(multi[k] == (single_a[k], single_b[k]) for k in multi)

@@ -750,3 +750,46 @@ def test_bfs_reach_invariants(spark, sf_dir):
     for n, d in depths.items():
         if d > 0:
             assert any(depths.get(m) == d - 1 for m in adj[n]), (n, d)
+
+
+def test_ks_test_separated_and_identical_distributions(spark, tmp_path):
+    # 'click' values 1..50, 'view' values 26..75: the empirical CDFs gap
+    # by exactly 0.5 (at any v in [25, 26)), and with n1 = n2 = 50 the
+    # alpha=0.05 critical value is 1.358*sqrt(100/2500) ~= 0.2716 — the
+    # shift MUST be rejected.  A second fixture with identical segments
+    # must yield D = 0 and no rejection.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def fixture(path, view_offset):
+        rows = [
+            (i, base, 1, "click", float(i + 1), "{}") for i in range(50)
+        ] + [
+            (100 + i, base, 1, "view", float(i + 1 + view_offset), "{}")
+            for i in range(50)
+        ]
+        _write(
+            spark,
+            path,
+            "events",
+            rows,
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string",
+        )
+
+    # Distinct sf_dir per scenario: the fixture loader caches the file
+    # listing per (session, sf_dir, table), so overwriting one path
+    # in-place would leave the second query reading stale file names.
+    shifted, same = tmp_path / "shifted", tmp_path / "same"
+    shifted.mkdir(), same.mkdir()
+    fixture(shifted, 25)
+    out = eng.queries()["agg_ks_test"](spark, str(shifted)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n1"], r["n2"]) == (50, 50)
+    assert r["ks_d"] == 0.5
+    assert r["reject_05"]
+
+    fixture(same, 0)
+    out2 = eng.queries()["agg_ks_test"](spark, str(same)).collect()[0]
+    assert out2["ks_d"] == 0.0
+    assert not out2["reject_05"]
