@@ -268,7 +268,9 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/analytics.py): a min/max pre-pass fixes the bucket width so
 # the histogram is <=256 buckets BY CONSTRUCTION, the driver walks the
 # bounded (bucket, count) table to the bucket holding each target rank,
-# and a second pass ranks only that bucket's occupants (~n/256 rows).
+# and a second pass ranks only that bucket's occupants (~n/256 rows for
+# roughly-spread scores; a bucket above _PPL_REFINE_THRESH is
+# histogrammed recursively until window-safe — see _tercile_cuts).
 # The two cutoff VALUES then flow back as a broadcast 1-row relation and
 # the bucket label is a pure map-side CASE — so the corpus is never
 # globally sorted and no window ever sees more than one histogram
@@ -284,6 +286,16 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PPL_B = 256  # histogram bucket count — fixed by construction
+
+# Refinement-window bound: a phase-2 ranking window may hold at most this
+# many rows in one partition.  When a target bucket's occupancy exceeds it
+# (a concentrated distribution piling most of the corpus into one 6-dp
+# sliver — the round-5 advisory's hazard), the walk histograms THAT bucket
+# one level deeper instead of sorting it whole; each level splits the value
+# range 256x, so a 6-dp-rounded score space collapses to a single value
+# within a handful of levels.  Roughly-uniform corpora never recurse
+# (occupancy ~ n/256), so the common path is unchanged.
+_PPL_REFINE_THRESH = 65536
 
 _PPL_BUCKETS_ORACLE = f"""
 WITH {_LM_CTES},
@@ -312,47 +324,102 @@ FROM scores CROSS JOIN cuts
 """
 
 
+def _bucket_expr(lo: float, width: float):
+    """Clamped 256-way bucket index for ``v`` over [lo, lo + 256*width].
+
+    greatest(0)/least(B-1): a value can sit an ULP outside its parent
+    bucket's recomputed bounds (floor((v-lo)/width) vs lo + b*width don't
+    commute in floats), so deeper levels must clamp both ends."""
+    return F.greatest(
+        F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(_PPL_B - 1),
+        ),
+        F.lit(0),
+    )
+
+
+def _rank_histogram(li: DataFrame, pred, lo: float, hi: float, rank: int):
+    """One histogram level: bucket ``li.v`` under ``pred`` 256 ways and walk
+    to ``rank``.  Returns (pred', lo', hi', k, occupancy) narrowing to the
+    rank's bucket.  Only the bounded (bucket, count) table reaches the
+    driver — never a data value."""
+    width = (hi - lo) / _PPL_B
+    bexpr = _bucket_expr(lo, width)
+    hist = sorted(
+        (r["b"], r["c"])
+        for r in li.filter(pred)
+        .groupBy(bexpr.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )  # bounded: <=256 rows BY CONSTRUCTION (the llm_kmeans collect pattern)
+    b, k = histogram_rank_walk(hist, rank)
+    occ = dict(hist)[b]
+    blo = lo + b * width
+    bhi = hi if b == _PPL_B - 1 else lo + (b + 1) * width
+    return pred & (bexpr == F.lit(b)), blo, bhi, k, occ
+
+
 def _tercile_cuts(spark: SparkSession, scores: DataFrame) -> DataFrame:
     """1-row DataFrame (c1, c2): exact k-th-smallest ``avg_logprob`` at
-    ranks ceil(n/3) and ceil(2n/3), via two-phase histogram refinement."""
+    ranks ceil(n/3) and ceil(2n/3), via two-phase histogram refinement.
+
+    Concentrated-distribution guard (round-5 advisory): if a target
+    bucket's occupancy exceeds ``_PPL_REFINE_THRESH``, that bucket is
+    histogrammed one level deeper (repeatedly, if needed) before any
+    ranking window runs, so the phase-2 window partition is bounded no
+    matter how the scores are distributed.  A bucket that collapses to a
+    single value (lo == hi) pins the rank's value with no window at all."""
     lo, hi = scores.agg(F.min("avg_logprob"), F.max("avg_logprob")).first()
     if lo is None:  # empty corpus: label pass below also yields no rows
         return spark.createDataFrame([(None, None)], "c1 double, c2 double")
     if lo == hi:
-        # Degenerate distribution (every doc shares one rounded score):
-        # every rank's value IS that score — emitting it directly avoids
-        # a refinement window over the entire corpus in one bucket.  The
-        # milder skew case (one bucket dominating but lo < hi) keeps the
-        # agg_percentile_histogram stance: phase-2 work is that bucket's
-        # occupancy, and a deployment needing a harder bound recurses the
-        # histogram one more level inside the bucket.
+        # Fully degenerate distribution (every doc shares one rounded
+        # score): every rank's value IS that score.
         return spark.createDataFrame([(lo, hi)], "c1 double, c2 double")
+    li = scores.select(F.col("avg_logprob").alias("v"))
+    # Level-1 histogram is shared by both cuts: ONE corpus pass.
     width = (hi - lo) / _PPL_B
-    li = scores.select(
-        F.col("avg_logprob").alias("v"),
-        F.least(
-            F.floor((F.col("avg_logprob") - lo) / width).cast("long"),
-            F.lit(_PPL_B - 1),  # v == max lands exactly on B — clamp
-        ).alias("b"),
-    )
+    b0 = _bucket_expr(lo, width)
     hist = sorted(
         (r["b"], r["c"])
-        for r in li.groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
-    )  # bounded: <=256 rows BY CONSTRUCTION (the llm_kmeans collect pattern)
+        for r in li.groupBy(b0.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
     n = sum(c for _, c in hist)
-    targets = []
+    cut_specs = []  # (cut_id, pred, k) needing a window | (cut_id, value)
     for cut_id, rank in ((1, -(-n // 3)), (2, -(-(2 * n) // 3))):
         b, k = histogram_rank_walk(hist, rank)
-        targets.append((cut_id, b, k))
-    tgt = spark.createDataFrame(targets, "cut_id int, b long, k long")
-    # Each cut ranks ONE bucket's occupants (~n/256 rows): keyed window,
-    # never a corpus-wide sort.
-    w = Window.partitionBy("cut_id").orderBy("v")
-    cut_rows = (
-        li.join(F.broadcast(tgt), "b")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == F.col("k"))
-    )
+        occ = dict(hist)[b]
+        pred = b0 == F.lit(b)
+        blo = lo + b * width
+        bhi = hi if b == _PPL_B - 1 else lo + (b + 1) * width
+        value = None
+        while occ > _PPL_REFINE_THRESH:
+            if blo == bhi:  # bucket is one value: rank's value is pinned
+                value = blo
+                break
+            pred, blo, bhi, k, occ = _rank_histogram(li, pred, blo, bhi, k)
+        cut_specs.append((cut_id, value) if value is not None else (cut_id, pred, k))
+    # Each surviving cut ranks ONE window-safe bucket's occupants: keyed
+    # window, never a corpus-wide sort.
+    cut_rows = None
+    win_parts = [s for s in cut_specs if len(s) == 3]
+    if win_parts:
+        cand = None
+        for cut_id, pred, k in win_parts:
+            part = li.filter(pred).select(
+                F.lit(cut_id).alias("cut_id"), "v", F.lit(k).alias("k")
+            )
+            cand = part if cand is None else cand.unionAll(part)
+        w = Window.partitionBy("cut_id").orderBy("v")
+        cut_rows = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == F.col("k"))
+            .select("cut_id", "v")
+        )
+    for cut_id, value in (s for s in cut_specs if len(s) == 2):
+        lit_row = spark.createDataFrame([(cut_id, float(value))], "cut_id int, v double")
+        cut_rows = lit_row if cut_rows is None else cut_rows.unionAll(lit_row)
     return cut_rows.agg(
         F.max(F.when(F.col("cut_id") == 1, F.col("v"))).alias("c1"),
         F.max(F.when(F.col("cut_id") == 2, F.col("v"))).alias("c2"),

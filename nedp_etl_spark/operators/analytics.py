@@ -700,6 +700,7 @@ SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
           > 1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2))) AS reject_05
 FROM cum CROSS JOIN tot
 GROUP BY n1, n2
+HAVING n1 > 0 AND n2 > 0
 """
 
 
@@ -725,10 +726,14 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     crit = F.lit(1.358) * F.sqrt(
         (F.col("n1") + F.col("n2")) * 1.0 / (F.col("n1") * F.col("n2"))
     )
+    # An empty segment (n1=0 or n2=0) makes the test undefined: emit NO row
+    # rather than a NULL ks_d that downstream code could misread as "not
+    # rejected" (mirrors the oracle's HAVING n1 > 0 AND n2 > 0).
     return (
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(F.max(diff).alias("_d"))
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
         .select(
             F.col("n1").cast("bigint").alias("n1"),
             F.col("n2").cast("bigint").alias("n2"),

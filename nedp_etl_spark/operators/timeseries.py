@@ -1052,11 +1052,14 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dragged by the outliers they're meant to find, median/MAD are not.
 #
 # Scale shape: raw events collapse to (series, day) daily partials first
-# (map-side combine — the ts_holt shape), so the exact percentile
-# aggregates buffer only one series' calendar-bounded daily rows (the
-# agg_percentile_exact stance: exact percentiles are safe when group size
-# is bounded by construction; unbounded groups take the
-# agg_percentile_histogram route).  The median and MAD tables are
+# (map-side combine — the ts_holt shape), so the exact median buffers
+# only one series' calendar-bounded daily rows (the agg_percentile_exact
+# stance: exact percentiles are safe when group size is bounded by
+# construction; unbounded groups take the agg_percentile_histogram
+# route).  The median is the DISCRETE lower-of-midpair element
+# (sorted[ceil(n/2)]) on BOTH engines — an interpolated even-count
+# median is engine-arithmetic-dependent within an ULP and could flip the
+# 6-dp round cross-engine (round-5 advisory).  The median and MAD tables are
 # series-count-sized and broadcast back — two bounded joins, no window
 # over raw data.
 #
@@ -1070,7 +1073,8 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAD_ORACLE = f"""
 WITH {_DAILY_CTE},
 med AS (
-  SELECT event_type, ROUND(quantile_cont(v, 0.5), 6) AS med
+  SELECT event_type,
+         ROUND((list_sort(list(v)))[CAST(ceil(COUNT(v) / 2.0) AS INT)], 6) AS med
   FROM daily GROUP BY event_type
 ),
 dev AS (
@@ -1079,7 +1083,8 @@ dev AS (
   FROM daily JOIN med ON daily.event_type = med.event_type
 ),
 mad AS (
-  SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+  SELECT event_type,
+         ROUND((list_sort(list(dev)))[CAST(ceil(COUNT(dev) / 2.0) AS INT)], 6) AS mad
   FROM dev GROUP BY event_type
 )
 SELECT dev.event_type, strftime(dev.d, '%Y-%m-%d') AS day, dev.v,
@@ -1096,16 +1101,24 @@ def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it each branch re-runs the events scan + daily aggregation
     # (the plan showed 4 FileScans; review catch).
     daily = _daily(ev).localCheckpoint(eager=True)
-    med = daily.groupBy("event_type").agg(
-        F.round(F.percentile("v", F.lit(0.5)), 6).alias("med")
-    )
+
+    # Lower-of-midpair DISCRETE median (sorted[ceil(n/2)], 1-based): an
+    # actual element of the group, so no cross-engine interpolation — the
+    # interpolated midpoint of an even-count group could land within an ULP
+    # of a 6-dp rounding boundary and flip the rounded med/mad between
+    # engines (round-5 advisory).  Group size is calendar-bounded (daily
+    # partials), so the collect_list buffers are small by construction.
+    def _disc_median(col: str):
+        arr = F.sort_array(F.collect_list(col))
+        idx = F.ceil(F.count(col) / F.lit(2.0)).cast("int")
+        return F.round(F.element_at(arr, idx), 6)
+
+    med = daily.groupBy("event_type").agg(_disc_median("v").alias("med"))
     dev = daily.join(F.broadcast(med), "event_type").select(
         "event_type", "d", "v",
         F.round(F.abs(F.col("v") - F.col("med")), 6).alias("dev"),
     )
-    mad = dev.groupBy("event_type").agg(
-        F.round(F.percentile("dev", F.lit(0.5)), 6).alias("mad")
-    )
+    mad = dev.groupBy("event_type").agg(_disc_median("dev").alias("mad"))
     return dev.join(F.broadcast(mad), "event_type").select(
         "event_type",
         F.date_format("d", "yyyy-MM-dd").alias("day"),

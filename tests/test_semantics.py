@@ -793,3 +793,67 @@ def test_ks_test_separated_and_identical_distributions(spark, tmp_path):
     out2 = eng.queries()["agg_ks_test"](spark, str(same)).collect()[0]
     assert out2["ks_d"] == 0.0
     assert not out2["reject_05"]
+
+
+def test_ks_test_empty_segment_emits_no_row(spark, tmp_path):
+    # One segment entirely absent ('view' never occurs): the two-sample
+    # test is undefined, and the operator must emit NO row — not a NULL
+    # ks_d that downstream code could misread as "not rejected"
+    # (round-5 advisory; mirrored by HAVING n1 > 0 AND n2 > 0 in the
+    # oracle).
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base, 1, "click", float(i + 1), "{}") for i in range(20)]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    assert eng.queries()["agg_ks_test"](spark, str(tmp_path)).count() == 0
+
+
+def test_tercile_cuts_recurse_concentrated(spark, monkeypatch):
+    # Concentrated distribution: 120 of 126 scores live in one 6-dp
+    # sliver (one level-1 bucket), so with the refinement threshold
+    # forced below that occupancy the walk MUST histogram the bucket
+    # recursively instead of sorting it in one window partition
+    # (round-5 advisory).  The exact k-th-smallest answers are computed
+    # from the sorted list independently.
+    from nedp_etl_spark.llm import ranking
+
+    monkeypatch.setattr(ranking, "_PPL_REFINE_THRESH", 8)
+    dense = [round(-5.0 + 1e-6 * i, 6) for i in range(120)]  # one sliver
+    spread = [-4.0, -3.0, -2.0, -1.5, -1.0, -0.5]
+    vals = dense + spread
+    scores = spark.createDataFrame(
+        [(i, 10, v) for i, v in enumerate(vals)],
+        "doc_id bigint, n_tokens bigint, avg_logprob double",
+    )
+    n = len(vals)
+    srt = sorted(vals)
+    want_c1 = srt[-(-n // 3) - 1]  # rank ceil(n/3), 1-based
+    want_c2 = srt[-(-(2 * n) // 3) - 1]
+    row = ranking._tercile_cuts(spark, scores).collect()[0]
+    assert row["c1"] == want_c1
+    assert row["c2"] == want_c2
+
+
+def test_tercile_cuts_single_value_bucket_pins_literal(spark, monkeypatch):
+    # A concentrated bucket whose occupants all share ONE value must pin
+    # the cut as a literal (lo == hi short-circuit) — no ranking window
+    # over the un-splittable mass.
+    from nedp_etl_spark.llm import ranking
+
+    monkeypatch.setattr(ranking, "_PPL_REFINE_THRESH", 4)
+    vals = [-5.0] * 100 + [-1.0, -0.9, -0.8]
+    scores = spark.createDataFrame(
+        [(i, 10, v) for i, v in enumerate(vals)],
+        "doc_id bigint, n_tokens bigint, avg_logprob double",
+    )
+    n = len(vals)
+    srt = sorted(vals)
+    row = ranking._tercile_cuts(spark, scores).collect()[0]
+    assert row["c1"] == srt[-(-n // 3) - 1] == -5.0
+    assert row["c2"] == srt[-(-(2 * n) // 3) - 1] == -5.0
