@@ -145,8 +145,7 @@ def _register_if_supported(fn):
     return fn
 
 
-@_register_if_supported
-def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _propagate_bootstrap(spark: SparkSession) -> None:
     # The state-server client runs in separate Python worker processes that
     # import the generated proto before any user code — propagate the
     # bootstrap there via the PythonFunction env (sc.environment feeds the
@@ -173,6 +172,9 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             env["PYTHONPATH"] = (
                 f"{existing}{os.pathsep}{bootstrap_dir}" if existing else bootstrap_dir
             )
+
+
+def _rocksdb_session(spark: SparkSession) -> SparkSession:
     from nedp_etl_spark.streaming.windows import _isolated
 
     s = _isolated(spark)
@@ -183,6 +185,48 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    return s
+
+
+def warm_state_server(spark: SparkSession) -> None:
+    """Prime the transformWithState machinery on TWO LITERAL ROWS.
+
+    The first transformWithStateInPandas query in a session pays the
+    state-server bootstrap: protobuf import inside the state workers, the
+    Python<->JVM state-server handshake, and the first RocksDB store open
+    (profiled in SCALE.md: 12.8 s first-in-session vs 3.9 s warm, ~10x
+    taxed by the container's pure-python protobuf).  That cost is session
+    startup, not per-query work — benchmarks call this once at startup
+    (the fn_collate warming precedent) so the measured key reflects its
+    own plan.  Never touches fixture data; no-op when the protobuf gate
+    kept the key unregistered."""
+    if not _PROTOBUF_OK:
+        return
+    import tempfile
+
+    _propagate_bootstrap(spark)
+    src = tempfile.mkdtemp(prefix="tws_warm_src_")
+    (
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "user_id long, value double")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    s = _rocksdb_session(spark)
+    ev = s.readStream.schema("user_id long, value double").parquet(src)
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        _ProfileProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    _run_to_memory(out, "tws_warm", "update", partitions=2)
+
+
+@_register_if_supported
+def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _propagate_bootstrap(spark)
+    s = _rocksdb_session(spark)
     ev = _stream_events(s, sf_dir).select("user_id", "value")
     out = ev.groupBy("user_id").transformWithStateInPandas(
         _ProfileProcessor(),
