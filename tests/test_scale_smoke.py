@@ -1,4 +1,4 @@
-"""Opt-in scale smoke — flagship corpus operators on a 4×/16× corpus.
+"""Scale smoke — flagship corpus operators on a 4×/16× (and opt-in 64×) corpus.
 
 Routine tests verify correctness at fixture scale; this module verifies the
 *scaling shape* the 100 TB posture claims, on corpora synthesized in
@@ -11,8 +11,10 @@ size (refutes any all-pairs path), exact-dedup group counts must scale
 exactly R× (the replica construction guarantees it), and the two-phase
 global prefix sum must stay exact and range-balanced at 16× the fixture.
 
-Enable with ``SPARK_GRAFT_SCALE_SMOKE=1`` (skipped otherwise: the 16×
-corpus costs ~30 s of build+run, too slow for the routine suite):
+The 4×/16× tiers run BY DEFAULT (~21 s — the property they pin is the
+repo's central scale claim, worth the suite time; round-5 verdict item 6).
+``SPARK_GRAFT_SCALE_SMOKE=1`` additionally builds a 64× corpus (~320 k
+docs at sf0.001) for the same assertions:
 
     SPARK_GRAFT_SCALE_SMOKE=1 python -m pytest tests/test_scale_smoke.py -q
 """
@@ -26,11 +28,6 @@ from pyspark.sql import functions as F
 
 import nedp_etl_spark as eng
 from nedp_etl_spark.data import load
-
-pytestmark = pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
-    reason="scale smoke is opt-in: set SPARK_GRAFT_SCALE_SMOKE=1",
-)
 
 # Replica doc_id spacing must clear _aug_corpus's +1_000_000 augmentation.
 _REPLICA_STRIDE = 10_000_000
@@ -70,7 +67,8 @@ def _scaled_dir(spark, sf_dir: str, factor: int) -> str:
 
 @pytest.fixture(scope="module")
 def dirs(spark, sf_dir):
-    return {f: _scaled_dir(spark, sf_dir, f) for f in (4, 16)}
+    factors = (4, 16, 64) if os.environ.get("SPARK_GRAFT_SCALE_SMOKE") == "1" else (4, 16)
+    return {f: _scaled_dir(spark, sf_dir, f) for f in factors}
 
 
 def test_exact_dedup_groups_scale_exactly_linearly(spark, sf_dir, dirs):
