@@ -857,3 +857,33 @@ def test_tercile_cuts_single_value_bucket_pins_literal(spark, monkeypatch):
     row = ranking._tercile_cuts(spark, scores).collect()[0]
     assert row["c1"] == srt[-(-n // 3) - 1] == -5.0
     assert row["c2"] == srt[-(-(2 * n) // 3) - 1] == -5.0
+
+
+def test_bitmap_dict_exact_on_sparse_scattered_keys(spark, tmp_path):
+    # Custkeys scattered across the int64-safe range (including a negative
+    # and a 10^12 outlier) plus duplicates and a NULL: after the
+    # *1000003+12345 sparsifier the dense-domain bitmap would hold ~one key
+    # per word, so this pins the dictionary path in the regime it exists
+    # for.  Exact counts per group, NULL ignored (COUNT DISTINCT parity).
+    rows = [
+        ("1-URGENT", 1),
+        ("1-URGENT", 1),
+        ("1-URGENT", 10**12),
+        ("1-URGENT", -999_999_999),
+        ("1-URGENT", None),
+        ("5-LOW", 7),
+        ("5-LOW", 7),
+        ("5-LOW", 8),
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        rows,
+        "o_orderpriority string, o_custkey bigint",
+    )
+    out = {
+        r["o_orderpriority"]: r["n_distinct"]
+        for r in eng.queries()["agg_bitmap_dict"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"1-URGENT": 3, "5-LOW": 2}
