@@ -339,3 +339,113 @@ def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         ts_str(F.min("ts")).alias("first_match_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_pattern_var — VARIABLE-LENGTH sequential pattern detection (the
+# win_pattern_match docstring's named upgrade path): match
+# ``view+ click purchase`` — one or more strictly-consecutive views,
+# then exactly one click, then a purchase — per user stream, greedy V+
+# with skip-past-last-row, i.e. MATCH_RECOGNIZE's default semantics.
+#
+# The variable-length element compiles via RUN COMPRESSION (the
+# ts_streaks gaps-and-islands device): a break flag (event_type changed
+# vs lag) cumulates into a run id, runs collapse to one row each
+# (etype, run_len, start), and on the RUN sequence the pattern becomes
+# FIXED-length again — purchase-run preceded by a click-run of length
+# exactly 1 preceded by a view-run — two lag flags, exactly like
+# win_pattern_match.  (Length-1 click-run is load-bearing: in
+# "view click click purchase" no alignment of V+ C P matches, because
+# the element before the purchase-adjacent click is a click, not a
+# view.)  n_views per match is the view-run length — the V+ measure
+# MATCH_RECOGNIZE exposes as COUNT(V.*).
+#
+# Scale shape: ONE shuffle on user_id serves the row-numbering window,
+# the run-id cumulation, and (after the run groupBy reuses the same key)
+# the run-sequence window — window state is one user's events, the run
+# table is strictly smaller than the event table, and no un-partitioned
+# window exists anywhere (registry plan audit).
+# Reference parity: pattern SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_PATTERN_VAR_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+  FROM seq
+),
+runs AS (
+  SELECT user_id, run_id, MIN(event_type) AS etype,
+         COUNT(*) AS run_len, MIN(ts) AS start_ts, MIN(rn) AS start_rn
+  FROM numbered GROUP BY user_id, run_id
+),
+flagged AS (
+  SELECT user_id, etype, start_ts,
+         lag(etype, 2) OVER w AS t2, lag(run_len, 2) OVER w AS l2,
+         lag(etype, 1) OVER w AS t1, lag(run_len, 1) OVER w AS l1
+  FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MAX(l2) AS BIGINT) AS max_views,
+       strftime(CAST(MIN(start_ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+         AS first_match_ts
+FROM flagged
+WHERE etype = 'purchase' AND t1 = 'click' AND l1 = 1 AND t2 = 'view'
+GROUP BY user_id
+"""
+
+
+@register("win_pattern_var", oracle=_PATTERN_VAR_ORACLE)
+def win_pattern_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.row_number().over(w).alias("rn"),
+        # IS DISTINCT FROM (null-safe): the first row of each user (lag is
+        # NULL) must open a run, and a NULL event_type must not glue onto
+        # a neighboring run.
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("brk"),
+    )
+    w_rn = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = seq.withColumn("run_id", F.sum("brk").over(w_rn))
+    runs = numbered.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("etype"),
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("ts").alias("start_ts"),
+        F.min("rn").alias("start_rn"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("start_rn")
+    flagged = runs.select(
+        "user_id", "etype", "start_ts",
+        F.lag("etype", 2).over(w_run).alias("t2"),
+        F.lag("run_len", 2).over(w_run).alias("l2"),
+        F.lag("etype", 1).over(w_run).alias("t1"),
+        F.lag("run_len", 1).over(w_run).alias("l1"),
+    )
+    hits = flagged.filter(
+        (F.col("etype") == "purchase")
+        & (F.col("t1") == "click")
+        & (F.col("l1") == 1)
+        & (F.col("t2") == "view")
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.max("l2").cast("bigint").alias("max_views"),
+        ts_str(F.min("start_ts")).alias("first_match_ts"),
+    )

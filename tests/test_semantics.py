@@ -887,3 +887,42 @@ def test_bitmap_dict_exact_on_sparse_scattered_keys(spark, tmp_path):
         for r in eng.queries()["agg_bitmap_dict"](spark, str(tmp_path)).collect()
     }
     assert out == {"1-URGENT": 3, "5-LOW": 2}
+
+
+def test_pattern_var_greedy_views_and_skip_semantics(spark, tmp_path):
+    # Hand-built sequences pinning the variable-length semantics:
+    #   u1: v v v c p        -> 1 match, V+ length 3
+    #   u2: v c c p          -> NO match (click-run length 2: no alignment
+    #                           of view+ click purchase fits)
+    #   u3: v c p v c p      -> 2 matches, max_views 1
+    #   u4: c p              -> no match (no view)
+    #   u5: v v c p p        -> 1 match (second purchase extends the
+    #                           purchase run; skip-past-last-row: no rematch)
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    seqs = {
+        1: ["view", "view", "view", "click", "purchase"],
+        2: ["view", "click", "click", "purchase"],
+        3: ["view", "click", "purchase", "view", "click", "purchase"],
+        4: ["click", "purchase"],
+        5: ["view", "view", "click", "purchase", "purchase"],
+    }
+    rows, eid = [], 0
+    for uid, types in seqs.items():
+        for i, t in enumerate(types):
+            rows.append(
+                (eid, base + datetime.timedelta(seconds=i), uid, t, 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["user_id"]: (r["n_matches"], r["max_views"])
+        for r in eng.queries()["win_pattern_var"](spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (1, 3), 3: (2, 1), 5: (1, 2)}
