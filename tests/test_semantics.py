@@ -926,3 +926,37 @@ def test_pattern_var_greedy_views_and_skip_semantics(spark, tmp_path):
         for r in eng.queries()["win_pattern_var"](spark, str(tmp_path)).collect()
     }
     assert out == {1: (1, 3), 3: (2, 1), 5: (1, 2)}
+
+
+def test_bpe_train_hand_computed_merge_sequence(spark, tmp_path):
+    # vocab: aaa f=3, ab f=2, aaaa f=1.  Hand-replay of greedy BPE:
+    #   R1: (a,a)  n = 2*3 + 3*1 = 9   -> aaa=[aa,a], aaaa=[aa,aa]
+    #   R2: (aa,a) n = 3               -> aaa=[aaa]
+    #   R3: (a,b)  n = 2               -> ab=[ab]
+    #   R4: (aa,aa) n = 1              -> aaaa=[aaaa]
+    #   R5: no pairs left -> loop must stop at 4 rows
+    # Pins: chain greediness (aaaa -> [aa,aa], NOT [aa,a,a]), weighted
+    # counts, lexicographic tie-break irrelevance here, and early stop.
+    rows = [
+        (0, "aaa aaa aaa", "en", "src0", 11),
+        (1, "ab ab aaaa", "en", "src0", 10),
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = [
+        (r["round"], r["pair_a"], r["pair_b"], r["n"])
+        for r in eng.queries()["llm_bpe_train"](spark, str(tmp_path))
+        .orderBy("round")
+        .collect()
+    ]
+    assert out == [
+        (1, "a", "a", 9),
+        (2, "aa", "a", 3),
+        (3, "a", "b", 2),
+        (4, "aa", "aa", 1),
+    ]
