@@ -255,3 +255,122 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select(
         F.col("id").alias("doc_id"), F.col("depth").cast("int").alias("depth")
     )
+
+
+# --------------------------------------------------------------------------
+# graph_connected_components — connected components by LARGE-STAR /
+# SMALL-STAR contraction (Kiveris et al., "Connected Components in
+# MapReduce and Beyond", SoCC 2014): alternately re-point every node's
+# larger neighbors (large-star) and smaller-or-equal neighbors
+# (small-star) at the minimum of its closed neighborhood until the edge
+# set is a union of stars rooted at component minima.
+#
+# Why a FOURTH CC algorithm when llm_dedup_cluster_converged already
+# ships min-label propagation: propagation needs O(diameter) rounds —
+# fine for dedup-cluster graphs (tiny diameter), fatal for chain-shaped
+# graphs (a 10^6-link path needs 10^6 rounds).  Star contraction
+# converges in O(log n) rounds REGARDLESS of diameter — each round is
+# one keyed groupBy (closed-neighborhood min) + one keyed join
+# (re-pointing), both map-side-combining, nothing ever collected.  The
+# synthesized graph makes the difference observable: a 65-node CHAIN
+# (diameter 64 — propagation would crawl) plus 8 five-node rings; the
+# loop converges in <= 6 star rounds (asserted by the semantic test).
+#
+# Per-round localCheckpoint truncates lineage (the frontier-BFS
+# discipline); convergence = empty symmetric difference of the canonical
+# undirected edge set, a keyed exceptAll on the (shrinking) edge
+# relation.  The oracle computes ground truth by a DIFFERENT algorithm —
+# recursive-CTE min-reachability — so the hash gate proves component
+# semantics, not shared star arithmetic.
+# Reference parity: graph SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_CC_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents WHERE doc_id < 64
+  UNION ALL
+  SELECT 100 + doc_id % 40, 100 + (doc_id % 40 + 8) % 40 FROM documents
+),
+es AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+n AS (SELECT DISTINCT u AS node FROM es),
+reach(node, o) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT r.node, es.v FROM reach r JOIN es ON es.u = r.o
+)
+SELECT node, CAST(MIN(o) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    chain = d.filter(F.col("doc_id") < 64).select(
+        F.col("doc_id").alias("u"), (F.col("doc_id") + 1).alias("v")
+    )
+    rings = d.select(
+        (F.lit(100) + F.col("doc_id") % 40).alias("u"),
+        (F.lit(100) + (F.col("doc_id") % 40 + 8) % 40).alias("v"),
+    )
+    return chain.unionAll(rings)
+
+
+def _cc_sym(e: DataFrame) -> DataFrame:
+    """Symmetric closure, self-loops dropped, deduplicated."""
+    return (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _cc_mins(e_sym: DataFrame) -> DataFrame:
+    """(u, m): minimum of each node's CLOSED neighborhood."""
+    return (
+        e_sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", "u").alias("m"))
+    )
+
+
+@register("graph_connected_components", oracle=_CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _cc_sym(_cc_edges(spark, sf_dir)).localCheckpoint(eager=True)
+
+    def canon(edges: DataFrame) -> DataFrame:
+        return edges.filter(F.col("u") < F.col("v"))
+
+    prev = canon(e)
+    rounds = 0
+    for _ in range(20):  # hard bound: 2*log2(n) + slack for any real graph
+        rounds += 1
+        mins = _cc_mins(e)
+        large = (
+            e.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = _cc_sym(large).localCheckpoint(eager=True)
+        mins = _cc_mins(e)
+        small = (
+            e.join(mins, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins.select("u", F.col("m").alias("v")))
+        )
+        e = _cc_sym(small).localCheckpoint(eager=True)
+        cur = canon(e)
+        changed = cur.exceptAll(prev).count() + prev.exceptAll(cur).count()
+        prev = cur
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("star contraction did not converge in 20 rounds")
+    graph_connected_components.last_rounds = rounds  # observability (test)
+    # Fixpoint edge set is a union of stars: every node's closed-
+    # neighborhood min IS its component root.
+    return _cc_mins(e).select(
+        F.col("u").cast("bigint").alias("node"),
+        F.col("m").cast("bigint").alias("component"),
+    )

@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "llm_bpe_train",              # NEW: iterative BPE, incremental pair deltas
     "win_pattern_var",            # NEW: variable-length CEP via run compression
     "agg_bitmap_dict",            # NEW: dictionary-encoded sparse-domain bitmap
+    "graph_connected_components", # NEW: large-star/small-star O(log n) CC
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -960,3 +960,35 @@ def test_bpe_train_hand_computed_merge_sequence(spark, tmp_path):
         (3, "a", "b", 2),
         (4, "aa", "aa", 1),
     ]
+
+
+def test_connected_components_chain_and_rings(spark, tmp_path):
+    # 200 docs -> chain 0-1-...-64 (diameter 64, one component rooted at 0)
+    # plus rings over nodes 100..139 with step 8 (gcd(8,40)=8 components,
+    # each rooted at 100+r for r in 0..7).  Star contraction must converge
+    # in O(log n) rounds — far under the chain's diameter — which is the
+    # whole reason this operator exists next to min-label propagation.
+    rows = [(i, f"doc {i}", "en", "src0", 6) for i in range(200)]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    from nedp_etl_spark.operators.graph import graph_connected_components
+
+    out = {
+        r["node"]: r["component"]
+        for r in eng.queries()["graph_connected_components"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 65 + 40
+    for n in range(65):
+        assert out[n] == 0, (n, out[n])
+    for r in range(40):
+        assert out[100 + r] == 100 + (r % 8), (r, out[100 + r])
+    # O(log n) convergence: the 65-node chain would need 64 propagation
+    # rounds; star contraction must finish well below its diameter.
+    assert graph_connected_components.last_rounds <= 8
