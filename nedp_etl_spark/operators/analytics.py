@@ -741,3 +741,86 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_d") > crit).alias("reject_05"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_heavy_hitters — EXACT frequent-item detection (support > n/k) via
+# the candidate-then-verify two-phase: phase 1 takes each partition's
+# LOCAL top-k keys by count, phase 2 exactly counts ONLY the candidate
+# union.  Correctness is a theorem, not a heuristic: any key with global
+# share > 1/k has local share > 1/k in at least one partition (averaging
+# argument), and fewer than k keys can strictly exceed a 1/k local
+# share, so every true hitter survives phase 1 for ANY partitioning —
+# the candidate set is a superset, and phase 2's exact counts discard
+# the false positives.  This is the Misra-Gries/SpaceSaving summary
+# discipline made exact.
+#
+# Why it matters at 100 TB: the naive plan (groupBy(key) over all keys,
+# then filter) shuffles EVERY distinct key; when the key domain is huge
+# (URLs, user ids) that shuffle dwarfs the answer.  Here the phase-1
+# aggregation is map-side-combining per partition, the candidate union
+# is at most (partitions x k) rows — broadcast-sized BY CONSTRUCTION —
+# and the phase-2 shuffle carries candidate keys only.
+#
+# The key is deliberately skewed (orderkey residues: half the mass
+# collapses onto 10 hot keys, the rest spreads over ~5000 cold ones) so
+# the gate exercises a real hot/cold split; the oracle computes the same
+# answer by the naive full GROUP BY + HAVING.  The share threshold
+# compares in INTEGER arithmetic (cnt * k > total) — no double division
+# on the decision path.
+# Reference parity: frequency SQL reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_HH_K = 50
+
+_HH_ORACLE = f"""
+WITH base AS (
+  SELECT CASE WHEN o_orderkey % 10000 < 5000
+              THEN (o_orderkey % 10000) % 10
+              ELSE o_orderkey % 10000 END AS k
+  FROM orders
+),
+cnt AS (SELECT k, COUNT(*) AS cnt FROM base GROUP BY k),
+tot AS (SELECT SUM(cnt) AS total FROM cnt)
+SELECT k, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cnt * 1.0 / total, 6) AS share
+FROM cnt CROSS JOIN tot
+WHERE cnt * {_HH_K} > total
+"""
+
+
+@register("agg_heavy_hitters", oracle=_HH_ORACLE)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    z = F.col("o_orderkey") % 10000
+    base = o.select(
+        F.when(z < 5000, z % 10).otherwise(z).alias("k")
+    ).localCheckpoint(eager=True)  # phases 1 and 2 share one derivation
+    # Phase 1: per-partition top-k candidates (map-side combine; the
+    # window is keyed by partition id, never global).
+    local = base.groupBy(F.spark_partition_id().alias("pid"), "k").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("c").desc(), "k")
+    cand = (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HH_K)
+        .select("k")
+        .distinct()
+    )
+    # Phase 2: exact counts of candidates only (broadcast prune — the
+    # candidate union is <= partitions * k rows BY CONSTRUCTION).
+    exact = base.join(F.broadcast(cand), "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * _HH_K > F.col("total"))
+        .select(
+            "k",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") * 1.0 / F.col("total"), 6).alias("share"),
+        )
+    )

@@ -992,3 +992,21 @@ def test_connected_components_chain_and_rings(spark, tmp_path):
     # O(log n) convergence: the 65-node chain would need 64 propagation
     # rounds; star contraction must finish well below its diameter.
     assert graph_connected_components.last_rounds <= 8
+
+
+def test_heavy_hitters_exact_with_boundary(spark, tmp_path):
+    # total = 100 rows, k = 50 -> hitter iff cnt * 50 > 100 i.e. cnt >= 3.
+    #   key 3    x 60  -> hitter, share 0.6
+    #   key 7777 x 3   -> hitter (3*50 = 150 > 100), share 0.03
+    #   key 8888 x 2   -> EXCLUDED: 2*50 = 100 is NOT > 100 (strict
+    #                     boundary, integer arithmetic — no double fuzz)
+    #   35 distinct cold keys x 1 each
+    rows = (
+        [(3,)] * 60 + [(7777,)] * 3 + [(8888,)] * 2 + [(5001 + i,) for i in range(35)]
+    )
+    _write(spark, tmp_path, "orders", rows, "o_orderkey bigint")
+    out = {
+        r["k"]: (r["cnt"], r["share"])
+        for r in eng.queries()["agg_heavy_hitters"](spark, str(tmp_path)).collect()
+    }
+    assert out == {3: (60, 0.6), 7777: (3, 0.03)}
