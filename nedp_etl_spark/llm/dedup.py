@@ -718,3 +718,56 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     )
     return wins.groupBy("doc_id", "fp").agg(F.count(F.lit(1)).alias("n_windows"))
+
+
+# --------------------------------------------------------------------------
+# llm_dedup_cluster_sizes — duplicate-cluster size distribution, the
+# corpus diagnostic every dedup run ships with: how many near-duplicate
+# clusters of each size exist, how many documents they hold, and what
+# fraction of the DUPLICATED sub-corpus that is.  (Scope is the near-dup
+# pair graph's nodes — singleton documents never enter a cluster; the
+# distribution answers "when we dedup, what do we collapse?".)
+#
+# Scale shape: two tiny keyed aggregates on top of the converged
+# clustering (cluster_id -> size, size -> histogram) plus a 1-row total
+# broadcast — the expensive part is the clustering itself, shared with
+# llm_dedup_cluster_converged and derived once there.  The histogram is
+# bounded by the largest cluster size, not the corpus.
+# Reference parity: dedup diagnostics reach the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_CLUSTER_SIZES_ORACLE = f"""
+WITH {_CC_EDGES_SQL},
+{_CC_STEPS_SQL},
+cl AS (SELECT node AS doc_id, label AS cluster_id FROM l{_CC_ITERS}),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY cluster_id),
+tot AS (SELECT SUM(cluster_size) AS n FROM sz)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+       ROUND(SUM(cluster_size) * 1.0 / tot.n, 6) AS pct_docs
+FROM sz CROSS JOIN tot
+GROUP BY cluster_size, tot.n
+"""
+
+
+@register("llm_dedup_cluster_sizes", oracle=_CLUSTER_SIZES_ORACLE)
+def llm_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = llm_dedup_cluster_converged(spark, sf_dir)
+    sz = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    tot = sz.agg(F.sum("cluster_size").alias("n"))
+    return (
+        sz.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("n"), 6).alias("pct_docs"),
+        )
+    )

@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "agg_bitmap_dict",            # NEW: dictionary-encoded sparse-domain bitmap
     "graph_connected_components", # NEW: large-star/small-star O(log n) CC
     "agg_heavy_hitters",          # NEW: exact two-phase frequent items
+    "llm_dedup_cluster_sizes",    # NEW: duplicate-cluster size histogram
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -1010,3 +1010,49 @@ def test_heavy_hitters_exact_with_boundary(spark, tmp_path):
         for r in eng.queries()["agg_heavy_hitters"](spark, str(tmp_path)).collect()
     }
     assert out == {3: (60, 0.6), 7777: (3, 0.03)}
+
+
+def test_dedup_cluster_sizes_planted_clusters(spark, tmp_path):
+    # Three planted identical-text groups (sizes 2, 2, 4) + 3 unique docs.
+    # The near-dup pipeline runs over the AUGMENTED corpus (_aug_corpus:
+    # every doc gains a first-word-clipped twin at doc_id + 1e6), so each
+    # identical group of n becomes one cluster of 2n (originals + twins,
+    # all sharing every MinHash band via the group's common text), and
+    # each unique doc pairs with exactly its own twin (size-2 cluster).
+    # 11 written docs -> 22 clustered nodes:
+    #   size 2 -> 3 clusters (the uniques),  6 docs, 6/22
+    #   size 4 -> 2 clusters (g1, g2),       8 docs, 8/22
+    #   size 8 -> 1 cluster  (g3),           8 docs, 8/22
+    texts = {
+        "g1": "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "g2": "one two three four five six seven eight nine ten",
+        "g3": "red orange yellow green blue indigo violet black white gray",
+    }
+    rows = []
+    did = 0
+    for g, n in (("g1", 2), ("g2", 2), ("g3", 4)):
+        for _ in range(n):
+            rows.append((did, texts[g], "en", "src0", len(texts[g])))
+            did += 1
+    for u in range(3):
+        t = f"unique{u} solo{u} words{u} apart{u} corpus{u} filler{u} more{u} stuff{u}"
+        rows.append((did, t, "en", "src0", len(t)))
+        did += 1
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["pct_docs"])
+        for r in eng.queries()["llm_dedup_cluster_sizes"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        2: (3, 6, 0.272727),
+        4: (2, 8, 0.363636),
+        8: (1, 8, 0.363636),
+    }
