@@ -449,3 +449,45 @@ def win_pattern_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l2").cast("bigint").alias("max_views"),
         ts_str(F.min("start_ts")).alias("first_match_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_distribution — the DISTRIBUTION window family win_ranking leaves
+# out: percent_rank (relative rank in [0,1]), cume_dist (empirical CDF
+# value), and ntile(4) (equal-height quartile assignment), per priority
+# class ordered by order value.  These are the SQL:2003 distribution
+# functions BI layers lean on for percentile bands and quartile cohorts.
+#
+# Determinism: the ORDER BY carries the unique o_orderkey tiebreaker, so
+# rank is total and both engines compute identical (rank-1)/(n-1) and
+# rank/n doubles from identical integer inputs (6-dp rounded for the
+# hash gate); ntile's uneven-bucket rule (first n % 4 buckets get the
+# extra row) is the same SQL-standard definition in Spark and DuckDB.
+# Scale shape: one hash exchange on the priority key serves all three
+# functions in a single Window operator; partition state is one priority
+# class's rows.
+# Reference parity: distribution-function SQL reaches the reference only
+# as dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_DISTRIBUTION_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register("win_distribution", oracle=_DISTRIBUTION_ORACLE)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "graph_connected_components", # NEW: large-star/small-star O(log n) CC
     "agg_heavy_hitters",          # NEW: exact two-phase frequent items
     "llm_dedup_cluster_sizes",    # NEW: duplicate-cluster size histogram
+    "win_distribution",           # NEW: percent_rank/cume_dist/ntile family
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -1056,3 +1056,29 @@ def test_dedup_cluster_sizes_planted_clusters(spark, tmp_path):
         4: (2, 8, 0.363636),
         8: (1, 8, 0.363636),
     }
+
+
+def test_win_distribution_hand_computed(spark, tmp_path):
+    # One priority class with 5 rows valued 10..50 (unique, no ties):
+    #   percent_rank = (rank-1)/4 -> 0, .25, .5, .75, 1
+    #   cume_dist    = rank/5     -> .2, .4, .6, .8, 1
+    #   ntile(4) over 5 rows      -> bucket sizes 2,1,1,1
+    rows = [(i, "1-URGENT", float(10 * i)) for i in range(1, 6)]
+    _write(
+        spark,
+        tmp_path,
+        "orders",
+        rows,
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double",
+    )
+    out = {
+        r["o_orderkey"]: (r["quartile"], r["pct_rank"], r["cume"])
+        for r in eng.queries()["win_distribution"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        1: (1, 0.0, 0.2),
+        2: (1, 0.25, 0.4),
+        3: (2, 0.5, 0.6),
+        4: (3, 0.75, 0.8),
+        5: (4, 1.0, 1.0),
+    }
