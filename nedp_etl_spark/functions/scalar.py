@@ -293,3 +293,66 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9223372036854775807 - 10), F.col("l_orderkey") * 7
         ).alias("near_overflow_add"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_url — URL parsing (host / path / query / fragment / single query
+# parameter), the scalar family crawl-curation pipelines live on (the
+# llm_url_dedup canonicalizer's building blocks exposed as functions).
+# URLs are synthesized deterministically from the documents table with
+# three shapes — full (query + fragment), query-only, and bare — so the
+# missing-component NULL contract is exercised, not just the happy path.
+#
+# Cross-engine: Spark evaluates java.net.URI-backed parse_url; the
+# oracle re-derives every component with RFC-3986-generic regexps +
+# NULLIF (DuckDB's regexp_extract yields '' on no-match where parse_url
+# yields NULL) — different parsers agreeing is the point of the gate.
+# Scale: pure map-side scalar work, no shuffle beyond the final compare.
+# Reference parity: URL SQL reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_URL_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || doc_id
+         || CASE WHEN doc_id % 5 = 0 THEN ''
+                 ELSE '?q=spark&ref=' || lang END
+         || CASE WHEN doc_id % 3 = 0 THEN '' ELSE '#s' || (doc_id % 4) END
+           AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       NULLIF(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '') AS host,
+       NULLIF(regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1), '') AS path,
+       NULLIF(regexp_extract(url, '\?([^#]*)', 1), '') AS query,
+       NULLIF(regexp_extract(url, '#(.*)$', 1), '') AS fragment,
+       NULLIF(regexp_extract(url, '(?:^|[?&])ref=([^&#]*)', 1), '') AS ref_param
+FROM u
+"""
+
+
+@register("fn_url", oracle=_URL_ORACLE)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("?q=spark&ref="), F.col("lang"))
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("#s"), (F.col("doc_id") % 4).cast("string"))
+        ),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("REF")).alias("fragment"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
