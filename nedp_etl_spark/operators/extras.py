@@ -1,16 +1,15 @@
 """Additional SQL-surface operators beyond SURVEY §2's baseline inventory:
-FILTER-clause aggregates, IGNORE NULLS window functions, LATERAL joins,
-URL parsing.  The first three run as shared SQL text (both engines accept
-the identical statement — the strongest parity form); ``fn_url`` mirrors
-Spark's ``parse_url`` with regexp extraction on the oracle side.
+FILTER-clause aggregates, IGNORE NULLS window functions, LATERAL joins.
+All three run as shared SQL text (both engines accept the identical
+statement — the strongest parity form).  URL parsing (``fn_url``) lives in
+``functions/scalar.py``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from nedp_etl_spark.data import load, views
+from nedp_etl_spark.data import views
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import osum
 
@@ -94,46 +93,3 @@ WHERE t.n_orders > 0
 def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     views(spark, sf_dir, "customer", "orders")
     return spark.sql(_JOIN_LATERAL_SQL)
-
-
-# --------------------------------------------------------------------------
-# fn_url — parse_url over synthesized URLs (host/path/query/protocol).
-# DuckDB has no parse_url; the oracle extracts with anchored regexps.
-# --------------------------------------------------------------------------
-
-_FN_URL_ORACLE = """
-WITH u AS (
-  SELECT doc_id,
-         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
-           || '?lang=' || lang AS url
-  FROM documents WHERE doc_id < 200
-)
-SELECT doc_id, url,
-       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
-       regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
-       regexp_extract(url, '\\?(.*)$', 1) AS query
-FROM u
-"""
-
-
-@register("fn_url", oracle=_FN_URL_ORACLE)
-def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    url = F.concat(
-        F.lit("https://"),
-        F.col("source"),
-        F.lit(".example.com/docs/"),
-        F.col("doc_id").cast("string"),
-        F.lit("?lang="),
-        F.col("lang"),
-    )
-    u = d.select("doc_id", url.alias("url"))
-    return u.select(
-        "doc_id",
-        "url",
-        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
-        F.parse_url("url", F.lit("HOST")).alias("host"),
-        F.parse_url("url", F.lit("PATH")).alias("path"),
-        F.parse_url("url", F.lit("QUERY")).alias("query"),
-    )

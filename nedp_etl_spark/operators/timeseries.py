@@ -1074,7 +1074,7 @@ _MAD_ORACLE = f"""
 WITH {_DAILY_CTE},
 med AS (
   SELECT event_type,
-         ROUND((list_sort(list(v)))[CAST(ceil(COUNT(v) / 2.0) AS INT)], 6) AS med
+         ROUND((list_sort(list(v) FILTER (WHERE v IS NOT NULL)))[CAST(ceil(COUNT(v) / 2.0) AS INT)], 6) AS med
   FROM daily GROUP BY event_type
 ),
 dev AS (
@@ -1084,7 +1084,7 @@ dev AS (
 ),
 mad AS (
   SELECT event_type,
-         ROUND((list_sort(list(dev)))[CAST(ceil(COUNT(dev) / 2.0) AS INT)], 6) AS mad
+         ROUND((list_sort(list(dev) FILTER (WHERE dev IS NOT NULL)))[CAST(ceil(COUNT(dev) / 2.0) AS INT)], 6) AS mad
   FROM dev GROUP BY event_type
 )
 SELECT dev.event_type, strftime(dev.d, '%Y-%m-%d') AS day, dev.v,

@@ -42,15 +42,16 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Verification priority: the driver sweeps registry keys IN ORDER and only a
 # prefix fits its budget (r1–r5 each recorded EXACTLY 50 CORRECTNESS rows).
 # Keys named here are emitted first, in this order; everything else follows
-# in registration order.  Round-6 ordering: (a) the 18 round-5-new keys
-# that have never received a driver CORRECTNESS row (cumulative coverage
-# after r5: 230/248 distinct keys, all green; these 18 are the only gap) —
-# three of them (agg_ks_test, ts_mad_anomaly, llm_perplexity_buckets) also
-# carry round-6 semantic/hardening edits, so their rows double as
-# re-verification; then (b) the keys NEW in round 6; then (c) previously
-# green keys the round-6 hardening touched, for any spare budget.  The
-# 50-row budget closes the registry to 248/248-cumulative with every
-# round-6 key verified in the same sweep.
+# in registration order.  Round-7 ordering: the round-6 driver sweep never
+# ran (import crash: duplicate fn_url registration, fixed round 7), so the
+# backlog is (a) the 18 round-5-new keys + (b) the 7 round-6-new keys =
+# 25 keys with no driver CORRECTNESS row (cumulative coverage after r5:
+# 230/255 distinct keys, all green); then (b2) keys whose CODE changed in
+# round 6/7 and need re-verification (fn_url rewritten in
+# functions/scalar.py; agg_bitmap_dict + ts_mad_anomaly oracle hardening
+# in round 7); then (c)/(d) previously-green keys touched by hardening,
+# for any spare budget.  The 50-row budget closes the registry to
+# 255/255-cumulative with every changed key re-verified in the same sweep.
 _PRIORITY: list[str] = [
     # --- (a) the 18 round-5 keys awaiting their first driver row.  All 18
     # are hash-exact at sf0.001 AND sf0.01 against their DuckDB oracles in
@@ -88,6 +89,11 @@ _PRIORITY: list[str] = [
     "agg_heavy_hitters",          # NEW: exact two-phase frequent items
     "llm_dedup_cluster_sizes",    # NEW: duplicate-cluster size histogram
     "win_distribution",           # NEW: percent_rank/cume_dist/ntile family
+    # --- (b2) keys whose code/oracle CHANGED in round 6/7 — rows double as
+    # re-verification of the new code (fn_url: rewritten with fragment +
+    # per-parameter extraction in functions/scalar.py; agg_bitmap_dict:
+    # oracle BIGINT-cast hardening; ts_mad_anomaly is already in (a)) ---
+    "fn_url",                     # r7: rewritten (fragment/ref_param/NULLs)
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -202,25 +202,29 @@ def warm_state_server(spark: SparkSession) -> None:
     kept the key unregistered."""
     if not _PROTOBUF_OK:
         return
+    import shutil
     import tempfile
 
     _propagate_bootstrap(spark)
     src = tempfile.mkdtemp(prefix="tws_warm_src_")
-    (
-        spark.createDataFrame([(1, 1.0), (2, 2.0)], "user_id long, value double")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(src)
-    )
-    s = _rocksdb_session(spark)
-    ev = s.readStream.schema("user_id long, value double").parquet(src)
-    out = ev.groupBy("user_id").transformWithStateInPandas(
-        _ProfileProcessor(),
-        outputStructType=_OUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
-    _run_to_memory(out, "tws_warm", "update", partitions=2)
+    try:
+        (
+            spark.createDataFrame([(1, 1.0), (2, 2.0)], "user_id long, value double")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        s = _rocksdb_session(spark)
+        ev = s.readStream.schema("user_id long, value double").parquet(src)
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            _ProfileProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        _run_to_memory(out, "tws_warm", "update", partitions=2)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
 
 
 @_register_if_supported

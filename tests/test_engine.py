@@ -229,3 +229,39 @@ def test_model_graph_rejects_this_outside_incremental():
 
     with pytest.raises(ValueError, match="incremental"):
         g.add_model("bad", "SELECT * FROM {{ this }}", materialization="view")
+
+
+# --------------------------------------------------------------------------
+# Registry snapshot-hygiene tripwires (round-6 postmortem: an uncommitted
+# second @register("fn_url") swept into the end-of-round snapshot killed
+# import for the whole round — CORRECTNESS_r06 was empty).  Two guards:
+# the key count is pinned, and re-importing the package must be idempotent
+# (a duplicate registration raises ValueError inside registry.register, so
+# idempotent reimport + pinned count means no silent or crashing dupes).
+# --------------------------------------------------------------------------
+
+# Static @register sites; stream_transform_state joins at runtime when the
+# protobuf bootstrap succeeds (streaming/transformstate.py gate).
+EXPECTED_STATIC_KEYS = 255
+
+
+def test_registry_key_count_pinned():
+    from nedp_etl_spark.registry import queries
+
+    n = len(queries())
+    assert n in (EXPECTED_STATIC_KEYS, EXPECTED_STATIC_KEYS + 1), (
+        f"registry has {n} keys; update EXPECTED_STATIC_KEYS deliberately "
+        "when adding operators (this guard catches accidental dupes/drops)"
+    )
+
+
+def test_package_reimport_is_idempotent():
+    import importlib
+
+    import nedp_etl_spark
+    from nedp_etl_spark.registry import queries
+
+    before = set(queries())
+    importlib.reload(nedp_etl_spark)  # re-running __init__ must not re-register
+    after = set(queries())
+    assert before == after

@@ -243,7 +243,9 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "scan_csv_malformed",  # 1-row × 1-row count crossJoin
                    "graph_triangle_count",  # 1-row × 1-row count crossJoin
                    "tpch_q22",  # 1-row AVG-threshold broadcast (O(n))
-                   "tpch_q11"}  # 1-row total/nparts broadcast (O(#parts))
+                   "tpch_q11",  # 1-row total/nparts broadcast (O(#parts))
+                   "agg_heavy_hitters",  # 1-row grand-total broadcast over candidates (O(n))
+                   "llm_dedup_cluster_sizes"}  # 1-row cluster-total broadcast (O(#clusters))
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
