@@ -728,3 +728,293 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("qv") > 0).cast("int").alias("selected"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_curation_e2e — the nightly pipeline, end to end: quality filter →
+# exact dedup → MinHash-LSH near-dedup → contamination check → stratified
+# sample → sequence packing, each stage consuming the previous stage's
+# SURVIVORS (never re-deriving the corpus).
+#
+# Scale shape: stage 0 featurizes once — ONE pass over the raw text
+# computes everything every later stage needs (token count, repetition
+# metrics, content hash, the 6 MinHash values, the distinct-trigram set);
+# the text itself never crosses a shuffle.  Downstream rows carry
+# ~(id, lang, source, 4 numbers, hash, 6×5-hex minhashes, gram set) —
+# orders of magnitude narrower than the documents.  The stages then cost:
+# quality = map-side filter; exact dedup = one hash-partition window on
+# text_hash; near-dedup = band-key equi-join among survivors (the banded
+# LSH bound — never all-pairs); contamination = trigram equi-join against
+# the fixed eval gram set; sampling = map-side md5 threshold;
+# packing = the two-phase global prefix sum (util.global_running_sum).
+#
+# The corpus is augmented with an exact copy (+1M) and a first-token-
+# dropped copy (+2M) of every document — the established _aug_corpus
+# idiom (llm/dedup.py) — so each dedup stage provably removes something:
+# exact copies die in stage 2, clipped copies die in stage 3 (they band-
+# collide with their surviving source), and the +1M copies of EVAL
+# documents (whose originals are excluded from train) sail through both
+# dedup stages only to be caught 100 %-contaminated in stage 4 — the
+# leak-through the contamination stage exists to stop.
+#
+# Deterministic end to end (content hashes, not RNG), so the DuckDB
+# oracle replays the identical pipeline as chained CTEs.
+# Reference parity: pipeline SQL reaches the reference only as dbt-model
+# DAGs (/root/reference/dbtoperator.py:273-274); this is the composed
+# shape those DAGs materialize stage by stage.
+# --------------------------------------------------------------------------
+
+_E2E_EVAL_N = 25          # originals with doc_id < 25 form the eval set
+_E2E_CONTAM_MAX = 0.2     # drop survivors with > 20 % eval-trigram overlap
+_E2E_CAP = 512            # packing context budget (llm_seq_packing's cap)
+
+_E2E_SHINGLES = """list_transform(range(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"""
+
+_E2E_MINHASH = "[" + ", ".join(
+    f"list_min(list_transform(hs, h -> substr(h, {i * 5 + 1}, 5)))"
+    for i in range(6)
+) + "]"
+
+_CURATION_E2E_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, source, text FROM documents WHERE doc_id >= {_E2E_EVAL_N}
+  UNION ALL
+  SELECT doc_id + 1000000, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, lang, source,
+         substr(text, instr(text, ' ') + 1) FROM documents
+),
+feat0 AS (
+  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+  FROM corpus
+),
+feat AS (
+  SELECT doc_id, lang, source,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         (SELECT MAX(c) FROM (
+            SELECT COUNT(*) AS c FROM UNNEST(toks) u(x) GROUP BY x
+          )) AS max_tok_freq,
+         CAST(len(list_distinct([toks[i] || ' ' || toks[i+1]
+                                 FOR i IN range(1, len(toks))])) AS BIGINT)
+           AS n_distinct_bigrams,
+         sha256(lower(trim(text))) AS text_hash,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct({_E2E_SHINGLES}) ELSE [] END AS grams
+  FROM feat0
+),
+mh AS (
+  SELECT *, {_E2E_MINHASH} AS m
+  FROM (SELECT *, list_transform(grams, x -> md5(x)) AS hs FROM feat)
+),
+s1 AS (  -- stage 1: quality / repetition filter
+  SELECT * FROM mh
+  WHERE n_tokens >= 2
+    AND max_tok_freq * 1.0 / n_tokens <= 0.2
+    AND n_distinct_bigrams * 1.0 / (n_tokens - 1) >= 0.5
+),
+s2 AS (  -- stage 2: exact dedup (keep min doc_id per content hash)
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY text_hash) AS min_id FROM s1
+  ) WHERE doc_id = min_id
+),
+bands AS (
+  SELECT doc_id, CAST(t.j AS INT) AS band,
+         m[CAST(2*t.j + 1 AS INT)] || '|' || m[CAST(2*t.j + 2 AS INT)] AS band_key
+  FROM s2, range(0, 3) t(j)
+  WHERE len(grams) > 0
+),
+lsh_drop AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+s3 AS (  -- stage 3: LSH near-dedup (drop the larger id of any collision)
+  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM lsh_drop)
+),
+eval_g AS (  -- fixed reference eval trigram set (originals doc_id < 25)
+  SELECT DISTINCT UNNEST(list_distinct({_E2E_SHINGLES})) AS g
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id < {_E2E_EVAL_N} AND len(string_split(text, ' ')) >= 3)
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_hits
+  FROM (SELECT doc_id, UNNEST(grams) AS g FROM s3) s
+  JOIN eval_g e ON s.g = e.g
+  GROUP BY 1
+),
+s4 AS (  -- stage 4: contamination gate (≤ 20 % eval-trigram overlap)
+  SELECT s3.* FROM s3 LEFT JOIN hits ON s3.doc_id = hits.doc_id
+  WHERE COALESCE(n_hits, 0) = 0
+     OR n_hits * 1.0 / len(grams) <= {_E2E_CONTAM_MAX}
+),
+s5 AS (  -- stage 5: deterministic stratified sample (md5, per-lang rate)
+  SELECT * FROM (
+    SELECT *,
+      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0 AS u,
+      {_RATE_CASE_SQL} AS rate
+    FROM s4
+  ) WHERE u < rate
+),
+packed AS (  -- stage 6: sequence packing over final survivors
+  SELECT doc_id, lang, source, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM s5
+)
+SELECT doc_id, lang, source, n_tokens,
+       CAST(floor((cum - n_tokens) / {_E2E_CAP}) AS BIGINT) AS pack_id,
+       CAST(cum - n_tokens
+            - floor((cum - n_tokens) / {_E2E_CAP}) * {_E2E_CAP} AS BIGINT)
+         AS offset_in_pack
+FROM packed
+"""
+
+
+@register("llm_curation_e2e", oracle=_CURATION_E2E_ORACLE)
+def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import global_running_sum
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", "source", "text")
+    corpus = (
+        base.filter(F.col("doc_id") >= _E2E_EVAL_N)
+        .unionAll(
+            base.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "source", "text"
+            )
+        )
+        .unionAll(
+            base.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                "lang",
+                "source",
+                F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+            )
+        )
+    )
+
+    # --- stage 0: featurize once; text/toks are dropped before any shuffle.
+    t = corpus.select(
+        "doc_id", "lang", "source", "text", F.split("text", " ").alias("toks")
+    )
+    max_freq = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("toks")),
+            lambda tok: F.size(F.filter(F.col("toks"), lambda x: x == tok)),
+        )
+    )
+    bigrams = F.transform(
+        F.slice(F.col("toks"), 1, F.size("toks") - 1),
+        lambda _, i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+    )
+    grams = F.when(F.size("toks") >= 3, _trigram_set(F.col("toks"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    feat = t.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        max_freq.cast("bigint").alias("max_tok_freq"),
+        F.size(F.array_distinct(bigrams)).cast("bigint").alias("n_distinct_bigrams"),
+        F.sha2(F.lower(F.trim("text")), 256).alias("text_hash"),
+        grams.alias("grams"),
+    )
+    hs = F.transform(F.col("grams"), F.md5)
+
+    def _minhash(i: int) -> F.Column:
+        # single-arg lambda only — a two-parameter lambda (even via default
+        # args) is treated by F.transform as (element, index) and the
+        # offset would silently become the array index (llm/dedup.py NB).
+        off = i * 5 + 1
+        return F.array_min(F.transform(hs, lambda h: F.substring(h, off, 5)))
+
+    mh = feat.withColumn("m", F.array(*[_minhash(i) for i in range(6)]))
+
+    # --- stage 1: quality / repetition filter (map-side).
+    s1 = mh.filter(
+        (F.col("n_tokens") >= 2)
+        & (F.col("max_tok_freq") * 1.0 / F.col("n_tokens") <= 0.2)
+        & (F.col("n_distinct_bigrams") * 1.0 / (F.col("n_tokens") - 1) >= 0.5)
+    )
+
+    # --- stage 2: exact dedup — one hash-partition window, keep min id.
+    w = Window.partitionBy("text_hash")
+    s2 = (
+        s1.withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id")
+    )
+
+    # --- stage 3: LSH near-dedup — band-key equi-join among survivors.
+    band_keys = F.array(
+        *[
+            F.concat_ws("|", F.col("m")[b * 2], F.col("m")[b * 2 + 1])
+            for b in range(3)
+        ]
+    )
+    bands = (
+        s2.filter(F.size("grams") > 0)
+        .select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    lsh_drop = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(lsh_drop, "doc_id", "left_anti")
+
+    # --- stage 4: contamination gate vs the FIXED eval trigram set.
+    eval_toks = (
+        base.filter(F.col("doc_id") < _E2E_EVAL_N)
+        .select(F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+    )
+    eval_g = (
+        eval_toks.select(F.explode(_trigram_set(F.col("toks"))).alias("g")).distinct()
+    )
+    tr_g = s3.select("doc_id", F.explode("grams").alias("g"))
+    hits = (
+        tr_g.join(eval_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    s4 = (
+        s3.join(hits, "doc_id", "left")
+        .filter(
+            (F.coalesce(F.col("n_hits"), F.lit(0)) == 0)
+            | (F.col("n_hits") * 1.0 / F.size("grams") <= _E2E_CONTAM_MAX)
+        )
+        .drop("n_hits")
+    )
+
+    # --- stage 5: deterministic stratified sample (content hash, no RNG).
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") / F.lit(4294967296.0)
+    s5 = s4.filter(u < rate).select("doc_id", "lang", "source", "n_tokens")
+
+    # --- stage 6: sequence packing (two-phase global prefix sum).
+    c = global_running_sum(s5, ["doc_id"], F.col("n_tokens"), "cum")
+    start = F.col("cum") - F.col("n_tokens")
+    pack = F.floor(start / _E2E_CAP)
+    return c.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        pack.cast("bigint").alias("pack_id"),
+        (start - pack * _E2E_CAP).cast("bigint").alias("offset_in_pack"),
+    )

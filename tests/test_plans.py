@@ -473,3 +473,19 @@ def test_ks_test_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_ks_test")
     assert not _has_global_window(plan)
     assert "BroadcastHashJoin" in plan
+
+
+def test_curation_e2e_stage_shapes(spark, sf_dir):
+    # The composed pipeline must keep each stage's scale shape: the LSH
+    # band probe and contamination-gram probes are EQUI-joins (hash
+    # shuffles keyed on band/gram — never all-pairs), the exact-dedup
+    # window is keyed by text_hash (no global window), and the packing
+    # prefix sum never sorts globally (the two-phase util shape).
+    plan = _plan(spark, sf_dir, "llm_curation_e2e")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no un-partitioned window: every Window node must declare partition keys
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition(" in line:
+            assert "specifiedwindowframe" in line or "PartitionBy" not in line
+    assert "windowspecdefinition()" not in plan.replace(" ", "")

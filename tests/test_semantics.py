@@ -1082,3 +1082,92 @@ def test_win_distribution_hand_computed(spark, tmp_path):
         4: (3, 0.75, 0.8),
         5: (4, 1.0, 1.0),
     }
+
+
+def test_curation_e2e_full_python_mini_oracle(spark, tmp_path):
+    # End-to-end pipeline on a hand-built corpus, checked against an
+    # INDEPENDENT Python replica of all six stages (hashlib md5/sha256 vs
+    # the JVM's) — every planted behavior is exercised: the eval doc is
+    # excluded but its +1M copy leaks through both dedup stages and must
+    # be caught 100%-contaminated; the spam doc and all its copies die in
+    # the quality stage; +1M copies of train docs die in exact dedup;
+    # +2M clipped copies die when they band-collide with their source;
+    # survivors are sampled by md5 threshold and packed by running sum.
+    import hashlib
+
+    vocab = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " \
+            "kilo lima mike november oscar papa quebec romeo sierra tango"
+    texts = {
+        10: " ".join(w + "X" for w in vocab.split()),          # eval (excluded)
+        30: " ".join(["spam"] * 20),                           # quality-fail
+        40: vocab,                                             # en, rate 0.8
+        50: " ".join(w + "D" for w in vocab.split()),          # de, rate 0.25
+        60: " ".join(w + "Q" for w in vocab.split()),          # fr, rate 0.25
+        70: " ".join(w + "Z" for w in vocab.split()),          # other, 0.1
+    }
+    langs = {10: "en", 30: "en", 40: "en", 50: "de", 60: "fr", 70: "xx"}
+    rows = [(d, t, langs[d], "s", len(t)) for d, t in texts.items()]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+
+    # ---- independent Python replica -------------------------------------
+    def clip(t):
+        return t[t.index(" ") + 1:] if " " in t else ""
+
+    corpus = (
+        [(d, langs[d], texts[d]) for d in texts if d >= 25]
+        + [(d + 1_000_000, langs[d], texts[d]) for d in texts]
+        + [(d + 2_000_000, langs[d], clip(texts[d])) for d in texts]
+    )
+
+    def grams_of(toks):
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    feat = {}
+    for d, lang, text in corpus:
+        toks = text.split(" ")
+        n = len(toks)
+        if n < 2:
+            continue
+        freq = max(toks.count(x) for x in set(toks))
+        bigr = len({" ".join(toks[i:i + 2]) for i in range(n - 1)})
+        if not (freq / n <= 0.2 and bigr / (n - 1) >= 0.5):
+            continue  # stage 1
+        g = grams_of(toks) if n >= 3 else set()
+        h = hashlib.sha256(text.strip(" ").lower().encode()).hexdigest()
+        m = [min((md5(x)[i * 5:i * 5 + 5] for x in g), default=None) for i in range(6)]
+        feat[d] = dict(lang=lang, n=n, g=g, h=h, m=m)
+    by_hash = {}
+    for d, f in feat.items():
+        by_hash.setdefault(f["h"], []).append(d)
+    s2 = {d: f for d, f in feat.items() if d == min(by_hash[f["h"]])}
+    bands = {}
+    for d, f in s2.items():
+        if f["g"]:
+            for b in range(3):
+                bands.setdefault((b, f["m"][2 * b] + "|" + f["m"][2 * b + 1]), []).append(d)
+    dropped = {d for ds in bands.values() for d in ds if d > min(ds)}
+    s3 = {d: f for d, f in s2.items() if d not in dropped}
+    eval_g = set().union(*(grams_of(texts[d].split(" ")) for d in texts if d < 25))
+    s4 = {d: f for d, f in s3.items()
+          if not (f["g"] & eval_g)
+          or len(f["g"] & eval_g) / len(f["g"]) <= 0.2}
+    rates = {"en": 0.8, "es": 0.5, "de": 0.25, "fr": 0.25}
+    s5 = {d: f for d, f in s4.items()
+          if int(md5(str(d))[:8], 16) / 2**32 < rates.get(f["lang"], 0.1)}
+    expected, cum = {}, 0
+    for d in sorted(s5):
+        start = cum
+        cum += s5[d]["n"]
+        expected[d] = (s5[d]["n"], start // 512, start % 512)
+
+    # the planted scenario must be non-trivial in the ways it was built for:
+    assert 1_000_010 in feat and 1_000_010 in s3      # eval copy leaks past dedup
+    assert 1_000_010 not in s4                        # ...and contamination catches it
+    assert all(d not in feat for d in (30, 1_000_030, 2_000_030))  # spam family
+    assert 1_000_040 not in s2                        # exact copy of train doc dies
+
+    out = {r["doc_id"]: (r["n_tokens"], r["pack_id"], r["offset_in_pack"])
+           for r in eng.queries()["llm_curation_e2e"](spark, str(tmp_path)).collect()}
+    assert out == expected
