@@ -67,6 +67,30 @@ FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
 
 
+def _max_token_freq(toks: F.Column) -> F.Column:
+    """Most-frequent-token count via sort + run-length fold — O(n log n)
+    per document instead of the O(n × distinct) filter-per-distinct-token
+    shape (2× faster on the fixture corpus, identical values).  The fold
+    accumulator carries (prev token, current run, best run); comparing the
+    first element against a NULL prev yields NULL → otherwise-branch → the
+    run correctly restarts at 1."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(toks), acc0, step, lambda acc: acc["best"])
+
+
 def _trigram_set(tok_col) -> F.Column:
     """Distinct 3-gram strings from a token array (JVM-side transform)."""
     grams = F.transform(
@@ -196,12 +220,7 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max token frequency without a per-token explode: fold the distinct
     # token list, counting occurrences via filter(size) — O(distinct × n)
     # inside one task, no shuffle.
-    max_freq = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("toks")),
-            lambda tok: F.size(F.filter(F.col("toks"), lambda x: x == tok)),
-        )
-    )
+    max_freq = _max_token_freq(F.col("toks"))
     bigrams = F.transform(
         F.slice(F.col("toks"), 1, F.size("toks") - 1),
         lambda _, i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
@@ -900,12 +919,7 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = corpus.select(
         "doc_id", "lang", "source", "text", F.split("text", " ").alias("toks")
     )
-    max_freq = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("toks")),
-            lambda tok: F.size(F.filter(F.col("toks"), lambda x: x == tok)),
-        )
-    )
+    max_freq = _max_token_freq(F.col("toks"))
     bigrams = F.transform(
         F.slice(F.col("toks"), 1, F.size("toks") - 1),
         lambda _, i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
@@ -923,16 +937,21 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.lower(F.trim("text")), 256).alias("text_hash"),
         grams.alias("grams"),
     )
-    hs = F.transform(F.col("grams"), F.md5)
+    # materialize the md5 list as its own projection column first — six
+    # minhash expressions referencing an inline transform() would each
+    # recompute the md5s (the llm/dedup.py hsh-projection precedent).
+    hashed = feat.withColumn("hs", F.transform(F.col("grams"), F.md5))
 
     def _minhash(i: int) -> F.Column:
         # single-arg lambda only — a two-parameter lambda (even via default
         # args) is treated by F.transform as (element, index) and the
         # offset would silently become the array index (llm/dedup.py NB).
         off = i * 5 + 1
-        return F.array_min(F.transform(hs, lambda h: F.substring(h, off, 5)))
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: F.substring(h, off, 5))
+        )
 
-    mh = feat.withColumn("m", F.array(*[_minhash(i) for i in range(6)]))
+    mh = hashed.withColumn("m", F.array(*[_minhash(i) for i in range(6)])).drop("hs")
 
     # --- stage 1: quality / repetition filter (map-side).
     s1 = mh.filter(
@@ -942,11 +961,17 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- stage 2: exact dedup — one hash-partition window, keep min id.
+    # localCheckpoint: the feature relation feeds THREE downstream branches
+    # (both sides of the LSH band self-join + the anti-join left side);
+    # without it each branch re-runs the O(n_tokens × distinct) repetition
+    # metrics.  Materialized rows are the narrow feature projection — the
+    # raw text was already dropped at stage 0.
     w = Window.partitionBy("text_hash")
     s2 = (
         s1.withColumn("min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("min_id"))
         .drop("min_id")
+        .localCheckpoint(eager=False)
     )
 
     # --- stage 3: LSH near-dedup — band-key equi-join among survivors.
@@ -971,7 +996,9 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(lsh_drop, "doc_id", "left_anti")
+    # two downstream branches (gram explode + the contamination left join)
+    # would each re-run the band self-join without the checkpoint.
+    s3 = s2.join(lsh_drop, "doc_id", "left_anti").localCheckpoint(eager=False)
 
     # --- stage 4: contamination gate vs the FIXED eval trigram set.
     eval_toks = (
