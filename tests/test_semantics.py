@@ -1171,3 +1171,28 @@ def test_curation_e2e_full_python_mini_oracle(spark, tmp_path):
     out = {r["doc_id"]: (r["n_tokens"], r["pack_id"], r["offset_in_pack"])
            for r in eng.queries()["llm_curation_e2e"](spark, str(tmp_path)).collect()}
     assert out == expected
+
+
+def test_fn_url_userinfo_and_percent_encoding(spark, tmp_path):
+    # The synthesized fixture URLs exercise neither userinfo nor percent-
+    # encoding; this pins Spark's parse_url contract on both: HOST strips
+    # the userinfo (the oracle's authority regexp would keep it — a known
+    # parity boundary, see SCALE.md), and percent-escapes pass through RAW
+    # everywhere (no decoding; an encoded %2F does not split the path).
+    rows = [
+        (1, "t", "x%26y", "user:pw@h", 1),   # userinfo + encoded ref param
+        (2, "t", "en", "plain", 1),          # control
+    ]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = {r["doc_id"]: r for r in
+           eng.queries()["fn_url"](spark, str(tmp_path)).collect()}
+    r1 = out[1]
+    assert r1["url"] == "https://user:pw@h.example.com/docs/1?q=spark&ref=x%26y#s1"
+    assert r1["host"] == "h.example.com"          # userinfo stripped by HOST
+    assert r1["path"] == "/docs/1"
+    assert r1["query"] == "q=spark&ref=x%26y"     # escapes NOT decoded
+    assert r1["ref_param"] == "x%26y"             # raw %26, not '&' — no split
+    assert r1["fragment"] == "s1"
+    r2 = out[2]
+    assert r2["host"] == "plain.example.com" and r2["ref_param"] == "en"
