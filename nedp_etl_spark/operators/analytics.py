@@ -824,3 +824,56 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") * 1.0 / F.col("total"), 6).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_entropy_gini — information-theoretic mix metrics per group: Shannon
+# entropy and Gini impurity of the o_orderpriority distribution within each
+# o_orderstatus.  Two keyed aggregates with map-side combine (corpus →
+# (group, category) counts → per-group metrics); the totals side is
+# group-cardinality-sized and broadcasts.  Per-category -p·ln p / p² terms
+# are quantized to 6-dp fixed point BEFORE summing (the util.dsum
+# discipline), so the sums are order-independent and cross-engine exact.
+# Reference parity: aggregate SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_ENTROPY_GINI_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT o_orderstatus, SUM(n) AS tot FROM c GROUP BY 1
+),
+terms AS (
+  SELECT c.o_orderstatus, tot.tot, n * 1.0 / tot.tot AS p
+  FROM c JOIN tot ON c.o_orderstatus = tot.o_orderstatus
+)
+SELECT o_orderstatus,
+       CAST(MAX(tot) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_categories,
+       CAST(SUM(CAST(FLOOR((-p * ln(p)) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS entropy,
+       ROUND(1.0 - CAST(SUM(CAST(FLOOR((p * p) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0, 6) AS gini
+FROM terms GROUP BY o_orderstatus
+"""
+
+
+@register("agg_entropy_gini", oracle=_ENTROPY_GINI_ORACLE)
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("o_orderstatus").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    terms = c.join(F.broadcast(tot), "o_orderstatus").select(
+        "o_orderstatus", "tot", p.alias("p")
+    )
+    fp = lambda e: F.sum(F.floor(e * 1_000_000.0 + 0.5).cast("long"))  # noqa: E731
+    return terms.groupBy("o_orderstatus").agg(
+        F.max("tot").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_categories"),
+        (fp(-F.col("p") * F.log("p")) / 1_000_000.0).alias("entropy"),
+        F.round(1.0 - fp(F.col("p") * F.col("p")) / 1_000_000.0, 6).alias("gini"),
+    )

@@ -95,6 +95,7 @@ _PRIORITY: list[str] = [
     # oracle BIGINT-cast hardening; ts_mad_anomaly is already in (a)) ---
     "fn_url",                     # r7: rewritten (fragment/ref_param/NULLs)
     "llm_curation_e2e",           # NEW r7: six-stage composed curation pipeline
+    "agg_entropy_gini",           # NEW r7: per-group entropy + Gini impurity
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -489,3 +489,13 @@ def test_curation_e2e_stage_shapes(spark, sf_dir):
         if "Window" in line and "windowspecdefinition(" in line:
             assert "specifiedwindowframe" in line or "PartitionBy" not in line
     assert "windowspecdefinition()" not in plan.replace(" ", "")
+
+
+def test_entropy_gini_two_phase_broadcast_totals(spark, sf_dir):
+    # corpus → (group, category) counts must combine map-side (partial
+    # HashAggregate before the exchange), and the group-totals side —
+    # group-cardinality-sized — must broadcast, not shuffle.
+    plan = _plan(spark, sf_dir, "agg_entropy_gini")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both levels

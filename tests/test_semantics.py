@@ -1196,3 +1196,24 @@ def test_fn_url_userinfo_and_percent_encoding(spark, tmp_path):
     assert r1["fragment"] == "s1"
     r2 = out[2]
     assert r2["host"] == "plain.example.com" and r2["ref_param"] == "en"
+
+
+def test_entropy_gini_hand_computed(spark, tmp_path):
+    # Two groups with known distributions: 'A' uniform over 2 priorities
+    # (entropy = ln 2, gini = 0.5); 'B' pure (entropy = 0, gini = 0).
+    import math
+
+    rows = [
+        (1, "A", "1-URGENT"), (2, "A", "2-HIGH"),
+        (3, "A", "1-URGENT"), (4, "A", "2-HIGH"),
+        (5, "B", "3-MEDIUM"), (6, "B", "3-MEDIUM"),
+    ]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_orderstatus string, o_orderpriority string")
+    out = {r["o_orderstatus"]: r for r in
+           eng.queries()["agg_entropy_gini"](spark, str(tmp_path)).collect()}
+    a, b = out["A"], out["B"]
+    assert (a["n_rows"], a["n_categories"]) == (4, 2)
+    assert abs(a["entropy"] - math.log(2)) < 1e-6 and abs(a["gini"] - 0.5) < 1e-9
+    assert (b["n_rows"], b["n_categories"]) == (2, 1)
+    assert b["entropy"] == 0.0 and b["gini"] == 0.0
