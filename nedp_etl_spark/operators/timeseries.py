@@ -1215,3 +1215,101 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("num") / F.nullif(F.col("ss"), F.lit(0.0)), 6).alias("acf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_rolling_corr — 7-day rolling Pearson correlation between a series'
+# daily mean value and its daily event volume (value/volume coupling
+# drift — e.g. "do high-traffic days move the metric?").  The corpus
+# collapses FIRST to (event_type, day) partials; every window is keyed by
+# event_type and spans a 7-ROW frame, so per-partition state is bounded.
+#
+# Cross-engine exactness: sliding-frame SUMs over doubles accumulate in
+# engine-specific order (running vs segment tree), so the low bits — and a
+# 6-dp round at the boundary — could differ.  All five frame sums here are
+# therefore over INTEGERS: the daily mean is quantized to 6-dp fixed point
+# (exact — it is already a 6-dp value), counts are already integral, and
+# Pearson r is scale-invariant so the 1e6 factor cancels.  The final
+# num/sqrt(dx·dy) happens once per row in doubles (dx, dy cast to double
+# BEFORE their product, which would overflow int64).
+# Reference parity: windowed SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_ROLLING_CORR_ORACLE = f"""
+WITH daily2 AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(FLOOR(ROUND({osum('value')} / COUNT(value), 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS vq,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+  HAVING {osum('value')} IS NOT NULL
+),
+s AS (
+  SELECT event_type, d, vq, n,
+         COUNT(*)    OVER w AS m,
+         SUM(vq)     OVER w AS sx,
+         SUM(n)      OVER w AS sy,
+         SUM(vq * n) OVER w AS sxy,
+         SUM(vq * vq) OVER w AS sxx,
+         SUM(n * n)  OVER w AS syy
+  FROM daily2
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n_events,
+       ROUND(vq / 1000000.0, 6) AS v,
+       CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+            THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                              * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+            END AS corr7
+FROM s
+"""
+
+
+@register("ts_rolling_corr", oracle=_ROLLING_CORR_ORACLE)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily2 = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.floor(F.round(dsum("value") / F.count("value"), 6) * 1_000_000.0 + 0.5)
+            .cast("bigint")
+            .alias("vq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("vq").isNotNull())
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    s = daily2.select(
+        "event_type",
+        "d",
+        "vq",
+        "n",
+        F.count(F.lit(1)).over(w).alias("m"),
+        F.sum("vq").over(w).alias("sx"),
+        F.sum("n").over(w).alias("sy"),
+        F.sum(F.col("vq") * F.col("n")).over(w).alias("sxy"),
+        F.sum(F.col("vq") * F.col("vq")).over(w).alias("sxx"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("syy"),
+    )
+    dx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    corr = F.when(
+        (F.col("m") >= 2) & (dx > 0) & (dy > 0),
+        F.round(num / F.sqrt(dx.cast("double") * dy.cast("double")), 6),
+    )
+    return s.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("vq") / 1_000_000.0, 6).alias("v"),
+        corr.alias("corr7"),
+    )

@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "fn_url",                     # r7: rewritten (fragment/ref_param/NULLs)
     "llm_curation_e2e",           # NEW r7: six-stage composed curation pipeline
     "agg_entropy_gini",           # NEW r7: per-group entropy + Gini impurity
+    "ts_rolling_corr",            # NEW r7: 7-day rolling Pearson (integer sums)
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -499,3 +499,13 @@ def test_entropy_gini_two_phase_broadcast_totals(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final for both levels
+
+
+def test_rolling_corr_single_window_keyed_by_type(spark, sf_dir):
+    # All six frame aggregates must share ONE Window node over ONE
+    # event_type-keyed exchange on the daily partials (never raw events),
+    # with the daily aggregate combining map-side first.
+    plan = _plan(spark, sf_dir, "ts_rolling_corr")
+    assert plan.count("Window [") == 1
+    assert "windowspecdefinition(event_type" in plan
+    assert "HashAggregate" in plan  # daily partial precedes the window

@@ -1217,3 +1217,35 @@ def test_entropy_gini_hand_computed(spark, tmp_path):
     assert abs(a["entropy"] - math.log(2)) < 1e-6 and abs(a["gini"] - 0.5) < 1e-9
     assert (b["n_rows"], b["n_categories"]) == (2, 1)
     assert b["entropy"] == 0.0 and b["gini"] == 0.0
+
+
+def test_rolling_corr_known_series(spark, tmp_path):
+    # One event per (day, value): daily v == value, n == 1 for days 1-3 so
+    # corr7 is NULL (zero count variance); day 4 has two events so the
+    # count series finally varies.  v rises with n on day 4 → by the
+    # 4-point formula the correlation is +1-ish; computed by hand below.
+    import datetime as dt
+    import math
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # days 1..3: single event, values 1, 2, 3
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((eid, 7, "m", base + dt.timedelta(days=i), v)); eid += 1
+    # day 4: two events averaging 10 → v=10, n=2
+    rows.append((eid, 7, "m", base + dt.timedelta(days=3), 8.0)); eid += 1
+    rows.append((eid, 7, "m", base + dt.timedelta(days=3), 12.0)); eid += 1
+    _write(spark, tmp_path, "events", rows,
+           "event_id bigint, user_id bigint, event_type string, ts timestamp, value double")
+    out = {r["day"]: r for r in
+           eng.queries()["ts_rolling_corr"](spark, str(tmp_path)).collect()}
+    assert [out[d]["corr7"] for d in sorted(out)[:3]] == [None, None, None]
+    # hand computation on (v, n) = (1,1),(2,1),(3,1),(10,2), m=4
+    xs, ys = [1.0, 2.0, 3.0, 10.0], [1, 1, 1, 2]
+    m = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    expect = (m * sxy - sx * sy) / math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert abs(out[sorted(out)[3]]["corr7"] - round(expect, 6)) < 1e-9
