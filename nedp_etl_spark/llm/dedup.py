@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
@@ -770,4 +771,127 @@ def llm_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.round(F.col("n_docs") * 1.0 / F.col("n"), 6).alias("pct_docs"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_sorted_neighborhood — sorted-neighborhood blocking (the classic
+# entity-resolution alternative to banded LSH): docs sort into 8-bit
+# SimHash blocks, and each doc is compared ONLY with its next w-1 = 2
+# neighbors inside its block (LEAD over a simhash-keyed window), scoring
+# candidate pairs by exact trigram Jaccard.  Cost is O(n·w) comparisons
+# after ONE keyed exchange — never all-pairs.
+#
+# Scale shape: featurization is fully map-side — the gram set comes from
+# the shared shingle transform and the SimHash votes are computed by an
+# in-array fold (8 O(tokens) aggregates over the per-token md5 list), so
+# there is NO explode/groupBy/join before the single simhash-keyed window
+# exchange.  Complements MinHash-LSH (llm_dedup_near): SNM trades recall
+# at block boundaries for a fixed comparison budget per document.
+# Runs on the augmented corpus (_aug_corpus) so near-duplicates exist.
+# Reference parity: dedup SQL reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SNM_W = 3           # neighborhood width: compare with the next w-1 docs
+_SNM_MIN_JACCARD = 0.3
+
+_SNM_VOTE_SQL = ", ".join(
+    f"list_sum(list_transform(hs, h -> 2 * (ascii(substr(h, {b + 1}, 1)) % 2) - 1)) AS v{b}"
+    for b in range(_SIMHASH_BITS)
+)
+
+_SNM_ORACLE = f"""
+WITH corpus AS ({_AUG_SQL}),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+  WHERE len(string_split(text, ' ')) >= 3
+),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gs,
+         list_transform(toks, t -> md5(t)) AS hs
+  FROM tok
+),
+votes AS (SELECT doc_id, gs, {_SNM_VOTE_SQL} FROM f),
+blocked AS (
+  SELECT doc_id, gs, CAST({_SIMHASH_PACK_SQL} AS BIGINT) AS simhash FROM votes
+),
+nbr AS (
+  SELECT doc_id, gs, simhash,
+         LEAD(doc_id, 1) OVER w AS id1, LEAD(gs, 1) OVER w AS gs1,
+         LEAD(doc_id, 2) OVER w AS id2, LEAD(gs, 2) OVER w AS gs2
+  FROM blocked
+  WINDOW w AS (PARTITION BY simhash ORDER BY doc_id)
+),
+pairs AS (
+  SELECT doc_id AS doc_a, id1 AS doc_b, simhash,
+         len(list_intersect(gs, gs1)) * 1.0 /
+         (len(gs) + len(gs1) - len(list_intersect(gs, gs1))) AS jaccard
+  FROM nbr WHERE id1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, id2, simhash,
+         len(list_intersect(gs, gs2)) * 1.0 /
+         (len(gs) + len(gs2) - len(list_intersect(gs, gs2)))
+  FROM nbr WHERE id2 IS NOT NULL
+)
+SELECT doc_a, doc_b, simhash, ROUND(jaccard, 6) AS jaccard
+FROM pairs WHERE jaccard >= {_SNM_MIN_JACCARD}
+"""
+
+
+@register("llm_sorted_neighborhood", oracle=_SNM_ORACLE)
+def llm_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = _aug_corpus(d)
+    tok = corpus.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    f = tok.select(
+        "doc_id",
+        F.array_distinct(_shingles(F.col("toks"))).alias("gs"),
+        F.transform(F.col("toks"), F.md5).alias("hs"),
+    )
+
+    def _vote(b: int) -> Column:
+        # in-array fold: per-token ±1 from md5 nibble parity, summed
+        # map-side — no explode/groupBy (contrast llm_simhash, which
+        # demonstrates the explode shape on the raw corpus).
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc + (2 * (F.ascii(F.substring(h, b + 1, 1)) % 2) - 1),
+        )
+
+    packed = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(_vote(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    blocked = f.select("doc_id", "gs", packed.cast("bigint").alias("simhash"))
+
+    w = Window.partitionBy("simhash").orderBy("doc_id")
+    nbr = blocked.select(
+        "doc_id",
+        "gs",
+        "simhash",
+        F.lead("doc_id", 1).over(w).alias("id1"),
+        F.lead("gs", 1).over(w).alias("gs1"),
+        F.lead("doc_id", 2).over(w).alias("id2"),
+        F.lead("gs", 2).over(w).alias("gs2"),
+    )
+
+    def _pair(idc: str, gsc: str) -> DataFrame:
+        inter = F.size(F.array_intersect(F.col("gs"), F.col(gsc)))
+        union = F.size("gs") + F.size(gsc) - inter
+        return nbr.filter(F.col(idc).isNotNull()).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(idc).alias("doc_b"),
+            "simhash",
+            (inter * 1.0 / union).alias("jaccard"),
+        )
+
+    pairs = _pair("id1", "gs1").unionAll(_pair("id2", "gs2"))
+    return pairs.filter(F.col("jaccard") >= _SNM_MIN_JACCARD).select(
+        "doc_a", "doc_b", "simhash", F.round("jaccard", 6).alias("jaccard")
     )

@@ -97,6 +97,7 @@ _PRIORITY: list[str] = [
     "llm_curation_e2e",           # NEW r7: six-stage composed curation pipeline
     "agg_entropy_gini",           # NEW r7: per-group entropy + Gini impurity
     "ts_rolling_corr",            # NEW r7: 7-day rolling Pearson (integer sums)
+    "llm_sorted_neighborhood",    # NEW r7: SNM blocking dedup (SimHash blocks)
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -509,3 +509,13 @@ def test_rolling_corr_single_window_keyed_by_type(spark, sf_dir):
     assert plan.count("Window [") == 1
     assert "windowspecdefinition(event_type" in plan
     assert "HashAggregate" in plan  # daily partial precedes the window
+
+
+def test_sorted_neighborhood_one_keyed_exchange_no_joins(spark, sf_dir):
+    # Featurization must be map-side (no explode-groupBy-join before the
+    # window): the plan has NO join at all — just the simhash-keyed window
+    # exchange feeding the LEAD neighborhood and a union of projections.
+    plan = _plan(spark, sf_dir, "llm_sorted_neighborhood")
+    assert "Join" not in plan  # no self-join: the neighborhood is LEAD-based
+    assert "windowspecdefinition(simhash" in plan
+    assert "CartesianProduct" not in plan

@@ -1249,3 +1249,24 @@ def test_rolling_corr_known_series(spark, tmp_path):
     sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
     expect = (m * sxy - sx * sy) / math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
     assert abs(out[sorted(out)[3]]["corr7"] - round(expect, 6)) < 1e-9
+
+
+def test_sorted_neighborhood_finds_planted_neighbors(spark, tmp_path):
+    # Two near-identical docs (one word changed) must land in the same
+    # SimHash block, be adjacent in the sort, and score high Jaccard; a
+    # vocabulary-disjoint doc must never pair with either above threshold.
+    # The augmented corpus adds clipped copies — so (d, d+1M) pairs with
+    # high similarity must also surface for long docs.
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo")
+    near = words.replace("kilo", "KILO9")
+    other = " ".join("zz" + str(i) for i in range(18))
+    rows = [(1, words, "en", "s", 1), (2, near, "en", "s", 1),
+            (3, other, "en", "s", 1)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = eng.queries()["llm_sorted_neighborhood"](spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    assert (1, 1_000_001) in pairs and pairs[(1, 1_000_001)] > 0.9  # clipped copy
+    assert all(3 not in (a, b) or {a, b} == {3, 1_000_003}
+               for (a, b) in pairs)  # disjoint doc only pairs with its own copy
