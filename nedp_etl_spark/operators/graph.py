@@ -374,3 +374,104 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").cast("bigint").alias("node"),
         F.col("m").cast("bigint").alias("component"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_label_propagation — synchronous label-propagation community
+# detection (Raghavan et al. 2007) over the shared synthesized 40-node
+# crawl graph, symmetrized: each of K=3 rounds every node adopts the label
+# with the greatest total edge weight among its neighbors (ties → smallest
+# label).  Deterministic by construction — integer weights, total
+# tie-break — so the DuckDB oracle unrolls the identical 3 rounds as CTEs.
+#
+# Scale shape: the symmetrized weighted edge list is materialized and
+# localCheckpoint-ed ONCE; every round is one equi-join (edges × labels on
+# dst), one keyed aggregate (node, label) → weight, and one node-keyed
+# window picking the argmax — the same co-partitioned join discipline as
+# PageRank (no rank-vector broadcast; AQE may still downgrade a genuinely
+# small side).  Rounds are data-independent (fixed K), so lineage stays
+# flat without per-round checkpoints.  Complements connected components:
+# LPA finds dense communities, CC finds reachability classes.
+# Reference parity: graph SQL reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        f"""e0 AS (
+  SELECT doc_id % {_N_NODES} AS src, (doc_id * 7 + 3) % {_N_NODES} AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id % {_N_NODES}, (doc_id * 13 + 1) % {_N_NODES} FROM documents
+)""",
+        """es AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+  ) GROUP BY src, dst
+)""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM es)",
+    ]
+    for i in range(_LPA_ROUNDS):
+        ctes.append(f"""c{i + 1} AS (
+  SELECT es.src AS node, l.lbl, SUM(es.w) AS wt
+  FROM es JOIN l{i} l ON es.dst = l.node GROUP BY 1, 2
+)""")
+        ctes.append(f"""l{i + 1} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY wt DESC, lbl) AS rn
+    FROM c{i + 1}
+  ) WHERE rn = 1
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT node, lbl AS community,
+       COUNT(*) OVER (PARTITION BY lbl) AS community_size
+FROM l{_LPA_ROUNDS}"""
+    )
+
+
+_LPA_ORACLE = _lpa_oracle()
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    src = (F.col("doc_id") % _N_NODES).alias("src")
+    e0 = d.select(src, ((F.col("doc_id") * 7 + 3) % _N_NODES).alias("dst")).unionAll(
+        d.select(src, ((F.col("doc_id") * 13 + 1) % _N_NODES).alias("dst"))
+    )
+    es = (
+        e0.select("src", "dst")
+        .unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    labels = es.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w_arg = Window.partitionBy("node").orderBy(F.col("wt").desc(), F.col("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        contrib = (
+            es.join(labels, es.dst == labels.node)
+            .groupBy(es.src.alias("node"), "lbl")
+            .agg(F.sum("w").alias("wt"))
+        )
+        labels = (
+            contrib.withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    w_size = Window.partitionBy("lbl")
+    return labels.select(
+        "node",
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(w_size).alias("community_size"),
+    )

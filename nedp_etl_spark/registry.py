@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "agg_entropy_gini",           # NEW r7: per-group entropy + Gini impurity
     "ts_rolling_corr",            # NEW r7: 7-day rolling Pearson (integer sums)
     "llm_sorted_neighborhood",    # NEW r7: SNM blocking dedup (SimHash blocks)
+    "graph_label_propagation",    # NEW r7: K-round LPA community detection
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

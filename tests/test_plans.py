@@ -519,3 +519,14 @@ def test_sorted_neighborhood_one_keyed_exchange_no_joins(spark, sf_dir):
     assert "Join" not in plan  # no self-join: the neighborhood is LEAD-based
     assert "windowspecdefinition(simhash" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_iterates_over_checkpointed_edges(spark, sf_dir):
+    # The symmetrized edge list must be checkpointed once (LogicalRDD scan
+    # in the plan) and every round must be an equi-join — one parquet scan
+    # at most (label init), never a per-round corpus re-derivation.
+    plan = _plan(spark, sf_dir, "graph_label_propagation")
+    assert "Scan ExistingRDD" in plan  # the checkpointed edges
+    assert plan.count("Scan parquet") == 0  # labels derive from the checkpoint
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

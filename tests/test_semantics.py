@@ -1270,3 +1270,25 @@ def test_sorted_neighborhood_finds_planted_neighbors(spark, tmp_path):
     assert (1, 1_000_001) in pairs and pairs[(1, 1_000_001)] > 0.9  # clipped copy
     assert all(3 not in (a, b) or {a, b} == {3, 1_000_003}
                for (a, b) in pairs)  # disjoint doc only pairs with its own copy
+
+
+def test_label_propagation_two_cliques(spark, tmp_path):
+    # Graph = two residue groups wired so communities are planted: with 40
+    # fixture docs the synthesized edge families connect residues, but a
+    # tiny doc set lets us hand-pick the edges.  doc_ids 0 and 7 generate
+    # (0,3),(0,1) and (7,12),(7,12): after symmetrization {0,1,3} and
+    # {7,12} form disjoint components, so after 3 LPA rounds every node's
+    # community label must stay within its component and the two
+    # components must carry different labels.
+    rows = [(0, "t", "en", "s", 1), (7, "t", "en", "s", 1)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = eng.queries()["graph_label_propagation"](spark, str(tmp_path)).collect()
+    comm = {r["node"]: r["community"] for r in out}
+    sizes = {r["node"]: r["community_size"] for r in out}
+    comp_a, comp_b = {0, 1, 3}, {7, 12}
+    assert set(comm) == comp_a | comp_b
+    assert {comm[n] for n in comp_a}.isdisjoint({comm[n] for n in comp_b})
+    for n in comp_a:
+        assert comm[n] in comp_a and sizes[n] == sum(
+            1 for m in comp_a if comm[m] == comm[n])
