@@ -877,3 +877,128 @@ def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fp(-F.col("p") * F.log("p")) / 1_000_000.0).alias("entropy"),
         F.round(1.0 - fp(F.col("p") * F.col("p")) / 1_000_000.0, 6).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_corr_matrix — pairwise Pearson correlation matrix over four lineitem
+# measures (quantity, extendedprice, discount, tax) per returnflag, in ONE
+# keyed aggregate pass: all 4 sums + 4 square-sums + 6 cross-sums combine
+# map-side, and the result relation is (groups × 6 pairs) — tiny at any
+# corpus size (the naive per-pair CORR would scan 6×).
+#
+# Exactness: each measure quantizes to 6-dp fixed point (exact int64),
+# products accumulate as DECIMAL(38,0) in Spark / HUGEINT in DuckDB (the
+# ts_forecast_linear discipline — Σ q_i·q_j ≈ 1e28 overflows int64 but
+# fits both wide types exactly), and the final correlation arithmetic
+# happens once per (group, pair) in doubles from identical exact integers.
+# Pearson r is scale-invariant, so the 1e6 quantization factors cancel.
+# Reference parity: aggregate SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_CORR_VARS = [
+    ("qty", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("disc", "l_discount"),
+    ("tax", "l_tax"),
+]
+_CORR_PAIRS = [
+    (a, b) for i, (a, _) in enumerate(_CORR_VARS) for (b, _) in _CORR_VARS[i + 1:]
+]
+
+
+def _corr_matrix_oracle() -> str:
+    qs = ", ".join(
+        f"CAST(FLOOR({col} * 1000000.0 + 0.5) AS BIGINT) AS q_{n}"
+        for n, col in _CORR_VARS
+    )
+    sums = ", ".join(
+        [f"COUNT(*) AS n"]
+        + [f"SUM(CAST(q_{n} AS HUGEINT)) AS s_{n}" for n, _ in _CORR_VARS]
+        + [
+            f"SUM(CAST(q_{a} AS HUGEINT) * q_{b}) AS s_{a}_{b}"
+            for a in [n for n, _ in _CORR_VARS]
+            for b in [n for n, _ in _CORR_VARS]
+            if (a, b) in _CORR_PAIRS or a == b
+        ]
+    )
+
+    def corr(a: str, b: str) -> str:
+        # zero-variance guard on EXACT integers (n·s_aa == s_a² ⇔ var 0):
+        # Spark ANSI errors on x/0 and DuckDB yields inf/NaN — both wrong.
+        dx = f"(n * s_{a}_{a} - s_{a} * s_{a})"
+        dy = f"(n * s_{b}_{b} - s_{b} * s_{b})"
+        return (
+            f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN "
+            f"ROUND((CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt(CAST({dx} AS DOUBLE) * CAST({dy} AS DOUBLE)), 6) END"
+        )
+
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT l_returnflag, '{a}' AS var_a, '{b}' AS var_b,"
+        f" CAST(n AS BIGINT) AS n_rows, {corr(a, b)} AS corr FROM s"
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+WITH q AS (SELECT l_returnflag, {qs} FROM lineitem),
+s AS (SELECT l_returnflag, {sums} FROM q GROUP BY l_returnflag)
+{branches}
+"""
+
+
+_CORR_MATRIX_ORACLE = _corr_matrix_oracle()
+
+
+@register("agg_corr_matrix", oracle=_CORR_MATRIX_ORACLE)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qcols = {
+        n: F.floor(F.col(col) * 1_000_000.0 + 0.5).cast("long") for n, col in _CORR_VARS
+    }
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — (19,0)×(19,0) → (38,0)
+    aggs = (
+        [F.count(F.lit(1)).alias("n")]
+        + [F.sum(dec(qcols[n])).alias(f"s_{n}") for n, _ in _CORR_VARS]
+        + [
+            F.sum(dec(qcols[a]) * dec(qcols[b])).alias(f"s_{a}_{b}")
+            for a, _ in _CORR_VARS
+            for b, _ in _CORR_VARS
+            if (a, b) in _CORR_PAIRS or a == b
+        ]
+    )
+    s = li.groupBy("l_returnflag").agg(*aggs)
+
+    def corr(a: str, b: str) -> F.Column:
+        # zero-variance guard on EXACT decimals (ANSI divide-by-zero guard)
+        nd = F.col("n").cast("decimal(19,0)")
+        dx = nd * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        dy = nd * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}_{b}").cast("double")
+        return F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                (n * sab - sa * sb)
+                / F.sqrt(dx.cast("double") * dy.cast("double")),
+                6,
+            ),
+        )
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    corr(a, b).alias("corr"),
+                )
+                for a, b in _CORR_PAIRS
+            ]
+        )
+    ).alias("p")
+    return s.select("l_returnflag", F.col("n").cast("bigint").alias("n_rows"), pairs).select(
+        "l_returnflag", F.col("p.var_a").alias("var_a"), F.col("p.var_b").alias("var_b"),
+        "n_rows", F.col("p.corr").alias("corr")
+    )

@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     "ts_rolling_corr",            # NEW r7: 7-day rolling Pearson (integer sums)
     "llm_sorted_neighborhood",    # NEW r7: SNM blocking dedup (SimHash blocks)
     "graph_label_propagation",    # NEW r7: K-round LPA community detection
+    "agg_corr_matrix",            # NEW r7: one-pass pairwise Pearson matrix
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -530,3 +530,12 @@ def test_label_propagation_iterates_over_checkpointed_edges(spark, sf_dir):
     assert plan.count("Scan parquet") == 0  # labels derive from the checkpoint
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corr_matrix_single_pass_no_join(spark, sf_dir):
+    # All 11 accumulators (n + 4 sums + 6 cross-sums) must come from ONE
+    # keyed aggregate over ONE scan — no join, no second scan per pair.
+    plan = _plan(spark, sf_dir, "agg_corr_matrix")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "HashAggregate" in plan

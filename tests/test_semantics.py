@@ -1292,3 +1292,19 @@ def test_label_propagation_two_cliques(spark, tmp_path):
     for n in comp_a:
         assert comm[n] in comp_a and sizes[n] == sum(
             1 for m in comp_a if comm[m] == comm[n])
+
+
+def test_corr_matrix_perfect_and_independent(spark, tmp_path):
+    # price = 2*qty + 1 → corr(qty, price) must be exactly +1;
+    # tax = -qty → corr(qty, tax) = -1; disc constant → zero variance →
+    # NULL correlation (division by zero) for every pair involving disc.
+    rows = [("A", float(q), 2.0 * q + 1.0, 0.05, float(-q)) for q in range(1, 9)]
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_returnflag string, l_quantity double, l_extendedprice double, "
+           "l_discount double, l_tax double")
+    out = {(r["var_a"], r["var_b"]): r["corr"] for r in
+           eng.queries()["agg_corr_matrix"](spark, str(tmp_path)).collect()}
+    assert out[("qty", "price")] == 1.0
+    assert out[("qty", "tax")] == -1.0
+    assert out[("qty", "disc")] is None and out[("price", "disc")] is None
+    assert len(out) == 6
