@@ -607,3 +607,127 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, pair_a string, pair_b string, n bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# llm_bpe_encode — APPLY a trained merge table (the fixed 4-merge
+# vocabulary below, chaining t+h→th→the) to the corpus: tokenize every
+# document and report its BPE token count and chars-per-token compression.
+#
+# Scale shape — encode once per DISTINCT word, not per occurrence: the
+# corpus collapses to the vocab first (llm_bpe_merges' discipline), the
+# merge chain runs as nested greedy left-folds over the vocab-sized
+# relation only, and the per-doc counts come from joining the corpus word
+# stream back against the encoded vocab (vocab-sized build side).  This
+# is exactly how production tokenizers amortize encoding at 100 TB.
+#
+# Greedy semantics shared with llm_bpe_train (left-to-right,
+# non-overlapping, merges applied in table order so later merges compound
+# on earlier outputs); the oracle derives the same positions by the
+# gaps-and-islands algebra — a different algorithm, so a shared
+# misreading cannot self-confirm.
+# Reference parity: tokenizer workloads reach the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_BPE_ENCODE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r")]
+
+
+def _merge_fold(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into a||b (left fold,
+    identical to llm_bpe_train's per-round merge)."""
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(F.lit(a), s))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    parts = [
+        """v1 AS (
+  SELECT w, string_split(w, '') AS syms
+  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 1
+)"""
+    ]
+    for r, (a, b) in enumerate(_BPE_ENCODE_MERGES, start=1):
+        parts.append(
+            f"""h{r} AS (
+  SELECT s.w, u.i,
+         u.i - ROW_NUMBER() OVER (PARTITION BY s.w ORDER BY u.i) AS grp
+  FROM v{r} s, unnest(range(1, len(s.syms))) AS u(i)
+  WHERE s.syms[u.i] = '{a}' AND s.syms[u.i+1] = '{b}'
+),
+g{r} AS (
+  SELECT w, i FROM (
+    SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i) AS rk
+    FROM h{r}
+  ) WHERE rk % 2 = 1
+),
+v{r + 1} AS (
+  SELECT p.w,
+         list(CASE WHEN gm.i IS NOT NULL THEN p.sym || p.nxt ELSE p.sym END
+              ORDER BY p.j) AS syms
+  FROM (SELECT s.w, u.j, s.syms[u.j] AS sym, s.syms[u.j+1] AS nxt
+        FROM v{r} s, unnest(range(1, len(s.syms) + 1)) AS u(j)) p
+  LEFT JOIN g{r} gm ON gm.w = p.w AND gm.i = p.j
+  LEFT JOIN g{r} gs ON gs.w = p.w AND gs.i = p.j - 1
+  WHERE gs.i IS NULL
+  GROUP BY p.w
+)"""
+        )
+    final_v = f"v{len(_BPE_ENCODE_MERGES) + 1}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS toks FROM {final_v}),
+docw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(d.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(e.toks) AS BIGINT) AS n_tokens,
+       ROUND(SUM(len(d.w)) * 1.0 / SUM(e.toks), 6) AS chars_per_token
+FROM docw d JOIN enc e ON d.w = e.w
+GROUP BY d.doc_id"""
+    )
+
+
+@register("llm_bpe_encode", oracle=_bpe_encode_oracle())
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .distinct()
+        .withColumn("syms", F.split("w", ""))
+    )
+    syms = F.col("syms")
+    for a, b in _BPE_ENCODE_MERGES:
+        syms = _merge_fold(syms, a, b)
+    enc = vocab.select("w", F.size(syms).cast("bigint").alias("toks"))
+    docw = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    return (
+        docw.join(enc, "w")  # vocab-sized build side; AQE may broadcast it
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.length("w")) * 1.0 / F.sum("toks"), 6
+            ).alias("chars_per_token"),
+        )
+    )

@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "llm_sorted_neighborhood",    # NEW r7: SNM blocking dedup (SimHash blocks)
     "graph_label_propagation",    # NEW r7: K-round LPA community detection
     "agg_corr_matrix",            # NEW r7: one-pass pairwise Pearson matrix
+    "llm_bpe_encode",             # NEW r7: merge-table application (vocab-level)
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

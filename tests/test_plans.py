@@ -539,3 +539,14 @@ def test_corr_matrix_single_pass_no_join(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bpe_encode_encodes_vocab_not_occurrences(spark, sf_dir):
+    # The merge-chain folds must run over the DISTINCT-word relation (an
+    # aggregate precedes them), and the corpus word stream joins back via
+    # an equi-join — no cartesian, no per-occurrence fold evaluation.
+    plan = _plan(spark, sf_dir, "llm_bpe_encode")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the vocab side dedups before the fold projection:
+    assert "HashAggregate" in plan

@@ -1308,3 +1308,21 @@ def test_corr_matrix_perfect_and_independent(spark, tmp_path):
     assert out[("qty", "tax")] == -1.0
     assert out[("qty", "disc")] is None and out[("price", "disc")] is None
     assert len(out) == 6
+
+
+def test_bpe_encode_merge_chain_hand_traced(spark, tmp_path):
+    # merges: t+h→th, th+e→the, i+n→in, e+r→er applied in order.
+    #  "the"    → [t,h,e] → [th,e] → [the]                 = 1 token
+    #  "thin"   → [t,h,i,n] → [th,i,n] → th + in           = 2 tokens
+    #  "herder" → h,e,r,d,e,r → (no th) → h,er,d,er        = 4 tokens
+    #  "ththth" → greedy non-overlap → th,th,th            = 3 tokens
+    rows = [(1, "the thin herder ththth", "en", "s", 1)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = eng.queries()["llm_bpe_encode"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_words"] == 4
+    assert r["n_chars"] == len("the") + len("thin") + len("herder") + len("ththth")
+    assert r["n_tokens"] == 1 + 2 + 4 + 3
+    assert abs(r["chars_per_token"] - round(r["n_chars"] / r["n_tokens"], 6)) < 1e-9
