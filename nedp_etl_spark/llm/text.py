@@ -292,3 +292,90 @@ def llm_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(h).alias("entropy"),
         h.between(2.0, 5.0).alias("passes_filter"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_quality_classifier — fastText-style LINEAR quality model (the
+# CCNet / RedPajama-class learned filter, vs llm_quality_score's hand
+# thresholds): five map-side features → fixed published-style weights →
+# logistic score → keep decision.  Pure scan→score pipeline stage; zero
+# shuffles at any corpus size (the type-token ratio folds in-array).
+#
+# Cross-engine determinism: features are ratios of integers (bit-identical
+# IEEE divisions), the logit accumulates in one fixed expression order,
+# and the KEEP decision compares the 6-dp-ROUNDED logit against 0 — an
+# exact comparison on both engines; only the reported sigmoid itself
+# carries the usual ≤1-ulp libm exp() risk inside its own 6-dp round
+# (the fn_trig precedent).
+# Reference parity: classifier SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_QC_W = {
+    "bias": -2.1,
+    "stop": 6.0,       # stopword ratio: fluent prose has function words
+    "punct": -8.0,     # symbol soup is a negative signal
+    "mtl": 0.12,       # mean token length
+    "loglen": 0.55,    # ln(1 + tokens): longer docs score higher, saturating
+    "ttr": 1.5,        # type-token ratio: vocabulary diversity
+}
+
+_QC_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','a','of','and','scan','join'], t))) AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_types
+  FROM documents
+),
+z AS (
+  SELECT doc_id, lang, n_tokens,
+         {_QC_W['bias']} + {_QC_W['stop']} * (n_stop * 1.0 / n_tokens)
+           + {_QC_W['punct']} * (n_punct * 1.0 / n_chars)
+           + {_QC_W['mtl']} * (n_chars * 1.0 / n_tokens)
+           + {_QC_W['loglen']} * ln(1.0 + n_tokens)
+           + {_QC_W['ttr']} * (n_types * 1.0 / n_tokens) AS logit
+  FROM f WHERE n_tokens > 0 AND n_chars > 0
+)
+SELECT doc_id, lang, n_tokens,
+       ROUND(logit, 6) AS logit,
+       ROUND(1.0 / (1.0 + exp(-ROUND(logit, 6))), 6) AS prob,
+       ROUND(logit, 6) >= 0 AS keep
+FROM z
+"""
+
+
+@register("llm_quality_classifier", oracle=_QC_ORACLE)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "scan", "join")])
+    f = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.col("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit("[^A-Za-z0-9 ]"), 0)).alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+    ).filter((F.col("n_tokens") > 0) & (F.col("n_chars") > 0))
+    logit = (
+        F.lit(_QC_W["bias"])
+        + _QC_W["stop"] * (F.col("n_stop") * 1.0 / F.col("n_tokens"))
+        + _QC_W["punct"] * (F.col("n_punct") * 1.0 / F.col("n_chars"))
+        + _QC_W["mtl"] * (F.col("n_chars") * 1.0 / F.col("n_tokens"))
+        + _QC_W["loglen"] * F.log(1.0 + F.col("n_tokens"))
+        + _QC_W["ttr"] * (F.col("n_types") * 1.0 / F.col("n_tokens"))
+    )
+    zr = F.round(logit, 6)
+    return f.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        zr.alias("logit"),
+        F.round(1.0 / (1.0 + F.exp(-zr)), 6).alias("prob"),
+        (zr >= 0).alias("keep"),
+    )

@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "graph_label_propagation",    # NEW r7: K-round LPA community detection
     "agg_corr_matrix",            # NEW r7: one-pass pairwise Pearson matrix
     "llm_bpe_encode",             # NEW r7: merge-table application (vocab-level)
+    "llm_quality_classifier",     # NEW r7: fastText-style logistic quality model
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

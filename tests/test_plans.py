@@ -550,3 +550,12 @@ def test_bpe_encode_encodes_vocab_not_occurrences(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the vocab side dedups before the fold projection:
     assert "HashAggregate" in plan
+
+
+def test_quality_classifier_pure_map(spark, sf_dir):
+    # Learned-filter scoring is a scan→score map: no exchange at all in
+    # the plan (zero shuffles at any corpus size).
+    plan = _plan(spark, sf_dir, "llm_quality_classifier")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Scan parquet" in plan

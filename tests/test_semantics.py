@@ -1326,3 +1326,27 @@ def test_bpe_encode_merge_chain_hand_traced(spark, tmp_path):
     assert r["n_chars"] == len("the") + len("thin") + len("herder") + len("ththth")
     assert r["n_tokens"] == 1 + 2 + 4 + 3
     assert abs(r["chars_per_token"] - round(r["n_chars"] / r["n_tokens"], 6)) < 1e-9
+
+
+def test_quality_classifier_hand_computed_logit(spark, tmp_path):
+    # Single doc with hand-countable features; the logit must equal the
+    # weight formula exactly and keep must reflect its sign.
+    import math
+
+    text = "the cat sat of the mat !!"
+    # tokens: 7 (the,cat,sat,of,the,mat,!!) types: 6  stopwords: the,of,the = 3
+    # punct (non-alnum, non-space): '!','!' = 2   chars = len(text)
+    rows = [(1, text, "en", "s", len(text))]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = eng.queries()["llm_quality_classifier"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    n_tok, n_chars, n_punct, n_stop, n_types = 7, len(text), 2, 3, 6
+    z = (-2.1 + 6.0 * (n_stop / n_tok) - 8.0 * (n_punct / n_chars)
+         + 0.12 * (n_chars / n_tok) + 0.55 * math.log(1.0 + n_tok)
+         + 1.5 * (n_types / n_tok))
+    assert r["n_tokens"] == n_tok
+    assert abs(r["logit"] - round(z, 6)) < 1e-9
+    assert r["keep"] == (round(z, 6) >= 0)
+    assert abs(r["prob"] - round(1 / (1 + math.exp(-round(z, 6))), 6)) < 1e-6
