@@ -953,21 +953,65 @@ _CORR_MATRIX_ORACLE = _corr_matrix_oracle()
 @register("agg_corr_matrix", oracle=_CORR_MATRIX_ORACLE)
 def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    qcols = {
-        n: F.floor(F.col(col) * 1_000_000.0 + 0.5).cast("long") for n, col in _CORR_VARS
-    }
-    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — (19,0)×(19,0) → (38,0)
+    # Exact accumulation WITHOUT per-row decimals (the decimal sum path is
+    # interpreted/BigDecimal — ~5× slower than codegen int64 sums): each
+    # quantized non-negative value splits into 2^20-radix limbs
+    # (hi < 2^17, lo < 2^20), a product contributes three int64-safe
+    # component sums (hi·hi ≤ 2^34, cross ≤ 2^38, lo·lo ≤ 2^40 — each sum
+    # bounded by rows×2^40 < 2^63 up to ~8e6 rows/group; beyond that,
+    # raise the radix split), and the EXACT product sum is reconstructed
+    # in decimal once per GROUP: s_ab = s_hh·2^40 + s_x·2^20 + s_ll.
+    # The oracle accumulates direct HUGEINT products — a different
+    # algebra, so a shared limb-math bug cannot self-confirm.
+    _RADIX = 1 << 20
+    qd = li.select(
+        "l_returnflag",
+        *[
+            F.floor(F.col(col) * 1_000_000.0 + 0.5).cast("long").alias(f"q_{n}")
+            for n, col in _CORR_VARS
+        ],
+    ).select(
+        "l_returnflag",
+        *[F.col(f"q_{n}") for n, _ in _CORR_VARS],
+        *[(F.col(f"q_{n}") / _RADIX).cast("long").alias(f"hi_{n}") for n, _ in _CORR_VARS],
+        *[(F.col(f"q_{n}") % _RADIX).alias(f"lo_{n}") for n, _ in _CORR_VARS],
+    )
+    prods = [(a, b) for a, _ in _CORR_VARS for b, _ in _CORR_VARS
+             if (a, b) in _CORR_PAIRS or a == b]
     aggs = (
         [F.count(F.lit(1)).alias("n")]
-        + [F.sum(dec(qcols[n])).alias(f"s_{n}") for n, _ in _CORR_VARS]
+        + [F.sum(f"q_{n}").cast("decimal(19,0)").alias(f"s_{n}") for n, _ in _CORR_VARS]
         + [
-            F.sum(dec(qcols[a]) * dec(qcols[b])).alias(f"s_{a}_{b}")
-            for a, _ in _CORR_VARS
-            for b, _ in _CORR_VARS
-            if (a, b) in _CORR_PAIRS or a == b
+            agg
+            for a, b in prods
+            for agg in (
+                F.sum(F.col(f"hi_{a}") * F.col(f"hi_{b}")).alias(f"hh_{a}_{b}"),
+                F.sum(
+                    F.col(f"hi_{a}") * F.col(f"lo_{b}")
+                    + F.col(f"lo_{a}") * F.col(f"hi_{b}")
+                ).alias(f"x_{a}_{b}"),
+                F.sum(F.col(f"lo_{a}") * F.col(f"lo_{b}")).alias(f"ll_{a}_{b}"),
+            )
         ]
     )
-    s = li.groupBy("l_returnflag").agg(*aggs)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = (
+        qd.groupBy("l_returnflag")
+        .agg(*aggs)
+        .select(
+            "l_returnflag",
+            "n",
+            *[F.col(f"s_{n}") for n, _ in _CORR_VARS],
+            *[
+                (
+                    dec(f"hh_{a}_{b}") * (_RADIX * _RADIX)
+                    + dec(f"x_{a}_{b}") * _RADIX
+                    + dec(f"ll_{a}_{b}")
+                ).alias(f"s_{a}_{b}")
+                for a, b in prods
+            ],
+        )
+    )
 
     def corr(a: str, b: str) -> F.Column:
         # zero-variance guard on EXACT decimals (ANSI divide-by-zero guard)
