@@ -689,3 +689,89 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.adiff").alias("abs_us"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_temporal_scd2 — the warehouse temporal join: facts match the
+# dimension version VALID AT the fact's timestamp (orders × an SCD2
+# customer snapshot on custkey + validity interval).  The dimension is
+# derived deterministically from customer — odd custkeys migrate segment
+# on 1997-07-01 (two versions), even custkeys keep one eternal version —
+# so both engines build the identical snapshot and the join is
+# fixture-reproducible.
+#
+# Scale shape: the join is an EQUI-join on custkey with the interval
+# predicate as a residual filter — the hash/sort-merge strategy keys on
+# custkey alone, so there is no range-bin explosion and no nested loop;
+# versions-per-key is SCD2-bounded (change count), keeping the residual
+# scan per key trivial.  At 100 TB the dim side broadcasts if it fits,
+# else co-shuffles on the key like any fact⋈dim join.
+# Reference parity: dbt snapshots (reference reach: dbtoperator.py:273-274)
+# produce exactly these valid_from/valid_to tables; this is the read path.
+# --------------------------------------------------------------------------
+
+_SCD2_CUT = "1997-07-01 00:00:00"
+_SCD2_END = "9999-12-31 00:00:00"
+_SCD2_T0 = "1990-01-01 00:00:00"
+
+_JOIN_SCD2_ORACLE = f"""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment, 1 AS version,
+         TIMESTAMP '{_SCD2_T0}' AS valid_from,
+         CASE WHEN c_custkey % 2 = 1 THEN TIMESTAMP '{_SCD2_CUT}'
+              ELSE TIMESTAMP '{_SCD2_END}' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'MIGRATED-' || c_mktsegment, 2,
+         TIMESTAMP '{_SCD2_CUT}', TIMESTAMP '{_SCD2_END}'
+  FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT o.o_orderkey, o.o_custkey,
+       strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS order_day,
+       d.segment, CAST(d.version AS INT) AS version
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+ AND CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to
+"""
+
+
+@register("join_temporal_scd2", oracle=_JOIN_SCD2_ORACLE)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).alias("version"),
+        F.lit(_SCD2_T0).cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 2 == 1, F.lit(_SCD2_CUT).cast("timestamp")
+        )
+        .otherwise(F.lit(_SCD2_END).cast("timestamp"))
+        .alias("valid_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        F.concat(F.lit("MIGRATED-"), F.col("c_mktsegment")).alias("segment"),
+        F.lit(2).alias("version"),
+        F.lit(_SCD2_CUT).cast("timestamp").alias("valid_from"),
+        F.lit(_SCD2_END).cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    od = F.col("o_orderdate").cast("timestamp")
+    return (
+        o.join(
+            dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (od >= F.col("valid_from"))
+            & (od < F.col("valid_to")),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format(od, "yyyy-MM-dd").alias("order_day"),
+            "segment",
+            F.col("version").cast("int").alias("version"),
+        )
+    )

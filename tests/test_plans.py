@@ -559,3 +559,12 @@ def test_quality_classifier_pure_map(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Scan parquet" in plan
+
+
+def test_temporal_scd2_is_equi_join_on_key(spark, sf_dir):
+    # The interval predicate must ride as a residual on a custkey
+    # EQUI-join — never a nested loop / cartesian over versions.
+    plan = _plan(spark, sf_dir, "join_temporal_scd2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)

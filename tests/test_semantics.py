@@ -1350,3 +1350,27 @@ def test_quality_classifier_hand_computed_logit(spark, tmp_path):
     assert abs(r["logit"] - round(z, 6)) < 1e-9
     assert r["keep"] == (round(z, 6) >= 0)
     assert abs(r["prob"] - round(1 / (1 + math.exp(-round(z, 6))), 6)) < 1e-6
+
+
+def test_temporal_scd2_versions_partition_time(spark, tmp_path):
+    # Odd customer 1 migrates on 1997-07-01: an order before the cut must
+    # see version 1 with the original segment, an order on/after it must
+    # see version 2 MIGRATED-; even customer 2 always sees version 1.
+    # Exactly one dim version matches every order (intervals partition
+    # time) — no dropped or duplicated facts.
+    import datetime as dt
+
+    _write(spark, tmp_path, "customer",
+           [(1, "n1", 0, 0.0, "AUTO"), (2, "n2", 0, 0.0, "STEEL")],
+           "c_custkey bigint, c_name string, c_nationkey int, "
+           "c_acctbal double, c_mktsegment string")
+    _write(spark, tmp_path, "orders",
+           [(10, 1, dt.datetime(1997, 6, 30)), (11, 1, dt.datetime(1997, 7, 1)),
+            (12, 2, dt.datetime(1998, 1, 1))],
+           "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp")
+    out = {r["o_orderkey"]: r for r in
+           eng.queries()["join_temporal_scd2"](spark, str(tmp_path)).collect()}
+    assert len(out) == 3  # every fact matched exactly once
+    assert (out[10]["segment"], out[10]["version"]) == ("AUTO", 1)
+    assert (out[11]["segment"], out[11]["version"]) == ("MIGRATED-AUTO", 2)
+    assert (out[12]["segment"], out[12]["version"]) == ("STEEL", 1)
