@@ -841,3 +841,46 @@ def sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.parquet(path)
     return back.filter(F.col("o_orderkey") % 1000 == 7)
+
+
+# --------------------------------------------------------------------------
+# scan_file_metadata — per-row lineage via the parquet reader's hidden
+# ``_metadata`` struct (file_name, row_index): the provenance columns a
+# 100 TB lake pipeline attaches to every ingested row for audit /
+# incremental reconciliation.  Purely a scan-time projection — zero extra
+# I/O (metadata comes from reader state, not data pages) plus one tiny
+# aggregate.  The oracle cannot see filenames through its table views, so
+# the compared output is the INVARIANT the provenance contract promises:
+# with the single-file fixture, row_index must be a COMPLETE 0-based
+# sequence (first 0, last n-1, sum n(n-1)/2 — any duplicate, hole, or
+# 1-based indexing breaks the sum) and the file count must be 1; the
+# multi-file layout (per-file restart of the sequence) is pinned by the
+# planted semantic test, which writes a 2-file table.
+# --------------------------------------------------------------------------
+
+_SCAN_FILE_META_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS first_row_index,
+       CAST(COUNT(*) - 1 AS BIGINT) AS last_row_index,
+       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS sum_row_index,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey
+FROM orders
+"""
+
+
+@register("scan_file_metadata", oracle=_SCAN_FILE_META_ORACLE)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.row_index").alias("row_index"),
+        "o_orderkey",
+    ).agg(
+        F.countDistinct("file_name").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("row_index").cast("bigint").alias("first_row_index"),
+        F.max("row_index").cast("bigint").alias("last_row_index"),
+        F.sum("row_index").cast("bigint").alias("sum_row_index"),
+        F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+    )

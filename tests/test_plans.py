@@ -568,3 +568,15 @@ def test_temporal_scd2_is_equi_join_on_key(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_file_metadata_zero_extra_io(spark, sf_dir):
+    # Provenance is reader-state, not data: exactly one parquet scan and
+    # one aggregate, no join, and the scan reads only o_orderkey from the
+    # data pages (the _metadata struct is a constant-folded reader column).
+    plan = _plan(spark, sf_dir, "scan_file_metadata")
+    assert "Join" not in plan
+    # the only DATA column read is o_orderkey; row_index/file_name are
+    # reader-state columns appended to the scan output, not page reads
+    assert "ReadSchema: struct<o_orderkey:bigint" in plan
+    assert "FileScan parquet [o_orderkey" in plan

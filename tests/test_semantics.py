@@ -1374,3 +1374,26 @@ def test_temporal_scd2_versions_partition_time(spark, tmp_path):
     assert (out[10]["segment"], out[10]["version"]) == ("AUTO", 1)
     assert (out[11]["segment"], out[11]["version"]) == ("MIGRATED-AUTO", 2)
     assert (out[12]["segment"], out[12]["version"]) == ("STEEL", 1)
+
+
+def test_file_metadata_multi_file_row_index_restarts(spark, tmp_path):
+    # Two-file table: row_index must restart at 0 PER FILE (the per-file
+    # provenance contract), so with files of sizes a and b the global
+    # stats are first=0, last=max(a,b)-1, sum=Σ per-file n(n-1)/2,
+    # n_files=2 — the layout the single-file oracle can't exercise.
+    df = spark.range(10).selectExpr("id AS o_orderkey")
+    df.repartition(2).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = eng.queries()["scan_file_metadata"](spark, str(tmp_path)).collect()[0]
+    assert out["n_files"] == 2
+    assert out["n_rows"] == 10
+    assert out["first_row_index"] == 0
+    # read back actual per-file sizes to compute the expected sum/last
+    import collections
+    per = collections.Counter(
+        r["f"] for r in spark.read.parquet(str(tmp_path / "orders.parquet"))
+        .selectExpr("_metadata.file_name AS f").collect()
+    )
+    sizes = sorted(per.values())
+    assert out["last_row_index"] == max(sizes) - 1
+    assert out["sum_row_index"] == sum(n * (n - 1) // 2 for n in sizes)
+    assert out["min_orderkey"] == 0
