@@ -536,3 +536,68 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# stream_state_reader — the Spark 4 State Data Source (state introspection
+# / debugging, the capability behind offline state repair and migration):
+# run a stateful per-user streaming aggregation to a checkpoint, then read
+# the RESULTING STATE STORE back with ``spark.read.format("statestore")``
+# and return the per-key state.  The oracle is the batch GROUP BY over the
+# same events — streaming state at drain time MUST equal the batch
+# aggregate, making the state file itself the thing under test.
+#
+# Exactness: values quantize to 6-dp micros BEFORE the streaming sum, so
+# per-key state accumulates int64 (order-independent across micro-batch
+# arrival order — the util.dsum discipline applied to streaming state).
+# Scale shape: keyed state (one row per user), one shuffle on user_id;
+# the state read is a metadata-sized scan of the checkpoint, not the data.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_state_reader",
+    oracle=f"""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {osum('value')} AS sum_value
+FROM events GROUP BY user_id
+""",
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nedp_etl_spark.operators.scans import _scratch
+
+    s = _isolated(spark)
+    ckpt = _scratch("stream_state_reader_ckpt", sf_dir)
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh state per run
+    os.makedirs(ckpt, exist_ok=True)
+    ev = _stream_events(s, sf_dir).select(
+        "user_id",
+        F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("long").alias("vq"),
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vq").alias("sq")
+    )
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_reader_drain")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("stream_state_reader: drain stalled (environment)")
+    st = s.read.format("statestore").load(ckpt)
+    # the state value struct carries the INTERNAL aggregation buffer
+    # field names (count, sum), not the query aliases
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+        (F.col("value.sum").cast("double") / 1_000_000.0).alias("sum_value"),
+    )

@@ -580,3 +580,12 @@ def test_file_metadata_zero_extra_io(spark, sf_dir):
     # reader-state columns appended to the scan output, not page reads
     assert "ReadSchema: struct<o_orderkey:bigint" in plan
     assert "FileScan parquet [o_orderkey" in plan
+
+
+def test_state_reader_reads_checkpoint_not_data(spark, sf_dir):
+    # The returned relation must be a statestore scan + projection — the
+    # event data itself is only touched inside the already-drained
+    # streaming query, never re-scanned for the result.
+    plan = _plan(spark, sf_dir, "stream_state_reader")
+    assert "Join" not in plan
+    assert "events.parquet" not in plan  # no fixture re-scan

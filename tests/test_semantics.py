@@ -1397,3 +1397,30 @@ def test_file_metadata_multi_file_row_index_restarts(spark, tmp_path):
     assert out["last_row_index"] == max(sizes) - 1
     assert out["sum_row_index"] == sum(n * (n - 1) // 2 for n in sizes)
     assert out["min_orderkey"] == 0
+
+
+def test_state_reader_state_equals_batch_aggregate(spark, tmp_path):
+    # The read-back state store must equal the batch GROUP BY exactly —
+    # including keys seen in DIFFERENT micro-batch arrival order (values
+    # quantized to micros pre-sum, so state is order-independent).
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, u, "view", base + dt.timedelta(minutes=i), v)
+            for i, (u, v) in enumerate([(1, 1.5), (2, 2.25), (1, 3.5), (2, -0.25), (3, 7.0)])]
+    # single FILE (not a Spark directory): the streaming source stages the
+    # fixture by linking the file, the pattern test_streaming.py uses
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in
+           eng.queries()["stream_state_reader"](spark, str(tmp_path)).collect()}
+    assert out == {1: (2, 5.0), 2: (2, 2.0), 3: (1, 7.0)}
