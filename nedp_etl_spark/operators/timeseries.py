@@ -1313,3 +1313,102 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vq") / 1_000_000.0, 6).alias("v"),
         corr.alias("corr7"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_time_weighted_avg — LOCF time-weighted average per (event_type, day)
+# (the TimescaleDB `time_weight('LOCF')` shape): each sample's value holds
+# until the next sample, so irregular sampling doesn't bias the mean the
+# way a plain AVG does (a burst of readings at one level would otherwise
+# swamp a long steady period at another).  TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (tₙ−t₁);
+# the last sample carries no weight; a single-sample (or zero-span) day
+# degenerates to its first value.
+#
+# Exactness: gap durations are exact integer MILLISECONDS (epoch-µs
+# integer-division — both engines agree bit-for-bit), values quantize to
+# 6-dp micros, and the integral Σ vq·Δt accumulates as int64 — safe
+# because Σ Δt telescopes to ≤ one day (8.64e7 ms), bounding the sum by
+# |v|ₘₐₓ·1e6·8.64e7 (< 2^63 for |v| up to ~10⁵).  Order ties break on
+# event_id so LEAD is total on both engines.
+# Scale shape: one event_type-keyed window (LEAD) + one keyed aggregate;
+# per-partition state is one series.
+# Reference parity: windowed SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq,
+         event_id
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT event_type, d, tms, vq,
+         LEAD(tms) OVER (PARTITION BY event_type, d
+                         ORDER BY tms, event_id) AS nxt,
+         FIRST_VALUE(vq) OVER (PARTITION BY event_type, d
+                               ORDER BY tms, event_id) AS v1
+  FROM s
+),
+a AS (
+  SELECT event_type, d,
+         SUM(CASE WHEN nxt IS NOT NULL THEN vq * (nxt - tms) END) AS ws,
+         MAX(tms) - MIN(tms) AS span_ms,
+         COUNT(*) AS n,
+         MIN(v1) AS v1
+  FROM g GROUP BY event_type, d
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(span_ms AS BIGINT) AS span_ms,
+       CASE WHEN span_ms > 0
+            THEN ROUND((CAST(ws AS DOUBLE) / CAST(span_ms AS DOUBLE)) / 1000000.0, 6)
+            ELSE ROUND(v1 / 1000000.0, 6) END AS twa
+FROM a
+"""
+
+
+@register("ts_time_weighted_avg", oracle=_TWA_ORACLE)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.expr("unix_micros(ts) div 1000").alias("tms"),  # exact int division
+        F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("long").alias("vq"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "d").orderBy("tms", "event_id")
+    g = s.select(
+        "event_type",
+        "d",
+        "tms",
+        "vq",
+        F.lead("tms").over(w).alias("nxt"),
+        F.first("vq").over(w).alias("v1"),
+    )
+    a = g.groupBy("event_type", "d").agg(
+        F.sum(
+            F.when(F.col("nxt").isNotNull(), F.col("vq") * (F.col("nxt") - F.col("tms")))
+        ).alias("ws"),
+        (F.max("tms") - F.min("tms")).alias("span_ms"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("v1").alias("v1"),
+    )
+    twa = F.when(
+        F.col("span_ms") > 0,
+        F.round(
+            (F.col("ws").cast("double") / F.col("span_ms").cast("double"))
+            / 1_000_000.0,
+            6,
+        ),
+    ).otherwise(F.round(F.col("v1") / 1_000_000.0, 6))
+    return a.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n_samples"),
+        F.col("span_ms").cast("bigint").alias("span_ms"),
+        twa.alias("twa"),
+    )

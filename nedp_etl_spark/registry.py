@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "join_temporal_scd2",         # NEW r7: validity-interval temporal join
     "scan_file_metadata",         # NEW r7: _metadata provenance invariants
     "stream_state_reader",        # NEW r7: State Data Source introspection
+    "ts_time_weighted_avg",       # NEW r7: LOCF time-weighted average
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

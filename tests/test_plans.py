@@ -589,3 +589,12 @@ def test_state_reader_reads_checkpoint_not_data(spark, sf_dir):
     plan = _plan(spark, sf_dir, "stream_state_reader")
     assert "Join" not in plan
     assert "events.parquet" not in plan  # no fixture re-scan
+
+
+def test_twa_one_keyed_window_one_aggregate(spark, sf_dir):
+    # LEAD + FIRST share one (event_type, d)-keyed Window; the integral is
+    # a single keyed aggregate over the windowed relation — no self-join.
+    plan = _plan(spark, sf_dir, "ts_time_weighted_avg")
+    assert plan.count("Window [") == 1
+    assert "windowspecdefinition(event_type" in plan
+    assert "Join" not in plan

@@ -1424,3 +1424,27 @@ def test_state_reader_state_equals_batch_aggregate(spark, tmp_path):
     out = {r["user_id"]: (r["n_events"], r["sum_value"]) for r in
            eng.queries()["stream_state_reader"](spark, str(tmp_path)).collect()}
     assert out == {1: (2, 5.0), 2: (2, 2.0), 3: (1, 7.0)}
+
+
+def test_twa_locf_weighting_hand_computed(spark, tmp_path):
+    # Series: v=10 held for 9s, then v=100 held for 1s, then final sample
+    # (no weight).  Plain AVG of the three samples would be 40; LOCF TWA
+    # = (10*9000 + 100*1000) / 10000 = 19.  A single-sample day returns
+    # its value with span 0.
+    import datetime as dt
+
+    b = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (1, 1, "m", b, 10.0),
+        (2, 1, "m", b + dt.timedelta(seconds=9), 100.0),
+        (3, 1, "m", b + dt.timedelta(seconds=10), 7.0),
+        (4, 1, "m", b + dt.timedelta(days=1), 42.5),  # next day, single sample
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id bigint, user_id bigint, event_type string, ts timestamp, value double")
+    out = {r["day"]: r for r in
+           eng.queries()["ts_time_weighted_avg"](spark, str(tmp_path)).collect()}
+    d1, d2 = out["2024-05-01"], out["2024-05-02"]
+    assert (d1["n_samples"], d1["span_ms"]) == (3, 10_000)
+    assert d1["twa"] == 19.0
+    assert (d2["n_samples"], d2["span_ms"], d2["twa"]) == (1, 0, 42.5)
