@@ -1412,3 +1412,141 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_ms").cast("bigint").alias("span_ms"),
         twa.alias("twa"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_lttb — Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013,
+# the visual-fidelity decimator behind Grafana/Timescale rendering), in
+# its PARALLEL variant: each of K buckets elects the point forming the
+# largest triangle with the NEIGHBOR BUCKETS' centroids (classic LTTB
+# anchors on the previously-elected point — an inherently sequential
+# chain; substituting the previous bucket's centroid removes the
+# cross-bucket dependency so all buckets elect concurrently, the standard
+# scale-out adaptation).  First and last buckets keep their boundary
+# points, preserving the series endpoints.
+#
+# Determinism: centroids divide exact int64 sums (identical doubles both
+# engines), triangle areas compute in one fixed expression order and are
+# ROUNDED to 6 dp before the argmax, ties break on event_id (the
+# llm_pq_encode argmin discipline).
+# Scale shape: two event_type-keyed windows (position, then per-bucket
+# argmax), one bucket-level aggregate (K rows per series) re-joined by
+# (type, bucket) — the join's build side is series×K rows.  No
+# cross-bucket sequential dependency: 100 TB of points decimate in one
+# pass.
+# Reference parity: windowed SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_LTTB_K = 12
+
+_LTTB_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS t,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+p AS (
+  SELECT *, ROW_NUMBER() OVER w AS rn, COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id)
+),
+b AS (
+  SELECT *, CAST(FLOOR((rn - 1) * {_LTTB_K} * 1.0 / n) AS BIGINT) AS bucket FROM p
+),
+c AS (
+  SELECT event_type, bucket,
+         CAST(SUM(t) AS DOUBLE) / COUNT(*) AS cx,
+         CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS cy
+  FROM b GROUP BY event_type, bucket
+),
+nbr AS (
+  SELECT event_type, bucket,
+         LAG(cx)  OVER w AS px, LAG(cy)  OVER w AS py,
+         LEAD(cx) OVER w AS nx, LEAD(cy) OVER w AS ny
+  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+scored AS (
+  SELECT b.event_type, b.bucket, b.event_id, b.t, b.vq, b.rn, b.n,
+         CASE WHEN nbr.px IS NULL OR nbr.nx IS NULL THEN NULL
+              ELSE ROUND(ABS((nbr.px - nbr.nx) * (b.vq - nbr.py)
+                           - (nbr.px - b.t) * (nbr.ny - nbr.py)), 6) END AS area
+  FROM b JOIN nbr ON b.event_type = nbr.event_type AND b.bucket = nbr.bucket
+),
+elected AS (
+  SELECT * FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type, bucket
+             ORDER BY CASE WHEN area IS NULL AND bucket = 0 THEN rn
+                           WHEN area IS NULL THEN -rn END,
+                      area DESC, event_id) AS pick
+    FROM scored) WHERE pick = 1
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket, event_id,
+       CAST(t AS BIGINT) AS t_ms, ROUND(vq / 1000000.0, 6) AS v
+FROM elected
+"""
+
+
+@register("ts_lttb", oracle=_LTTB_ORACLE)
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000").alias("t"),
+        F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("long").alias("vq"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("t", "event_id")
+    wt = Window.partitionBy("event_type")
+    p = s.select(
+        "*", F.row_number().over(wo).alias("rn"), F.count(F.lit(1)).over(wt).alias("n")
+    )
+    b = p.withColumn(
+        "bucket", F.floor((F.col("rn") - 1) * _LTTB_K * 1.0 / F.col("n")).cast("bigint")
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("cx"),
+        (F.sum("vq").cast("double") / F.count(F.lit(1))).alias("cy"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    nbr = c.select(
+        "event_type",
+        "bucket",
+        F.lag("cx").over(wb).alias("px"),
+        F.lag("cy").over(wb).alias("py"),
+        F.lead("cx").over(wb).alias("nx"),
+        F.lead("cy").over(wb).alias("ny"),
+    )
+    scored = b.join(nbr, ["event_type", "bucket"]).withColumn(
+        "area",
+        F.when(
+            F.col("px").isNull() | F.col("nx").isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                F.abs(
+                    (F.col("px") - F.col("nx")) * (F.col("vq") - F.col("py"))
+                    - (F.col("px") - F.col("t")) * (F.col("ny") - F.col("py"))
+                ),
+                6,
+            )
+        ),
+    )
+    pick_order = F.when(
+        F.col("area").isNull() & (F.col("bucket") == 0), F.col("rn")
+    ).when(F.col("area").isNull(), -F.col("rn"))
+    wpick = Window.partitionBy("event_type", "bucket").orderBy(
+        pick_order, F.col("area").desc(), "event_id"
+    )
+    elected = (
+        scored.withColumn("pick", F.row_number().over(wpick))
+        .filter(F.col("pick") == 1)
+    )
+    return elected.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "event_id",
+        F.col("t").cast("bigint").alias("t_ms"),
+        F.round(F.col("vq") / 1_000_000.0, 6).alias("v"),
+    )

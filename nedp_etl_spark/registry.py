@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "scan_file_metadata",         # NEW r7: _metadata provenance invariants
     "stream_state_reader",        # NEW r7: State Data Source introspection
     "ts_time_weighted_avg",       # NEW r7: LOCF time-weighted average
+    "ts_lttb",                    # NEW r7: parallel LTTB downsampling
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -598,3 +598,13 @@ def test_twa_one_keyed_window_one_aggregate(spark, sf_dir):
     assert plan.count("Window [") == 1
     assert "windowspecdefinition(event_type" in plan
     assert "Join" not in plan
+
+
+def test_lttb_keyed_windows_and_small_join(spark, sf_dir):
+    # Both windows key on event_type (position) / event_type+bucket
+    # (argmax); the centroid-neighbor join is an equi-join whose build
+    # side is series×K rows — no cartesian, no global window.
+    plan = _plan(spark, sf_dir, "ts_lttb")
+    assert "windowspecdefinition(event_type" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1448,3 +1448,26 @@ def test_twa_locf_weighting_hand_computed(spark, tmp_path):
     assert (d1["n_samples"], d1["span_ms"]) == (3, 10_000)
     assert d1["twa"] == 19.0
     assert (d2["n_samples"], d2["span_ms"], d2["twa"]) == (1, 0, 42.5)
+
+
+def test_lttb_elects_spike_and_keeps_endpoints(spark, tmp_path):
+    # 24 points, flat at v=10 except a spike v=500 mid-series: the spike's
+    # bucket must elect the spike (largest triangle vs neighbor
+    # centroids), bucket 0 must keep the FIRST point and the last bucket
+    # the LAST point, and output size ≤ K buckets.
+    import datetime as dt
+
+    b0 = dt.datetime(2024, 6, 1)
+    rows = []
+    for i in range(24):
+        v = 500.0 if i == 13 else 10.0
+        rows.append((i, 1, "m", b0 + dt.timedelta(minutes=i), v))
+    _write(spark, tmp_path, "events", rows,
+           "event_id bigint, user_id bigint, event_type string, ts timestamp, value double")
+    out = eng.queries()["ts_lttb"](spark, str(tmp_path)).collect()
+    by_bucket = {r["bucket"]: r for r in out}
+    assert len(out) == 12  # 24 points, 12 buckets of 2 — all non-empty
+    assert by_bucket[0]["event_id"] == 0          # first point kept
+    assert by_bucket[11]["event_id"] == 23        # last point kept
+    spike = [r for r in out if r["v"] == 500.0]
+    assert len(spike) == 1 and spike[0]["event_id"] == 13  # spike elected
