@@ -128,3 +128,29 @@ def test_global_prefix_sum_exact_and_balanced_at_16x(spark, dirs):
         .collect()[0]
     )
     assert per_part["mx"] <= 4 * per_part["av"], per_part
+
+
+def test_curation_e2e_survivors_scale_linearly(spark, sf_dir, dirs):
+    # The composed pipeline must stay linear: each token-tagged replica's
+    # dedup/quality/contamination structure is isomorphic to the base
+    # corpus (LSH chance collisions and the md5 sample vary per replica —
+    # hence the band), so survivor counts at 4× must land near 4× — an
+    # all-pairs stage or a cross-replica leak would blow the band.
+    base = eng.queries()["llm_curation_e2e"](spark, sf_dir).count()
+    assert base > 0, "e2e pipeline produced no survivors at base scale — vacuous"
+    d4 = dirs[4]
+    scaled = eng.queries()["llm_curation_e2e"](spark, d4).count()
+    assert 0.6 * 4 * base <= scaled <= 1.4 * 4 * base, (base, scaled)
+
+
+def test_sorted_neighborhood_pairs_hard_bounded(spark, sf_dir, dirs):
+    # SNM's structural guarantee: each doc emits at most w-1 = 2 candidate
+    # pairs, so candidates ≤ 2 × corpus (corpus = 2 × documents after the
+    # augmentation) AT ANY SCALE — the fixed-comparison-budget property
+    # that distinguishes SNM from density-sensitive LSH.
+    from nedp_etl_spark.llm.dedup import _SNM_W
+
+    for f, d in ((1, sf_dir), (4, dirs[4])):
+        n_docs = load(spark, d, "documents").count() * 2  # _aug_corpus
+        pairs = eng.queries()["llm_sorted_neighborhood"](spark, d).count()
+        assert pairs <= (_SNM_W - 1) * n_docs, (f, pairs, n_docs)
