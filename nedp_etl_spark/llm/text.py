@@ -379,3 +379,64 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / (1.0 + F.exp(-zr)), 6).alias("prob"),
         (zr >= 0).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_watermark_score — statistical watermark detection (Kirchenbauer et
+# al. 2023): a watermarking LLM biases generation toward a pseudorandom
+# "green list" (here: tokens whose md5 low hex digit is even — a fixed,
+# key-derived vocabulary split both engines reproduce); natural text lands
+# near the 50 % green fraction, watermarked text far above.  The detector
+# is the one-proportion z-test z = (g − n/2)/sqrt(n/4) = (2g − n)/sqrt(n),
+# flagged at z > 2.  Pure map-side scan→score (the in-array fold counts
+# green tokens); zero shuffles at any corpus size — the shape a 100 TB
+# synthetic-text sweep needs.
+# Reference parity: detector SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_WATERMARK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks,
+              x -> ascii(substr(md5(x), 32, 1)) % 2 = 0)) AS BIGINT) AS n_green
+  FROM t WHERE len(toks) >= 1
+)
+SELECT doc_id, lang, n_tokens, n_green,
+       ROUND(n_green * 1.0 / n_tokens, 6) AS green_frac,
+       ROUND((2.0 * n_green - n_tokens) / sqrt(CAST(n_tokens AS DOUBLE)), 6) AS z,
+       (2.0 * n_green - n_tokens) / sqrt(CAST(n_tokens AS DOUBLE)) > 2.0
+         AS watermark_suspect
+FROM g
+"""
+
+
+@register("llm_watermark_score", oracle=_WATERMARK_ORACLE)
+def llm_watermark_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    green = F.size(
+        F.filter(toks, lambda x: F.ascii(F.substring(F.md5(x), 32, 1)) % 2 == 0)
+    )
+    g = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        green.cast("bigint").alias("n_green"),
+    ).filter(F.col("n_tokens") >= 1)
+    z = (2.0 * F.col("n_green") - F.col("n_tokens")) / F.sqrt(
+        F.col("n_tokens").cast("double")
+    )
+    return g.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_green",
+        F.round(F.col("n_green") * 1.0 / F.col("n_tokens"), 6).alias("green_frac"),
+        F.round(z, 6).alias("z"),
+        (z > 2.0).alias("watermark_suspect"),
+    )

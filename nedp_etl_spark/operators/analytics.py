@@ -1046,3 +1046,86 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.col("p.var_a").alias("var_a"), F.col("p.var_b").alias("var_b"),
         "n_rows", F.col("p.corr").alias("corr")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_benford_test — Benford's-law conformance (the data-forensics /
+# quality screen for fabricated or corrupted numeric columns): the
+# leading-digit distribution of o_totalprice per customer segment versus
+# the Benford expectation P(d) = log10(1 + 1/d), scored by the chi²
+# statistic.  Two keyed aggregates with map-side combine — the digit
+# histogram is (groups × 9) rows at any corpus size.
+#
+# Exactness: digit extraction is integer/string math; the chi² terms use
+# the 9 Benford constants as shared decimal literals (both engines parse
+# the same doubles) and per-digit terms quantize to 6-dp fixed point
+# before the final sum (util.dsum discipline).
+# Reference parity: forensics SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD_P = {d: round(_math.log10(1 + 1 / d), 9) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(substr(CAST(CAST(FLOOR(o.o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_totalprice >= 1
+),
+h AS (
+  SELECT segment, digit, COUNT(*) AS n FROM d GROUP BY segment, digit
+),
+t AS (
+  SELECT segment, SUM(n) AS tot FROM h GROUP BY segment
+),
+terms AS (
+  SELECT h.segment, h.digit, h.n, t.tot,
+         ({_BENFORD_CASE}) AS p
+  FROM h JOIN t ON h.segment = t.segment
+)
+SELECT segment,
+       CAST(MAX(tot) AS BIGINT) AS n_values,
+       CAST(SUM(CAST(FLOOR(
+         ((n - tot * p) * (n - tot * p) / (tot * p)) * 1000000.0 + 0.5
+       ) AS BIGINT)) AS DOUBLE) / 1000000.0 AS chi2
+FROM terms GROUP BY segment
+"""
+
+
+@register("agg_benford_test", oracle=_BENFORD_ORACLE)
+def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    c = load(spark, sf_dir, "customer")
+    d = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        # FLOOR before the int cast: DuckDB's double→BIGINT cast ROUNDS
+        # while Spark's truncates — floor makes both engines agree.
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit"),
+    )
+    h = d.groupBy("segment", "digit").agg(F.count(F.lit(1)).alias("n"))
+    t = h.groupBy("segment").agg(F.sum("n").alias("tot"))
+    p = F.lit(None).cast("double")
+    for dig, prob in _BENFORD_P.items():
+        p = F.when(F.col("digit") == dig, F.lit(prob)).otherwise(p)
+    terms = h.join(F.broadcast(t), "segment").select(
+        "segment", "digit", "n", "tot", p.alias("p")
+    )
+    dev = (F.col("n") - F.col("tot") * F.col("p"))
+    chi_term = dev * dev / (F.col("tot") * F.col("p"))
+    return terms.groupBy("segment").agg(
+        F.max("tot").cast("bigint").alias("n_values"),
+        (
+            F.sum(F.floor(chi_term * 1_000_000.0 + 0.5).cast("long")) / 1_000_000.0
+        ).alias("chi2"),
+    )

@@ -107,6 +107,8 @@ _PRIORITY: list[str] = [
     "stream_state_reader",        # NEW r7: State Data Source introspection
     "ts_time_weighted_avg",       # NEW r7: LOCF time-weighted average
     "ts_lttb",                    # NEW r7: parallel LTTB downsampling
+    "llm_watermark_score",        # NEW r7: statistical watermark detector
+    "agg_benford_test",           # NEW r7: Benford first-digit chi² forensics
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -608,3 +608,17 @@ def test_lttb_keyed_windows_and_small_join(spark, sf_dir):
     assert "windowspecdefinition(event_type" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_watermark_score_pure_map(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_watermark_score")
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_benford_two_phase_broadcast_sides(spark, sf_dir):
+    # digit histogram combines map-side; both small sides (customer dim,
+    # group totals) broadcast — no sort-merge exchange of the fact table
+    # beyond the histogram aggregation.
+    plan = _plan(spark, sf_dir, "agg_benford_test")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -1471,3 +1471,49 @@ def test_lttb_elects_spike_and_keeps_endpoints(spark, tmp_path):
     assert by_bucket[11]["event_id"] == 23        # last point kept
     spike = [r for r in out if r["v"] == 500.0]
     assert len(spike) == 1 and spike[0]["event_id"] == 13  # spike elected
+
+
+def test_watermark_detector_flags_green_heavy_text(spark, tmp_path):
+    # Build a fully-green doc by rejection-sampling tokens whose md5 low
+    # hex digit is even (the detector's own green rule, computed here
+    # independently with hashlib), and a balanced doc near 50%: the green
+    # doc must be flagged (z = sqrt(n) > 2 for n ≥ 5), the balanced one
+    # must not.
+    import hashlib
+
+    def is_green(tok):
+        return ord(hashlib.md5(tok.encode()).hexdigest()[31]) % 2 == 0
+
+    pool = [f"w{i}" for i in range(200)]
+    green = [t for t in pool if is_green(t)][:9]
+    red = [t for t in pool if not is_green(t)][:5]
+    assert len(green) == 9 and len(red) == 5
+    rows = [(1, " ".join(green), "en", "s", 1),
+            (2, " ".join(green[:5] + red), "en", "s", 1)]  # 5 green / 5 red
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = {r["doc_id"]: r for r in
+           eng.queries()["llm_watermark_score"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_green"] == 9 and out[1]["watermark_suspect"] is True  # z=3
+    assert out[2]["n_green"] == 5 and out[2]["watermark_suspect"] is False  # z=0
+
+
+def test_benford_chi2_hand_computed(spark, tmp_path):
+    # 9 orders with leading digits exactly 1..9 (one each) in one segment:
+    # chi² = Σ (1 - 9p_d)² / (9 p_d) over d=1..9 — computed independently
+    # here from the Benford constants.
+    import math
+
+    prices = [1.5, 25.0, 310.0, 4000.0, 55.5, 600.0, 70.0, 800.0, 9.9]
+    _write(spark, tmp_path, "orders",
+           [(i, 1, p) for i, p in enumerate(prices)],
+           "o_orderkey bigint, o_custkey bigint, o_totalprice double")
+    _write(spark, tmp_path, "customer",
+           [(1, "n", 0, 0.0, "AUTO")],
+           "c_custkey bigint, c_name string, c_nationkey int, "
+           "c_acctbal double, c_mktsegment string")
+    out = eng.queries()["agg_benford_test"](spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["n_values"] == 9
+    ps = [round(math.log10(1 + 1 / d), 9) for d in range(1, 10)]
+    expect = sum(math.floor(((1 - 9 * p) ** 2 / (9 * p)) * 1e6 + 0.5) for p in ps) / 1e6
+    assert abs(out[0]["chi2"] - expect) < 1e-9
