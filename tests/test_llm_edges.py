@@ -82,3 +82,64 @@ def test_chunking_oracle_unbounded_spine():
     ).fetchone()
     con.close()
     assert n == (expected, expected - 1), n
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_curation_e2e_survives_total_filtering(spark, tmp_path):
+    # Every doc is pure repetition → stage 1 drops the whole corpus (all
+    # augmented copies too) and the pipeline must return an EMPTY result,
+    # not crash in the LSH self-join or the empty prefix sum.
+    import nedp_etl_spark as eng
+
+    _write_docs(spark, tmp_path, [(i + 30, "spam spam spam spam", "en", "s", 1)
+                                  for i in range(4)])
+    out = eng.queries()["llm_curation_e2e"](spark, str(tmp_path)).collect()
+    assert out == []
+
+
+def test_sorted_neighborhood_short_docs_excluded(spark, tmp_path):
+    # Docs under one shingle (<3 tokens) carry no gram set and must be
+    # excluded from blocking entirely — no NULL-key block, no pairs.
+    import nedp_etl_spark as eng
+
+    _write_docs(spark, tmp_path, [(1, "one two", "en", "s", 1),
+                                  (2, "uno", "en", "s", 1)])
+    out = eng.queries()["llm_sorted_neighborhood"](spark, str(tmp_path)).collect()
+    # the only ≥3-token docs are augmented clipped copies of nothing: the
+    # 2-token doc's clip is 1 token, so the corpus has NO shingleable doc
+    assert out == []
+
+
+def test_lttb_series_smaller_than_bucket_count(spark, tmp_path):
+    # n < K: every point lands in its own (sparse) bucket and ALL points
+    # survive — downsampling never invents or drops data when the series
+    # is already below the target resolution.
+    import datetime as dt
+
+    import nedp_etl_spark as eng
+
+    b0 = dt.datetime(2024, 7, 1)
+    rows = [(i, 1, "m", b0 + dt.timedelta(minutes=i), float(i)) for i in range(5)]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = eng.queries()["ts_lttb"](spark, str(tmp_path)).collect()
+    assert sorted(r["event_id"] for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_bpe_encode_no_applicable_merges(spark, tmp_path):
+    # Vocabulary disjoint from the merge table: every word must encode to
+    # exactly its character count (no merge fires, nothing lost).
+    import nedp_etl_spark as eng
+
+    _write_docs(spark, tmp_path, [(1, "xyz qq z", "en", "s", 1)])
+    r = eng.queries()["llm_bpe_encode"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_words"], r["n_tokens"], r["n_chars"]) == (3, 6, 6)
+    assert r["chars_per_token"] == 1.0
