@@ -864,7 +864,13 @@ FROM terms GROUP BY o_orderstatus
 @register("agg_entropy_gini", oracle=_ENTROPY_GINI_ORACLE)
 def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
-    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    # checkpoint the tiny (group, category) histogram: totals AND terms
+    # branch from it — without this the corpus is scanned twice
+    c = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot = c.groupBy("o_orderstatus").agg(F.sum("n").alias("tot"))
     p = F.col("n") * 1.0 / F.col("tot")
     terms = c.join(F.broadcast(tot), "o_orderstatus").select(
@@ -1113,7 +1119,12 @@ def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("digit"),
     )
-    h = d.groupBy("segment", "digit").agg(F.count(F.lit(1)).alias("n"))
+    # checkpoint the groups×9 histogram (totals + terms both branch off it)
+    h = (
+        d.groupBy("segment", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     t = h.groupBy("segment").agg(F.sum("n").alias("tot"))
     p = F.lit(None).cast("double")
     for dig, prob in _BENFORD_P.items():

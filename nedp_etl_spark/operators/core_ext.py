@@ -1034,3 +1034,99 @@ def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_SAMPLE_BOTTOMK_K)
     )
+
+
+# --------------------------------------------------------------------------
+# profile_drift_psi — population-stability-index drift monitor (the
+# standard ML-ops screen for feature/score drift between a baseline and a
+# current period): o_totalprice bucketed into 10 fixed 50k-wide bins,
+# PSI = Σ (q−p)·ln(q/p) per o_orderpriority, baseline = orders before
+# 1998-01-01, current = after.  PSI < 0.1 stable, > 0.2 drifted (the
+# conventional thresholds; the flag uses 0.2).
+#
+# Scale shape: ONE corpus pass — period tag + bucket are map-side, the
+# (priority, bucket, period) histogram combines map-side and is
+# groups×10×2 rows; per-priority totals broadcast back.  Exactness: fixed
+# bucket edges (integer math), probabilities clamped at the shared 1e-6
+# literal, per-bucket PSI terms quantized to 6-dp fixed point pre-sum.
+# Reference parity: monitoring SQL reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_PSI_CUT = "1998-01-01"
+_PSI_W = 50_000
+_PSI_EPS = "0.000001"
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT o_orderpriority AS priority,
+         LEAST(CAST(FLOOR(o_totalprice / {_PSI_W}) AS BIGINT), 9) AS bucket,
+         CASE WHEN CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '{_PSI_CUT} 00:00:00'
+              THEN 1 ELSE 0 END AS is_base
+  FROM orders
+),
+h AS (
+  SELECT priority, bucket,
+         SUM(is_base) AS n_b, SUM(1 - is_base) AS n_c
+  FROM b GROUP BY priority, bucket
+),
+t AS (
+  SELECT priority, SUM(n_b) AS tot_b, SUM(n_c) AS tot_c FROM h GROUP BY priority
+),
+terms AS (
+  SELECT h.priority, t.tot_b, t.tot_c,
+         GREATEST(h.n_b * 1.0 / t.tot_b, {_PSI_EPS}) AS p,
+         GREATEST(h.n_c * 1.0 / t.tot_c, {_PSI_EPS}) AS q
+  FROM h JOIN t ON h.priority = t.priority
+)
+SELECT priority,
+       CAST(MAX(tot_b) AS BIGINT) AS n_baseline,
+       CAST(MAX(tot_c) AS BIGINT) AS n_current,
+       CAST(SUM(CAST(FLOOR(((q - p) * ln(q / p)) * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS psi,
+       CAST(SUM(CAST(FLOOR(((q - p) * ln(q / p)) * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 > 0.2 AS drifted
+FROM terms GROUP BY priority
+"""
+
+
+@register("profile_drift_psi", oracle=_PSI_ORACLE)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.least(F.floor(F.col("o_totalprice") / _PSI_W).cast("bigint"), F.lit(9)).alias(
+            "bucket"
+        ),
+        F.when(
+            F.col("o_orderdate").cast("timestamp")
+            < F.lit(f"{_PSI_CUT} 00:00:00").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_base"),
+    )
+    # checkpoint the groups×10 histogram (totals + terms both branch off
+    # it — without this the corpus is scanned twice)
+    h = b.groupBy("priority", "bucket").agg(
+        F.sum("is_base").alias("n_b"), F.sum(1 - F.col("is_base")).alias("n_c")
+    ).localCheckpoint(eager=False)
+    t = h.groupBy("priority").agg(
+        F.sum("n_b").alias("tot_b"), F.sum("n_c").alias("tot_c")
+    )
+    eps = float(_PSI_EPS)
+    terms = h.join(F.broadcast(t), "priority").select(
+        "priority",
+        "tot_b",
+        "tot_c",
+        F.greatest(F.col("n_b") * 1.0 / F.col("tot_b"), F.lit(eps)).alias("p"),
+        F.greatest(F.col("n_c") * 1.0 / F.col("tot_c"), F.lit(eps)).alias("q"),
+    )
+    term = (F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p"))
+    psi = F.sum(F.floor(term * 1_000_000.0 + 0.5).cast("long")) / 1_000_000.0
+    return terms.groupBy("priority").agg(
+        F.max("tot_b").cast("bigint").alias("n_baseline"),
+        F.max("tot_c").cast("bigint").alias("n_current"),
+        psi.alias("psi"),
+        (psi > 0.2).alias("drifted"),
+    )

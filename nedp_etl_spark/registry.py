@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "ts_lttb",                    # NEW r7: parallel LTTB downsampling
     "llm_watermark_score",        # NEW r7: statistical watermark detector
     "agg_benford_test",           # NEW r7: Benford first-digit chi² forensics
+    "profile_drift_psi",          # NEW r7: PSI drift monitor
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -492,13 +492,13 @@ def test_curation_e2e_stage_shapes(spark, sf_dir):
 
 
 def test_entropy_gini_two_phase_broadcast_totals(spark, sf_dir):
-    # corpus → (group, category) counts must combine map-side (partial
-    # HashAggregate before the exchange), and the group-totals side —
-    # group-cardinality-sized — must broadcast, not shuffle.
+    # the (group, category) histogram is checkpointed (one corpus scan —
+    # totals and terms both branch from the ExistingRDD), and the
+    # group-totals side broadcasts back, never a sort-merge shuffle.
     plan = _plan(spark, sf_dir, "agg_entropy_gini")
+    assert "Scan ExistingRDD" in plan  # checkpointed histogram
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("HashAggregate") >= 4  # partial+final for both levels
 
 
 def test_rolling_corr_single_window_keyed_by_type(spark, sf_dir):
@@ -616,9 +616,19 @@ def test_watermark_score_pure_map(spark, sf_dir):
 
 
 def test_benford_two_phase_broadcast_sides(spark, sf_dir):
-    # digit histogram combines map-side; both small sides (customer dim,
-    # group totals) broadcast — no sort-merge exchange of the fact table
-    # beyond the histogram aggregation.
+    # the groups×9 histogram is checkpointed (customer-dim broadcast join
+    # happens once, inside its derivation); downstream the totals
+    # broadcast back — never a sort-merge shuffle.
     plan = _plan(spark, sf_dir, "agg_benford_test")
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Scan ExistingRDD" in plan  # checkpointed histogram
+    assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_psi_one_pass_broadcast_totals(spark, sf_dir):
+    # The groups×10 histogram is checkpointed → ONE corpus scan total;
+    # downstream totals broadcast back.
+    plan = _plan(spark, sf_dir, "profile_drift_psi")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan  # corpus touched only pre-checkpoint
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -1517,3 +1517,26 @@ def test_benford_chi2_hand_computed(spark, tmp_path):
     ps = [round(math.log10(1 + 1 / d), 9) for d in range(1, 10)]
     expect = sum(math.floor(((1 - 9 * p) ** 2 / (9 * p)) * 1e6 + 0.5) for p in ps) / 1e6
     assert abs(out[0]["chi2"] - expect) < 1e-9
+
+
+def test_psi_detects_planted_shift(spark, tmp_path):
+    # Baseline all in bucket 0 (price < 50k), current all in bucket 2 —
+    # total distribution swap.  PSI per the clamped formula with p=1,
+    # q=eps (and vice versa) is large → drifted True.  A control priority
+    # with identical base/current distributions must score PSI 0.
+    import datetime as dt
+
+    base_d, cur_d = dt.datetime(1996, 1, 1), dt.datetime(1999, 1, 1)
+    rows = (
+        [(i, 1, "1-URGENT", 10_000.0, base_d) for i in range(8)]
+        + [(100 + i, 1, "1-URGENT", 120_000.0, cur_d) for i in range(8)]
+        + [(200 + i, 1, "5-LOW", 10_000.0, base_d) for i in range(8)]
+        + [(300 + i, 1, "5-LOW", 10_000.0, cur_d) for i in range(8)]
+    )
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+           "o_totalprice double, o_orderdate timestamp")
+    out = {r["priority"]: r for r in
+           eng.queries()["profile_drift_psi"](spark, str(tmp_path)).collect()}
+    assert out["1-URGENT"]["drifted"] is True and out["1-URGENT"]["psi"] > 10
+    assert out["5-LOW"]["psi"] == 0.0 and out["5-LOW"]["drifted"] is False
