@@ -1550,3 +1550,130 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("bigint").alias("t_ms"),
         F.round(F.col("vq") / 1_000_000.0, 6).alias("v"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_holt_winters — additive Holt-Winters triple exponential smoothing
+# (level + trend + weekly seasonal, α=β=γ=0.5), completing the forecasting
+# family: ts_ewma (level), ts_holt (level+trend), this key (full
+# seasonality).  A THREE-variable recurrence whose seasonal state is a
+# 7-slot vector — the Arrow-batched grouped-map shape again, with the
+# oracle carrying the seasonal vector as a LIST column through a recursive
+# CTE (a different state encoding, so a shared recurrence bug cannot
+# self-confirm).
+#
+# Init (first full week): level = mean of the first 7 daily values,
+# trend = 0, seasonal_i = x_i − level; outputs start at day 8.  Series
+# shorter than 8 days emit nothing.  All arithmetic runs in exact-micros
+# DOUBLE space (the daily partial is already 6-dp; halves are exact), so
+# both engines execute bit-identical IEEE sequences.
+# Scale shape: corpus → (series, day) partials first; the recurrence sees
+# O(days) rows per series, never raw events; state per group is 7+2
+# doubles.
+# Reference parity: forecasting SQL reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_HW_M = 7
+
+_HW_ORACLE = f"""
+WITH RECURSIVE {_DAILY_CTE},
+numbered AS (
+  SELECT event_type, d, v,
+         CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) AS vq,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM daily
+),
+init_l AS (
+  SELECT event_type, CAST(SUM(vq) AS DOUBLE) / {_HW_M} AS l0
+  FROM numbered WHERE rn <= {_HW_M}
+  GROUP BY event_type
+  HAVING COUNT(*) = {_HW_M}
+),
+init AS (
+  SELECT n.event_type, i.l0,
+         list(CAST(n.vq AS DOUBLE) - i.l0 ORDER BY n.rn) AS seas0
+  FROM numbered n
+  JOIN init_l i ON n.event_type IS NOT DISTINCT FROM i.event_type
+  WHERE n.rn <= {_HW_M}
+  GROUP BY n.event_type, i.l0
+),
+hw AS (
+  SELECT n.event_type, n.d, n.rn, CAST(n.vq AS DOUBLE) AS x,
+         i.l0 AS level, CAST(0 AS DOUBLE) AS trend, i.seas0 AS seas
+  FROM numbered n JOIN init i ON n.event_type IS NOT DISTINCT FROM i.event_type
+  WHERE n.rn = {_HW_M}
+  UNION ALL
+  SELECT n.event_type, n.d, n.rn, CAST(n.vq AS DOUBLE),
+         0.5 * (CAST(n.vq AS DOUBLE) - h.seas[1]) + 0.5 * (h.level + h.trend),
+         0.5 * ((0.5 * (CAST(n.vq AS DOUBLE) - h.seas[1])
+                 + 0.5 * (h.level + h.trend)) - h.level) + 0.5 * h.trend,
+         list_append(h.seas[2:{_HW_M}],
+           0.5 * (CAST(n.vq AS DOUBLE)
+                  - (0.5 * (CAST(n.vq AS DOUBLE) - h.seas[1])
+                     + 0.5 * (h.level + h.trend)))
+           + 0.5 * h.seas[1])
+  FROM numbered n
+  JOIN hw h ON n.event_type IS NOT DISTINCT FROM h.event_type
+           AND n.rn = h.rn + 1
+)
+SELECT event_type, d,
+       ROUND(x / 1000000.0, 6) AS v,
+       ROUND(level / 1000000.0, 6) AS level,
+       ROUND(trend / 1000000.0, 6) AS trend,
+       ROUND(seas[{_HW_M}] / 1000000.0, 6) AS seasonal,
+       ROUND((level + trend + seas[1]) / 1000000.0, 6) AS forecast_next
+FROM hw WHERE rn > {_HW_M}
+"""
+
+
+@register("ts_holt_winters", oracle=_HW_ORACLE)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev).withColumn(
+        "vq", F.floor(F.col("v") * 1_000_000.0 + 0.5).cast("long")
+    )
+
+    def _hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        if n <= _HW_M:
+            return pdf.iloc[0:0].assign(level=0.0, trend=0.0, seasonal=0.0,
+                                        forecast_next=0.0)
+        xs = [float(q) for q in pdf["vq"]]
+        level = sum_q = 0.0
+        # init: exact integer sum then one division (matches the oracle's
+        # CAST(SUM(vq) AS DOUBLE)/7 bit-for-bit)
+        level = float(sum(int(q) for q in pdf["vq"][:_HW_M])) / _HW_M
+        trend = 0.0
+        seas = [x - level for x in xs[:_HW_M]]
+        rows = []
+        for t in range(_HW_M, n):
+            x = xs[t]
+            s_old = seas[0]
+            l_new = 0.5 * (x - s_old) + 0.5 * (level + trend)
+            b_new = 0.5 * (l_new - level) + 0.5 * trend
+            s_new = 0.5 * (x - l_new) + 0.5 * s_old
+            seas = seas[1:] + [s_new]
+            level, trend = l_new, b_new
+            rows.append((pdf["event_type"][t], pdf["d"][t], x, l_new, b_new,
+                         s_new, l_new + b_new + seas[0]))
+        return pd.DataFrame(rows, columns=["event_type", "d", "x", "level",
+                                           "trend", "seasonal", "forecast_next"])
+
+    raw = daily.groupBy("event_type").applyInPandas(
+        _hw,
+        "event_type string, d date, x double, level double, trend double, "
+        "seasonal double, forecast_next double",
+    )
+    return raw.select(
+        "event_type",
+        "d",
+        F.round(F.col("x") / 1_000_000.0, 6).alias("v"),
+        F.round(F.col("level") / 1_000_000.0, 6).alias("level"),
+        F.round(F.col("trend") / 1_000_000.0, 6).alias("trend"),
+        F.round(F.col("seasonal") / 1_000_000.0, 6).alias("seasonal"),
+        F.round(F.col("forecast_next") / 1_000_000.0, 6).alias("forecast_next"),
+    )

@@ -110,6 +110,7 @@ _PRIORITY: list[str] = [
     "llm_watermark_score",        # NEW r7: statistical watermark detector
     "agg_benford_test",           # NEW r7: Benford first-digit chi² forensics
     "profile_drift_psi",          # NEW r7: PSI drift monitor
+    "ts_holt_winters",            # NEW r7: triple exponential smoothing
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

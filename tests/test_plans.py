@@ -632,3 +632,12 @@ def test_psi_one_pass_broadcast_totals(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan  # corpus touched only pre-checkpoint
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_holt_winters_grouped_map_sees_daily_partials_only(spark, sf_dir):
+    # Same discipline as ts_holt: the triple recurrence runs over DAILY
+    # partials (map-side combine before the exchange), Arrow-batched.
+    plan = _plan(spark, sf_dir, "ts_holt_winters")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan

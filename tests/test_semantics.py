@@ -1540,3 +1540,26 @@ def test_psi_detects_planted_shift(spark, tmp_path):
            eng.queries()["profile_drift_psi"](spark, str(tmp_path)).collect()}
     assert out["1-URGENT"]["drifted"] is True and out["1-URGENT"]["psi"] > 10
     assert out["5-LOW"]["psi"] == 0.0 and out["5-LOW"]["drifted"] is False
+
+
+def test_holt_winters_hand_computed_recurrence(spark, tmp_path):
+    # Flat first week (v=14 → level 14, all seasonals 0), spike day 8
+    # (x=28), return day 9 (x=14) — the three-variable recurrence hand-
+    # traced: day 8 (l,b,s)=(21, 3.5, 3.5) forecast 24.5; day 9
+    # (19.25, 0.875, -2.625) forecast 20.125.
+    import datetime as dt
+
+    b0 = dt.datetime(2024, 8, 1, 12)
+    vals = [14.0] * 7 + [28.0, 14.0]
+    rows = [(i, 1, "m", b0 + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    _write(spark, tmp_path, "events", rows,
+           "event_id bigint, user_id bigint, event_type string, ts timestamp, value double")
+    out = {r["day" if "day" in r else "d"].isoformat(): r for r in
+           eng.queries()["ts_holt_winters"](spark, str(tmp_path)).collect()}
+    assert len(out) == 2
+    d8 = out["2024-08-08"]
+    assert (d8["level"], d8["trend"], d8["seasonal"], d8["forecast_next"]) == \
+        (21.0, 3.5, 3.5, 24.5)
+    d9 = out["2024-08-09"]
+    assert (d9["level"], d9["trend"], d9["seasonal"], d9["forecast_next"]) == \
+        (19.25, 0.875, -2.625, 20.125)
