@@ -211,3 +211,77 @@ def llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length("extracted") * 1.0 / F.length("html"), 6).alias("keep_ratio"),
         (F.col("extracted") == F.col("text")).alias("roundtrip_clean"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_shard_balance — data-parallel shard assignment with token balancing:
+# docs rank by token count (desc) and deal to W=8 workers in SNAKE order
+# (worker 0..7 then 7..0), the deterministic one-pass approximation of
+# longest-processing-time scheduling — consecutive heavy docs land on
+# different workers and each worker's total stays within one max-doc of
+# optimal per round-trip.  The shape every multi-epoch training job runs
+# to keep ranks stride-balanced without a driver-side bin packer.
+#
+# Scale shape: one global rank (the two-phase prefix-sum discipline would
+# apply at 100 TB; at fixture scale a single ROW_NUMBER sort suffices and
+# the ORDER key is (tokens, doc_id) — total, so both engines agree), then
+# a map-side worker formula and one tiny keyed aggregate.  Integer
+# arithmetic end-to-end.
+# Reference parity: sharding SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SHARD_W = 8
+
+_SHARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+  FROM t
+),
+a AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN (rk // {_SHARD_W}) % 2 = 0
+              THEN rk % {_SHARD_W}
+              ELSE {_SHARD_W - 1} - rk % {_SHARD_W} END AS worker
+  FROM r
+)
+SELECT worker,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_doc_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+FROM a GROUP BY worker
+"""
+
+
+@register("llm_shard_balance", oracle=_SHARD_ORACLE)
+def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import global_running_sum
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    ).withColumn("neg_tokens", -F.col("n_tokens"))
+    # global rank WITHOUT a single-partition window: the two-phase prefix
+    # sum over (−tokens, doc_id) is a scalable ROW_NUMBER (value = 1)
+    r = global_running_sum(
+        t, ["neg_tokens", "doc_id"], F.lit(1), "rk1"
+    ).withColumn("rk", F.col("rk1") - 1)
+    rnd = (F.col("rk") / _SHARD_W).cast("long")
+    pos = F.col("rk") % _SHARD_W
+    worker = F.when(rnd % 2 == 0, pos).otherwise(_SHARD_W - 1 - pos)
+    return (
+        r.withColumn("worker", worker)
+        .groupBy("worker")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_doc_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
+        )
+    )

@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "agg_benford_test",           # NEW r7: Benford first-digit chi² forensics
     "profile_drift_psi",          # NEW r7: PSI drift monitor
     "ts_holt_winters",            # NEW r7: triple exponential smoothing
+    "llm_shard_balance",          # NEW r7: snake-order data-parallel sharding
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

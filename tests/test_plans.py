@@ -641,3 +641,11 @@ def test_holt_winters_grouped_map_sees_daily_partials_only(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "partial_sum" in plan or "partial_count" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_shard_balance_no_single_partition_window(spark, sf_dir):
+    # The global rank must come from the two-phase prefix sum — no Window
+    # on a SinglePartition exchange anywhere in the plan.
+    plan = _plan(spark, sf_dir, "llm_shard_balance")
+    assert not _has_global_window(plan)
+    assert "Scan ExistingRDD" in plan  # the checkpointed range layout

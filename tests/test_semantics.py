@@ -1563,3 +1563,15 @@ def test_holt_winters_hand_computed_recurrence(spark, tmp_path):
     d9 = out["2024-08-09"]
     assert (d9["level"], d9["trend"], d9["seasonal"], d9["forecast_next"]) == \
         (19.25, 0.875, -2.625, 20.125)
+
+
+def test_shard_balance_snake_order_hand_traced(spark, tmp_path):
+    # 16 docs with token counts 16..1 onto 8 workers: snake order gives
+    # worker w docs ranked w and 15-w → every worker's total is exactly
+    # (16-w) + (w+1) = 17 tokens; perfect balance, deterministically.
+    rows = [(i, " ".join(["t"] * (16 - i)), "en", "s", 1) for i in range(16)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = eng.queries()["llm_shard_balance"](spark, str(tmp_path)).collect()
+    assert len(out) == 8
+    assert all(r["n_docs"] == 2 and r["total_tokens"] == 17 for r in out)
