@@ -1071,7 +1071,13 @@ h AS (
   FROM b GROUP BY priority, bucket
 ),
 t AS (
-  SELECT priority, SUM(n_b) AS tot_b, SUM(n_c) AS tot_c FROM h GROUP BY priority
+  -- drift is undefined without BOTH periods populated: a priority whose
+  -- orders fall entirely on one side of the cut is dropped (exact-integer
+  -- guard — an unguarded divide is an ANSI error on Spark and a silent
+  -- NULL→eps on DuckDB, a guaranteed parity break)
+  SELECT priority, SUM(n_b) AS tot_b, SUM(n_c) AS tot_c FROM h
+  GROUP BY priority
+  HAVING SUM(n_b) > 0 AND SUM(n_c) > 0
 ),
 terms AS (
   SELECT h.priority, t.tot_b, t.tot_c,
@@ -1111,8 +1117,11 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = b.groupBy("priority", "bucket").agg(
         F.sum("is_base").alias("n_b"), F.sum(1 - F.col("is_base")).alias("n_c")
     ).localCheckpoint(eager=False)
-    t = h.groupBy("priority").agg(
-        F.sum("n_b").alias("tot_b"), F.sum("n_c").alias("tot_c")
+    t = (
+        h.groupBy("priority")
+        .agg(F.sum("n_b").alias("tot_b"), F.sum("n_c").alias("tot_c"))
+        # drift undefined without both periods (see oracle comment)
+        .filter((F.col("tot_b") > 0) & (F.col("tot_c") > 0))
     )
     eps = float(_PSI_EPS)
     terms = h.join(F.broadcast(t), "priority").select(

@@ -1287,21 +1287,28 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(-6, Window.currentRow)
     )
+    # frame sums and variance products in DECIMAL: DuckDB promotes
+    # SUM(BIGINT) to HUGEINT, and m·sxx − sx² reaches 49·vq² — int64 would
+    # overflow once |daily mean| ≥ ~4e2·1e6 quantized (the
+    # ts_forecast_linear discipline); the window input is the tiny daily
+    # relation, so the decimal path costs nothing
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     s = daily2.select(
         "event_type",
         "d",
         "vq",
         "n",
         F.count(F.lit(1)).over(w).alias("m"),
-        F.sum("vq").over(w).alias("sx"),
-        F.sum("n").over(w).alias("sy"),
-        F.sum(F.col("vq") * F.col("n")).over(w).alias("sxy"),
-        F.sum(F.col("vq") * F.col("vq")).over(w).alias("sxx"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("syy"),
+        F.sum(dec(F.col("vq"))).over(w).alias("sx"),
+        F.sum(dec(F.col("n"))).over(w).alias("sy"),
+        F.sum(dec(F.col("vq")) * dec(F.col("n"))).over(w).alias("sxy"),
+        F.sum(dec(F.col("vq")) * dec(F.col("vq"))).over(w).alias("sxx"),
+        F.sum(dec(F.col("n")) * dec(F.col("n"))).over(w).alias("syy"),
     )
-    dx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
-    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    nd = F.col("m").cast("decimal(19,0)")
+    dx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     corr = F.when(
         (F.col("m") >= 2) & (dx > 0) & (dy > 0),
         F.round(num / F.sqrt(dx.cast("double") * dy.cast("double")), 6),
@@ -1638,12 +1645,14 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("d").reset_index(drop=True)
+        cols = ["event_type", "d", "x", "level", "trend", "seasonal",
+                "forecast_next"]
         n = len(pdf)
         if n <= _HW_M:
-            return pdf.iloc[0:0].assign(level=0.0, trend=0.0, seasonal=0.0,
-                                        forecast_next=0.0)
+            # schema-exact empty frame — pdf's own columns (v, vq) would
+            # trip applyInPandas' RESULT_COLUMN_NAMES_MISMATCH
+            return pd.DataFrame([], columns=cols)
         xs = [float(q) for q in pdf["vq"]]
-        level = sum_q = 0.0
         # init: exact integer sum then one division (matches the oracle's
         # CAST(SUM(vq) AS DOUBLE)/7 bit-for-bit)
         level = float(sum(int(q) for q in pdf["vq"][:_HW_M])) / _HW_M
@@ -1660,8 +1669,7 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             level, trend = l_new, b_new
             rows.append((pdf["event_type"][t], pdf["d"][t], x, l_new, b_new,
                          s_new, l_new + b_new + seas[0]))
-        return pd.DataFrame(rows, columns=["event_type", "d", "x", "level",
-                                           "trend", "seasonal", "forecast_next"])
+        return pd.DataFrame(rows, columns=cols)
 
     raw = daily.groupBy("event_type").applyInPandas(
         _hw,

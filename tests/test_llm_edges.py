@@ -143,3 +143,43 @@ def test_bpe_encode_no_applicable_merges(spark, tmp_path):
     r = eng.queries()["llm_bpe_encode"](spark, str(tmp_path)).collect()[0]
     assert (r["n_words"], r["n_tokens"], r["n_chars"]) == (3, 6, 6)
     assert r["chars_per_token"] == 1.0
+
+
+def test_holt_winters_short_series_emits_nothing(spark, tmp_path):
+    # A series with <= 7 observed days has no full init week: it must be
+    # silently absent from the output (schema-exact empty grouped-map
+    # frame), not crash applyInPandas with a column mismatch.
+    import datetime as dt
+
+    import nedp_etl_spark as eng
+
+    b0 = dt.datetime(2024, 9, 1)
+    rows = [(i, 1, "short", b0 + dt.timedelta(days=i), 5.0) for i in range(4)] + \
+           [(100 + i, 1, "long", b0 + dt.timedelta(days=i), 3.0) for i in range(9)]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = eng.queries()["ts_holt_winters"](spark, str(tmp_path)).collect()
+    assert {r["event_type"] for r in out} == {"long"}
+    assert len(out) == 2  # days 8 and 9 of the long series
+
+
+def test_psi_one_sided_priority_dropped_not_crashed(spark, tmp_path):
+    # A priority with orders only AFTER the cut has no baseline: drift is
+    # undefined, the row must be dropped on BOTH engines (an unguarded
+    # divide is an ANSI error on Spark and a silent NULL->eps on DuckDB).
+    import datetime as dt
+
+    import nedp_etl_spark as eng
+
+    rows = ([(i, 1, "1-URGENT", 10_000.0, dt.datetime(1996, 1, 1)) for i in range(4)]
+            + [(50 + i, 1, "1-URGENT", 10_000.0, dt.datetime(1999, 1, 1)) for i in range(4)]
+            + [(100 + i, 1, "5-LOW", 10_000.0, dt.datetime(1999, 1, 1)) for i in range(4)])
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string, "
+        "o_totalprice double, o_orderdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = eng.queries()["profile_drift_psi"](spark, str(tmp_path)).collect()
+    assert {r["priority"] for r in out} == {"1-URGENT"}

@@ -484,11 +484,9 @@ def test_curation_e2e_stage_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_curation_e2e")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # no un-partitioned window: every Window node must declare partition keys
-    for line in plan.splitlines():
-        if "Window" in line and "windowspecdefinition(" in line:
-            assert "specifiedwindowframe" in line or "PartitionBy" not in line
-    assert "windowspecdefinition()" not in plan.replace(" ", "")
+    # no un-partitioned window (the shared SinglePartition detector — the
+    # previous inline check was vacuously true on every plan line)
+    assert not _has_global_window(plan)
 
 
 def test_entropy_gini_two_phase_broadcast_totals(spark, sf_dir):

@@ -1112,7 +1112,9 @@ def test_curation_e2e_full_python_mini_oracle(spark, tmp_path):
 
     # ---- independent Python replica -------------------------------------
     def clip(t):
-        return t[t.index(" ") + 1:] if " " in t else ""
+        # match the product's substr(text, instr(text,' ')+1): instr = 0
+        # for a space-free doc, so the "clip" keeps the WHOLE text
+        return t[t.index(" ") + 1:] if " " in t else t
 
     corpus = (
         [(d, langs[d], texts[d]) for d in texts if d >= 25]
