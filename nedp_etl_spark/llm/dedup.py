@@ -895,3 +895,61 @@ def llm_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("jaccard") >= _SNM_MIN_JACCARD).select(
         "doc_a", "doc_b", "simhash", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# llm_dedup_token_sort — bag-of-words (token-sort) duplicate detection:
+# docs whose SORTED token multisets coincide are duplicates regardless of
+# word order — the fuzzywuzzy token-sort idiom, catching shuffled /
+# reordered plagiarism that exact hashing misses and LSH only scores
+# partially.  The corpus is augmented with a reversed-token copy (+3M) of
+# every doc, a guaranteed order-permutation so the key provably groups.
+#
+# Scale shape: the canonical key (sha256 of the sorted-token join) is
+# map-side; ONE keyed aggregate groups duplicates (min doc_id keeps the
+# survivor) — identical cost profile to llm_dedup_exact, just an
+# order-insensitive key.
+# Reference parity: dedup SQL reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_TOKEN_SORT_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents
+),
+k AS (
+  SELECT doc_id,
+         sha256(array_to_string(list_sort(string_split(lower(trim(text)), ' ')), ' '))
+           AS bag_key
+  FROM corpus
+)
+SELECT bag_key,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_permutations
+FROM k GROUP BY bag_key
+"""
+
+
+@register("llm_dedup_token_sort", oracle=_TOKEN_SORT_ORACLE)
+def llm_dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rev = d.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionAll(rev)
+    bag_key = F.sha2(
+        F.array_join(F.array_sort(F.split(F.lower(F.trim("text")), " ")), " "), 256
+    )
+    return (
+        corpus.select("doc_id", bag_key.alias("bag_key"))
+        .groupBy("bag_key")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_permutations"),
+        )
+    )

@@ -1140,3 +1140,91 @@ def agg_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(chi_term * 1_000_000.0 + 0.5).cast("long")) / 1_000_000.0
         ).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_chisq_independence — chi-square test of independence on the
+# (o_orderstatus × o_orderpriority) contingency table: are the two
+# categoricals associated?  Complements agg_benford_test (goodness-of-fit
+# against fixed expected probabilities) with the two-way expected-under-
+# independence form E_ij = row_i·col_j/N, plus degrees of freedom and
+# Cramér's V effect size.
+#
+# Scale shape: ONE corpus pass to the contingency counts (map-side
+# combine, groups×groups rows), margins via two tiny aggregates off the
+# CHECKPOINTED table, both broadcast back.  Chi² terms quantize to 6-dp
+# fixed point pre-sum; all expected-count arithmetic is
+# exact-integer-derived doubles (identical both engines).
+# Reference parity: statistics SQL reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+ra AS (SELECT a, SUM(n) AS na FROM c GROUP BY a),
+rb AS (SELECT b, SUM(n) AS nb FROM c GROUP BY b),
+tot AS (SELECT SUM(n) AS nn, COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb FROM c),
+terms AS (
+  SELECT c.n, ra.na * 1.0 * rb.nb / tot.nn AS e, tot.nn, tot.ka, tot.kb
+  FROM c JOIN ra ON c.a = ra.a JOIN rb ON c.b = rb.b CROSS JOIN tot
+)
+SELECT CAST(MAX(nn) AS BIGINT) AS n_rows,
+       CAST(MAX((ka - 1) * (kb - 1)) AS BIGINT) AS dof,
+       CAST(SUM(CAST(FLOOR(((n - e) * (n - e) / e) * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS chi2,
+       ROUND(sqrt((CAST(SUM(CAST(FLOOR(((n - e) * (n - e) / e) * 1000000.0 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1000000.0)
+                  / (MAX(nn) * LEAST(MAX(ka) - 1, MAX(kb) - 1))), 6) AS cramers_v
+FROM terms
+"""
+
+
+@register("agg_chisq_independence", oracle=_CHISQ_ORACLE)
+def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # margins + terms branch off it
+    )
+    ra = c.groupBy("a").agg(F.sum("n").alias("na"))
+    rb = c.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = c.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+    )
+    terms = (
+        c.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            (F.col("na") * 1.0 * F.col("nb") / F.col("nn")).alias("e"),
+            "nn",
+            "ka",
+            "kb",
+        )
+    )
+    dev = F.col("n") - F.col("e")
+    chi_fp = F.sum(
+        F.floor((dev * dev / F.col("e")) * 1_000_000.0 + 0.5).cast("long")
+    )
+    chi2 = (chi_fp / 1_000_000.0).alias("chi2")
+    return terms.agg(
+        F.max("nn").cast("bigint").alias("n_rows"),
+        F.max((F.col("ka") - 1) * (F.col("kb") - 1)).cast("bigint").alias("dof"),
+        chi2,
+        F.round(
+            F.sqrt(
+                (chi_fp / 1_000_000.0)
+                / (F.max("nn") * F.least(F.max("ka") - 1, F.max("kb") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -112,6 +112,8 @@ _PRIORITY: list[str] = [
     "profile_drift_psi",          # NEW r7: PSI drift monitor
     "ts_holt_winters",            # NEW r7: triple exponential smoothing
     "llm_shard_balance",          # NEW r7: snake-order data-parallel sharding
+    "llm_dedup_token_sort",       # NEW r7: bag-of-words permutation dedup
+    "agg_chisq_independence",     # NEW r7: contingency chi² + Cramér's V
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

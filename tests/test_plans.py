@@ -245,6 +245,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "tpch_q22",  # 1-row AVG-threshold broadcast (O(n))
                    "tpch_q11",  # 1-row total/nparts broadcast (O(#parts))
                    "agg_heavy_hitters",  # 1-row grand-total broadcast over candidates (O(n))
+                   "agg_chisq_independence",  # 1-row (N, ka, kb) totals broadcast (O(cells))
                    "llm_dedup_cluster_sizes"}  # 1-row cluster-total broadcast (O(#clusters))
 
 
@@ -647,3 +648,19 @@ def test_shard_balance_no_single_partition_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_shard_balance")
     assert not _has_global_window(plan)
     assert "Scan ExistingRDD" in plan  # the checkpointed range layout
+
+
+def test_token_sort_dedup_single_keyed_aggregate(spark, sf_dir):
+    # Order-insensitive key is map-side; ONE keyed aggregate, no join.
+    plan = _plan(spark, sf_dir, "llm_dedup_token_sort")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_chisq_margins_branch_from_checkpoint(spark, sf_dir):
+    # Contingency table checkpoints once; margins and terms branch from
+    # the ExistingRDD with broadcast joins (1-row totals crossJoin is the
+    # allowlisted broadcast-scalar shape).
+    plan = _plan(spark, sf_dir, "agg_chisq_independence")
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan

@@ -1577,3 +1577,31 @@ def test_shard_balance_snake_order_hand_traced(spark, tmp_path):
     out = eng.queries()["llm_shard_balance"](spark, str(tmp_path)).collect()
     assert len(out) == 8
     assert all(r["n_docs"] == 2 and r["total_tokens"] == 17 for r in out)
+
+
+def test_token_sort_dedup_groups_permutations_only(spark, tmp_path):
+    # doc 2 is a word-order permutation of doc 1 → same bag key (with
+    # their +3M reversed copies, a 4-member group keyed by min doc_id 1);
+    # doc 3 shares the vocabulary but a different MULTISET (one word
+    # doubled) → its own group.  Exact hashing would treat all as unique.
+    rows = [(1, "alpha beta gamma", "en", "s", 1),
+            (2, "gamma alpha beta", "en", "s", 1),
+            (3, "alpha alpha beta", "en", "s", 1)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = eng.queries()["llm_dedup_token_sort"](spark, str(tmp_path)).collect()
+    by_keeper = {r["keeper_doc_id"]: r["n_permutations"] for r in out}
+    assert by_keeper == {1: 4, 3: 2}  # {1,2,+3M copies} and {3,+3M copy}
+
+
+def test_chisq_independence_and_perfect_association(spark, tmp_path):
+    # Perfectly independent 2×2 table (all cells equal) → chi² = 0,
+    # Cramér's V = 0; dof = 1.
+    rows = [(i, 1, a, p, 1.0) for i, (a, p) in enumerate(
+        [("O", "1-URGENT"), ("O", "5-LOW"), ("F", "1-URGENT"), ("F", "5-LOW")] * 3
+    )]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+           "o_orderpriority string, o_totalprice double")
+    out = eng.queries()["agg_chisq_independence"](spark, str(tmp_path)).collect()[0]
+    assert (out["n_rows"], out["dof"], out["chi2"], out["cramers_v"]) == (12, 1, 0.0, 0.0)
