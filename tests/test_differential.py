@@ -349,3 +349,57 @@ def test_generated_date_differential(spark, sf_dir, seed):
         con.close()
     assert sorted(s_cols) == sorted(o_cols), sql
     assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
+
+
+def _gen_text_expr(rng: random.Random) -> str:
+    """Text expressions valid verbatim in BOTH engines over documents.text."""
+    kind = rng.choice(["len", "substr", "upperlower", "replace", "split",
+                       "concat", "trim", "position"])
+    if kind == "len":
+        return "CAST(length(text) AS BIGINT)"
+    if kind == "substr":
+        a, b = rng.randint(1, 20), rng.randint(1, 30)
+        return f"substr(text, {a}, {b})"
+    if kind == "upperlower":
+        return rng.choice(["upper(substr(text, 1, 12))", "lower(substr(text, 1, 12))"])
+    if kind == "replace":
+        return f"replace(substr(text, 1, 40), '{rng.choice('aeiou')}', '_')"
+    if kind == "split":
+        # size of the split array — DuckDB len(...) / Spark ... both via a
+        # shared spelling: string_split is DuckDB-only, split is Spark-only;
+        # the portable form counts separators
+        return "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)"
+    if kind == "concat":
+        return "lang || ':' || source"
+    if kind == "trim":
+        return "trim(substr(text, 1, 25))"
+    return f"CAST(position('{rng.choice('etaon')}' IN text) AS BIGINT)"
+
+
+def _gen_text_query(seed: int) -> str:
+    rng = random.Random(seed)
+    exprs = [f"{_gen_text_expr(rng)} AS e{i}" for i in range(rng.randint(2, 4))]
+    m = rng.randint(2, 9)
+    return (
+        f"SELECT doc_id, {', '.join(exprs)} FROM documents "
+        f"WHERE doc_id % {m} = 0 AND length(text) > {rng.randint(0, 50)}"
+    )
+
+
+@pytest.mark.parametrize("seed", _seeds(300, 330))
+def test_generated_text_differential(spark, sf_dir, seed):
+    # Extends the fuzz surface to the documents table — the text-function
+    # compositions the llm_* operator family is built from.
+    sql = _gen_text_query(seed)
+    views(spark, sf_dir, "documents")
+    sdf = spark.sql(sql)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    con = duck_connect(sf_dir)
+    try:
+        res = con.execute(sql)
+        o_cols = [d[0] for d in res.description]
+        o_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(o_cols), sql
+    assert _norm_rows(s_cols, s_rows) == _norm_rows(o_cols, o_rows), sql
