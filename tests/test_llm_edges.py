@@ -183,3 +183,65 @@ def test_psi_one_sided_priority_dropped_not_crashed(spark, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     out = eng.queries()["profile_drift_psi"](spark, str(tmp_path)).collect()
     assert {r["priority"] for r in out} == {"1-URGENT"}
+
+
+def test_merge_fold_property_vs_python_reference(spark):
+    # 200 random symbol strings through the greedy left-fold vs an
+    # independent Python implementation of BPE's merge rule — one
+    # DataFrame evaluation for the whole batch.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nedp_etl_spark.llm.corpus import _merge_fold
+
+    rng = random.Random(991)
+    words = ["".join(rng.choice("abth") for _ in range(rng.randint(0, 12)))
+             for _ in range(200)]
+
+    def py_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b); i += 2
+            else:
+                out.append(syms[i]); i += 1
+        return out
+
+    expected = []
+    for w in words:
+        syms = list(w)
+        for a, b in [("t", "h"), ("a", "b"), ("th", "a")]:
+            syms = py_merge(syms, a, b)
+        expected.append(syms)
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "i long, w string")
+    col = F.split(F.col("w"), "")
+    # split('') yields a trailing empty element for non-empty strings on
+    # neither engine here — Spark's split of "ab" by "" is [a, b]; guard
+    # empty strings (split -> [""]) to the empty list like list(w) does
+    col = F.when(F.col("w") == "", F.array().cast("array<string>")).otherwise(col)
+    for a, b in [("t", "h"), ("a", "b"), ("th", "a")]:
+        col = _merge_fold(col, a, b)
+    got = {r["i"]: r["m"] for r in df.select("i", col.alias("m")).collect()}
+    for i, exp in enumerate(expected):
+        assert got[i] == exp, (words[i], got[i], exp)
+
+
+def test_max_token_freq_property_vs_counter(spark):
+    # 300 random token lists: the run-length fold must equal Counter max.
+    import collections
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nedp_etl_spark.llm.curation import _max_token_freq
+
+    rng = random.Random(17)
+    lists = [[rng.choice(["a", "b", "c", "dd", "e"]) for _ in range(rng.randint(1, 40))]
+             for _ in range(300)]
+    df = spark.createDataFrame([(i, l) for i, l in enumerate(lists)],
+                               "i long, toks array<string>")
+    got = {r["i"]: r["m"] for r in
+           df.select("i", _max_token_freq(F.col("toks")).alias("m")).collect()}
+    for i, l in enumerate(lists):
+        assert got[i] == max(collections.Counter(l).values()), (i, l)
