@@ -138,9 +138,10 @@ def test_curation_e2e_survivors_scale_linearly(spark, sf_dir, dirs):
     # all-pairs stage or a cross-replica leak would blow the band.
     base = eng.queries()["llm_curation_e2e"](spark, sf_dir).count()
     assert base > 0, "e2e pipeline produced no survivors at base scale — vacuous"
-    d4 = dirs[4]
-    scaled = eng.queries()["llm_curation_e2e"](spark, d4).count()
-    assert 0.6 * 4 * base <= scaled <= 1.4 * 4 * base, (base, scaled)
+    tiers = [4, 16] if os.environ.get("SPARK_GRAFT_SCALE_SMOKE") == "1" else [4]
+    for f in tiers:
+        scaled = eng.queries()["llm_curation_e2e"](spark, dirs[f]).count()
+        assert 0.6 * f * base <= scaled <= 1.4 * f * base, (f, base, scaled)
 
 
 def test_sorted_neighborhood_pairs_hard_bounded(spark, sf_dir, dirs):
