@@ -1685,3 +1685,89 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("seasonal") / 1_000_000.0, 6).alias("seasonal"),
         F.round(F.col("forecast_next") / 1_000_000.0, 6).alias("forecast_next"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_m4_downsample — M4 aggregation (Jugel et al., VLDB 2014): per pixel
+# bucket keep min, max, FIRST and LAST points — the four points whose
+# line-join provably reproduces the pixel-exact rendering of the full
+# series (min/max alone — ts_downsample — distorts inter-bucket
+# connecting segments; LTTB — ts_lttb — is perceptual, not pixel-exact).
+# One row per (series, day, role); a point filling several roles appears
+# once per role, as M4 defines.
+#
+# Scale shape: ONE (event_type, day)-keyed window computes all four rank
+# orders over one hash exchange; ties break on event_id so every role is
+# total on both engines.  100 TB of points reduce to buckets × 4 rows.
+# Reference parity: windowed SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_M4_ORACLE = """
+WITH r AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, event_id, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY value ASC, event_id) AS rn_min,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY value DESC, event_id) AS rn_max,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts ASC, event_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id) AS rn_last
+  FROM events
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, 'min' AS role,
+       event_id, ROUND(value, 6) AS value FROM r WHERE rn_min = 1
+UNION ALL
+SELECT event_type, strftime(day, '%Y-%m-%d'), 'max',
+       event_id, ROUND(value, 6) FROM r WHERE rn_max = 1
+UNION ALL
+SELECT event_type, strftime(day, '%Y-%m-%d'), 'first',
+       event_id, ROUND(value, 6) FROM r WHERE rn_first = 1
+UNION ALL
+SELECT event_type, strftime(day, '%Y-%m-%d'), 'last',
+       event_id, ROUND(value, 6) FROM r WHERE rn_last = 1
+"""
+
+
+@register("ts_m4_downsample", oracle=_M4_ORACLE)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day"), "event_id", "value", "ts"
+    )
+    part = Window.partitionBy("event_type", "day")
+    r = d.select(
+        "event_type",
+        "day",
+        "event_id",
+        "value",
+        F.row_number()
+        .over(part.orderBy(F.col("value").asc(), "event_id"))
+        .alias("rn_min"),
+        F.row_number()
+        .over(part.orderBy(F.col("value").desc(), "event_id"))
+        .alias("rn_max"),
+        F.row_number()
+        .over(part.orderBy(F.col("ts").asc(), "event_id"))
+        .alias("rn_first"),
+        F.row_number()
+        .over(part.orderBy(F.col("ts").desc(), "event_id"))
+        .alias("rn_last"),
+    )
+
+    def _role(flag: str, name: str) -> DataFrame:
+        return r.filter(F.col(flag) == 1).select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.lit(name).alias("role"),
+            "event_id",
+            F.round("value", 6).alias("value"),
+        )
+
+    return (
+        _role("rn_min", "min")
+        .unionAll(_role("rn_max", "max"))
+        .unionAll(_role("rn_first", "first"))
+        .unionAll(_role("rn_last", "last"))
+    )

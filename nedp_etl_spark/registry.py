@@ -114,6 +114,10 @@ _PRIORITY: list[str] = [
     "llm_shard_balance",          # NEW r7: snake-order data-parallel sharding
     "llm_dedup_token_sort",       # NEW r7: bag-of-words permutation dedup
     "agg_chisq_independence",     # NEW r7: contingency chi² + Cramér's V
+    # --- (b3) LATE round-7 keys — registered after the 50-row budget
+    # filled; they are in-repo green at sf0.001+sf0.01 and queue as the
+    # round-8 section-(a) backlog ---
+    "ts_m4_downsample",           # NEW r7-late: M4 pixel-exact downsampling
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

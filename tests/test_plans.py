@@ -664,3 +664,12 @@ def test_chisq_margins_branch_from_checkpoint(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_chisq_independence")
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_m4_one_keyed_exchange_four_roles(spark, sf_dir):
+    # All four rank orders share the (event_type, day) partitioning — the
+    # union must not multiply exchanges beyond the shared hash layout and
+    # never sorts globally.
+    plan = _plan(spark, sf_dir, "ts_m4_downsample")
+    assert not _has_global_window(plan)
+    assert "windowspecdefinition(event_type" in plan

@@ -1605,3 +1605,20 @@ def test_chisq_independence_and_perfect_association(spark, tmp_path):
            "o_orderpriority string, o_totalprice double")
     out = eng.queries()["agg_chisq_independence"](spark, str(tmp_path)).collect()[0]
     assert (out["n_rows"], out["dof"], out["chi2"], out["cramers_v"]) == (12, 1, 0.0, 0.0)
+
+
+def test_m4_roles_hand_picked(spark, tmp_path):
+    # One day, four points: first(8am, v=5), max(10am, v=50),
+    # min(noon, v=1), last(3pm, v=7) — each role must name its point.
+    import datetime as dt
+
+    b = dt.datetime(2024, 10, 1)
+    rows = [(1, 1, "m", b + dt.timedelta(hours=8), 5.0),
+            (2, 1, "m", b + dt.timedelta(hours=10), 50.0),
+            (3, 1, "m", b + dt.timedelta(hours=12), 1.0),
+            (4, 1, "m", b + dt.timedelta(hours=15), 7.0)]
+    _write(spark, tmp_path, "events", rows,
+           "event_id bigint, user_id bigint, event_type string, ts timestamp, value double")
+    out = {r["role"]: r["event_id"] for r in
+           eng.queries()["ts_m4_downsample"](spark, str(tmp_path)).collect()}
+    assert out == {"first": 1, "max": 2, "min": 3, "last": 4}
