@@ -845,3 +845,111 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m", F.col("code").alias("cid"), F.col("pc.cv").alias("c"))
     )
     return assign(c1).select("vec_id", "m", "code", "dist")
+
+
+# --------------------------------------------------------------------------
+# llm_embed_outliers — embedding QA by centrality (the SemDeDup-adjacent
+# screen for mislabeled / corrupted vectors): each vector scores its
+# cosine to its OWN label's centroid, and the 10 % least-central vectors
+# per label are flagged as outlier candidates — a rank rule, not a fixed
+# threshold, so it is meaningful whatever the label geometry.
+#
+# Exactness: centroids are per-dimension means of 6-dp fixed-point
+# component sums (exact int64 — magnitude ≤ q·rows ≈ 1e17 at 1e10
+# vectors), so both engines derive bit-identical centroid doubles; the
+# cosine folds left-to-right on both engines (the llm_embed_norm parity
+# pair) and is ROUNDED to 6 dp before the rank, ties on vec_id.
+# Scale shape: one (label, pos) aggregate with map-side combine (explode
+# is 64×rows but combines to labels×64 partials), centroids broadcast
+# back (labels×64 doubles), one label-keyed rank window.
+# Reference parity: vector QA reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_OUTLIER_FRAC = 10  # flag rank <= ceil(n/10)
+
+_EMBED_OUTLIERS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT label, t.i AS pos,
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         COUNT(*) AS n
+  FROM e, range(1, 65) t(i) GROUP BY 1, 2
+),
+c AS (
+  SELECT label, list(CAST(sq AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS cent,
+         MIN(n) AS n
+  FROM s GROUP BY label
+),
+sc AS (
+  SELECT e.vec_id, e.label, c.n,
+         ROUND(list_dot_product(e.v, c.cent)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cent, c.cent))), 6) AS cos_centroid
+  FROM e JOIN c ON e.label = c.label
+)
+SELECT vec_id, label, cos_centroid,
+       rk <= CAST(CEIL(n * 1.0 / 10) AS BIGINT) AS is_outlier
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY cos_centroid, vec_id) AS rk
+  FROM sc
+)
+"""
+
+
+@register("llm_embed_outliers", oracle=_EMBED_OUTLIERS_ORACLE)
+def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec("embedding").alias("v")
+    )
+    s = (
+        e.select(
+            "label",
+            F.posexplode(F.col("v")).alias("pos0", "x"),
+        )
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("x") * 1_000_000.0 + 0.5).cast("long").alias("q"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+    )
+    c = s.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", (F.col("sq").cast("double") / F.col("n") / 1_000_000.0).alias("cv")))
+            ),
+            lambda st: st["cv"],
+        ).alias("cent"),
+        F.min("n").alias("n"),
+    )
+    sc = e.join(F.broadcast(c), "label").select(
+        "vec_id",
+        "label",
+        "n",
+        F.round(
+            _dot(F.col("v"), F.col("cent"))
+            / (
+                F.sqrt(_dot(F.col("v"), F.col("v")))
+                * F.sqrt(_dot(F.col("cent"), F.col("cent")))
+            ),
+            6,
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "label",
+            "cos_centroid",
+            (
+                F.col("rk")
+                <= F.ceil(F.col("n") * 1.0 / _OUTLIER_FRAC).cast("bigint")
+            ).alias("is_outlier"),
+        )
+    )

@@ -673,3 +673,12 @@ def test_m4_one_keyed_exchange_four_roles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_m4_downsample")
     assert not _has_global_window(plan)
     assert "windowspecdefinition(event_type" in plan
+
+
+def test_embed_outliers_centroids_broadcast(spark, sf_dir):
+    # The labels×64 centroid table must broadcast back to the vectors;
+    # the per-dim sums combine map-side; the rank window keys on label.
+    plan = _plan(spark, sf_dir, "llm_embed_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "windowspecdefinition(label" in plan

@@ -1622,3 +1622,24 @@ def test_m4_roles_hand_picked(spark, tmp_path):
     out = {r["role"]: r["event_id"] for r in
            eng.queries()["ts_m4_downsample"](spark, str(tmp_path)).collect()}
     assert out == {"first": 1, "max": 2, "min": 3, "last": 4}
+
+
+def test_embed_outliers_flags_planted_inversion(spark, tmp_path):
+    # 10 vectors in one label: 9 near +e1, one pointing the OPPOSITE way.
+    # The inverted vector must be the (single, ceil(10/10)=1) flagged
+    # outlier, with a clearly negative cosine to the centroid.
+    rows = []
+    for i in range(9):
+        v = [0.0] * 64
+        v[0], v[1] = 10.0, float(i % 3)  # near +e1
+        rows.append((i, v, 7))
+    inv = [0.0] * 64
+    inv[0] = -10.0
+    rows.append((99, inv, 7))
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["vec_id"]: r for r in
+           eng.queries()["llm_embed_outliers"](spark, str(tmp_path)).collect()}
+    assert out[99]["is_outlier"] is True and out[99]["cos_centroid"] < 0
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
