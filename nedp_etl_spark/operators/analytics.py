@@ -1228,3 +1228,86 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_gini_coefficient — Lorenz-curve Gini of customer spend per market
+# segment (revenue-concentration analytics: "how unequal is our customer
+# base?").  Gini = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend sorted
+# ascending, i = 1..n — exact, not a binned approximation.  Distinct from
+# agg_entropy_gini's Gini IMPURITY (categorical mix); this is the
+# inequality coefficient over a continuous measure.
+#
+# Scale shape: orders collapse to per-customer totals first (map-side
+# combine), the segment dim broadcasts, ONE segment-keyed rank window
+# orders the totals, and the weighted sum Σ i·xᵢ accumulates as
+# DECIMAL(38,0)/HUGEINT (i·x reaches ~1e17 at modest scale; int64 would
+# overflow) over the already-reduced customer-totals relation.
+# Exactness: spend quantized to cents (exact int64 per customer), ranks
+# tie-break on custkey, final arithmetic from exact integers.
+# Reference parity: analytics SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH t AS (
+  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+x AS (
+  SELECT c.c_mktsegment AS segment, t.cents, t.o_custkey
+  FROM t JOIN customer c ON t.o_custkey = c.c_custkey
+),
+r AS (
+  SELECT segment, cents,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY cents, o_custkey) AS i
+  FROM x
+),
+a AS (
+  SELECT segment,
+         COUNT(*) AS n,
+         SUM(CAST(cents AS HUGEINT)) AS sx,
+         SUM(CAST(i AS HUGEINT) * cents) AS swx
+  FROM r GROUP BY segment
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_customers,
+       CASE WHEN sx > 0 THEN
+         ROUND(2.0 * CAST(swx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+       END AS gini
+FROM a
+"""
+
+
+@register("agg_gini_coefficient", oracle=_GINI_ORACLE)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    t = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")).alias("cents")
+    )
+    x = t.join(F.broadcast(cust), t.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "cents", "o_custkey"
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_custkey")
+    r = x.withColumn("i", F.row_number().over(w))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    a = r.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("cents")).alias("sx"),
+        F.sum(dec("i") * dec("cents")).alias("swx"),
+    )
+    nd = F.col("n").cast("double")
+    gini = F.when(
+        F.col("sx") > 0,
+        F.round(
+            2.0 * F.col("swx").cast("double") / (nd * F.col("sx").cast("double"))
+            - (nd + 1.0) / nd,
+            6,
+        ),
+    )
+    return a.select(
+        "segment", F.col("n").cast("bigint").alias("n_customers"), gini.alias("gini")
+    )

@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     # round-8 section-(a) backlog ---
     "ts_m4_downsample",           # NEW r7-late: M4 pixel-exact downsampling
     "llm_embed_outliers",         # NEW r7-late: centroid-cosine embedding QA
+    "agg_gini_coefficient",       # NEW r7-late: Lorenz inequality per segment
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -682,3 +682,13 @@ def test_embed_outliers_centroids_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition(label" in plan
+
+
+def test_gini_totals_first_then_keyed_rank(spark, sf_dir):
+    # Orders collapse to customer totals BEFORE the dim join (map-side
+    # combine); the segment dim broadcasts; the rank window keys on
+    # segment — no global sort, no sort-merge of the fact table.
+    plan = _plan(spark, sf_dir, "agg_gini_coefficient")
+    assert not _has_global_window(plan)
+    assert "windowspecdefinition(segment" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -1643,3 +1643,23 @@ def test_embed_outliers_flags_planted_inversion(spark, tmp_path):
            eng.queries()["llm_embed_outliers"](spark, str(tmp_path)).collect()}
     assert out[99]["is_outlier"] is True and out[99]["cos_centroid"] < 0
     assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+
+
+def test_gini_coefficient_extremes(spark, tmp_path):
+    # Perfect equality (4 customers, equal spend) → Gini 0; near-total
+    # concentration (one customer holds everything) → Gini (n-1)/n = 0.75.
+    rows = ([(i, i, 100.0) for i in range(1, 5)]           # AUTO: equal
+            + [(10 + i, 10 + i, 0.0) for i in range(3)]    # STEEL: 3 zeros...
+            + [(20, 14, 400.0)])                           # ...one whale
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_custkey bigint, o_totalprice double")
+    _write(spark, tmp_path, "customer",
+           [(i, "n", 0, 0.0, "AUTO") for i in range(1, 5)]
+           + [(10 + i, "n", 0, 0.0, "STEEL") for i in range(3)]
+           + [(14, "n", 0, 0.0, "STEEL")],
+           "c_custkey bigint, c_name string, c_nationkey int, "
+           "c_acctbal double, c_mktsegment string")
+    out = {r["segment"]: r for r in
+           eng.queries()["agg_gini_coefficient"](spark, str(tmp_path)).collect()}
+    assert out["AUTO"]["gini"] == 0.0
+    assert out["STEEL"]["n_customers"] == 4 and out["STEEL"]["gini"] == 0.75
