@@ -953,3 +953,83 @@ def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_outlier"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_lsh_bucket_purity — LSH index-quality evaluation: how well do the
+# random-hyperplane buckets align with the label structure?  Per bucket:
+# size, majority label, and purity (majority fraction); the weighted mean
+# of purities is the standard clustering-evaluation purity score, here
+# applied to the ANN index itself (the metric that tells you whether an
+# 8-bit signature is enough before you ship the index).
+#
+# Scale shape: signatures are map-side (fixed dyadic-rational hyperplanes
+# burned as literals — llm_semantic_lsh's model-parameter discipline),
+# then two tiny keyed aggregates: (bucket, label) counts → per-bucket
+# argmax.  No joins at corpus scale; everything after the first combine
+# is bucket-cardinality-sized.
+# Reference parity: vector QA reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+
+def _lsh_purity_oracle() -> str:
+    planes = _lsh_planes()
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(c) for c in row)}]) >= 0 "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k, row in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sig AS (SELECT vec_id, label, CAST({bits} AS BIGINT) AS bucket FROM e),
+c AS (
+  SELECT bucket, label, COUNT(*) AS n FROM sig GROUP BY bucket, label
+),
+m AS (
+  SELECT bucket, label, n,
+         SUM(n) OVER (PARTITION BY bucket) AS tot,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, label) AS rk
+  FROM c
+)
+SELECT bucket,
+       CAST(tot AS BIGINT) AS n_vectors,
+       CAST(label AS INT) AS majority_label,
+       ROUND(n * 1.0 / tot, 6) AS purity
+FROM m WHERE rk = 1
+"""
+
+
+@register("llm_lsh_bucket_purity", oracle=_lsh_purity_oracle())
+def llm_lsh_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec("embedding").alias("v")
+    )
+    bucket = None
+    for k, row in enumerate(_lsh_planes()):
+        lit = F.array(*[F.lit(c) for c in row])
+        bit = F.when(_dot(F.col("v"), lit) >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    c = (
+        e.select("label", bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wb = Window.partitionBy("bucket")
+    m = c.select(
+        "bucket",
+        "label",
+        "n",
+        F.sum("n").over(wb).alias("tot"),
+        F.row_number()
+        .over(wb.orderBy(F.col("n").desc(), "label"))
+        .alias("rk"),
+    )
+    return m.filter(F.col("rk") == 1).select(
+        "bucket",
+        F.col("tot").cast("bigint").alias("n_vectors"),
+        F.col("label").cast("int").alias("majority_label"),
+        F.round(F.col("n") * 1.0 / F.col("tot"), 6).alias("purity"),
+    )

@@ -692,3 +692,11 @@ def test_gini_totals_first_then_keyed_rank(spark, sf_dir):
     assert not _has_global_window(plan)
     assert "windowspecdefinition(segment" in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_lsh_purity_no_join_keyed_windows(spark, sf_dir):
+    # Signatures are map-side; everything after the first combine is
+    # bucket-cardinality-sized: no join, bucket-keyed windows only.
+    plan = _plan(spark, sf_dir, "llm_lsh_bucket_purity")
+    assert "Join" not in plan
+    assert "windowspecdefinition(bucket" in plan

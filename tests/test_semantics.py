@@ -1663,3 +1663,25 @@ def test_gini_coefficient_extremes(spark, tmp_path):
            eng.queries()["agg_gini_coefficient"](spark, str(tmp_path)).collect()}
     assert out["AUTO"]["gini"] == 0.0
     assert out["STEEL"]["n_customers"] == 4 and out["STEEL"]["gini"] == 0.75
+
+
+def test_lsh_bucket_purity_known_split(spark, tmp_path):
+    # Vectors at +e1 land in one signature bucket, vectors at -e1 in the
+    # complementary one; labels planted 3:1 in the first bucket → purity
+    # 0.75 with majority label 0; the second bucket is pure label 1.
+    def vec(sign):
+        v = [0.0] * 64
+        v[0] = sign * 5.0
+        return v
+
+    rows = ([(i, vec(+1), 0) for i in range(3)] + [(3, vec(+1), 1)]
+            + [(10 + i, vec(-1), 1) for i in range(2)])
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "embeddings.parquet"))
+    out = sorted(eng.queries()["llm_lsh_bucket_purity"](spark, str(tmp_path)).collect(),
+                 key=lambda r: -r["n_vectors"])
+    assert len(out) == 2
+    big, small = out
+    assert (big["n_vectors"], big["majority_label"], big["purity"]) == (4, 0, 0.75)
+    assert (small["n_vectors"], small["majority_label"], small["purity"]) == (2, 1, 1.0)
