@@ -285,3 +285,69 @@ def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_dataset_interleave — deterministic fixed-ratio corpus mixing (the
+# interleave_datasets shape behind curriculum/mixture training): English
+# docs and the rest interleave 3:1 into one globally-ordered stream with
+# NO RNG — group-A item i takes slot (i//3)·4 + i%3, group-B item j takes
+# slot j·4 + 3, so every window of 4 consecutive slots holds exactly
+# 3 A's and 1 B until a side exhausts.  Retry-reproducible and
+# shard-stable, the same reasons llm_stratified_sample hashes instead of
+# sampling.
+#
+# Scale shape: per-group rank WITHOUT a 2-partition keyed window (two
+# giant groups would skew): ONE two-phase prefix sum over (grp, doc_id)
+# gives a global rank; per-group rank = global rank − group's min rank
+# (a 2-row broadcast).  Slot math is then map-side integer arithmetic.
+# Reference parity: mixing SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_INTERLEAVE_RA = 3  # A (en) parts per cycle
+_INTERLEAVE_CYCLE = 4  # cycle length (A parts + 1 B part)
+
+_INTERLEAVE_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS grp
+  FROM documents
+),
+r AS (
+  SELECT doc_id, grp,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY doc_id) - 1 AS i
+  FROM g
+)
+SELECT doc_id, grp,
+       CASE WHEN grp = 0
+            THEN (i // {_INTERLEAVE_RA}) * {_INTERLEAVE_CYCLE} + i % {_INTERLEAVE_RA}
+            ELSE i * {_INTERLEAVE_CYCLE} + {_INTERLEAVE_RA} END AS mix_pos
+FROM r
+"""
+
+
+@register("llm_dataset_interleave", oracle=_INTERLEAVE_ORACLE)
+def llm_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import global_running_sum
+
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 0).otherwise(1).alias("grp"),
+    )
+    # global rank over (grp, doc_id): groups are contiguous in the range
+    # layout, so per-group rank = global rank − the group's first rank
+    rk = global_running_sum(g, ["grp", "doc_id"], F.lit(1), "grk")
+    starts = rk.groupBy("grp").agg(F.min("grk").alias("g0"))
+    r = rk.join(F.broadcast(starts), "grp").select(
+        "doc_id", "grp", (F.col("grk") - F.col("g0")).alias("i")
+    )
+    pos_a = (F.col("i") / _INTERLEAVE_RA).cast("long") * _INTERLEAVE_CYCLE + (
+        F.col("i") % _INTERLEAVE_RA
+    )
+    pos_b = F.col("i") * _INTERLEAVE_CYCLE + _INTERLEAVE_RA
+    return r.select(
+        "doc_id",
+        "grp",
+        F.when(F.col("grp") == 0, pos_a).otherwise(pos_b).alias("mix_pos"),
+    )

@@ -121,6 +121,7 @@ _PRIORITY: list[str] = [
     "llm_embed_outliers",         # NEW r7-late: centroid-cosine embedding QA
     "agg_gini_coefficient",       # NEW r7-late: Lorenz inequality per segment
     "llm_lsh_bucket_purity",      # NEW r7-late: ANN-index purity evaluation
+    "llm_dataset_interleave",     # NEW r7-late: fixed-ratio corpus mixing
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -700,3 +700,13 @@ def test_lsh_purity_no_join_keyed_windows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_lsh_bucket_purity")
     assert "Join" not in plan
     assert "windowspecdefinition(bucket" in plan
+
+
+def test_interleave_two_phase_rank_no_skewed_window(spark, sf_dir):
+    # Per-group rank must come from the two-phase prefix sum (a 2-group
+    # keyed window would put half the corpus in one partition); the group
+    # starts are a 2-row broadcast.
+    plan = _plan(spark, sf_dir, "llm_dataset_interleave")
+    assert not _has_global_window(plan)
+    assert "windowspecdefinition(grp" not in plan  # no per-group window
+    assert "BroadcastHashJoin" in plan

@@ -1685,3 +1685,18 @@ def test_lsh_bucket_purity_known_split(spark, tmp_path):
     big, small = out
     assert (big["n_vectors"], big["majority_label"], big["purity"]) == (4, 0, 0.75)
     assert (small["n_vectors"], small["majority_label"], small["purity"]) == (2, 1, 1.0)
+
+
+def test_interleave_three_to_one_pattern(spark, tmp_path):
+    # 6 en docs + 2 others: slots 0,1,2,4,5,6 go to en (in doc order),
+    # slots 3,7 to the others — every 4-slot window holds 3 en + 1 other,
+    # and positions are collision-free.
+    rows = ([(i, "t", "en", "s", 1) for i in range(6)]
+            + [(10, "t", "de", "s", 1), (11, "t", "fr", "s", 1)])
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = {r["doc_id"]: r["mix_pos"] for r in
+           eng.queries()["llm_dataset_interleave"](spark, str(tmp_path)).collect()}
+    assert [out[i] for i in range(6)] == [0, 1, 2, 4, 5, 6]
+    assert (out[10], out[11]) == (3, 7)
+    assert len(set(out.values())) == len(out)  # no slot collisions
