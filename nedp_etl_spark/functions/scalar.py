@@ -356,3 +356,60 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("REF")).alias("fragment"),
         F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_ipv4 — IPv4 parsing and CIDR membership via portable integer math
+# (log-enrichment ETL: neither engine needs an inet extension).  Addresses
+# synthesize deterministically from customer keys; the op parses octets,
+# packs the 32-bit integer form, tests membership in 10.0.0.0/8 and
+# 10.42.0.0/16, and extracts the /24 network prefix — the enrichment
+# columns a clickstream pipeline joins on.  Pure map-side string/integer
+# expressions; zero shuffles beyond the final aggregate-free projection.
+# Reference parity: enrichment SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_FN_IPV4_ORACLE = """
+WITH ip AS (
+  SELECT c_custkey,
+         CAST(CASE WHEN c_custkey % 3 = 0 THEN 10 ELSE 192 END AS BIGINT) AS o1,
+         CAST(CASE WHEN c_custkey % 2 = 0 THEN 42 ELSE c_custkey % 200 END AS BIGINT) AS o2,
+         CAST(c_custkey % 256 AS BIGINT) AS o3,
+         CAST((c_custkey * 7) % 256 AS BIGINT) AS o4
+  FROM customer
+)
+SELECT c_custkey,
+       CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+         || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip,
+       o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_int,
+       o1 = 10 AS in_10_slash8,
+       (o1 = 10 AND o2 = 42) AS in_10_42_slash16,
+       CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+         || CAST(o3 AS VARCHAR) || '.0/24' AS net24
+FROM ip
+"""
+
+
+@register("fn_ipv4", oracle=_FN_IPV4_ORACLE)
+def fn_ipv4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    o1 = F.when(k % 3 == 0, 10).otherwise(192).cast("bigint")
+    o2 = F.when(k % 2 == 0, 42).otherwise(k % 200).cast("bigint")
+    o3 = (k % 256).cast("bigint")
+    o4 = ((k * 7) % 256).cast("bigint")
+    ip = F.concat_ws(
+        ".", o1.cast("string"), o2.cast("string"), o3.cast("string"), o4.cast("string")
+    )
+    return c.select(
+        "c_custkey",
+        ip.alias("ip"),
+        (o1 * 16777216 + o2 * 65536 + o3 * 256 + o4).alias("ip_int"),
+        (o1 == 10).alias("in_10_slash8"),
+        ((o1 == 10) & (o2 == 42)).alias("in_10_42_slash16"),
+        F.concat(
+            F.concat_ws(".", o1.cast("string"), o2.cast("string"), o3.cast("string")),
+            F.lit(".0/24"),
+        ).alias("net24"),
+    )

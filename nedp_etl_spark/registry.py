@@ -122,6 +122,7 @@ _PRIORITY: list[str] = [
     "agg_gini_coefficient",       # NEW r7-late: Lorenz inequality per segment
     "llm_lsh_bucket_purity",      # NEW r7-late: ANN-index purity evaluation
     "llm_dataset_interleave",     # NEW r7-late: fixed-ratio corpus mixing
+    "fn_ipv4",                    # NEW r7-late: IPv4 parse/CIDR enrichment
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -710,3 +710,8 @@ def test_interleave_two_phase_rank_no_skewed_window(spark, sf_dir):
     assert not _has_global_window(plan)
     assert "windowspecdefinition(grp" not in plan  # no per-group window
     assert "BroadcastHashJoin" in plan
+
+
+def test_ipv4_pure_map(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fn_ipv4")
+    assert "Exchange" not in plan and "Join" not in plan

@@ -1700,3 +1700,23 @@ def test_interleave_three_to_one_pattern(spark, tmp_path):
     assert [out[i] for i in range(6)] == [0, 1, 2, 4, 5, 6]
     assert (out[10], out[11]) == (3, 7)
     assert len(set(out.values())) == len(out)  # no slot collisions
+
+
+def test_ipv4_packing_and_cidr_membership(spark, tmp_path):
+    # custkey 6 → octets (10, 42, 6, 42): inside both 10.0.0.0/8 and
+    # 10.42.0.0/16, int form hand-packed; custkey 5 → (192, 5, 5, 35):
+    # outside both blocks.
+    _write(spark, tmp_path, "customer",
+           [(6, "n", 0, 0.0, "AUTO"), (5, "n", 0, 0.0, "AUTO")],
+           "c_custkey bigint, c_name string, c_nationkey int, "
+           "c_acctbal double, c_mktsegment string")
+    out = {r["c_custkey"]: r for r in
+           eng.queries()["fn_ipv4"](spark, str(tmp_path)).collect()}
+    a = out[6]
+    assert a["ip"] == "10.42.6.42"
+    assert a["ip_int"] == 10 * 2**24 + 42 * 2**16 + 6 * 256 + 42
+    assert a["in_10_slash8"] is True and a["in_10_42_slash16"] is True
+    assert a["net24"] == "10.42.6.0/24"
+    b = out[5]
+    assert b["ip"] == "192.5.5.35"
+    assert b["in_10_slash8"] is False and b["in_10_42_slash16"] is False
