@@ -731,3 +731,68 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_ngram_novelty — per-document novelty: what fraction of a doc's
+# distinct trigrams appear NOWHERE else in the corpus?  Low novelty means
+# the doc is assembled from corpus-common phrasing (boilerplate /
+# template / near-duplicate tails that survive exact dedup); the signal
+# behind memorization and template-collapse screens.
+#
+# Scale shape: distinct (doc, gram) pairs explode ONCE; the corpus-wide
+# document frequency is a gram-keyed aggregate with map-side combine; the
+# novelty join is gram-keyed equi (never all-pairs) and the final
+# aggregate is doc-keyed.  Identical cost family to llm_tfidf's df pass —
+# the novel part is the df=1 fraction per doc, not the plumbing.
+# Reference parity: text-analysis SQL reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               FOR i IN range(1, len(t) - 1)])) AS g
+  FROM toks WHERE len(t) >= 3
+),
+df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_unique,
+       ROUND(COUNT(*) FILTER (WHERE df.df = 1) * 1.0 / COUNT(*), 6) AS novelty
+FROM grams JOIN df ON grams.g = df.g
+GROUP BY grams.doc_id
+"""
+
+
+@register("llm_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.llm.curation import _trigram_set
+
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.explode(_trigram_set(F.col("t"))).alias("g"))
+    )
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df, "g")  # gram-keyed equi-join: shuffle by gram hash
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -123,6 +123,7 @@ _PRIORITY: list[str] = [
     "llm_lsh_bucket_purity",      # NEW r7-late: ANN-index purity evaluation
     "llm_dataset_interleave",     # NEW r7-late: fixed-ratio corpus mixing
     "fn_ipv4",                    # NEW r7-late: IPv4 parse/CIDR enrichment
+    "llm_ngram_novelty",          # NEW r7-late: corpus-unique trigram fraction
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

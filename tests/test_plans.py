@@ -715,3 +715,12 @@ def test_interleave_two_phase_rank_no_skewed_window(spark, sf_dir):
 def test_ipv4_pure_map(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fn_ipv4")
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_novelty_gram_keyed_equi_join(spark, sf_dir):
+    # df pass combines map-side; the novelty join is a gram-keyed
+    # EQUI-join — never a nested loop over doc pairs.
+    plan = _plan(spark, sf_dir, "llm_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)

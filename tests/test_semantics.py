@@ -1720,3 +1720,19 @@ def test_ipv4_packing_and_cidr_membership(spark, tmp_path):
     b = out[5]
     assert b["ip"] == "192.5.5.35"
     assert b["in_10_slash8"] is False and b["in_10_42_slash16"] is False
+
+
+def test_ngram_novelty_shared_vs_unique_grams(spark, tmp_path):
+    # Docs 1 and 2 share their first trigram ("a b c") but diverge after:
+    # doc 1 has grams {a b c, b c d, c d e} with only the first shared →
+    # novelty 2/3; doc 3 is fully unique vocabulary → novelty 1.0.
+    rows = [(1, "a b c d e", "en", "s", 1),
+            (2, "a b c x y", "en", "s", 1),
+            (3, "p q r s", "en", "s", 1)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = {r["doc_id"]: r for r in
+           eng.queries()["llm_ngram_novelty"](spark, str(tmp_path)).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["n_unique"] == 2
+    assert abs(out[1]["novelty"] - round(2 / 3, 6)) < 1e-9
+    assert out[3]["novelty"] == 1.0
