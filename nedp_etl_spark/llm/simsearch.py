@@ -1033,3 +1033,86 @@ def llm_lsh_bucket_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("majority_label"),
         F.round(F.col("n") * 1.0 / F.col("tot"), 6).alias("purity"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_hard_negatives — hard-negative mining for contrastive training: for a
+# fixed probe set, the top-3 highest-cosine candidates whose LABEL DIFFERS
+# from the probe's.  These are precisely the confusable cross-class
+# neighbors a contrastive/embedding fine-tune wants as negatives (the
+# easy negatives — random low-cosine docs — carry no gradient signal).
+#
+# Scale shape: identical to llm_sim_search — the probe set is model-input
+# (O(probes) rows, broadcast), the corpus is scanned ONCE with per-vector
+# norms folded map-side before the scoring join, and the top-k is a
+# probe-partitioned window over the scored relation.  Cost O(n·p);
+# a deployment with large p swaps the broadcast for the IVF routing of
+# llm_sim_search_ivf unchanged (the label filter commutes with bucketing).
+# Reference parity: similarity SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_HARD_NEG_ORACLE = """
+WITH p AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (
+  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         c.vec_id AS neg_id, c.label AS neg_label,
+         ROUND(list_dot_product(p.e, c.e) /
+               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+  FROM p, c
+  WHERE c.label <> p.label
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neg_id) AS rn FROM s)
+SELECT probe_id, CAST(probe_label AS INT) AS probe_label,
+       neg_id, CAST(neg_label AS INT) AS neg_label, cosine, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 3
+"""
+
+
+@register("llm_hard_negatives", oracle=_HARD_NEG_ORACLE)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("label").alias("probe_label"),
+            _dvec("embedding").alias("pe"),
+        )
+        .withColumn("pn", F.sqrt(_dot(F.col("pe"), F.col("pe"))))
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        _dvec("embedding").alias("ce"),
+    ).withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+    scored = (
+        cands.crossJoin(F.broadcast(probes))
+        .filter(F.col("neg_label") != F.col("probe_label"))
+        .select(
+            "probe_id",
+            "probe_label",
+            "neg_id",
+            "neg_label",
+            F.round(
+                _dot(F.col("pe"), F.col("ce")) / (F.col("pn") * F.col("cn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "probe_id",
+            F.col("probe_label").cast("int").alias("probe_label"),
+            "neg_id",
+            F.col("neg_label").cast("int").alias("neg_label"),
+            "cosine",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )

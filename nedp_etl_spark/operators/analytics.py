@@ -1311,3 +1311,59 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         "segment", F.col("n").cast("bigint").alias("n_customers"), gini.alias("gini")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_markov_transitions — first-order Markov transition matrix over user
+# event sequences: P(next event_type | current event_type), with counts.
+# The classic journey/sequence-analytics primitive (next-step prediction,
+# funnel leak diagnosis) the reference reaches only through dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+#
+# Scale shape: ONE shuffle keyed on user_id orders each user's events and
+# builds (src, dst) pairs map-side via lead(); the pair aggregation
+# map-side-combines to |types|² rows, and the row-normalization window
+# runs over that tiny aggregate (partitioned by src_type — never a
+# SinglePartition exchange, never the corpus).  Per-user state is one
+# sorted partition slice, bounded by per-user activity.
+# --------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+  FROM events
+),
+pair AS (
+  SELECT src_type, dst_type, COUNT(*) AS n
+  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT src_type, dst_type, CAST(n AS BIGINT) AS n_trans,
+       ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE), 6) AS p
+FROM pair
+"""
+
+
+@register("agg_markov_transitions", oracle=_MARKOV_ORACLE)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(wu).alias("dst_type"),
+        )
+        .filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    ws = Window.partitionBy("src_type")
+    return pairs.select(
+        "src_type",
+        "dst_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(ws).cast("double"),
+            6,
+        ).alias("p"),
+    )

@@ -475,3 +475,173 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         F.count(F.lit(1)).over(w_size).alias("community_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_shortest_path — multi-source WEIGHTED shortest path (bounded
+# Bellman-Ford) over the deterministic chain+rings graph of
+# graph_connected_components.  Edge weight is a pure function of the
+# endpoint ids ((u·7 + v·13) % 9 + 1 — identical BIGINT arithmetic in both
+# engines), sources are nodes ≡ 0 (mod 50), and relaxation runs exactly
+# _SP_ROUNDS rounds, so the result is the exact min-cost over paths of
+# ≤ _SP_ROUNDS edges (the full Dijkstra answer on any graph whose
+# shortest paths are that short — true here).
+#
+# Scale shape: the edge list is built once and localCheckpoint-ed
+# (iterations never re-derive it); each round is ONE equi-join of the
+# current distance estimate against the edges on the source endpoint, a
+# min-combine keyed by node, and a min-merge with the previous estimate —
+# per-round shuffles carry O(nodes + edges), never the corpus, and the
+# estimate relation stays ≤ |nodes| rows by construction.  This is the
+# standard BSP/Pregel relaxation; on a real cluster each round is one
+# shuffle stage with map-side partial mins.
+#
+# The oracle is a recursive CTE enumerating bounded walks with a final
+# MIN(dist) — a genuinely different evaluation strategy (DuckDB's
+# fixpoint walk enumeration vs Spark's frontier relaxation), so the hash
+# gate proves min-cost semantics, not shared code.  Reference parity:
+# graph SQL reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SP_ROUNDS = 8
+
+_SP_ORACLE = f"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents WHERE doc_id < 64
+  UNION ALL
+  SELECT 100 + doc_id % 40, 100 + (doc_id % 40 + 8) % 40 FROM documents
+),
+es AS (
+  SELECT u, v, (u * 7 + v * 13) % 9 + 1 AS w FROM (
+    SELECT DISTINCT u, v FROM (
+      SELECT u, v FROM base UNION ALL SELECT v, u FROM base
+    ) WHERE u <> v
+  )
+),
+walk(node, dist, depth) AS (
+  SELECT DISTINCT u, CAST(0 AS BIGINT), 0 FROM es WHERE u % 50 = 0
+  UNION
+  SELECT e.v, r.dist + e.w, r.depth + 1
+  FROM walk r JOIN es e ON e.u = r.node
+  WHERE r.depth < {_SP_ROUNDS}
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@register("graph_shortest_path", oracle=_SP_ORACLE)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _cc_sym(_cc_edges(spark, sf_dir))
+        .select("u", "v", ((F.col("u") * 7 + F.col("v") * 13) % 9 + 1).alias("w"))
+        .localCheckpoint(eager=True)  # freeze the edge lineage (one derivation)
+    )
+    dist = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 50 == 0)
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_SP_ROUNDS):
+        relaxed = (
+            dist.join(e, dist["node"] == e["u"])
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# graph_neighbor_jaccard — structural similarity of the near-duplicate
+# pair graph: for every LSH candidate pair (a, b), the Jaccard overlap of
+# their graph neighborhoods |N(a)∩N(b)| / |N(a)∪N(b)|.  High overlap
+# means the pair sits inside a dense duplicate cluster (transitive
+# copies); low overlap flags a chance collision — the standard
+# link-prediction / cluster-cohesion diagnostic, run here as QA over the
+# MinHash-LSH dedup output.
+#
+# Scale shape: the pair graph is materialized ONCE (localCheckpoint — the
+# BFS/triangle discipline), the common-neighbor count is one equi-join
+# chain keyed on node ids (wedge counting, O(Σ deg²) like
+# graph_triangle_count), and degrees are a node-keyed aggregate
+# broadcast back onto the pair rows.  No nested loops; every join is a
+# hash join on node ids.
+# --------------------------------------------------------------------------
+
+_NJACC_ORACLE = f"""
+WITH {_PAIR_EDGES_SQL},
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+common AS (
+  SELECT x.u AS a, y.u AS b, COUNT(*) AS c
+  FROM sym x JOIN sym y ON x.v = y.v AND x.u < y.u
+  GROUP BY x.u, y.u
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE) /
+             CAST(da.d + db.d - COALESCE(c.c, 0) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN deg da ON da.u = p.doc_a
+JOIN deg db ON db.u = p.doc_b
+LEFT JOIN common c ON c.a = p.doc_a AND c.b = p.doc_b
+"""
+
+
+@register("graph_neighbor_jaccard", oracle=_NJACC_ORACLE)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.llm.dedup import llm_dedup_near
+
+    pairs = (
+        llm_dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # freeze the LSH lineage (one derivation)
+    )
+    sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    x, y = sym.alias("x"), sym.alias("y")
+    common = (
+        x.join(y, (F.col("x.v") == F.col("y.v")) & (F.col("x.u") < F.col("y.u")))
+        .groupBy(F.col("x.u").alias("a"), F.col("y.u").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(F.col("u").alias("doc_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("doc_b"), F.col("d").alias("db"))
+    j = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .join(
+            common,
+            (F.col("doc_a") == F.col("a")) & (F.col("doc_b") == F.col("b")),
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / (F.col("da") + F.col("db") - F.coalesce(F.col("c"), F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j

@@ -124,6 +124,13 @@ _PRIORITY: list[str] = [
     "llm_dataset_interleave",     # NEW r7-late: fixed-ratio corpus mixing
     "fn_ipv4",                    # NEW r7-late: IPv4 parse/CIDR enrichment
     "llm_ngram_novelty",          # NEW r7-late: corpus-unique trigram fraction
+    # --- (b4) NEW in round 8's build session (in-repo green at
+    # sf0.001+sf0.01, planted semantic tests, plan audit) — queue behind
+    # the (b3) tail for the next driver sweep ---
+    "llm_hard_negatives",         # NEW r8: cross-label hard-negative mining
+    "agg_markov_transitions",     # NEW r8: event-sequence transition matrix
+    "graph_shortest_path",        # NEW r8: bounded Bellman-Ford weighted SSSP
+    "graph_neighbor_jaccard",     # NEW r8: pair-graph neighborhood Jaccard QA
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

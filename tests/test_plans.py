@@ -225,6 +225,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_ngram_jaccard", "scan_parquet",
                    "set_union", "llm_sim_search_ivf",
                    "llm_ann_recall",  # fixed 5-probe broadcast × corpus scan
+                   "llm_hard_negatives",  # probe-set broadcast × corpus scan (sim_search shape)
                    "llm_minhash_recall",  # tiny probe-set broadcast × corpus scan
 
                    "join_skew_salted",  # dim × 8-row salt spine is a cross join by design

@@ -1736,3 +1736,74 @@ def test_ngram_novelty_shared_vs_unique_grams(spark, tmp_path):
     assert out[1]["n_grams"] == 3 and out[1]["n_unique"] == 2
     assert abs(out[1]["novelty"] - round(2 / 3, 6)) < 1e-9
     assert out[3]["novelty"] == 1.0
+
+
+def test_markov_transitions_hand_counted(spark, tmp_path):
+    # user 1: a→b→a→c (ordered by ts), user 2: b→a.
+    # src a: (a,b)=1, (a,c)=1 → p=0.5 each; src b: (b,a)=2 → p=1.0.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), 1, t, 0.0, "{}")
+        for i, t in enumerate(["a", "b", "a", "c"])
+    ] + [
+        (10 + i, base + datetime.timedelta(minutes=i), 2, t, 0.0, "{}")
+        for i, t in enumerate(["b", "a"])
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+           "value double, props string")
+    out = {(r["src_type"], r["dst_type"]): r for r in
+           eng.queries()["agg_markov_transitions"](spark, str(tmp_path)).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "a")}
+    assert out[("a", "b")]["n_trans"] == 1 and out[("a", "b")]["p"] == 0.5
+    assert out[("a", "c")]["n_trans"] == 1 and out[("a", "c")]["p"] == 0.5
+    assert out[("b", "a")]["n_trans"] == 2 and out[("b", "a")]["p"] == 1.0
+
+
+def test_hard_negatives_excludes_own_label_ranks_by_cosine(spark, tmp_path):
+    # Probe 0 (label 0).  Candidates: 1 (label 1, near-parallel → top
+    # negative), 2 (label 0 — same label, must be EXCLUDED despite cosine
+    # 1.0), 3 (label 1, orthogonal → rank 2, cosine 0).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 1),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    out = eng.queries()["llm_hard_negatives"](spark, str(tmp_path)).collect()
+    assert [r["neg_id"] for r in out] == [1, 3]  # vec 2 (same label) absent
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["cosine"] > 0.99 and out[1]["cosine"] == 0.0
+    assert all(r["probe_id"] == 0 and r["probe_label"] == 0 for r in out)
+
+
+def test_shortest_path_hand_weighted_chain(spark, tmp_path):
+    # Docs 0..5 → chain edges (i, i+1) and ring edges (100+i, 108+i).
+    # Weights w(u,v) = (7u+13v) % 9 + 1 are direction-specific:
+    # w(0,1) = 13%9+1 = 5, w(1,2) = 33%9+1 = 7.  Sources (node%50==0):
+    # {0, 100}.  Reachable set is the chain (from 0) plus {100, 108}.
+    rows = [(i, "x", "en", "s", 1) for i in range(6)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = {r["node"]: r["dist"] for r in
+           eng.queries()["graph_shortest_path"](spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6, 100, 108}
+    assert out[0] == 0 and out[100] == 0
+    assert out[1] == 5
+    assert out[2] == 5 + 7
+    assert out[108] == (100 * 7 + 108 * 13) % 9 + 1
+
+
+def test_neighbor_jaccard_complete_duplicate_cluster(spark, tmp_path):
+    # Three identical docs (+3 augmented tail copies) → the LSH pair graph
+    # is the complete graph K6: every pair has degree-5 endpoints and 4
+    # common neighbors → jaccard = 4 / (5 + 5 − 4) = 2/3 for all 15 pairs.
+    rows = [(i, "a b c d e", "en", "s", 9) for i in (1, 2, 3)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = eng.queries()["graph_neighbor_jaccard"](spark, str(tmp_path)).collect()
+    assert len(out) == 15
+    assert all(r["n_common"] == 4 for r in out)
+    assert all(abs(r["jaccard"] - round(4 / 6, 6)) < 1e-9 for r in out)
