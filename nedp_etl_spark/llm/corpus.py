@@ -796,3 +796,101 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_kneser_ney — interpolated Kneser-Ney bigram LM score (the standard
+# n-gram smoothing; Chen & Goodman 1999): absolute discount d = 0.75 on the
+# bigram count, mass redistributed through the CONTINUATION unigram —
+# P_cont(w2) = |{w1 : c(w1,w2) > 0}| / |distinct bigram types| — which
+# scores words by how many contexts they complete, not raw frequency
+# ("San Francisco" inflates c(Francisco) but not its continuation count).
+#   P_kn(w2|w1) = (c(w1,w2) − d)/c(w1·) + (d·N1+(w1,·)/c(w1·))·P_cont(w2)
+# Per-doc average log-prob over the llm_bigram_logprob probe subset — the
+# drop-in upgrade of that operator's interpolated-MLE scoring.
+#
+# Scale shape: the corpus collapses to the bigram-TYPE table first (one
+# map-side-combining aggregate, pair-vocab-sized, NOT corpus-sized); the
+# left-context totals, continuation counts, and type total all derive
+# from that reduced relation — three tiny aggregates, no second corpus
+# pass.  Probe docs join the LM tables on vocabulary keys (hash joins);
+# the 1-row type-total broadcast is the allowlisted scalar shape.
+# Every observed bigram has c ≥ 1 > d, so the discounted term is
+# positive and the log argument never needs a guard on either engine.
+# Reference parity: LM scoring reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_KN_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bi AS (
+  SELECT doc_id, l[CAST(i AS INT)] AS w1, l[CAST(i + 1 AS INT)] AS w2
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(1, CAST(len(l) - 1 AS BIGINT))) AS i
+        FROM t)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1w1
+  FROM c12 GROUP BY w1
+),
+cont AS (SELECT w2, COUNT(*) AS n1w2 FROM c12 GROUP BY w2),
+tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM c12),
+scored AS (
+  SELECT bi.doc_id,
+         ROUND(ln((c12.c12 - 0.75) / c1.c1
+                  + (0.75 * c1.n1w1 / c1.c1) * (cont.n1w2 / tt.t)), 6) AS lp
+  FROM bi
+  JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+  JOIN c1 ON bi.w1 = c1.w1
+  JOIN cont ON bi.w2 = cont.w2
+  CROSS JOIN tt
+  WHERE bi.doc_id < 100
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND({osum('lp')} / COUNT(*), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("llm_kneser_ney", oracle=_KN_ORACLE)
+def llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    l = F.split("text", " ")
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(l, 1, F.size(l) - 1).alias("w1"),
+                F.slice(l, 2, F.size(l) - 1).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1w1")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1w2"))
+    tt = c12.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    lp = F.round(
+        F.log(
+            (F.col("c12") - 0.75) / F.col("c1")
+            + (0.75 * F.col("n1w1") / F.col("c1")) * (F.col("n1w2") / F.col("t"))
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("doc_id") < 100)
+        .join(c12, ["w1", "w2"])
+        # c1/cont are vocabulary-sized: plain shuffle joins, AQE decides
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(dsum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+    )

@@ -884,3 +884,57 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("row_index").cast("bigint").alias("sum_row_index"),
         F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_xml — XML ingest via Spark 4's NATIVE xml data source (the former
+# spark-xml package, merged into core in Spark 4.0): the supplier table is
+# round-tripped through an XML file layout (one <supplier> element per
+# row) and read back with an explicit schema, proving the full
+# write→escape→parse→type cycle against the parquet original.
+#
+# Scale shape: the XML reader is a standard FileFormat — it splits by
+# file, pushes the explicit schema down (no schema inference pass over
+# 100 TB — inference reads every byte TWICE), and feeds the same
+# map-side-combining aggregate as any columnar scan.  XML escaping
+# (&, <, quotes in names) is exercised by whatever bytes the fixture
+# carries; the hash gate compares against the parquet originals, so a
+# lossy escape round-trip would surface as a value mismatch.
+# Reference parity: the reference ingests seeds/CSV via dbt
+# (/root/reference/dbtoperator.py:273-274); XML is the same seed surface
+# through Spark 4's native source.
+# --------------------------------------------------------------------------
+
+_SCAN_XML_ORACLE = f"""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND({osum_dec('s_acctbal')}, 2) AS total_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("scan_xml", oracle=_SCAN_XML_ORACLE)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xml_dir = _scratch("scan_xml/supplier_xml", sf_dir)
+    load(spark, sf_dir, "supplier").write.mode("overwrite").format("xml").option(
+        "rootTag", "suppliers"
+    ).option("rowTag", "supplier").save(xml_dir)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    s = spark.read.format("xml").option("rowTag", "supplier").schema(schema).load(xml_dir)
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(dsum_dec("s_acctbal"), 2).alias("total_acctbal"),
+        )
+    )

@@ -1771,3 +1771,89 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_role("rn_first", "first"))
         .unionAll(_role("rn_last", "last"))
     )
+
+
+# --------------------------------------------------------------------------
+# ts_kalman — 1-D random-walk Kalman filter per series over the daily
+# aggregate: the optimal online denoiser for "true level drifts, sensor is
+# noisy" (process variance q = 0.25, observation variance r = 1.0).
+# Per step:  p_pred = p + q;  gain k = p_pred / (p_pred + r);
+# x_t = x_{t-1} + k·(z_t − x_{t-1});  p_t = (1 − k)·p_pred;
+# initialized x_1 = z_1, p_1 = 1.  A true recurrence with data-dependent
+# gain — no closed form — so like ts_holt it runs as an Arrow-batched
+# grouped map (``applyInPandas``), the custom-operator escape hatch.
+#
+# Scale shape: the corpus collapses FIRST to (series, day) daily partials
+# (map-side combine — the ts_holt shape); the grouped map sees one
+# series' calendar-bounded daily rows per batch; raw events never reach
+# Python.
+#
+# Cross-engine determinism: both engines execute the IDENTICAL IEEE op
+# sequence on the identical 6-dp daily inputs — q and r are exact binary
+# fractions and the gain division is a single deterministic IEEE op, so
+# the trajectories agree bit-for-bit (the oracle repeats the gain
+# expression textually where Python binds it to a variable — same ops,
+# same value).  Rounding is display-only, Spark-side F.round ≡ DuckDB
+# ROUND.  Reference parity: smoothing reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_KALMAN_ORACLE = f"""
+WITH RECURSIVE {_DAILY_CTE},
+numbered AS (
+  SELECT event_type, d, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+  FROM daily
+),
+kal AS (
+  SELECT event_type, d, v, rn, v AS x, CAST(1.0 AS DOUBLE) AS p
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.event_type, n.d, n.v, n.rn,
+         k.x + ((k.p + 0.25) / ((k.p + 0.25) + 1.0)) * (n.v - k.x),
+         (1.0 - ((k.p + 0.25) / ((k.p + 0.25) + 1.0))) * (k.p + 0.25)
+  FROM numbered n
+  JOIN kal k ON n.event_type IS NOT DISTINCT FROM k.event_type
+            AND n.rn = k.rn + 1
+)
+SELECT event_type, d, v,
+       ROUND(x, 6) AS x_filt,
+       ROUND(p, 6) AS p_var
+FROM kal
+"""
+
+
+@register("ts_kalman", oracle=_KALMAN_ORACLE)
+def ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev)
+
+    def _kalman(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        xs, ps = [], []
+        x_prev, p_prev = 0.0, 0.0
+        for i, z in enumerate(pdf["v"]):
+            if i == 0:
+                x, p = z, 1.0
+            else:
+                p_pred = p_prev + 0.25
+                k = p_pred / (p_pred + 1.0)
+                x = x_prev + k * (z - x_prev)
+                p = (1.0 - k) * p_pred
+            xs.append(x)
+            ps.append(p)
+            x_prev, p_prev = x, p
+        pdf["x"] = xs
+        pdf["p"] = ps
+        return pdf
+
+    raw = daily.groupBy("event_type").applyInPandas(
+        _kalman, "event_type string, d date, v double, x double, p double"
+    )
+    return raw.select(
+        "event_type", "d", "v",
+        F.round("x", 6).alias("x_filt"),
+        F.round("p", 6).alias("p_var"),
+    )

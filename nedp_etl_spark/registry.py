@@ -131,6 +131,9 @@ _PRIORITY: list[str] = [
     "agg_markov_transitions",     # NEW r8: event-sequence transition matrix
     "graph_shortest_path",        # NEW r8: bounded Bellman-Ford weighted SSSP
     "graph_neighbor_jaccard",     # NEW r8: pair-graph neighborhood Jaccard QA
+    "ts_kalman",                  # NEW r8: 1-D random-walk Kalman filter
+    "llm_kneser_ney",             # NEW r8: interpolated KN bigram smoothing
+    "scan_xml",                   # NEW r8: Spark 4 native XML round-trip
     # --- (c) previously-green keys; round-6 edits are output-identical
     # (stream_transform_state: bootstrap refactor into shared helpers for
     # the bench warm-up — same query path) ---

@@ -236,6 +236,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_rag_retrieval",  # 1-row avgdl/n_docs broadcast (O(n))
                    "dbt_source_freshness",  # 1-row watermark broadcast (O(n))
                    "llm_bigram_logprob",  # 1-row token-total broadcast (O(n))
+                   "llm_kneser_ney",  # 1-row bigram-type-total broadcast (O(n))
                    "llm_source_rebalance",  # 1-row total/n_langs broadcast (O(#langs))
                    "llm_kmeans",  # 1-row broadcast centroid-array crossJoin (O(n))
                    "llm_dsir_importance",  # 256-row LM × 1-row totals crossJoin

@@ -1807,3 +1807,58 @@ def test_neighbor_jaccard_complete_duplicate_cluster(spark, tmp_path):
     assert len(out) == 15
     assert all(r["n_common"] == 4 for r in out)
     assert all(abs(r["jaccard"] - round(4 / 6, 6)) < 1e-9 for r in out)
+
+
+def test_kalman_hand_traced_gain_sequence(spark, tmp_path):
+    # One series, one event per day: 10, 20, 20.
+    # d1: x=10, p=1.  d2: p_pred=1.25, k=5/9, x=10+50/9, p=5/9.
+    # d3: p_pred=29/36, k=29/65, x=10260/585, p=29/65.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base + datetime.timedelta(days=i), 1, "a", v, "{}")
+            for i, v in enumerate([10.0, 20.0, 20.0])]
+    _write(spark, tmp_path, "events", rows,
+           "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+           "value double, props string")
+    out = sorted(eng.queries()["ts_kalman"](spark, str(tmp_path)).collect(),
+                 key=lambda r: r["d"])
+    assert out[0]["x_filt"] == 10.0 and out[0]["p_var"] == 1.0
+    assert abs(out[1]["x_filt"] - round(10 + 50 / 9, 6)) < 1e-9
+    assert abs(out[1]["p_var"] - round(5 / 9, 6)) < 1e-9
+    assert abs(out[2]["x_filt"] - round(10260 / 585, 6)) < 1e-9
+    assert abs(out[2]["p_var"] - round(29 / 65, 6)) < 1e-9
+    # gain shrinks the step: filtered trajectory lags the raw jump
+    assert out[1]["x_filt"] < 20.0 and out[2]["x_filt"] < 20.0
+
+
+def test_kneser_ney_hand_computed_continuation(spark, tmp_path):
+    # Corpus bigram types: (a,b)=1, (b,a)=2, (a,c)=1 → T=3 types,
+    # c(a·)=2 with 2 continuations, c(b·)=2 with 1.
+    # P(b|a) = (1−.75)/2 + (.75·2/2)·(1/3) = 0.375 = P(c|a);
+    # P(a|b) = (2−.75)/2 + (.75·1/2)·(1/3) = 0.75.
+    import math
+    rows = [(0, "a b a c", "en", "s", 7), (1, "b a", "en", "s", 3)]
+    _write(spark, tmp_path, "documents", rows,
+           "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    out = {r["doc_id"]: r for r in
+           eng.queries()["llm_kneser_ney"](spark, str(tmp_path)).collect()}
+    q = lambda x: math.floor(round(x, 6) * 1e6 + 0.5) / 1e6
+    exp0 = round((2 * q(math.log(0.375)) + q(math.log(0.75))) / 3, 6)
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["avg_logprob"] - exp0) < 1e-9
+    assert out[1]["n_bigrams"] == 1
+    assert abs(out[1]["avg_logprob"] - round(q(math.log(0.75)), 6)) < 1e-9
+
+
+def test_scan_xml_roundtrip_preserves_values(spark, tmp_path):
+    # Supplier names carry XML-hostile characters (&, <, >) — the
+    # write→escape→parse cycle must return them and the doubles intact.
+    _write(spark, tmp_path, "supplier",
+           [(1, "A & B <Ltd>", 0, 10.25), (2, "C>D", 0, 4.75), (3, "E", 1, 1.5)],
+           "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+    _write(spark, tmp_path, "nation",
+           [(0, "ALPHA", 0), (1, "BETA", 0)],
+           "n_nationkey int, n_name string, n_regionkey int")
+    out = {r["n_name"]: r for r in
+           eng.queries()["scan_xml"](spark, str(tmp_path)).collect()}
+    assert out["ALPHA"]["n_suppliers"] == 2 and out["ALPHA"]["total_acctbal"] == 15.0
+    assert out["BETA"]["n_suppliers"] == 1 and out["BETA"]["total_acctbal"] == 1.5
