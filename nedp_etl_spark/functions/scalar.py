@@ -413,3 +413,61 @@ def fn_ipv4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".0/24"),
         ).alias("net24"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_timezone — IANA timezone conversion family over event timestamps:
+# UTC instants rendered as wall-clock time in named zones (whole-hour,
+# half-hour, and DST-observing offsets), local-hour extraction, and the
+# "did the local calendar day roll over" flag international reporting
+# needs.  ONLY the instant→wall direction is used: it is a total function
+# (every instant has exactly one wall reading per zone), whereas
+# wall→instant is ambiguous/undefined inside DST transitions and its
+# disambiguation rule is engine-specific — the one-way discipline keeps
+# the operator deterministic on BOTH engines (parity verified across the
+# 2024 US DST boundaries; Spark `from_utc_timestamp` ≡ DuckDB
+# `timezone(tz, ts AT TIME ZONE 'UTC')`, both anchored to UTC explicitly,
+# independent of either engine's session timezone).
+#
+# Scale shape: pure per-row projection — map-side, no shuffle, whole-
+# stage-codegen eligible; the probe filter bounds the compared output
+# while 100 TB would stream through the same expressions.
+# Reference parity: date/time SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_TZ_ORACLE = """
+SELECT event_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS utc_ts,
+       strftime(timezone('America/New_York', CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'),
+                '%Y-%m-%d %H:%M:%S') AS ny_ts,
+       strftime(timezone('Asia/Kolkata', CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'),
+                '%Y-%m-%d %H:%M:%S') AS kolkata_ts,
+       strftime(timezone('Asia/Tokyo', CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'),
+                '%Y-%m-%d %H:%M:%S') AS tokyo_ts,
+       CAST(hour(timezone('America/New_York', CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')) AS INT)
+         AS ny_hour,
+       CAST(date_trunc('day', timezone('Asia/Tokyo', CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC'))
+              AS DATE)
+         <> CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS tokyo_day_rolled
+FROM events
+WHERE event_id < 500
+"""
+
+
+@register("fn_timezone", oracle=_TZ_ORACLE)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    kk = F.from_utc_timestamp("ts", "Asia/Kolkata")
+    tk = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("utc_ts"),
+        F.date_format(ny, fmt).alias("ny_ts"),
+        F.date_format(kk, fmt).alias("kolkata_ts"),
+        F.date_format(tk, fmt).alias("tokyo_ts"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+        (F.to_date(tk) != F.to_date("ts")).alias("tokyo_day_rolled"),
+    )

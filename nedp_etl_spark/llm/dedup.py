@@ -953,3 +953,63 @@ def llm_dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_permutations"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_prefix_dedup — boilerplate-prefix duplicate detection: documents
+# sharing their first _PREFIX_K tokens verbatim (scraped headers, license
+# banners, template scaffolds) are grouped; any group with more than one
+# member is flagged with its canonical representative (min doc_id) and
+# size.  The prefix complement to llm_dedup_token_sort (order-insensitive
+# bags) and llm_span_dedup (interior spans): real scrape corpora duplicate
+# the START of documents far more often than arbitrary spans.
+#
+# Scale shape: the prefix key is computed map-side (slice + hash — no
+# shuffle), the group statistics are ONE map-side-combining aggregate
+# keyed on the 128-bit prefix hash, and the per-doc verdict is an equi
+# join back on the same key (one shuffle layout reused).  The hash key
+# keeps the shuffle row width constant regardless of prefix length —
+# 100 TB of text shuffles 16-byte keys, not 8-token strings.
+# Reference parity: dedup reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_PREFIX_K = 8
+
+_PREFIX_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(l[1:{_PREFIX_K}], ' ')) AS pk
+  FROM toks WHERE len(l) >= {_PREFIX_K}
+),
+grp AS (
+  SELECT pk, CAST(MIN(doc_id) AS BIGINT) AS prefix_group,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM keyed GROUP BY pk
+)
+SELECT k.doc_id, g.prefix_group, g.group_size
+FROM keyed k JOIN grp g ON k.pk = g.pk
+WHERE g.group_size > 1
+"""
+
+
+@register("llm_prefix_dedup", oracle=_PREFIX_DEDUP_ORACLE)
+def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    l = F.split("text", " ")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(l, 1, _PREFIX_K))).alias("pk"),
+    ).filter(F.size(l) >= _PREFIX_K)
+    grp = keyed.groupBy("pk").agg(
+        F.min("doc_id").alias("prefix_group"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        keyed.join(grp, "pk")
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "prefix_group", "group_size")
+    )

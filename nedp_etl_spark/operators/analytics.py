@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
-from nedp_etl_spark.util import histogram_rank_walk
+from nedp_etl_spark.util import histogram_rank_walk, osum
 
 # --------------------------------------------------------------------------
 # ts_retention_cohort — weekly cohort retention matrix: users are assigned to
@@ -1366,4 +1366,197 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_trans").cast("double") / F.sum("n_trans").over(ws).cast("double"),
             6,
         ).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_zipf_fit — Zipf's-law fit over the corpus vocabulary: regress
+# ln(term frequency) on ln(frequency rank) and report the log-log OLS
+# slope (natural text ≈ −1; synthetic/templated corpora deviate — a
+# corpus-level quality diagnostic for training data).
+#
+# Scale shape: the corpus collapses to the term-frequency table first
+# (ONE map-side-combining aggregate, vocab-sized); the global frequency
+# rank uses util.global_running_sums' two-phase prefix sum (value=1 ⇒ a
+# scalable global ROW_NUMBER — never a SinglePartition window); the
+# regression consumes 6-dp-quantized per-term log terms through dsum
+# fixed-point sums, so the five sufficient statistics are order-
+# independent and exact on both engines.  Output is one row.
+# Reference parity: corpus statistics reach the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_ZIPF_ORACLE = f"""
+WITH uni AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r FROM uni
+),
+terms AS (
+  SELECT ROUND(ln(r), 6) AS lx, ROUND(ln(c), 6) AS ly FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         {osum('lx')} AS sx, {osum('ly')} AS sy,
+         {osum('ROUND(lx * ly, 6)')} AS sxy,
+         {osum('ROUND(lx * lx, 6)')} AS sxx
+  FROM terms
+)
+SELECT n AS n_terms,
+       CASE WHEN n < 2 THEN NULL
+            ELSE ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS slope,
+       CASE WHEN n < 2 THEN NULL
+            ELSE ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+       END AS intercept
+FROM s
+"""
+
+
+@register("agg_zipf_fit", oracle=_ZIPF_ORACLE)
+def agg_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import dsum, global_running_sum
+
+    d = load(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("negc", -F.col("c"))
+    )
+    ranked = global_running_sum(uni, ["negc", "term"], F.lit(1), "r")
+    terms = ranked.select(
+        F.round(F.log("r"), 6).alias("lx"), F.round(F.log("c"), 6).alias("ly")
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("lx").alias("sx"),
+        dsum("ly").alias("sy"),
+        dsum(F.round(F.col("lx") * F.col("ly"), 6)).alias("sxy"),
+        dsum(F.round(F.col("lx") * F.col("lx"), 6)).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_terms"),
+        F.when(n < 2, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("slope"),
+        F.when(n < 2, F.lit(None).cast("double"))
+        .otherwise(F.round((sy - slope * sx) / n, 6))
+        .alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_welch_ttest — Welch's unequal-variance two-sample t-test per metric
+# (the robust default over Student's pooled test; Welch 1947): same
+# deterministic arm assignment as agg_ab_ztest (user_id % 2), t statistic
+# and Welch–Satterthwaite degrees of freedom assembled from one pass of
+# sufficient statistics (n, Σx, Σx² per (metric, arm) — one balanced
+# shuffle of 10 tiny rows, no second corpus pass).
+#
+# Parity discipline: squares accumulate at DECIMAL(18,6) (the ab_ztest
+# scale rule), means/variances ROUND to 6 dp FIRST, and every downstream
+# expression is textually identical on both engines (same IEEE op
+# sequence on identical rounded inputs).  Degenerate cells (an arm with
+# n < 2, or both variances zero) yield NULL via guards on exact values.
+# --------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+WITH s AS (
+  SELECT event_type, user_id % 2 AS arm,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type, user_id % 2
+),
+p AS (
+  SELECT event_type,
+         MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+         MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+         MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+         MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+  FROM s GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n0, n1,
+         ROUND(sx0 / n0, 6) AS m0, ROUND(sx1 / n1, 6) AS m1,
+         ROUND((sxx0 - sx0 * sx0 / n0) / (n0 - 1), 6) AS v0,
+         ROUND((sxx1 - sx1 * sx1 / n1) / (n1 - 1), 6) AS v1
+  FROM p WHERE n0 IS NOT NULL AND n1 IS NOT NULL AND n0 >= 2 AND n1 >= 2
+)
+SELECT event_type,
+       CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       m0 AS mean_control, m1 AS mean_treat,
+       v0 AS var_control, v1 AS var_treat,
+       CASE WHEN v0 / n0 + v1 / n1 = 0 THEN NULL
+            ELSE ROUND((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6)
+       END AS t_stat,
+       CASE WHEN v0 / n0 + v1 / n1 = 0 THEN NULL
+            ELSE ROUND(((v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1))
+                       / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+                          + (v1 / n1) * (v1 / n1) / (n1 - 1)), 6)
+       END AS welch_df
+FROM m
+"""
+
+
+@register("agg_welch_ttest", oracle=_WELCH_ORACLE)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dec25 = F.col("value").cast("decimal(25,6)")
+    dec18 = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec25).cast("double").alias("sx"),
+        F.sum(dec18 * dec18).cast("double").alias("sxx"),
+    )
+    p = s.groupBy("event_type").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sx"))).alias("sx0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sxx"))).alias("sxx0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sxx"))).alias("sxx1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    m = p.filter(
+        n0.isNotNull() & n1.isNotNull() & (n0 >= 2) & (n1 >= 2)
+    ).select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round(F.col("sx0") / n0, 6).alias("m0"),
+        F.round(F.col("sx1") / n1, 6).alias("m1"),
+        F.round((F.col("sxx0") - F.col("sx0") * F.col("sx0") / n0) / (n0 - 1), 6).alias("v0"),
+        F.round((F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1), 6).alias("v1"),
+    )
+    se2 = F.col("v0") / n0 + F.col("v1") / n1
+    t = F.round((F.col("m1") - F.col("m0")) / F.sqrt(se2), 6)
+    df = F.round(
+        (se2 * se2)
+        / (
+            (F.col("v0") / n0) * (F.col("v0") / n0) / (n0 - 1)
+            + (F.col("v1") / n1) * (F.col("v1") / n1) / (n1 - 1)
+        ),
+        6,
+    )
+    return m.select(
+        "event_type",
+        n0.cast("bigint").alias("n_control"),
+        n1.cast("bigint").alias("n_treat"),
+        F.col("m0").alias("mean_control"),
+        F.col("m1").alias("mean_treat"),
+        F.col("v0").alias("var_control"),
+        F.col("v1").alias("var_treat"),
+        F.when(se2 == 0, F.lit(None).cast("double")).otherwise(t).alias("t_stat"),
+        F.when(se2 == 0, F.lit(None).cast("double")).otherwise(df).alias("welch_df"),
     )

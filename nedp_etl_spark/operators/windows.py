@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
+from nedp_etl_spark.operators.timeseries import _DAILY_CTE as _TS_DAILY_CTE
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import ts_str
 
@@ -490,4 +491,95 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# win_rolling_regression — per-series rolling OLS trend: over the last 7
+# daily observations (ROWS frame), the least-squares slope of value vs
+# epoch-day — the windowed upgrade of ts_forecast_linear's global fit and
+# the standard "is this metric accelerating" monitor.
+#
+# Exactness discipline (the sliding-frame rule from SCALE.md): frame sums
+# of doubles accumulate in engine-specific order, so every summed term is
+# an INTEGER — v quantized to 6-dp fixed point (vq), x as epoch days —
+# and the OLS numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) are
+# exact int64 arithmetic on both engines; the single float division
+# happens once per row on identical integers.  Degenerate frames (n = 1,
+# den = 0) are guarded on the EXACT integer den, not a float epsilon.
+#
+# Scale shape: the corpus collapses to (series, day) daily partials first
+# (map-side combine — the ts_holt shape); the five frame sums share ONE
+# series-keyed sort window; no self-joins, no global exchange.
+# Reference parity: trend SQL reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_ROLL_REG_ORACLE = f"""
+WITH {_TS_DAILY_CTE},
+q AS (
+  SELECT event_type, d, v,
+         d - DATE '1970-01-01' AS x,
+         CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM daily
+),
+s AS (
+  SELECT event_type, d, v,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(vq) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * vq) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM q
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, d, v, CAST(n AS INT) AS n_window,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / 1000000.0
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       END AS slope
+FROM s
+"""
+
+
+@register("win_rolling_regression", oracle=_ROLL_REG_ORACLE)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.operators.timeseries import _daily
+
+    daily = _daily(load(spark, sf_dir, "events"))
+    q = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.datediff("d", F.lit("1970-01-01")).cast("bigint").alias("x"),
+        F.floor(F.col("v") * 1_000_000.0 + 0.5).cast("bigint").alias("vq"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    s = q.select(
+        "event_type",
+        "d",
+        "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("vq").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("vq")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        "d",
+        "v",
+        F.col("n").cast("int").alias("n_window"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(num.cast("double") / 1_000_000.0 / den.cast("double"), 6)
+        )
+        .alias("slope"),
     )
