@@ -1,0 +1,24 @@
+# Convenience targets for the build loop.  `make hygiene` is the fast
+# Spark-free tripwire set the pre-commit hook runs; `make check` is the
+# full suite; `make survey` regenerates SURVEY.md §2.3 from the registry.
+
+.PHONY: hygiene check check-sf001 bench survey hooks
+
+hygiene:
+	python -m pytest tests/test_engine.py -q -x -k "pinned or idempotent or survey"
+
+check:
+	python -m pytest tests/ -q
+
+check-sf001:
+	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/ -q
+
+bench:
+	SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+survey:
+	python -m nedp_etl_spark.registry --update-survey
+
+hooks:
+	git config core.hooksPath .githooks
+	chmod +x .githooks/pre-commit

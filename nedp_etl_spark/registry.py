@@ -40,103 +40,60 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Verification priority: the driver sweeps registry keys IN ORDER and only a
-# prefix fits its budget (r1–r5 each recorded EXACTLY 50 CORRECTNESS rows).
-# Keys named here are emitted first, in this order; everything else follows
-# in registration order.  Round-7 ordering: the round-6 driver sweep never
-# ran (import crash: duplicate fn_url registration, fixed round 7), so the
-# backlog is (a) the 18 round-5-new keys + (b) the 7 round-6-new keys =
-# 25 keys with no driver CORRECTNESS row (cumulative coverage after r5:
-# 230/255 distinct keys, all green); then (b2) keys whose CODE changed in
-# round 6/7 and need re-verification (fn_url rewritten in
-# functions/scalar.py; agg_bitmap_dict + ts_mad_anomaly oracle hardening
-# in round 7); then (c)/(d) previously-green keys touched by hardening,
-# for any spare budget.  The 50-row budget closes the registry to
-# 255/255-cumulative with every changed key re-verified in the same sweep.
+# prefix fits its budget (~50 CORRECTNESS rows per round).  Keys named here
+# are emitted first, in this order; everything else follows in registration
+# order.  Round-8 ordering: (a) the 15 keys with no driver row yet — 10
+# committed late in round 7 + 5 swept into the round-7 snapshot (all 15 are
+# hash-exact at sf0.001 AND sf0.01 in the in-repo suite and carry planted
+# semantic tests); then (a2) round-8-new keys as they land; then (b) keys
+# whose code changed this round (re-verification); then previously-green
+# keys for spare budget.  Cumulative driver coverage after r7: 279/294
+# green, 0 red — the (a) block closes the registry to 294/294.
 _PRIORITY: list[str] = [
-    # --- (a) the 18 round-5 keys awaiting their first driver row.  All 18
-    # are hash-exact at sf0.001 AND sf0.01 against their DuckDB oracles in
-    # the in-repo suite (tests/test_correctness.py parametrizes over the
-    # registry) and carry semantic ground-truth tests (test_semantics.py).
-    # agg_ks_test moved to the front three: round 6 changed its
-    # empty-segment semantics (no row instead of NULL), ts_mad_anomaly's
-    # median switched to the discrete lower-of-midpair element, and
-    # llm_perplexity_buckets gained the concentrated-bucket recursion guard
-    # (output-identical) — their rows verify the round-6 code.
-    "agg_ks_test",                # r6: empty segment now emits no row
-    "ts_mad_anomaly",             # r6: discrete lower-of-midpair median
-    "llm_perplexity_buckets",     # r6: bounded-occupancy recursion guard
-    "llm_pq_encode",              # product quantization (IVF-PQ codes)
-    "llm_dsir_importance",        # DSIR hashed-unigram importance weights
-    "ts_changepoint",             # CUSUM mean-shift per series
-    "sample_bottomk",             # exact-k deterministic bottom-k sample
-    "llm_bpe_merges",             # BPE round-1 merge-pair counts
-    "llm_html_extract",           # boilerplate-strip text extraction
-    "agg_percentile_histogram",   # two-phase exact median (scale path)
-    "ts_streaks",                 # gaps-and-islands day streaks per user
-    "ts_holt",                    # Holt linear-trend recurrence (grouped map)
-    "agg_bitmap_distinct",        # exact distinct via bitmap words
-    "win_pattern_match",          # MATCH_RECOGNIZE-style lag-flag CEP
-    "llm_entropy_filter",         # char-entropy gibberish detection
-    "agg_bitmap_intersect",       # word-wise bitmap set algebra
-    "ts_acf",                     # per-series autocorrelation (lag join)
-    "graph_bfs_reach",            # multi-source BFS (frontier loop)
-    # --- (b) NEW in round 6 (each: exact oracle green at sf0.001+sf0.01,
+    # --- (a) the 15 keys awaiting their first driver CORRECTNESS row ---
+    "ts_kalman",                  # r7-late: 1-D random-walk Kalman filter
+    "llm_kneser_ney",             # r7-late: interpolated KN bigram smoothing
+    "scan_xml",                   # r7-late: Spark 4 native XML round-trip
+    "llm_hard_negatives",         # r7-late: cross-label hard-negative mining
+    "agg_markov_transitions",     # r7-late: event-sequence transition matrix
+    "graph_shortest_path",        # r7-late: bounded Bellman-Ford weighted SSSP
+    "graph_neighbor_jaccard",     # r7-late: pair-graph neighborhood Jaccard QA
+    "llm_dataset_interleave",     # r7-late: fixed-ratio corpus mixing
+    "fn_ipv4",                    # r7-late: IPv4 parse/CIDR enrichment
+    "llm_ngram_novelty",          # r7-late: corpus-unique trigram fraction
+    "agg_welch_ttest",            # r7-swept: Welch unequal-variance t-test
+    "agg_zipf_fit",               # r7-swept: rank-frequency log-log regression
+    "fn_timezone",                # r7-swept: from_utc_timestamp conversions
+    "llm_prefix_dedup",           # r7-swept: first-K-token prefix dedup
+    "win_rolling_regression",     # r7-swept: 7-day rolling OLS slope
+    # --- (a2) NEW in round 8 (each: exact oracle green at sf0.001+sf0.01,
     # planted semantic test, plan audit) ---
-    "llm_bpe_train",              # NEW: iterative BPE, incremental pair deltas
-    "win_pattern_var",            # NEW: variable-length CEP via run compression
-    "agg_bitmap_dict",            # NEW: dictionary-encoded sparse-domain bitmap
-    "graph_connected_components", # NEW: large-star/small-star O(log n) CC
-    "agg_heavy_hitters",          # NEW: exact two-phase frequent items
-    "llm_dedup_cluster_sizes",    # NEW: duplicate-cluster size histogram
-    "win_distribution",           # NEW: percent_rank/cume_dist/ntile family
-    # --- (b2) keys whose code/oracle CHANGED in round 6/7 — rows double as
-    # re-verification of the new code (fn_url: rewritten with fragment +
-    # per-parameter extraction in functions/scalar.py; agg_bitmap_dict:
-    # oracle BIGINT-cast hardening; ts_mad_anomaly is already in (a)) ---
-    "fn_url",                     # r7: rewritten (fragment/ref_param/NULLs)
-    "llm_curation_e2e",           # NEW r7: six-stage composed curation pipeline
-    "agg_entropy_gini",           # NEW r7: per-group entropy + Gini impurity
-    "ts_rolling_corr",            # NEW r7: 7-day rolling Pearson (integer sums)
-    "llm_sorted_neighborhood",    # NEW r7: SNM blocking dedup (SimHash blocks)
-    "graph_label_propagation",    # NEW r7: K-round LPA community detection
-    "agg_corr_matrix",            # NEW r7: one-pass pairwise Pearson matrix
-    "llm_bpe_encode",             # NEW r7: merge-table application (vocab-level)
-    "llm_quality_classifier",     # NEW r7: fastText-style logistic quality model
-    "join_temporal_scd2",         # NEW r7: validity-interval temporal join
-    "scan_file_metadata",         # NEW r7: _metadata provenance invariants
-    "stream_state_reader",        # NEW r7: State Data Source introspection
-    "ts_time_weighted_avg",       # NEW r7: LOCF time-weighted average
-    "ts_lttb",                    # NEW r7: parallel LTTB downsampling
-    "llm_watermark_score",        # NEW r7: statistical watermark detector
-    "agg_benford_test",           # NEW r7: Benford first-digit chi² forensics
-    "profile_drift_psi",          # NEW r7: PSI drift monitor
-    "ts_holt_winters",            # NEW r7: triple exponential smoothing
-    "llm_shard_balance",          # NEW r7: snake-order data-parallel sharding
-    "llm_dedup_token_sort",       # NEW r7: bag-of-words permutation dedup
-    "agg_chisq_independence",     # NEW r7: contingency chi² + Cramér's V
-    # --- (b3) LATE round-7 keys — registered after the 50-row budget
-    # filled; they are in-repo green at sf0.001+sf0.01 and queue as the
-    # round-8 section-(a) backlog ---
-    "ts_m4_downsample",           # NEW r7-late: M4 pixel-exact downsampling
-    "llm_embed_outliers",         # NEW r7-late: centroid-cosine embedding QA
-    "agg_gini_coefficient",       # NEW r7-late: Lorenz inequality per segment
-    "llm_lsh_bucket_purity",      # NEW r7-late: ANN-index purity evaluation
-    "llm_dataset_interleave",     # NEW r7-late: fixed-ratio corpus mixing
-    "fn_ipv4",                    # NEW r7-late: IPv4 parse/CIDR enrichment
-    "llm_ngram_novelty",          # NEW r7-late: corpus-unique trigram fraction
-    # --- (b4) NEW in round 8's build session (in-repo green at
-    # sf0.001+sf0.01, planted semantic tests, plan audit) — queue behind
-    # the (b3) tail for the next driver sweep ---
-    "llm_hard_negatives",         # NEW r8: cross-label hard-negative mining
-    "agg_markov_transitions",     # NEW r8: event-sequence transition matrix
-    "graph_shortest_path",        # NEW r8: bounded Bellman-Ford weighted SSSP
-    "graph_neighbor_jaccard",     # NEW r8: pair-graph neighborhood Jaccard QA
-    "ts_kalman",                  # NEW r8: 1-D random-walk Kalman filter
-    "llm_kneser_ney",             # NEW r8: interpolated KN bigram smoothing
-    "scan_xml",                   # NEW r8: Spark 4 native XML round-trip
-    # --- (c) previously-green keys; round-6 edits are output-identical
-    # (stream_transform_state: bootstrap refactor into shared helpers for
-    # the bench warm-up — same query path) ---
+    # --- (b) keys whose CODE changed in round 8 — rows double as
+    # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
+    # cap, output-identical on current fixtures by the planted test) ---
+    "llm_dedup_near",
+    "llm_curation_e2e",
+    # --- (c) previously-green keys for spare budget: the r7 backlog that
+    # closed last round, in case the driver wants re-confirmation ---
+    "agg_ks_test", "ts_mad_anomaly", "llm_perplexity_buckets",
+    "llm_pq_encode", "llm_dsir_importance", "ts_changepoint",
+    "sample_bottomk", "llm_bpe_merges", "llm_html_extract",
+    "agg_percentile_histogram", "ts_streaks", "ts_holt",
+    "agg_bitmap_distinct", "win_pattern_match", "llm_entropy_filter",
+    "agg_bitmap_intersect", "ts_acf", "graph_bfs_reach",
+    "llm_bpe_train", "win_pattern_var", "agg_bitmap_dict",
+    "graph_connected_components", "agg_heavy_hitters",
+    "llm_dedup_cluster_sizes", "win_distribution",
+    "fn_url", "agg_entropy_gini",
+    "ts_rolling_corr", "llm_sorted_neighborhood",
+    "graph_label_propagation", "agg_corr_matrix", "llm_bpe_encode",
+    "llm_quality_classifier", "join_temporal_scd2", "scan_file_metadata",
+    "stream_state_reader", "ts_time_weighted_avg", "ts_lttb",
+    "llm_watermark_score", "agg_benford_test", "profile_drift_psi",
+    "ts_holt_winters", "llm_shard_balance", "llm_dedup_token_sort",
+    "agg_chisq_independence",
+    "ts_m4_downsample", "llm_embed_outliers", "agg_gini_coefficient",
+    "llm_lsh_bucket_purity",
     "stream_transform_state",
     # --- (d) round-5 OUTPUT-IDENTICAL hardening/perf edits (all carry
     # green driver rows for the same results from earlier rounds), next in
@@ -187,3 +144,68 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return _ordered(_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# SURVEY.md §2.3 generator — the judge's coverage checklist is generated
+# from the registry, never hand-synced (round-6/7 postmortems: hand-synced
+# rows drifted twice).  `python -m nedp_etl_spark.registry --survey-table`
+# prints the block; `--update-survey` splices it into SURVEY.md between the
+# registry-table markers; tests/test_engine.py compares SURVEY against
+# survey_table() so drift fails the suite.
+# --------------------------------------------------------------------------
+
+SURVEY_BEGIN = "<!-- registry-table-begin (generated: python -m nedp_etl_spark.registry --update-survey) -->"
+SURVEY_END = "<!-- registry-table-end -->"
+
+
+def survey_table() -> str:
+    """The generated SURVEY §2.3 block: count line + per-key check table."""
+    import nedp_etl_spark  # noqa: F401  — trigger all @register sites
+
+    q, o = queries(), oracle_sql()
+    n, n_exact = len(q), sum(1 for k in q if k in o)
+    lines = [
+        f"{n} registered operator queries; {n_exact} exact (DuckDB value-hash "
+        f"oracle), {n - n_exact} rows-only"
+        + (
+            " — every key, including the custom stateful streaming "
+            "processors, carries an exact oracle."
+            if n == n_exact
+            else "."
+        ),
+        "",
+        "| Query key | Check |",
+        "|---|---|",
+    ]
+    for k in sorted(q):
+        lines.append(f"| `{k}` | {'exact' if k in o else 'rows'} |")
+    return "\n".join(lines)
+
+
+def update_survey(path: str) -> bool:
+    """Rewrite the marked block in SURVEY.md; returns True if it changed."""
+    text = open(path).read()
+    i, j = text.index(SURVEY_BEGIN), text.index(SURVEY_END)
+    new = text[: i + len(SURVEY_BEGIN)] + "\n" + survey_table() + "\n" + text[j:]
+    if new != text:
+        open(path, "w").write(new)
+        return True
+    return False
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    # `python -m` runs this file as a SECOND module object (`__main__`) with
+    # its own empty _QUERIES; all @register sites target the canonical
+    # `nedp_etl_spark.registry` instance — dispatch through that one.
+    from nedp_etl_spark import registry as _canonical
+
+    if "--update-survey" in sys.argv:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        changed = _canonical.update_survey(os.path.join(here, "SURVEY.md"))
+        print("SURVEY.md §2.3 " + ("updated" if changed else "already in sync"))
+    else:  # --survey-table (default): print the block
+        print(_canonical.survey_table())

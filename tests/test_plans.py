@@ -726,3 +726,55 @@ def test_novelty_gram_keyed_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_welch_ttest_partial_aggs_balanced_shuffle(spark, sf_dir):
+    # One pass of sufficient statistics: the (metric, arm) rollup must
+    # pre-aggregate map-side (partial sum/count) so the shuffle carries
+    # O(|metrics| * 2) rows, and the pivot runs on that tiny relation —
+    # no second events scan, no join, no window.
+    plan = _plan(spark, sf_dir, "agg_welch_ttest")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_zipf_fit_two_phase_rank_no_global_window(spark, sf_dir):
+    # Ranking the term-frequency table must use the two-phase prefix sum
+    # (global_running_sum) — a rank() over an unpartitioned window would
+    # funnel the vocabulary through one task at 100 TB.
+    plan = _plan(spark, sf_dir, "agg_zipf_fit")
+    assert not _has_global_window(plan)
+    assert "partial_count" in plan  # term counts combine map-side
+
+
+def test_timezone_pure_map(spark, sf_dir):
+    # Timezone conversion is a per-row projection: the pushed event_id
+    # filter reaches the scan and nothing shuffles.
+    plan = _plan(spark, sf_dir, "fn_timezone")
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "PushedFilters: [IsNotNull(event_id), LessThan(event_id,500)]" in plan
+
+
+def test_prefix_dedup_key_sized_join(spark, sf_dir):
+    # Docs are reduced to (doc_id, 32-char prefix hash) BEFORE any
+    # exchange: the group-size join is an equi-join on the md5 key and the
+    # text column never shuffles (no 'text' in any Exchange input).
+    plan = _plan(spark, sf_dir, "llm_prefix_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln
+
+
+def test_rolling_regression_keyed_window_single_scan(spark, sf_dir):
+    # The rolling OLS sums share ONE series-keyed window over the daily
+    # partials (which combine map-side) — no global window, no join, one
+    # parquet scan.
+    plan = _plan(spark, sf_dir, "win_rolling_regression")
+    assert not _has_global_window(plan)
+    assert "windowspecdefinition(event_type" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan

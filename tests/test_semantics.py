@@ -1862,3 +1862,135 @@ def test_scan_xml_roundtrip_preserves_values(spark, tmp_path):
            eng.queries()["scan_xml"](spark, str(tmp_path)).collect()}
     assert out["ALPHA"]["n_suppliers"] == 2 and out["ALPHA"]["total_acctbal"] == 15.0
     assert out["BETA"]["n_suppliers"] == 1 and out["BETA"]["total_acctbal"] == 1.5
+
+
+# --------------------------------------------------------------------------
+# Round-7-swept operators (agg_welch_ttest, agg_zipf_fit, fn_timezone,
+# llm_prefix_dedup, win_rolling_regression) — planted ground truths added
+# round 8 per the repo bar: every operator gets a semantic test, not just
+# the oracle hash gate.
+# --------------------------------------------------------------------------
+
+_EV_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+    " value double, props string"
+)
+_DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def test_welch_ttest_hand_computed_balanced_arms(spark, tmp_path):
+    # arm = user_id % 2.  Control (even users): 10, 12, 14; treatment (odd):
+    # 20, 22, 24.  n0=n1=3, means 12/22, variances both 4.
+    # t = 10 / sqrt(4/3 + 4/3) = 6.123724...; Welch df = (8/3)^2 /
+    # (2 * (4/3)^2 / 2) = 4 exactly (equal n, equal var → df = 2(n-1)).
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    vals0, vals1 = [10.0, 12.0, 14.0], [20.0, 22.0, 24.0]
+    rows = [(i, base, 2, "a", v, "{}") for i, v in enumerate(vals0)] + [
+        (10 + i, base, 1, "a", v, "{}") for i, v in enumerate(vals1)
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = eng.queries()["agg_welch_ttest"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_control"], r["n_treat"]) == (3, 3)
+    assert (r["mean_control"], r["mean_treat"]) == (12.0, 22.0)
+    assert (r["var_control"], r["var_treat"]) == (4.0, 4.0)
+    assert abs(r["t_stat"] - round(10 / (8 / 3) ** 0.5, 6)) < 1e-9
+    assert r["welch_df"] == 4.0
+
+
+def test_welch_ttest_single_arm_and_tiny_arm_dropped(spark, tmp_path):
+    # Metric "solo" has only even users (no treatment arm) and metric
+    # "thin" has a 1-row control arm — both must emit NO row (guards:
+    # n0/n1 present and >= 2), not a NULL-ridden one.
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [(i, base, 2, "solo", float(i), "{}") for i in range(4)]
+    rows += [(10, base, 2, "thin", 1.0, "{}")] + [
+        (11 + i, base, 1, "thin", float(i), "{}") for i in range(3)
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = eng.queries()["agg_welch_ttest"](spark, str(tmp_path)).collect()
+    assert out == []
+
+
+def test_zipf_fit_hand_computed_three_rank_corpus(spark, tmp_path):
+    # One doc "a a a a b b c": counts a=4, b=2, c=1 → ranks 1, 2, 3.
+    # Replicate the operator's quantization exactly (inputs and products
+    # rounded to 6 dp before summation) in plain Python — a third engine.
+    import math
+
+    _write(spark, tmp_path, "documents",
+           [(0, "a a a a b b c", "en", "s", 13)], _DOC_SCHEMA)
+    pts = [(1, 4), (2, 2), (3, 1)]
+    lx = [round(math.log(r), 6) for r, _ in pts]
+    ly = [round(math.log(c), 6) for _, c in pts]
+    n = len(pts)
+    sx, sy = sum(lx), sum(ly)
+    sxy = sum(round(a * b, 6) for a, b in zip(lx, ly))
+    sxx = sum(round(a * a, 6) for a in lx)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r = eng.queries()["agg_zipf_fit"](spark, str(tmp_path)).collect()[0]
+    assert r["n_terms"] == 3
+    assert abs(r["slope"] - round(slope, 6)) < 1e-9
+    assert abs(r["intercept"] - round((sy - slope * sx) / n, 6)) < 1e-9
+    # a 4/2/1 frequency ladder is near-Zipfian: slope close to -1, negative
+    assert -1.5 < r["slope"] < -0.9
+
+
+def test_timezone_offsets_dst_and_day_roll(spark, tmp_path):
+    # 2024-01-15 23:30 UTC: NY is UTC-5 (EST) → 18:30 same day; Kolkata
+    # +5:30 → next day 05:00; Tokyo +9 → next day 08:30 (day rolled).
+    # 2024-06-15 12:00 UTC: NY is UTC-4 (EDT) → 08:00 — the DST case.
+    rows = [
+        (1, datetime.datetime(2024, 1, 15, 23, 30, 0), 1, "a", 1.0, "{}"),
+        (2, datetime.datetime(2024, 6, 15, 12, 0, 0), 1, "a", 1.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_id"]: r for r in
+           eng.queries()["fn_timezone"](spark, str(tmp_path)).collect()}
+    r1 = out[1]
+    assert r1["utc_ts"] == "2024-01-15 23:30:00"
+    assert r1["ny_ts"] == "2024-01-15 18:30:00" and r1["ny_hour"] == 18
+    assert r1["kolkata_ts"] == "2024-01-16 05:00:00"
+    assert r1["tokyo_ts"] == "2024-01-16 08:30:00"
+    assert r1["tokyo_day_rolled"] is True
+    r2 = out[2]
+    assert r2["ny_ts"] == "2024-06-15 08:00:00" and r2["ny_hour"] == 8  # EDT
+    assert r2["tokyo_ts"] == "2024-06-15 21:00:00"
+    assert r2["tokyo_day_rolled"] is False
+
+
+def test_prefix_dedup_groups_shared_heads_only(spark, tmp_path):
+    # _PREFIX_K = 8.  Docs 1/2/3 share the same first 8 tokens with
+    # different tails → one group keyed by min doc_id, size 3.  Doc 4
+    # differs at token 8; doc 5 has only 7 tokens (excluded entirely).
+    head = "w0 w1 w2 w3 w4 w5 w6 w7"
+    rows = [
+        (1, head + " tail one", "en", "s", 30),
+        (2, head + " other tail", "en", "s", 30),
+        (3, head, "en", "s", 23),
+        (4, "w0 w1 w2 w3 w4 w5 w6 DIFF tail", "en", "s", 30),
+        (5, "w0 w1 w2 w3 w4 w5 w6", "en", "s", 20),
+    ]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = eng.queries()["llm_prefix_dedup"](spark, str(tmp_path)).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+    assert all(r["prefix_group"] == 1 and r["group_size"] == 3 for r in out)
+
+
+def test_rolling_regression_recovers_planted_line(spark, tmp_path):
+    # One event per day, daily mean v = 5 + 2*(day index): a perfect line.
+    # Every window of >= 2 points must report slope exactly 2.0 (integer
+    # x, 1e-6-quantized y → exact int64 arithmetic); the first day's
+    # 1-point window has zero x-variance → NULL.
+    base = datetime.datetime(2024, 1, 1, 6, 0, 0)
+    rows = [(i, base + datetime.timedelta(days=i), 1, "a", 5.0 + 2.0 * i, "{}")
+            for i in range(10)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(eng.queries()["win_rolling_regression"](spark, str(tmp_path)).collect(),
+                 key=lambda r: r["d"])
+    assert len(out) == 10
+    assert out[0]["n_window"] == 1 and out[0]["slope"] is None
+    # window widens 2..7 then stays at 7 (6 preceding + current)
+    assert [r["n_window"] for r in out] == [1, 2, 3, 4, 5, 6, 7, 7, 7, 7]
+    assert all(r["slope"] == 2.0 for r in out[1:])
