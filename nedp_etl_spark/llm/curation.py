@@ -985,15 +985,17 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.filter(F.size("grams") > 0)
         .select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # Drop-set identity (round-8 rewrite): in the all-pairs formulation a
+    # doc is dropped iff SOME bucket-mate has a smaller id — i.e. iff it is
+    # not the min of one of its buckets.  That's a keyed min over (band,
+    # band_key), NOT a self-join: the O(k²) hot-bucket pair explosion the
+    # LSH band join risks at 100 TB simply never exists on this path, and
+    # the output is row-identical to the join form.
+    bucket_min = Window.partitionBy("band", "band_key")
     lsh_drop = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("b.doc_id").alias("doc_id"))
+        bands.withColumn("hub", F.min("doc_id").over(bucket_min))
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select("doc_id")
         .distinct()
     )
     # two downstream branches (gram explode + the contamination left join)

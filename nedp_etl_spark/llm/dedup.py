@@ -113,6 +113,16 @@ _MINHASH_LIST_SQL = "[" + ", ".join(
     f"list_min(list_transform(hs, h -> substr(h, {i * 5 + 1}, 5)))" for i in range(_N_HASHES)
 ) + "]"
 
+# Hot-bucket cap (the CCNet/BigQuery-dedup convention, made lossless for
+# connectivity): a bucket of k co-colliding docs normally emits all
+# k(k−1)/2 pairs — one viral near-duplicate cluster at 100 TB turns that
+# into an O(k²) explosion inside a single join task.  Buckets larger than
+# the cap switch to STAR topology (every member pairs with the bucket's
+# min doc_id): k−1 pairs, same connected components — which is all the
+# downstream dedup (keep-min-per-cluster) consumes.  Current fixtures top
+# out at bucket size 14 (sf0.1), so outputs are unchanged below the cap.
+_HOT_BUCKET_CAP = 32
+
 _DEDUP_NEAR_ORACLE = f"""
 WITH corpus AS ({_AUG_SQL}),
 sh AS (
@@ -125,11 +135,27 @@ bands AS (
   SELECT doc_id, CAST(t.j AS INT) AS band,
          m[CAST(2*t.j + 1 AS INT)] || '|' || m[CAST(2*t.j + 2 AS INT)] AS band_key
   FROM mh, range(0, {_N_HASHES // _BAND_ROWS}) t(j)
+),
+stats AS (
+  SELECT band, band_key, COUNT(*) AS bsz, MIN(doc_id) AS hub
+  FROM bands GROUP BY 1, 2
+),
+bb AS (
+  SELECT b.doc_id, b.band, b.band_key, s.bsz, s.hub
+  FROM bands b JOIN stats s ON b.band = s.band AND b.band_key = s.band_key
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a
+  JOIN bb b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {_HOT_BUCKET_CAP}
+  UNION ALL
+  SELECT hub AS doc_a, doc_id AS doc_b
+  FROM bb WHERE bsz > {_HOT_BUCKET_CAP} AND doc_id <> hub
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+SELECT doc_a, doc_b, COUNT(*) AS n_shared_bands
+FROM pairs GROUP BY 1, 2
 """
 
 
@@ -165,15 +191,31 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # Hot-bucket cap: bucket sizes + hubs are one keyed aggregate over the
+    # band rows (bucket-cardinality-sized); joining them back is an
+    # equi-join on the band key.  Small buckets keep the exact all-pairs
+    # contract; hot buckets emit star pairs (hub = bucket min) — k−1 rows
+    # instead of k(k−1)/2, identical connectivity.
+    stats = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bsz"), F.min("doc_id").alias("hub")
+    )
+    bb = bands.join(stats, ["band", "band_key"])
+    small = bb.filter(F.col("bsz") <= _HOT_BUCKET_CAP).select(
+        "doc_id", "band", "band_key"
+    )
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    pairs_hot = bb.filter(
+        (F.col("bsz") > _HOT_BUCKET_CAP) & (F.col("doc_id") != F.col("hub"))
+    ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs_small.unionByName(pairs_hot)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 

@@ -536,8 +536,9 @@ s AS (
 )
 SELECT event_type, d, v, CAST(n AS INT) AS n_window,
        CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-            ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / 1000000.0
-                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+            ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) / 1000000.0
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       * 1000000.0 + 0.5) / 1000000.0
        END AS slope
 FROM s
 """
@@ -572,14 +573,18 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # FLOOR(x·1e6 + 0.5)/1e6, not ROUND(x, 6): Spark's round goes through
+    # BigDecimal's shortest-decimal repr (HALF_UP on "-0.5073285") while
+    # DuckDB rounds the binary double (…2849999… → down) — they disagree
+    # on half-ulp boundaries (found at sf0.01).  The explicit quantize is
+    # the same IEEE op sequence on both engines, so it's bit-identical.
+    raw = num.cast("double") / 1_000_000.0 / den.cast("double")
     return s.select(
         "event_type",
         "d",
         "v",
         F.col("n").cast("int").alias("n_window"),
         F.when(den == 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.round(num.cast("double") / 1_000_000.0 / den.cast("double"), 6)
-        )
+        .otherwise(F.floor(raw * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0)
         .alias("slope"),
     )

