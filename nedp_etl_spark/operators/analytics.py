@@ -1048,7 +1048,24 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("p")
-    return s.select("l_returnflag", F.col("n").cast("bigint").alias("n_rows"), pairs).select(
+    # Loud overflow guard (round-8, advisor item): the ll component sum is
+    # bounded by rows × 2^40, int64-safe only while rows/group < 2^23
+    # (~8.4e6).  Past that the limb sums would overflow SILENTLY and emit
+    # wrong correlations — fail the query instead and name the fix.
+    n_guarded = F.when(
+        F.col("n") <= F.lit(1 << 23), F.col("n").cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("agg_corr_matrix: group size "),
+                F.col("n").cast("string"),
+                F.lit(" exceeds the 2^23-row int64-safe bound of the 2^20-"
+                      "radix limb accumulation; raise the radix split "
+                      "(e.g. 2^16 limbs / 4 components) for this corpus"),
+            )
+        ).cast("bigint")
+    )
+    return s.select("l_returnflag", n_guarded.alias("n_rows"), pairs).select(
         "l_returnflag", F.col("p.var_a").alias("var_a"), F.col("p.var_b").alias("var_b"),
         "n_rows", F.col("p.corr").alias("corr")
     )

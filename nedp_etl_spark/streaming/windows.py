@@ -594,8 +594,19 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("stream_state_reader: drain stalled (environment)")
     st = s.read.format("statestore").load(ckpt)
-    # the state value struct carries the INTERNAL aggregation buffer
-    # field names (count, sum), not the query aliases
+    # The state value struct carries the INTERNAL aggregation buffer field
+    # names (count, sum) — undocumented Spark internals a minor version
+    # could rename.  The pinned semantic test is the tripwire; this check
+    # turns the eventual breakage into a named error instead of an opaque
+    # resolution failure deep in the plan.
+    value_fields = {f.name for f in st.schema["value"].dataType.fields}
+    if not {"count", "sum"} <= value_fields:
+        raise RuntimeError(
+            "stream_state_reader: the statestore aggregation buffer no "
+            f"longer exposes fields ('count', 'sum') — found {sorted(value_fields)}. "
+            "Spark renamed its internal aggregation buffer; update the "
+            "value.* projections here to the new names."
+        )
     return st.select(
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("bigint").alias("n_events"),
