@@ -303,6 +303,109 @@ def sink_snapshot_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# sink_scd2_partitioned — SCD2 snapshot merge with PARTITION-PRUNED
+# rewrite (dbt `insert_overwrite` incremental strategy, the scale path for
+# sink_snapshot_scd2 which rewrites the whole target): the partition list
+# is derived from the CHANGED KEYS (old partition ∪ new partition), the
+# merge reads ONLY those partitions (PartitionFilters on the scan), and
+# dynamic partition overwrite rewrites only them — at 100 TB the other
+# partitions' files are never opened, never rewritten.
+# Reference parity: this is the `insert_overwrite` strategy the reference
+# ships via dbt-spark (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SINK_SCD2_PART_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment AS segment, ROUND(c_acctbal, 6) AS c_acctbal
+  FROM customer
+),
+changed AS (SELECT * FROM base WHERE segment = 'BUILDING' AND c_acctbal > 9000)
+SELECT c_custkey, segment, c_acctbal,
+       '2024-01-01' AS valid_from, '2024-06-01' AS valid_to, FALSE AS is_current
+FROM changed
+UNION ALL
+SELECT c_custkey, 'PREMIUM' AS segment, c_acctbal,
+       '2024-06-01' AS valid_from, NULL AS valid_to, TRUE AS is_current
+FROM changed
+UNION ALL
+SELECT c_custkey, segment, c_acctbal,
+       '2024-01-01' AS valid_from, NULL AS valid_to, TRUE AS is_current
+FROM base WHERE NOT (segment = 'BUILDING' AND c_acctbal > 9000)
+"""
+
+
+def _scd2_affected_read(spark: SparkSession, path: str, affected: list) -> DataFrame:
+    """Partition-pruned read of the SCD2 target — only `affected` segments.
+
+    Factored out so the plan test can assert the scan carries
+    PartitionFilters (the rewrite never opens untouched partitions).
+    """
+    return spark.read.parquet(path).filter(F.col("segment").isin(affected))
+
+
+@register("sink_scd2_partitioned", oracle=_SINK_SCD2_PART_ORACLE)
+def sink_scd2_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("sink_scd2_partitioned", sf_dir)
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+    )
+    # snapshot t0: everyone current as of 2024-01-01, PARTITIONED by segment
+    t0 = base.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        "segment",
+    )
+    t0.write.mode("overwrite").partitionBy("segment").parquet(path)
+
+    # change set at 2024-06-01: high-balance BUILDING customers → PREMIUM
+    updates = base.filter(
+        (F.col("segment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey", F.lit("PREMIUM").alias("segment"), "c_acctbal")
+
+    # Affected partitions = old partitions of changed keys ∪ their new
+    # partitions.  Bounded collect: ≤ #segments (5-ish) rows at ANY corpus
+    # size — this is the partition list dbt's insert_overwrite computes.
+    affected = sorted(
+        {r["segment"] for r in updates.select("segment").distinct().collect()}
+        | {"BUILDING"}
+    )
+    existing = _scd2_affected_read(spark, path, affected)
+
+    upd_keys = updates.select("c_custkey")
+    closed = (
+        existing.join(upd_keys, "c_custkey", "left_semi")
+        .withColumn("valid_to", F.lit("2024-06-01"))
+        .withColumn("is_current", F.lit(False))
+    )
+    kept = existing.join(upd_keys, "c_custkey", "left_anti")
+    opened = updates.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2024-06-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        "segment",
+    )
+    merged = closed.unionByName(kept).unionByName(opened)
+    # dynamic overwrite: ONLY partitions present in `merged` (BUILDING,
+    # PREMIUM) are replaced; the other segments' files are never touched.
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).select(
+        "c_custkey", "segment", "c_acctbal", "valid_from", "valid_to", "is_current"
+    )
+
+
+# --------------------------------------------------------------------------
 # scan_orc — ORC ingest (columnar source beyond parquet/CSV/JSON).  DuckDB
 # cannot read ORC, so the oracle checks the round-trip against the source
 # table instead — format conversion must be lossless.

@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "win_rolling_regression",     # r7-swept: 7-day rolling OLS slope
     # --- (a2) NEW in round 8 (each: exact oracle green at sf0.001+sf0.01,
     # planted semantic test, plan audit) ---
+    "sink_scd2_partitioned",      # NEW r8: partition-pruned SCD2 merge
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

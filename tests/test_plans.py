@@ -778,3 +778,21 @@ def test_rolling_regression_keyed_window_single_scan(spark, sf_dir):
     assert "windowspecdefinition(event_type" in plan
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
+
+
+def test_scd2_partitioned_merge_read_is_partition_pruned(spark, sf_dir):
+    # The merge's read of the existing target must carry PartitionFilters
+    # on the segment partition column — untouched partitions are never
+    # opened, which is what makes the SCD2 merge O(changed partitions)
+    # instead of O(table) at 100 TB.
+    import os
+
+    from nedp_etl_spark.operators.scans import _scratch, _scd2_affected_read
+
+    # run the operator once so the partitioned target exists
+    eng.queries()["sink_scd2_partitioned"](spark, sf_dir).collect()
+    path = _scratch("sink_scd2_partitioned", sf_dir)
+    assert os.path.isdir(path)
+    df = _scd2_affected_read(spark, path, ["BUILDING", "PREMIUM"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "segment" in plan.split("PartitionFilters")[1][:200]
