@@ -190,3 +190,125 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     }
     assert len(streamed) > 0
     assert streamed == batch
+
+
+def test_transform_state_timers_across_two_microbatches(spark, tmp_path):
+    # transformWithState WITH TIMERS, replayed across two real micro-batches
+    # (the one stateful surface the parity harness didn't cover).  Each
+    # input batch folds counts into ValueState and registers an already-due
+    # processing-time timer; Spark fires timers in a SUBSEQUENT batch, where
+    # handleExpiredTimer emits the state as of firing.  Expected ledger:
+    #   batch 0 (file1): input rows (1,n=2),(2,n=1); timers registered
+    #   batch 1+       : timer rows (1,2),(2,1)
+    #   batch k (file2): input rows (1,3),(2,3); timers re-registered
+    #   batch k+1+     : timer rows (1,3),(2,3)
+    # Final input rows must equal the batch aggregate over BOTH files
+    # (replay parity); timer rows must equal the state snapshots.
+    # NB: availableNow does NOT terminate under timeMode=ProcessingTime
+    # (observed: endless empty batches while timers exist), so the test
+    # polls the parquet sink and stops the query deterministically.
+    import time
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from nedp_etl_spark.streaming import transformstate as tws
+
+    if not tws._PROTOBUF_OK:
+        import pytest as _pytest
+
+        _pytest.skip("no protobuf runtime for the state server")
+
+    class TimerProbe(StatefulProcessor):
+        def init(self, handle):
+            self._h = handle
+            self._n = handle.getValueState(
+                "n", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._n.get()
+            n = got[0] if got is not None else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            self._h.registerTimer(timerValues.getCurrentProcessingTimeInMs() - 1)
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "kind": ["input"]})
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            got = self._n.get()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [got[0] if got else -1], "kind": ["timer"]}
+            )
+
+        def close(self):
+            pass
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 5.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    tws._propagate_bootstrap(spark)
+    s = tws._rocksdb_session(spark)
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    ev = s.readStream.schema("user_id long, value double").parquet(src)
+    res = ev.groupBy("user_id").transformWithStateInPandas(
+        TimerProbe(),
+        outputStructType="user_id bigint, n bigint, kind string",
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    q = (
+        res.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def _rows():
+        try:
+            return {tuple(r) for r in spark.read.parquet(out).collect()}
+        except Exception:
+            return set()
+
+    def _wait_for(expected, deadline_s):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if expected <= _rows():
+                return
+            time.sleep(1.0)
+        raise AssertionError(
+            f"timed out waiting for {expected - _rows()}; have {_rows()}"
+        )
+
+    try:
+        epoch1 = {(1, 2, "input"), (2, 1, "input"), (1, 2, "timer"), (2, 1, "timer")}
+        _wait_for(epoch1, 150)
+        # second micro-batch: new data for both keys
+        spark.createDataFrame(
+            [(1, 3.0), (2, 7.0), (2, 8.0)], "user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        epoch2 = {(1, 3, "input"), (2, 3, "input"), (1, 3, "timer"), (2, 3, "timer")}
+        _wait_for(epoch2, 150)
+    finally:
+        q.stop()
+
+    got = _rows()
+    assert got == epoch1 | epoch2  # nothing else emitted
+    # replay parity: the final input-kind state equals the batch aggregate
+    batch = {
+        (r["user_id"], r["n"])
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    final_inputs = {
+        (u, max(n for (uu, n, k) in got if uu == u and k == "input")) for u in (1, 2)
+    }
+    assert final_inputs == batch
