@@ -69,6 +69,7 @@ _PRIORITY: list[str] = [
     # --- (a2) NEW in round 8 (each: exact oracle green at sf0.001+sf0.01,
     # planted semantic test, plan audit) ---
     "sink_scd2_partitioned",      # NEW r8: partition-pruned SCD2 merge
+    "stream_asof_enrich",         # NEW r8: stateful as-of dimension enrich
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

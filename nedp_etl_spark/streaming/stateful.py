@@ -93,3 +93,101 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# stream_asof_enrich — streaming as-of dimension enrichment: every
+# non-signup event is enriched with the LATEST signup (the "dimension
+# version") of the same user with signup.ts <= event.ts, via per-key state.
+# This is the streaming analogue of join_asof and the incremental-model
+# use case the reference ships through dbt-spark (event stream enriched
+# with the current dimension row): state holds ONE row per user (latest
+# signup ts/id/value — bounded, corpus-size independent); each Arrow batch
+# is processed in (ts, signup-first, event_id) order so a signup at the
+# event's exact timestamp is visible to it, and the last same-ts signup
+# wins (event_id order).
+#
+# Exactness: nothing accumulates — state carries the signup's raw values —
+# so the single-file availableNow replay is row-identical to the batch
+# as-of join the oracle states.
+# Reference parity: streaming enrichment reaches the reference only as an
+# incremental dbt model (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_ASOF_OUT_SCHEMA = (
+    "event_id bigint, user_id bigint, ts_us bigint, event_type string,"
+    " signup_ts_us bigint, signup_value double"
+)
+_ASOF_STATE_SCHEMA = "s_us bigint, s_eid bigint, s_value double"
+
+_ASOF_ENRICH_ORACLE = """
+WITH facts AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type <> 'signup'
+),
+sg AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'signup'
+),
+best AS (
+  SELECT f.event_id,
+         s.ts AS s_ts, s.value AS s_value,
+         ROW_NUMBER() OVER (PARTITION BY f.event_id
+                            ORDER BY s.ts DESC, s.event_id DESC) AS rn
+  FROM facts f
+  JOIN sg s ON s.user_id = f.user_id AND s.ts <= f.ts
+)
+SELECT f.event_id, f.user_id,
+       epoch_us(f.ts) AS ts_us, f.event_type,
+       epoch_us(b.s_ts) AS signup_ts_us, b.s_value AS signup_value
+FROM facts f
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.event_id = f.event_id
+"""
+
+
+def _asof_enrich_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        s_us, s_eid, s_value = state.get
+    else:
+        s_us, s_eid, s_value = -1, -1, None
+    out: dict[str, list] = {
+        "event_id": [], "user_id": [], "ts_us": [],
+        "event_type": [], "signup_ts_us": [], "signup_value": [],
+    }
+    for pdf in pdfs:
+        # itertuples renames underscore-prefixed columns — use plain names
+        pdf = pdf.assign(
+            us=pdf["ts"].astype("int64") // 1000,
+            fact=(pdf["event_type"] != "signup").astype("int8"),
+        ).sort_values(["us", "fact", "event_id"])
+        for row in pdf.itertuples(index=False):
+            if row.fact == 0:  # signup: newer (ts, event_id) wins
+                if (row.us, row.event_id) > (s_us, s_eid):
+                    s_us, s_eid, s_value = int(row.us), int(row.event_id), float(row.value)
+            else:
+                out["event_id"].append(int(row.event_id))
+                out["user_id"].append(int(key[0]))
+                out["ts_us"].append(int(row.us))
+                out["event_type"].append(row.event_type)
+                out["signup_ts_us"].append(s_us if s_us >= 0 else None)
+                out["signup_value"].append(s_value)
+    state.update((s_us, s_eid, s_value))
+    yield pd.DataFrame(out)
+
+
+@register("stream_asof_enrich", oracle=_ASOF_ENRICH_ORACLE)
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    enriched = ev.groupBy("user_id").applyInPandasWithState(
+        _asof_enrich_fn,
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(
+        enriched, f"asof_enrich_{abs(hash(sf_dir)) % 10_000}", "append"
+    )

@@ -168,17 +168,29 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             same = os.path.samefile(src, dst)
         except OSError:
             same = False
-    if not same:
-        tmp = dst + f".staging.{os.getpid()}"
+    def _stage_one(s: str, d: str) -> None:
+        tmp = d + f".staging.{os.getpid()}"
         try:
             try:
-                os.link(src, tmp)
+                os.link(s, tmp)
             except OSError:
-                shutil.copyfile(src, tmp)
-            os.replace(tmp, dst)
+                shutil.copyfile(s, tmp)
+            os.replace(tmp, d)
         finally:
             if os.path.exists(tmp):
                 os.remove(tmp)
+
+    if os.path.isdir(src):
+        # planted-test layout: events.parquet is a DIRECTORY of part files
+        # (DataFrameWriter output); stage each data file under a flattened
+        # name.  Fixture layout (single file) takes the one-file path below.
+        import glob as _glob
+
+        for f in sorted(_glob.glob(os.path.join(src, "*.parquet"))):
+            _stage_one(f, os.path.join(stage, "events_" + os.path.basename(f)))
+        dst = stage
+    elif not same:
+        _stage_one(src, dst)
 
     load(spark, sf_dir, "events")  # applies session conf (nanosAsLong, UTC)
     raw_schema = spark.read.parquet(dst).schema

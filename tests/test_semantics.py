@@ -2051,3 +2051,30 @@ def test_scd2_partitioned_merge_leaves_untouched_partitions_alone(spark, tmp_pat
     fp_prem = _fingerprint("PREMIUM")
     assert fp_auto and fp_prem
     assert max(fp_auto.values()) <= min(fp_prem.values())
+
+
+def test_asof_enrich_latest_signup_wins_with_ties_and_nulls(spark, tmp_path):
+    # User 1 ledger (all same user): fact@d0 BEFORE any signup → NULL;
+    # signup@d1 v=1.0; fact@d1 (same ts as signup, larger event_id) → sees
+    # the same-ts signup (as-of <=); two signups@d3 (event_id 40, 41) →
+    # the later event_id wins for the fact@d4; fact@d2 sees signup@d1.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    day = lambda i: base + datetime.timedelta(days=i)  # noqa: E731
+    rows = [
+        (10, day(0), 1, "click", 0.5, "{}"),
+        (20, day(1), 1, "signup", 1.0, "{}"),
+        (21, day(1), 1, "view", 0.5, "{}"),
+        (30, day(2), 1, "click", 0.5, "{}"),
+        (40, day(3), 1, "signup", 2.0, "{}"),
+        (41, day(3), 1, "signup", 3.0, "{}"),
+        (50, day(4), 1, "purchase", 9.9, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_id"]: r for r in
+           eng.queries()["stream_asof_enrich"](spark, str(tmp_path)).collect()}
+    assert set(out) == {10, 21, 30, 50}  # signups are dimension rows, not output
+    us = lambda i: int(day(i).replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)  # noqa: E731
+    assert out[10]["signup_ts_us"] is None and out[10]["signup_value"] is None
+    assert out[21]["signup_ts_us"] == us(1) and out[21]["signup_value"] == 1.0
+    assert out[30]["signup_ts_us"] == us(1) and out[30]["signup_value"] == 1.0
+    assert out[50]["signup_ts_us"] == us(3) and out[50]["signup_value"] == 3.0
