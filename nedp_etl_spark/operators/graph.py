@@ -645,3 +645,80 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j
+
+
+# --------------------------------------------------------------------------
+# graph_kcore — bounded-round k-core peeling (k=2) on the LSH pair graph:
+# repeatedly remove nodes whose degree among the survivors is < k.  After
+# R rounds the survivors are the 2-core once peeling has converged — on
+# near-dup graphs (dense clique-ish clusters) convergence takes 1–2
+# rounds; rounds are BOUNDED (R=6) and the oracle unrolls the identical 6
+# steps, so both engines state the same deterministic computation
+# regardless of convergence.  Per-round cost: one keyed degree aggregate
+# + two semi-joins on the checkpointed edge relation — O(nodes + edges)
+# per round, the CC/BFS cost family; no all-pairs anything.
+# --------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+_KCORE_STEPS = ",\n".join(
+    f"n{i+1} AS (SELECT e.a AS node FROM edges e "
+    f"JOIN n{i} na ON na.node = e.a JOIN n{i} nb ON nb.node = e.b "
+    f"GROUP BY e.a HAVING COUNT(*) >= {_KCORE_K})"
+    for i in range(_KCORE_ROUNDS)
+)
+
+_KCORE_ORACLE = f"""WITH {_PAIR_EDGES_SQL},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+n0 AS (SELECT DISTINCT a AS node FROM edges),
+{_KCORE_STEPS}
+SELECT e.a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM edges e
+JOIN n{_KCORE_ROUNDS} na ON na.node = e.a
+JOIN n{_KCORE_ROUNDS} nb ON nb.node = e.b
+GROUP BY e.a
+"""
+
+
+@register("graph_kcore", oracle=_KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.llm.dedup import llm_dedup_near
+
+    pairs = (
+        llm_dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # iteratively re-joined; freeze LSH lineage
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        nodes = (
+            edges.join(nodes, edges["a"] == nodes["node"], "left_semi")
+            .join(
+                nodes.withColumnRenamed("node", "bnode"),
+                F.col("b") == F.col("bnode"),
+                "left_semi",
+            )
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        edges.join(nodes, edges["a"] == nodes["node"], "left_semi")
+        .join(
+            nodes.withColumnRenamed("node", "bnode"),
+            F.col("b") == F.col("bnode"),
+            "left_semi",
+        )
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )

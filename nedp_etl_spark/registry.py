@@ -70,6 +70,8 @@ _PRIORITY: list[str] = [
     # planted semantic test, plan audit) ---
     "sink_scd2_partitioned",      # NEW r8: partition-pruned SCD2 merge
     "stream_asof_enrich",         # NEW r8: stateful as-of dimension enrich
+    "sink_bucketed_join",         # NEW r8: bucketed layout, shuffle-free join
+    "graph_kcore",                # NEW r8: bounded-round 2-core peeling
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---
