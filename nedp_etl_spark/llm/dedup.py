@@ -1055,3 +1055,130 @@ def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") > 1)
         .select("doc_id", "prefix_group", "group_size")
     )
+
+
+# --------------------------------------------------------------------------
+# llm_dedup_simhash — SimHash near-dedup at Hamming distance ≤ 3 over a
+# 32-bit fingerprint (one bit per md5 nibble parity, token votes summed).
+# Candidate generation is the PIGEONHOLE band join: 4 disjoint 8-bit
+# blocks — any pair within Hamming 3 agrees exactly on ≥ 1 block — so
+# candidates come from 4 equi-joins on (block_idx, block_value), never
+# all pairs; the same hot-bucket star cap as llm_dedup_near bounds viral
+# blocks.  Candidates verify by TRUE Hamming distance (bit_count of xor)
+# computed from the fingerprint table via two keyed joins.
+# The word-order-insensitive complement to MinHash-LSH (which keys on
+# shingles): SimHash catches bag-of-words-similar docs cheaply — one
+# fingerprint per doc, 4 band rows, no shingle explosion.
+# --------------------------------------------------------------------------
+
+_SIMHASH32_BITS = 32
+_SIMHASH32_BLOCKS = 4
+_SIMHASH32_HAM_MAX = 3
+
+_SH32_VOTE_SQL = ", ".join(
+    f"SUM(2 * (ascii(substr(h, {b + 1}, 1)) % 2) - 1) AS v{b}"
+    for b in range(_SIMHASH32_BITS)
+)
+_SH32_PACK_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(_SIMHASH32_BITS)
+)
+
+_DEDUP_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, md5(t.tok) AS h
+  FROM documents, UNNEST(string_split(text, ' ')) t(tok)
+),
+votes AS (SELECT doc_id, {_SH32_VOTE_SQL} FROM tok GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({_SH32_PACK_SQL} AS BIGINT) AS f FROM votes),
+bands AS (
+  SELECT doc_id, CAST(t.k AS INT) AS band,
+         (f >> CAST(8 * t.k AS INT)) & 255 AS block_val
+  FROM fp, range(0, {_SIMHASH32_BLOCKS}) t(k)
+),
+stats AS (
+  SELECT band, block_val, COUNT(*) AS bsz, MIN(doc_id) AS hub
+  FROM bands GROUP BY 1, 2
+),
+bb AS (
+  SELECT b.doc_id, b.band, b.block_val, s.bsz, s.hub
+  FROM bands b JOIN stats s ON b.band = s.band AND b.block_val = s.block_val
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bb a
+    JOIN bb b ON a.band = b.band AND a.block_val = b.block_val
+              AND a.doc_id < b.doc_id
+    WHERE a.bsz <= {_HOT_BUCKET_CAP}
+    UNION ALL
+    SELECT hub AS doc_a, doc_id AS doc_b
+    FROM bb WHERE bsz > {_HOT_BUCKET_CAP} AND doc_id <> hub
+  )
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(fa.f, fb.f)) AS INT) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.f, fb.f)) <= {_SIMHASH32_HAM_MAX}
+"""
+
+
+@register("llm_dedup_simhash", oracle=_DEDUP_SIMHASH_ORACLE)
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("h")
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * (F.ascii(F.substring("h", b + 1, 1)) % 2) - 1).alias(f"v{b}")
+            for b in range(_SIMHASH32_BITS)
+        ]
+    )
+    packed = None
+    for b in range(_SIMHASH32_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = term if packed is None else packed + term
+    fp = votes.select("doc_id", packed.alias("f")).localCheckpoint(eager=False)
+    bands = fp.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("f", 8 * k).bitwiseAND(F.lit(255))
+                    for k in range(_SIMHASH32_BLOCKS)
+                ]
+            )
+        ).alias("band", "block_val"),
+    )
+    stats = bands.groupBy("band", "block_val").agg(
+        F.count(F.lit(1)).alias("bsz"), F.min("doc_id").alias("hub")
+    )
+    bb = bands.join(stats, ["band", "block_val"])
+    small = bb.filter(F.col("bsz") <= _HOT_BUCKET_CAP).select(
+        "doc_id", "band", "block_val"
+    )
+    a, b = small.alias("a"), small.alias("b")
+    cand_small = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.block_val") == F.col("b.block_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    cand_hot = bb.filter(
+        (F.col("bsz") > _HOT_BUCKET_CAP) & (F.col("doc_id") != F.col("hub"))
+    ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    cand = cand_small.unionByName(cand_hot).distinct()
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("f").alias("fa"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("fb"))
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .filter(ham <= _SIMHASH32_HAM_MAX)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )

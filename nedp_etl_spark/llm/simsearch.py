@@ -1116,3 +1116,95 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_embed_covariance — embedding covariance diagnostics: the full
+# upper-triangular covariance matrix of the 64-dim embedding column
+# (d(d+1)/2 = 2080 cells).  The anisotropy/collapse monitor for embedding
+# QA: a healthy encoder has a well-spread diagonal and small off-diagonal
+# mass; representation collapse shows up as a few dominant cells.
+#
+# Scale shape: each vector expands map-side to its 2080 (i, j, qi, qj)
+# terms and the ONLY shuffle is the map-side-combined (i, j) aggregate —
+# 2080 groups regardless of corpus size; no joins, no second pass (the
+# per-dimension sums ride along in the same groups).
+# Exactness: values quantize to 1e-3 fixed point (q ≤ ~8e3 for unit-ish
+# embeddings), so Σq and Σqq are EXACT int64 up to ~1e11 rows; the
+# covariance assembles from the exact sums in double with the
+# FLOOR(x·1e6+0.5)/1e6 cross-engine quantize.
+# --------------------------------------------------------------------------
+
+_EMBED_DIM = 64
+
+_EMBED_COV_ORACLE = f"""
+WITH q AS (
+  SELECT ti.i AS i, tj.j AS j,
+         CAST(FLOOR(CAST(embedding[CAST(ti.i + 1 AS INT)] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS qi,
+         CAST(FLOOR(CAST(embedding[CAST(tj.j + 1 AS INT)] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS qj
+  FROM embeddings, range(0, {_EMBED_DIM}) ti(i), range(0, {_EMBED_DIM}) tj(j)
+  WHERE tj.j >= ti.i
+),
+s AS (
+  SELECT i, j, COUNT(*) AS n,
+         CAST(SUM(qi) AS BIGINT) AS si, CAST(SUM(qj) AS BIGINT) AS sj,
+         CAST(SUM(qi * qj) AS BIGINT) AS sij
+  FROM q GROUP BY i, j
+)
+SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+       CAST(n AS BIGINT) AS n_vectors,
+       FLOOR((CAST(sij AS DOUBLE) / 1000000.0
+              - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / 1000000.0 / n)
+             / n * 1000000.0 + 0.5) / 1000000.0 AS cov
+FROM s
+"""
+
+
+@register("llm_embed_covariance", oracle=_EMBED_COV_ORACLE)
+def llm_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    # map-side expansion: per vector, the 2080 upper-triangular (i, j)
+    # terms with 1e-3-quantized int64 components
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000.0 + F.lit(0.5)).cast("long"),
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_EMBED_DIM - 1)),
+                lambda i: F.transform(
+                    F.sequence(F.lit(0), F.lit(_EMBED_DIM - 1)),
+                    lambda j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        F.element_at(F.col("q"), i + 1).alias("qi"),
+                        F.element_at(F.col("q"), j + 1).alias("qj"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["j"] >= p["i"],
+    )
+    terms = (
+        e.select(qarr.alias("q"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.qi", "p.qj")
+    )
+    s = terms.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qi").alias("si"),
+        F.sum("qj").alias("sj"),
+        F.sum(F.col("qi") * F.col("qj")).alias("sij"),
+    )
+    n = F.col("n")
+    cov_raw = (
+        F.col("sij").cast("double") / 1_000_000.0
+        - F.col("si").cast("double") * F.col("sj").cast("double") / 1_000_000.0 / n
+    ) / n
+    return s.select(
+        F.col("i").cast("int").alias("dim_i"),
+        F.col("j").cast("int").alias("dim_j"),
+        n.cast("bigint").alias("n_vectors"),
+        (F.floor(cov_raw * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias("cov"),
+    )

@@ -775,3 +775,71 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version").cast("int").alias("version"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_fuzzy_blocked — blocked fuzzy matching (entity-resolution staple):
+# candidate pairs come from an EQUI-join on the blocking key (p_brand —
+# record-linkage "blocking"), then verify by true Levenshtein distance;
+# matches are pairs within edit distance 10 with a normalized similarity
+# score.  The probe bound (p_partkey < 200 both sides) keeps the
+# fixture-scale pair count stable; at 100 TB the blocking key is what
+# bounds the quadratic term (pairs are per-block, never corpus-wide), the
+# standard Fellegi-Sunter pipeline shape.
+# Exactness: levenshtein is the unit-cost edit distance in both engines;
+# the similarity quantizes via FLOOR(x·1e6+0.5)/1e6.
+# Reference parity: matching SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_FUZZY_BLOCKED_ORACLE = """
+WITH probe AS (
+  SELECT p_partkey, p_brand, p_name FROM part WHERE p_partkey < 200
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand AS brand,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+       FLOOR((1.0 - levenshtein(a.p_name, b.p_name) * 1.0 /
+              GREATEST(len(a.p_name), len(b.p_name))) * 1000000.0 + 0.5)
+         / 1000000.0 AS similarity
+FROM probe a
+JOIN probe b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 10
+"""
+
+
+@register("join_fuzzy_blocked", oracle=_FUZZY_BLOCKED_ORACLE)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select("p_partkey", "p_brand", "p_name")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    sim = (
+        F.floor(
+            (
+                1.0
+                - lev * 1.0
+                / F.greatest(F.length("a.p_name"), F.length("b.p_name"))
+            )
+            * 1_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(lev <= 10)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_brand").alias("brand"),
+            lev.cast("int").alias("edit_dist"),
+            sim.alias("similarity"),
+        )
+    )

@@ -1857,3 +1857,90 @@ def ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x", 6).alias("x_filt"),
         F.round("p", 6).alias("p_var"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_mase_backtest — seasonal-naive forecast backtest scored by MASE
+# (Hyndman & Koehler 2006, the scale-free forecast-accuracy standard):
+# forecast_t = v_{t-7 rows} per series, MAE over the testable rows,
+# normalized by the in-sample one-step naive MAE (|v_t − v_{t−1}| mean).
+# MASE < 1 ⇔ the seasonal forecast beats the naive random walk.
+#
+# Scale shape: the corpus collapses to (series, day) daily partials
+# first (map-side combine); both lags share ONE series-keyed window over
+# the daily relation; the scoring aggregate is |series| rows.
+# Exactness: per-row errors round to 6 dp, means are dsum/COUNT of the
+# rounded terms, and the final ratio quantizes via FLOOR(x·1e6+0.5)/1e6
+# (the cross-engine half-ulp discipline).  Zero denominators (constant
+# series) guard to NULL on the exact fixed-point sum.
+# Reference parity: backtest SQL reaches the reference only as dbt-model
+# SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_MASE_ORACLE = f"""
+WITH {_DAILY_CTE},
+lagged AS (
+  SELECT event_type, d, v,
+         LAG(v, 7) OVER w AS v7,
+         LAG(v, 1) OVER w AS v1
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+err AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         COUNT(v7) AS n_test,
+         {osum('CASE WHEN v7 IS NOT NULL THEN ROUND(ABS(v - v7), 6) END')} AS sae7,
+         COUNT(v1) AS n_naive,
+         {osum('CASE WHEN v1 IS NOT NULL THEN ROUND(ABS(v - v1), 6) END')} AS sae1
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(n_test AS BIGINT) AS n_test,
+       CASE WHEN n_test = 0 THEN NULL
+            ELSE FLOOR(sae7 / n_test * 1000000.0 + 0.5) / 1000000.0
+       END AS mae_seasonal,
+       CASE WHEN n_test = 0 OR n_naive = 0 OR sae1 = 0 THEN NULL
+            ELSE FLOOR((sae7 / n_test) / (sae1 / n_naive) * 1000000.0 + 0.5)
+                 / 1000000.0
+       END AS mase
+FROM err
+"""
+
+
+@register("ts_mase_backtest", oracle=_MASE_ORACLE)
+def ts_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(load(spark, sf_dir, "events"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "v",
+        F.lag("v", 7).over(w).alias("v7"),
+        F.lag("v", 1).over(w).alias("v1"),
+    )
+    e7 = F.when(F.col("v7").isNotNull(), F.round(F.abs(F.col("v") - F.col("v7")), 6))
+    e1 = F.when(F.col("v1").isNotNull(), F.round(F.abs(F.col("v") - F.col("v1")), 6))
+    err = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count("v7").alias("n_test"),
+        dsum(e7).alias("sae7"),
+        F.count("v1").alias("n_naive"),
+        dsum(e1).alias("sae1"),
+    )
+    n_test, n_naive = F.col("n_test"), F.col("n_naive")
+    sae7, sae1 = F.col("sae7"), F.col("sae1")
+    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return err.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        n_test.cast("bigint").alias("n_test"),
+        F.when(n_test == 0, F.lit(None).cast("double"))
+        .otherwise(q6(sae7 / n_test))
+        .alias("mae_seasonal"),
+        F.when(
+            (n_test == 0) | (n_naive == 0) | (sae1 == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(q6((sae7 / n_test) / (sae1 / n_naive)))
+        .alias("mase"),
+    )

@@ -72,6 +72,10 @@ _PRIORITY: list[str] = [
     "stream_asof_enrich",         # NEW r8: stateful as-of dimension enrich
     "sink_bucketed_join",         # NEW r8: bucketed layout, shuffle-free join
     "graph_kcore",                # NEW r8: bounded-round 2-core peeling
+    "llm_dedup_simhash",          # NEW r8: 32-bit SimHash hamming<=3 dedup
+    "ts_mase_backtest",           # NEW r8: seasonal-naive MASE backtest
+    "join_fuzzy_blocked",         # NEW r8: blocked Levenshtein matching
+    "llm_embed_covariance",       # NEW r8: embedding covariance diagnostics
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

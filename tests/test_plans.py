@@ -819,3 +819,44 @@ def test_kcore_iterates_over_checkpointed_pairs(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "FileScan parquet" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_simhash_banded_equi_join_no_all_pairs(spark, sf_dir):
+    # Pigeonhole banding: candidates come from equi-joins on
+    # (block_idx, block_value) and the verify step joins the fingerprint
+    # table by doc id — never a nested loop over doc pairs, and the text
+    # column never shuffles (fingerprints are map-side).
+    plan = _plan(spark, sf_dir, "llm_dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln
+
+
+def test_mase_keyed_window_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_mase_backtest")
+    assert not _has_global_window(plan)
+    assert "windowspecdefinition(event_type" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_fuzzy_blocked_is_equi_join_with_pushed_probe(spark, sf_dir):
+    # Blocking must compile to an EQUI join on p_brand (the levenshtein
+    # verify is a post-join filter) with the probe bound pushed to both
+    # scans — never a nested loop.
+    plan = _plan(spark, sf_dir, "join_fuzzy_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "LessThan(p_partkey,200)" in plan
+
+
+def test_embed_covariance_one_scan_combining_aggregate(spark, sf_dir):
+    # The expansion is map-side; the only shuffle carries the 2080 (i, j)
+    # groups' partial sums — no joins, one embeddings scan.
+    plan = _plan(spark, sf_dir, "llm_embed_covariance")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan
+    assert "Join" not in plan

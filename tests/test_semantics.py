@@ -2106,3 +2106,91 @@ def test_kcore_triangle_survives_pendant_edge_peeled(spark, tmp_path):
     out = {r["node"]: r["core_degree"] for r in
            eng.queries()["graph_kcore"](spark, str(tmp_path)).collect()}
     assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_dedup_simhash_matches_pure_python_rederivation(spark, tmp_path):
+    # Third-engine check: replicate the 32-bit SimHash + Hamming<=3 pair
+    # set in pure Python (hashlib.md5) on a planted corpus — identical
+    # docs (hamming 0), a one-word bag-of-words variant (small hamming),
+    # and unrelated vocab — and require the operator's output to equal it
+    # exactly.
+    import hashlib
+    from itertools import combinations
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy dog",   # dup of 1
+        3: "the quick brown fox leaps over the lazy dog",   # 1-word variant
+        10: "completely different vocabulary about spark engines",
+        11: "unrelated text concerning duckdb oracle parity",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in docs.items()]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+
+    def simhash32(text):
+        votes = [0] * 32
+        for tok in text.split(" "):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for b in range(32):
+                votes[b] += 1 if int(h[b], 16) % 2 else -1
+        return sum((1 << b) for b in range(32) if votes[b] > 0)
+
+    fps = {i: simhash32(t) for i, t in docs.items()}
+    blocks = lambda f: [(k, (f >> (8 * k)) & 255) for k in range(4)]  # noqa: E731
+    expected = set()
+    for a, b in combinations(sorted(docs), 2):
+        share = any(x == y for x, y in zip(blocks(fps[a]), blocks(fps[b])))
+        ham = bin(fps[a] ^ fps[b]).count("1")
+        if share and ham <= 3:
+            expected.add((a, b, ham))
+    assert (1, 2, 0) in expected  # the planted exact dup must be present
+    out = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+           eng.queries()["llm_dedup_simhash"](spark, str(tmp_path)).collect()}
+    assert out == expected
+
+
+def test_mase_perfect_weekly_pattern_scores_zero(spark, tmp_path):
+    # Series "a": v = (day mod 7) + 1 over 21 days — the seasonal-naive
+    # forecast is EXACT (mae 0, mase 0).  Series "c": constant → naive
+    # denominator 0 → mase NULL, mae 0.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base + datetime.timedelta(days=i), 1, "a", float(i % 7 + 1), "{}")
+            for i in range(21)]
+    rows += [(100 + i, base + datetime.timedelta(days=i), 1, "c", 5.0, "{}")
+             for i in range(10)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           eng.queries()["ts_mase_backtest"](spark, str(tmp_path)).collect()}
+    assert out["a"]["n_days"] == 21 and out["a"]["n_test"] == 14
+    assert out["a"]["mae_seasonal"] == 0.0 and out["a"]["mase"] == 0.0
+    assert out["c"]["mae_seasonal"] == 0.0 and out["c"]["mase"] is None
+
+
+def test_fuzzy_blocked_matches_within_brand_only(spark, tmp_path):
+    rows = [
+        (1, "alpha widget", "B1", 10.0),
+        (2, "alpha widgets", "B1", 10.0),     # lev 1 from part 1
+        (3, "zzzzzzzzzzzzzzzzzzzzzz", "B1", 10.0),  # lev > 10 from both
+        (4, "alpha widget", "B2", 10.0),      # identical name, other brand
+    ]
+    _write(spark, tmp_path, "part", rows,
+           "p_partkey bigint, p_name string, p_brand string, p_retailprice double")
+    out = eng.queries()["join_fuzzy_blocked"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["key_a"], r["key_b"], r["brand"], r["edit_dist"]) == (1, 2, "B1", 1)
+    assert r["similarity"] == round(1 - 1 / 13, 6)
+
+
+def test_embed_covariance_hand_computed_two_dims(spark, tmp_path):
+    # 4 vectors, 64-dim; dim0 = [1,2,3,4], dim1 = [2,4,6,8], rest 0.
+    # var(dim0) = 1.25, cov(0,1) = 2.5, var(dim1) = 5.0, all other cells 0.
+    rows = [(i, [float(i + 1), float(2 * (i + 1))] + [0.0] * 62, 0)
+            for i in range(4)]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    out = {(r["dim_i"], r["dim_j"]): r["cov"] for r in
+           eng.queries()["llm_embed_covariance"](spark, str(tmp_path)).collect()}
+    assert len(out) == 64 * 65 // 2
+    assert out[(0, 0)] == 1.25 and out[(0, 1)] == 2.5 and out[(1, 1)] == 5.0
+    assert out[(2, 2)] == 0.0 and out[(0, 63)] == 0.0
