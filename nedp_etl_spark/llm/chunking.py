@@ -351,3 +351,104 @@ def llm_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         F.when(F.col("grp") == 0, pos_a).otherwise(pos_b).alias("mix_pos"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_cdc_chunking — content-defined chunking (the FastCDC/rsync idea at
+# token granularity): a chunk boundary falls AFTER any token whose hash
+# lands in 1/8 of the hash space, so boundaries — and therefore chunk
+# hashes — depend only on content, not position.  Insert one sentence at
+# the front of a document and every chunk after the next boundary still
+# hashes identically: the property that makes chunk-level dedup robust to
+# shifts, where fixed-width chunking resyncs never.
+#
+# Boundary predicate (engine-portable): hexval(md5(token)[2]) % 8 == 0 —
+# the second hex digit alone decides, because 16 ≡ 0 (mod 8) makes the
+# first digit irrelevant to byte % 8.  Everything is array-native and
+# MAP-SIDE (no shuffle at all before the output explode): starts/ends
+# assemble from a filtered index sequence, chunk hashes are md5 of the
+# sliced token span.
+# --------------------------------------------------------------------------
+
+_CDC_HEXVAL = (
+    "CASE WHEN ascii(substr(md5({t}), 2, 1)) >= 97 "
+    "THEN ascii(substr(md5({t}), 2, 1)) - 87 "
+    "ELSE ascii(substr(md5({t}), 2, 1)) - 48 END"
+)
+
+_CDC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+marks AS (
+  SELECT doc_id, l,
+         list_filter(range(1, len(l)),
+                     i -> ({_CDC_HEXVAL.format(t='l[i]')}) % 8 = 0) AS bs
+  FROM toks WHERE len(l) >= 1
+),
+se AS (
+  SELECT doc_id, l,
+         list_prepend(1, list_transform(bs, b -> b + 1)) AS starts,
+         list_append(bs, len(l)) AS ends
+  FROM marks
+)
+SELECT doc_id, CAST(t.k - 1 AS INT) AS chunk_idx,
+       CAST(ends[CAST(t.k AS INT)] - starts[CAST(t.k AS INT)] + 1 AS INT) AS n_tokens,
+       md5(array_to_string(l[starts[CAST(t.k AS INT)]:ends[CAST(t.k AS INT)]], ' ')) AS chunk_hash
+FROM se, UNNEST(range(1, len(starts) + 1)) t(k)
+"""
+
+
+@register("llm_cdc_chunking", oracle=_CDC_ORACLE)
+def llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size("l")
+
+    def _hexval(tok):
+        a = F.ascii(F.substring(F.md5(tok), 2, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    # boundary indices 1..n-1 (a boundary at the last token would open an
+    # empty chunk); sequence() descends when start > stop, so guard n < 2
+    bs = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: _hexval(F.element_at(F.col("l"), i)) % 8 == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    base = d.filter(F.size(toks) >= 1).select(
+        "doc_id", toks.alias("l")
+    ).select("doc_id", "l", bs.alias("bs"))
+    se = base.select(
+        "doc_id",
+        "l",
+        F.concat(F.array(F.lit(1)), F.transform("bs", lambda b: b + 1)).alias("starts"),
+        F.concat(F.col("bs"), F.array(n)).alias("ends"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("starts")),
+        lambda k: F.struct(
+            (k - 1).cast("int").alias("chunk_idx"),
+            (
+                F.element_at(F.col("ends"), k) - F.element_at(F.col("starts"), k) + 1
+            ).cast("int").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("l"),
+                        F.element_at(F.col("starts"), k),
+                        F.element_at(F.col("ends"), k)
+                        - F.element_at(F.col("starts"), k)
+                        + 1,
+                    ),
+                )
+            ).alias("chunk_hash"),
+        ),
+    )
+    return (
+        se.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_hash")
+    )

@@ -894,3 +894,120 @@ def llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_dataset_card — the per-source "dataset card" statistics block every
+# training-data release ships (HF dataset cards / Datasheets for
+# Datasets): document count, token volume, language spread + top
+# language, mean length, exact-duplicate rate, and short-doc fraction,
+# one row per source.
+#
+# Scale shape: per-doc metrics are map-side; everything downstream is
+# keyed aggregates over (source), (source, lang), (source, text_hash) —
+# three combining shuffles of key-cardinality rows, joined at
+# |sources| size.  top_lang is a rank-1 keyed window over the (source,
+# lang) counts, never the corpus.
+# --------------------------------------------------------------------------
+
+_DATASET_CARD_ORACLE = """
+WITH per_doc AS (
+  SELECT source, lang, doc_id,
+         len(string_split(text, ' ')) AS n_toks,
+         n_chars,
+         md5(text) AS text_hash
+  FROM documents
+),
+base AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT lang) AS n_langs,
+         FLOOR(SUM(n_chars) * 1.0 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+           AS avg_chars,
+         FLOOR(SUM(CASE WHEN n_toks < 10 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+               * 1000000.0 + 0.5) / 1000000.0 AS short_frac
+  FROM per_doc GROUP BY source
+),
+lang_rank AS (
+  SELECT source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY COUNT(*) DESC, lang) AS rn
+  FROM per_doc GROUP BY source, lang
+),
+dup AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs
+  FROM (SELECT source, text_hash, COUNT(*) AS c
+        FROM per_doc GROUP BY source, text_hash)
+  GROUP BY source
+)
+SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs, b.total_tokens,
+       CAST(b.n_langs AS INT) AS n_langs, l.lang AS top_lang,
+       b.avg_chars, b.short_frac,
+       FLOOR(d.dup_docs * 1.0 / b.n_docs * 1000000.0 + 0.5) / 1000000.0
+         AS dup_rate
+FROM base b
+JOIN (SELECT source, lang FROM lang_rank WHERE rn = 1) l ON l.source = b.source
+JOIN dup d ON d.source = b.source
+"""
+
+
+@register("llm_dataset_card", oracle=_DATASET_CARD_ORACLE)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    per_doc = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.md5("text").alias("text_hash"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        q6(F.sum("n_chars") * 1.0 / F.count(F.lit(1))).alias("avg_chars"),
+        q6(
+            F.sum(F.when(F.col("n_toks") < 10, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+        ).alias("short_frac"),
+    )
+    lr = (
+        per_doc.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    dup = (
+        per_doc.groupBy("source", "text_hash")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs")
+        )
+    )
+    return (
+        base.join(lr, "source")
+        .join(dup, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "total_tokens",
+            F.col("n_langs").cast("int").alias("n_langs"),
+            "top_lang",
+            "avg_chars",
+            "short_frac",
+            q6(F.col("dup_docs") * 1.0 / F.col("n_docs")).alias("dup_rate"),
+        )
+    )

@@ -1577,3 +1577,99 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(se2 == 0, F.lit(None).cast("double")).otherwise(t).alias("t_stat"),
         F.when(se2 == 0, F.lit(None).cast("double")).otherwise(df).alias("welch_df"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_bootstrap_ci — deterministic hash-bootstrap confidence interval for
+# the per-metric mean (Politis-Romano subsample bootstrap, derandomized):
+# resample b ∈ 0..31 contains a row iff the first 8 md5 hex digits of
+# "event_id:b" land below 2^31 (an independent deterministic half-sample
+# per b), so the WHOLE procedure replays bit-identically on any engine —
+# no RNG, no seed plumbing.  CI = 2nd/31st order statistics of the 32
+# subsample means around the full-sample point estimate.
+#
+# Scale shape: the 32× expansion is map-side (explode of a literal
+# range); the only shuffles are the (metric, b) mean aggregate (32×
+# |metrics| groups) and the |metrics|-keyed order-stat window over 32
+# rows per key.  dsum fixed-point keeps every mean exact.
+# --------------------------------------------------------------------------
+
+_BOOT_B = 32
+
+_BOOTSTRAP_ORACLE = f"""
+WITH expanded AS (
+  SELECT e.event_type, e.value, t.b
+  FROM events e, range(0, {_BOOT_B}) t(b)
+  WHERE CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' ||
+                             CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT)
+        < 2147483648
+),
+means AS (
+  SELECT event_type, b,
+         FLOOR({osum('value')} / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS m
+  FROM expanded GROUP BY event_type, b
+),
+ranked AS (
+  SELECT event_type, m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m, b) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM means
+),
+full_mean AS (
+  SELECT event_type,
+         FLOOR({osum('value')} / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mean
+  FROM events GROUP BY event_type
+)
+SELECT f.event_type, f.mean,
+       MAX(CASE WHEN r.rn = 2 THEN r.m END) AS ci_lo,
+       MAX(CASE WHEN r.rn = r.nb - 1 THEN r.m END) AS ci_hi,
+       CAST(MAX(r.nb) AS INT) AS n_resamples
+FROM full_mean f JOIN ranked r ON r.event_type = f.event_type
+GROUP BY f.event_type, f.mean
+"""
+
+
+@register("agg_bootstrap_ci", oracle=_BOOTSTRAP_ORACLE)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import dsum
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("event_id").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    expanded = ev.select("event_type", "value", b).filter(h < F.lit(2147483648))
+    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    means = expanded.groupBy("event_type", "b").agg(
+        q6(dsum("value") / F.count(F.lit(1))).alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy("m", "b")
+    wc = Window.partitionBy("event_type")
+    ranked = means.select(
+        "event_type",
+        "m",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("nb"),
+    )
+    full_mean = ev.groupBy("event_type").agg(
+        q6(dsum("value") / F.count(F.lit(1))).alias("mean")
+    )
+    return (
+        full_mean.join(ranked, "event_type")
+        .groupBy("event_type", "mean")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == F.col("nb") - 1, F.col("m"))).alias("ci_hi"),
+            F.max("nb").cast("int").alias("n_resamples"),
+        )
+    )

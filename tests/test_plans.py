@@ -860,3 +860,38 @@ def test_embed_covariance_one_scan_combining_aggregate(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "partial_sum" in plan
     assert "Join" not in plan
+
+
+def test_gap_fill_spine_from_bounds_keyed_windows(spark, sf_dir):
+    # The spine explodes from one (series, min, max) row per series and
+    # both neighbor scans are series-keyed windows — no global window.
+    plan = _plan(spark, sf_dir, "win_gap_fill_interpolate")
+    assert not _has_global_window(plan)
+    assert "windowspecdefinition(event_type" in plan
+    assert "Generate explode" in plan
+
+
+def test_cdc_chunking_map_side_only(spark, sf_dir):
+    # Chunk assembly is pure array math per row: the ONLY plan nodes are
+    # scan → project → generate — no Exchange, no Join, no Window.
+    plan = _plan(spark, sf_dir, "llm_cdc_chunking")
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_bootstrap_expansion_combines_map_side(spark, sf_dir):
+    # The 32x explode must pre-aggregate (metric, b) means map-side; the
+    # order-stat window runs over 32 rows per metric, keyed.
+    plan = _plan(spark, sf_dir, "agg_bootstrap_ci")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert not _has_global_window(plan)
+    assert "windowspecdefinition(event_type" in plan
+
+
+def test_dataset_card_keyed_aggregates_only(spark, sf_dir):
+    # Three combining aggregates + |sources|-sized joins; the top-lang
+    # window is keyed by source over lang-count rows, never the corpus.
+    plan = _plan(spark, sf_dir, "llm_dataset_card")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

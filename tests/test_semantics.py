@@ -2194,3 +2194,80 @@ def test_embed_covariance_hand_computed_two_dims(spark, tmp_path):
     assert len(out) == 64 * 65 // 2
     assert out[(0, 0)] == 1.25 and out[(0, 1)] == 2.5 and out[(1, 1)] == 5.0
     assert out[(2, 2)] == 0.0 and out[(0, 63)] == 0.0
+
+
+def test_gap_fill_straight_line_through_gap(spark, tmp_path):
+    # Series "a": days 0 and 3 observed (v=10, v=40); days 1-2 missing →
+    # linear fill 20, 30, flagged filled; observed days keep their value.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, base, 1, "a", 10.0, "{}"),
+            (2, base + datetime.timedelta(days=3), 1, "a", 40.0, "{}")]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["d"]: r for r in
+           eng.queries()["win_gap_fill_interpolate"](spark, str(tmp_path)).collect()}
+    assert len(out) == 4
+    assert out["2024-01-01"]["v_filled"] == 10.0 and not out["2024-01-01"]["filled"]
+    assert out["2024-01-02"]["v_filled"] == 20.0 and out["2024-01-02"]["filled"]
+    assert out["2024-01-03"]["v_filled"] == 30.0 and out["2024-01-03"]["filled"]
+    assert out["2024-01-04"]["v_filled"] == 40.0
+
+
+def test_cdc_chunking_shift_invariant_hashes(spark, tmp_path):
+    # The CDC property itself: doc 2 = doc 1 with two tokens prepended.
+    # After the first boundary following the insertion point, every chunk
+    # hash of doc 2 must reappear in doc 1's chunk set (fixed-width
+    # chunking would give zero common hashes).  Also: chunk sizes
+    # partition the token count, and chunk_idx is dense from 0.
+    t1 = " ".join(f"tok{i}" for i in range(200))
+    t2 = "intro words " + t1
+    rows = [(1, t1, "en", "s", len(t1)), (2, t2, "en", "s", len(t2))]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = eng.queries()["llm_cdc_chunking"](spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, toks in ((1, 200), (2, 202)):
+        rows_d = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows_d] == list(range(len(rows_d)))
+        assert sum(r["n_tokens"] for r in rows_d) == toks
+    h1 = {r["chunk_hash"] for r in by_doc[1]}
+    h2 = {r["chunk_hash"] for r in by_doc[2]}
+    shared = h1 & h2
+    # all but the first (shifted) chunk of doc 2 re-syncs onto doc 1
+    assert len(shared) >= len(h2) - 2
+    assert len(shared) > 0
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, tmp_path):
+    # 200 events, values 0..199 for metric "a": the full mean is 99.5 and
+    # the subsample-mean CI must bracket it; a second run is bit-identical
+    # (hash bootstrap has no RNG).
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base, 1, "a", float(i), "{}") for i in range(200)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r1 = eng.queries()["agg_bootstrap_ci"](spark, str(tmp_path)).collect()
+    r2 = eng.queries()["agg_bootstrap_ci"](spark, str(tmp_path)).collect()
+    assert r1 == r2
+    row = r1[0]
+    assert row["mean"] == 99.5 and row["n_resamples"] == 32
+    assert row["ci_lo"] <= 99.5 <= row["ci_hi"]
+    assert row["ci_lo"] > 80 and row["ci_hi"] < 120  # half-samples of 0..199
+
+
+def test_dataset_card_hand_counted(spark, tmp_path):
+    rows = [
+        (1, "a b c", "en", "s1", 5),
+        (2, "a b c", "en", "s1", 5),          # exact dup of 1
+        (3, "d e f g h i j k l m n", "de", "s1", 21),
+        (4, "x y", "fr", "s2", 3),
+    ]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {r["source"]: r for r in
+           eng.queries()["llm_dataset_card"](spark, str(tmp_path)).collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 3 and s1["total_tokens"] == 3 + 3 + 11
+    assert s1["n_langs"] == 2 and s1["top_lang"] == "en"
+    assert s1["dup_rate"] == round(2 / 3, 6)
+    assert s1["short_frac"] == round(2 / 3, 6)  # the two 3-token docs
+    s2 = out["s2"]
+    assert s2["n_docs"] == 1 and s2["dup_rate"] == 0.0 and s2["top_lang"] == "fr"
