@@ -1041,3 +1041,74 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum_dec("s_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# scan_manifest_prune — manifest-based FILE SKIPPING (the Iceberg/Delta
+# planning model re-expressed on raw parquet): the table is laid out as
+# range-partitioned files; a manifest of per-file (min, max, rows)
+# statistics is derived once from the `_metadata.file_path` hidden column;
+# query planning intersects the predicate with the manifest and reads
+# ONLY the overlapping files.  Soundness is the min/max interval algebra:
+# a skipped file provably contains no matching row.  At 100 TB manifests
+# are why a one-month query on a ten-year table opens 1% of the files —
+# pruning happens before any data IO.
+#
+# The file list is a bounded collect (O(#files of the table), the same
+# list Iceberg's planner holds); the data read is a plain pruned scan
+# with the residual predicate pushed down.
+# --------------------------------------------------------------------------
+
+from nedp_etl_spark.util import dsum, osum  # noqa: E402  (manifest block)
+
+_MANIFEST_PRUNE_ORACLE = f"""
+SELECT o_orderstatus, COUNT(*) AS n, {osum('o_totalprice')} AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderstatus
+"""
+
+
+def _manifest_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the range-partitioned file layout once per sf."""
+    path = _scratch("scan_manifest_prune", sf_dir)
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .repartitionByRange(8, "o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def _manifest_prune_files(spark: SparkSession, path: str, lo: str, hi: str) -> list:
+    """The planning step: per-file min/max from _metadata, keep files whose
+    interval intersects [lo, hi).  Returns the bounded file list."""
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(F.min("o_orderdate").alias("dmin"), F.max("o_orderdate").alias("dmax"))
+    )
+    rows = manifest.filter(
+        (F.col("dmax") >= F.lit(lo).cast("timestamp"))
+        & (F.col("dmin") < F.lit(hi).cast("timestamp"))
+    ).collect()
+    return [r["file"] for r in rows]
+
+
+@register("scan_manifest_prune", oracle=_MANIFEST_PRUNE_ORACLE)
+def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, hi = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
+    path = _manifest_layout(spark, sf_dir)
+    files = _manifest_prune_files(spark, path, lo, hi)
+    pruned = spark.read.parquet(*files) if files else spark.read.parquet(path).limit(0)
+    return (
+        pruned.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue"))
+    )

@@ -2045,3 +2045,124 @@ def win_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(interp * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0)
         .alias("v_filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_stl_decompose — classical additive trend+seasonal decomposition (the
+# moving-average method behind statsmodels' seasonal_decompose; the
+# deterministic cousin of STL): trend = centered
+# 7-day moving average (NULL at the edges where the window is partial),
+# weekly seasonal = per-day-of-week mean of the detrended series,
+# re-centered to sum to zero, residual = v − trend − seasonal.
+#
+# Scale shape: daily partials first; the centered MA is ONE series-keyed
+# window; the seasonal factors are a (series, dow) aggregate — ≤ 7 rows
+# per series — re-centered via a series-keyed mean and joined back to the
+# daily relation (both joins are |series·7|-sized).
+# Exactness: v quantizes to 1e-6 int64 for the frame sum (the sliding-
+# frame float-order trap); every mean is exact-int or dsum fixed point
+# with the FLOOR(x·1e6+0.5)/1e6 quantize; day-of-week is Sunday-based
+# 0..6 on both engines (Spark dayofweek()−1 ≡ DuckDB dayofweek()).
+# --------------------------------------------------------------------------
+
+_STL_ORACLE = f"""
+WITH {_DAILY_CTE},
+q AS (
+  SELECT event_type, d, v,
+         CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM daily
+),
+ma AS (
+  SELECT event_type, d, v,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN FLOOR(CAST(SUM(vq) OVER w AS DOUBLE) / 7.0 + 0.5) / 1000000.0
+         END AS trend
+  FROM q
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT event_type, d, v, trend, dayofweek(d) AS dow,
+         ROUND(v - trend, 6) AS dt
+  FROM ma
+),
+sdow AS (
+  SELECT event_type, dow,
+         FLOOR({osum('dt')} / COUNT(dt) * 1000000.0 + 0.5) / 1000000.0 AS s_raw
+  FROM det WHERE dt IS NOT NULL GROUP BY event_type, dow
+),
+scen AS (
+  SELECT event_type,
+         FLOOR({osum('s_raw')} / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS s_mean
+  FROM sdow GROUP BY event_type
+),
+sfin AS (
+  SELECT s.event_type, s.dow, ROUND(s.s_raw - c.s_mean, 6) AS seasonal
+  FROM sdow s JOIN scen c ON c.event_type = s.event_type
+)
+SELECT m.event_type, CAST(m.d AS VARCHAR) AS d, m.v, m.trend,
+       f.seasonal,
+       CASE WHEN m.trend IS NOT NULL
+            THEN ROUND(m.v - m.trend - f.seasonal, 6) END AS resid
+FROM det m
+JOIN sfin f ON f.event_type = m.event_type AND f.dow = m.dow
+"""
+
+
+@register("ts_stl_decompose", oracle=_STL_ORACLE)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(load(spark, sf_dir, "events"))
+    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    q = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.floor(F.col("v") * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("vq"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    ma = q.select(
+        "event_type",
+        "d",
+        "v",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.floor(F.sum("vq").over(w).cast("double") / 7.0 + F.lit(0.5))
+            / 1_000_000.0,
+        ).alias("trend"),
+    )
+    det = ma.select(
+        "event_type",
+        "d",
+        "v",
+        "trend",
+        (F.dayofweek("d") - 1).alias("dow"),
+        F.round(F.col("v") - F.col("trend"), 6).alias("dt"),
+    )
+    from nedp_etl_spark.util import dsum
+
+    sdow = (
+        det.filter(F.col("dt").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(q6(dsum("dt") / F.count("dt")).alias("s_raw"))
+    )
+    scen = sdow.groupBy("event_type").agg(
+        q6(dsum("s_raw") / F.count(F.lit(1))).alias("s_mean")
+    )
+    sfin = sdow.join(scen, "event_type").select(
+        "event_type", "dow", F.round(F.col("s_raw") - F.col("s_mean"), 6).alias("seasonal")
+    )
+    return det.join(sfin, ["event_type", "dow"]).select(
+        "event_type",
+        F.col("d").cast("string").alias("d"),
+        "v",
+        "trend",
+        "seasonal",
+        F.when(
+            F.col("trend").isNotNull(),
+            F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6),
+        ).alias("resid"),
+    )

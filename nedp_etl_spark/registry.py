@@ -80,6 +80,8 @@ _PRIORITY: list[str] = [
     "llm_cdc_chunking",           # NEW r8: content-defined chunking (CDC)
     "agg_bootstrap_ci",           # NEW r8: deterministic hash-bootstrap CI
     "llm_dataset_card",           # NEW r8: per-source dataset-card stats
+    "ts_stl_decompose",           # NEW r8: trend+seasonal+residual decompose
+    "scan_manifest_prune",        # NEW r8: manifest min/max file skipping
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -895,3 +895,27 @@ def test_dataset_card_keyed_aggregates_only(spark, sf_dir):
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stl_decompose_keyed_windows_small_joins(spark, sf_dir):
+    # Centered MA is one series-keyed window; the seasonal join operands
+    # are (series x 7)-sized — no global window, no nested loop.
+    plan = _plan(spark, sf_dir, "ts_stl_decompose")
+    assert not _has_global_window(plan)
+    assert "windowspecdefinition(event_type" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_manifest_prune_reads_subset_of_files(spark, sf_dir):
+    # The data scan must read ONLY the pruned files: inputFiles() of the
+    # operator's result is a strict subset of the layout.
+    import glob
+    import os
+
+    from nedp_etl_spark.operators.scans import _scratch
+
+    df = eng.queries()["scan_manifest_prune"](spark, sf_dir)
+    path = _scratch("scan_manifest_prune", sf_dir)
+    layout = {os.path.basename(f) for f in glob.glob(os.path.join(path, "*.parquet"))}
+    read = {os.path.basename(f) for f in df.inputFiles()}
+    assert read and read < layout

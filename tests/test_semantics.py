@@ -2271,3 +2271,45 @@ def test_dataset_card_hand_counted(spark, tmp_path):
     assert s1["short_frac"] == round(2 / 3, 6)  # the two 3-token docs
     s2 = out["s2"]
     assert s2["n_docs"] == 1 and s2["dup_rate"] == 0.0 and s2["top_lang"] == "fr"
+
+
+def test_stl_decompose_recovers_planted_trend_and_seasonality(spark, tmp_path):
+    # v(t) = 100 + t (linear trend) + s(dow) with a planted weekly pattern
+    # s = +7 on dow0, -7 on dow1, 0 elsewhere... use s = [7,-7,0,0,0,0,0]
+    # re-centered mean 0.  Over 28 days the centered 7-day MA of a linear
+    # trend is EXACT (= 100 + t) wherever the window is full, so detrended
+    # == seasonal pattern and residuals are 0.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)  # 2024-01-01 is a Monday
+    pat = [7.0, -7.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [(i, base + datetime.timedelta(days=i), 1, "a",
+             100.0 + i + pat[i % 7], "{}") for i in range(28)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(eng.queries()["ts_stl_decompose"](spark, str(tmp_path)).collect(),
+                 key=lambda r: r["d"])
+    assert len(out) == 28
+    # edges (first/last 3 days) have no trend
+    assert all(r["trend"] is None for r in out[:3] + out[-3:])
+    mid = out[3:-3]
+    for i, r in enumerate(mid, start=3):
+        assert r["trend"] == 100.0 + i          # exact centered MA of a line
+        assert r["resid"] == 0.0
+    # seasonal: the pattern re-centered (already mean 0) — Monday +7
+    mon = [r for r in out if r["d"] == "2024-01-08"][0]
+    assert mon["seasonal"] == 7.0
+
+
+def test_manifest_prune_skips_non_overlapping_files(spark, sf_dir):
+    # Soundness + effectiveness: the pruned file list must cover all
+    # matching rows (oracle equality already checks values) and must be a
+    # strict subset of the layout's files for a 1-year predicate on the
+    # 7-year orders table.
+    from nedp_etl_spark.operators.scans import (_manifest_layout,
+                                                _manifest_prune_files)
+    import glob
+    import os
+
+    p = _manifest_layout(spark, sf_dir)
+    files = _manifest_prune_files(spark, p, "1996-01-01 00:00:00",
+                                  "1997-01-01 00:00:00")
+    total = glob.glob(os.path.join(p, "*.parquet"))
+    assert 0 < len(files) < len(total)
