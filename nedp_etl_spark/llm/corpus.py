@@ -703,6 +703,31 @@ GROUP BY d.doc_id"""
     )
 
 
+def _bpe_fertility_oracle() -> str:
+    # Same vocab-level encode as _bpe_encode_oracle (the parts builder is
+    # shared by construction: identical merges, identical gaps-and-islands
+    # algebra), with the final rollup keyed by LANGUAGE instead of doc.
+    encode_sql = _bpe_encode_oracle()
+    prefix = encode_sql[: encode_sql.index("docw AS (")]
+    return (
+        prefix
+        + """docw AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.toks) AS BIGINT) AS n_pieces,
+       FLOOR(SUM(e.toks) * 1.0 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+         AS fertility,
+       FLOOR(SUM(len(d.w)) * 1.0 / SUM(e.toks) * 1000000.0 + 0.5) / 1000000.0
+         AS chars_per_piece,
+       FLOOR(SUM(CASE WHEN e.toks > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS split_word_frac
+FROM docw d JOIN enc e ON d.w = e.w
+GROUP BY d.lang"""
+    )
+
+
 @register("llm_bpe_encode", oracle=_bpe_encode_oracle())
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
@@ -1009,5 +1034,53 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars",
             "short_frac",
             q6(F.col("dup_docs") * 1.0 / F.col("n_docs")).alias("dup_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_bpe_fertility — per-language tokenizer fertility under the
+# TRAINED BPE merge table (llm_tokenizer_fertility is the merge-free
+# length proxy; this is the real thing) (the multilingual-equity metric: languages the
+# tokenizer splits into more pieces per word pay more sequence length per
+# sentence — Ács 2019 / the XLM-R fertility analyses): pieces per word,
+# chars per piece, and the fraction of words the tokenizer splits at all.
+#
+# Scale shape: identical to llm_bpe_encode — the merge fold runs on the
+# DISTINCT VOCABULARY only; the corpus word stream joins the vocab-sized
+# encode table (AQE broadcasts it) and rolls up per language.
+# --------------------------------------------------------------------------
+
+
+@register("llm_bpe_fertility", oracle=_bpe_fertility_oracle())
+def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .distinct()
+        .withColumn("syms", F.split("w", ""))
+    )
+    syms = F.col("syms")
+    for a, b in _BPE_ENCODE_MERGES:
+        syms = _merge_fold(syms, a, b)
+    enc = vocab.select("w", F.size(syms).cast("bigint").alias("toks"))
+    docw = d.select("lang", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return (
+        docw.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("toks").cast("bigint").alias("n_pieces"),
+            q6(F.sum("toks") * 1.0 / F.count(F.lit(1))).alias("fertility"),
+            q6(F.sum(F.length("w")) * 1.0 / F.sum("toks")).alias("chars_per_piece"),
+            q6(
+                F.sum(F.when(F.col("toks") > 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1))
+            ).alias("split_word_frac"),
         )
     )

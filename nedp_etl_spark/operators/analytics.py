@@ -1673,3 +1673,121 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nb").cast("int").alias("n_resamples"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_survival_km — Kaplan-Meier survival estimate over user lifetimes
+# (the product-limit estimator, Kaplan & Meier 1958 — the standard
+# retention/churn curve): lifetime = days between a user's first and last
+# event; users whose last event falls within 7 days of the corpus end are
+# CENSORED (still alive — their lifetime only bounds survival from
+# below).  For each distinct event time t: n_risk = users with lifetime
+# ≥ t, d = uncensored deaths at t, and S(t) = Π_{t'≤t} (1 − d/n) — the
+# product accumulated in LOG space via the two-phase prefix sum (no
+# global window), with per-term ROUND(ln, 6) so the cumulative sum is
+# dsum-exact and the final exp quantizes identically on both engines.
+#
+# Scale shape: one user-keyed aggregate (first/last), a lifetime-keyed
+# count aggregate (≤ corpus-day-span rows), the shared prefix-sum
+# machinery over that tiny relation, and a 1-row corpus-end broadcast.
+# --------------------------------------------------------------------------
+
+_SURVIVAL_KM_ORACLE = """
+WITH life AS (
+  SELECT user_id,
+         date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS t,
+         CAST(MAX(ts) AS DATE) > (SELECT CAST(MAX(ts) AS DATE) FROM events)
+                                  - INTERVAL 7 DAY AS censored
+  FROM events GROUP BY user_id
+),
+at_t AS (
+  SELECT t, COUNT(*) AS n_total,
+         SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d
+  FROM life GROUP BY t
+),
+risk AS (
+  SELECT t, n_total, d,
+         (SELECT COUNT(*) FROM life) + CAST(n_total AS BIGINT)
+           - SUM(CAST(n_total AS BIGINT)) OVER (ORDER BY t ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM at_t
+),
+terms AS (
+  SELECT t, n_risk, d,
+         CASE WHEN d = 0 THEN 0.0
+              ELSE ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6) END AS lnterm
+  FROM risk WHERE n_risk > d
+),
+km AS (
+  SELECT t, n_risk, d,
+         SUM(lnterm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_ln
+  FROM terms
+)
+SELECT CAST(t AS INT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       ROUND(cum_ln, 6) AS log_survival,
+       FLOOR(exp(ROUND(cum_ln, 6)) * 1000000.0 + 0.5) / 1000000.0 AS survival
+FROM km
+"""
+
+
+@register("agg_survival_km", oracle=_SURVIVAL_KM_ORACLE)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import global_running_sum
+
+    ev = load(spark, sf_dir, "events")
+    end = ev.agg(F.max(F.col("ts").cast("date")).alias("end_d"))  # 1 row
+    life = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.max(F.col("ts").cast("date")).alias("d1"),
+        )
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.datediff("d1", "d0").alias("t"),
+            (F.col("d1") > F.date_sub("end_d", 7)).alias("censored"),
+        )
+    )
+    at_t = life.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+    )
+    total = life.count()  # bounded action: one scalar (the user count)
+    cum = global_running_sum(at_t, ["t"], F.col("n_total").cast("bigint"), "cum_n")
+    risk = cum.select(
+        "t",
+        "n_total",
+        "d",
+        (F.lit(total) + F.col("n_total").cast("bigint") - F.col("cum_n")).alias(
+            "n_risk"
+        ),
+    )
+    terms = risk.filter(F.col("n_risk") > F.col("d")).select(
+        "t",
+        "n_risk",
+        "d",
+        F.when(F.col("d") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")), 6)
+        )
+        .alias("lnterm"),
+    )
+    # lnterm is 6-dp-rounded → its 1e-6 integer form is EXACT int64, which
+    # is also what global_running_sum requires (long-typed partial offsets)
+    terms_q = terms.withColumn(
+        "lnq", F.round(F.col("lnterm") * 1_000_000.0, 0).cast("long")
+    )
+    km = global_running_sum(terms_q, ["t"], F.col("lnq"), "cum_lnq")
+    cum_ln = F.col("cum_lnq").cast("double") / 1_000_000.0
+    return km.select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.round(cum_ln, 6).alias("log_survival"),
+        (
+            F.floor(F.exp(F.round(cum_ln, 6)) * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("survival"),
+    )

@@ -722,3 +722,79 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
+
+
+# --------------------------------------------------------------------------
+# graph_bipartite_projection — project the user × event-type bipartite
+# graph onto users: for each user pair sharing ≥ 1 event type, the cosine
+# similarity of their per-type activity-count vectors (the collaborative-
+# filtering / co-behavior similarity).  Pairs are generated ONLY through
+# the type-keyed equi-join (never an unkeyed cross), and the operator is
+# probe-bounded (user_id < 40) — the projection is inherently quadratic
+# in users-per-type, so the corpus-scale variant goes through bucketing
+# (llm_dedup_embed's IVF shape) rather than this exact metric.
+#
+# Exactness: dot products and norms are exact int64 sums of counts; the
+# single division FLOOR-quantizes.
+# --------------------------------------------------------------------------
+
+_BIPARTITE_ORACLE = """
+WITH uc AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events WHERE user_id < 40 GROUP BY user_id, event_type
+),
+norms AS (
+  SELECT user_id, CAST(SUM(c * c) AS BIGINT) AS n2 FROM uc GROUP BY user_id
+),
+dots AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+         COUNT(*) AS n_common
+  FROM uc a JOIN uc b ON a.event_type = b.event_type AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)
+SELECT d.user_a, d.user_b, CAST(d.n_common AS INT) AS n_common,
+       FLOOR(CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM dots d
+JOIN norms na ON na.user_id = d.user_a
+JOIN norms nb ON nb.user_id = d.user_b
+"""
+
+
+@register("graph_bipartite_projection", oracle=_BIPARTITE_ORACLE)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    uc = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    norms = uc.groupBy("user_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
+    )
+    a, b = uc.alias("a"), uc.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("dot"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    na = norms.select(F.col("user_id").alias("user_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("user_id").alias("user_b"), F.col("n2").alias("nb2"))
+    cos = (
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, "user_a")
+        .join(nb, "user_b")
+        .select(
+            "user_a",
+            "user_b",
+            F.col("n_common").cast("int").alias("n_common"),
+            (F.floor(cos * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias("cosine"),
+        )
+    )

@@ -82,6 +82,9 @@ _PRIORITY: list[str] = [
     "llm_dataset_card",           # NEW r8: per-source dataset-card stats
     "ts_stl_decompose",           # NEW r8: trend+seasonal+residual decompose
     "scan_manifest_prune",        # NEW r8: manifest min/max file skipping
+    "llm_bpe_fertility",          # NEW r8: per-lang fertility, trained BPE
+    "agg_survival_km",            # NEW r8: Kaplan-Meier retention curve
+    "graph_bipartite_projection", # NEW r8: co-behavior cosine projection
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

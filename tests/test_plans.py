@@ -919,3 +919,28 @@ def test_manifest_prune_reads_subset_of_files(spark, sf_dir):
     layout = {os.path.basename(f) for f in glob.glob(os.path.join(path, "*.parquet"))}
     read = {os.path.basename(f) for f in df.inputFiles()}
     assert read and read < layout
+
+
+def test_bpe_fertility_vocab_only_fold(spark, sf_dir):
+    # The merge fold must run on the DISTINCT vocabulary; the corpus word
+    # stream joins the vocab-sized encode table — no nested loop.
+    plan = _plan(spark, sf_dir, "llm_bpe_fertility")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_survival_km_no_global_window(spark, sf_dir):
+    # Both cumulations (at-risk counts, log-survival) must go through the
+    # two-phase prefix sum — never a naked global window.
+    plan = _plan(spark, sf_dir, "agg_survival_km")
+    assert not _has_global_window(plan)
+
+
+def test_bipartite_projection_type_keyed_join(spark, sf_dir):
+    # Pair generation is the type-keyed equi-join; the probe filter is
+    # pushed to the scan.
+    plan = _plan(spark, sf_dir, "graph_bipartite_projection")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LessThan(user_id,40)" in plan

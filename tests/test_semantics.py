@@ -2313,3 +2313,65 @@ def test_manifest_prune_skips_non_overlapping_files(spark, sf_dir):
                                   "1997-01-01 00:00:00")
     total = glob.glob(os.path.join(p, "*.parquet"))
     assert 0 < len(files) < len(total)
+
+
+def test_bpe_fertility_hand_traced_merges(spark, tmp_path):
+    # Merges [(t,h),(th,e),(i,n),(e,r)]: "the" → 1 piece, "thin" → [th,i,n]
+    # → wait: i+n merges → [th,in] = 2; "her" → [h,e,r] → e+r → [h,er] = 2;
+    # "cat" → 3 (no merges apply: c-a, a-t never merge).
+    rows = [(1, "the thin", "en", "s", 8), (2, "her cat", "de", "s", 7)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {r["lang"]: r for r in
+           eng.queries()["llm_bpe_fertility"](spark, str(tmp_path)).collect()}
+    en, de = out["en"], out["de"]
+    assert en["n_words"] == 2 and en["n_pieces"] == 1 + 2
+    assert en["fertility"] == 1.5
+    assert en["split_word_frac"] == 0.5  # "thin" split, "the" single piece
+    assert de["n_words"] == 2 and de["n_pieces"] == 2 + 3
+    assert de["fertility"] == 2.5
+    assert de["chars_per_piece"] == round(6 / 5, 6)
+
+
+def test_survival_km_hand_computed_ladder(spark, tmp_path):
+    # 4 users, single-day lifetimes ending well before the corpus end
+    # (user 99 extends the corpus 30 days so nobody is censored):
+    # lifetimes t = 0 (u1), 10 (u2, u3), 20 (u4); u99 has t=30 (uncensored?
+    # u99's last event IS the corpus end → censored).
+    # KM: t=0: n=5, d=1 → S=4/5.  t=10: n=4, d=2 → S=4/5·1/2=0.4.
+    # t=20: n=2, d=1 → S=0.2.  t=30: n=1, d=0 (censored) → S=0.2.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for uid, t in ((1, 0), (2, 10), (3, 10), (4, 20), (99, 30)):
+        rows.append((eid, base, uid, "a", 1.0, "{}")); eid += 1
+        if t:
+            rows.append((eid, base + datetime.timedelta(days=t), uid, "a", 1.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["t_days"]: r for r in
+           eng.queries()["agg_survival_km"](spark, str(tmp_path)).collect()}
+    assert out[0]["n_risk"] == 5 and out[0]["n_events"] == 1
+    assert out[0]["survival"] == 0.8
+    assert out[10]["n_risk"] == 4 and out[10]["n_events"] == 2
+    assert abs(out[10]["survival"] - 0.4) < 2e-6
+    assert out[20]["n_risk"] == 2 and out[20]["n_events"] == 1
+    assert abs(out[20]["survival"] - 0.2) < 2e-6
+    assert out[30]["n_events"] == 0  # censored tail: curve flat
+    assert out[30]["survival"] == out[20]["survival"]
+
+
+def test_bipartite_projection_orthogonal_and_identical_users(spark, tmp_path):
+    # Users 1,2: identical behavior (cosine 1, 2 common types); user 3
+    # only shares 'view' with them; user 4 disjoint (no output pair).
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for uid, types in ((1, ["click", "view"]), (2, ["click", "view"]),
+                       (3, ["view", "error"]), (4, ["purchase"])):
+        for t in types:
+            rows.append((eid, base, uid, t, 1.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {(r["user_a"], r["user_b"]): r for r in
+           eng.queries()["graph_bipartite_projection"](spark, str(tmp_path)).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 2)]["cosine"] == 1.0 and out[(1, 2)]["n_common"] == 2
+    assert out[(1, 3)]["cosine"] == 0.5 and out[(1, 3)]["n_common"] == 1
