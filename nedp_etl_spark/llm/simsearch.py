@@ -1208,3 +1208,63 @@ def llm_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_vectors"),
         (F.floor(cov_raw * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias("cov"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_class_weights — class-balanced loss weights from the label
+# distribution (Cui et al. 2019, "Class-Balanced Loss Based on Effective
+# Number of Samples"): effective n = (1 − β^n)/(1 − β) with β = 0.999,
+# weight ∝ 1/eff_n, normalized so weights sum to the class count.  The
+# standard imbalance correction a training pipeline computes per dataset
+# refresh.
+#
+# Scale: one keyed count aggregate (|labels| rows) + a 1-row total
+# broadcast.  β^n computes as exp(n·ln β) with the 6-dp rounding
+# discipline at each nonlinear step so both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+_CLASS_WEIGHTS_ORACLE = """
+WITH c AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+),
+e AS (
+  SELECT label, n,
+         ROUND((1.0 - ROUND(exp(n * ROUND(ln(0.999), 6)), 6)) / (1.0 - 0.999), 6)
+           AS eff_n
+  FROM c
+),
+w AS (SELECT label, n, eff_n, ROUND(1.0 / eff_n, 6) AS raw_w FROM e)
+SELECT CAST(label AS INT) AS label, CAST(n AS BIGINT) AS n, eff_n,
+       FLOOR(raw_w * (SELECT COUNT(*) FROM w) / (SELECT SUM(raw_w) FROM w)
+             * 1000000.0 + 0.5) / 1000000.0 AS weight
+FROM w
+"""
+
+
+@register("llm_class_weights", oracle=_CLASS_WEIGHTS_ORACLE)
+def llm_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    ln_beta = F.round(F.log(F.lit(0.999)), 6)
+    eff = c.select(
+        "label",
+        "n",
+        F.round(
+            (1.0 - F.round(F.exp(F.col("n") * ln_beta), 6)) / (1.0 - 0.999), 6
+        ).alias("eff_n"),
+    )
+    w = eff.withColumn("raw_w", F.round(1.0 / F.col("eff_n"), 6))
+    tot = w.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("raw_w").alias("sw")
+    )  # 1-row broadcast
+    return w.crossJoin(F.broadcast(tot)).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n").cast("bigint").alias("n"),
+        "eff_n",
+        (
+            F.floor(
+                F.col("raw_w") * F.col("k") / F.col("sw") * 1_000_000.0 + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("weight"),
+    )

@@ -1223,3 +1223,30 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_range_generator — the generator SOURCE (spark.range): synthetic
+# tables derive from a distributed integer range with deterministic
+# column expressions — no input files at all, parallelism = range
+# splits.  The backbone of fixture generation, load testing, and spine
+# construction (calendar/sequence scaffolds) at any scale.
+# --------------------------------------------------------------------------
+
+_RANGE_GEN_ORACLE = """
+SELECT CAST(t.i AS BIGINT) AS id,
+       CAST(t.i % 7 AS INT) AS bucket,
+       md5(CAST(t.i AS VARCHAR)) AS tag,
+       CAST(t.i * t.i % 997 AS BIGINT) AS checksum
+FROM range(0, 10000) t(i)
+"""
+
+
+@register("scan_range_generator", oracle=_RANGE_GEN_ORACLE)
+def scan_range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.range(0, 10_000, numPartitions=8).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("int").alias("bucket"),
+        F.md5(F.col("id").cast("string")).alias("tag"),
+        (F.col("id") * F.col("id") % 997).cast("bigint").alias("checksum"),
+    )

@@ -1112,3 +1112,4 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue"))
     )
+

@@ -85,6 +85,8 @@ _PRIORITY: list[str] = [
     "llm_bpe_fertility",          # NEW r8: per-lang fertility, trained BPE
     "agg_survival_km",            # NEW r8: Kaplan-Meier retention curve
     "graph_bipartite_projection", # NEW r8: co-behavior cosine projection
+    "scan_range_generator",       # NEW r8: spark.range generator source
+    "llm_class_weights",          # NEW r8: class-balanced loss weights
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -248,7 +248,9 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "tpch_q11",  # 1-row total/nparts broadcast (O(#parts))
                    "agg_heavy_hitters",  # 1-row grand-total broadcast over candidates (O(n))
                    "agg_chisq_independence",  # 1-row (N, ka, kb) totals broadcast (O(cells))
-                   "llm_dedup_cluster_sizes"}  # 1-row cluster-total broadcast (O(#clusters))
+                   "llm_dedup_cluster_sizes",  # 1-row cluster-total broadcast (O(#clusters))
+                   "llm_class_weights",  # 1-row (k, sum raw_w) totals broadcast (O(#labels))
+                   "agg_survival_km"}  # 1-row corpus-end-date broadcast (O(n) aggregate)
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -944,3 +946,19 @@ def test_bipartite_projection_type_keyed_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LessThan(user_id,40)" in plan
+
+
+def test_range_generator_no_scan_parallel_range(spark, sf_dir):
+    # A generator source reads no files: the plan is Range → Project.
+    plan = _plan(spark, sf_dir, "scan_range_generator")
+    assert "FileScan" not in plan
+    assert "Range (0, 10000" in plan
+    assert "Exchange" not in plan
+
+
+def test_class_weights_tiny_aggregate_broadcast(spark, sf_dir):
+    # One keyed count over labels, then a 1-row totals broadcast — the
+    # only join is the broadcast of the (k, sum) scalar row.
+    plan = _plan(spark, sf_dir, "llm_class_weights")
+    assert plan.count("FileScan parquet") <= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

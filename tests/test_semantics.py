@@ -2375,3 +2375,28 @@ def test_bipartite_projection_orthogonal_and_identical_users(spark, tmp_path):
     assert set(out) == {(1, 2), (1, 3), (2, 3)}
     assert out[(1, 2)]["cosine"] == 1.0 and out[(1, 2)]["n_common"] == 2
     assert out[(1, 3)]["cosine"] == 0.5 and out[(1, 3)]["n_common"] == 1
+
+
+def test_range_generator_deterministic_columns(spark, tmp_path):
+    out = eng.queries()["scan_range_generator"](spark, str(tmp_path)).collect()
+    assert len(out) == 10_000
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["bucket"] == 0 and by_id[13]["bucket"] == 6
+    assert by_id[5]["checksum"] == 25 and by_id[100]["checksum"] == 10000 % 997
+    import hashlib
+    assert by_id[42]["tag"] == hashlib.md5(b"42").hexdigest()
+
+
+def test_class_weights_inverse_to_frequency(spark, tmp_path):
+    # labels: 0 x 90, 1 x 10 — the minority class must get the larger
+    # weight, weights sum to the class count (2), and eff_n < n always.
+    rows = [(i, [0.0] * 64, 0) for i in range(90)] + [
+        (100 + i, [0.0] * 64, 1) for i in range(10)
+    ]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    out = {r["label"]: r for r in
+           eng.queries()["llm_class_weights"](spark, str(tmp_path)).collect()}
+    assert out[1]["weight"] > out[0]["weight"]
+    assert abs(out[0]["weight"] + out[1]["weight"] - 2.0) < 1e-5
+    assert out[0]["eff_n"] < 90 and out[1]["eff_n"] < 10
