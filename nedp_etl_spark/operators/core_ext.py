@@ -1141,89 +1141,6 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# sink_bucketed_join — bucketed table layout + shuffle-free co-located
-# join: both sides are written with bucketBy(8, custkey) + sortBy into the
-# session catalog, and the join between them reads co-located buckets —
-# NO Exchange below the join (asserted in test_plans).  At 100 TB this is
-# the pre-paid shuffle: the nightly fact/dim join never re-partitions
-# because the layout already agrees on the key.  (dbt-spark materializes
-# bucketed tables the same way via `clustered_by`/`buckets` configs on the
-# reference's Spark profile, dbtoperator.py:273-274.)
-# --------------------------------------------------------------------------
-
-_SINK_BUCKETED_ORACLE = f"""
-SELECT c.c_mktsegment AS segment,
-       COUNT(*) AS n_orders,
-       {osum('o.o_totalprice')} AS revenue
-FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-GROUP BY c.c_mktsegment
-"""
-
-
-def _fresh_table(spark: SparkSession, name: str) -> None:
-    """Drop ``name`` AND its warehouse location.
-
-    The session catalog is ephemeral but spark-warehouse persists across
-    sessions — a leftover location from an earlier interpreter makes
-    ``saveAsTable`` fail with LOCATION_ALREADY_EXISTS even in overwrite
-    mode (the new catalog has no table to overwrite).  Idempotent."""
-    import shutil
-    from urllib.parse import urlparse
-
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    loc = os.path.join(wh.path or wh.geturl(), name)
-    shutil.rmtree(loc, ignore_errors=True)
-
-
-def _bucketed_join_df(
-    spark: SparkSession, sf_dir: str, force_smj: bool = False
-) -> DataFrame:
-    """The co-located join over the bucketed tables (no aggregate) —
-    factored out so the plan test can assert zero shuffle Exchanges below
-    it.  ``force_smj`` adds a merge hint: at fixture scale AQE broadcasts
-    the small side (also shuffle-free, but it hides the bucket layout);
-    the hint surfaces the sort-merge plan a 100 TB fact/fact join takes."""
-    tag = _sf_tag(sf_dir)
-    cust = spark.table(f"bkt_customer_{tag}")
-    if force_smj:
-        cust = cust.hint("merge")
-    return cust.join(
-        spark.table(f"bkt_orders_{tag}"),
-        F.col("c_custkey") == F.col("o_custkey"),
-    )
-
-
-@register("sink_bucketed_join", oracle=_SINK_BUCKETED_ORACLE)
-def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tag = _sf_tag(sf_dir)
-    cust = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    ords = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    _fresh_table(spark, f"bkt_customer_{tag}")
-    _fresh_table(spark, f"bkt_orders_{tag}")
-    (
-        cust.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(8, "c_custkey")
-        .sortBy("c_custkey")
-        .saveAsTable(f"bkt_customer_{tag}")
-    )
-    (
-        ords.write.mode("overwrite")
-        .format("parquet")
-        .bucketBy(8, "o_custkey")
-        .sortBy("o_custkey")
-        .saveAsTable(f"bkt_orders_{tag}")
-    )
-    joined = _bucketed_join_df(spark, sf_dir)
-    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("revenue"),
-    )
-
 
 # --------------------------------------------------------------------------
 # scan_range_generator — the generator SOURCE (spark.range): synthetic

@@ -70,7 +70,6 @@ _PRIORITY: list[str] = [
     # planted semantic test, plan audit) ---
     "sink_scd2_partitioned",      # NEW r8: partition-pruned SCD2 merge
     "stream_asof_enrich",         # NEW r8: stateful as-of dimension enrich
-    "sink_bucketed_join",         # NEW r8: bucketed layout, shuffle-free join
     "graph_kcore",                # NEW r8: bounded-round 2-core peeling
     "llm_dedup_simhash",          # NEW r8: 32-bit SimHash hamming<=3 dedup
     "ts_mase_backtest",           # NEW r8: seasonal-naive MASE backtest

@@ -800,19 +800,6 @@ def test_scd2_partitioned_merge_read_is_partition_pruned(spark, sf_dir):
     assert "PartitionFilters" in plan and "segment" in plan.split("PartitionFilters")[1][:200]
 
 
-def test_bucketed_join_no_exchange(spark, sf_dir):
-    # The whole point of the bucketed layout: the fact/dim join reads
-    # co-located buckets — ZERO Exchanges below (or above) the join.
-    from nedp_etl_spark.operators.core_ext import _bucketed_join_df
-
-    eng.queries()["sink_bucketed_join"](spark, sf_dir).collect()  # build tables
-    df = _bucketed_join_df(spark, sf_dir, force_smj=True)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan
-    assert "Exchange" not in plan  # neither shuffle nor broadcast exchange
-    assert "SelectedBucketsCount" in plan  # bucketed scan metadata present
-
-
 def test_kcore_iterates_over_checkpointed_pairs(spark, sf_dir):
     # Peeling must re-join MATERIALIZED pairs (Scan ExistingRDD), never
     # re-derive the MinHash-LSH lineage per round — no parquet scan, no

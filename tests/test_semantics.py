@@ -2080,20 +2080,6 @@ def test_asof_enrich_latest_signup_wins_with_ties_and_nulls(spark, tmp_path):
     assert out[50]["signup_ts_us"] == us(3) and out[50]["signup_value"] == 3.0
 
 
-def test_bucketed_join_revenue_hand_summed(spark, tmp_path):
-    rows_c = [(1, "BUILDING"), (2, "BUILDING"), (3, "MACHINERY")]
-    _write(spark, tmp_path, "customer", rows_c, "c_custkey bigint, c_mktsegment string")
-    rows_o = [(10, 1, 100.0), (11, 1, 50.5), (12, 2, 10.0), (13, 3, 7.25),
-              (14, 9, 99.0)]  # customer 9 does not exist: inner join drops it
-    _write(spark, tmp_path, "orders", rows_o,
-           "o_orderkey bigint, o_custkey bigint, o_totalprice double")
-    out = {r["segment"]: r for r in
-           eng.queries()["sink_bucketed_join"](spark, str(tmp_path)).collect()}
-    assert out["BUILDING"]["n_orders"] == 3
-    assert out["BUILDING"]["revenue"] == 160.5
-    assert out["MACHINERY"]["n_orders"] == 1 and out["MACHINERY"]["revenue"] == 7.25
-
-
 def test_kcore_triangle_survives_pendant_edge_peeled(spark, tmp_path):
     # Docs 1/2/3 identical → LSH pair graph K3 (a triangle: the 2-core,
     # degree 2 each); docs 10/11 identical with different text → a single
