@@ -778,9 +778,13 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# join_fuzzy_blocked — blocked fuzzy matching (entity-resolution staple):
-# candidate pairs come from an EQUI-join on the blocking key (p_brand —
-# record-linkage "blocking"), then verify by true Levenshtein distance;
+# join_fuzzy_blocked — ATTRIBUTE-blocked fuzzy matching: candidate pairs
+# come from an EQUI-join on a semantic blocking key (p_brand — classic
+# record-linkage blocking: lossy across blocks by design, tiny candidate
+# sets within).  Sibling of join_fuzzy_levenshtein (operators/misc.py),
+# which blocks LOSSLESSLY on length bands instead — the two standard
+# blocking trade-offs; a production linker composes both.  Verify is true
+# Levenshtein distance;
 # matches are pairs within edit distance 10 with a normalized similarity
 # score.  The probe bound (p_partkey < 200 both sides) keeps the
 # fixture-scale pair count stable; at 100 TB the blocking key is what

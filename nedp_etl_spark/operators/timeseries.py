@@ -1946,106 +1946,6 @@ def ts_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# win_gap_fill_interpolate — calendar gap fill with linear interpolation:
-# each series' daily values are projected onto its full min(d)..max(d)
-# calendar spine; missing days take the straight line between the nearest
-# known neighbors (LOCF/NOCB endpoints can't occur: the spine is bounded
-# by observed days).  The standard densification step before any
-# fixed-step model (Holt, Kalman, ACF) sees a gappy series.
-#
-# Scale shape: the spine explodes from ONE (series, min, max) row per
-# series; both neighbor scans (last known backward, first known forward)
-# share series-keyed windows over the spine — no joins against the
-# corpus, no global window.
-# Exactness: interpolation runs on 6-dp-rounded values with integer day
-# distances and quantizes via FLOOR(x·1e6+0.5)/1e6 — identical IEEE ops
-# both engines.
-# --------------------------------------------------------------------------
-
-_GAP_FILL_ORACLE = f"""
-WITH {_DAILY_CTE},
-bounds AS (
-  SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY event_type
-),
-spine AS (
-  SELECT b.event_type, CAST(t.s AS DATE) AS d
-  FROM bounds b, UNNEST(generate_series(CAST(b.d0 AS TIMESTAMP),
-                                        CAST(b.d1 AS TIMESTAMP),
-                                        INTERVAL 1 DAY)) t(s)
-),
-joined AS (
-  SELECT s.event_type, s.d, dl.v
-  FROM spine s LEFT JOIN daily dl ON dl.event_type = s.event_type AND dl.d = s.d
-),
-nb AS (
-  SELECT event_type, d, v,
-         last_value(v IGNORE NULLS) OVER wp AS vp,
-         last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER wp AS dp,
-         first_value(v IGNORE NULLS) OVER wf AS vn,
-         first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER wf AS dn
-  FROM joined
-  WINDOW wp AS (PARTITION BY event_type ORDER BY d
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         wf AS (PARTITION BY event_type ORDER BY d
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-)
-SELECT event_type, CAST(d AS VARCHAR) AS d, v IS NULL AS filled,
-       CASE WHEN v IS NOT NULL THEN v
-            ELSE FLOOR((vp + (vn - vp) * (d - dp) * 1.0 / (dn - dp))
-                       * 1000000.0 + 0.5) / 1000000.0
-       END AS v_filled
-FROM nb
-"""
-
-
-@register("win_gap_fill_interpolate", oracle=_GAP_FILL_ORACLE)
-def win_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily(load(spark, sf_dir, "events"))
-    bounds = daily.groupBy("event_type").agg(
-        F.min("d").alias("d0"), F.max("d").alias("d1")
-    )
-    spine = bounds.select(
-        "event_type",
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d"),
-    )
-    joined = spine.join(daily, ["event_type", "d"], "left")
-    wp = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    known_d = F.when(F.col("v").isNotNull(), F.col("d"))
-    nb = joined.select(
-        "event_type",
-        "d",
-        "v",
-        F.last("v", ignorenulls=True).over(wp).alias("vp"),
-        F.last(known_d, ignorenulls=True).over(wp).alias("dp"),
-        F.first("v", ignorenulls=True).over(wf).alias("vn"),
-        F.first(known_d, ignorenulls=True).over(wf).alias("dn"),
-    )
-    interp = (
-        F.col("vp")
-        + (F.col("vn") - F.col("vp"))
-        * F.datediff("d", F.col("dp"))
-        * 1.0
-        / F.datediff("dn", F.col("dp"))
-    )
-    return nb.select(
-        "event_type",
-        F.col("d").cast("string").alias("d"),
-        F.col("v").isNull().alias("filled"),
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .otherwise(F.floor(interp * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0)
-        .alias("v_filled"),
-    )
-
 
 # --------------------------------------------------------------------------
 # ts_stl_decompose — classical additive trend+seasonal decomposition (the

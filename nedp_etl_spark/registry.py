@@ -75,7 +75,6 @@ _PRIORITY: list[str] = [
     "ts_mase_backtest",           # NEW r8: seasonal-naive MASE backtest
     "join_fuzzy_blocked",         # NEW r8: blocked Levenshtein matching
     "llm_embed_covariance",       # NEW r8: embedding covariance diagnostics
-    "win_gap_fill_interpolate",   # NEW r8: calendar gap fill, linear interp
     "llm_cdc_chunking",           # NEW r8: content-defined chunking (CDC)
     "agg_bootstrap_ci",           # NEW r8: deterministic hash-bootstrap CI
     "llm_dataset_card",           # NEW r8: per-source dataset-card stats

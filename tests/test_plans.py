@@ -851,15 +851,6 @@ def test_embed_covariance_one_scan_combining_aggregate(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_gap_fill_spine_from_bounds_keyed_windows(spark, sf_dir):
-    # The spine explodes from one (series, min, max) row per series and
-    # both neighbor scans are series-keyed windows — no global window.
-    plan = _plan(spark, sf_dir, "win_gap_fill_interpolate")
-    assert not _has_global_window(plan)
-    assert "windowspecdefinition(event_type" in plan
-    assert "Generate explode" in plan
-
-
 def test_cdc_chunking_map_side_only(spark, sf_dir):
     # Chunk assembly is pure array math per row: the ONLY plan nodes are
     # scan → project → generate — no Exchange, no Join, no Window.

@@ -2182,22 +2182,6 @@ def test_embed_covariance_hand_computed_two_dims(spark, tmp_path):
     assert out[(2, 2)] == 0.0 and out[(0, 63)] == 0.0
 
 
-def test_gap_fill_straight_line_through_gap(spark, tmp_path):
-    # Series "a": days 0 and 3 observed (v=10, v=40); days 1-2 missing →
-    # linear fill 20, 30, flagged filled; observed days keep their value.
-    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
-    rows = [(1, base, 1, "a", 10.0, "{}"),
-            (2, base + datetime.timedelta(days=3), 1, "a", 40.0, "{}")]
-    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
-    out = {r["d"]: r for r in
-           eng.queries()["win_gap_fill_interpolate"](spark, str(tmp_path)).collect()}
-    assert len(out) == 4
-    assert out["2024-01-01"]["v_filled"] == 10.0 and not out["2024-01-01"]["filled"]
-    assert out["2024-01-02"]["v_filled"] == 20.0 and out["2024-01-02"]["filled"]
-    assert out["2024-01-03"]["v_filled"] == 30.0 and out["2024-01-03"]["filled"]
-    assert out["2024-01-04"]["v_filled"] == 40.0
-
-
 def test_cdc_chunking_shift_invariant_hashes(spark, tmp_path):
     # The CDC property itself: doc 2 = doc 1 with two tokens prepended.
     # After the first boundary following the insertion point, every chunk
