@@ -1196,6 +1196,31 @@ def llm_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qi").alias("si"),
         F.sum("qj").alias("sj"),
         F.sum(F.col("qi") * F.col("qj")).alias("sij"),
+        F.max(F.abs(F.col("qi"))).alias("mqi"),
+        F.max(F.abs(F.col("qj"))).alias("mqj"),
+    )
+    # Loud overflow guard (the agg_corr_matrix rule): Σ qi·qj is bounded by
+    # n·max|qi|·max|qj|; if that bound cannot fit int64 the sum may have
+    # wrapped silently — fail with the fix named instead of emitting a
+    # corrupted covariance.  For unit-ish embeddings (|q| ≤ ~8e3) this
+    # admits ~1e11 vectors.
+    guard_ok = (
+        F.col("n").cast("double")
+        * F.col("mqi").cast("double")
+        * F.col("mqj").cast("double")
+        < F.lit(float(1 << 62))
+    )
+    s = s.withColumn(
+        "n",
+        F.when(guard_ok, F.col("n")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "llm_embed_covariance: n*max|qi|*max|qj| exceeds the "
+                    "int64-safe bound of the 1e-3 fixed-point accumulation; "
+                    "coarsen the quantization or switch to limb sums"
+                )
+            ).cast("bigint")
+        ),
     )
     n = F.col("n")
     cov_raw = (
