@@ -981,7 +981,8 @@ JOIN dup d ON d.source = b.source
 @register("llm_dataset_card", oracle=_DATASET_CARD_ORACLE)
 def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6
+
     per_doc = d.select(
         "source",
         "lang",
@@ -1068,7 +1069,8 @@ def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docw = d.select("lang", F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") >= 1
     )
-    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6
+
     return (
         docw.join(enc, "w")
         .groupBy("lang")

@@ -447,13 +447,19 @@ def llm_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_ITERS = 4
 
-# Public: the LSH candidate-pair CTE — the distinct (doc_a < doc_b) band
-# collisions of llm_dedup_near.  Shared with graph_triangle_count's oracle
-# (operators/graph.py), so it deliberately carries ONLY the pairs CTE; the
-# connected-components edges/l0 scaffolding is appended privately below.
+# Public: the LSH candidate-pair CTE — the distinct (doc_a < doc_b) pairs
+# of llm_dedup_near INCLUDING the hot-bucket star cap, so every consumer's
+# oracle (graph_triangle_count / graph_bfs_reach / graph_neighbor_jaccard /
+# graph_kcore in operators/graph.py, the cluster ops below) states exactly
+# the pair graph the Spark side materializes at ANY bucket size — above
+# the cap both engines emit the same star pairs.  Downstream metrics are
+# therefore metrics OVER THE CAPPED CANDIDATE GRAPH (the graph the dedup
+# pipeline actually builds), by construction on both engines.  Carries
+# ONLY the pairs CTE; the connected-components edges/l0 scaffolding is
+# appended privately below.
 PAIRS_SQL = f"""
 pairs AS (
-  SELECT doc_a, doc_b FROM (
+  SELECT DISTINCT doc_a, doc_b FROM (
     WITH corpus AS ({_AUG_SQL}),
     sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS s
@@ -465,10 +471,23 @@ pairs AS (
       SELECT doc_id, CAST(t.j AS INT) AS band,
              m[CAST(2*t.j + 1 AS INT)] || '|' || m[CAST(2*t.j + 2 AS INT)] AS band_key
       FROM mh, range(0, {_N_HASHES // _BAND_ROWS}) t(j)
+    ),
+    stats AS (
+      SELECT band, band_key, COUNT(*) AS bsz, MIN(doc_id) AS hub
+      FROM bands GROUP BY 1, 2
+    ),
+    bb AS (
+      SELECT b.doc_id, b.band, b.band_key, s.bsz, s.hub
+      FROM bands b JOIN stats s ON b.band = s.band AND b.band_key = s.band_key
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bb a
+    JOIN bb b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+    WHERE a.bsz <= {_HOT_BUCKET_CAP}
+    UNION ALL
+    SELECT hub AS doc_a, doc_id AS doc_b
+    FROM bb WHERE bsz > {_HOT_BUCKET_CAP} AND doc_id <> hub
   )
 )"""
 
@@ -1059,13 +1078,23 @@ def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # llm_dedup_simhash — SimHash near-dedup at Hamming distance ≤ 3 over a
-# 32-bit fingerprint (one bit per md5 nibble parity, token votes summed).
+# 32-bit fingerprint (one bit per md5 hex char, voting on the CHARACTER's
+# ASCII-code parity — '0'..'9' alternate, 'a'..'f' alternate inverted; any
+# fixed per-position hash bit works, and this one shares llm_simhash's
+# convention; token votes summed).
 # Candidate generation is the PIGEONHOLE band join: 4 disjoint 8-bit
 # blocks — any pair within Hamming 3 agrees exactly on ≥ 1 block — so
 # candidates come from 4 equi-joins on (block_idx, block_value), never
 # all pairs; the same hot-bucket star cap as llm_dedup_near bounds viral
 # blocks.  Candidates verify by TRUE Hamming distance (bit_count of xor)
 # computed from the fingerprint table via two keyed joins.
+# Cap-recall contract: within a CAPPED block only hub pairs are proposed,
+# so a member–member pair whose hub fails the ≤3 verify is NOT recovered
+# from that block — unlike llm_dedup_near (no post-filter there, star
+# keeps components intact).  The pair still has the other 3 blocks as
+# independent chances (pigeonhole), and the CCNet alternative — dropping
+# hot buckets outright — loses strictly more; both engines state the
+# identical capped computation, so the trade is deterministic, not drift.
 # The word-order-insensitive complement to MinHash-LSH (which keys on
 # shingles): SimHash catches bag-of-words-similar docs cheaply — one
 # fingerprint per doc, 4 band rows, no shingle explosion.

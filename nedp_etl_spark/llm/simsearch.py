@@ -1254,11 +1254,14 @@ WITH c AS (
 ),
 e AS (
   SELECT label, n,
-         ROUND((1.0 - ROUND(exp(n * ROUND(ln(0.999), 6)), 6)) / (1.0 - 0.999), 6)
-           AS eff_n
+         FLOOR((1.0 - FLOOR(exp(n * (FLOOR(ln(0.999) * 1000000.0 + 0.5)
+                                     / 1000000.0)) * 1000000.0 + 0.5)
+                      / 1000000.0) / (1.0 - 0.999) * 1000000.0 + 0.5)
+           / 1000000.0 AS eff_n
   FROM c
 ),
-w AS (SELECT label, n, eff_n, ROUND(1.0 / eff_n, 6) AS raw_w FROM e)
+w AS (SELECT label, n, eff_n,
+             FLOOR(1.0 / eff_n * 1000000.0 + 0.5) / 1000000.0 AS raw_w FROM e)
 SELECT CAST(label AS INT) AS label, CAST(n AS BIGINT) AS n, eff_n,
        FLOOR(raw_w * (SELECT COUNT(*) FROM w) / (SELECT SUM(raw_w) FROM w)
              * 1000000.0 + 0.5) / 1000000.0 AS weight
@@ -1269,16 +1272,18 @@ FROM w
 @register("llm_class_weights", oracle=_CLASS_WEIGHTS_ORACLE)
 def llm_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    from nedp_etl_spark.util import q6
+
     c = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-    ln_beta = F.round(F.log(F.lit(0.999)), 6)
+    # q6 (FLOOR quantize), never ROUND, after every nonlinear step — the
+    # half-ulp parity discipline (util.q6 docstring)
+    ln_beta = q6(F.log(F.lit(0.999)))
     eff = c.select(
         "label",
         "n",
-        F.round(
-            (1.0 - F.round(F.exp(F.col("n") * ln_beta), 6)) / (1.0 - 0.999), 6
-        ).alias("eff_n"),
+        q6((1.0 - q6(F.exp(F.col("n") * ln_beta))) / (1.0 - 0.999)).alias("eff_n"),
     )
-    w = eff.withColumn("raw_w", F.round(1.0 / F.col("eff_n"), 6))
+    w = eff.withColumn("raw_w", q6(1.0 / F.col("eff_n")))
     tot = w.agg(
         F.count(F.lit(1)).alias("k"), F.sum("raw_w").alias("sw")
     )  # 1-row broadcast

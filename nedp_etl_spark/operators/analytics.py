@@ -1649,7 +1649,8 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("bigint")
     expanded = ev.select("event_type", "value", b).filter(h < F.lit(2147483648))
-    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6
+
     means = expanded.groupBy("event_type", "b").agg(
         q6(dsum("value") / F.count(F.lit(1))).alias("m")
     )
@@ -1715,7 +1716,8 @@ risk AS (
 terms AS (
   SELECT t, n_risk, d,
          CASE WHEN d = 0 THEN 0.0
-              ELSE ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6) END AS lnterm
+              ELSE FLOOR(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1000000.0 + 0.5)
+                   / 1000000.0 END AS lnterm
   FROM risk WHERE n_risk > d
 ),
 km AS (
@@ -1770,7 +1772,13 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.when(F.col("d") == 0, F.lit(0.0))
         .otherwise(
-            F.round(F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")), 6)
+            # q6 FLOOR quantize, not ROUND, after the nonlinear ln (parity)
+            F.floor(
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
         )
         .alias("lnterm"),
     )

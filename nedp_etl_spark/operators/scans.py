@@ -1071,15 +1071,21 @@ GROUP BY o_orderstatus
 
 
 def _manifest_layout(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the range-partitioned file layout once per sf."""
+    """Materialize the range-partitioned file layout once per sf.
+
+    Idempotent via the _SUCCESS marker: repeat invocations (bench, tests)
+    skip the table rewrite and pay only the planning cost — matching the
+    real system, where the layout exists and only manifests are consulted
+    (review catch, round 8)."""
     path = _scratch("scan_manifest_prune", sf_dir)
-    (
-        load(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
-        .repartitionByRange(8, "o_orderdate")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .repartitionByRange(8, "o_orderdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     return path
 
 

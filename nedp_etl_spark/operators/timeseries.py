@@ -1929,7 +1929,8 @@ def ts_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_test, n_naive = F.col("n_test"), F.col("n_naive")
     sae7, sae1 = F.col("sae7"), F.col("sae1")
-    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6
+
     return err.select(
         "event_type",
         F.col("n_days").cast("bigint").alias("n_days"),
@@ -2012,7 +2013,8 @@ JOIN sfin f ON f.event_type = m.event_type AND f.dow = m.dow
 @register("ts_stl_decompose", oracle=_STL_ORACLE)
 def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily(load(spark, sf_dir, "events"))
-    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6
+
     q = daily.select(
         "event_type",
         "d",

@@ -155,13 +155,23 @@ def _asof_enrich_fn(
         "event_id": [], "user_id": [], "ts_us": [],
         "event_type": [], "signup_ts_us": [], "signup_value": [],
     }
-    for pdf in pdfs:
+    # CONCAT the Arrow chunks before the single sort: a key with more rows
+    # than arrow.maxRecordsPerBatch arrives as multiple chunks, and sorting
+    # each independently would let a chunk-1 fact precede a chunk-2 signup
+    # with an earlier timestamp (review catch, round 8).
+    chunks = list(pdfs)
+    whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else (
+        chunks[0] if chunks else pd.DataFrame(
+            columns=["event_id", "user_id", "ts", "event_type", "value"]
+        )
+    )
+    if len(whole):
         # itertuples renames underscore-prefixed columns — use plain names
-        pdf = pdf.assign(
-            us=pdf["ts"].astype("int64") // 1000,
-            fact=(pdf["event_type"] != "signup").astype("int8"),
+        whole = whole.assign(
+            us=whole["ts"].astype("int64") // 1000,
+            fact=(whole["event_type"] != "signup").astype("int8"),
         ).sort_values(["us", "fact", "event_id"])
-        for row in pdf.itertuples(index=False):
+        for row in whole.itertuples(index=False):
             if row.fact == 0:  # signup: newer (ts, event_id) wins
                 if (row.us, row.event_id) > (s_us, s_eid):
                     s_us, s_eid, s_value = int(row.us), int(row.event_id), float(row.value)

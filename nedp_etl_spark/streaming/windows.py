@@ -183,14 +183,36 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isdir(src):
         # planted-test layout: events.parquet is a DIRECTORY of part files
         # (DataFrameWriter output); stage each data file under a flattened
-        # name.  Fixture layout (single file) takes the one-file path below.
+        # name and REMOVE stale staged parts from earlier runs — part names
+        # embed a per-write UUID, so without the sweep a re-run's stage dir
+        # would hold old + new files and the stream would double-read
+        # (review catch, round 8).  Fixture layout (single file) takes the
+        # one-file path below.
         import glob as _glob
 
-        for f in sorted(_glob.glob(os.path.join(src, "*.parquet"))):
-            _stage_one(f, os.path.join(stage, "events_" + os.path.basename(f)))
+        targets = {
+            "events_" + os.path.basename(f): f
+            for f in sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        }
+        for staged in _glob.glob(os.path.join(stage, "events_*")):
+            if os.path.basename(staged) not in targets:
+                os.remove(staged)
+        for name, f in targets.items():
+            _stage_one(f, os.path.join(stage, name))
+        # a single-file fixture staged earlier under the fixed name must
+        # also go, or the stream reads it alongside the directory parts
+        if os.path.exists(dst):
+            os.remove(dst)
         dst = stage
-    elif not same:
-        _stage_one(src, dst)
+    else:
+        # symmetric sweep: directory parts staged by an earlier run must
+        # not ride alongside the single fixture file
+        import glob as _glob
+
+        for staged in _glob.glob(os.path.join(stage, "events_*")):
+            os.remove(staged)
+        if not same:
+            _stage_one(src, dst)
 
     load(spark, sf_dir, "events")  # applies session conf (nanosAsLong, UTC)
     raw_schema = spark.read.parquet(dst).schema

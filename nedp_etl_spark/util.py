@@ -18,6 +18,24 @@ from pyspark.sql import functions as F
 _DEC = "decimal(25,6)"
 
 
+def q6(col):
+    """FLOOR(x·1e6 + 0.5)/1e6 — the cross-engine quantize for any value
+    produced by a DIVISION or NONLINEAR step (exp/ln/sqrt/ratio).  Spark's
+    ``F.round`` goes through BigDecimal HALF_UP on the shortest-decimal
+    repr while DuckDB rounds the binary double — they disagree on half-ulp
+    boundaries (bit win_rolling_regression at sf0.01).  This explicit op
+    sequence is identical IEEE arithmetic on both engines; :func:`oq6` is
+    the SQL twin."""
+    from pyspark.sql import functions as F
+
+    return F.floor(col * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+
+
+def oq6(expr: str) -> str:
+    """DuckDB oracle twin of :func:`q6` (identical op sequence)."""
+    return f"FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
 def dsum(col: Column | str) -> Column:
     """Order-independent SUM of a double column (exact fixed-point accumulate).
 

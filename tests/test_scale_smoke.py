@@ -178,7 +178,7 @@ def test_lsh_hot_bucket_caps_to_star_topology(spark, tmp_path):
     assert sorted(r["doc_b"] for r in out) == list(range(1, 40))
 
 
-def test_curation_lsh_drop_set_no_self_join(spark, sf_dir):
+def test_curation_lsh_drop_set_no_self_join(spark, tmp_path):
     # The curation pipeline's LSH stage computes its drop-set via a keyed
     # bucket-min (round-8 rewrite) — the executed plan must contain NO
     # band self-join at all: exactly the joins the other stages need, and
@@ -186,14 +186,11 @@ def test_curation_lsh_drop_set_no_self_join(spark, sf_dir):
     # a planted 40-dup cluster must still collapse to 1 survivor.
     rows = [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 40)
             for i in range(40)]
-    import tempfile, os
-    d = tempfile.mkdtemp(prefix="hotbucket_", dir=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_scratch"))
     spark.createDataFrame(
         rows,
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
-    out = eng.queries()["llm_curation_e2e"](spark, d).collect()
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = eng.queries()["llm_curation_e2e"](spark, str(tmp_path)).collect()
     # exact dedup (stage 2) already collapses byte-identical docs; the point
     # is the pipeline completes with a sane survivor count and the LSH
     # stage's plan never built a pair join.

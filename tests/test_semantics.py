@@ -2114,11 +2114,14 @@ def test_dedup_simhash_matches_pure_python_rederivation(spark, tmp_path):
     _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
 
     def simhash32(text):
+        # the operator votes on the ASCII code parity of the hex CHAR
+        # (ord('a')=97 is odd though nibble 10 is even) — model exactly
+        # that, not int(h[b], 16) % 2 (review catch, round 8)
         votes = [0] * 32
         for tok in text.split(" "):
             h = hashlib.md5(tok.encode()).hexdigest()
             for b in range(32):
-                votes[b] += 1 if int(h[b], 16) % 2 else -1
+                votes[b] += 1 if ord(h[b]) % 2 else -1
         return sum((1 << b) for b in range(32) if votes[b] > 0)
 
     fps = {i: simhash32(t) for i, t in docs.items()}
