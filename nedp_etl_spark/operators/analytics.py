@@ -1799,3 +1799,92 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_market_basket — pairwise event-type co-occurrence (support /
+# confidence / lift) over per-user distinct event-type sets: the
+# association-rules staple for "users who do A also do B" product
+# analytics.  The reference reaches basket analysis only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+#
+# Scale shape: the corpus collapses FIRST to distinct (user_id,
+# event_type) — one shuffle keyed by user — and the pair join is a
+# self-equi-join on user_id whose fan-out per user is bounded by the
+# event-type catalog (|T| choose 2 pairs per user, |T| small by
+# construction), never all-pairs over users.  The pair aggregate is keyed
+# by (type_a, type_b) <= |T|^2 groups; singleton counts join back
+# broadcast-small; the only cross join is the 1-row user-total
+# (allowlisted).  Every metric is a ratio of exact int64 counts,
+# quantized with the q6 FLOOR discipline — hash-identical on both
+# engines.
+# --------------------------------------------------------------------------
+
+from nedp_etl_spark.util import oq6 as _oq6
+from nedp_etl_spark.util import q6 as _q6
+
+_BASKET_ORACLE = f"""
+WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM ue),
+t AS (SELECT event_type, COUNT(*) AS n FROM ue GROUP BY event_type),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(u.nu AS BIGINT) AS n_users,
+       CAST(ta.n AS BIGINT) AS n_a,
+       CAST(tb.n AS BIGINT) AS n_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       {_oq6('p.n_both * 1.0 / u.nu')} AS support,
+       {_oq6('p.n_both * 1.0 / ta.n')} AS conf_a_b,
+       {_oq6('p.n_both * 1.0 / tb.n')} AS conf_b_a,
+       {_oq6('(p.n_both * 1.0 * u.nu) / (ta.n * tb.n)')} AS lift
+FROM p
+JOIN t ta ON ta.event_type = p.type_a
+JOIN t tb ON tb.event_type = p.type_b
+CROSS JOIN u
+"""
+
+
+@register("agg_market_basket", oracle=_BASKET_ORACLE)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ue = ev.select("user_id", "event_type").distinct()
+    u = ue.agg(F.countDistinct("user_id").alias("nu"))  # 1-row broadcast
+    t = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ue.alias("a"), ue.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = t.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = t.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    n_both, nu = F.col("n_both"), F.col("nu")
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    return (
+        p.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(u))
+        .select(
+            "type_a",
+            "type_b",
+            nu.cast("bigint").alias("n_users"),
+            n_a.cast("bigint").alias("n_a"),
+            n_b.cast("bigint").alias("n_b"),
+            n_both.cast("bigint").alias("n_both"),
+            _q6(n_both * 1.0 / nu).alias("support"),
+            _q6(n_both * 1.0 / n_a).alias("conf_a_b"),
+            _q6(n_both * 1.0 / n_b).alias("conf_b_a"),
+            _q6((n_both * 1.0 * nu) / (n_a * n_b)).alias("lift"),
+        )
+    )

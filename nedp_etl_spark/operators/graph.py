@@ -798,3 +798,134 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(cos * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# graph_hits — HITS hubs & authorities over the synthesized crawl graph
+# (same 40-node two-family edge synthesis as graph_pagerank above): hub
+# scores rank link pages (crawl seed lists), authority scores rank content
+# pages — the classic companion to PageRank for crawl-frontier curation.
+# The reference reaches link analysis only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+#
+# Scale shape mirrors graph_pagerank: edges aggregated to (src, dst, w)
+# and localCheckpoint-ed once; each half-iteration is ONE equi-join
+# (edges x current scores) plus ONE keyed aggregate — never a broadcast
+# of the O(nodes) score relation.  The only hinted broadcasts are the
+# 1-row L1 mass totals used for normalization (allowlisted).
+#
+# Cross-engine determinism: scores live as 6-dp fixed-point BIGINT
+# micro-units end-to-end.  Per-edge contributions w*hq are exact int64
+# products, summed as int64 (order-independent); normalization divides
+# two exact int64s in IEEE double and re-quantizes with the FLOOR op
+# sequence — bit-identical in Spark and DuckDB.  L1 normalization (mass
+# sums to 1) replaces the textbook L2 so no sqrt enters the loop; the
+# relative ranking is identical.  Overflow: raw <= total_edge_weight *
+# 1e6 = 2*|docs|*1e6, int64-safe below ~4.6e12 documents.
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HQ = 1_000_000  # 6-dp fixed-point micro-units for hub/authority mass
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        f"""e0 AS (
+  SELECT doc_id % {_N_NODES} AS src, (doc_id * 7 + 3) % {_N_NODES} AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id % {_N_NODES}, (doc_id * 13 + 1) % {_N_NODES} FROM documents
+)""",
+        "e AS (SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY src, dst)",
+        "n AS (SELECT DISTINCT src AS node FROM e)",
+        f"h0 AS (SELECT node, CAST({_HQ} AS BIGINT) AS hq FROM n)",
+    ]
+    for i in range(_HITS_ITERS):
+        ctes.append(f"""ar{i} AS (
+  SELECT n.node, CAST(COALESCE(SUM(e.w * h.hq), 0) AS BIGINT) AS raw
+  FROM n LEFT JOIN e ON e.dst = n.node LEFT JOIN h{i} h ON h.node = e.src
+  GROUP BY n.node)""")
+        ctes.append(f"asum{i} AS (SELECT SUM(raw) AS s FROM ar{i})")
+        ctes.append(
+            f"a{i} AS (SELECT node, CAST(FLOOR(CAST(raw AS DOUBLE) / s"
+            f" * {_HQ}.0 + 0.5) AS BIGINT) AS aq FROM ar{i}, asum{i})"
+        )
+        ctes.append(f"""hr{i} AS (
+  SELECT n.node, CAST(COALESCE(SUM(e.w * a.aq), 0) AS BIGINT) AS raw
+  FROM n LEFT JOIN e ON e.src = n.node LEFT JOIN a{i} a ON a.node = e.dst
+  GROUP BY n.node)""")
+        ctes.append(f"hsum{i} AS (SELECT SUM(raw) AS s FROM hr{i})")
+        ctes.append(
+            f"h{i + 1} AS (SELECT node, CAST(FLOOR(CAST(raw AS DOUBLE) / s"
+            f" * {_HQ}.0 + 0.5) AS BIGINT) AS hq FROM hr{i}, hsum{i})"
+        )
+    last = _HITS_ITERS
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n.node, a.aq / {_HQ}.0 AS authority, h.hq / {_HQ}.0 AS hub"
+        + f"\nFROM n JOIN a{last - 1} a ON a.node = n.node"
+        + f" JOIN h{last} h ON h.node = n.node"
+    )
+
+
+@register("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    raw = d.select(
+        (F.col("doc_id") % _N_NODES).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % _N_NODES).alias("dst"),
+    ).unionAll(
+        d.select(
+            (F.col("doc_id") % _N_NODES).alias("src"),
+            ((F.col("doc_id") * 13 + 1) % _N_NODES).alias("dst"),
+        )
+    )
+    # materialize once; iterations re-join the checkpointed relations
+    e = (
+        raw.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .repartition("node")
+        .localCheckpoint()
+    )
+
+    def _normalize(raw_scores: DataFrame, out: str) -> DataFrame:
+        tot = raw_scores.agg(F.sum("raw").alias("s"))  # 1-row broadcast
+        return raw_scores.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.floor(F.col("raw").cast("double") / F.col("s") * float(_HQ) + 0.5)
+            .cast("long")
+            .alias(out),
+        )
+
+    h = nodes.select("node", F.lit(_HQ).cast("long").alias("hq"))
+    a = None
+    for _ in range(_HITS_ITERS):
+        contrib_a = e.join(h, e["src"] == h["node"]).select(
+            "dst", (F.col("w") * F.col("hq")).alias("c")
+        )
+        ar = (
+            nodes.join(contrib_a, nodes["node"] == contrib_a["dst"], "left")
+            .groupBy("node")
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("raw"))
+        )
+        a = _normalize(ar, "aq")
+        contrib_h = e.join(a, e["dst"] == a["node"]).select(
+            "src", (F.col("w") * F.col("aq")).alias("c")
+        )
+        hr = (
+            nodes.join(contrib_h, nodes["node"] == contrib_h["src"], "left")
+            .groupBy("node")
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("raw"))
+        )
+        h = _normalize(hr, "hq")
+    return nodes.join(a, "node").join(h, "node").select(
+        "node",
+        (F.col("aq") / float(_HQ)).alias("authority"),
+        (F.col("hq") / float(_HQ)).alias("hub"),
+    )

@@ -85,6 +85,8 @@ _PRIORITY: list[str] = [
     "graph_bipartite_projection", # NEW r8: co-behavior cosine projection
     "scan_range_generator",       # NEW r8: spark.range generator source
     "llm_class_weights",          # NEW r8: class-balanced loss weights
+    "graph_hits",                 # NEW r8: HITS hubs/authorities, fixed-point
+    "agg_market_basket",          # NEW r8: pairwise support/confidence/lift
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

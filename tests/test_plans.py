@@ -250,6 +250,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_chisq_independence",  # 1-row (N, ka, kb) totals broadcast (O(cells))
                    "llm_dedup_cluster_sizes",  # 1-row cluster-total broadcast (O(#clusters))
                    "llm_class_weights",  # 1-row (k, sum raw_w) totals broadcast (O(#labels))
+                   "graph_hits",  # 1-row L1-mass totals broadcast per half-iteration (O(#nodes))
+                   "agg_market_basket",  # 1-row distinct-user total broadcast (O(|T|^2) pairs)
                    "agg_survival_km"}  # 1-row corpus-end-date broadcast (O(n) aggregate)
 
 
@@ -940,3 +942,26 @@ def test_class_weights_tiny_aggregate_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_class_weights")
     assert plan.count("FileScan parquet") <= 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_hits_iterates_over_checkpointed_edges(spark, sf_dir):
+    # Same 100 TB posture as graph_pagerank: iterations re-join the
+    # MATERIALIZED edge/node relations (Scan ExistingRDD), never re-derive
+    # from the corpus; the only hinted broadcasts are the 1-row L1-mass
+    # totals (each BroadcastExchange input is a single-row aggregate), so
+    # the O(nodes) score relation itself never broadcasts by hint.
+    plan = _plan(spark, sf_dir, "graph_hits")
+    assert "Scan ExistingRDD" in plan          # checkpointed edges/nodes
+    assert "FileScan parquet" not in plan      # corpus not re-read per iter
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 6
+
+
+def test_market_basket_no_all_pairs_over_users(spark, sf_dir):
+    # The pair join must be the user-keyed self-equi-join (fan-out bounded
+    # by the event-type catalog), and the only nested-loop shape the 1-row
+    # user-total broadcast; events' value/props columns never scan.
+    plan = _plan(spark, sf_dir, "agg_market_basket")
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "FileScan" in ln and "ReadSchema" in ln:
+            assert "value" not in ln and "props" not in ln

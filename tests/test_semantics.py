@@ -2373,3 +2373,76 @@ def test_class_weights_inverse_to_frequency(spark, tmp_path):
     assert out[1]["weight"] > out[0]["weight"]
     assert abs(out[0]["weight"] + out[1]["weight"] - 2.0) < 1e-5
     assert out[0]["eff_n"] < 90 and out[1]["eff_n"] < 10
+
+
+def test_hits_matches_fixed_point_rederivation(spark, tmp_path):
+    # 60 docs -> 40-node two-family crawl graph; rederive the exact 6-dp
+    # fixed-point L1-normalized HITS loop in pure python (identical integer
+    # contribution sums + FLOOR(raw/S*1e6+0.5) normalization) and demand
+    # bit-equality of every authority/hub score.
+    import collections
+    import math
+
+    rows = [(i, f"doc {i}", "en", "s", 10) for i in range(60)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    w = collections.Counter()
+    for i in range(60):
+        w[(i % 40, (i * 7 + 3) % 40)] += 1
+        w[(i % 40, (i * 13 + 1) % 40)] += 1
+    nodes = sorted({s for s, _ in w})
+    h = {v: 10**6 for v in nodes}
+    a = {}
+    for _ in range(3):
+        ar = {v: 0 for v in nodes}
+        for (s, d), wt in w.items():
+            ar[d] += wt * h[s]
+        tot = sum(ar.values())
+        a = {v: math.floor(ar[v] / tot * 1e6 + 0.5) for v in nodes}
+        hr = {v: 0 for v in nodes}
+        for (s, d), wt in w.items():
+            hr[s] += wt * a[d]
+        tot = sum(hr.values())
+        h = {v: math.floor(hr[v] / tot * 1e6 + 0.5) for v in nodes}
+    out = {
+        r["node"]: r
+        for r in eng.queries()["graph_hits"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(nodes)
+    for v in nodes:
+        assert abs(out[v]["authority"] - a[v] / 1e6) < 1e-9
+        assert abs(out[v]["hub"] - h[v] / 1e6) < 1e-9
+
+
+def test_market_basket_hand_computed_pairs(spark, tmp_path):
+    # users: 1:{a,b} (with a duplicate 'a' event that distinct must fold),
+    # 2:{a,b}, 3:{a}, 4:{b,c}.  n_users=4, n_a=3, n_b=3, n_c=1.
+    # (a,b): both=2 -> support .5, conf each 2/3, lift 2*4/(3*3)=8/9.
+    # (b,c): both=1 -> support .25, conf_b_c=1/3, conf_c_b=1, lift 4/3.
+    # (a,c) never co-occurs -> no row.
+    base = datetime.datetime(2024, 5, 1, 0, 0, 0)
+    evs = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "b"), (4, "c"),
+    ]
+    rows = [
+        (i, base + datetime.timedelta(minutes=i), u, t, 1.0, "{}")
+        for i, (u, t) in enumerate(evs)
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in eng.queries()["agg_market_basket"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_users"], ab["n_a"], ab["n_b"], ab["n_both"]) == (4, 3, 3, 2)
+    assert ab["support"] == 0.5
+    assert abs(ab["conf_a_b"] - 0.666667) < 1e-9
+    assert abs(ab["lift"] - 0.888889) < 1e-9
+    bc = out[("b", "c")]
+    assert (bc["n_b"], bc["n_both"]) == (1, 1)
+    assert abs(bc["conf_a_b"] - 0.333333) < 1e-9
+    assert bc["conf_b_a"] == 1.0
+    assert abs(bc["lift"] - 1.333333) < 1e-9
