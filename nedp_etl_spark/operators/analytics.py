@@ -1888,3 +1888,126 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             _q6((n_both * 1.0 * nu) / (n_a * n_b)).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_delta_method_ci — delta-method confidence interval for a RATIO
+# metric (value per event): the correct A/B-test machinery when the
+# metric is sum(value)/count(events) and the randomization unit is the
+# USER, so per-user totals are the i.i.d. observations and naive row-level
+# variance is wrong (Deng et al., KDD'11 ratio-metric CI).  The reference
+# reaches experiment analysis only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+#
+# Var(X̄/Ȳ) ≈ (var_x − 2·R·cov_xy + R²·var_y) / (n·Ȳ²) with R = Σx/Σy.
+#
+# Cross-engine determinism: level-1 per-user totals are exact DECIMAL
+# sums (the agg_welch_ttest pattern); level-2 moment sums square the
+# DECIMAL(15,6) user totals inside DECIMAL (exact, order-independent; the
+# oracle lifts one operand to width 19 so DuckDB leaves its int64
+# storage class — widths <= 18 multiply IN int64 there and a 19-digit
+# product overflows) and
+# only then cast to double, so every moment is bit-identical on both
+# engines; the sqrt is followed by the q6 FLOOR quantize.
+#
+# Scale shape: two keyed aggregations (events → user totals → per-metric
+# moments) — the map-side-combine shape that holds at any corpus size; no
+# joins, no windows, no broadcast.
+# --------------------------------------------------------------------------
+
+_Z975 = "1.959964"
+
+_DELTA_CI_ORACLE = f"""
+WITH s1 AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(15,6)) AS xi,
+         CAST(COUNT(value) AS BIGINT) AS yi
+  FROM events GROUP BY event_type, user_id
+),
+s2 AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(xi) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(xi AS DECIMAL(19,6)) * xi) AS DOUBLE) AS sxx,
+         CAST(SUM(yi) AS DOUBLE) AS sy,
+         CAST(SUM(yi * yi) AS DOUBLE) AS syy,
+         CAST(SUM(xi * CAST(yi AS DECIMAL(12,0))) AS DOUBLE) AS sxy
+  FROM s1 GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, sx, sy,
+         (sxx - sx * sx / n) / (n - 1) AS vx,
+         (syy - sy * sy / n) / (n - 1) AS vy,
+         (sxy - sx * sy / n) / (n - 1) AS cxy
+  FROM s2 WHERE n >= 2
+),
+r AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n_users,
+         FLOOR(sx / sy * 1000000.0 + 0.5) / 1000000.0 AS ratio,
+         FLOOR(sqrt(
+           CASE WHEN vx - 2.0 * (sx / sy) * cxy
+                     + (sx / sy) * (sx / sy) * vy < 0.0 THEN 0.0
+                ELSE vx - 2.0 * (sx / sy) * cxy + (sx / sy) * (sx / sy) * vy
+           END / ((sy / n) * (sy / n)) / n
+         ) * 1000000.0 + 0.5) / 1000000.0 AS se
+  FROM m
+)
+SELECT event_type, n_users, ratio, se,
+       FLOOR((ratio - {_Z975} * se) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+       FLOOR((ratio + {_Z975} * se) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+FROM r
+"""
+
+
+@register("agg_delta_method_ci", oracle=_DELTA_CI_ORACLE)
+def agg_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import q6
+
+    ev = load(spark, sf_dir, "events")
+    dec25 = F.col("value").cast("decimal(25,6)")
+    s1 = ev.groupBy("event_type", "user_id").agg(
+        F.sum(dec25).cast("decimal(15,6)").alias("xi"),
+        F.count("value").cast("bigint").alias("yi"),
+    )
+    xi = F.col("xi")
+    s2 = s1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).cast("double").alias("sx"),
+        F.sum(xi * xi).cast("double").alias("sxx"),
+        F.sum("yi").cast("double").alias("sy"),
+        F.sum(F.col("yi") * F.col("yi")).cast("double").alias("syy"),
+        F.sum(xi * F.col("yi").cast("decimal(12,0)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    m = s2.filter(n >= 2).select(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        ((F.col("sxx") - sx * sx / n) / (n - 1)).alias("vx"),
+        ((F.col("syy") - sy * sy / n) / (n - 1)).alias("vy"),
+        ((F.col("sxy") - sx * sy / n) / (n - 1)).alias("cxy"),
+    )
+    rr = sx / sy
+    quad = F.col("vx") - 2.0 * rr * F.col("cxy") + rr * rr * F.col("vy")
+    r = m.select(
+        "event_type",
+        n.cast("bigint").alias("n_users"),
+        q6(rr).alias("ratio"),
+        q6(
+            F.sqrt(
+                F.when(quad < 0.0, F.lit(0.0)).otherwise(quad)
+                / ((sy / n) * (sy / n))
+                / n
+            )
+        ).alias("se"),
+    )
+    ratio, se = F.col("ratio"), F.col("se")
+    z = F.lit(float(_Z975))
+    return r.select(
+        "event_type",
+        "n_users",
+        "ratio",
+        "se",
+        q6(ratio - z * se).alias("ci_lo"),
+        q6(ratio + z * se).alias("ci_hi"),
+    )

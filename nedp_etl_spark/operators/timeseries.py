@@ -2068,3 +2068,100 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6),
         ).alias("resid"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_periodogram — discrete-Fourier power at candidate periods 2..7 days
+# per event_type, over the shared daily mean series (_DAILY_CTE): the
+# frequency-domain seasonality DETECTOR that tells ts_seasonal_decompose /
+# ts_stl_decompose which period to decompose at.  The reference reaches
+# spectral analysis only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+#
+# Cross-engine determinism: cos/sin are evaluated at only p distinct
+# arguments per period (t mod p), each value quantized to a 6-dp INTEGER
+# (micro-units) immediately after the transcendental; the daily mean
+# (already an exact 6-dp value) is likewise lifted to integer micro-units,
+# so every per-day contribution v_int * trig_int is an exact int64
+# product and the per-(event_type, period) sums are order-independent.
+# |contribution| <= 1e6*|v|*1e6 — int64-safe for daily means below ~9e6
+# over thousands of days.  re/im come back as int/1e12 (identical IEEE
+# division), power = re^2 + im^2 then the q6 FLOOR quantize.
+#
+# Scale shape: one groupBy (event_type, day) over the events scan, a
+# 6-way map-side explode of the period candidates, one keyed aggregate
+# by (event_type, period) — no joins, no windows, no driver loops.
+# --------------------------------------------------------------------------
+
+_TWO_PI = "6.283185307179586"
+_PG_PERIODS = (2, 3, 4, 5, 6, 7)
+
+_PERIODOGRAM_ORACLE = f"""
+WITH {_DAILY_CTE},
+base AS (
+  SELECT event_type, CAST(d - DATE '1970-01-01' AS BIGINT) AS t,
+         CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM daily
+),
+x AS (
+  SELECT event_type, pr.p, t, vq,
+         CAST(FLOOR(COS({_TWO_PI} * (CAST(t % pr.p AS DOUBLE) / pr.p))
+                    * 1000000.0 + 0.5) AS BIGINT) AS cq,
+         CAST(FLOOR(SIN({_TWO_PI} * (CAST(t % pr.p AS DOUBLE) / pr.p))
+                    * 1000000.0 + 0.5) AS BIGINT) AS sq
+  FROM base CROSS JOIN range({_PG_PERIODS[0]}, {_PG_PERIODS[-1] + 1}) pr(p)
+),
+agg AS (
+  SELECT event_type, CAST(p AS INT) AS period,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(vq * cq) AS DOUBLE) / 1000000000000.0 AS re,
+         CAST(SUM(vq * sq) AS DOUBLE) / 1000000000000.0 AS im
+  FROM x GROUP BY event_type, p
+)
+SELECT event_type, period, n_days,
+       FLOOR(re * 1000000.0 + 0.5) / 1000000.0 AS re,
+       FLOOR(im * 1000000.0 + 0.5) / 1000000.0 AS im,
+       FLOOR((re * re + im * im) * 1000000.0 + 0.5) / 1000000.0 AS power
+FROM agg
+"""
+
+
+@register("ts_periodogram", oracle=_PERIODOGRAM_ORACLE)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import q6
+
+    daily = _daily(load(spark, sf_dir, "events"))
+    base = daily.select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("1970-01-01")).cast("bigint").alias("t"),
+        F.floor(F.col("v") * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("vq"),
+    )
+    x = base.select(
+        "event_type",
+        "t",
+        "vq",
+        F.explode(F.array([F.lit(p).cast("bigint") for p in _PG_PERIODS])).alias("p"),
+    )
+    two_pi = F.lit(float(_TWO_PI))
+    ang = two_pi * ((F.col("t") % F.col("p")).cast("double") / F.col("p"))
+    x = x.select(
+        "event_type",
+        "p",
+        "vq",
+        F.floor(F.cos(ang) * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("cq"),
+        F.floor(F.sin(ang) * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("sq"),
+    )
+    agg = x.groupBy("event_type", F.col("p").cast("int").alias("period")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum(F.col("vq") * F.col("cq")).cast("double") / 1_000_000_000_000.0).alias("re"),
+        (F.sum(F.col("vq") * F.col("sq")).cast("double") / 1_000_000_000_000.0).alias("im"),
+    )
+    re, im = F.col("re"), F.col("im")
+    return agg.select(
+        "event_type",
+        "period",
+        "n_days",
+        q6(re).alias("re"),
+        q6(im).alias("im"),
+        q6(re * re + im * im).alias("power"),
+    )

@@ -965,3 +965,23 @@ def test_market_basket_no_all_pairs_over_users(spark, sf_dir):
     for ln in plan.splitlines():
         if "FileScan" in ln and "ReadSchema" in ln:
             assert "value" not in ln and "props" not in ln
+
+
+def test_periodogram_single_scan_no_joins(spark, sf_dir):
+    # One events scan -> daily aggregate -> map-side period explode ->
+    # keyed aggregate: no joins, no windows anywhere in the plan.
+    plan = _plan(spark, sf_dir, "ts_periodogram")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert not _has_global_window(plan)
+    assert "Generate explode" in plan
+
+
+def test_delta_method_ci_two_level_aggregate_no_joins(spark, sf_dir):
+    # events -> per-user totals -> per-metric moments: two keyed
+    # aggregations over a single scan, never a join or window — the
+    # map-side-combine shape that holds at any corpus size.
+    plan = _plan(spark, sf_dir, "agg_delta_method_ci")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan

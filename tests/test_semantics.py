@@ -15,6 +15,7 @@ runs — never through test-local reimplementations.
 from __future__ import annotations
 
 import datetime
+import math
 
 import pytest
 
@@ -2446,3 +2447,56 @@ def test_market_basket_hand_computed_pairs(spark, tmp_path):
     assert abs(bc["conf_a_b"] - 0.333333) < 1e-9
     assert bc["conf_b_a"] == 1.0
     assert abs(bc["lift"] - 1.333333) < 1e-9
+
+
+def test_periodogram_detects_planted_period(spark, tmp_path):
+    # 12 one-event days cycling 10/20/30 — a pure period-3 signal plus DC.
+    # 12 days is an integer number of cycles for p in {2,3,4,6}, so the DC
+    # term and the period-3 component are exactly orthogonal to p=2/4/6
+    # (power ~ 0 up to 6-dp quantization); p=5/7 see bounded DC leakage
+    # from the 2.4- / ~1.7-cycle partial window.  Period-3 amplitude:
+    # |10 + 20w + 30w^2|/3 * 12 = 69.28 -> power ~ 4800.
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    vals = [10.0, 20.0, 30.0] * 4
+    rows = [
+        (i, base + datetime.timedelta(days=i), 1, "a", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        r["period"]: r
+        for r in eng.queries()["ts_periodogram"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {2, 3, 4, 5, 6, 7}
+    assert all(r["n_days"] == 12 for r in out.values())
+    p3 = out[3]["power"]
+    assert p3 > 4000.0
+    for p in (2, 4, 6):
+        assert out[p]["power"] < 1.0, (p, out[p]["power"])
+    for p in (5, 7):
+        assert out[p]["power"] < p3 / 2, (p, out[p]["power"], p3)
+
+
+def test_delta_method_ci_hand_computed(spark, tmp_path):
+    # One metric, three users: x=(4,2,9), y=(2,1,3).  R=15/6=2.5,
+    # vx=13, vy=1, cxy=3.5, quad=13-17.5+6.25=1.75, ybar=2,
+    # se=sqrt(1.75/(4*3))=0.381881 (q6).
+    base = datetime.datetime(2024, 6, 1, 0, 0, 0)
+    per_user = {1: [1.0, 3.0], 2: [2.0], 3: [6.0, 2.0, 1.0]}
+    rows = []
+    i = 0
+    for u, vs in per_user.items():
+        for v in vs:
+            rows.append((i, base + datetime.timedelta(hours=i), u, "a", v, "{}"))
+            i += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = eng.queries()["agg_delta_method_ci"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_users"] == 3
+    assert r["ratio"] == 2.5
+    assert abs(r["se"] - 0.381881) < 1e-9
+    lo = math.floor((2.5 - 1.959964 * 0.381881) * 1e6 + 0.5) / 1e6
+    hi = math.floor((2.5 + 1.959964 * 0.381881) * 1e6 + 0.5) / 1e6
+    assert abs(r["ci_lo"] - lo) < 1e-9
+    assert abs(r["ci_hi"] - hi) < 1e-9
