@@ -1119,3 +1119,87 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue"))
     )
 
+
+
+# --------------------------------------------------------------------------
+# sink_time_travel — snapshot-versioned table with manifest-driven
+# time-travel reads: the transaction-log primitive of Iceberg/Delta-style
+# lakehouse tables, built from plain parquet + JSON manifests.  Commit v1
+# writes the pre-1997 order book; commit v2 APPENDS the 1997+ files and
+# writes a new manifest referencing old + new files — data files are
+# immutable, a version is just a file list, and reading @v1 after v2
+# exists is a pure manifest lookup (no copy, no rewind).  The reference
+# ships incremental dbt models whose audit story needs exactly this
+# (dbtoperator.py:273-274 delegates to dbt-spark).
+#
+# Scale shape: each commit touches only its own files; the time-travel
+# read plans a parquet scan over the manifest's file list, so @v1 cost is
+# v1's data size regardless of how many commits followed.  The output
+# aggregates each version's state — at 100 TB the same manifests drive
+# partition/file pruning exactly like scan_manifest_prune above.
+# --------------------------------------------------------------------------
+
+_TT_CUT = "1997-01-01 00:00:00"
+
+_TIME_TRAVEL_ORACLE = f"""
+WITH v1 AS (
+  SELECT COUNT(*) AS n_orders, {osum('o_totalprice')} AS total_price
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_TT_CUT}'
+),
+v2 AS (
+  SELECT COUNT(*) AS n_orders, {osum('o_totalprice')} AS total_price
+  FROM orders
+)
+SELECT 1 AS version, CAST(n_orders AS BIGINT) AS n_orders, total_price FROM v1
+UNION ALL
+SELECT 2 AS version, CAST(n_orders AS BIGINT) AS n_orders, total_price FROM v2
+"""
+
+
+def _time_travel_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Two immutable commits + JSON manifests; idempotent via v2.json."""
+    import glob as _glob
+    import json as _json
+
+    root = _scratch("sink_time_travel", sf_dir)
+    if os.path.exists(os.path.join(root, "v2.json")):
+        return root
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cut = F.lit(_TT_CUT).cast("timestamp")
+    d1 = os.path.join(root, "commit1")
+    d2 = os.path.join(root, "commit2")
+    orders.filter(F.col("o_orderdate") < cut).write.mode("overwrite").parquet(d1)
+    orders.filter(F.col("o_orderdate") >= cut).write.mode("overwrite").parquet(d2)
+    f1 = sorted(_glob.glob(os.path.join(d1, "*.parquet")))
+    f2 = sorted(_glob.glob(os.path.join(d2, "*.parquet")))
+    with open(os.path.join(root, "v1.json"), "w") as fh:
+        _json.dump({"version": 1, "files": f1}, fh)
+    with open(os.path.join(root, "v2.json"), "w") as fh:  # old + new files
+        _json.dump({"version": 2, "files": f1 + f2}, fh)
+    return root
+
+
+def _read_at_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    import json as _json
+
+    with open(os.path.join(root, f"v{version}.json")) as fh:
+        manifest = _json.load(fh)
+    return spark.read.parquet(*manifest["files"])
+
+
+@register("sink_time_travel", oracle=_TIME_TRAVEL_ORACLE)
+def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _time_travel_layout(spark, sf_dir)
+
+    def _state(version: int) -> DataFrame:
+        return _read_at_version(spark, root, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+
+    return _state(1).unionAll(_state(2)).select(
+        "version", "n_orders", "total_price"
+    )

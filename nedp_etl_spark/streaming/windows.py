@@ -646,3 +646,48 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").cast("bigint").alias("n_events"),
         (F.col("value.sum").cast("double") / 1_000_000.0).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# stream_windowed_distinct — distinct users per tumbling hour per
+# event_type.  COUNT(DISTINCT ...) is unsupported inside streaming
+# aggregations, so this is the streaming-safe TWO-LEVEL idiom: first a
+# keyed dedup on (window, event_type, user_id) — itself a watermarkable
+# streaming aggregate whose state is one row per distinct key — then a
+# count per (window, event_type).  Batch form here states the identical
+# semantics (registry contract); the replay harness exercises the same
+# two-level plan under readStream.
+#
+# Scale shape: both levels are keyed shuffles with map-side partial
+# dedup/combine; state per window is bounded by distinct users, and the
+# watermark retires whole windows.  The reference reaches distinct-count
+# rollups only as dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_WINDOWED_DISTINCT_ORACLE = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (
+  SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS ws,
+                  event_type, user_id
+  FROM events
+)
+GROUP BY ws, event_type
+"""
+
+
+@register("stream_windowed_distinct", oracle=_WINDOWED_DISTINCT_ORACLE)
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    level1 = ev.select(
+        F.window("ts", "1 hour").alias("w"), "event_type", "user_id"
+    ).distinct()
+    return (
+        level1.groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_users",
+        )
+    )

@@ -985,3 +985,14 @@ def test_delta_method_ci_two_level_aggregate_no_joins(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_windowed_distinct_two_level_aggregate(spark, sf_dir):
+    # The streaming-safe distinct idiom: dedup aggregate feeding the count
+    # aggregate — no joins, no windows, no expand (COUNT DISTINCT would
+    # plan an Expand or a distinct aggregate; the two-level form must not).
+    plan = _plan(spark, sf_dir, "stream_windowed_distinct")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert not _has_global_window(plan)
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels

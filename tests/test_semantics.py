@@ -2500,3 +2500,62 @@ def test_delta_method_ci_hand_computed(spark, tmp_path):
     hi = math.floor((2.5 + 1.959964 * 0.381881) * 1e6 + 0.5) / 1e6
     assert abs(r["ci_lo"] - lo) < 1e-9
     assert abs(r["ci_hi"] - hi) < 1e-9
+
+
+def test_windowed_distinct_hand_computed(spark, tmp_path):
+    # hour 10: user 1 twice + user 2 once for type a -> 2 distinct; user 9
+    # for type b -> 1.  hour 11: user 1 once for type a -> 1.
+    base = datetime.datetime(2024, 2, 1, 10, 0, 0)
+    evs = [
+        (base, 1, "a"), (base.replace(minute=30), 1, "a"),
+        (base.replace(minute=45), 2, "a"), (base.replace(minute=20), 9, "b"),
+        (base.replace(hour=11), 1, "a"),
+    ]
+    rows = [(i, ts, u, t, 1.0, "{}") for i, (ts, u, t) in enumerate(evs)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        (r["window_start"], r["event_type"]): r["n_users"]
+        for r in eng.queries()["stream_windowed_distinct"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("2024-02-01 10:00:00", "a"): 2,
+        ("2024-02-01 10:00:00", "b"): 1,
+        ("2024-02-01 11:00:00", "a"): 1,
+    }
+
+
+_ORD_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def test_time_travel_reads_old_version_after_new_commit(spark, tmp_path):
+    # Two orders before the 1997 cut, one after.  v1 must show (2 orders,
+    # 30.0) even though v2 already exists — a version is an immutable file
+    # list, and v2's manifest must be a superset of v1's.
+    import json
+
+    d = datetime.datetime
+    rows = [
+        (1, 1, "F", 10.0, d(1996, 5, 1), "1-URGENT"),
+        (2, 1, "F", 20.0, d(1996, 7, 1), "1-URGENT"),
+        (3, 2, "O", 40.0, d(1997, 3, 1), "2-HIGH"),
+    ]
+    _write(spark, tmp_path, "orders", rows, _ORD_SCHEMA)
+    out = {
+        r["version"]: r
+        for r in eng.queries()["sink_time_travel"](spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_orders"] == 2 and abs(out[1]["total_price"] - 30.0) < 1e-9
+    assert out[2]["n_orders"] == 3 and abs(out[2]["total_price"] - 70.0) < 1e-9
+    from nedp_etl_spark.operators.scans import _read_at_version, _scratch
+
+    root = _scratch("sink_time_travel", str(tmp_path))
+    v1 = set(json.load(open(f"{root}/v1.json"))["files"])
+    v2 = set(json.load(open(f"{root}/v2.json"))["files"])
+    assert v1 < v2  # immutable commit: v2 references v1's files + new ones
+    # the @v1 scan must plan ONLY v1's files (cost independent of later commits)
+    assert set(_read_at_version(spark, root, 1).inputFiles()) == {
+        "file://" + f if not f.startswith("file:") else f for f in v1
+    }

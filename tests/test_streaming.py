@@ -312,3 +312,33 @@ def test_transform_state_timers_across_two_microbatches(spark, tmp_path):
         (u, max(n for (uu, n, k) in got if uu == u and k == "input")) for u in (1, 2)
     }
     assert final_inputs == batch
+
+
+def test_windowed_distinct_batch_equals_streaming(spark, sf_dir):
+    # The two-level distinct idiom must replay through readStream: a keyed
+    # dedup aggregate feeding a per-window count.  Chained streaming
+    # aggregations require the first level to emit finalized rows, so the
+    # replay runs the SAME two-level plan in complete mode and must equal
+    # the batch form row-for-row.
+    batch = {
+        tuple(r)
+        for r in eng.queries()["stream_windowed_distinct"](spark, sf_dir).collect()
+    }
+    ev = _stream_events(spark, sf_dir)
+    level1 = ev.select(
+        F.window("ts", "1 hour").alias("w"), "event_type", "user_id"
+    ).dropDuplicates(["w", "event_type", "user_id"])
+    agg = (
+        level1.groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_users",
+        )
+    )
+    streamed = {
+        tuple(r)
+        for r in _run_to_memory(agg, "parity_windowed_distinct", "complete").collect()
+    }
+    assert streamed == batch
