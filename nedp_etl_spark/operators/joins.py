@@ -847,3 +847,78 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("similarity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_pit_features — point-in-time feature assembly (the feature-store
+# shape): a purchase-event spine enriched with (a) the latest order AS OF
+# the event timestamp per customer — training-serving-skew-free by
+# construction, no feature may peek past its label's timestamp — and
+# (b) a static customer dimension.  The reference materializes feature
+# tables as incremental dbt models (dbtoperator.py:273-274); PIT
+# correctness is the property those models must hand-roll.
+#
+# Scale shape: the as-of step is the join+two-phase-max(struct) idiom —
+# candidates equi-join on the customer key, the rank-1 pick is a
+# map-side partial_max over (o_orderdate, o_orderkey, o_totalprice), so
+# no per-key window sort ever materializes the full candidate set; the
+# customer dim joins broadcast.  Ties are impossible (o_orderkey is
+# unique and last in no tuple position that matters: the tuple ordering
+# is date, then key).
+# --------------------------------------------------------------------------
+
+_PIT_FEATURES_ORACLE = """
+WITH spine AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+best AS (
+  SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+    SELECT s.event_id, s.user_id, o.o_orderkey, o.o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY s.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+             AS rn
+    FROM spine s JOIN orders o
+      ON o.o_custkey = s.user_id AND o.o_orderdate <= s.ts
+  ) WHERE rn = 1
+)
+SELECT b.event_id, b.user_id,
+       CAST(b.o_orderkey AS BIGINT) AS last_order_key,
+       b.o_totalprice AS last_order_price,
+       c.c_acctbal, c.c_mktsegment
+FROM best b JOIN customer c ON c.c_custkey = b.user_id
+"""
+
+
+@register("join_pit_features", oracle=_PIT_FEATURES_ORACLE)
+def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    spine = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cand = spine.join(
+        orders,
+        (F.col("o_custkey") == F.col("user_id"))
+        & (F.col("o_orderdate") <= F.col("ts")),
+    )
+    # rank-1 as a two-phase aggregate, not a window: partial_max runs
+    # map-side, so the shuffle carries one struct per (event, partition)
+    best = cand.groupBy("event_id", "user_id").agg(
+        F.max(F.struct("o_orderdate", "o_orderkey", "o_totalprice")).alias("b")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    return (
+        best.join(F.broadcast(cust), best["user_id"] == cust["c_custkey"])
+        .select(
+            "event_id",
+            "user_id",
+            F.col("b.o_orderkey").cast("bigint").alias("last_order_key"),
+            F.col("b.o_totalprice").alias("last_order_price"),
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )

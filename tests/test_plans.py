@@ -996,3 +996,14 @@ def test_windowed_distinct_two_level_aggregate(spark, sf_dir):
     assert "Join" not in plan
     assert not _has_global_window(plan)
     assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_pit_features_two_phase_rank_and_broadcast_dim(spark, sf_dir):
+    # The as-of pick must be the map-side partial_max(struct) two-phase
+    # aggregate (no per-key window sort), and the customer dim must join
+    # broadcast.
+    plan = _plan(spark, sf_dir, "join_pit_features")
+    assert "partial_max(struct" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

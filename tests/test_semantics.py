@@ -2559,3 +2559,45 @@ def test_time_travel_reads_old_version_after_new_commit(spark, tmp_path):
     assert set(_read_at_version(spark, root, 1).inputFiles()) == {
         "file://" + f if not f.startswith("file:") else f for f in v1
     }
+
+
+_CUST_SCHEMA = (
+    "c_custkey bigint, c_name string, c_nationkey bigint,"
+    " c_acctbal double, c_mktsegment string"
+)
+
+
+def test_pit_features_no_future_leak_and_tiebreak(spark, tmp_path):
+    # user 5 orders: key 100 @May1 $10, keys 101/$20 and 103/$30 both
+    # @Jun1, key 102 @Aug1 $99.  A July 1 purchase must take the LATEST
+    # order <= its ts — the Jun 1 pair — resolved to the higher key (103),
+    # and must NOT see the August order (future leak).  An April 1
+    # purchase predates every order -> no row; user 6 has no orders -> no
+    # row.
+    d = datetime.datetime
+    orders = [
+        (100, 5, "F", 10.0, d(2024, 5, 1), "1-URGENT"),
+        (101, 5, "F", 20.0, d(2024, 6, 1), "1-URGENT"),
+        (103, 5, "F", 30.0, d(2024, 6, 1), "2-HIGH"),
+        (102, 5, "O", 99.0, d(2024, 8, 1), "2-HIGH"),
+    ]
+    _write(spark, tmp_path, "orders", orders, _ORD_SCHEMA)
+    _write(
+        spark, tmp_path, "customer",
+        [(5, "cust5", 1, 77.5, "AUTOMOBILE"), (6, "cust6", 1, 1.0, "BUILDING")],
+        _CUST_SCHEMA,
+    )
+    evs = [
+        (1, d(2024, 7, 1), 5, "purchase", 1.0, "{}"),
+        (2, d(2024, 4, 1), 5, "purchase", 1.0, "{}"),
+        (3, d(2024, 7, 1), 6, "purchase", 1.0, "{}"),
+        (4, d(2024, 7, 2), 5, "click", 1.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", evs, _EV_SCHEMA)
+    out = eng.queries()["join_pit_features"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["event_id"], r["user_id"]) == (1, 5)
+    assert r["last_order_key"] == 103
+    assert r["last_order_price"] == 30.0
+    assert (r["c_acctbal"], r["c_mktsegment"]) == (77.5, "AUTOMOBILE")
