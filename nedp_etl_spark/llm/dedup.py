@@ -1113,8 +1113,11 @@ _SH32_PACK_SQL = " + ".join(
     for b in range(_SIMHASH32_BITS)
 )
 
-_DEDUP_SIMHASH_ORACLE = f"""
-WITH tok AS (
+# Public like PAIRS_SQL: the full SimHash verified-pair CTE chain, shared
+# with llm_candidate_compare's oracle below.  Top-level names do not
+# collide with PAIRS_SQL, whose internals are scoped inside its own
+# subquery.
+SIMHASH_PAIRS_SQL = f"""tok AS (
   SELECT doc_id, md5(t.tok) AS h
   FROM documents, UNNEST(string_split(text, ' ')) t(tok)
 ),
@@ -1144,13 +1147,19 @@ cand AS (
     SELECT hub AS doc_a, doc_id AS doc_b
     FROM bb WHERE bsz > {_HOT_BUCKET_CAP} AND doc_id <> hub
   )
-)
-SELECT c.doc_a, c.doc_b,
-       CAST(bit_count(xor(fa.f, fb.f)) AS INT) AS hamming
-FROM cand c
-JOIN fp fa ON fa.doc_id = c.doc_a
-JOIN fp fb ON fb.doc_id = c.doc_b
-WHERE bit_count(xor(fa.f, fb.f)) <= {_SIMHASH32_HAM_MAX}
+),
+sh_pairs AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(bit_count(xor(fa.f, fb.f)) AS INT) AS hamming
+  FROM cand c
+  JOIN fp fa ON fa.doc_id = c.doc_a
+  JOIN fp fb ON fb.doc_id = c.doc_b
+  WHERE bit_count(xor(fa.f, fb.f)) <= {_SIMHASH32_HAM_MAX}
+)"""
+
+_DEDUP_SIMHASH_ORACLE = f"""
+WITH {SIMHASH_PAIRS_SQL}
+SELECT doc_a, doc_b, hamming FROM sh_pairs
 """
 
 
@@ -1210,4 +1219,74 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fb, "doc_b")
         .filter(ham <= _SIMHASH32_HAM_MAX)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_candidate_compare — QA diagnostic comparing the two candidate
+# generators side by side: MinHash-LSH band collisions (llm_dedup_near,
+# shingle-keyed, word-ORDER-sensitive) vs verified SimHash pairs
+# (llm_dedup_simhash, bag-of-words, order-insensitive).  The pair-set
+# Jaccard and the only-one-side counts tell a curation operator whether
+# the two families disagree enough to justify running both — the
+# standard dedup-pipeline ablation (CCNet/Gopher run exactly this
+# comparison when choosing their near-dup stage).
+#
+# Scale shape: both inputs are the capped candidate generators (never
+# all-pairs); the comparison itself is ONE full-outer equi-join on
+# (doc_a, doc_b) followed by a single global aggregate — no new
+# quadratic surface.  Single-row output.
+# --------------------------------------------------------------------------
+
+_CANDIDATE_COMPARE_ORACLE = f"""
+WITH {PAIRS_SQL},
+{SIMHASH_PAIRS_SQL},
+agg AS (
+  SELECT
+    (SELECT COUNT(*) FROM pairs) AS n_minhash,
+    (SELECT COUNT(*) FROM sh_pairs) AS n_simhash,
+    (SELECT COUNT(*) FROM pairs JOIN sh_pairs USING (doc_a, doc_b)) AS n_both
+)
+SELECT CAST(n_minhash AS BIGINT) AS n_minhash,
+       CAST(n_simhash AS BIGINT) AS n_simhash,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_minhash - n_both AS BIGINT) AS only_minhash,
+       CAST(n_simhash - n_both AS BIGINT) AS only_simhash,
+       CASE WHEN n_minhash + n_simhash - n_both = 0 THEN 0.0
+            ELSE FLOOR(n_both * 1.0 / (n_minhash + n_simhash - n_both)
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS pair_jaccard
+FROM agg
+"""
+
+
+@register("llm_candidate_compare", oracle=_CANDIDATE_COMPARE_ORACLE)
+def llm_candidate_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = llm_dedup_near(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_m")
+    )
+    sh = llm_dedup_simhash(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_s")
+    )
+    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.coalesce(F.sum("in_m"), F.lit(0)).cast("bigint").alias("n_minhash"),
+        F.coalesce(F.sum("in_s"), F.lit(0)).cast("bigint").alias("n_simhash"),
+        F.coalesce(F.sum(F.col("in_m") * F.col("in_s")), F.lit(0))
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    nm, ns, nb = F.col("n_minhash"), F.col("n_simhash"), F.col("n_both")
+    denom = nm + ns - nb
+    return agg.select(
+        "n_minhash",
+        "n_simhash",
+        "n_both",
+        (nm - nb).cast("bigint").alias("only_minhash"),
+        (ns - nb).cast("bigint").alias("only_simhash"),
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(
+            F.floor(nb * 1.0 / denom * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+        )
+        .alias("pair_jaccard"),
     )

@@ -92,6 +92,7 @@ _PRIORITY: list[str] = [
     "stream_windowed_distinct",   # NEW r8: two-level distinct-per-window
     "sink_time_travel",           # NEW r8: manifest-versioned snapshots
     "join_pit_features",          # NEW r8: point-in-time feature assembly
+    "llm_candidate_compare",      # NEW r8: minhash-vs-simhash pair-set QA
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

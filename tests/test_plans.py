@@ -1007,3 +1007,13 @@ def test_pit_features_two_phase_rank_and_broadcast_dim(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_candidate_compare_no_new_quadratic_surface(spark, sf_dir):
+    # The comparison adds ONE keyed full-outer join over the two capped
+    # candidate sets — any nested-loop shape in the plan could only come
+    # from the generators themselves, which ban it (their own tests), so
+    # the composed plan must have none either.
+    plan = _plan(spark, sf_dir, "llm_candidate_compare")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2601,3 +2601,28 @@ def test_pit_features_no_future_leak_and_tiebreak(spark, tmp_path):
     assert r["last_order_key"] == 103
     assert r["last_order_price"] == 30.0
     assert (r["c_acctbal"], r["c_mktsegment"]) == (77.5, "AUTOMOBILE")
+
+
+def test_candidate_compare_order_sensitivity_split(spark, tmp_path):
+    # docs 1/2: byte-identical -> identical minhash signatures AND identical
+    # simhash fingerprints, so the pair lands in BOTH candidate sets.
+    # docs 3/4: same word BAG, shuffled order -> simhash (bag-of-words) sees
+    # hamming 0, but every 3-shingle differs so MinHash-LSH misses the pair
+    # — the split that justifies running both generators.
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, text, "en", "s", len(text)),
+        (2, text, "en", "s", len(text)),
+        (3, "one two three four five six seven eight nine ten", "en", "s", 49),
+        (4, "ten nine eight seven six five four three two one", "en", "s", 49),
+    ]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = eng.queries()["llm_candidate_compare"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_both"] >= 1          # the identical pair, in both sets
+    assert r["only_simhash"] >= 1    # the shuffled pair, simhash-only
+    assert r["n_minhash"] == r["n_both"] + r["only_minhash"]
+    assert r["n_simhash"] == r["n_both"] + r["only_simhash"]
+    union = r["n_minhash"] + r["n_simhash"] - r["n_both"]
+    assert abs(r["pair_jaccard"] - math.floor(r["n_both"] / union * 1e6 + 0.5) / 1e6) < 1e-9
