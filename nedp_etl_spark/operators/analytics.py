@@ -2011,3 +2011,258 @@ def agg_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(ratio - z * se).alias("ci_lo"),
         q6(ratio + z * se).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_power_analysis — required per-arm sample size from OBSERVED variance:
+# n = (z_{1-a/2} + z_{power})^2 * 2*s_pooled^2 / mde^2 for a two-sample
+# test at alpha=.05 / power=.80 with a 5%-of-mean minimum detectable
+# effect — the experimentation-platform pre-flight every A/B system runs
+# before launch.  The reference reaches experiment sizing only as
+# dbt-model SQL (dbtoperator.py:273-274).
+#
+# Cross-engine determinism: per-arm moments are the agg_welch_ttest exact
+# DECIMAL sums; variances/means/mde pass through the q6 FLOOR quantize,
+# and the final CEIL acts on an already-quantized double, so it is
+# bit-identical.  Scale: one keyed aggregate, no joins.
+# --------------------------------------------------------------------------
+
+_PW_Z = "5.612119"  # (z_.975 + z_.80)^2 = (1.959964 + 0.841621)^2, 6-dp
+
+_POWER_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, user_id % 2 AS arm,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type, user_id % 2
+),
+p AS (
+  SELECT event_type,
+         MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+         MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+         MAX(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+         MAX(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+  FROM s GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n0, n1,
+         FLOOR(((sxx0 - sx0 * sx0 / n0) * 1.0 + (sxx1 - sx1 * sx1 / n1))
+               / (n0 + n1 - 2) * 1000000.0 + 0.5) / 1000000.0 AS pooled_var,
+         FLOOR((sx0 + sx1) / (n0 + n1) * 0.05 * 1000000.0 + 0.5) / 1000000.0
+           AS mde
+  FROM p WHERE n0 >= 2 AND n1 >= 2
+)
+SELECT event_type, CAST(n0 AS BIGINT) AS n_arm0, CAST(n1 AS BIGINT) AS n_arm1,
+       pooled_var, mde,
+       CASE WHEN mde = 0 THEN NULL
+            ELSE CAST(CEIL({_PW_Z} * 2.0 * pooled_var / (mde * mde)) AS BIGINT)
+       END AS n_required
+FROM m
+"""
+
+
+@register("agg_power_analysis", oracle=_POWER_ORACLE)
+def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import q6
+
+    ev = load(spark, sf_dir, "events")
+    dec25 = F.col("value").cast("decimal(25,6)")
+    dec18 = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec25).cast("double").alias("sx"),
+        F.sum(dec18 * dec18).cast("double").alias("sxx"),
+    )
+    p = s.groupBy("event_type").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sx"))).alias("sx0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sxx"))).alias("sxx0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sxx"))).alias("sxx1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    sx0, sx1 = F.col("sx0"), F.col("sx1")
+    m = p.filter((n0 >= 2) & (n1 >= 2)).select(
+        "event_type",
+        "n0",
+        "n1",
+        q6(
+            (
+                (F.col("sxx0") - sx0 * sx0 / n0) * 1.0
+                + (F.col("sxx1") - sx1 * sx1 / n1)
+            )
+            / (n0 + n1 - 2)
+        ).alias("pooled_var"),
+        q6((sx0 + sx1) / (n0 + n1) * 0.05).alias("mde"),
+    )
+    mde = F.col("mde")
+    return m.select(
+        "event_type",
+        n0.cast("bigint").alias("n_arm0"),
+        n1.cast("bigint").alias("n_arm1"),
+        "pooled_var",
+        "mde",
+        F.when(mde == 0, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.ceil(
+                F.lit(float(_PW_Z)) * 2.0 * F.col("pooled_var") / (mde * mde)
+            ).cast("bigint")
+        )
+        .alias("n_required"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_diff_in_diff — 2x2 difference-in-differences per metric: treatment
+# assignment by user hash (user_id % 2), the pre/post boundary at the
+# corpus midpoint timestamp, cell means from exact DECIMAL sums,
+# DiD = (mT_post - mT_pre) - (mC_post - mC_pre), and the unpooled
+# (Welch-style) standard error sqrt(sum v_cell / n_cell) — the canonical
+# causal readout for a launch that wasn't a clean experiment.  The
+# reference reaches causal analytics only as dbt-model SQL
+# (dbtoperator.py:273-274).
+#
+# Determinism: the midpoint is integer epoch-microsecond arithmetic from
+# a 1-row (min,max) aggregate (allowlisted broadcast); every mean /
+# variance / difference passes the q6 FLOOR quantize; sqrt is quantized
+# after.  Scale: one 1-row broadcast + one keyed 4-cell-per-metric
+# aggregate — map-side combine, no quadratic surface.
+# --------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH bounds AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut FROM events
+),
+cells AS (
+  SELECT event_type, user_id % 2 AS treat,
+         CASE WHEN epoch_us(ts) >= b.cut THEN 1 ELSE 0 END AS post,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              AS DOUBLE) AS sxx
+  FROM events CROSS JOIN bounds b
+  GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT event_type,
+         MAX(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n00,
+         MAX(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n01,
+         MAX(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n10,
+         MAX(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n11,
+         MAX(CASE WHEN treat = 0 AND post = 0 THEN sx END) AS sx00,
+         MAX(CASE WHEN treat = 0 AND post = 1 THEN sx END) AS sx01,
+         MAX(CASE WHEN treat = 1 AND post = 0 THEN sx END) AS sx10,
+         MAX(CASE WHEN treat = 1 AND post = 1 THEN sx END) AS sx11,
+         MAX(CASE WHEN treat = 0 AND post = 0 THEN sxx END) AS sxx00,
+         MAX(CASE WHEN treat = 0 AND post = 1 THEN sxx END) AS sxx01,
+         MAX(CASE WHEN treat = 1 AND post = 0 THEN sxx END) AS sxx10,
+         MAX(CASE WHEN treat = 1 AND post = 1 THEN sxx END) AS sxx11
+  FROM cells GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n00, n01, n10, n11,
+         FLOOR(sx00 / n00 * 1000000.0 + 0.5) / 1000000.0 AS m00,
+         FLOOR(sx01 / n01 * 1000000.0 + 0.5) / 1000000.0 AS m01,
+         FLOOR(sx10 / n10 * 1000000.0 + 0.5) / 1000000.0 AS m10,
+         FLOOR(sx11 / n11 * 1000000.0 + 0.5) / 1000000.0 AS m11,
+         FLOOR((sxx00 - sx00 * sx00 / n00) / (n00 - 1) * 1000000.0 + 0.5) / 1000000.0 AS v00,
+         FLOOR((sxx01 - sx01 * sx01 / n01) / (n01 - 1) * 1000000.0 + 0.5) / 1000000.0 AS v01,
+         FLOOR((sxx10 - sx10 * sx10 / n10) / (n10 - 1) * 1000000.0 + 0.5) / 1000000.0 AS v10,
+         FLOOR((sxx11 - sx11 * sx11 / n11) / (n11 - 1) * 1000000.0 + 0.5) / 1000000.0 AS v11
+  FROM p
+  WHERE n00 >= 2 AND n01 >= 2 AND n10 >= 2 AND n11 >= 2
+),
+r AS (
+  SELECT event_type, n00, n01, n10, n11,
+         FLOOR(((m11 - m10) - (m01 - m00)) * 1000000.0 + 0.5) / 1000000.0 AS did,
+         FLOOR(sqrt(v00 / n00 + v01 / n01 + v10 / n10 + v11 / n11)
+               * 1000000.0 + 0.5) / 1000000.0 AS se
+  FROM m
+)
+SELECT event_type,
+       CAST(n00 AS BIGINT) AS n_ctl_pre, CAST(n01 AS BIGINT) AS n_ctl_post,
+       CAST(n10 AS BIGINT) AS n_trt_pre, CAST(n11 AS BIGINT) AS n_trt_post,
+       did, se,
+       CASE WHEN se = 0 THEN NULL
+            ELSE FLOOR(did / se * 1000000.0 + 0.5) / 1000000.0
+       END AS t_stat
+FROM r
+"""
+
+
+@register("agg_diff_in_diff", oracle=_DID_ORACLE)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import q6
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / F.lit(2))
+        .cast("bigint")
+        .alias("cut")
+    )  # 1-row broadcast; // 2 on a non-negative sum == cast-truncate
+    dec25 = F.col("value").cast("decimal(25,6)")
+    dec18 = F.col("value").cast("decimal(18,6)")
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            (F.col("user_id") % 2).alias("treat"),
+            F.when(F.unix_micros("ts") >= F.col("cut"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec25).cast("double").alias("sx"),
+            F.sum(dec18 * dec18).cast("double").alias("sxx"),
+        )
+    )
+
+    def _cell(col: str, t: int, q: int):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == q), F.col(col))
+        ).alias(f"{col}{t}{q}")
+
+    p = cells.groupBy("event_type").agg(
+        *[_cell(c, t, q) for c in ("n", "sx", "sxx") for t in (0, 1) for q in (0, 1)]
+    )
+    names = [(t, q) for t in (0, 1) for q in (0, 1)]
+    cond = None
+    for t, q in names:
+        c = F.col(f"n{t}{q}") >= 2
+        cond = c if cond is None else (cond & c)
+    sel = ["event_type"] + [F.col(f"n{t}{q}") for t, q in names]
+    for t, q in names:
+        n, sx, sxx = F.col(f"n{t}{q}"), F.col(f"sx{t}{q}"), F.col(f"sxx{t}{q}")
+        sel.append(q6(sx / n).alias(f"m{t}{q}"))
+        sel.append(q6((sxx - sx * sx / n) / (n - 1)).alias(f"v{t}{q}"))
+    m = p.filter(cond).select(*sel)
+    did = q6((F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00")))
+    se = q6(
+        F.sqrt(
+            F.col("v00") / F.col("n00")
+            + F.col("v01") / F.col("n01")
+            + F.col("v10") / F.col("n10")
+            + F.col("v11") / F.col("n11")
+        )
+    )
+    r = m.select(
+        "event_type",
+        F.col("n00").cast("bigint").alias("n_ctl_pre"),
+        F.col("n01").cast("bigint").alias("n_ctl_post"),
+        F.col("n10").cast("bigint").alias("n_trt_pre"),
+        F.col("n11").cast("bigint").alias("n_trt_post"),
+        did.alias("did"),
+        se.alias("se"),
+    )
+    return r.withColumn(
+        "t_stat",
+        F.when(F.col("se") == 0, F.lit(None).cast("double")).otherwise(
+            q6(F.col("did") / F.col("se"))
+        ),
+    )

@@ -93,6 +93,8 @@ _PRIORITY: list[str] = [
     "sink_time_travel",           # NEW r8: manifest-versioned snapshots
     "join_pit_features",          # NEW r8: point-in-time feature assembly
     "llm_candidate_compare",      # NEW r8: minhash-vs-simhash pair-set QA
+    "agg_power_analysis",         # NEW r8: A/B sample-size pre-flight
+    "agg_diff_in_diff",           # NEW r8: 2x2 DiD causal readout
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

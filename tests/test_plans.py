@@ -252,6 +252,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_class_weights",  # 1-row (k, sum raw_w) totals broadcast (O(#labels))
                    "graph_hits",  # 1-row L1-mass totals broadcast per half-iteration (O(#nodes))
                    "agg_market_basket",  # 1-row distinct-user total broadcast (O(|T|^2) pairs)
+                   "agg_diff_in_diff",  # 1-row (min,max)-midpoint cut broadcast (O(cells))
                    "agg_survival_km"}  # 1-row corpus-end-date broadcast (O(n) aggregate)
 
 
@@ -1017,3 +1018,19 @@ def test_candidate_compare_no_new_quadratic_surface(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_candidate_compare")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_power_analysis_single_scan_no_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_power_analysis")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_diff_in_diff_one_broadcast_no_window(spark, sf_dir):
+    # Two scans of events (the 1-row bounds aggregate + the cells pass);
+    # the only join shape is the broadcast of that single row.
+    plan = _plan(spark, sf_dir, "agg_diff_in_diff")
+    assert plan.count("FileScan parquet") <= 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

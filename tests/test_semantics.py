@@ -2626,3 +2626,50 @@ def test_candidate_compare_order_sensitivity_split(spark, tmp_path):
     assert r["n_simhash"] == r["n_both"] + r["only_simhash"]
     union = r["n_minhash"] + r["n_simhash"] - r["n_both"]
     assert abs(r["pair_jaccard"] - math.floor(r["n_both"] / union * 1e6 + 0.5) / 1e6) < 1e-9
+
+
+def test_power_analysis_hand_computed(spark, tmp_path):
+    # Same cells as the Welch fixture: arms (10,12,14) / (20,22,24) ->
+    # pooled_var = (8+8)/4 = 4, grand mean 17 -> mde = 0.85,
+    # n = ceil(5.612119 * 2 * 4 / 0.7225) = ceil(62.141...) = 63.
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    vals0, vals1 = [10.0, 12.0, 14.0], [20.0, 22.0, 24.0]
+    rows = [(i, base, 2, "a", v, "{}") for i, v in enumerate(vals0)] + [
+        (10 + i, base, 1, "a", v, "{}") for i, v in enumerate(vals1)
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = eng.queries()["agg_power_analysis"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_arm0"], r["n_arm1"]) == (3, 3)
+    assert r["pooled_var"] == 4.0
+    assert r["mde"] == 0.85
+    assert r["n_required"] == math.ceil(5.612119 * 2.0 * 4.0 / (0.85 * 0.85))
+    assert r["n_required"] == 63
+
+
+def test_diff_in_diff_hand_computed(spark, tmp_path):
+    # 2x2 cells, two rows each, all variances 2:
+    #   ctl pre (11) / post (13); trt pre (21) / post (31).
+    # DiD = (31-21) - (13-11) = 8; se = sqrt(4*(2/2)) = 2; t = 4.
+    d = datetime.datetime
+    pre, post = d(2024, 1, 1), d(2024, 1, 9)
+    cells = [
+        (0, pre, [10.0, 12.0]), (0, post, [12.0, 14.0]),
+        (1, pre, [20.0, 22.0]), (1, post, [30.0, 32.0]),
+    ]
+    rows, i = [], 0
+    for u, ts, vs in cells:
+        for v in vs:
+            rows.append((i, ts + datetime.timedelta(minutes=i), u, "a", v, "{}"))
+            i += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = eng.queries()["agg_diff_in_diff"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_ctl_pre"], r["n_ctl_post"], r["n_trt_pre"], r["n_trt_post"]) == (
+        2, 2, 2, 2,
+    )
+    assert r["did"] == 8.0
+    assert r["se"] == 2.0
+    assert r["t_stat"] == 4.0
