@@ -2266,3 +2266,52 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6(F.col("did") / F.col("se"))
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_time_decay_score — exponentially time-decayed engagement score per
+# user: score = sum(value * 2^(-age_days / 7)) with a 7-day half-life,
+# age measured against the corpus high-water mark — the recency-weighted
+# ranking signal every feed/retention system computes.  The reference
+# reaches scoring models only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Cross-engine determinism: "now" is a 1-row MAX(ts) broadcast in exact
+# epoch microseconds (allowlisted); the per-row decay passes POWER then
+# the contribution is quantized to int64 micro-units IMMEDIATELY
+# (periodogram discipline), so the per-user sums are order-independent.
+# Scale: one scan, one 1-row broadcast, one keyed aggregate.
+# --------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+WITH hw AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+c AS (
+  SELECT user_id,
+         CAST(FLOOR(value * POWER(2.0, -((hw.now_us - epoch_us(ts))
+                                         / 86400000000.0) / 7.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS cq
+  FROM events CROSS JOIN hw
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(cq) / 1000000.0 AS score
+FROM c GROUP BY user_id
+"""
+
+
+@register("agg_time_decay_score", oracle=_DECAY_ORACLE)
+def agg_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hw = ev.agg(F.max(F.unix_micros("ts")).alias("now_us"))  # 1-row broadcast
+    age_days = (F.col("now_us") - F.unix_micros("ts")) / 86400000000.0
+    cq = F.floor(
+        F.col("value") * F.pow(F.lit(2.0), -age_days / 7.0) * 1_000_000.0
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        ev.crossJoin(F.broadcast(hw))
+        .select("user_id", cq.alias("cq"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.sum("cq") / 1_000_000.0).alias("score"),
+        )
+    )

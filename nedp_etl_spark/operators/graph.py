@@ -426,15 +426,16 @@ def _lpa_oracle() -> str:
     FROM c{i + 1}
   ) WHERE rn = 1
 )""")
-    return (
-        "WITH " + ",\n".join(ctes) + f"""
+    return ",\n".join(ctes)
+
+
+# CTE chain shared with graph_modularity's oracle; final labels in l{rounds}
+_LPA_CTES = _lpa_oracle()
+
+_LPA_ORACLE = f"""WITH {_LPA_CTES}
 SELECT node, lbl AS community,
        COUNT(*) OVER (PARTITION BY lbl) AS community_size
 FROM l{_LPA_ROUNDS}"""
-    )
-
-
-_LPA_ORACLE = _lpa_oracle()
 
 
 @register("graph_label_propagation", oracle=_LPA_ORACLE)
@@ -928,4 +929,100 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         (F.col("aq") / float(_HQ)).alias("authority"),
         (F.col("hq") / float(_HQ)).alias("hub"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_modularity — per-community modularity decomposition of the LPA
+# communities over the synthesized crawl graph: contribution_c =
+# in_c/2m − (tot_c/2m)², the QA readout that says whether the detected
+# communities are denser than chance (sum > 0) or noise.  Uses the exact
+# label-propagation chain of graph_label_propagation (shared oracle
+# CTEs), so both engines score the identical partition.
+#
+# Scale shape: LPA labels join the checkpointed symmetric edge list
+# twice (src side for weighted degree, both sides for internal mass) —
+# keyed equi-joins and keyed aggregates only; the 1-row total-weight
+# broadcast is allowlisted.  All masses are exact int64 sums; the two
+# divisions happen once per community and pass the q6 FLOOR quantize.
+# --------------------------------------------------------------------------
+
+_MODULARITY_ORACLE = f"""WITH {_LPA_CTES},
+fin AS (SELECT node, lbl FROM l{_LPA_ROUNDS}),
+m2 AS (SELECT SUM(w) AS s FROM es),
+tot AS (
+  SELECT l.lbl AS community, CAST(SUM(es.w) AS BIGINT) AS tot_w
+  FROM es JOIN fin l ON l.node = es.src GROUP BY 1
+),
+inw AS (
+  SELECT la.lbl AS community, CAST(SUM(es.w) AS BIGINT) AS in_w
+  FROM es
+  JOIN fin la ON la.node = es.src
+  JOIN fin lb ON lb.node = es.dst
+  WHERE la.lbl = lb.lbl GROUP BY 1
+),
+sz AS (SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM fin GROUP BY 1)
+SELECT sz.community, sz.n_nodes,
+       CAST(COALESCE(inw.in_w, 0) AS BIGINT) AS in_w,
+       tot.tot_w,
+       FLOOR((COALESCE(inw.in_w, 0) * 1.0 / m2.s
+              - (tot.tot_w * 1.0 / m2.s) * (tot.tot_w * 1.0 / m2.s))
+             * 1000000.0 + 0.5) / 1000000.0 AS contribution
+FROM sz
+JOIN tot ON tot.community = sz.community
+LEFT JOIN inw ON inw.community = sz.community
+CROSS JOIN m2
+"""
+
+
+@register("graph_modularity", oracle=_MODULARITY_ORACLE)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    src = (F.col("doc_id") % _N_NODES).alias("src")
+    e0 = d.select(src, ((F.col("doc_id") * 7 + 3) % _N_NODES).alias("dst")).unionAll(
+        d.select(src, ((F.col("doc_id") * 13 + 1) % _N_NODES).alias("dst"))
+    )
+    es = (
+        e0.select("src", "dst")
+        .unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    fin = graph_label_propagation(spark, sf_dir).select("node", "community")
+    m2 = es.agg(F.sum("w").alias("s"))  # 1-row broadcast (2m)
+    la = fin.select(F.col("node").alias("src"), F.col("community").alias("ca"))
+    lb = fin.select(F.col("node").alias("dst"), F.col("community").alias("cb"))
+    tot = (
+        es.join(la, "src")
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("w").cast("bigint").alias("tot_w"))
+    )
+    inw = (
+        es.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("w").cast("bigint").alias("in_w"))
+    )
+    sz = fin.groupBy("community").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    in_w = F.coalesce(F.col("in_w"), F.lit(0)).cast("bigint")
+    s = F.col("s")
+    contrib = (
+        in_w * 1.0 / s - (F.col("tot_w") * 1.0 / s) * (F.col("tot_w") * 1.0 / s)
+    )
+    return (
+        sz.join(tot, "community")
+        .join(inw, "community", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "community",
+            "n_nodes",
+            in_w.alias("in_w"),
+            "tot_w",
+            (F.floor(contrib * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+                "contribution"
+            ),
+        )
     )

@@ -95,6 +95,8 @@ _PRIORITY: list[str] = [
     "llm_candidate_compare",      # NEW r8: minhash-vs-simhash pair-set QA
     "agg_power_analysis",         # NEW r8: A/B sample-size pre-flight
     "agg_diff_in_diff",           # NEW r8: 2x2 DiD causal readout
+    "graph_modularity",           # NEW r8: per-community modularity QA
+    "agg_time_decay_score",       # NEW r8: half-life engagement scoring
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

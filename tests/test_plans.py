@@ -253,6 +253,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "graph_hits",  # 1-row L1-mass totals broadcast per half-iteration (O(#nodes))
                    "agg_market_basket",  # 1-row distinct-user total broadcast (O(|T|^2) pairs)
                    "agg_diff_in_diff",  # 1-row (min,max)-midpoint cut broadcast (O(cells))
+                   "graph_modularity",  # 1-row total-edge-mass (2m) broadcast (O(#communities))
+                   "agg_time_decay_score",  # 1-row MAX(ts) high-water broadcast (O(n) agg)
                    "agg_survival_km"}  # 1-row corpus-end-date broadcast (O(n) aggregate)
 
 
@@ -1032,5 +1034,20 @@ def test_diff_in_diff_one_broadcast_no_window(spark, sf_dir):
     # the only join shape is the broadcast of that single row.
     plan = _plan(spark, sf_dir, "agg_diff_in_diff")
     assert plan.count("FileScan parquet") <= 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_keyed_joins_over_checkpointed_edges(spark, sf_dir):
+    # Labels join the MATERIALIZED edge list (Scan ExistingRDD); no
+    # all-pairs shape beyond the allowlisted 1-row 2m broadcast.
+    plan = _plan(spark, sf_dir, "graph_modularity")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_decay_single_scan_keyed_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_time_decay_score")
+    assert plan.count("FileScan parquet") <= 2  # high-water pass + score pass
     assert "Window" not in plan
     assert "CartesianProduct" not in plan

@@ -2673,3 +2673,43 @@ def test_diff_in_diff_hand_computed(spark, tmp_path):
     assert r["did"] == 8.0
     assert r["se"] == 2.0
     assert r["t_stat"] == 4.0
+
+
+def test_modularity_internal_consistency(spark, tmp_path):
+    # 60 docs -> the fixed 40-node crawl graph.  Verify the decomposition
+    # against its own exact integer masses: sum(tot_w) must equal 2m (each
+    # community's weighted degree partitions the symmetrized edge mass),
+    # node counts partition the 40 nodes, in_w <= tot_w, and every
+    # contribution must equal the formula recomputed in python from the
+    # row's int64 masses — same FLOOR quantize.
+    rows = [(i, f"doc {i}", "en", "s", 10) for i in range(60)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = eng.queries()["graph_modularity"](spark, str(tmp_path)).collect()
+    s = sum(r["tot_w"] for r in out)
+    assert s == 4 * 60  # 2 edge families x 60 docs, symmetrized
+    assert sum(r["n_nodes"] for r in out) == 40
+    for r in out:
+        assert 0 <= r["in_w"] <= r["tot_w"]
+        expect = math.floor(
+            (r["in_w"] / s - (r["tot_w"] / s) ** 2) * 1e6 + 0.5
+        ) / 1e6
+        assert abs(r["contribution"] - expect) < 1e-9
+
+
+def test_time_decay_score_hand_computed(spark, tmp_path):
+    # user 1: value 10 at the high-water mark (decay 1) + value 8 exactly
+    # one half-life (7 days) earlier (decay 0.5) -> score 10 + 4 = 14.
+    # user 2: value 6 fourteen days back -> 6 * 0.25 = 1.5.
+    now = datetime.datetime(2024, 3, 15, 12, 0, 0)
+    rows = [
+        (1, now, 1, "a", 10.0, "{}"),
+        (2, now - datetime.timedelta(days=7), 1, "a", 8.0, "{}"),
+        (3, now - datetime.timedelta(days=14), 2, "a", 6.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        r["user_id"]: r
+        for r in eng.queries()["agg_time_decay_score"](spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_events"] == 2 and abs(out[1]["score"] - 14.0) < 1e-9
+    assert out[2]["n_events"] == 1 and abs(out[2]["score"] - 1.5) < 1e-9
