@@ -1026,3 +1026,189 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# graph_clustering_coefficient — per-node local clustering coefficient of
+# the LSH near-duplicate pair graph: c(v) = 2·t(v) / (d(v)·(d(v)−1)),
+# where t(v) counts triangles through v.  The node-level companion to
+# graph_triangle_count's global census: nodes with high degree but low
+# clustering are band-collision hubs (neighbors unrelated to each other),
+# while true duplicate clusters are near-cliques with c ≈ 1 — the standard
+# per-node QA cut for deciding which LSH components to trust.  The
+# reference reaches graph QA only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Scale shape: triangles are enumerated ONCE by the oriented
+# compact-forward join of graph_triangle_count (fan-out bounded by
+# forward-degree), then exploded to their 3 corners and counted per node —
+# keyed aggregates only.  Degrees are a node-keyed aggregate on the
+# symmetrized edges.  The pair graph is localCheckpoint-ed so the LSH
+# lineage runs exactly once.  Cross-engine determinism: t and d are exact
+# int64; the single division passes the q6 FLOOR quantize.
+# --------------------------------------------------------------------------
+
+_CLUSTCOEF_ORACLE = f"""
+WITH {_PAIR_EDGES_SQL},
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+tn AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT node, COUNT(*) AS t FROM tn GROUP BY node),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u)
+SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+       CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN FLOOR(2.0 * COALESCE(tc.t, 0)
+                       / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0))
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN tc ON tc.node = deg.node
+"""
+
+
+@register("graph_clustering_coefficient", oracle=_CLUSTCOEF_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.llm.dedup import llm_dedup_near
+
+    pairs = (
+        llm_dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # freeze the LSH lineage (one derivation)
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    t = F.coalesce(F.col("t"), F.lit(0))
+    dd = F.col("d").cast("double")
+    return deg.join(tcnt, "node", "left").select(
+        "node",
+        F.col("d").cast("bigint").alias("degree"),
+        t.cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("d") >= 2,
+            F.floor(2.0 * t / (dd * (dd - 1.0)) * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_degree_assortativity — degree-degree Pearson correlation of the
+# near-duplicate pair graph: over every directed (symmetrized) edge, the
+# correlation of the endpoints' degrees.  Positive r means hubs attach to
+# hubs (dense clique-of-clones structure, the healthy dedup signature);
+# strongly negative r means star topology — one template document matching
+# many unrelated pages, the classic boilerplate-collision smell worth a
+# threshold/band re-tune.  Complements graph_clustering_coefficient's
+# per-node view with one corpus-level scalar.
+#
+# Scale shape: degrees are one keyed aggregate; attaching them to both
+# edge endpoints is two equi-joins on node id; the correlation is one
+# global aggregate over exact int64 sums (Σx, Σy, Σxy, Σx², Σy² — degree
+# products fit int64 up to ~3e9-degree graphs).  No broadcast, no window.
+# Determinism: the sums are exact integers on both engines; the final
+# expression is the same IEEE double formula on the same exact inputs,
+# quantized q6.  Degenerate graphs (all degrees equal → zero variance)
+# return NULL rather than 0/0.
+# --------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+WITH {_PAIR_EDGES_SQL},
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+ed AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM sym
+  JOIN deg du ON du.node = sym.u
+  JOIN deg dv ON dv.node = sym.v
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT n AS n_directed_edges,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0.0
+            THEN FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE NULL END AS assortativity
+FROM s
+"""
+
+
+@register("graph_degree_assortativity", oracle=_ASSORT_ORACLE)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.llm.dedup import llm_dedup_near
+
+    pairs = (
+        llm_dedup_near(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # freeze the LSH lineage (one derivation)
+    )
+    sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    ed = sym.join(du, "u").join(dv, "v")
+    s = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.when(
+            varx * vary > 0.0,
+            F.floor(cov / F.sqrt(varx * vary) * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0,
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("assortativity"),
+    )

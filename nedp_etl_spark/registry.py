@@ -97,6 +97,8 @@ _PRIORITY: list[str] = [
     "agg_diff_in_diff",           # NEW r8: 2x2 DiD causal readout
     "graph_modularity",           # NEW r8: per-community modularity QA
     "agg_time_decay_score",       # NEW r8: half-life engagement scoring
+    "graph_clustering_coefficient",  # NEW r8: per-node triangle density QA
+    "graph_degree_assortativity",    # NEW r8: degree-degree Pearson readout
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

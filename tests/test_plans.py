@@ -1051,3 +1051,22 @@ def test_time_decay_single_scan_keyed_agg(spark, sf_dir):
     assert plan.count("FileScan parquet") <= 2  # high-water pass + score pass
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+def test_clustering_coefficient_keyed_joins_only(spark, sf_dir):
+    # Triangle corners + degrees over the CHECKPOINTED pair graph: every
+    # join is an equi-join on node ids — no nested loop, no window.
+    plan = _plan(spark, sf_dir, "graph_clustering_coefficient")
+    assert "Scan ExistingRDD" in plan          # checkpointed LSH pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_degree_assortativity_keyed_joins_only(spark, sf_dir):
+    # Degrees attach to both edge endpoints via equi-joins; the Pearson
+    # readout is one global aggregate — no nested loop, no window.
+    plan = _plan(spark, sf_dir, "graph_degree_assortativity")
+    assert "Scan ExistingRDD" in plan          # checkpointed LSH pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

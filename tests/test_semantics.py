@@ -2713,3 +2713,64 @@ def test_time_decay_score_hand_computed(spark, tmp_path):
     }
     assert out[1]["n_events"] == 2 and abs(out[1]["score"] - 14.0) < 1e-9
     assert out[2]["n_events"] == 1 and abs(out[2]["score"] - 1.5) < 1e-9
+
+
+def test_clustering_coefficient_internal_consistency(spark, tmp_path):
+    # 60 docs -> the fixture near-dup pair graph.  Each row's coefficient
+    # must equal 2t/(d(d-1)) recomputed from its OWN exact integers (same
+    # FLOOR quantize), d=1 rows must read 0.0, and the per-node triangle
+    # counts must sum to exactly 3x the global census from
+    # graph_triangle_count (each triangle has three corners).
+    rows = [(i, f"doc {i} common shingle text", "en", "s", 24) for i in range(60)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = eng.queries()["graph_clustering_coefficient"](spark, str(tmp_path)).collect()
+    assert out, "pair graph is empty — fixture no longer collides"
+    for r in out:
+        if r["degree"] >= 2:
+            expect = (
+                math.floor(
+                    2.0 * r["n_triangles"] / (r["degree"] * (r["degree"] - 1.0)) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            )
+            assert abs(r["clustering"] - expect) < 1e-9
+            assert 0.0 <= r["clustering"] <= 1.0
+        else:
+            assert r["clustering"] == 0.0 and r["n_triangles"] == 0
+    census = eng.queries()["graph_triangle_count"](spark, str(tmp_path)).collect()[0]
+    assert sum(r["n_triangles"] for r in out) == 3 * census["n_triangles"]
+
+
+def test_degree_assortativity_matches_python_recompute(spark, tmp_path):
+    # Recompute Pearson r over (deg(u), deg(v)) for every directed edge in
+    # python from the SAME pair list and degree map, same FLOOR quantize.
+    rows = [(i, f"doc {i} common shingle text", "en", "s", 24) for i in range(60)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in eng.queries()["llm_dedup_near"](spark, str(tmp_path))
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    deg: dict[int, int] = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xy = [(deg[a], deg[b]) for a, b in pairs] + [(deg[b], deg[a]) for a, b in pairs]
+    n = len(xy)
+    sx = sum(x for x, _ in xy); sy = sum(y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    sxx = sum(x * x for x, _ in xy); syy = sum(y * y for _, y in xy)
+    varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+    out = eng.queries()["graph_degree_assortativity"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_directed_edges"] == n
+    if varx * vary > 0:
+        expect = (
+            math.floor((n * sxy - sx * sy) / math.sqrt(varx * vary) * 1e6 + 0.5) / 1e6
+        )
+        assert abs(r["assortativity"] - expect) < 1e-9
+    else:
+        assert r["assortativity"] is None
