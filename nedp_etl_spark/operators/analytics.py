@@ -2315,3 +2315,256 @@ def agg_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cq") / 1_000_000.0).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_mannwhitney_u — Mann-Whitney U rank-sum test per metric (arms by
+# user_id parity, the welch-ttest convention): the non-parametric
+# companion to agg_welch_ttest for skewed engagement metrics where the
+# t-test's normality assumption fails.  Average ranks with the standard
+# tie correction; z via the normal approximation.  The reference reaches
+# hypothesis testing only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Scale shape: ranks are NEVER assigned per row — values collapse to the
+# (event_type, value) distribution first (the agg_ks_test discipline), so
+# the only window runs over DISTINCT values per metric, and the rank sum
+# uses the closed form 2·avgrank = 2·cum_before + nv + 1 kept in exact
+# int64 end-to-end (doubled to avoid half-integer ranks).  Bound: the
+# doubled rank-sum is ≤ 2N² and the tie term ≤ N³ for a fully-tied
+# metric — int64-safe through ~2e6 rows per metric group; size groups or
+# move the two sums to decimal beyond that.
+# --------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH v AS (
+  SELECT event_type, value AS val,
+         COUNT(*) AS nv,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1v
+  FROM events GROUP BY event_type, value
+),
+c AS (
+  SELECT event_type, val, nv, n1v,
+         COALESCE(SUM(nv) OVER (PARTITION BY event_type ORDER BY val
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb
+  FROM v
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(nv) AS BIGINT) AS n,
+         CAST(SUM(n1v) AS BIGINT) AS n1,
+         CAST(SUM(n1v * (2 * cb + nv + 1)) AS BIGINT) AS r1_2,
+         CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS tie_t
+  FROM c GROUP BY event_type
+),
+z AS (
+  SELECT event_type, n, n1,
+         r1_2 - n1 * (n1 + 1) AS u2,
+         CASE WHEN n >= 2
+              THEN CAST(n - n1 AS DOUBLE) * n1 / 12.0
+                   * ((n + 1) - tie_t / (CAST(n AS DOUBLE) * (n - 1.0)))
+              ELSE 0.0 END AS sigma2
+  FROM s
+)
+SELECT event_type,
+       CAST(n - n1 AS BIGINT) AS n_control, n1 AS n_treat,
+       u2 / 2.0 AS u_stat,
+       CASE WHEN sigma2 > 0.0
+            THEN FLOOR((u2 - CAST(n - n1 AS DOUBLE) * n1)
+                       / (2.0 * SQRT(sigma2)) * 1000000.0 + 0.5) / 1000000.0
+            ELSE NULL END AS z_stat
+FROM z
+"""
+
+
+@register("agg_mannwhitney_u", oracle=_MWU_ORACLE)
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.groupBy("event_type", F.col("value").alias("val")).agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n1v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = v.withColumn("cb", F.coalesce(F.sum("nv").over(w), F.lit(0)))
+    s = c.groupBy("event_type").agg(
+        F.sum("nv").cast("bigint").alias("n"),
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum(F.col("n1v") * (2 * F.col("cb") + F.col("nv") + 1))
+        .cast("bigint")
+        .alias("r1_2"),
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    n, n1 = F.col("n"), F.col("n1")
+    z = s.select(
+        "event_type",
+        n,
+        n1,
+        (F.col("r1_2") - n1 * (n1 + 1)).alias("u2"),
+        F.when(
+            n >= 2,
+            (n - n1).cast("double") * n1 / 12.0
+            * ((n + 1) - F.col("tie_t") / (n.cast("double") * (n - 1.0))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sigma2"),
+    )
+    return z.select(
+        "event_type",
+        (n - n1).cast("bigint").alias("n_control"),
+        n1.alias("n_treat"),
+        (F.col("u2") / 2.0).alias("u_stat"),
+        F.when(
+            F.col("sigma2") > 0.0,
+            F.floor(
+                (F.col("u2") - (n - n1).cast("double") * n1)
+                / (2.0 * F.sqrt(F.col("sigma2")))
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0,
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_trimmed_winsorized — robust per-metric means: the 10%-trimmed mean
+# (drop the bottom/top k = ⌊n/10⌋ observations) and the winsorized mean
+# (clamp them to the k+1-th / n−k-th order statistics) — the outlier-proof
+# aggregates a metrics layer publishes next to the raw mean when a few
+# viral rows would otherwise dominate.  The reference reaches robust
+# aggregation only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Scale shape: NO per-row sort — rows collapse to the (event_type, value)
+# distribution and every order statistic is read off cumulative counts
+# over DISTINCT values (the agg_mannwhitney_u / agg_ks_test discipline):
+# a value spanning ranks (cb, cb+nv] contributes
+# max(0, min(cb+nv, n−k) − max(cb, k)) copies to the trimmed interior,
+# and the two clamp values are the rows whose rank span covers k+1 and
+# n−k.  Contributions are quantized to int64 micro-units per VALUE (not
+# per row), so all sums are order-independent and exact on both engines.
+# --------------------------------------------------------------------------
+
+_TRIMWIN_ORACLE = """
+WITH v AS (
+  SELECT event_type, value AS val, COUNT(*) AS nv,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM events GROUP BY event_type, value
+),
+c AS (
+  SELECT event_type, val, nv, vq,
+         COALESCE(SUM(nv) OVER (PARTITION BY event_type ORDER BY val
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cb,
+         SUM(nv) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+k AS (
+  SELECT event_type, val, nv, vq, cb, n,
+         CAST(FLOOR(CAST(n AS DOUBLE) / 10.0) AS BIGINT) AS kk
+  FROM c
+),
+s AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(kk) AS BIGINT) AS kk,
+         CAST(SUM(GREATEST(0, LEAST(cb + nv, n - kk) - GREATEST(cb, kk)) * vq)
+              AS BIGINT) AS mid_q,
+         CAST(MAX(CASE WHEN cb < kk + 1 AND cb + nv >= kk + 1 THEN vq END)
+              AS BIGINT) AS low_q,
+         CAST(MAX(CASE WHEN cb < n - kk AND cb + nv >= n - kk THEN vq END)
+              AS BIGINT) AS high_q
+  FROM k GROUP BY event_type
+)
+SELECT event_type, n, kk AS k_trim,
+       FLOOR((mid_q / 1000000.0) / (n - 2 * kk) * 1000000.0 + 0.5)
+         / 1000000.0 AS trimmed_mean,
+       FLOOR(((mid_q + kk * low_q + kk * high_q) / 1000000.0)
+             / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS winsorized_mean
+FROM s
+"""
+
+
+@register("agg_trimmed_winsorized", oracle=_TRIMWIN_ORACLE)
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.groupBy("event_type", F.col("value").alias("val")).agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.floor(F.first("value") * 1_000_000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    c = v.withColumn("cb", F.coalesce(F.sum("nv").over(wcum), F.lit(0))).withColumn(
+        "n", F.sum("nv").over(wall)
+    )
+    kk = F.floor(F.col("n").cast("double") / 10.0).cast("bigint")
+    k = c.withColumn("kk", kk)
+    mid_cnt = F.greatest(
+        F.lit(0),
+        F.least(F.col("cb") + F.col("nv"), F.col("n") - F.col("kk"))
+        - F.greatest(F.col("cb"), F.col("kk")),
+    )
+    s = k.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("kk").cast("bigint").alias("kk"),
+        F.sum(mid_cnt * F.col("vq")).cast("bigint").alias("mid_q"),
+        F.max(
+            F.when(
+                (F.col("cb") < F.col("kk") + 1)
+                & (F.col("cb") + F.col("nv") >= F.col("kk") + 1),
+                F.col("vq"),
+            )
+        )
+        .cast("bigint")
+        .alias("low_q"),
+        F.max(
+            F.when(
+                (F.col("cb") < F.col("n") - F.col("kk"))
+                & (F.col("cb") + F.col("nv") >= F.col("n") - F.col("kk")),
+                F.col("vq"),
+            )
+        )
+        .cast("bigint")
+        .alias("high_q"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.col("kk").alias("k_trim"),
+        (
+            F.floor(
+                (F.col("mid_q") / 1_000_000.0)
+                / (F.col("n") - 2 * F.col("kk"))
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("trimmed_mean"),
+        (
+            F.floor(
+                (
+                    (F.col("mid_q") + F.col("kk") * F.col("low_q")
+                     + F.col("kk") * F.col("high_q"))
+                    / 1_000_000.0
+                )
+                / F.col("n").cast("double")
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("winsorized_mean"),
+    )

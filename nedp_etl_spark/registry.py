@@ -99,6 +99,8 @@ _PRIORITY: list[str] = [
     "agg_time_decay_score",       # NEW r8: half-life engagement scoring
     "graph_clustering_coefficient",  # NEW r8: per-node triangle density QA
     "graph_degree_assortativity",    # NEW r8: degree-degree Pearson readout
+    "agg_mannwhitney_u",             # NEW r8: rank-sum test, distinct-value ranks
+    "agg_trimmed_winsorized",        # NEW r8: robust trimmed/winsorized means
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

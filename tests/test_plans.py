@@ -1070,3 +1070,22 @@ def test_degree_assortativity_keyed_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_mannwhitney_window_over_distinct_values(spark, sf_dir):
+    # Ranks come from cumulative counts over the DISTINCT-value relation
+    # (two-level aggregate before the window) — never a per-row rank; the
+    # window partitions by event_type, so no single-partition sort.
+    df = __import__("nedp_etl_spark").queries()["agg_mannwhitney_u"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_trimmed_winsorized_window_over_distinct_values(spark, sf_dir):
+    df = __import__("nedp_etl_spark").queries()["agg_trimmed_winsorized"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 1

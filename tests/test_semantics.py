@@ -2774,3 +2774,57 @@ def test_degree_assortativity_matches_python_recompute(spark, tmp_path):
         assert abs(r["assortativity"] - expect) < 1e-9
     else:
         assert r["assortativity"] is None
+
+
+def test_mannwhitney_hand_computed_with_ties(spark, tmp_path):
+    # arm0 (even users): [1, 2, 2]; arm1 (odd users): [2, 3, 4].
+    # Sorted: 1 | 2,2,2 (avg rank 3) | 3 | 4 -> R1 = 3+5+6 = 14, U1 = 8.
+    # tie_t = 3^3-3 = 24; sigma2 = (9/12)*(7 - 24/30) = 4.65;
+    # z = (8 - 4.5)/sqrt(4.65).
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 0, "a", v, "{}") for i, v in enumerate([1.0, 2.0, 2.0])] + [
+        (10 + i, base, 1, "a", v, "{}") for i, v in enumerate([2.0, 3.0, 4.0])
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = eng.queries()["agg_mannwhitney_u"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_control"], r["n_treat"]) == (3, 3)
+    assert r["u_stat"] == 8.0
+    expect = math.floor((8.0 - 4.5) / math.sqrt(4.65) * 1e6 + 0.5) / 1e6
+    assert abs(r["z_stat"] - expect) < 1e-9
+
+
+def test_mannwhitney_degenerate_single_arm_is_null(spark, tmp_path):
+    # All rows in one arm -> sigma2 = 0 -> z_stat NULL, counts still exact.
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 2, "a", float(i), "{}") for i in range(5)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["agg_mannwhitney_u"](spark, str(tmp_path)).collect()[0]
+    assert (r["n_control"], r["n_treat"]) == (5, 0)
+    assert r["z_stat"] is None
+
+
+def test_trimmed_winsorized_hand_computed(spark, tmp_path):
+    # n=10, k=1.  Sorted: 0,2,3,4,5,6,7,8,100,1000.
+    # Trimmed (ranks 2-9): (2+3+4+5+6+7+8+100)/8 = 16.875.
+    # Winsorized: clamp rank1->2, rank10->100 -> (135+2+100)/10 = 23.7.
+    base = datetime.datetime(2024, 3, 1)
+    vals = [0.0, 100.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 1000.0]
+    rows = [(i, base, 1, "a", v, "{}") for i, v in enumerate(vals)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["agg_trimmed_winsorized"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["k_trim"]) == (10, 1)
+    assert r["trimmed_mean"] == 16.875
+    assert r["winsorized_mean"] == 23.7
+
+
+def test_trimmed_winsorized_small_group_no_trim(spark, tmp_path):
+    # n=5 -> k=0: both means equal the plain mean; ties must not double-count.
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 1, "a", v, "{}") for i, v in enumerate([1.0, 1.0, 2.0, 3.0, 3.0])]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["agg_trimmed_winsorized"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["k_trim"]) == (5, 0)
+    assert r["trimmed_mean"] == 2.0
+    assert r["winsorized_mean"] == 2.0
