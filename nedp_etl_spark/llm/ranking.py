@@ -360,25 +360,34 @@ def _rank_histogram(li: DataFrame, pred, lo: float, hi: float, rank: int):
     return pred & (bexpr == F.lit(b)), blo, bhi, k, occ
 
 
-def _tercile_cuts(spark: SparkSession, scores: DataFrame) -> DataFrame:
-    """1-row DataFrame (c1, c2): exact k-th-smallest ``avg_logprob`` at
-    ranks ceil(n/3) and ceil(2n/3), via two-phase histogram refinement.
+def exact_rank_values(
+    spark: SparkSession, li: DataFrame, names: list, rank_fns: list
+) -> DataFrame:
+    """1-row DataFrame of exact k-th-smallest values of column ``v``.
+
+    ``names[i]`` is the output column for the rank ``rank_fns[i](n)``
+    (each fn maps the total row count n to a 1-based rank).  This is the
+    generalized core of the perplexity-tercile refinement — shared by
+    ``_tercile_cuts`` (2 ranks) and ``operators.analytics``'s RFM
+    quintiles (4 ranks/metric), so the histogram-walk arithmetic cannot
+    drift between consumers.
 
     Concentrated-distribution guard (round-5 advisory): if a target
     bucket's occupancy exceeds ``_PPL_REFINE_THRESH``, that bucket is
     histogrammed one level deeper (repeatedly, if needed) before any
     ranking window runs, so the phase-2 window partition is bounded no
-    matter how the scores are distributed.  A bucket that collapses to a
-    single value (lo == hi) pins the rank's value with no window at all."""
-    lo, hi = scores.agg(F.min("avg_logprob"), F.max("avg_logprob")).first()
-    if lo is None:  # empty corpus: label pass below also yields no rows
-        return spark.createDataFrame([(None, None)], "c1 double, c2 double")
+    matter how the values are distributed.  A bucket that collapses to a
+    single value (lo == hi) pins the rank's value with no window at all.
+    Only bounded (bucket, count) tables reach the driver — never a data
+    value (the llm_kmeans collect discipline)."""
+    schema = ", ".join(f"{c} double" for c in names)
+    lo, hi = li.agg(F.min("v"), F.max("v")).first()
+    if lo is None:  # empty input: all ranks undefined
+        return spark.createDataFrame([tuple(None for _ in names)], schema)
     if lo == hi:
-        # Fully degenerate distribution (every doc shares one rounded
-        # score): every rank's value IS that score.
-        return spark.createDataFrame([(lo, hi)], "c1 double, c2 double")
-    li = scores.select(F.col("avg_logprob").alias("v"))
-    # Level-1 histogram is shared by both cuts: ONE corpus pass.
+        # Fully degenerate distribution: every rank's value IS that value.
+        return spark.createDataFrame([tuple(lo for _ in names)], schema)
+    # Level-1 histogram is shared by all cuts: ONE pass over the input.
     width = (hi - lo) / _PPL_B
     b0 = _bucket_expr(lo, width)
     hist = sorted(
@@ -387,7 +396,7 @@ def _tercile_cuts(spark: SparkSession, scores: DataFrame) -> DataFrame:
     )
     n = sum(c for _, c in hist)
     cut_specs = []  # (cut_id, pred, k) needing a window | (cut_id, value)
-    for cut_id, rank in ((1, -(-n // 3)), (2, -(-(2 * n) // 3))):
+    for cut_id, rank in enumerate(fn(n) for fn in rank_fns):
         b, k = histogram_rank_walk(hist, rank)
         occ = dict(hist)[b]
         pred = b0 == F.lit(b)
@@ -421,8 +430,21 @@ def _tercile_cuts(spark: SparkSession, scores: DataFrame) -> DataFrame:
         lit_row = spark.createDataFrame([(cut_id, float(value))], "cut_id int, v double")
         cut_rows = lit_row if cut_rows is None else cut_rows.unionAll(lit_row)
     return cut_rows.agg(
-        F.max(F.when(F.col("cut_id") == 1, F.col("v"))).alias("c1"),
-        F.max(F.when(F.col("cut_id") == 2, F.col("v"))).alias("c2"),
+        *[
+            F.max(F.when(F.col("cut_id") == i, F.col("v"))).alias(c)
+            for i, c in enumerate(names)
+        ]
+    )
+
+
+def _tercile_cuts(spark: SparkSession, scores: DataFrame) -> DataFrame:
+    """1-row DataFrame (c1, c2): exact k-th-smallest ``avg_logprob`` at
+    ranks ceil(n/3) and ceil(2n/3) — see :func:`exact_rank_values`."""
+    return exact_rank_values(
+        spark,
+        scores.select(F.col("avg_logprob").alias("v")),
+        ["c1", "c2"],
+        [lambda n: -(-n // 3), lambda n: -(-(2 * n) // 3)],
     )
 
 

@@ -2568,3 +2568,166 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("winsorized_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_rfm_segments — RFM (recency / frequency / monetary) quintile
+# segmentation of the customer base from order history, the canonical
+# marketing-analytics rollup: per customer, days since last order (vs the
+# corpus high-water date), order count, and quantized order-value total;
+# each metric scored 1–5 by EXACT quintile cut values; output is the
+# per-(r,f,m)-cell census.  The reference reaches segmentation models
+# only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Scale shape: NO corpus-wide sort — the three quintile cut sets are
+# exact k-th-smallest values found by the bounded two-phase histogram
+# refinement shared with llm_perplexity_buckets
+# (llm.ranking.exact_rank_values: 256-bucket histograms to the driver,
+# never a data value; window only ever over one window-safe bucket).
+# The cut values come back as a 1-row broadcast (allowlisted) and
+# scoring is a pure map-side CASE.  Tie semantics are value-based
+# (strict > against the rank-ceil(q·n/5) value), so both engines agree
+# under ties.  Monetary totals pass the util.dsum int64 fixed-point so
+# per-customer sums are order-independent.
+# --------------------------------------------------------------------------
+
+def _rfm_cut_sql(metric: str) -> str:
+    ranked = (
+        f"SELECT {metric} AS v, ROW_NUMBER() OVER (ORDER BY {metric}) AS rn,"
+        f" COUNT(*) OVER () AS n FROM mm"
+    )
+    cuts = ", ".join(
+        f"MAX(CASE WHEN rn = CAST(CEIL({q} * n / 5.0) AS BIGINT) THEN v END)"
+        f" AS c{q}"
+        for q in (1, 2, 3, 4)
+    )
+    return f"SELECT {cuts} FROM ({ranked})"
+
+
+_RFM_ORACLE = f"""
+WITH m AS (
+  SELECT o_custkey AS custkey,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS money,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+),
+hw AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+mm AS (
+  SELECT custkey, freq, money,
+         CAST(date_diff('day', last_d, hw.max_d) AS BIGINT) AS rec
+  FROM m CROSS JOIN hw
+),
+rcut AS ({_rfm_cut_sql('rec')}),
+fcut AS ({_rfm_cut_sql('freq')}),
+mcut AS ({_rfm_cut_sql('money')}),
+sc AS (
+  SELECT custkey, rec, money,
+         6 - (1 + CASE WHEN rec > rcut.c1 THEN 1 ELSE 0 END
+                + CASE WHEN rec > rcut.c2 THEN 1 ELSE 0 END
+                + CASE WHEN rec > rcut.c3 THEN 1 ELSE 0 END
+                + CASE WHEN rec > rcut.c4 THEN 1 ELSE 0 END) AS r_score,
+         1 + CASE WHEN freq > fcut.c1 THEN 1 ELSE 0 END
+           + CASE WHEN freq > fcut.c2 THEN 1 ELSE 0 END
+           + CASE WHEN freq > fcut.c3 THEN 1 ELSE 0 END
+           + CASE WHEN freq > fcut.c4 THEN 1 ELSE 0 END AS f_score,
+         1 + CASE WHEN money > mcut.c1 THEN 1 ELSE 0 END
+           + CASE WHEN money > mcut.c2 THEN 1 ELSE 0 END
+           + CASE WHEN money > mcut.c3 THEN 1 ELSE 0 END
+           + CASE WHEN money > mcut.c4 THEN 1 ELSE 0 END AS m_score
+  FROM mm CROSS JOIN rcut CROSS JOIN fcut CROSS JOIN mcut
+)
+SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       FLOOR((CAST(SUM(CAST(FLOOR(money * 1000000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1000000.0) / COUNT(*) * 1000000.0 + 0.5)
+         / 1000000.0 AS avg_monetary,
+       FLOOR(CAST(SUM(rec) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+         / 1000000.0 AS avg_recency_days
+FROM sc GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("agg_rfm_segments", oracle=_RFM_ORACLE)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.llm.ranking import exact_rank_values
+
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1_000_000.0 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("money"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    hw = o.agg(F.max(F.to_date("o_orderdate")).alias("max_d"))
+    mm = (
+        m.crossJoin(F.broadcast(hw))
+        .select(
+            "custkey",
+            "freq",
+            "money",
+            F.datediff(F.col("max_d"), F.col("last_d")).cast("bigint").alias("rec"),
+        )
+        .localCheckpoint(eager=True)  # one derivation; 3 histogram consumers
+    )
+    quintile_fns = [
+        (lambda q: lambda n: -(-(q * n) // 5))(q) for q in (1, 2, 3, 4)
+    ]
+    cuts = None
+    for metric in ("rec", "freq", "money"):
+        c = exact_rank_values(
+            spark,
+            mm.select(F.col(metric).cast("double").alias("v")),
+            [f"{metric}_c{q}" for q in (1, 2, 3, 4)],
+            quintile_fns,
+        )
+        cuts = c if cuts is None else cuts.crossJoin(c)
+    tile = lambda col, pfx: (  # noqa: E731 — local scoring shorthand
+        F.lit(1)
+        + sum(
+            F.when(F.col(col).cast("double") > F.col(f"{pfx}_c{q}"), 1).otherwise(0)
+            for q in (1, 2, 3, 4)
+        )
+    )
+    sc = mm.crossJoin(F.broadcast(cuts)).select(
+        "custkey",
+        "rec",
+        "money",
+        (F.lit(6) - tile("rec", "rec")).cast("int").alias("r_score"),
+        tile("freq", "freq").cast("int").alias("f_score"),
+        tile("money", "money").cast("int").alias("m_score"),
+    )
+    return sc.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (
+            F.floor(
+                (
+                    F.sum(
+                        F.floor(F.col("money") * 1_000_000.0 + F.lit(0.5)).cast(
+                            "bigint"
+                        )
+                    ).cast("double")
+                    / 1_000_000.0
+                )
+                / F.count(F.lit(1))
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("avg_monetary"),
+        (
+            F.floor(
+                F.sum("rec").cast("double") / F.count(F.lit(1)) * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("avg_recency_days"),
+    )

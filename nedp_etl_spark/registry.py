@@ -101,6 +101,8 @@ _PRIORITY: list[str] = [
     "graph_degree_assortativity",    # NEW r8: degree-degree Pearson readout
     "agg_mannwhitney_u",             # NEW r8: rank-sum test, distinct-value ranks
     "agg_trimmed_winsorized",        # NEW r8: robust trimmed/winsorized means
+    "agg_rfm_segments",              # NEW r8: exact-quintile RFM census
+    "llm_perplexity_buckets",        # re-verify: tercile cut core generalized
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -255,7 +255,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_diff_in_diff",  # 1-row (min,max)-midpoint cut broadcast (O(cells))
                    "graph_modularity",  # 1-row total-edge-mass (2m) broadcast (O(#communities))
                    "agg_time_decay_score",  # 1-row MAX(ts) high-water broadcast (O(n) agg)
-                   "agg_survival_km"}  # 1-row corpus-end-date broadcast (O(n) aggregate)
+                   "agg_survival_km",  # 1-row corpus-end-date broadcast (O(n) aggregate)
+                   "agg_rfm_segments"}  # 1-row quintile-cut + high-water broadcasts (O(#customers))
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1089,3 +1090,12 @@ def test_trimmed_winsorized_window_over_distinct_values(spark, sf_dir):
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_rfm_scoring_is_mapside_case(spark, sf_dir):
+    # The quintile cuts arrive as ONE broadcast row (exact_rank_values'
+    # bounded histogram refinement); scoring is a map-side CASE — the
+    # customer-metric relation is never globally sorted.
+    plan = _plan(spark, sf_dir, "agg_rfm_segments")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan

@@ -2828,3 +2828,30 @@ def test_trimmed_winsorized_small_group_no_trim(spark, tmp_path):
     assert (r["n"], r["k_trim"]) == (5, 0)
     assert r["trimmed_mean"] == 2.0
     assert r["winsorized_mean"] == 2.0
+
+
+def test_rfm_segments_hand_computed(spark, tmp_path):
+    # Customer c (1..10): c orders of 100.0 each (freq=c, money=100c), last
+    # order at base+c days; corpus max = base+10 -> rec = 10-c.  n=10 ->
+    # quintile cut ranks 2,4,6,8 on each metric -> customers pair up into
+    # exactly five diagonal cells (1,1,1)..(5,5,5), two customers each.
+    base = datetime.datetime(2024, 1, 1)
+    rows, key = [], 0
+    for c in range(1, 11):
+        for j in range(c):
+            key += 1
+            rows.append(
+                (key, c, "O", 100.0, base + datetime.timedelta(days=c - j), "1-URGENT")
+            )
+    _write(spark, tmp_path, "orders", rows, _ORD_SCHEMA)
+    out = {
+        (r["r_score"], r["f_score"], r["m_score"]): r
+        for r in eng.queries()["agg_rfm_segments"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {(q, q, q) for q in range(1, 6)}
+    for q in range(1, 6):
+        r = out[(q, q, q)]
+        lo_c = 2 * q - 1  # the two customers in this cell
+        assert r["n_customers"] == 2
+        assert r["avg_monetary"] == 100.0 * (2 * lo_c + 1) / 2.0
+        assert r["avg_recency_days"] == (10 - lo_c + 10 - lo_c - 1) / 2.0
