@@ -471,3 +471,267 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_rouge_overlap — ROUGE-1/ROUGE-2 multiset n-gram overlap between
+# deterministic document pairs (each even doc_id is the reference, the
+# following odd doc_id the candidate) — the standard summarization /
+# generation-eval metric, run at corpus scale the way an eval harness
+# scores model outputs against references.  Multiset semantics: each
+# n-gram contributes min(count_cand, count_ref) to the overlap, and
+# F1 = 2·ov / (n_cand + n_ref) (equivalent to the harmonic mean of the
+# clipped precision/recall).  The reference reaches eval scoring only as
+# dbt-model SQL (dbtoperator.py:273-274).
+#
+# Scale shape: n-grams are built map-side (the llm_ngram_topk transform
+# idiom), collapse to per-(doc, gram) counts, and the overlap is ONE
+# equi-join keyed on (pair, gram) — no per-pair nested loop; totals are
+# per-doc aggregates joined back by pair key.  All counts are exact
+# int64; the final ratios pass the q6 FLOOR quantize.
+# --------------------------------------------------------------------------
+
+_ROUGE_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pairs AS (
+  SELECT r.doc_id AS ref_id, c.doc_id AS cand_id,
+         CAST(len(r.l) AS BIGINT) AS n1_ref, CAST(len(c.l) AS BIGINT) AS n1_cand,
+         CAST(GREATEST(len(r.l) - 1, 0) AS BIGINT) AS n2_ref,
+         CAST(GREATEST(len(c.l) - 1, 0) AS BIGINT) AS n2_cand
+  FROM d r JOIN d c ON c.doc_id = r.doc_id + 1
+  WHERE r.doc_id % 2 = 0
+),
+uc AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(l) AS g FROM d) GROUP BY doc_id, g
+),
+bc AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, l[CAST(i AS INT)] || ' ' || l[CAST(i + 1 AS INT)] AS g
+        FROM (SELECT doc_id, l,
+                     unnest(generate_series(1, CAST(len(l) - 1 AS BIGINT))) AS i
+              FROM d))
+  GROUP BY doc_id, g
+),
+ov1 AS (
+  SELECT p.ref_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+  FROM pairs p
+  JOIN uc a ON a.doc_id = p.cand_id
+  JOIN uc b ON b.doc_id = p.ref_id AND b.g = a.g
+  GROUP BY p.ref_id
+),
+ov2 AS (
+  SELECT p.ref_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov
+  FROM pairs p
+  JOIN bc a ON a.doc_id = p.cand_id
+  JOIN bc b ON b.doc_id = p.ref_id AND b.g = a.g
+  GROUP BY p.ref_id
+)
+SELECT p.ref_id, p.cand_id,
+       CAST(COALESCE(ov1.ov, 0) AS BIGINT) AS ov1,
+       FLOOR(2.0 * COALESCE(ov1.ov, 0) / (p.n1_cand + p.n1_ref)
+             * 1000000.0 + 0.5) / 1000000.0 AS rouge1_f,
+       CAST(COALESCE(ov2.ov, 0) AS BIGINT) AS ov2,
+       CASE WHEN p.n2_cand + p.n2_ref = 0 THEN NULL
+            ELSE FLOOR(2.0 * COALESCE(ov2.ov, 0) / (p.n2_cand + p.n2_ref)
+                       * 1000000.0 + 0.5) / 1000000.0 END AS rouge2_f
+FROM pairs p
+LEFT JOIN ov1 ON ov1.ref_id = p.ref_id
+LEFT JOIN ov2 ON ov2.ref_id = p.ref_id
+"""
+
+
+@register("llm_rouge_overlap", oracle=_ROUGE_ORACLE)
+def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    pairs = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .alias("r")
+        .join(d.alias("c"), F.col("c.doc_id") == F.col("r.doc_id") + 1)
+        .select(
+            F.col("r.doc_id").alias("ref_id"),
+            F.col("c.doc_id").alias("cand_id"),
+            F.size("r.l").cast("bigint").alias("n1_ref"),
+            F.size("c.l").cast("bigint").alias("n1_cand"),
+            F.greatest(F.size("r.l") - 1, F.lit(0)).cast("bigint").alias("n2_ref"),
+            F.greatest(F.size("c.l") - 1, F.lit(0)).cast("bigint").alias("n2_cand"),
+        )
+    )
+    uc = (
+        d.select("doc_id", F.explode("l").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("l"), 1, F.size("l") - 1),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("l"), i + 2)),
+            )
+        ).alias("g"),
+    )
+    bc = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+
+    def _overlap(counts: DataFrame) -> DataFrame:
+        a = counts.select(
+            F.col("doc_id").alias("cand_id"), "g", F.col("c").alias("ca")
+        )
+        b = counts.select(F.col("doc_id").alias("ref_id"), "g", F.col("c").alias("cb"))
+        return (
+            pairs.select("ref_id", "cand_id")
+            .join(a, "cand_id")
+            .join(b, ["ref_id", "g"])
+            .groupBy("ref_id")
+            .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("ov"))
+        )
+
+    o1 = _overlap(uc).withColumnRenamed("ov", "_ov1")
+    o2 = _overlap(bc).withColumnRenamed("ov", "_ov2")
+    ov1 = F.coalesce(F.col("_ov1"), F.lit(0))
+    ov2 = F.coalesce(F.col("_ov2"), F.lit(0))
+    return (
+        pairs.join(o1, "ref_id", "left")
+        .join(o2, "ref_id", "left")
+        .select(
+            "ref_id",
+            "cand_id",
+            ov1.cast("bigint").alias("ov1"),
+            (
+                F.floor(
+                    2.0 * ov1 / (F.col("n1_cand") + F.col("n1_ref")) * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("rouge1_f"),
+            ov2.cast("bigint").alias("ov2"),
+            F.when(
+                F.col("n2_cand") + F.col("n2_ref") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.floor(
+                    2.0 * ov2 / (F.col("n2_cand") + F.col("n2_ref")) * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            )
+            .alias("rouge2_f"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_cooccurrence_pmi — pointwise mutual information of token
+# co-occurrence within a forward window of 2, restricted to the top-50
+# unigram vocabulary: PMI(x,y) = ln(c_xy·N / (c_x·c_y)) over the
+# restricted skip-gram pair distribution — the classic distributional-
+# semantics signal (collocation mining, embedding-quality QA, phrase
+# detection) a corpus pipeline publishes per snapshot.  The reference
+# reaches corpus statistics only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Scale shape: skip-gram pairs are built map-side from the token array
+# (distances 1 and 2 — the ngram_topk transform idiom); the top-50 vocab
+# is a bounded global top-k (TakeOrdered, never a full sort) broadcast
+# onto the pair stream as a semi-join filter; marginals and the pair
+# count are keyed aggregates of the FILTERED pairs (≤ 50×50 keys); the
+# 1-row N total is an allowlisted broadcast.  Counts stay exact int64;
+# ln() runs on identical exact ratios and passes the q6 FLOOR quantize.
+# --------------------------------------------------------------------------
+
+_PMI_V = 50      # vocabulary cap — pair domain bounded by V²
+_PMI_MIN_C = 3   # min pair support in the output
+
+_PMI_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+uni AS (
+  SELECT g, COUNT(*) AS n
+  FROM (SELECT unnest(l) AS g FROM d) GROUP BY g
+),
+voc AS (SELECT g FROM uni ORDER BY n DESC, g LIMIT {_PMI_V}),
+pr AS (
+  SELECT l[CAST(i AS INT)] AS w1, l[CAST(i + dd AS INT)] AS w2
+  FROM (SELECT l, unnest(generate_series(1, CAST(len(l) - 1 AS BIGINT))) AS i
+        FROM d),
+       (SELECT unnest([1, 2]) AS dd)
+  WHERE i + dd <= len(l)
+),
+fp AS (
+  SELECT w1, w2 FROM pr
+  WHERE w1 IN (SELECT g FROM voc) AND w2 IN (SELECT g FROM voc)
+),
+cxy AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM fp GROUP BY w1, w2),
+cx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c FROM fp GROUP BY w1),
+cy AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c FROM fp GROUP BY w2),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fp)
+SELECT cxy.w1, cxy.w2, cxy.c AS n_pair,
+       FLOOR(LN(CAST(cxy.c AS DOUBLE) * nn.n / (CAST(cx.c AS DOUBLE) * cy.c))
+             * 1000000.0 + 0.5) / 1000000.0 AS pmi
+FROM cxy
+JOIN cx ON cx.w1 = cxy.w1
+JOIN cy ON cy.w2 = cxy.w2
+CROSS JOIN nn
+WHERE cxy.c >= {_PMI_MIN_C}
+"""
+
+
+@register("llm_cooccurrence_pmi", oracle=_PMI_ORACLE)
+def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(F.split("text", " ").alias("l"))
+    uni = (
+        d.select(F.explode("l").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    voc = uni.orderBy(F.col("n").desc(), "g").limit(_PMI_V).select("g")
+    def _skipgram(dd: int):
+        # closure factory: transform() inspects the lambda arity, so the
+        # distance must be captured, not passed as a defaulted third arg
+        def fn(x, i):
+            return F.struct(
+                x.alias("w1"), F.element_at(F.col("l"), i + 1 + dd).alias("w2")
+            )
+
+        return fn
+
+    pr = None
+    for dd in (1, 2):
+        p = d.select(
+            F.explode(
+                F.transform(F.slice(F.col("l"), 1, F.size("l") - dd), _skipgram(dd))
+            ).alias("p")
+        ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        pr = p if pr is None else pr.unionAll(p)
+    fp = (
+        pr.join(F.broadcast(voc.withColumnRenamed("g", "w1")), "w1", "left_semi")
+        .join(F.broadcast(voc.withColumnRenamed("g", "w2")), "w2", "left_semi")
+        .localCheckpoint(eager=True)  # one pair derivation, 4 consumers
+    )
+    cxy = fp.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cx = fp.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("cxc"))
+    cy = fp.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("cyc"))
+    nn = fp.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        cxy.filter(F.col("c") >= _PMI_MIN_C)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_pair"),
+            (
+                F.floor(
+                    F.log(
+                        F.col("c").cast("double")
+                        * F.col("n")
+                        / (F.col("cxc").cast("double") * F.col("cyc"))
+                    )
+                    * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("pmi"),
+        )
+    )

@@ -103,6 +103,8 @@ _PRIORITY: list[str] = [
     "agg_trimmed_winsorized",        # NEW r8: robust trimmed/winsorized means
     "agg_rfm_segments",              # NEW r8: exact-quintile RFM census
     "llm_perplexity_buckets",        # re-verify: tercile cut core generalized
+    "llm_rouge_overlap",             # NEW r8: ROUGE-1/2 multiset pair overlap
+    "llm_cooccurrence_pmi",          # NEW r8: windowed PMI, top-50 vocab
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -256,7 +256,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "graph_modularity",  # 1-row total-edge-mass (2m) broadcast (O(#communities))
                    "agg_time_decay_score",  # 1-row MAX(ts) high-water broadcast (O(n) agg)
                    "agg_survival_km",  # 1-row corpus-end-date broadcast (O(n) aggregate)
-                   "agg_rfm_segments"}  # 1-row quintile-cut + high-water broadcasts (O(#customers))
+                   "agg_rfm_segments",  # 1-row quintile-cut + high-water broadcasts (O(#customers))
+                   "llm_cooccurrence_pmi"}  # 1-row pair-total N broadcast (O(V^2) keys)
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1099,3 +1100,20 @@ def test_rfm_scoring_is_mapside_case(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_rfm_segments")
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_rouge_overlap_keyed_joins_only(spark, sf_dir):
+    # The overlap is an equi-join keyed on (pair, gram); pairing is an
+    # equi-join on doc_id+1 — no nested loop, no window anywhere.
+    plan = _plan(spark, sf_dir, "llm_rouge_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)
+
+
+def test_cooccurrence_pmi_bounded_vocab_filter(spark, sf_dir):
+    # Top-50 vocab arrives as broadcast semi-joins onto the map-side pair
+    # stream; the only nested-loop shape is the allowlisted 1-row N total.
+    plan = _plan(spark, sf_dir, "llm_cooccurrence_pmi")
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)

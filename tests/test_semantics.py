@@ -2855,3 +2855,41 @@ def test_rfm_segments_hand_computed(spark, tmp_path):
         assert r["n_customers"] == 2
         assert r["avg_monetary"] == 100.0 * (2 * lo_c + 1) / 2.0
         assert r["avg_recency_days"] == (10 - lo_c + 10 - lo_c - 1) / 2.0
+
+
+def test_rouge_overlap_hand_computed(spark, tmp_path):
+    # Pair (0,1): unigram overlap a,b,c -> 3, F1 = 6/8; bigram overlap
+    # "a b","b c" -> 2, F2 = 4/6.  Pair (2,3): MULTISET clipping — doc2 has
+    # three x, doc3 two x -> min = 2, F1 = 4/8; bigram "x x" appears twice
+    # in doc2, once in doc3 -> clipped overlap 1, F2 = 2/6.
+    rows = [
+        (0, "a b c d", "en", "s", 7),
+        (1, "a b c x", "en", "s", 7),
+        (2, "x x x y", "en", "s", 7),
+        (3, "x x z z", "en", "s", 7),
+    ]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {
+        r["ref_id"]: r
+        for r in eng.queries()["llm_rouge_overlap"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 2}
+    assert out[0]["cand_id"] == 1 and out[0]["ov1"] == 3 and out[0]["ov2"] == 2
+    assert out[0]["rouge1_f"] == 0.75
+    assert out[0]["rouge2_f"] == math.floor(4.0 / 6.0 * 1e6 + 0.5) / 1e6
+    assert out[2]["ov1"] == 2 and out[2]["rouge1_f"] == 0.5
+    assert out[2]["ov2"] == 1
+    assert out[2]["rouge2_f"] == math.floor(2.0 / 6.0 * 1e6 + 0.5) / 1e6
+
+
+def test_cooccurrence_pmi_hand_computed(spark, tmp_path):
+    # One doc "a b a b a b": window-2 pairs are (a,b)x3, (b,a)x2, (a,a)x2,
+    # (b,b)x2 -> N = 9.  Only (a,b) reaches min support 3; cx(a) = 5,
+    # cy(b) = 5 -> PMI = ln(3*9/25).
+    rows = [(1, "a b a b a b", "en", "s", 11)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = eng.queries()["llm_cooccurrence_pmi"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["w1"], r["w2"], r["n_pair"]) == ("a", "b", 3)
+    assert abs(r["pmi"] - math.log(3.0 * 9.0 / 25.0)) < 2e-6
