@@ -1290,3 +1290,111 @@ def llm_candidate_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("pair_jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_minhash_band_tuning — the LSH design sheet: for every (bands, rows)
+# split of a 128-hash MinHash budget, the S-curve threshold (1/b)^(1/r),
+# detection probability 1 − (1 − s^r)^b at similarity 0.7 and 0.9, and the
+# false-positive / false-negative areas against the 0.8 target threshold
+# (midpoint integration, 100 steps) — the pre-flight a dedup operator runs
+# BEFORE committing a band config to a 100 TB pass (the tuning table from
+# the MMDS LSH treatment).  Pure analytic computation — no corpus scan;
+# the 5-config × 100-step grid is literal and bounded.
+#
+# Cross-engine determinism: every POWER() term is quantized to 1e-6 int64
+# units immediately, so the integration sums are order-free integer sums;
+# grid points (i + 0.5)/100 are exact IEEE on both engines.
+# --------------------------------------------------------------------------
+
+_BAND_CONFIGS = [(4, 32), (8, 16), (16, 8), (32, 4), (64, 2)]
+_TUNE_STEPS = 100
+_TUNE_TARGET = 0.8
+
+
+def _tune_p_sql(s: str, b: str, r: str) -> str:
+    """S-curve detection probability 1 − (1 − s^r)^b, textual SQL."""
+    return (
+        f"(1.0 - POWER(1.0 - POWER({s}, CAST({r} AS DOUBLE)),"
+        f" CAST({b} AS DOUBLE)))"
+    )
+
+
+_BAND_TUNE_ORACLE = f"""
+WITH cfg(b, r) AS (VALUES {", ".join(f"({b}, {r})" for b, r in _BAND_CONFIGS)}),
+grid AS (
+  SELECT b, r, (i + 0.5) / {_TUNE_STEPS}.0 AS s
+  FROM cfg, generate_series(0, {_TUNE_STEPS - 1}) t(i)
+),
+terms AS (
+  SELECT b, r, s,
+         CAST(FLOOR({_tune_p_sql("s", "b", "r")} * 1000000.0 + 0.5)
+              AS BIGINT) AS pq
+  FROM grid
+),
+area AS (
+  SELECT b, r,
+         CAST(SUM(CASE WHEN s < {_TUNE_TARGET} THEN pq ELSE 0 END) AS BIGINT)
+           AS fp_q,
+         CAST(SUM(CASE WHEN s >= {_TUNE_TARGET} THEN 1000000 - pq ELSE 0 END)
+           AS BIGINT) AS fn_q
+  FROM terms GROUP BY b, r
+)
+SELECT CAST(cfg.b AS INT) AS bands, CAST(cfg.r AS INT) AS rows_per_band,
+       FLOOR(POWER(1.0 / cfg.b, 1.0 / cfg.r) * 1000000.0 + 0.5) / 1000000.0
+         AS threshold,
+       FLOOR({_tune_p_sql("0.7", "cfg.b", "cfg.r")} * 1000000.0 + 0.5)
+         / 1000000.0 AS p_at_70,
+       FLOOR({_tune_p_sql("0.9", "cfg.b", "cfg.r")} * 1000000.0 + 0.5)
+         / 1000000.0 AS p_at_90,
+       area.fp_q / 1000000.0 / {_TUNE_STEPS}.0 AS fp_area,
+       area.fn_q / 1000000.0 / {_TUNE_STEPS}.0 AS fn_area
+FROM cfg JOIN area ON area.b = cfg.b AND area.r = cfg.r
+"""
+
+
+@register("llm_minhash_band_tuning", oracle=_BAND_TUNE_ORACLE)
+def llm_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = spark.createDataFrame(_BAND_CONFIGS, "b int, r int")
+    steps = spark.range(_TUNE_STEPS).select(
+        ((F.col("id") + 0.5) / float(_TUNE_STEPS)).alias("s")
+    )
+    bd, rd = F.col("b").cast("double"), F.col("r").cast("double")
+
+    def p_curve(s):
+        return 1.0 - F.pow(1.0 - F.pow(s, rd), bd)
+
+    terms = cfg.crossJoin(steps).select(  # bounded 5x100 literal grid
+        "b",
+        "r",
+        "s",
+        F.floor(p_curve(F.col("s")) * 1_000_000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("pq"),
+    )
+    area = terms.groupBy("b", "r").agg(
+        F.sum(F.when(F.col("s") < _TUNE_TARGET, F.col("pq")).otherwise(0))
+        .cast("bigint")
+        .alias("fp_q"),
+        F.sum(
+            F.when(F.col("s") >= _TUNE_TARGET, 1_000_000 - F.col("pq")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fn_q"),
+    )
+    return cfg.join(area, ["b", "r"]).select(
+        F.col("b").alias("bands"),
+        F.col("r").alias("rows_per_band"),
+        (
+            F.floor(F.pow(1.0 / bd, 1.0 / rd) * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("threshold"),
+        (
+            F.floor(p_curve(F.lit(0.7)) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+        ).alias("p_at_70"),
+        (
+            F.floor(p_curve(F.lit(0.9)) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+        ).alias("p_at_90"),
+        (F.col("fp_q") / 1_000_000.0 / float(_TUNE_STEPS)).alias("fp_area"),
+        (F.col("fn_q") / 1_000_000.0 / float(_TUNE_STEPS)).alias("fn_area"),
+    )

@@ -203,3 +203,97 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("bin_avg"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# fn_geo_haversine — geospatial enrichment of the customer dimension:
+# deterministic synthetic coordinates (integer-mod derivation from
+# c_custkey, identical on both engines), great-circle distance and initial
+# bearing to a fixed reference point (haversine / forward-azimuth
+# formulas), and the 1°×1° grid cell id — the map-side geo bucketing that
+# feeds join_spatial_grid's cell equi-join.  The reference reaches geo
+# logic only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Cross-engine determinism: degrees→radians uses the explicit literal
+# 0.017453292519943295 (same decimal string parses to the same double on
+# both engines — the graph_pagerank _TELEPORT discipline) rather than
+# RADIANS(), whose internal constant is engine-private; sin/asin/atan2
+# pass the q6 quantize like fn_trig.  Scale: pure map-side projection.
+# --------------------------------------------------------------------------
+
+_GEO_RAD = "0.017453292519943295"  # pi/180, shared literal
+_GEO_R2 = "12742.0176"             # 2 * mean Earth radius (km)
+_GEO_LAT0 = "40.7128"              # reference point (NYC)
+_GEO_LON0 = "-74.006"
+
+_FN_GEO_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM customer
+),
+r AS (
+  SELECT c_custkey, lat, lon,
+         lat * {_GEO_RAD} AS p1, {_GEO_LAT0} * {_GEO_RAD} AS p2,
+         ({_GEO_LAT0} - lat) * {_GEO_RAD} AS dp,
+         ({_GEO_LON0} - lon) * {_GEO_RAD} AS dl
+  FROM pts
+)
+SELECT c_custkey, lat, lon,
+       CAST(FLOOR(lat) AS BIGINT) || ':' || CAST(FLOOR(lon) AS BIGINT)
+         AS grid_cell,
+       FLOOR({_GEO_R2} * ASIN(SQRT(
+           SIN(dp / 2.0) * SIN(dp / 2.0)
+           + COS(p1) * COS(p2) * SIN(dl / 2.0) * SIN(dl / 2.0)))
+         * 1000000.0 + 0.5) / 1000000.0 AS dist_km,
+       FLOOR(FMOD(ATAN2(SIN(dl) * COS(p2),
+                        COS(p1) * SIN(p2) - SIN(p1) * COS(p2) * COS(dl))
+                   / {_GEO_RAD} + 360.0, 360.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS bearing_deg
+FROM r
+"""
+
+
+@register("fn_geo_haversine", oracle=_FN_GEO_ORACLE)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    rad = float(_GEO_RAD)
+    lat = (F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0 + 0.005
+    lon = (F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0 + 0.005
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    p1 = F.col("lat") * rad
+    p2 = F.lit(float(_GEO_LAT0)) * rad
+    dp = (F.lit(float(_GEO_LAT0)) - F.col("lat")) * rad
+    dl = (F.lit(float(_GEO_LON0)) - F.col("lon")) * rad
+    hav = (
+        F.sin(dp / 2.0) * F.sin(dp / 2.0)
+        + F.cos(p1) * F.cos(p2) * F.sin(dl / 2.0) * F.sin(dl / 2.0)
+    )
+    bearing = (
+        F.atan2(
+            F.sin(dl) * F.cos(p2),
+            F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl),
+        )
+        / rad
+        + 360.0
+    ) % 360.0
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.concat(
+            F.floor("lat").cast("bigint").cast("string"),
+            F.lit(":"),
+            F.floor("lon").cast("bigint").cast("string"),
+        ).alias("grid_cell"),
+        (
+            F.floor(
+                F.lit(float(_GEO_R2)) * F.asin(F.sqrt(hav)) * 1_000_000.0 + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("dist_km"),
+        (F.floor(bearing * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "bearing_deg"
+        ),
+    )

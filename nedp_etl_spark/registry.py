@@ -105,6 +105,8 @@ _PRIORITY: list[str] = [
     "llm_perplexity_buckets",        # re-verify: tercile cut core generalized
     "llm_rouge_overlap",             # NEW r8: ROUGE-1/2 multiset pair overlap
     "llm_cooccurrence_pmi",          # NEW r8: windowed PMI, top-50 vocab
+    "fn_geo_haversine",              # NEW r8: deterministic geo enrichment
+    "llm_minhash_band_tuning",       # NEW r8: LSH S-curve design sheet
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

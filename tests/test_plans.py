@@ -257,7 +257,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_time_decay_score",  # 1-row MAX(ts) high-water broadcast (O(n) agg)
                    "agg_survival_km",  # 1-row corpus-end-date broadcast (O(n) aggregate)
                    "agg_rfm_segments",  # 1-row quintile-cut + high-water broadcasts (O(#customers))
-                   "llm_cooccurrence_pmi"}  # 1-row pair-total N broadcast (O(V^2) keys)
+                   "llm_cooccurrence_pmi",  # 1-row pair-total N broadcast (O(V^2) keys)
+                   "llm_minhash_band_tuning"}  # literal 5x100 tuning grid, no corpus input
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1117,3 +1118,18 @@ def test_cooccurrence_pmi_bounded_vocab_filter(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_cooccurrence_pmi")
     assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)
+
+
+def test_geo_haversine_pure_mapside(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fn_geo_haversine")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_band_tuning_reads_no_tables(spark, sf_dir):
+    # Pure analytic grid: 5 literal configs x 100 range steps — the plan
+    # must contain NO parquet scan; the only join shapes are over the
+    # bounded literal grid (allowlisted).
+    plan = _plan(spark, sf_dir, "llm_minhash_band_tuning")
+    assert "FileScan parquet" not in plan

@@ -2893,3 +2893,75 @@ def test_cooccurrence_pmi_hand_computed(spark, tmp_path):
     r = out[0]
     assert (r["w1"], r["w2"], r["n_pair"]) == ("a", "b", 3)
     assert abs(r["pmi"] - math.log(3.0 * 9.0 / 25.0)) < 2e-6
+
+
+def test_geo_haversine_recompute(spark, tmp_path):
+    # Recompute the synthetic projection + haversine + bearing in python
+    # with the identical literal constants and FLOOR quantize.
+    rows = [(k, f"c{k}", 1, 10.0, "BUILDING") for k in (1, 7, 12345)]
+    _write(
+        spark, tmp_path, "customer", rows,
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    out = {
+        r["c_custkey"]: r
+        for r in eng.queries()["fn_geo_haversine"](spark, str(tmp_path)).collect()
+    }
+    RAD, R2, LAT0, LON0 = 0.017453292519943295, 12742.0176, 40.7128, -74.006
+    for k, r in out.items():
+        lat = (k * 7919 % 18000) / 100.0 - 90.0 + 0.005
+        lon = (k * 104729 % 36000) / 100.0 - 180.0 + 0.005
+        assert r["lat"] == lat and r["lon"] == lon
+        assert r["grid_cell"] == f"{math.floor(lat)}:{math.floor(lon)}"
+        p1, p2 = lat * RAD, LAT0 * RAD
+        dp, dl = (LAT0 - lat) * RAD, (LON0 - lon) * RAD
+        hav = (
+            math.sin(dp / 2.0) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2.0) ** 2
+        )
+        dist = R2 * math.asin(math.sqrt(hav))
+        assert abs(r["dist_km"] - math.floor(dist * 1e6 + 0.5) / 1e6) < 2e-6
+        brg = math.fmod(
+            math.atan2(
+                math.sin(dl) * math.cos(p2),
+                math.cos(p1) * math.sin(p2)
+                - math.sin(p1) * math.cos(p2) * math.cos(dl),
+            )
+            / RAD
+            + 360.0,
+            360.0,
+        )
+        assert abs(r["bearing_deg"] - math.floor(brg * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_minhash_band_tuning_analytic(spark, tmp_path):
+    # No corpus dependency: recompute every column analytically with the
+    # identical quantize; spot-check the MMDS landmark (16 bands x 8 rows
+    # -> threshold (1/16)^(1/8) = 2^-0.5 ~ 0.707107).
+    out = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in eng.queries()["llm_minhash_band_tuning"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {(4, 32), (8, 16), (16, 8), (32, 4), (64, 2)}
+    assert out[(16, 8)]["threshold"] == math.floor(2.0**-0.5 * 1e6 + 0.5) / 1e6
+    for (b, r), row in out.items():
+        p = lambda s: 1.0 - (1.0 - s**r) ** b  # noqa: E731
+        assert abs(row["p_at_90"] - math.floor(p(0.9) * 1e6 + 0.5) / 1e6) < 2e-6
+        fp = sum(
+            math.floor(p((i + 0.5) / 100.0) * 1e6 + 0.5)
+            for i in range(100)
+            if (i + 0.5) / 100.0 < 0.8
+        )
+        fn = sum(
+            1_000_000 - math.floor(p((i + 0.5) / 100.0) * 1e6 + 0.5)
+            for i in range(100)
+            if (i + 0.5) / 100.0 >= 0.8
+        )
+        assert abs(row["fp_area"] - fp / 1e6 / 100.0) < 2e-6
+        assert abs(row["fn_area"] - fn / 1e6 / 100.0) < 2e-6
+        # a tighter threshold (more rows/band) must push FP down and FN up
+    assert out[(4, 32)]["fp_area"] < out[(64, 2)]["fp_area"]
+    assert out[(4, 32)]["fn_area"] > out[(64, 2)]["fn_area"]
