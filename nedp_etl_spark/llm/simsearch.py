@@ -1298,3 +1298,110 @@ def llm_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_embed_quantize — symmetric int8 quantization of the embedding
+# column (the vector-index compression step: 4x smaller, scale stored per
+# vector): per-vector scale = max|x|/127, q_i = clamp(⌊x_i/scale + 0.5⌋,
+# -127, 127), plus the QA readouts a quantization pass publishes —
+# clipped-lane count, signed checksum of the code vector, and relative
+# L2 reconstruction error.  The reference reaches vector tooling only as
+# dbt-model SQL (dbtoperator.py:273-274).
+#
+# Scale shape: pure map-side array math over one scan — the same shape a
+# 100 TB re-encode takes (no shuffle at all).  Determinism: float32
+# lanes widen to double exactly on both engines; folds run in list order;
+# ⌊x + 0.5⌋ is the shared round-half-up primitive; the single nonlinear
+# output (rel_err) passes the q6 FLOOR quantize.
+# --------------------------------------------------------------------------
+
+_EMBED_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, embedding, scale,
+         CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding, x ->
+                CAST(GREATEST(-127, LEAST(127,
+                     FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT))
+         END AS qv
+  FROM e
+)
+SELECT vec_id,
+       CAST(len(qv) AS INT) AS dim,
+       FLOOR(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+       CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_clipped,
+       CASE WHEN scale = 0 THEN 0.0
+            ELSE FLOOR(SQRT(
+                   list_sum(list_transform(list_zip(embedding, qv), p ->
+                     (CAST(p[1] AS DOUBLE) - p[2] * scale)
+                     * (CAST(p[1] AS DOUBLE) - p[2] * scale)))
+                   / list_sum(list_transform(embedding, x ->
+                     CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * 1000000.0 + 0.5) / 1000000.0
+       END AS rel_err
+FROM q
+"""
+
+
+@register("llm_embed_quantize", oracle=_EMBED_QUANT_ORACLE)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.array_max(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+            )
+            / 127.0
+        ).alias("scale"),
+    )
+    qlane = lambda x: F.greatest(  # noqa: E731
+        F.lit(-127),
+        F.least(F.lit(127), F.floor(x.cast("double") / F.col("scale") + 0.5)),
+    ).cast("bigint")
+    q = e.select(
+        "vec_id",
+        "embedding",
+        "scale",
+        F.when(
+            F.col("scale") == 0,
+            F.transform(F.col("embedding"), lambda x: F.lit(0).cast("bigint")),
+        )
+        .otherwise(F.transform(F.col("embedding"), qlane))
+        .alias("qv"),
+    )
+    err2 = F.expr(
+        "aggregate(zip_with(embedding, qv,"
+        " (x, v) -> (CAST(x AS DOUBLE) - v * scale)"
+        " * (CAST(x AS DOUBLE) - v * scale)), 0D, (a, t) -> a + t)"
+    )
+    norm2 = F.expr(
+        "aggregate(transform(embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, t) -> a + t)"
+    )
+    return q.select(
+        "vec_id",
+        F.size("qv").cast("int").alias("dim"),
+        (F.floor(F.col("scale") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "scale"
+        ),
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("bigint"), lambda a, v: a + v
+        ).alias("q_checksum"),
+        F.size(F.filter(F.col("qv"), lambda v: F.abs(v) == 127))
+        .cast("bigint")
+        .alias("n_clipped"),
+        F.when(F.col("scale") == 0, F.lit(0.0))
+        .otherwise(
+            F.floor(F.sqrt(err2 / norm2) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+        )
+        .alias("rel_err"),
+    )

@@ -2165,3 +2165,114 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(im).alias("im"),
         q6(re * re + im * im).alias("power"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_croston — Croston's method for INTERMITTENT demand (spare-parts /
+# sparse-event forecasting): separate exponential smoothing of the
+# nonzero-demand sizes (z) and the inter-demand intervals (p); the rate
+# forecast is z/p.  Demand days are deterministically sparsified to every
+# 3rd epoch day (the ts_interpolate trick) so the series is genuinely
+# intermittent at any fixture scale.  Like ts_ewma, the smoothing uses the
+# k-bounded geometric fold (last 8 demand points, α=0.2, normalized
+# truncated weights) — a closed form both engines state identically, no
+# recurrence needed.  The reference reaches forecasting only as dbt-model
+# SQL (dbtoperator.py:273-274).
+#
+# Scale shape: corpus collapses FIRST to (series, day) via the shared
+# daily rollup; windows partition by series over DEMAND DAYS only
+# (sparser than the calendar); per-tick geometric folds are map-side
+# array math.  Weighted folds run in fixed list order on both engines.
+# --------------------------------------------------------------------------
+
+_CROSTON_A = 0.2   # smoothing constant
+_CROSTON_K = 8     # fold depth (geometric weights below 0.8^8 truncated)
+
+_TS_CROSTON_ORACLE = f"""
+WITH {_DAILY_CTE},
+dd AS (
+  SELECT event_type, d, v
+  FROM daily
+  WHERE date_diff('day', DATE '1970-01-01', d) % 3 = 0
+),
+iv AS (
+  SELECT event_type, d, v,
+         date_diff('day',
+                   LAG(d) OVER (PARTITION BY event_type ORDER BY d), d) AS gap
+  FROM dd
+),
+w AS (
+  SELECT event_type, d, v, gap,
+         list(v) OVER (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN {_CROSTON_K - 1} PRECEDING AND CURRENT ROW) AS lv,
+         list(gap) OVER (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN {_CROSTON_K - 1} PRECEDING AND CURRENT ROW) AS lg
+  FROM iv WHERE gap IS NOT NULL
+),
+sm AS (
+  SELECT event_type, d, v, gap,
+         ROUND(list_sum(list_transform(lv, (x, i) -> x * pow(0.8, len(lv) - i)))
+               / ((1 - pow(0.8, len(lv))) / {_CROSTON_A}), 6) AS z,
+         ROUND(list_sum(list_transform(lg, (x, i) -> x * pow(0.8, len(lg) - i)))
+               / ((1 - pow(0.8, len(lg))) / {_CROSTON_A}), 6) AS p
+  FROM w
+)
+SELECT event_type, d AS day, v AS demand, CAST(gap AS BIGINT) AS interval,
+       z, p,
+       FLOOR(z / p * 1000000.0 + 0.5) / 1000000.0 AS croston
+FROM sm
+"""
+
+
+@register("ts_croston", oracle=_TS_CROSTON_ORACLE)
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dd = _daily(ev).filter(
+        F.datediff(F.col("d"), F.lit("1970-01-01")) % 3 == 0
+    )
+    wlag = Window.partitionBy("event_type").orderBy("d")
+    iv = dd.withColumn(
+        "gap", F.datediff(F.col("d"), F.lag("d").over(wlag))
+    ).filter(F.col("gap").isNotNull())
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_CROSTON_K - 1), 0)
+    )
+    w = iv.select(
+        "event_type",
+        "d",
+        "v",
+        "gap",
+        F.collect_list("v").over(frame).alias("lv"),
+        F.collect_list(F.col("gap").cast("double")).over(frame).alias("lg"),
+    )
+
+    def _fold(col: str) -> Column:
+        # Spark transform index is 0-based; DuckDB list_transform is
+        # 1-based — both weight the j-th most recent tick by 0.8^j.
+        num = F.expr(
+            f"aggregate(transform({col}, (x, i) -> x * pow(0.8,"
+            f" size({col}) - 1 - i)), 0D, (acc, v) -> acc + v)"
+        )
+        den = (F.lit(1.0) - F.pow(F.lit(0.8), F.size(col))) / F.lit(_CROSTON_A)
+        return F.round(num / den, 6)
+
+    sm = w.select(
+        "event_type",
+        "d",
+        "v",
+        "gap",
+        _fold("lv").alias("z"),
+        _fold("lg").alias("p"),
+    )
+    return sm.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("v").alias("demand"),
+        F.col("gap").cast("bigint").alias("interval"),
+        "z",
+        "p",
+        (F.floor(F.col("z") / F.col("p") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0)
+        .alias("croston"),
+    )

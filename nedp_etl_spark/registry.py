@@ -107,6 +107,8 @@ _PRIORITY: list[str] = [
     "llm_cooccurrence_pmi",          # NEW r8: windowed PMI, top-50 vocab
     "fn_geo_haversine",              # NEW r8: deterministic geo enrichment
     "llm_minhash_band_tuning",       # NEW r8: LSH S-curve design sheet
+    "ts_croston",                    # NEW r8: intermittent-demand forecast
+    "llm_embed_quantize",            # NEW r8: int8 vector compression QA
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

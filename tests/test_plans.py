@@ -1133,3 +1133,20 @@ def test_band_tuning_reads_no_tables(spark, sf_dir):
     # bounded literal grid (allowlisted).
     plan = _plan(spark, sf_dir, "llm_minhash_band_tuning")
     assert "FileScan parquet" not in plan
+
+
+def test_croston_daily_rollup_first(spark, sf_dir):
+    # Corpus collapses to (series, day) BEFORE any window; windows
+    # partition by event_type over demand days only.
+    plan = _plan(spark, sf_dir, "ts_croston")
+    assert not _has_global_window(plan)
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_quantize_pure_mapside(spark, sf_dir):
+    # The 100 TB re-encode shape: one scan, zero shuffles.
+    plan = _plan(spark, sf_dir, "llm_embed_quantize")
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan

@@ -2965,3 +2965,53 @@ def test_minhash_band_tuning_analytic(spark, tmp_path):
         # a tighter threshold (more rows/band) must push FP down and FN up
     assert out[(4, 32)]["fp_area"] < out[(64, 2)]["fp_area"]
     assert out[(4, 32)]["fn_area"] > out[(64, 2)]["fn_area"]
+
+
+def test_croston_hand_computed(spark, tmp_path):
+    # Demand on three consecutive kept days (epoch%3==0), values 3/6/9.
+    # First demand day has no interval (dropped).  Second: lv=[6] -> z=6,
+    # p=3 -> croston 2.0.  Third: z=(6*.8+9)/1.8, p=3 -> z/p.
+    epoch = datetime.date(1970, 1, 1)
+    d0 = datetime.date(2024, 1, 1)
+    while (d0 - epoch).days % 3 != 0:
+        d0 += datetime.timedelta(days=1)
+    rows = [
+        (i, datetime.datetime.combine(d0 + datetime.timedelta(days=3 * i),
+                                      datetime.time(12)), 1, "a", v, "{}")
+        for i, v in enumerate([3.0, 6.0, 9.0])
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(
+        eng.queries()["ts_croston"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(out) == 2
+    assert out[0]["demand"] == 6.0 and out[0]["interval"] == 3
+    assert out[0]["z"] == 6.0 and out[0]["p"] == 3.0 and out[0]["croston"] == 2.0
+    z2 = round((6.0 * 0.8 + 9.0) / 1.8, 6)
+    assert out[1]["z"] == z2 and out[1]["p"] == 3.0
+    assert out[1]["croston"] == math.floor(z2 / 3.0 * 1e6 + 0.5) / 1e6
+
+
+def test_embed_quantize_hand_computed(spark, tmp_path):
+    # scale = 1/127; lanes quantize by round-half-up: 1 -> 127 (clipped
+    # boundary), -0.5 -> -63 (floor(-63.5+0.5)), 0.25 -> 32, 0 -> 0.
+    # Zero vector -> all-zero codes, rel_err 0.
+    rows = [(1, [1.0, -0.5, 0.25, 0.0], 0), (2, [0.0, 0.0], 1)]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    out = {
+        r["vec_id"]: r
+        for r in eng.queries()["llm_embed_quantize"](spark, str(tmp_path)).collect()
+    }
+    r1 = out[1]
+    s = 1.0 / 127.0
+    assert r1["dim"] == 4
+    assert r1["scale"] == math.floor(s * 1e6 + 0.5) / 1e6
+    assert r1["q_checksum"] == 127 - 63 + 32 + 0
+    assert r1["n_clipped"] == 1
+    err2 = (1 - 127 * s) ** 2 + (-0.5 + 63 * s) ** 2 + (0.25 - 32 * s) ** 2
+    expect = math.floor(math.sqrt(err2 / 1.3125) * 1e6 + 0.5) / 1e6
+    assert abs(r1["rel_err"] - expect) < 2e-6
+    r2 = out[2]
+    assert (r2["q_checksum"], r2["n_clipped"], r2["rel_err"]) == (0, 0, 0.0)
