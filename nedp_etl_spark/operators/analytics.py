@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
-from nedp_etl_spark.util import histogram_rank_walk, osum
+from nedp_etl_spark.util import dsum, histogram_rank_walk, osum
 
 # --------------------------------------------------------------------------
 # ts_retention_cohort — weekly cohort retention matrix: users are assigned to
@@ -2730,4 +2730,144 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1_000_000.0
         ).alias("avg_recency_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_wilson_ci — Wilson score 95% confidence interval for a per-metric
+# conversion rate (success = value ≥ 1.0): the interval that stays sane
+# at extreme rates and small n where the normal ±z√(p(1−p)/n) interval
+# breaks — the standard dashboard readout for funnel/conversion metrics.
+# The reference reaches rate CIs only as dbt-model SQL
+# (dbtoperator.py:273-274).
+#
+# Determinism: n and k are exact int64 counts; the closed form runs the
+# same IEEE double expression on both engines with the shared z literal
+# (1.959964) and passes the q6 FLOOR quantize.  Scale: one scan, one
+# keyed aggregate — map-side combine everywhere.
+# --------------------------------------------------------------------------
+
+_WILSON_Z = "1.959964"
+
+_WILSON_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM events GROUP BY event_type
+),
+e AS (
+  SELECT event_type, n, k,
+         CAST(k AS DOUBLE) / n AS p,
+         {_WILSON_Z} * {_WILSON_Z} / n AS zz_n
+  FROM s
+)
+SELECT event_type, n, k,
+       FLOOR(p * 1000000.0 + 0.5) / 1000000.0 AS p_hat,
+       FLOOR((p + zz_n / 2.0
+              - {_WILSON_Z} * SQRT(p * (1.0 - p) / n + zz_n / (4.0 * n)))
+             / (1.0 + zz_n) * 1000000.0 + 0.5) / 1000000.0 AS wilson_lo,
+       FLOOR((p + zz_n / 2.0
+              + {_WILSON_Z} * SQRT(p * (1.0 - p) / n + zz_n / (4.0 * n)))
+             / (1.0 + zz_n) * 1000000.0 + 0.5) / 1000000.0 AS wilson_hi
+FROM e
+"""
+
+
+@register("agg_wilson_ci", oracle=_WILSON_ORACLE)
+def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    z = float(_WILSON_Z)
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") >= 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    zz_n = F.lit(z) * z / n
+    half = F.lit(z) * F.sqrt(p * (1.0 - p) / n + zz_n / (4.0 * n))
+    q = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return s.select(
+        "event_type",
+        "n",
+        "k",
+        q(p).alias("p_hat"),
+        q((p + zz_n / 2.0 - half) / (1.0 + zz_n)).alias("wilson_lo"),
+        q((p + zz_n / 2.0 + half) / (1.0 + zz_n)).alias("wilson_hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_theil_index — Theil T inequality index per metric over positive
+# values: T = (1/n)·Σ (x/μ)·ln(x/μ) — the decomposable inequality measure
+# (0 = perfect equality, ln(n) = one row holds everything) published
+# alongside agg_gini_coefficient; Theil adds the between/within
+# decomposability Gini lacks.  The reference reaches inequality metrics
+# only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Determinism: μ comes from the util.dsum int64 fixed-point (exact,
+# order-free); each row's (x/μ)ln(x/μ) term quantizes to 1e-6 int64
+# micro-units immediately, so the per-metric sum is order-independent.
+# Scale: one stats aggregate equi-joined back (O(#metrics) side — AQE
+# broadcasts it on stats), then one keyed aggregate of int64 terms.
+# --------------------------------------------------------------------------
+
+_THEIL_ORACLE = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {osum('value')} / COUNT(*) AS mu
+  FROM events WHERE value > 0 GROUP BY event_type
+),
+t AS (
+  SELECT e.event_type, s.n, s.mu,
+         CAST(FLOOR((e.value / s.mu) * LN(e.value / s.mu) * 1000000.0 + 0.5)
+              AS BIGINT) AS tq
+  FROM events e JOIN s ON s.event_type = e.event_type
+  WHERE e.value > 0
+)
+SELECT event_type, n,
+       FLOOR(mu * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+       FLOOR(CAST(SUM(tq) AS DOUBLE) / 1000000.0 / n * 1000000.0 + 0.5)
+         / 1000000.0 AS theil
+FROM t GROUP BY event_type, n, mu
+"""
+
+
+@register("agg_theil_index", oracle=_THEIL_ORACLE)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (dsum("value") / F.count(F.lit(1))).alias("mu"),
+    )
+    t = ev.join(s, "event_type").select(
+        "event_type",
+        "n",
+        "mu",
+        F.floor(
+            (F.col("value") / F.col("mu"))
+            * F.log(F.col("value") / F.col("mu"))
+            * 1_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tq"),
+    )
+    g = t.groupBy("event_type", "n", "mu").agg(F.sum("tq").alias("sq"))
+    return g.select(
+        "event_type",
+        "n",
+        (F.floor(F.col("mu") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "mean_value"
+        ),
+        (
+            F.floor(
+                F.col("sq").cast("double") / 1_000_000.0 / F.col("n") * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("theil"),
     )

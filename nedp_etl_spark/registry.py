@@ -110,6 +110,8 @@ _PRIORITY: list[str] = [
     "ts_croston",                    # NEW r8: intermittent-demand forecast
     "llm_embed_quantize",            # NEW r8: int8 vector compression QA
     "llm_assembly_e2e",              # NEW r8: composed assembly flagship
+    "agg_wilson_ci",                 # NEW r8: Wilson score rate interval
+    "agg_theil_index",               # NEW r8: decomposable inequality index
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -1164,3 +1164,17 @@ def test_assembly_e2e_featurize_once_no_global_window(spark, sf_dir):
     if "Exchange" in plan:
         first_exchange = plan.split("Exchange")[1][:400]
         assert "text" not in first_exchange  # nothing wide ever shuffles
+
+
+def test_wilson_ci_single_scan_no_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_wilson_ci")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_theil_keyed_join_no_window(spark, sf_dir):
+    # Per-metric stats join back by event_type (keyed, O(#metrics) side);
+    # terms quantize to int64 before the keyed sum.
+    plan = _plan(spark, sf_dir, "agg_theil_index")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

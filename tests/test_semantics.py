@@ -3066,3 +3066,45 @@ def test_assembly_e2e_stagewise_consistency(spark, tmp_path):
     assert sum(r["n_packs"] for r in out) == (tok_total - 1) // 512 + 1 if kept else 0
     for r in out:
         assert 0.0 <= r["lang_entropy"] <= math.log(max(r["n_langs"], 1)) + 1e-9
+
+
+def test_wilson_ci_hand_computed(spark, tmp_path):
+    # n=4, k=1 (values >= 1.0): recompute the closed form with the shared
+    # z literal; interval must bracket p_hat and stay inside [0, 1].
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 1, "a", v, "{}") for i, v in enumerate([2.0, 0.5, 0.25, 0.0])]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["agg_wilson_ci"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["k"]) == (4, 1)
+    z, n, p = 1.959964, 4, 0.25
+    zz_n = z * z / n
+    half = z * math.sqrt(p * (1 - p) / n + zz_n / (4 * n))
+    lo = (p + zz_n / 2 - half) / (1 + zz_n)
+    hi = (p + zz_n / 2 + half) / (1 + zz_n)
+    assert r["p_hat"] == 0.25
+    assert abs(r["wilson_lo"] - math.floor(lo * 1e6 + 0.5) / 1e6) < 1e-9
+    assert abs(r["wilson_hi"] - math.floor(hi * 1e6 + 0.5) / 1e6) < 1e-9
+    assert 0.0 <= r["wilson_lo"] <= 0.25 <= r["wilson_hi"] <= 1.0
+
+
+def test_theil_index_equality_and_concentration(spark, tmp_path):
+    # All-equal values -> T = 0 exactly (each term ln(1) = 0).  A planted
+    # concentrated series must recompute to the python fold.
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 1, "eq", 5.0, "{}") for i in range(6)] + [
+        (10 + i, base, 1, "cc", v, "{}") for i, v in enumerate([1.0, 1.0, 8.0])
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        r["event_type"]: r
+        for r in eng.queries()["agg_theil_index"](spark, str(tmp_path)).collect()
+    }
+    assert out["eq"]["theil"] == 0.0
+    mu = math.floor((1 + 1 + 8) / 3.0 * 1e6 + 0.5) / 1e6  # dsum-exact mean
+    terms = sum(
+        math.floor((v / (10.0 / 3.0)) * math.log(v / (10.0 / 3.0)) * 1e6 + 0.5)
+        for v in [1.0, 1.0, 8.0]
+    )
+    assert out["cc"]["mean_value"] == mu
+    assert abs(out["cc"]["theil"] - math.floor(terms / 1e6 / 3 * 1e6 + 0.5) / 1e6) < 2e-6
+    assert out["cc"]["theil"] > 0.2
