@@ -2871,3 +2871,101 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("theil"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_cramers_v — Cramér's V association strength between the two
+# categorical document facets (lang × source): the [0, 1]-normalized
+# effect size the chi-square test (agg_chisq_independence) lacks — "is
+# the dependence big, not just significant".  Uses the contingency
+# identity χ² = N·(Σ o²/(rt·ct) − 1), which needs ONLY observed cells —
+# no zero-cell enumeration, so the plan never crosses the marginal
+# domains.  The reference reaches association metrics only as dbt-model
+# SQL (dbtoperator.py:273-274).
+#
+# Determinism: per-cell terms o²/(rt·ct) quantize to 1e-9 int64 units
+# before the global sum (order-free); N, r, c are exact int64; the two
+# nonlinear outputs pass the q6 FLOOR quantize.  Scale: cell counts and
+# both marginals are keyed aggregates; marginals join back keyed; the
+# three 1-row totals broadcast (allowlisted).
+# --------------------------------------------------------------------------
+
+_CRAMERS_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+  FROM cells
+),
+s AS (
+  SELECT CAST(SUM(CAST(FLOOR(CAST(cells.o AS DOUBLE) * cells.o
+                             / (CAST(rt.rt AS DOUBLE) * ct.ct)
+                             * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+  FROM cells JOIN rt ON rt.lang = cells.lang JOIN ct ON ct.source = cells.source
+)
+SELECT tot.n, tot.r AS n_rows, tot.c AS n_cols,
+       FLOOR(tot.n * (s.sq / 1000000000.0 - 1.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS chi2,
+       CASE WHEN LEAST(tot.r, tot.c) <= 1 THEN NULL
+            ELSE FLOOR(SQRT(GREATEST(tot.n * (s.sq / 1000000000.0 - 1.0), 0.0)
+                            / (tot.n * (LEAST(tot.r, tot.c) - 1.0)))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS cramers_v
+FROM tot CROSS JOIN s
+"""
+
+
+@register("agg_cramers_v", oracle=_CRAMERS_ORACLE)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rt = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("rt"))
+    ct = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("r"),
+        F.countDistinct("source").cast("bigint").alias("c"),
+    )
+    s = (
+        cells.join(rt, "lang")
+        .join(ct, "source")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("o").cast("double")
+                    * F.col("o")
+                    / (F.col("rt").cast("double") * F.col("ct"))
+                    * 1_000_000_000.0
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sq")
+        )
+    )
+    chi2 = F.col("n") * (F.col("sq") / 1_000_000_000.0 - 1.0)
+    km1 = F.least(F.col("r"), F.col("c")) - 1.0
+    return tot.crossJoin(F.broadcast(s)).select(
+        "n",
+        F.col("r").alias("n_rows"),
+        F.col("c").alias("n_cols"),
+        (F.floor(chi2 * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias("chi2"),
+        F.when(F.least(F.col("r"), F.col("c")) <= 1, F.lit(None).cast("double"))
+        .otherwise(
+            F.floor(
+                F.sqrt(F.greatest(chi2, F.lit(0.0)) / (F.col("n") * km1))
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        )
+        .alias("cramers_v"),
+    )

@@ -2276,3 +2276,106 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("z") / F.col("p") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0)
         .alias("croston"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_bollinger_bands — 7-day rolling mean ± 2σ envelope per series with
+# %B position (where today's value sits inside the band): the standard
+# mean-reversion / volatility readout over the daily rollup.  The
+# reference reaches technical indicators only as dbt-model SQL
+# (dbtoperator.py:273-274).
+#
+# Determinism (the sliding-frame discipline from memory of
+# win_rolling_regression): daily values are ALREADY 6-dp; they quantize
+# to int64 micro-units and the rolling Σx, Σx² run as exact integer
+# window sums — order-free; mean/variance reconstruct in identical
+# doubles, sqrt is correctly rounded, and every output passes q6.
+# Scale: corpus collapses to (series, day) first; windows partition by
+# series over daily rows.  Σx² of 6-dp micro-units bounds value ≤ ~3e4
+# per tick for int64 safety at frame length 7 (documented guard).
+# --------------------------------------------------------------------------
+
+_BOLL_N = 7
+
+_TS_BOLLINGER_ORACLE = f"""
+WITH {_DAILY_CTE},
+q AS (
+  SELECT event_type, d, v,
+         CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM daily
+),
+w AS (
+  SELECT event_type, d, v,
+         CAST(SUM(vq) OVER win AS BIGINT) AS sq,
+         CAST(SUM(vq * vq) OVER win AS BIGINT) AS ssq,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n
+  FROM q
+  WINDOW win AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT event_type, d, v, n,
+         CAST(sq AS DOUBLE) / n / 1000000.0 AS mean,
+         CASE WHEN n >= 2
+              THEN GREATEST((CAST(ssq AS DOUBLE) / 1000000000000.0
+                             - n * (CAST(sq AS DOUBLE) / n / 1000000.0)
+                               * (CAST(sq AS DOUBLE) / n / 1000000.0))
+                            / (n - 1.0), 0.0)
+              ELSE 0.0 END AS var
+  FROM w
+)
+SELECT event_type, d AS day, v AS close, n,
+       FLOOR(mean * 1000000.0 + 0.5) / 1000000.0 AS sma,
+       FLOOR((mean - 2.0 * SQRT(var)) * 1000000.0 + 0.5) / 1000000.0 AS lower,
+       FLOOR((mean + 2.0 * SQRT(var)) * 1000000.0 + 0.5) / 1000000.0 AS upper,
+       CASE WHEN SQRT(var) = 0.0 THEN NULL
+            ELSE FLOOR((v - (mean - 2.0 * SQRT(var))) / (4.0 * SQRT(var))
+                       * 1000000.0 + 0.5) / 1000000.0 END AS pct_b
+FROM m
+"""
+
+
+@register("ts_bollinger_bands", oracle=_TS_BOLLINGER_ORACLE)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    q = _daily(ev).withColumn(
+        "vq", F.floor(F.col("v") * 1_000_000.0 + F.lit(0.5)).cast("bigint")
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-(_BOLL_N - 1), 0)
+    )
+    w = q.select(
+        "event_type",
+        "d",
+        "v",
+        F.sum("vq").over(win).cast("bigint").alias("sq"),
+        F.sum(F.col("vq") * F.col("vq")).over(win).cast("bigint").alias("ssq"),
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
+    )
+    mean = F.col("sq").cast("double") / F.col("n") / 1_000_000.0
+    var = F.when(
+        F.col("n") >= 2,
+        F.greatest(
+            (F.col("ssq").cast("double") / 1_000_000_000_000.0
+             - F.col("n") * mean * mean)
+            / (F.col("n") - 1.0),
+            F.lit(0.0),
+        ),
+    ).otherwise(F.lit(0.0))
+    m = w.select("event_type", "d", "v", "n", mean.alias("mean"), var.alias("var"))
+    sd = F.sqrt(F.col("var"))
+    q6l = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return m.select(
+        "event_type",
+        F.col("d").alias("day"),
+        F.col("v").alias("close"),
+        "n",
+        q6l(F.col("mean")).alias("sma"),
+        q6l(F.col("mean") - 2.0 * sd).alias("lower"),
+        q6l(F.col("mean") + 2.0 * sd).alias("upper"),
+        F.when(sd == 0.0, F.lit(None).cast("double"))
+        .otherwise(q6l((F.col("v") - (F.col("mean") - 2.0 * sd)) / (4.0 * sd)))
+        .alias("pct_b"),
+    )

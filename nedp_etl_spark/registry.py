@@ -112,6 +112,8 @@ _PRIORITY: list[str] = [
     "llm_assembly_e2e",              # NEW r8: composed assembly flagship
     "agg_wilson_ci",                 # NEW r8: Wilson score rate interval
     "agg_theil_index",               # NEW r8: decomposable inequality index
+    "agg_cramers_v",                 # NEW r8: categorical association strength
+    "ts_bollinger_bands",            # NEW r8: rolling mean±2σ envelope + %B
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

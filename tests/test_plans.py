@@ -259,7 +259,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_rfm_segments",  # 1-row quintile-cut + high-water broadcasts (O(#customers))
                    "llm_cooccurrence_pmi",  # 1-row pair-total N broadcast (O(V^2) keys)
                    "llm_minhash_band_tuning",  # literal 5x100 tuning grid, no corpus input
-                   "llm_assembly_e2e"}  # 1-row (total, denom) rate broadcast (O(#langs))
+                   "llm_assembly_e2e",  # 1-row (total, denom) rate broadcast (O(#langs))
+                   "agg_cramers_v"}  # 1-row totals x 1-row term-sum broadcast (O(cells))
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1178,3 +1179,18 @@ def test_theil_keyed_join_no_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_theil_index")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_cramers_v_observed_cells_only(spark, sf_dir):
+    # The contingency identity needs only OBSERVED cells: marginals join
+    # back keyed; no marginal-domain cross product anywhere (the only
+    # nested-loop shape is the allowlisted 1-row totals broadcast).
+    plan = _plan(spark, sf_dir, "agg_cramers_v")
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)
+
+
+def test_bollinger_daily_rollup_first(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_bollinger_bands")
+    assert not _has_global_window(plan)
+    assert plan.count("FileScan parquet") == 1

@@ -3108,3 +3108,47 @@ def test_theil_index_equality_and_concentration(spark, tmp_path):
     assert out["cc"]["mean_value"] == mu
     assert abs(out["cc"]["theil"] - math.floor(terms / 1e6 / 3 * 1e6 + 0.5) / 1e6) < 2e-6
     assert out["cc"]["theil"] > 0.2
+
+
+def test_cramers_v_bounds_and_hand_case(spark, tmp_path):
+    # Perfect association (lang determines source, 2x2, balanced):
+    # chi2 = N, V = 1.  Independence (all four cells equal): chi2 = 0.
+    assoc = [(i, "t", "en" if i % 2 else "fr", "s-en" if i % 2 else "s-fr", 1)
+             for i in range(40)]
+    _write(spark, tmp_path, "documents", assoc, _DOC_SCHEMA)
+    r = eng.queries()["agg_cramers_v"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["n_rows"], r["n_cols"]) == (40, 2, 2)
+    assert abs(r["chi2"] - 40.0) < 1e-4
+    assert abs(r["cramers_v"] - 1.0) < 1e-4
+
+
+def test_cramers_v_independent_facets_zero(spark, tmp_path):
+    # Independence (all four cells equal): chi2 = 0, V ~ 0.  Fresh
+    # tmp_path — the loader caches per (session, dir, table), so the
+    # fixture must not be rewritten inside one test.
+    indep = [(i, "t", "en" if i % 2 else "fr", "s0" if i % 4 < 2 else "s1", 1)
+             for i in range(40)]
+    _write(spark, tmp_path, "documents", indep, _DOC_SCHEMA)
+    r2 = eng.queries()["agg_cramers_v"](spark, str(tmp_path)).collect()[0]
+    assert abs(r2["chi2"]) < 1e-4 and abs(r2["cramers_v"]) < 1e-2
+
+
+def test_bollinger_hand_computed(spark, tmp_path):
+    # One event per day, values 1..8 on one series: at day 8 the 7-row
+    # frame holds 2..8 -> sma 5, sample var 28/6, band = 5 ± 2sd.
+    base = datetime.datetime(2024, 1, 1, 12)
+    rows = [(i, base + datetime.timedelta(days=i), 1, "a", float(i + 1), "{}")
+            for i in range(8)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(
+        eng.queries()["ts_bollinger_bands"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert out[0]["n"] == 1 and out[0]["pct_b"] is None  # single-row frame
+    last = out[-1]
+    assert last["n"] == 7 and last["close"] == 8.0 and last["sma"] == 5.0
+    sd = math.sqrt(28.0 / 6.0)
+    assert abs(last["lower"] - math.floor((5 - 2 * sd) * 1e6 + 0.5) / 1e6) < 1e-9
+    assert abs(last["upper"] - math.floor((5 + 2 * sd) * 1e6 + 0.5) / 1e6) < 1e-9
+    expect_b = math.floor((8.0 - (5 - 2 * sd)) / (4 * sd) * 1e6 + 0.5) / 1e6
+    assert abs(last["pct_b"] - expect_b) < 1e-9
