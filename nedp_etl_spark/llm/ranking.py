@@ -735,3 +735,85 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_judge_agreement — Cohen's kappa between two independent document
+# judges (chance-corrected inter-rater agreement, the standard QA readout
+# when two quality signals — or an LLM judge vs a heuristic — label the
+# same corpus).  Judges here are the two cheap deterministic signals a
+# curation pass already has: A = length gate (n_chars ≥ 200), B = token
+# gate (≥ 40 whitespace tokens); κ = (p_o − p_e)/(1 − p_e) from the 2×2
+# confusion cells.  The reference reaches eval tooling only as dbt-model
+# SQL (dbtoperator.py:273-274).
+#
+# Determinism: the four cells are exact int64 from ONE keyed-free global
+# aggregate (map-side combine); p_o/p_e/κ are identical double closed
+# forms over exact integers, q6-quantized.  Scale: one scan, one global
+# aggregate, no joins.
+# --------------------------------------------------------------------------
+
+_KAPPA_ORACLE = """
+WITH j AS (
+  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM j
+),
+p AS (
+  SELECT n, n11, n10, n01, n00,
+         CAST(n11 + n00 AS DOUBLE) / n AS po,
+         (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+         + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)
+           AS pe
+  FROM s
+)
+SELECT n, n11, n10, n01, n00,
+       FLOOR(po * 1000000.0 + 0.5) / 1000000.0 AS p_observed,
+       FLOOR(pe * 1000000.0 + 0.5) / 1000000.0 AS p_expected,
+       CASE WHEN pe = 1.0 THEN NULL
+            ELSE FLOOR((po - pe) / (1.0 - pe) * 1000000.0 + 0.5) / 1000000.0
+       END AS kappa
+FROM p
+"""
+
+
+@register("llm_judge_agreement", oracle=_KAPPA_ORACLE)
+def llm_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= 200, 1).otherwise(0)
+    b = F.when(F.size(F.split("text", " ")) >= 40, 1).otherwise(0)
+    s = d.select(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = ((F.col("n11") + F.col("n10")).cast("double") / n) * (
+        (F.col("n11") + F.col("n01")).cast("double") / n
+    ) + ((F.col("n01") + F.col("n00")).cast("double") / n) * (
+        (F.col("n10") + F.col("n00")).cast("double") / n
+    )
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return s.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        q6c(po).alias("p_observed"),
+        q6c(pe).alias("p_expected"),
+        F.when(pe == 1.0, F.lit(None).cast("double"))
+        .otherwise(q6c((po - pe) / (1.0 - pe)))
+        .alias("kappa"),
+    )

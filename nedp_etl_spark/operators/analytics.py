@@ -2969,3 +2969,128 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_mutual_information — mutual information (and the sqrt-normalized
+# NMI) between the two categorical document facets (lang × source):
+# MI = Σ (o/N)·ln(o·N/(rt·ct)) over OBSERVED cells (empty cells
+# contribute exactly 0, so the marginal domains are never crossed — the
+# agg_cramers_v discipline); NMI = MI/√(H_lang·H_source) normalizes to
+# [0, 1] for cross-snapshot comparability.  The information-theoretic
+# companion to Cramér's V.  The reference reaches association metrics
+# only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Determinism: all masses exact int64; each cell/marginal term quantizes
+# to 1e-9 int64 units before its sum (order-free); final ratios q6.
+# --------------------------------------------------------------------------
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY source),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+mi AS (
+  SELECT CAST(SUM(CAST(FLOOR((CAST(cells.o AS DOUBLE) / tot.n)
+                 * LN(CAST(cells.o AS DOUBLE) * tot.n
+                      / (CAST(rt.rt AS DOUBLE) * ct.ct))
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS miq
+  FROM cells
+  JOIN rt ON rt.lang = cells.lang
+  JOIN ct ON ct.source = cells.source
+  CROSS JOIN tot
+),
+hl AS (
+  SELECT CAST(SUM(CAST(FLOOR(-(CAST(rt AS DOUBLE) / tot.n)
+                 * LN(CAST(rt AS DOUBLE) / tot.n)
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hq
+  FROM rt CROSS JOIN tot
+),
+hs AS (
+  SELECT CAST(SUM(CAST(FLOOR(-(CAST(ct AS DOUBLE) / tot.n)
+                 * LN(CAST(ct AS DOUBLE) / tot.n)
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hq
+  FROM ct CROSS JOIN tot
+)
+SELECT tot.n,
+       FLOOR(mi.miq / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mi,
+       FLOOR(hl.hq / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS h_lang,
+       FLOOR(hs.hq / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS h_source,
+       CASE WHEN hl.hq <= 0 OR hs.hq <= 0 THEN NULL
+            ELSE FLOOR((mi.miq / 1000000000.0)
+                       / SQRT((hl.hq / 1000000000.0) * (hs.hq / 1000000000.0))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS nmi
+FROM tot CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs
+"""
+
+
+@register("agg_mutual_information", oracle=_MI_ORACLE)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rt = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("rt"))
+    ct = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    q9 = lambda c: F.floor(c * 1_000_000_000.0 + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    mi = (
+        cells.join(rt, "lang")
+        .join(ct, "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                q9(
+                    (F.col("o").cast("double") / F.col("n"))
+                    * F.log(
+                        F.col("o").cast("double")
+                        * F.col("n")
+                        / (F.col("rt").cast("double") * F.col("ct"))
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("miq")
+        )
+    )
+    def _entropy(marg: DataFrame, col: str) -> DataFrame:
+        share = F.col(col).cast("double") / F.col("n")
+        return (
+            marg.crossJoin(F.broadcast(tot))
+            .agg(F.sum(q9(-share * F.log(share))).cast("bigint").alias("hq"))
+        )
+
+    hl = _entropy(rt, "rt").withColumnRenamed("hq", "hlq")
+    hs = _entropy(ct, "ct").withColumnRenamed("hq", "hsq")
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            "n",
+            q6c(F.col("miq") / 1_000_000_000.0).alias("mi"),
+            q6c(F.col("hlq") / 1_000_000_000.0).alias("h_lang"),
+            q6c(F.col("hsq") / 1_000_000_000.0).alias("h_source"),
+            F.when(
+                (F.col("hlq") <= 0) | (F.col("hsq") <= 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                q6c(
+                    (F.col("miq") / 1_000_000_000.0)
+                    / F.sqrt(
+                        (F.col("hlq") / 1_000_000_000.0)
+                        * (F.col("hsq") / 1_000_000_000.0)
+                    )
+                )
+            )
+            .alias("nmi"),
+        )
+    )

@@ -114,6 +114,8 @@ _PRIORITY: list[str] = [
     "agg_theil_index",               # NEW r8: decomposable inequality index
     "agg_cramers_v",                 # NEW r8: categorical association strength
     "ts_bollinger_bands",            # NEW r8: rolling mean±2σ envelope + %B
+    "agg_mutual_information",        # NEW r8: MI/NMI facet association
+    "llm_judge_agreement",           # NEW r8: Cohen kappa judge QA
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -260,7 +260,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_cooccurrence_pmi",  # 1-row pair-total N broadcast (O(V^2) keys)
                    "llm_minhash_band_tuning",  # literal 5x100 tuning grid, no corpus input
                    "llm_assembly_e2e",  # 1-row (total, denom) rate broadcast (O(#langs))
-                   "agg_cramers_v"}  # 1-row totals x 1-row term-sum broadcast (O(cells))
+                   "agg_cramers_v",  # 1-row totals x 1-row term-sum broadcast (O(cells))
+                   "agg_mutual_information"}  # 1-row N/MI/entropy broadcasts (O(cells))
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1194,3 +1195,15 @@ def test_bollinger_daily_rollup_first(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_bollinger_bands")
     assert not _has_global_window(plan)
     assert plan.count("FileScan parquet") == 1
+
+
+def test_mutual_information_observed_cells_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_mutual_information")
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)
+
+
+def test_judge_agreement_single_scan_no_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_judge_agreement")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan

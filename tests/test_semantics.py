@@ -3152,3 +3152,40 @@ def test_bollinger_hand_computed(spark, tmp_path):
     assert abs(last["upper"] - math.floor((5 + 2 * sd) * 1e6 + 0.5) / 1e6) < 1e-9
     expect_b = math.floor((8.0 - (5 - 2 * sd)) / (4 * sd) * 1e6 + 0.5) / 1e6
     assert abs(last["pct_b"] - expect_b) < 1e-9
+
+
+def test_mutual_information_perfect_and_independent(spark, tmp_path):
+    # Perfect association: MI = H = ln 2, NMI = 1.
+    assoc = [(i, "t", "en" if i % 2 else "fr", "s-en" if i % 2 else "s-fr", 1)
+             for i in range(40)]
+    _write(spark, tmp_path, "documents", assoc, _DOC_SCHEMA)
+    r = eng.queries()["agg_mutual_information"](spark, str(tmp_path)).collect()[0]
+    ln2 = math.floor(math.log(2.0) * 1e9 + 0.5) / 1e9
+    assert abs(r["mi"] - math.floor(ln2 * 1e6 + 0.5) / 1e6) < 2e-6
+    assert abs(r["h_lang"] - math.floor(ln2 * 1e6 + 0.5) / 1e6) < 2e-6
+    assert abs(r["nmi"] - 1.0) < 1e-4
+
+
+def test_mutual_information_independent_zero(spark, tmp_path):
+    indep = [(i, "t", "en" if i % 2 else "fr", "s0" if i % 4 < 2 else "s1", 1)
+             for i in range(40)]
+    _write(spark, tmp_path, "documents", indep, _DOC_SCHEMA)
+    r = eng.queries()["agg_mutual_information"](spark, str(tmp_path)).collect()[0]
+    assert abs(r["mi"]) < 1e-4 and abs(r["nmi"]) < 1e-2
+
+
+def test_judge_agreement_hand_computed(spark, tmp_path):
+    # 4 docs: both judges fire on doc0 (long text, big n_chars), neither
+    # on doc3; judges disagree on docs 1/2 -> po = 0.5.
+    long_text = " ".join(f"w{i}" for i in range(50))
+    rows = [
+        (0, long_text, "en", "s", 300),   # a=1 (chars), b=1 (50 toks)
+        (1, "short", "en", "s", 250),     # a=1, b=0
+        (2, long_text, "en", "s", 100),   # a=0, b=1
+        (3, "short", "en", "s", 50),      # a=0, b=0
+    ]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    r = eng.queries()["llm_judge_agreement"](spark, str(tmp_path)).collect()[0]
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (1, 1, 1, 1)
+    assert r["p_observed"] == 0.5 and r["p_expected"] == 0.5
+    assert r["kappa"] == 0.0  # agreement exactly at chance
