@@ -3094,3 +3094,210 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_kurtosis_skewness — third/fourth standardized moments per metric
+# (skewness g1 = m3/m2^1.5, excess kurtosis g2 = m4/m2² − 3): the tail
+# diagnostics that decide whether the t-test family (agg_welch_ttest) is
+# trustworthy or the rank tests (agg_mannwhitney_u) are required.  Built
+# from raw data in TWO passes — exact mean first (util.dsum fixed-point),
+# then central-moment sums — never engine skewness()/kurtosis()
+# built-ins, whose sample-vs-population conventions differ.  The
+# reference reaches distribution stats only as dbt-model SQL
+# (dbtoperator.py:273-274).
+#
+# Determinism: μ is identical on both engines (exact int64 fixed-point);
+# each row's centered powers d², d³, d⁴ quantize to int64 units (1e-6 /
+# 1e-3 / 1e-2 scales — int64-safe for |value| ≤ ~1e3 over ≤ 1e7 rows per
+# metric, documented bound; larger domains re-scale or take the decimal
+# slow path) so the moment sums are order-free.
+# --------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = f"""
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         {osum('value')} / COUNT(*) AS mu
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, s.n, s.mu,
+         CAST(FLOOR((e.value - s.mu) * (e.value - s.mu)
+                    * 1000000.0 + 0.5) AS BIGINT) AS d2q,
+         CAST(FLOOR((e.value - s.mu) * (e.value - s.mu) * (e.value - s.mu)
+                    * 1000.0 + 0.5) AS BIGINT) AS d3q,
+         CAST(FLOOR((e.value - s.mu) * (e.value - s.mu) * (e.value - s.mu)
+                    * (e.value - s.mu) * 100.0 + 0.5) AS BIGINT) AS d4q
+  FROM events e JOIN s ON s.event_type = e.event_type
+),
+m AS (
+  SELECT event_type, n, mu,
+         CAST(SUM(d2q) AS DOUBLE) / 1000000.0 / n AS m2,
+         CAST(SUM(d3q) AS DOUBLE) / 1000.0 / n AS m3,
+         CAST(SUM(d4q) AS DOUBLE) / 100.0 / n AS m4
+  FROM d GROUP BY event_type, n, mu
+)
+SELECT event_type, n,
+       FLOOR(mu * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+       FLOOR(m2 * 1000000.0 + 0.5) / 1000000.0 AS m2,
+       CASE WHEN m2 <= 0 THEN NULL
+            ELSE FLOOR(m3 / POWER(m2, 1.5) * 1000000.0 + 0.5) / 1000000.0
+       END AS skewness,
+       CASE WHEN m2 <= 0 THEN NULL
+            ELSE FLOOR((m4 / (m2 * m2) - 3.0) * 1000000.0 + 0.5) / 1000000.0
+       END AS excess_kurtosis
+FROM m
+"""
+
+
+@register("agg_kurtosis_skewness", oracle=_MOMENTS_ORACLE)
+def agg_kurtosis_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (dsum("value") / F.count(F.lit(1))).alias("mu"),
+    )
+    dd = F.col("value") - F.col("mu")
+    d = ev.join(s, "event_type").select(
+        "event_type",
+        "n",
+        "mu",
+        F.floor(dd * dd * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("d2q"),
+        F.floor(dd * dd * dd * 1_000.0 + F.lit(0.5)).cast("bigint").alias("d3q"),
+        F.floor(dd * dd * dd * dd * 100.0 + F.lit(0.5)).cast("bigint").alias("d4q"),
+    )
+    m = d.groupBy("event_type", "n", "mu").agg(
+        (F.sum("d2q").cast("double") / 1_000_000.0 / F.col("n")).alias("m2"),
+        (F.sum("d3q").cast("double") / 1_000.0 / F.col("n")).alias("m3"),
+        (F.sum("d4q").cast("double") / 100.0 / F.col("n")).alias("m4"),
+    )
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    m2 = F.col("m2")
+    return m.select(
+        "event_type",
+        "n",
+        q6c(F.col("mu")).alias("mean_value"),
+        q6c(m2).alias("m2"),
+        F.when(m2 <= 0, F.lit(None).cast("double"))
+        .otherwise(q6c(F.col("m3") / F.pow(m2, 1.5)))
+        .alias("skewness"),
+        F.when(m2 <= 0, F.lit(None).cast("double"))
+        .otherwise(q6c(F.col("m4") / (m2 * m2) - 3.0))
+        .alias("excess_kurtosis"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_benjamini_hochberg — FDR multiple-testing correction (q = 0.05)
+# over the per-metric Mann-Whitney family: converts each metric's z-stat
+# to a two-sided p-value via the Abramowitz-Stegun 26.2.17 normal-CDF
+# polynomial (textually identical on both engines — neither has erf()
+# parity), ranks the p-values, and applies the BH step-up rule
+# k* = max{k : p(k) ≤ k·q/m}, rejecting every p ≤ the k*-th.  This is
+# the guardrail that makes the repo's per-metric test family honest when
+# many metrics are screened at once.  The reference reaches testing only
+# as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Scale shape: the family is the BOUNDED per-metric aggregate (≤ #metrics
+# rows) produced by agg_mannwhitney_u's distinct-value rank machinery; the
+# ranking window and the 1-row k* broadcast run over that bounded
+# relation only (allowlisted / _GLOBAL_WINDOW_OK with justification).
+# --------------------------------------------------------------------------
+
+_BH_Q = "0.05"
+# A&S 26.2.17 constants, shared literals
+_AS_B = ("0.319381530", "-0.356563782", "1.781477937", "-1.821255978",
+         "1.330274429")
+_AS_P = "0.2316419"
+_INV_SQRT_2PI = "0.3989422804014327"
+
+
+def _phi_tail_sql(x: str) -> str:
+    """Upper-tail 1−Φ(x) for x ≥ 0 — A&S 26.2.17, textual SQL."""
+    t = f"(1.0 / (1.0 + {_AS_P} * ({x})))"
+    poly = (f"({_AS_B[0]} * {t} + {_AS_B[1]} * {t} * {t}"
+            f" + {_AS_B[2]} * {t} * {t} * {t}"
+            f" + {_AS_B[3]} * {t} * {t} * {t} * {t}"
+            f" + {_AS_B[4]} * {t} * {t} * {t} * {t} * {t})")
+    return f"({_INV_SQRT_2PI} * EXP(-(({x}) * ({x})) / 2.0) * {poly})"
+
+
+@register("agg_benjamini_hochberg",
+          oracle=f"""
+WITH fam AS ({_MWU_ORACLE}),
+p AS (
+  SELECT event_type, z_stat,
+         CASE WHEN z_stat IS NULL THEN NULL
+              ELSE FLOOR(LEAST(2.0 * {_phi_tail_sql('ABS(z_stat)')}, 1.0)
+                         * 1000000.0 + 0.5) / 1000000.0
+         END AS p_value
+  FROM fam
+),
+r AS (
+  SELECT event_type, z_stat, p_value,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS BIGINT)
+           AS rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM p WHERE p_value IS NOT NULL
+),
+k AS (
+  SELECT COALESCE(MAX(CASE WHEN p_value <= rank * {_BH_Q} / m
+                           THEN rank END), 0) AS kstar
+  FROM r
+)
+SELECT r.event_type, r.z_stat, r.p_value, r.rank,
+       FLOOR(r.rank * {_BH_Q} / r.m * 1000000.0 + 0.5) / 1000000.0
+         AS bh_threshold,
+       r.rank <= k.kstar AS rejected
+FROM r CROSS JOIN k
+""")
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fam = agg_mannwhitney_u(spark, sf_dir)
+    x = F.abs(F.col("z_stat"))
+    t = 1.0 / (1.0 + float(_AS_P) * x)
+    poly = (
+        float(_AS_B[0]) * t
+        + float(_AS_B[1]) * t * t
+        + float(_AS_B[2]) * t * t * t
+        + float(_AS_B[3]) * t * t * t * t
+        + float(_AS_B[4]) * t * t * t * t * t
+    )
+    tail = F.lit(float(_INV_SQRT_2PI)) * F.exp(-(x * x) / 2.0) * poly
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    p = fam.select(
+        "event_type",
+        "z_stat",
+        F.when(F.col("z_stat").isNull(), F.lit(None).cast("double"))
+        .otherwise(q6c(F.least(2.0 * tail, F.lit(1.0))))
+        .alias("p_value"),
+    ).filter(F.col("p_value").isNotNull())
+    # Bounded family: ≤ #metrics rows — the global window is justified
+    # (same class as ts_funnel's step aggregate; see _GLOBAL_WINDOW_OK).
+    w = Window.orderBy("p_value", "event_type")
+    r = p.select(
+        "event_type",
+        "z_stat",
+        "p_value",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    q = float(_BH_Q)
+    k = r.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("rank") * q / F.col("m"),
+                    F.col("rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kstar")
+    )
+    return r.crossJoin(F.broadcast(k)).select(
+        "event_type",
+        "z_stat",
+        "p_value",
+        "rank",
+        q6c(F.col("rank") * q / F.col("m")).alias("bh_threshold"),
+        (F.col("rank") <= F.col("kstar")).alias("rejected"),
+    )

@@ -116,6 +116,8 @@ _PRIORITY: list[str] = [
     "ts_bollinger_bands",            # NEW r8: rolling mean±2σ envelope + %B
     "agg_mutual_information",        # NEW r8: MI/NMI facet association
     "llm_judge_agreement",           # NEW r8: Cohen kappa judge QA
+    "agg_kurtosis_skewness",         # NEW r8: central-moment tail stats
+    "agg_benjamini_hochberg",        # NEW r8: FDR step-up over the family
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -261,7 +261,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_minhash_band_tuning",  # literal 5x100 tuning grid, no corpus input
                    "llm_assembly_e2e",  # 1-row (total, denom) rate broadcast (O(#langs))
                    "agg_cramers_v",  # 1-row totals x 1-row term-sum broadcast (O(cells))
-                   "agg_mutual_information"}  # 1-row N/MI/entropy broadcasts (O(cells))
+                   "agg_mutual_information",  # 1-row N/MI/entropy broadcasts (O(cells))
+                   "agg_benjamini_hochberg"}  # 1-row k* broadcast over the bounded family
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -300,6 +301,7 @@ def test_twophase_agg_is_two_exchanges(spark, sf_dir):
 _GLOBAL_WINDOW_OK = {
     "sort_multi",  # the contract's total-order demo; input bounded by o_orderkey < 2000
     "ts_funnel",  # conv_pct first_value over the ≤4-row step-count aggregate
+    "agg_benjamini_hochberg",  # p-value ranking over the ≤ #metrics family aggregate
 }
 
 
@@ -1207,3 +1209,20 @@ def test_judge_agreement_single_scan_no_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_judge_agreement")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_moments_two_pass_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_kurtosis_skewness")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_bh_window_only_over_bounded_family(spark, sf_dir):
+    # The ranking window input is the ≤ #metrics aggregate, not raw rows:
+    # upstream of the window there must be a full aggregate collapse.
+    df = eng.queries()["agg_benjamini_hochberg"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan
+    import re
+    w_idx = plan.index("Window")
+    assert "Aggregate" in plan[w_idx:], "window must sit on the aggregate family"

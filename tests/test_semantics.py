@@ -3189,3 +3189,52 @@ def test_judge_agreement_hand_computed(spark, tmp_path):
     assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (1, 1, 1, 1)
     assert r["p_observed"] == 0.5 and r["p_expected"] == 0.5
     assert r["kappa"] == 0.0  # agreement exactly at chance
+
+
+def test_moments_hand_computed(spark, tmp_path):
+    # Symmetric values 1..5 -> skewness 0; m2 = 2, m4 = 6.8 -> excess
+    # kurtosis 6.8/4 - 3 = -1.3.  Skewed series recomputed in python.
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 1, "sym", float(v), "{}")
+            for i, v in enumerate([1, 2, 3, 4, 5])] + [
+        (10 + i, base, 1, "skw", float(v), "{}")
+        for i, v in enumerate([1, 1, 1, 9])
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        r["event_type"]: r
+        for r in eng.queries()["agg_kurtosis_skewness"](spark, str(tmp_path)).collect()
+    }
+    sym = out["sym"]
+    assert sym["mean_value"] == 3.0 and sym["m2"] == 2.0
+    assert sym["skewness"] == 0.0
+    assert abs(sym["excess_kurtosis"] - (6.8 / 4.0 - 3.0)) < 1e-6
+    skw = out["skw"]  # mean 3, d = (-2,-2,-2,6): m2 = 12, m3 = 48, m4 = 336
+    assert skw["mean_value"] == 3.0 and skw["m2"] == 12.0
+    assert abs(skw["skewness"] - 48.0 / 12.0**1.5) < 1e-5
+    assert abs(skw["excess_kurtosis"] - (336.0 / 144.0 - 3.0)) < 1e-5
+
+
+def test_benjamini_hochberg_step_up(spark, tmp_path):
+    # Two metrics: 'big' has a strong planted arm shift (tiny p, rejected);
+    # 'nul' has identical arms (p ~ 1, not rejected).  BH internal
+    # consistency: thresholds are rank*q/m and rejections are a prefix.
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    i = 0
+    for v in range(30):  # arm0 low values, arm1 high values -> strong shift
+        rows.append((i, base, 0, "big", float(v), "{}")); i += 1
+        rows.append((i, base, 1, "big", float(v + 100), "{}")); i += 1
+    for v in range(30):  # identical arms
+        rows.append((i, base, 0, "nul", float(v), "{}")); i += 1
+        rows.append((i, base, 1, "nul", float(v), "{}")); i += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        r["event_type"]: r
+        for r in eng.queries()["agg_benjamini_hochberg"](spark, str(tmp_path)).collect()
+    }
+    assert out["big"]["rank"] == 1 and out["nul"]["rank"] == 2
+    assert out["big"]["p_value"] < 0.001 and out["big"]["rejected"]
+    assert out["nul"]["p_value"] > 0.5 and not out["nul"]["rejected"]
+    for r in out.values():
+        assert r["bh_threshold"] == math.floor(r["rank"] * 0.05 / 2 * 1e6 + 0.5) / 1e6
