@@ -1086,3 +1086,115 @@ def llm_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("split_word_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_paragraph_dedup — CCNet-style duplicated-paragraph REMOVAL (the
+# transform, where llm_span_dedup is the audit): documents split into
+# non-overlapping 20-token paragraphs; a paragraph occurrence survives
+# only if it is the globally FIRST occurrence of its hash (ordered by
+# (doc_id, position) — the CCNet keep-first convention); survivors
+# reassemble in order into the cleaned text.  This is the boilerplate
+# killer that removes repeated headers/footers/navigation across a crawl
+# snapshot.  Reference parity: curation transforms reach the reference
+# only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Scale shape: paragraphs explode map-side; the only shuffles are the
+# hash-keyed first-occurrence aggregate (min of an encoded int64
+# occurrence key — map-side combine) joined back by hash, and the per-doc
+# reassembly aggregate.  Reassembly order comes from sort_array over the
+# collected (position, paragraph) structs — per-doc arrays, never a
+# window.  Occurrence keys encode (doc_id, position) as doc_id·2²⁰ + p
+# (paragraph index < 2²⁰ = docs up to ~20M tokens; guarded by the 2²⁰
+# cap being far beyond any real document).
+# --------------------------------------------------------------------------
+
+_PARA_W = 20
+
+_PARA_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+paras AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS p,
+         array_to_string(
+           l[CAST(p * {_PARA_W} + 1 AS INT):CAST((p + 1) * {_PARA_W} AS INT)],
+           ' ') AS para
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(
+                 0, CAST(CEIL(len(l) * 1.0 / {_PARA_W}) - 1 AS BIGINT))) AS p
+        FROM t)
+),
+h AS (
+  SELECT doc_id, p, para, md5(para) AS hh,
+         doc_id * 1048576 + p AS okey
+  FROM paras
+),
+first_occ AS (SELECT hh, MIN(okey) AS keeper FROM h GROUP BY hh),
+kept AS (
+  SELECT h.doc_id, h.p, h.para
+  FROM h JOIN first_occ f ON f.hh = h.hh
+  WHERE h.okey = f.keeper
+)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN k.para IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       COALESCE(STRING_AGG(k.para, ' ' ORDER BY h.p), '') AS cleaned_text
+FROM h
+LEFT JOIN kept k ON k.doc_id = h.doc_id AND k.p = h.p
+GROUP BY h.doc_id
+"""
+
+
+@register("llm_paragraph_dedup", oracle=_PARA_DEDUP_ORACLE)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("l"))
+    n_paras = F.ceil(F.size("l") * 1.0 / _PARA_W).cast("bigint")
+    paras = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_paras - 1)).alias("p"),
+        "l",
+    ).select(
+        "doc_id",
+        "p",
+        F.concat_ws(
+            " ", F.slice(F.col("l"), (F.col("p") * _PARA_W + 1).cast("int"), _PARA_W)
+        ).alias("para"),
+    )
+    h = paras.select(
+        "doc_id",
+        "p",
+        "para",
+        F.md5("para").alias("hh"),
+        (F.col("doc_id") * 1048576 + F.col("p")).alias("okey"),
+    )
+    first_occ = h.groupBy("hh").agg(F.min("okey").alias("keeper"))
+    kept = (
+        h.join(first_occ, "hh")
+        .filter(F.col("okey") == F.col("keeper"))
+        .select("doc_id", "p", F.col("para").alias("kpara"))
+    )
+    joined = h.join(kept, ["doc_id", "p"], "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum(F.when(F.col("kpara").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kpara").isNotNull(),
+                                F.struct(F.col("p"), F.col("kpara").alias("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("cleaned_text"),
+    )

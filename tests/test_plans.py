@@ -1226,3 +1226,13 @@ def test_bh_window_only_over_bounded_family(spark, sf_dir):
     import re
     w_idx = plan.index("Window")
     assert "Aggregate" in plan[w_idx:], "window must sit on the aggregate family"
+
+
+def test_paragraph_dedup_keyed_joins_no_window(spark, sf_dir):
+    # First-occurrence selection is a hash-keyed MIN aggregate joined
+    # back; reassembly is sort_array over per-doc collected structs —
+    # no window, no nested loop.
+    plan = _plan(spark, sf_dir, "llm_paragraph_dedup")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -3238,3 +3238,25 @@ def test_benjamini_hochberg_step_up(spark, tmp_path):
     assert out["nul"]["p_value"] > 0.5 and not out["nul"]["rejected"]
     for r in out.values():
         assert r["bh_threshold"] == math.floor(r["rank"] * 0.05 / 2 * 1e6 + 0.5) / 1e6
+
+
+def test_paragraph_dedup_keep_first_reassembly(spark, tmp_path):
+    # Docs of exactly two 20-token paragraphs.  P_A is shared by docs 1
+    # and 2: doc 1 (first occurrence) keeps it, doc 2 loses it and
+    # reassembles to only its unique paragraph; within-doc order survives.
+    pa = " ".join(f"a{i}" for i in range(20))
+    pb = " ".join(f"b{i}" for i in range(20))
+    pc = " ".join(f"c{i}" for i in range(20))
+    rows = [
+        (1, f"{pa} {pb}", "en", "s", 100),
+        (2, f"{pc} {pa}", "en", "s", 100),
+    ]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in eng.queries()["llm_paragraph_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["cleaned_text"] == f"{pa} {pb}"
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["cleaned_text"] == pc  # duplicated pa dropped, order kept
