@@ -119,6 +119,7 @@ _PRIORITY: list[str] = [
     "agg_kurtosis_skewness",         # NEW r8: central-moment tail stats
     "agg_benjamini_hochberg",        # NEW r8: FDR step-up over the family
     "llm_paragraph_dedup",           # NEW r8: CCNet keep-first para removal
+    "stream_topk_per_window",        # NEW r8: streaming leaderboard recipe
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -691,3 +691,78 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# stream_topk_per_window — top-3 users by summed value per tumbling hour
+# per event_type: the standard streaming leaderboard recipe.  Ranking is
+# NOT incrementally maintainable inside a streaming aggregation, so the
+# streaming decomposition is: (1) a watermarkable windowed SUM aggregate
+# keyed on (window, event_type, user_id) — bounded state, one row per
+# active key — then (2) rank-at-the-sink (foreachBatch / on the complete-
+# mode table), which is exactly what this batch form states and what the
+# replay-parity test exercises under readStream.  Per-user sums quantize
+# to int64 micro-units (order-free, and ties rank deterministically by
+# user_id).  The reference reaches leaderboards only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+#
+# Scale shape: one keyed windowed aggregate (map-side combine; watermark
+# retires whole windows); the rank window partitions by (window,
+# event_type) — bounded by active users per window, never global.
+# --------------------------------------------------------------------------
+
+_STREAM_TOPK_K = 3
+
+_STREAM_TOPK_ORACLE = f"""
+WITH s AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, user_id,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS vq
+  FROM events GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT ws, event_type, user_id, vq,
+         ROW_NUMBER() OVER (PARTITION BY ws, event_type
+                            ORDER BY vq DESC, user_id) AS rnk
+  FROM s
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, user_id,
+       vq / 1000000.0 AS total_value,
+       CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= {_STREAM_TOPK_K}
+"""
+
+
+def _topk_rank(sums: DataFrame) -> DataFrame:
+    """Rank-at-the-sink stage shared by the batch form and the replay
+    test: top-K per (window, event_type) from the per-user sum table."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("w", "event_type").orderBy(
+        F.col("vq").desc(), "user_id"
+    )
+    return (
+        sums.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _STREAM_TOPK_K)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "user_id",
+            (F.col("vq") / 1_000_000.0).alias("total_value"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register("stream_topk_per_window", oracle=_STREAM_TOPK_ORACLE)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sums = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type", "user_id"
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("vq")
+    )
+    return _topk_rank(sums)

@@ -1236,3 +1236,11 @@ def test_paragraph_dedup_keyed_joins_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_topk_rank_partitioned_by_window(spark, sf_dir):
+    # The rank window partitions by (window, event_type) — bounded by
+    # active users per window, never a global sort.
+    plan = _plan(spark, sf_dir, "stream_topk_per_window")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan

@@ -342,3 +342,28 @@ def test_windowed_distinct_batch_equals_streaming(spark, sf_dir):
         for r in _run_to_memory(agg, "parity_windowed_distinct", "complete").collect()
     }
     assert streamed == batch
+
+
+def test_topk_per_window_batch_equals_streaming(spark, sf_dir):
+    # The streaming leaderboard decomposition: the per-(window, type,
+    # user) SUM is the streaming aggregate (bounded keyed state); ranking
+    # happens at the sink.  Replay the sum through readStream (complete
+    # mode), apply the SHARED rank stage to the sink table, and the rows
+    # must equal the batch form exactly.
+    from nedp_etl_spark.streaming.windows import _topk_rank
+
+    batch = {
+        tuple(r)
+        for r in eng.queries()["stream_topk_per_window"](spark, sf_dir).collect()
+    }
+    ev = _stream_events(spark, sf_dir)
+    sums = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type", "user_id"
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("vq")
+    )
+    sink = _run_to_memory(sums, "parity_stream_topk", "complete")
+    streamed = {tuple(r) for r in _topk_rank(sink).collect()}
+    assert streamed == batch
