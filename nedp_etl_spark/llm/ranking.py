@@ -558,6 +558,7 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.size("r.l") - 1, F.lit(0)).cast("bigint").alias("n2_ref"),
             F.greatest(F.size("c.l") - 1, F.lit(0)).cast("bigint").alias("n2_cand"),
         )
+        .localCheckpoint(eager=True)  # one pair derivation, 3 consumers
     )
     uc = (
         d.select("doc_id", F.explode("l").alias("g"))
@@ -699,7 +700,12 @@ def llm_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for dd in (1, 2):
         p = d.select(
             F.explode(
-                F.transform(F.slice(F.col("l"), 1, F.size("l") - dd), _skipgram(dd))
+                # greatest(0, ...): a doc shorter than the distance must
+                # yield no pairs, not a negative-length slice error
+                F.transform(
+                    F.slice(F.col("l"), 1, F.greatest(F.size("l") - dd, F.lit(0))),
+                    _skipgram(dd),
+                )
             ).alias("p")
         ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         pr = p if pr is None else pr.unionAll(p)

@@ -2340,7 +2340,7 @@ WITH v AS (
   SELECT event_type, value AS val,
          COUNT(*) AS nv,
          SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1v
-  FROM events GROUP BY event_type, value
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, value
 ),
 c AS (
   SELECT event_type, val, nv, n1v,
@@ -2379,7 +2379,10 @@ FROM z
 
 @register("agg_mannwhitney_u", oracle=_MWU_ORACLE)
 def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # NULL observations carry no rank (the agg_ks_test discipline) — and
+    # the engines ORDER NULL groups differently (Spark first, DuckDB
+    # last), so an unfiltered NULL group would shift every cb.
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = ev.groupBy("event_type", F.col("value").alias("val")).agg(
         F.count(F.lit(1)).alias("nv"),
         F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n1v"),
@@ -2456,7 +2459,7 @@ _TRIMWIN_ORACLE = """
 WITH v AS (
   SELECT event_type, value AS val, COUNT(*) AS nv,
          CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq
-  FROM events GROUP BY event_type, value
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, value
 ),
 c AS (
   SELECT event_type, val, nv, vq,
@@ -2495,7 +2498,8 @@ FROM s
 
 @register("agg_trimmed_winsorized", oracle=_TRIMWIN_ORACLE)
 def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # NULLs hold no rank span (see agg_mannwhitney_u's guard note)
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = ev.groupBy("event_type", F.col("value").alias("val")).agg(
         F.count(F.lit(1)).alias("nv"),
         F.floor(F.first("value") * 1_000_000.0 + F.lit(0.5))

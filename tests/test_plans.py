@@ -1223,7 +1223,6 @@ def test_bh_window_only_over_bounded_family(spark, sf_dir):
     df = eng.queries()["agg_benjamini_hochberg"](spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" in plan
-    import re
     w_idx = plan.index("Window")
     assert "Aggregate" in plan[w_idx:], "window must sit on the aggregate family"
 
