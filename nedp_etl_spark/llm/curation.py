@@ -1047,3 +1047,141 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack.cast("bigint").alias("pack_id"),
         (start - pack * _E2E_CAP).cast("bigint").alias("offset_in_pack"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_mix_temperature_sweep — the mixing-temperature design sheet (the
+# planning companion to llm_temperature_sample, which EXECUTES one α):
+# for each candidate α on a fixed grid, the per-language keep-rates
+# r_i = min(1, q_i·N/n_i) with q_i = n_i^α / Σ n_j^α, the resulting
+# dataset size, head-language share, and the entropy of the effective
+# mix — the table a data-mix owner reads before choosing α for a 100 TB
+# rebuild (the mT5/XLM-R sampling recipe).  The reference reaches mix
+# planning only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Scale shape: everything past the per-language count aggregate is
+# O(#langs × #alphas) — the corpus is scanned ONCE.  Determinism:
+# n_i^α quantizes to int64 micros before the denominator sum (the
+# temperature_sample discipline); kept counts floor(n_i·r_i) are exact
+# ints; entropy terms quantize at 1e-9 before their bounded sum.
+# --------------------------------------------------------------------------
+
+_MIX_ALPHAS = ("0.3", "0.5", "0.7", "1.0")
+
+_MIX_SWEEP_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+grid AS (SELECT CAST(a AS DOUBLE) AS alpha
+         FROM (SELECT unnest([{", ".join(_MIX_ALPHAS)}]) AS a)),
+pw AS (
+  SELECT g.alpha, c.lang, c.n,
+         CAST(FLOOR(POWER(c.n, g.alpha) * 1000000.0 + 0.5) AS BIGINT)
+           AS pmicros
+  FROM counts c CROSS JOIN grid g
+),
+den AS (SELECT alpha, CAST(SUM(pmicros) AS BIGINT) AS denom
+        FROM pw GROUP BY alpha),
+rates AS (
+  SELECT pw.alpha, pw.lang, pw.n,
+         LEAST(1.0, (CAST(pw.pmicros AS DOUBLE) * CAST(t.total AS DOUBLE))
+                    / (CAST(d.denom AS DOUBLE) * CAST(pw.n AS DOUBLE)))
+           AS rate
+  FROM pw JOIN den d ON d.alpha = pw.alpha CROSS JOIN tot t
+),
+kept AS (
+  SELECT alpha, lang,
+         CAST(FLOOR(CAST(n AS DOUBLE) * rate) AS BIGINT) AS k
+  FROM rates
+),
+sz AS (SELECT alpha, CAST(SUM(k) AS BIGINT) AS kept_docs,
+              CAST(MAX(k) AS BIGINT) AS head_docs
+       FROM kept GROUP BY alpha),
+ent AS (
+  SELECT kept.alpha,
+         CAST(SUM(CAST(FLOOR(-(CAST(kept.k AS DOUBLE) / sz.kept_docs)
+              * LN(CAST(kept.k AS DOUBLE) / sz.kept_docs)
+              * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS eq
+  FROM kept JOIN sz ON sz.alpha = kept.alpha
+  WHERE kept.k > 0 GROUP BY kept.alpha
+)
+SELECT sz.alpha, sz.kept_docs,
+       FLOOR(CAST(sz.head_docs AS DOUBLE) / sz.kept_docs * 1000000.0 + 0.5)
+         / 1000000.0 AS head_share,
+       FLOOR(ent.eq / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0
+         AS mix_entropy
+FROM sz JOIN ent ON ent.alpha = sz.alpha
+"""
+
+
+@register("llm_mix_temperature_sweep", oracle=_MIX_SWEEP_ORACLE)
+def llm_mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        # O(#langs) relation with 5 downstream branches: checkpoint so the
+        # corpus count aggregate runs ONCE, honoring the one-scan claim
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    grid = spark.createDataFrame(
+        [(float(a),) for a in _MIX_ALPHAS], "alpha double"
+    )
+    pw = counts.crossJoin(F.broadcast(grid)).select(
+        "alpha",
+        "lang",
+        "n",
+        F.floor(F.pow(F.col("n"), F.col("alpha")) * 1_000_000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("pmicros"),
+    )
+    den = pw.groupBy("alpha").agg(F.sum("pmicros").cast("bigint").alias("denom"))
+    rates = (
+        pw.join(den, "alpha")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "alpha",
+            "lang",
+            "n",
+            F.least(
+                F.lit(1.0),
+                (F.col("pmicros").cast("double") * F.col("total").cast("double"))
+                / (F.col("denom").cast("double") * F.col("n").cast("double")),
+            ).alias("rate"),
+        )
+    )
+    kept = rates.select(
+        "alpha",
+        "lang",
+        F.floor(F.col("n").cast("double") * F.col("rate")).cast("bigint").alias("k"),
+    )
+    sz = kept.groupBy("alpha").agg(
+        F.sum("k").cast("bigint").alias("kept_docs"),
+        F.max("k").cast("bigint").alias("head_docs"),
+    )
+    share = F.col("k").cast("double") / F.col("kept_docs")
+    ent = (
+        kept.join(sz.select("alpha", "kept_docs"), "alpha")
+        .filter(F.col("k") > 0)
+        .groupBy("alpha")
+        .agg(
+            F.sum(
+                F.floor(-share * F.log(share) * 1_000_000_000.0 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("eq")
+        )
+    )
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return sz.join(ent, "alpha").select(
+        "alpha",
+        "kept_docs",
+        q6c(F.col("head_docs").cast("double") / F.col("kept_docs")).alias(
+            "head_share"
+        ),
+        q6c(F.col("eq") / 1_000_000_000.0).alias("mix_entropy"),
+    )

@@ -823,3 +823,108 @@ def llm_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(q6c((po - pe) / (1.0 - pe)))
         .alias("kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_calibration_ece — expected calibration error of a document judge:
+# confidence = the deterministic hash-uniform score every sampler here
+# uses (so the contract is self-contained), outcome = the length gate
+# (n_chars ≥ 200); 10 equal-width confidence bins; ECE = Σ (n_b/N)·
+# |acc_b − conf_b| — the standard reliability readout for any
+# quality-classifier / LLM-judge score before its threshold is trusted.
+# The reference reaches eval calibration only as dbt-model SQL
+# (dbtoperator.py:273-274).
+#
+# Determinism: bin ids, hit counts, and N are exact int64; mean
+# confidence per bin sums the exact 1e-6-quantized uniform (int64);
+# |acc − conf| terms quantize at 1e-9 before the final bounded sum.
+# Scale: one scan → one 10-key aggregate → one 1-row rollup.
+# --------------------------------------------------------------------------
+
+_ECE_ORACLE = """
+WITH j AS (
+  SELECT CAST(('0x' || substr(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS conf,
+         CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS hit
+  FROM documents
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR(conf * 10.0) AS INT), 9) AS bin,
+         CAST(FLOOR(conf * 1000000.0 + 0.5) AS BIGINT) AS confq,
+         hit
+  FROM j
+),
+g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(hit) AS BIGINT) AS hits,
+         CAST(SUM(confq) AS BIGINT) AS confsum
+  FROM b GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM g),
+terms AS (
+  SELECT g.bin, g.n_b, g.hits, g.confsum, tot.n,
+         CAST(FLOOR((CAST(g.n_b AS DOUBLE) / tot.n)
+              * ABS(CAST(g.hits AS DOUBLE) / g.n_b
+                    - CAST(g.confsum AS DOUBLE) / g.n_b / 1000000.0)
+              * 1000000000.0 + 0.5) AS BIGINT) AS tq
+  FROM g CROSS JOIN tot
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       FLOOR(SUM(tq) / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS ece
+FROM terms
+"""
+
+
+@register("llm_calibration_ece", oracle=_ECE_ORACLE)
+def llm_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    conf = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("conf:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    j = d.select(
+        conf.alias("conf"),
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("hit"),
+    )
+    b = j.select(
+        F.least(F.floor(F.col("conf") * 10.0).cast("int"), F.lit(9)).alias("bin"),
+        F.floor(F.col("conf") * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias(
+            "confq"
+        ),
+        "hit",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("hit").cast("bigint").alias("hits"),
+        F.sum("confq").cast("bigint").alias("confsum"),
+    ).localCheckpoint(eager=True)  # ≤10 rows, 2 consumers: one corpus scan
+    tot = g.agg(F.sum("n_b").cast("bigint").alias("n"))
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "n",
+        F.floor(
+            (F.col("n_b").cast("double") / F.col("n"))
+            * F.abs(
+                F.col("hits").cast("double") / F.col("n_b")
+                - F.col("confsum").cast("double") / F.col("n_b") / 1_000_000.0
+            )
+            * 1_000_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("tq"),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        (
+            F.floor(F.sum("tq") / 1_000_000_000.0 * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("ece"),
+    )

@@ -120,6 +120,8 @@ _PRIORITY: list[str] = [
     "agg_benjamini_hochberg",        # NEW r8: FDR step-up over the family
     "llm_paragraph_dedup",           # NEW r8: CCNet keep-first para removal
     "stream_topk_per_window",        # NEW r8: streaming leaderboard recipe
+    "llm_mix_temperature_sweep",     # NEW r8: α design sheet for mixing
+    "llm_calibration_ece",           # NEW r8: judge reliability readout
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -262,7 +262,9 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_assembly_e2e",  # 1-row (total, denom) rate broadcast (O(#langs))
                    "agg_cramers_v",  # 1-row totals x 1-row term-sum broadcast (O(cells))
                    "agg_mutual_information",  # 1-row N/MI/entropy broadcasts (O(cells))
-                   "agg_benjamini_hochberg"}  # 1-row k* broadcast over the bounded family
+                   "agg_benjamini_hochberg",  # 1-row k* broadcast over the bounded family
+                   "llm_mix_temperature_sweep",  # #langs x 4-alpha literal grid + 1-row total
+                   "llm_calibration_ece"}  # 1-row N broadcast over the 10-bin aggregate
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1243,3 +1245,22 @@ def test_stream_topk_rank_partitioned_by_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "stream_topk_per_window")
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_mix_sweep_single_corpus_scan(spark, sf_dir):
+    # The per-language count aggregate is checkpointed (corpus scan runs
+    # ONCE, at construction); everything in the returned plan is
+    # O(#langs x #alphas) over the materialized relation.
+    plan = _plan(spark, sf_dir, "llm_mix_temperature_sweep")
+    assert plan.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert not _has_global_window(plan)
+
+
+def test_calibration_ece_bounded_rollup(spark, sf_dir):
+    # Same shape: the 10-bin aggregate is checkpointed; the returned plan
+    # only rolls up the materialized bins.
+    plan = _plan(spark, sf_dir, "llm_calibration_ece")
+    assert plan.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan

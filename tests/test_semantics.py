@@ -3289,3 +3289,49 @@ def test_cooccurrence_pmi_single_token_doc_no_crash(spark, tmp_path):
     _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
     out = eng.queries()["llm_cooccurrence_pmi"](spark, str(tmp_path)).collect()
     assert all(r["w1"] != "solo" and r["w2"] != "solo" for r in out)
+
+
+def test_mix_temperature_sweep_monotonic(spark, tmp_path):
+    # Skewed corpus (90 en / 10 fr): α=1 keeps everything (rates 1) with
+    # head share 0.9; smaller α flattens — head share decreases and mix
+    # entropy increases monotonically as α drops.
+    rows = [(i, "t", "en" if i < 90 else "fr", "s", 1) for i in range(100)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {
+        r["alpha"]: r
+        for r in eng.queries()["llm_mix_temperature_sweep"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {0.3, 0.5, 0.7, 1.0}
+    assert out[1.0]["kept_docs"] == 100
+    assert out[1.0]["head_share"] == 0.9
+    shares = [out[a]["head_share"] for a in (0.3, 0.5, 0.7, 1.0)]
+    assert shares == sorted(shares)  # flattening monotone in alpha
+    ents = [out[a]["mix_entropy"] for a in (0.3, 0.5, 0.7, 1.0)]
+    assert ents == sorted(ents, reverse=True)
+
+
+def test_calibration_ece_recompute(spark, tmp_path):
+    # Replay confidence hashing + binning in python; ECE must match the
+    # identical quantized fold and sit in [0, 1].
+    import hashlib
+
+    rows = [(i, "t", "en", "s", 300 if i % 3 else 100) for i in range(200)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    r = eng.queries()["llm_calibration_ece"](spark, str(tmp_path)).collect()[0]
+    bins = {}
+    for i, _, _, _, nc in rows:
+        conf = int(hashlib.md5(f"conf:{i}".encode()).hexdigest()[:8], 16) / 4294967296.0
+        bb = min(int(conf * 10), 9)
+        n, h, cq = bins.get(bb, (0, 0, 0))
+        bins[bb] = (n + 1, h + (1 if nc >= 200 else 0),
+                    cq + math.floor(conf * 1e6 + 0.5))
+    N = sum(n for n, _, _ in bins.values())
+    tq = sum(
+        math.floor((n / N) * abs(h / n - cq / n / 1e6) * 1e9 + 0.5)
+        for n, h, cq in bins.values()
+    )
+    assert r["n"] == N and r["n_bins"] == len(bins)
+    assert abs(r["ece"] - math.floor(tq / 1e9 * 1e6 + 0.5) / 1e6) < 1e-9
+    assert 0.0 <= r["ece"] <= 1.0
