@@ -922,3 +922,110 @@ def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_nearest_1d — nearest-NUMERIC-neighbor enrichment (the price-matching
+# twin of join_asof_nearest's time semantics): every open ('P') order
+# matches the filled ('F') order of the same priority whose total price is
+# closest; equidistant candidates resolve to the lower price, then the
+# lower orderkey.  The benchmark-matching shape ("match each trade to the
+# closest reference fill") that a naive implementation writes as a
+# quadratic |a.price − b.price| cross join.
+#
+# Scale shape — the sorted-union trick: tag both sides, sort ONCE per
+# priority by (price, side, key), and read the nearest-below /
+# nearest-above fill off two IGNORE-NULLS running-edge windows — cost is
+# one partitioned sort, zero joins, instead of O(probe × build).  Build
+# rows order before probes at equal price, so an exact price tie matches
+# as "below" (distance 0) deterministically on both engines.
+# --------------------------------------------------------------------------
+
+_NEAREST1D_ORACLE = """
+WITH u AS (
+  SELECT o_orderpriority AS prio, o_totalprice AS price, o_orderkey AS okey,
+         CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END AS side
+  FROM orders WHERE o_orderstatus IN ('P', 'F')
+),
+e AS (
+  SELECT prio, price, okey, side,
+         LAST_VALUE(CASE WHEN side = 0 THEN price END IGNORE NULLS)
+           OVER (PARTITION BY prio ORDER BY price, side, okey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS below_p,
+         LAST_VALUE(CASE WHEN side = 0 THEN okey END IGNORE NULLS)
+           OVER (PARTITION BY prio ORDER BY price, side, okey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS below_k,
+         FIRST_VALUE(CASE WHEN side = 0 THEN price END IGNORE NULLS)
+           OVER (PARTITION BY prio ORDER BY price, side, okey
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS above_p,
+         FIRST_VALUE(CASE WHEN side = 0 THEN okey END IGNORE NULLS)
+           OVER (PARTITION BY prio ORDER BY price, side, okey
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS above_k
+  FROM u
+)
+SELECT prio, okey AS probe_key,
+       FLOOR(price * 1000000.0 + 0.5) / 1000000.0 AS probe_price,
+       CASE WHEN below_p IS NULL THEN above_k
+            WHEN above_p IS NULL THEN below_k
+            WHEN price - below_p <= above_p - price THEN below_k
+            ELSE above_k END AS match_key,
+       CASE WHEN below_p IS NULL THEN FLOOR((above_p - price) * 1000000.0 + 0.5) / 1000000.0
+            WHEN above_p IS NULL THEN FLOOR((price - below_p) * 1000000.0 + 0.5) / 1000000.0
+            ELSE FLOOR(LEAST(price - below_p, above_p - price)
+                       * 1000000.0 + 0.5) / 1000000.0 END AS price_gap
+FROM e
+WHERE side = 1 AND (below_p IS NOT NULL OR above_p IS NOT NULL)
+"""
+
+
+@register("join_nearest_1d", oracle=_NEAREST1D_ORACLE)
+def join_nearest_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("P", "F")
+    )
+    u = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+        F.when(F.col("o_orderstatus") == "F", 0).otherwise(1).alias("side"),
+    )
+    fwd = (
+        Window.partitionBy("prio")
+        .orderBy("price", "side", "okey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("prio")
+        .orderBy("price", "side", "okey")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    bprice = F.when(F.col("side") == 0, F.col("price"))
+    bkey = F.when(F.col("side") == 0, F.col("okey"))
+    e = u.select(
+        "prio",
+        "price",
+        "okey",
+        "side",
+        F.last(bprice, ignorenulls=True).over(fwd).alias("below_p"),
+        F.last(bkey, ignorenulls=True).over(fwd).alias("below_k"),
+        F.first(bprice, ignorenulls=True).over(bwd).alias("above_p"),
+        F.first(bkey, ignorenulls=True).over(bwd).alias("above_k"),
+    )
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    below, above = F.col("below_p"), F.col("above_p")
+    return e.filter(
+        (F.col("side") == 1) & (below.isNotNull() | above.isNotNull())
+    ).select(
+        "prio",
+        F.col("okey").alias("probe_key"),
+        q6c(F.col("price")).alias("probe_price"),
+        F.when(below.isNull(), F.col("above_k"))
+        .when(above.isNull(), F.col("below_k"))
+        .when(F.col("price") - below <= above - F.col("price"), F.col("below_k"))
+        .otherwise(F.col("above_k"))
+        .alias("match_key"),
+        F.when(below.isNull(), q6c(above - F.col("price")))
+        .when(above.isNull(), q6c(F.col("price") - below))
+        .otherwise(q6c(F.least(F.col("price") - below, above - F.col("price"))))
+        .alias("price_gap"),
+    )

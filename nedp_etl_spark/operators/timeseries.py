@@ -2379,3 +2379,116 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(q6l((F.col("v") - (F.col("mean") - 2.0 * sd)) / (4.0 * sd)))
         .alias("pct_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_gumbel_extremes — extreme-value analysis per metric: daily block
+# maxima fitted to a Gumbel distribution by the method of moments
+# (β = s·√6/π, μ = m̄ − γ·β with Euler–Mascheroni γ), plus the T=100-block
+# return level μ − β·ln(−ln(1 − 1/T)) — the capacity-planning readout
+# ("what daily peak do we see once per 100 days?").  The reference
+# reaches extreme-value stats only as dbt-model SQL
+# (dbtoperator.py:273-274).
+#
+# Determinism: block maxima are exact per-day MAX values; their mean and
+# variance come from int64 micro-unit sums (order-free); β/μ/return
+# level use the shared √6/π and γ literals and pass q6.  Scale: one
+# (metric, day) keyed aggregate, one per-metric rollup.
+# --------------------------------------------------------------------------
+
+_GUMBEL_SQRT6_PI = "0.7796968012336761"   # √6/π
+_GUMBEL_GAMMA = "0.5772156649015329"      # Euler–Mascheroni
+_GUMBEL_T = 100
+
+_GUMBEL_ORACLE = f"""
+WITH mx AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(FLOOR(MAX(value) * 1000000.0 + 0.5) AS BIGINT) AS mq
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(mq) AS BIGINT) AS sq,
+         CAST(SUM(mq * mq) AS BIGINT) AS ssq
+  FROM mx GROUP BY event_type
+),
+p AS (
+  SELECT event_type, n,
+         CAST(sq AS DOUBLE) / n / 1000000.0 AS m,
+         CASE WHEN n >= 2
+              THEN SQRT(GREATEST((CAST(ssq AS DOUBLE) / 1000000000000.0
+                        - n * (CAST(sq AS DOUBLE) / n / 1000000.0)
+                          * (CAST(sq AS DOUBLE) / n / 1000000.0)) / (n - 1.0),
+                        0.0))
+              ELSE NULL END AS sd
+  FROM s
+)
+SELECT event_type, n AS n_blocks,
+       FLOOR(m * 1000000.0 + 0.5) / 1000000.0 AS block_mean,
+       CASE WHEN sd IS NULL THEN NULL
+            ELSE FLOOR(sd * {_GUMBEL_SQRT6_PI} * 1000000.0 + 0.5) / 1000000.0
+       END AS beta,
+       CASE WHEN sd IS NULL THEN NULL
+            ELSE FLOOR((m - {_GUMBEL_GAMMA} * sd * {_GUMBEL_SQRT6_PI})
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS mu,
+       CASE WHEN sd IS NULL THEN NULL
+            ELSE FLOOR((m - {_GUMBEL_GAMMA} * sd * {_GUMBEL_SQRT6_PI}
+                        - sd * {_GUMBEL_SQRT6_PI}
+                          * LN(-LN(1.0 - 1.0 / {_GUMBEL_T}.0)))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS return_level_100
+FROM p
+"""
+
+
+@register("agg_gumbel_extremes", oracle=_GUMBEL_ORACLE)
+def agg_gumbel_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mx = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.floor(F.max("value") * 1_000_000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("mq")
+    )
+    s = mx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mq").cast("bigint").alias("sq"),
+        F.sum(F.col("mq") * F.col("mq")).cast("bigint").alias("ssq"),
+    )
+    n = F.col("n")
+    m = F.col("sq").cast("double") / n / 1_000_000.0
+    sd = F.when(
+        n >= 2,
+        F.sqrt(
+            F.greatest(
+                (F.col("ssq").cast("double") / 1_000_000_000_000.0 - n * m * m)
+                / (n - 1.0),
+                F.lit(0.0),
+            )
+        ),
+    ).otherwise(F.lit(None).cast("double"))
+    p = s.select("event_type", n.alias("n_blocks"), m.alias("m"), sd.alias("sd"))
+    c_s6pi = float(_GUMBEL_SQRT6_PI)
+    c_gam = float(_GUMBEL_GAMMA)
+    import math as _math
+
+    lnln = _math.log(-_math.log(1.0 - 1.0 / _GUMBEL_T))
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    sd_c, m_c = F.col("sd"), F.col("m")
+    return p.select(
+        "event_type",
+        "n_blocks",
+        q6c(m_c).alias("block_mean"),
+        F.when(sd_c.isNull(), F.lit(None).cast("double"))
+        .otherwise(q6c(sd_c * c_s6pi))
+        .alias("beta"),
+        F.when(sd_c.isNull(), F.lit(None).cast("double"))
+        .otherwise(q6c(m_c - c_gam * sd_c * c_s6pi))
+        .alias("mu"),
+        F.when(sd_c.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            q6c(m_c - c_gam * sd_c * c_s6pi - sd_c * c_s6pi * F.lit(lnln))
+        )
+        .alias("return_level_100"),
+    )

@@ -122,6 +122,8 @@ _PRIORITY: list[str] = [
     "stream_topk_per_window",        # NEW r8: streaming leaderboard recipe
     "llm_mix_temperature_sweep",     # NEW r8: α design sheet for mixing
     "llm_calibration_ece",           # NEW r8: judge reliability readout
+    "join_nearest_1d",               # NEW r8: sorted-union nearest-price match
+    "agg_gumbel_extremes",           # NEW r8: block-maxima return levels
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

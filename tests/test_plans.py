@@ -1264,3 +1264,18 @@ def test_calibration_ece_bounded_rollup(spark, sf_dir):
     assert plan.count("FileScan parquet") == 0
     assert "Scan ExistingRDD" in plan
     assert "Window" not in plan
+
+
+def test_nearest_1d_is_sorted_union_no_join(spark, sf_dir):
+    # The sorted-union trick: ZERO joins — one partitioned sort and two
+    # running-edge windows replace the quadratic |Δprice| cross join.
+    plan = _plan(spark, sf_dir, "join_nearest_1d")
+    assert "Join" not in plan
+    assert not _has_global_window(plan)
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_gumbel_two_level_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_gumbel_extremes")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan

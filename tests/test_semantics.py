@@ -3335,3 +3335,51 @@ def test_calibration_ece_recompute(spark, tmp_path):
     assert r["n"] == N and r["n_bins"] == len(bins)
     assert abs(r["ece"] - math.floor(tq / 1e9 * 1e6 + 0.5) / 1e6) < 1e-9
     assert 0.0 <= r["ece"] <= 1.0
+
+
+def test_nearest_1d_hand_matches(spark, tmp_path):
+    # Fills at 100/200, probes at 120 (->100, gap 20), 150 (equidistant
+    # -> lower fill by rule, gap 50), 210 (->200), plus an exact-price
+    # probe at 200 (gap 0 to the fill, tie-as-below).
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "F", 100.0, base, "1-URGENT"),
+        (2, 1, "F", 200.0, base, "1-URGENT"),
+        (3, 1, "P", 120.0, base, "1-URGENT"),
+        (4, 1, "P", 150.0, base, "1-URGENT"),
+        (5, 1, "P", 210.0, base, "1-URGENT"),
+        (6, 1, "P", 200.0, base, "1-URGENT"),
+        (7, 1, "O", 999.0, base, "1-URGENT"),  # other status: excluded
+    ]
+    _write(spark, tmp_path, "orders", rows, _ORD_SCHEMA)
+    out = {
+        r["probe_key"]: r
+        for r in eng.queries()["join_nearest_1d"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {3, 4, 5, 6}
+    assert out[3]["match_key"] == 1 and out[3]["price_gap"] == 20.0
+    assert out[4]["match_key"] == 1 and out[4]["price_gap"] == 50.0  # tie -> below
+    assert out[5]["match_key"] == 2 and out[5]["price_gap"] == 10.0
+    assert out[6]["match_key"] == 2 and out[6]["price_gap"] == 0.0
+
+
+def test_gumbel_extremes_hand_computed(spark, tmp_path):
+    # Three daily maxima 10/20/30: mean 20, sd 10 -> beta = 10*sqrt6/pi,
+    # mu = 20 - gamma*beta, rl100 = mu - beta*ln(-ln(0.99)).
+    base = datetime.datetime(2024, 1, 1, 6)
+    rows = []
+    for day, mx in enumerate([10.0, 20.0, 30.0]):
+        rows.append((2 * day, base + datetime.timedelta(days=day), 1, "a", mx, "{}"))
+        rows.append((2 * day + 1,
+                     base + datetime.timedelta(days=day, hours=2), 1, "a",
+                     mx / 2, "{}"))  # non-max row the block MAX must ignore
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["agg_gumbel_extremes"](spark, str(tmp_path)).collect()[0]
+    assert r["n_blocks"] == 3 and r["block_mean"] == 20.0
+    s6pi, gam = 0.7796968012336761, 0.5772156649015329
+    beta = 10.0 * s6pi
+    mu = 20.0 - gam * beta
+    rl = mu - beta * math.log(-math.log(0.99))
+    assert abs(r["beta"] - math.floor(beta * 1e6 + 0.5) / 1e6) < 1e-9
+    assert abs(r["mu"] - math.floor(mu * 1e6 + 0.5) / 1e6) < 1e-9
+    assert abs(r["return_level_100"] - math.floor(rl * 1e6 + 0.5) / 1e6) < 2e-6
