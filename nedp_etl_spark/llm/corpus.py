@@ -1198,3 +1198,123 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("cleaned_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_ngram_entropy_rate — corpus-level Shannon statistics: unigram
+# entropy H(W), bigram conditional entropy H(W₂|W₁) = −Σ p(w₁,w₂)·
+# ln(c₁₂/c₁), and the corresponding perplexities — the classic
+# "information rate" readout that tracks corpus repetitiveness across
+# snapshots (a dedup/boilerplate regression shows up as a falling
+# entropy rate before any manual inspection finds it).  Complements the
+# per-document scoring keys (llm_unigram_logprob / llm_bigram_logprob)
+# with one corpus-level row.  The reference reaches corpus statistics
+# only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Determinism: counts are exact int64; each entropy term quantizes to
+# 1e-9 int64 units before its sum (order-free); EXP passes q6.  Scale:
+# bigrams build map-side (the ngram_topk transform idiom); the only
+# shuffles are the two count aggregates; 1-row totals broadcast
+# (allowlisted).
+# --------------------------------------------------------------------------
+
+_ENTROPY_RATE_ORACLE = """
+WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+bi AS (
+  SELECT l[CAST(i AS INT)] AS w1, l[CAST(i + 1 AS INT)] AS w2
+  FROM (SELECT l, unnest(generate_series(1, CAST(len(l) - 1 AS BIGINT))) AS i
+        FROM t)
+),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS n FROM c12),
+hc AS (
+  SELECT CAST(SUM(CAST(FLOOR(-(CAST(c12.c12 AS DOUBLE) / nb.n)
+                 * LN(CAST(c12.c12 AS DOUBLE) / c1.c1)
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hq
+  FROM c12 JOIN c1 ON c1.w1 = c12.w1 CROSS JOIN nb
+),
+uni AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS cu
+  FROM (SELECT unnest(l) AS g FROM t) GROUP BY g
+),
+nu AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+hu AS (
+  SELECT CAST(SUM(CAST(FLOOR(-(CAST(cu AS DOUBLE) / nu.n)
+                 * LN(CAST(cu AS DOUBLE) / nu.n)
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hq
+  FROM uni CROSS JOIN nu
+)
+SELECT nb.n AS n_bigrams,
+       FLOOR(hu.hq / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS h_unigram,
+       FLOOR(hc.hq / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0
+         AS h_bigram_cond,
+       FLOOR(EXP(hc.hq / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0
+         AS perplexity_rate
+FROM nb CROSS JOIN hc CROSS JOIN hu
+"""
+
+
+@register("llm_ngram_entropy_rate", oracle=_ENTROPY_RATE_ORACLE)
+def llm_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(F.split("text", " ").alias("l"))
+    bi = d.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("l"), 1, F.greatest(F.size("l") - 1, F.lit(0))),
+                lambda x, i: F.struct(
+                    x.alias("w1"), F.element_at(F.col("l"), i + 2).alias("w2")
+                ),
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    ).localCheckpoint(eager=True)  # vocabulary²-bounded; 3 consumers
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    nb = c12.agg(F.sum("c12").cast("bigint").alias("n"))
+    q9 = lambda c: F.floor(c * 1_000_000_000.0 + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    hc = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(nb))
+        .agg(
+            F.sum(
+                q9(
+                    -(F.col("c12").cast("double") / F.col("n"))
+                    * F.log(F.col("c12").cast("double") / F.col("c1"))
+                )
+            )
+            .cast("bigint")
+            .alias("hcq")
+        )
+    )
+    uni = d.select(F.explode("l").alias("g")).groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cu")
+    ).localCheckpoint(eager=True)  # vocabulary-bounded; 2 consumers
+    nu = uni.agg(F.sum("cu").cast("bigint").alias("n"))
+    hu = (
+        uni.crossJoin(F.broadcast(nu))
+        .agg(
+            F.sum(
+                q9(
+                    -(F.col("cu").cast("double") / F.col("n"))
+                    * F.log(F.col("cu").cast("double") / F.col("n"))
+                )
+            )
+            .cast("bigint")
+            .alias("huq")
+        )
+    )
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return (
+        nb.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hu))
+        .select(
+            F.col("n").alias("n_bigrams"),
+            q6c(F.col("huq") / 1_000_000_000.0).alias("h_unigram"),
+            q6c(F.col("hcq") / 1_000_000_000.0).alias("h_bigram_cond"),
+            q6c(F.exp(F.col("hcq") / 1_000_000_000.0)).alias("perplexity_rate"),
+        )
+    )

@@ -297,3 +297,124 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bearing_deg"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_luhn — Luhn mod-10 checksum over synthetic 16-digit account numbers
+# (deterministically derived from c_custkey so both engines validate the
+# identical payloads): the standard PII-detection primitive — a
+# "looks like a card number" regex hit is only actionable if the Luhn
+# check passes, so a scrubbing pipeline (llm_pii_scrub) runs exactly this
+# digit fold.  Every 2nd digit from the RIGHT doubles (minus 9 when > 9)
+# — the rightmost check digit itself never doubles; valid ⇔ total % 10 == 0.  One synthetic number per customer plus a
+# deliberately-corrupted variant (last digit +1 mod 10) that must FAIL.
+#
+# Scale: pure map-side digit folds over one scan; the 16-step fold is a
+# fixed-size transform over the digit array on both engines.
+# --------------------------------------------------------------------------
+
+_LUHN_NUM_SQL = "lpad(CAST(4000000000000000 + (c_custkey * 685417 % 999999999999) AS VARCHAR), 16, '0')"
+
+
+def _luhn_total_sql(s: str) -> str:
+    # 1-based position i from the LEFT in a 16-digit string: the check
+    # digit (i=16) is NEVER doubled; doubling starts second-from-right,
+    # i.e. ODD positions from the left here.
+    return (
+        f"(SELECT SUM(CASE WHEN i % 2 = 1 THEN "
+        f"CASE WHEN 2 * CAST(substr({s}, CAST(i AS INT), 1) AS INT) > 9 "
+        f"THEN 2 * CAST(substr({s}, CAST(i AS INT), 1) AS INT) - 9 "
+        f"ELSE 2 * CAST(substr({s}, CAST(i AS INT), 1) AS INT) END "
+        f"ELSE CAST(substr({s}, CAST(i AS INT), 1) AS INT) END) "
+        f"FROM generate_series(1, 16) t(i))"
+    )
+
+
+_FN_LUHN_ORACLE = f"""
+WITH nums AS (
+  SELECT c_custkey, {_LUHN_NUM_SQL} AS num FROM customer
+),
+adj AS (
+  SELECT c_custkey, num,
+         {_luhn_total_sql('num')} AS total
+  FROM nums
+),
+fixed AS (
+  -- repair the check digit so `valid_num` ALWAYS passes Luhn
+  SELECT c_custkey,
+         substr(num, 1, 15)
+           || CAST((CAST(substr(num, 16, 1) AS INT) + 10
+                    - total % 10) % 10 AS VARCHAR) AS valid_num
+  FROM adj
+),
+probes AS (
+  SELECT c_custkey, valid_num,
+         substr(valid_num, 1, 15)
+           || CAST((CAST(substr(valid_num, 16, 1) AS INT) + 1) % 10
+                   AS VARCHAR) AS corrupt_num
+  FROM fixed
+)
+SELECT c_custkey, valid_num,
+       ({_luhn_total_sql('valid_num')}) % 10 = 0 AS valid_passes,
+       ({_luhn_total_sql('corrupt_num')}) % 10 = 0 AS corrupt_passes
+FROM probes
+"""
+
+
+@register("fn_luhn", oracle=_FN_LUHN_ORACLE)
+def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    num = F.lpad(
+        (
+            F.lit(4000000000000000)
+            + (F.col("c_custkey") * 685417 % 999999999999)
+        ).cast("string"),
+        16,
+        "0",
+    )
+
+    def luhn_total(s):
+        # digits with 1-based index over a materialized char array
+        digits = F.split(s, "")
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.when(
+                    i % 2 == 1,
+                    F.when(
+                        2 * F.element_at(digits, i).cast("int") > 9,
+                        2 * F.element_at(digits, i).cast("int") - 9,
+                    ).otherwise(2 * F.element_at(digits, i).cast("int")),
+                ).otherwise(F.element_at(digits, i).cast("int")),
+            ),
+            F.lit(0),
+            lambda a, v: a + v,
+        )
+
+    adj = c.select("c_custkey", num.alias("num")).withColumn(
+        "total", luhn_total(F.col("num"))
+    )
+    fixed = adj.select(
+        "c_custkey",
+        F.concat(
+            F.substring("num", 1, 15),
+            (
+                (F.substring("num", 16, 1).cast("int") + 10 - F.col("total") % 10)
+                % 10
+            ).cast("string"),
+        ).alias("valid_num"),
+    )
+    probes = fixed.select(
+        "c_custkey",
+        "valid_num",
+        F.concat(
+            F.substring("valid_num", 1, 15),
+            ((F.substring("valid_num", 16, 1).cast("int") + 1) % 10).cast("string"),
+        ).alias("corrupt_num"),
+    )
+    return probes.select(
+        "c_custkey",
+        "valid_num",
+        (luhn_total(F.col("valid_num")) % 10 == 0).alias("valid_passes"),
+        (luhn_total(F.col("corrupt_num")) % 10 == 0).alias("corrupt_passes"),
+    )

@@ -124,6 +124,8 @@ _PRIORITY: list[str] = [
     "llm_calibration_ece",           # NEW r8: judge reliability readout
     "join_nearest_1d",               # NEW r8: sorted-union nearest-price match
     "agg_gumbel_extremes",           # NEW r8: block-maxima return levels
+    "fn_luhn",                       # NEW r8: mod-10 checksum validation
+    "llm_ngram_entropy_rate",        # NEW r8: corpus Shannon statistics
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -264,7 +264,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_mutual_information",  # 1-row N/MI/entropy broadcasts (O(cells))
                    "agg_benjamini_hochberg",  # 1-row k* broadcast over the bounded family
                    "llm_mix_temperature_sweep",  # #langs x 4-alpha literal grid + 1-row total
-                   "llm_calibration_ece"}  # 1-row N broadcast over the 10-bin aggregate
+                   "llm_calibration_ece",  # 1-row N broadcast over the 10-bin aggregate
+                   "llm_ngram_entropy_rate"}  # 1-row N/H broadcasts over count tables
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1279,3 +1280,18 @@ def test_gumbel_two_level_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_gumbel_extremes")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_luhn_pure_mapside(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fn_luhn")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan and "Exchange" not in plan
+
+
+def test_entropy_rate_checkpointed_counts(spark, sf_dir):
+    # Count tables are checkpointed (one derivation each); the rollup
+    # works over materialized vocabulary-bounded relations.
+    plan = _plan(spark, sf_dir, "llm_ngram_entropy_rate")
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)

@@ -3383,3 +3383,39 @@ def test_gumbel_extremes_hand_computed(spark, tmp_path):
     assert abs(r["beta"] - math.floor(beta * 1e6 + 0.5) / 1e6) < 1e-9
     assert abs(r["mu"] - math.floor(mu * 1e6 + 0.5) / 1e6) < 1e-9
     assert abs(r["return_level_100"] - math.floor(rl * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_luhn_valid_and_corrupt_split(spark, tmp_path):
+    # Every repaired number must pass; every +1-corrupted twin must fail
+    # (mod-10 checksums detect ALL single-digit substitutions); recompute
+    # one checksum by hand.
+    rows = [(k, f"c{k}", 1, 0.0, "AUTOMOBILE") for k in (1, 2, 77)]
+    _write(
+        spark, tmp_path, "customer", rows,
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    out = eng.queries()["fn_luhn"](spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["valid_passes"] and not r["corrupt_passes"]
+        digits = [int(ch) for ch in r["valid_num"]]
+        total = sum(
+            (2 * d - 9 if 2 * d > 9 else 2 * d) if (i + 1) % 2 == 1 else d
+            for i, d in enumerate(digits)
+        )
+        assert total % 10 == 0
+
+
+def test_entropy_rate_hand_computed(spark, tmp_path):
+    # 'a b a b a b': bigrams (a,b)x3? no — tokens [a,b,a,b,a,b] give
+    # (a,b),(b,a),(a,b),(b,a),(a,b): c12={(a,b):3,(b,a):2}, c1={a:3,b:2}.
+    # H(W2|W1) = -(3/5)ln(3/3) - (2/5)ln(2/2) = 0 (deterministic chains);
+    # unigram entropy of [a:3,b:3] over 6 tokens = ln 2.
+    rows = [(1, "a b a b a b", "en", "s", 11)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    r = eng.queries()["llm_ngram_entropy_rate"](spark, str(tmp_path)).collect()[0]
+    assert r["n_bigrams"] == 5
+    assert r["h_bigram_cond"] == 0.0 and r["perplexity_rate"] == 1.0
+    ln2q = math.floor(math.floor(math.log(2.0) * 1e9 + 0.5) / 1e9 * 1e6 + 0.5) / 1e6
+    assert abs(r["h_unigram"] - ln2q) < 1e-9
