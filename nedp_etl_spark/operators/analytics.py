@@ -3305,3 +3305,87 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6c(F.col("rank") * q / F.col("m")).alias("bh_threshold"),
         (F.col("rank") <= F.col("kstar")).alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_lorenz_curve — decile Lorenz points per metric: for each decile d,
+# the share of total value held by the bottom d/10 of observations — the
+# curve behind agg_gini_coefficient (and the per-decile readout
+# dashboards actually plot).  Tied runs interpolate value-proportionally
+# inside the run, so the curve is well-defined without any per-row order.
+#
+# Scale shape (the agg_ks_test / mannwhitney discipline): observations
+# collapse to the (metric, value) distribution; cumulative counts and
+# 1e-6-quantized cumulative value sums run over DISTINCT values only;
+# the 10 decile boundary ranks ⌈d·n/10⌉ resolve per value-run with pure
+# arithmetic.  The reference reaches inequality analytics only as
+# dbt-model SQL (dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH v AS (
+  SELECT event_type, value AS val, COUNT(*) AS nv,
+         CAST(COUNT(*) AS BIGINT)
+           * CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vsumq
+  FROM events WHERE value IS NOT NULL AND value >= 0
+  GROUP BY event_type, value
+),
+c AS (
+  SELECT event_type, val, nv, vsumq,
+         COALESCE(SUM(nv) OVER w, 0) AS cb,
+         COALESCE(SUM(vsumq) OVER w, 0) AS cvq,
+         SUM(nv) OVER (PARTITION BY event_type) AS n,
+         SUM(vsumq) OVER (PARTITION BY event_type) AS tvq
+  FROM v
+  WINDOW w AS (PARTITION BY event_type ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+d AS (
+  SELECT c.event_type, t.d AS decile, c.n, c.tvq,
+         c.cvq + (CAST(CEIL(t.d * c.n / 10.0) AS BIGINT) - c.cb)
+           * CAST(FLOOR(c.val * 1000000.0 + 0.5) AS BIGINT) AS cumq
+  FROM c, generate_series(1, 10) t(d)
+  WHERE CAST(CEIL(t.d * c.n / 10.0) AS BIGINT) > c.cb
+    AND CAST(CEIL(t.d * c.n / 10.0) AS BIGINT) <= c.cb + c.nv
+)
+SELECT event_type, CAST(decile AS INT) AS decile,
+       FLOOR(CAST(cumq AS DOUBLE) / tvq * 1000000.0 + 0.5) / 1000000.0
+         AS value_share
+FROM d
+"""
+
+
+@register("agg_lorenz_curve", oracle=_LORENZ_ORACLE)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    vq = F.floor(F.col("val") * 1_000_000.0 + F.lit(0.5)).cast("bigint")
+    v = ev.groupBy("event_type", F.col("value").alias("val")).agg(
+        F.count(F.lit(1)).alias("nv")
+    ).withColumn("vsumq", F.col("nv").cast("bigint") * vq)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    c = (
+        v.withColumn("cb", F.coalesce(F.sum("nv").over(wcum), F.lit(0)))
+        .withColumn("cvq", F.coalesce(F.sum("vsumq").over(wcum), F.lit(0)))
+        .withColumn("n", F.sum("nv").over(wall))
+        .withColumn("tvq", F.sum("vsumq").over(wall))
+    )
+    deciles = F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile")
+    e = c.select("event_type", "val", "nv", "cb", "cvq", "n", "tvq", deciles)
+    rank = F.ceil(F.col("decile") * F.col("n") / 10.0).cast("bigint")
+    d = e.filter((rank > F.col("cb")) & (rank <= F.col("cb") + F.col("nv")))
+    cumq = F.col("cvq") + (rank - F.col("cb")) * vq
+    return d.select(
+        "event_type",
+        F.col("decile").cast("int").alias("decile"),
+        (
+            F.floor(cumq.cast("double") / F.col("tvq") * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("value_share"),
+    )

@@ -2492,3 +2492,109 @@ def agg_gumbel_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("return_level_100"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_control_chart — Shewhart individuals/moving-range chart per metric
+# over the daily rollup: center line = mean of daily values, control
+# limits = mean ± 2.66·MR̄ (the standard d2-based individuals-chart
+# constant for n=2 moving ranges), plus the out-of-control violation
+# census — the SPC readout an ops dashboard runs next to ts_cusum's
+# changepoint detector.  The reference reaches SPC only as dbt-model SQL
+# (dbtoperator.py:273-274).
+#
+# Determinism: daily values are 6-dp; value and moving-range sums run as
+# int64 micro-unit aggregates (order-free); the 2.66 constant is a
+# shared literal; limits and the violation compare use q6-quantized
+# doubles identically on both engines.  Scale: daily rollup first; one
+# lag window per series over daily rows; one keyed rollup.
+# --------------------------------------------------------------------------
+
+_SPC_K = "2.66"  # d2-based individuals-chart constant (n=2 moving range)
+
+_TS_SPC_ORACLE = f"""
+WITH {_DAILY_CTE},
+q AS (
+  SELECT event_type, d, v,
+         CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) AS vq,
+         ABS(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)
+             - LAG(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY d)) AS mrq
+  FROM daily
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(vq) AS BIGINT) AS svq,
+         CAST(SUM(mrq) AS BIGINT) AS smrq,
+         CAST(COUNT(mrq) AS BIGINT) AS nmr
+  FROM q GROUP BY event_type
+),
+lim AS (
+  SELECT event_type, n_days,
+         CAST(svq AS DOUBLE) / n_days / 1000000.0 AS center,
+         CASE WHEN nmr = 0 THEN NULL
+              ELSE {_SPC_K} * (CAST(smrq AS DOUBLE) / nmr / 1000000.0)
+         END AS band
+  FROM s
+)
+SELECT q.event_type, lim.n_days,
+       FLOOR(lim.center * 1000000.0 + 0.5) / 1000000.0 AS center,
+       FLOOR((lim.center - lim.band) * 1000000.0 + 0.5) / 1000000.0 AS lcl,
+       FLOOR((lim.center + lim.band) * 1000000.0 + 0.5) / 1000000.0 AS ucl,
+       CAST(SUM(CASE WHEN q.v < FLOOR((lim.center - lim.band) * 1000000.0 + 0.5) / 1000000.0
+                       OR q.v > FLOOR((lim.center + lim.band) * 1000000.0 + 0.5) / 1000000.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM q JOIN lim ON lim.event_type = q.event_type
+GROUP BY q.event_type, lim.n_days, lim.center, lim.band
+"""
+
+
+@register("ts_control_chart", oracle=_TS_SPC_ORACLE)
+def ts_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    vq = F.floor(F.col("v") * 1_000_000.0 + F.lit(0.5)).cast("bigint")
+    wlag = Window.partitionBy("event_type").orderBy("d")
+    q = (
+        _daily(ev)
+        .withColumn("vq", vq)
+        .withColumn("mrq", F.abs(F.col("vq") - F.lag("vq").over(wlag)))
+        .localCheckpoint(eager=True)  # daily relation: stats + violation scan
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("vq").cast("bigint").alias("svq"),
+        F.sum("mrq").cast("bigint").alias("smrq"),
+        F.count("mrq").cast("bigint").alias("nmr"),
+    )
+    center = F.col("svq").cast("double") / F.col("n_days") / 1_000_000.0
+    band = F.when(
+        F.col("nmr") == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.lit(float(_SPC_K)) * (F.col("smrq").cast("double") / F.col("nmr") / 1_000_000.0)
+    )
+    lim = s.select(
+        "event_type", "n_days", center.alias("center"), band.alias("band")
+    )
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    lcl = q6c(F.col("center") - F.col("band"))
+    ucl = q6c(F.col("center") + F.col("band"))
+    return (
+        q.join(lim, "event_type")
+        .groupBy("event_type", "n_days", "center", "band")
+        .agg(
+            F.sum(
+                F.when((F.col("v") < lcl) | (F.col("v") > ucl), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        .select(
+            "event_type",
+            "n_days",
+            q6c(F.col("center")).alias("center"),
+            lcl.alias("lcl"),
+            ucl.alias("ucl"),
+            "n_violations",
+        )
+    )

@@ -126,6 +126,8 @@ _PRIORITY: list[str] = [
     "agg_gumbel_extremes",           # NEW r8: block-maxima return levels
     "fn_luhn",                       # NEW r8: mod-10 checksum validation
     "llm_ngram_entropy_rate",        # NEW r8: corpus Shannon statistics
+    "agg_lorenz_curve",              # NEW r8: decile inequality profile
+    "ts_control_chart",              # NEW r8: Shewhart individuals chart
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

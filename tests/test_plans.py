@@ -1295,3 +1295,17 @@ def test_entropy_rate_checkpointed_counts(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)
+
+
+def test_lorenz_window_over_distinct_values(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_lorenz_curve")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_control_chart_daily_rollup_first(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_control_chart")
+    assert not _has_global_window(plan)
+    assert "Scan ExistingRDD" in plan  # checkpointed daily relation
+    assert "CartesianProduct" not in plan

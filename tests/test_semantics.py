@@ -3419,3 +3419,49 @@ def test_entropy_rate_hand_computed(spark, tmp_path):
     assert r["h_bigram_cond"] == 0.0 and r["perplexity_rate"] == 1.0
     ln2q = math.floor(math.floor(math.log(2.0) * 1e9 + 0.5) / 1e9 * 1e6 + 0.5) / 1e6
     assert abs(r["h_unigram"] - ln2q) < 1e-9
+
+
+def test_lorenz_curve_hand_computed(spark, tmp_path):
+    # 10 observations, values 1..10 (total 55): bottom-d share is
+    # sum(1..d)/55; decile d boundary rank = d exactly.
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 1, "a", float(i + 1), "{}") for i in range(10)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        r["decile"]: r["value_share"]
+        for r in eng.queries()["agg_lorenz_curve"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(range(1, 11))
+    for d in range(1, 11):
+        expect = math.floor(d * (d + 1) / 2.0 / 55.0 * 1e6 + 0.5) / 1e6
+        assert abs(out[d] - expect) < 1e-9
+    assert out[10] == 1.0
+
+
+def test_lorenz_curve_tied_run_interpolates(spark, tmp_path):
+    # All-equal values: every decile's share equals its population share
+    # (the curve degenerates to the diagonal) — the tied-run
+    # interpolation must hold exactly.
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 1, "a", 7.0, "{}") for i in range(20)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        r["decile"]: r["value_share"]
+        for r in eng.queries()["agg_lorenz_curve"](spark, str(tmp_path)).collect()
+    }
+    for d in range(1, 11):
+        assert abs(out[d] - d / 10.0) < 1e-6
+
+
+def test_control_chart_hand_computed(spark, tmp_path):
+    # Daily values 10,10,10,10,50: center 18, MR-bar = (0+0+0+40)/4 = 10,
+    # band = 26.6 -> limits (-8.6, 44.6): exactly one violation (50).
+    base = datetime.datetime(2024, 1, 1, 12)
+    vals = [10.0, 10.0, 10.0, 10.0, 50.0]
+    rows = [(i, base + datetime.timedelta(days=i), 1, "a", v, "{}")
+            for i, v in enumerate(vals)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["ts_control_chart"](spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 5 and r["center"] == 18.0
+    assert r["lcl"] == -8.6 and r["ucl"] == 44.6
+    assert r["n_violations"] == 1
