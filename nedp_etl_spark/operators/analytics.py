@@ -3389,3 +3389,75 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("value_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_weighted_median — weighted order statistics per metric: the median
+# and p90 of `value` where each observation carries an engagement weight
+# (derived deterministically as user_id % 5 + 1, so both engines weigh
+# identical rows identically) — the aggregate a metrics layer needs when
+# rows represent unequal populations (sessions, accounts, exposure).
+# Weighted k-th statistic = smallest value whose cumulative weight
+# reaches ⌈q·W⌉.  The reference reaches weighted stats only as dbt-model
+# SQL (dbtoperator.py:273-274).
+#
+# Scale shape: the mannwhitney/lorenz distinct-value discipline — weights
+# collapse to the (metric, value) distribution first; the window runs
+# over DISTINCT values; boundary ranks resolve by pure arithmetic on
+# exact int64 cumulative weights.
+# --------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH v AS (
+  SELECT event_type, value AS val,
+         CAST(SUM(user_id % 5 + 1) AS BIGINT) AS w
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, value
+),
+c AS (
+  SELECT event_type, val, w,
+         COALESCE(SUM(w) OVER (PARTITION BY event_type ORDER BY val
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cb,
+         SUM(w) OVER (PARTITION BY event_type) AS tw
+  FROM v
+)
+SELECT event_type, CAST(MAX(tw) AS BIGINT) AS total_weight,
+       MAX(CASE WHEN cb < CAST(CEIL(0.5 * tw) AS BIGINT)
+                 AND cb + w >= CAST(CEIL(0.5 * tw) AS BIGINT)
+                THEN val END) AS wmedian,
+       MAX(CASE WHEN cb < CAST(CEIL(0.9 * tw) AS BIGINT)
+                 AND cb + w >= CAST(CEIL(0.9 * tw) AS BIGINT)
+                THEN val END) AS wp90
+FROM c GROUP BY event_type
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.groupBy("event_type", F.col("value").alias("val")).agg(
+        F.sum(F.col("user_id") % 5 + 1).cast("bigint").alias("w")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    c = v.withColumn("cb", F.coalesce(F.sum("w").over(wcum), F.lit(0))).withColumn(
+        "tw", F.sum("w").over(wall)
+    )
+
+    def at_q(q: float):
+        rank = F.ceil(F.lit(q) * F.col("tw")).cast("bigint")
+        return F.max(
+            F.when((F.col("cb") < rank) & (F.col("cb") + F.col("w") >= rank),
+                   F.col("val"))
+        )
+
+    return c.groupBy("event_type").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        at_q(0.5).alias("wmedian"),
+        at_q(0.9).alias("wp90"),
+    )

@@ -1167,3 +1167,66 @@ def scan_range_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("id").cast("string")).alias("tag"),
         (F.col("id") * F.col("id") % 997).cast("bigint").alias("checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# sink_ttl_expire — retention-policy enforcement as a PARTITION DROP: the
+# events table lands partitioned by day; rows older than the 14-day TTL
+# (against the corpus high-water day) expire by deleting whole partition
+# directories — a metadata/filesystem operation that never reads or
+# rewrites surviving data.  At 100 TB this is the difference between a
+# table rewrite and an O(#expired-partitions) directory delete; it is the
+# dbt retention macro / `ALTER TABLE DROP PARTITION` the reference ships
+# via dbt-spark (dbtoperator.py:273-274).
+#
+# Output: the per-day census of the SURVIVING table read back from disk,
+# plus the expired-partition count on every row (exact, oracle-checked).
+# --------------------------------------------------------------------------
+
+_TTL_DAYS = 14
+
+_SINK_TTL_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day FROM events
+),
+hw AS (SELECT MAX(day) AS max_d FROM d),
+dropped AS (
+  SELECT COUNT(DISTINCT day) AS n_expired
+  FROM d CROSS JOIN hw WHERE day < max_d - INTERVAL {_TTL_DAYS} DAY
+)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(dropped.n_expired AS BIGINT) AS n_expired_partitions
+FROM d CROSS JOIN hw CROSS JOIN dropped
+WHERE d.day >= hw.max_d - INTERVAL {_TTL_DAYS} DAY
+GROUP BY d.day, dropped.n_expired
+"""
+
+
+@register("sink_ttl_expire", oracle=_SINK_TTL_ORACLE)
+def sink_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    path = _scratch("sink_ttl_expire", sf_dir)
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "value", F.to_date("ts").alias("day")
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    max_d = base.agg(F.max("day")).first()[0]  # 1-value bound: the HW day
+    cutoff = (max_d - __import__("datetime").timedelta(days=_TTL_DAYS)).isoformat()
+    # Partition drop: remove expired day= directories — O(#expired dirs),
+    # zero data read/rewrite (the ALTER TABLE DROP PARTITION shape).
+    n_expired = 0
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("day=") and entry[4:] < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            n_expired += 1
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("n_expired_partitions", F.lit(n_expired).cast("bigint"))
+    )

@@ -128,6 +128,8 @@ _PRIORITY: list[str] = [
     "llm_ngram_entropy_rate",        # NEW r8: corpus Shannon statistics
     "agg_lorenz_curve",              # NEW r8: decile inequality profile
     "ts_control_chart",              # NEW r8: Shewhart individuals chart
+    "sink_ttl_expire",               # NEW r8: retention via partition drop
+    "agg_weighted_median",           # NEW r8: weighted order statistics
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

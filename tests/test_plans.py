@@ -1309,3 +1309,17 @@ def test_control_chart_daily_rollup_first(spark, sf_dir):
     assert not _has_global_window(plan)
     assert "Scan ExistingRDD" in plan  # checkpointed daily relation
     assert "CartesianProduct" not in plan
+
+
+def test_ttl_expire_survivor_scan_prunes(spark, sf_dir):
+    # The read-back plan scans only surviving partitions (expired dirs are
+    # gone); no join, no window.
+    plan = _plan(spark, sf_dir, "sink_ttl_expire")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_window_over_distinct_values(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_weighted_median")
+    assert not _has_global_window(plan)
+    assert plan.count("FileScan parquet") == 1

@@ -3465,3 +3465,44 @@ def test_control_chart_hand_computed(spark, tmp_path):
     assert r["n_days"] == 5 and r["center"] == 18.0
     assert r["lcl"] == -8.6 and r["ucl"] == 44.6
     assert r["n_violations"] == 1
+
+
+def test_ttl_expire_drops_old_partitions(spark, tmp_path):
+    # 3 days spanning 20 days: the oldest is beyond the 14-day TTL and its
+    # PARTITION must disappear from disk; survivors keep exact counts.
+    import os
+
+    base = datetime.datetime(2024, 3, 21, 12)
+    rows = (
+        [(i, base, 1, "a", 1.0, "{}") for i in range(3)]
+        + [(10 + i, base - datetime.timedelta(days=10), 1, "a", 1.0, "{}")
+           for i in range(2)]
+        + [(20 + i, base - datetime.timedelta(days=20), 1, "a", 1.0, "{}")
+           for i in range(4)]
+    )
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        r["day"]: r
+        for r in eng.queries()["sink_ttl_expire"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"2024-03-21", "2024-03-11"}
+    assert out["2024-03-21"]["n"] == 3 and out["2024-03-11"]["n"] == 2
+    assert all(r["n_expired_partitions"] == 1 for r in out.values())
+    from nedp_etl_spark.operators.scans import _scratch
+
+    path = _scratch("sink_ttl_expire", str(tmp_path))
+    dirs = [e for e in os.listdir(path) if e.startswith("day=")]
+    assert sorted(dirs) == ["day=2024-03-11", "day=2024-03-21"]
+
+
+def test_weighted_median_hand_computed(spark, tmp_path):
+    # values 1..4 with weights 1,1,1,4 (users 0,0,0,3 via user_id%5+1):
+    # W=7, median rank ceil(3.5)=4 -> first value whose cumweight reaches
+    # 4 is 4.0; p90 rank ceil(6.3)=7 -> also 4.0.  Unweighted median = 2.
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(0, base, 0, "a", 1.0, "{}"), (1, base, 0, "a", 2.0, "{}"),
+            (2, base, 0, "a", 3.0, "{}"), (3, base, 3, "a", 4.0, "{}")]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["agg_weighted_median"](spark, str(tmp_path)).collect()[0]
+    assert r["total_weight"] == 7
+    assert r["wmedian"] == 4.0 and r["wp90"] == 4.0
