@@ -1405,3 +1405,111 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_knn_graph — corpus self-kNN graph over the embedding column: for
+# every vector, its top-3 nearest neighbors by cosine among vectors
+# sharing its 8-plane sign-LSH bucket — the candidate graph that feeds
+# graph-based semantic dedup (SemDeDup-style) and cluster diagnostics,
+# where llm_sim_search answers external queries.  Buckets above a 512-row
+# cap sit out (deterministic; the llm_dedup_near hot-bucket discipline —
+# a viral bucket would otherwise explode the within-bucket self-join).
+#
+# Scale shape: signatures are map-side; the self-join is equi-keyed on
+# the bucket id (≤ cap² pairs per bucket); ranking partitions by source
+# vector.  Cosines fold float32 lanes widened exactly to double in list
+# order — identical on both engines; rank order (cosine DESC, neighbor)
+# is therefore deterministic, and the output cosine is q6.
+# --------------------------------------------------------------------------
+
+_KNN_K = 3
+_KNN_BUCKET_CAP = 512
+
+
+def _knn_graph_oracle() -> str:
+    planes = _lsh_planes()
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(c) for c in row)}]) >= 0 "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k, row in enumerate(planes)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sig AS (
+  SELECT vec_id, v, CAST({bits} AS BIGINT) AS bucket,
+         sqrt(list_dot_product(v, v)) AS vn
+  FROM base
+),
+bs AS (
+  SELECT bucket, COUNT(*) AS bsz FROM sig GROUP BY bucket
+),
+ok AS (
+  SELECT sig.* FROM sig JOIN bs ON bs.bucket = sig.bucket
+  WHERE bs.bsz <= {_KNN_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_dot_product(a.v, b.v) / (a.vn * b.vn) AS c
+  FROM ok a JOIN ok b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT src, dst, c,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rnk
+  FROM pairs
+)
+SELECT src AS vec_id, dst AS neighbor_id, CAST(rnk AS INT) AS rnk,
+       FLOOR(c * 1000000.0 + 0.5) / 1000000.0 AS cosine
+FROM r WHERE rnk <= {_KNN_K}
+"""
+
+
+@register("llm_knn_graph", oracle=_knn_graph_oracle())
+def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    bucket = None
+    for k, row in enumerate(_lsh_planes()):
+        lit = F.array(*[F.lit(c) for c in row])
+        bit = F.when(_dot(F.col("v"), lit) >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sig = base.select(
+        "vec_id",
+        "v",
+        bucket.cast("bigint").alias("bucket"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("vn"),
+    )
+    bs = sig.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    ok = sig.join(bs, "bucket").filter(F.col("bsz") <= _KNN_BUCKET_CAP)
+    a = ok.select(
+        "bucket", F.col("vec_id").alias("src"), F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    b = ok.select(
+        "bucket", F.col("vec_id").alias("dst"), F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("c"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), "dst")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            (F.floor(F.col("c") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+                "cosine"
+            ),
+        )
+    )

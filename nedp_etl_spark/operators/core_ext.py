@@ -1230,3 +1230,84 @@ def sink_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .withColumn("n_expired_partitions", F.lit(n_expired).cast("bigint"))
     )
+
+
+# --------------------------------------------------------------------------
+# sink_quarantine — write-time constraint enforcement (the Delta/DLT
+# expectations story): incoming orders pass a constraint battery
+# (price > 0, known status, non-null custkey); violators are NOT dropped
+# silently — they land in a quarantine table tagged with the FIRST failed
+# constraint while clean rows land in the target, and the audit the
+# operator returns reconciles both sides exactly.  Violations are planted
+# deterministically (orderkey-keyed corruptions) so both engines enforce
+# the identical battery on identical payloads.
+#
+# Scale: one scan, one map-side constraint tag, two partitioned writes;
+# the audit is a keyed count over the read-back tables (counts re-read
+# from DISK, not the in-flight relation — the write is what's audited).
+# --------------------------------------------------------------------------
+
+_QUAR_ORACLE = """
+WITH corrupted AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+              ELSE o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 103 = 0 THEN NULL
+              ELSE o_custkey END AS custkey
+  FROM orders
+),
+tagged AS (
+  SELECT *,
+         CASE WHEN price <= 0 THEN 'nonpositive_price'
+              WHEN status NOT IN ('O', 'F', 'P') THEN 'unknown_status'
+              WHEN custkey IS NULL THEN 'null_custkey'
+              ELSE NULL END AS violation
+  FROM corrupted
+)
+SELECT COALESCE(violation, 'CLEAN') AS disposition,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tagged GROUP BY COALESCE(violation, 'CLEAN')
+"""
+
+
+@register("sink_quarantine", oracle=_QUAR_ORACLE)
+def sink_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("sink_quarantine", sf_dir)
+    o = load(spark, sf_dir, "orders")
+    corrupted = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 103 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey"),
+    )
+    violation = (
+        F.when(F.col("price") <= 0, "nonpositive_price")
+        .when(~F.col("status").isin("O", "F", "P"), "unknown_status")
+        .when(F.col("custkey").isNull(), "null_custkey")
+    )
+    tagged = corrupted.withColumn("violation", violation)
+    clean = tagged.filter(F.col("violation").isNull()).drop("violation")
+    quarantined = tagged.filter(F.col("violation").isNotNull())
+    clean.write.mode("overwrite").parquet(os.path.join(path, "target"))
+    quarantined.write.mode("overwrite").parquet(os.path.join(path, "quarantine"))
+    # audit from DISK — the landed tables are the contract
+    t = (
+        spark.read.parquet(os.path.join(path, "target"))
+        .select(F.lit("CLEAN").alias("disposition"))
+    )
+    q = spark.read.parquet(os.path.join(path, "quarantine")).select(
+        F.col("violation").alias("disposition")
+    )
+    return (
+        t.unionAll(q)
+        .groupBy("disposition")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

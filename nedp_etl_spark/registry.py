@@ -130,6 +130,8 @@ _PRIORITY: list[str] = [
     "ts_control_chart",              # NEW r8: Shewhart individuals chart
     "sink_ttl_expire",               # NEW r8: retention via partition drop
     "agg_weighted_median",           # NEW r8: weighted order statistics
+    "llm_knn_graph",                 # NEW r8: bucketed self-kNN graph
+    "sink_quarantine",               # NEW r8: write-time expectations
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -1324,3 +1324,18 @@ def test_weighted_median_window_over_distinct_values(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_weighted_median")
     assert not _has_global_window(plan)
     assert plan.count("FileScan parquet") == 1
+
+
+def test_knn_graph_bucketed_equi_join(spark, sf_dir):
+    # The self-join is keyed on the LSH bucket (never all-pairs); ranking
+    # partitions by source vector.
+    plan = _plan(spark, sf_dir, "llm_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)
+
+
+def test_quarantine_single_pass_tag(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sink_quarantine")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

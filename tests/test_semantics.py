@@ -3506,3 +3506,42 @@ def test_weighted_median_hand_computed(spark, tmp_path):
     r = eng.queries()["agg_weighted_median"](spark, str(tmp_path)).collect()[0]
     assert r["total_weight"] == 7
     assert r["wmedian"] == 4.0 and r["wp90"] == 4.0
+
+
+def test_knn_graph_hand_neighbors(spark, tmp_path):
+    # Three near-identical vectors + one near-orthogonal: the close trio
+    # rank each other 1-2 with cosine ~1; no self-edges; rank within k.
+    v = [1.0] + [0.0] * 63
+    v2 = [1.0, 0.01] + [0.0] * 62
+    v3 = [1.0, -0.01] + [0.0] * 62
+    w = [0.0, 0.0, 1.0] + [0.0] * 61
+    rows = [(1, v, 0), (2, v2, 0), (3, v3, 0), (9, w, 1)]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    out = eng.queries()["llm_knn_graph"](spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        assert r["vec_id"] != r["neighbor_id"]
+        assert 1 <= r["rnk"] <= 3
+        by_src.setdefault(r["vec_id"], []).append(r)
+    if 1 in by_src:  # trio shares a bucket: top neighbors are the twins
+        top = sorted(by_src[1], key=lambda r: r["rnk"])[0]
+        assert top["neighbor_id"] in (2, 3) and top["cosine"] > 0.999
+
+
+def test_quarantine_reconciles_exactly(spark, tmp_path):
+    # keys 97/101/103 trip one constraint each; 97*101 would trip two but
+    # only the FIRST tags; everything else lands CLEAN.  Disk re-read
+    # must reconcile: clean + quarantined == input.
+    base = datetime.datetime(2024, 1, 1)
+    keys = [1, 2, 97, 101, 103, 97 * 101]
+    rows = [(k, 5, "O", 100.0, base, "1-URGENT") for k in keys]
+    _write(spark, tmp_path, "orders", rows, _ORD_SCHEMA)
+    out = {
+        r["disposition"]: r["n"]
+        for r in eng.queries()["sink_quarantine"](spark, str(tmp_path)).collect()
+    }
+    assert out["CLEAN"] == 2
+    assert out["nonpositive_price"] == 2  # 97 and 97*101 (first rule wins)
+    assert out["unknown_status"] == 1 and out["null_custkey"] == 1
+    assert sum(out.values()) == len(keys)
