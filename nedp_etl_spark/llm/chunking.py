@@ -452,3 +452,84 @@ def llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         se.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_hash")
     )
+
+
+# --------------------------------------------------------------------------
+# llm_pack_utilization — packing QA over llm_seq_packing's assignment: a
+# document belongs to the pack its RUNNING-OFFSET start falls in and
+# never splits, so a doc can straddle its pack boundary; this operator
+# publishes the per-pack fill census a training-loader owner reads before
+# trusting the shards — docs per pack, fill tokens, utilization vs the
+# 512 budget, and the straddle/underfill counts.  Same two-phase prefix
+# sum as the packer (util.global_running_sum — no global window).
+#
+# Determinism: all masses are exact int64 token counts; utilization is
+# one q6-quantized division per pack.
+# --------------------------------------------------------------------------
+
+_PACK_UTIL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+),
+p AS (
+  SELECT CAST(floor((cum - n_tokens) / {_PACK_CAP}) AS BIGINT) AS pack_id,
+         n_tokens, cum
+  FROM c
+),
+g AS (
+  SELECT pack_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
+         CAST(MAX(cum) AS BIGINT) AS end_cum
+  FROM p GROUP BY pack_id
+)
+SELECT pack_id, n_docs, fill_tokens,
+       FLOOR(CAST(fill_tokens AS DOUBLE) / {_PACK_CAP} * 1000000.0 + 0.5)
+         / 1000000.0 AS utilization,
+       end_cum > (pack_id + 1) * {_PACK_CAP} AS straddles_next
+FROM g
+"""
+
+
+@register("llm_pack_utilization", oracle=_PACK_UTIL_ORACLE)
+def llm_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.util import global_running_sum
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    c = global_running_sum(t, ["doc_id"], F.col("n_tokens"), "cum")
+    p = c.select(
+        F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_CAP)
+        .cast("bigint")
+        .alias("pack_id"),
+        "n_tokens",
+        "cum",
+    )
+    g = p.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("fill_tokens"),
+        F.max("cum").cast("bigint").alias("end_cum"),
+    )
+    return g.select(
+        "pack_id",
+        "n_docs",
+        "fill_tokens",
+        (
+            F.floor(
+                F.col("fill_tokens").cast("double") / _PACK_CAP * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("utilization"),
+        (F.col("end_cum") > (F.col("pack_id") + 1) * _PACK_CAP).alias(
+            "straddles_next"
+        ),
+    )

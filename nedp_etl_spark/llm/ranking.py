@@ -928,3 +928,85 @@ def llm_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("ece"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_curriculum_order — curriculum phase assignment by EXACT difficulty
+# terciles: difficulty = mean token length in micro-units (the cheap
+# complexity proxy — longer average words track rarer vocabulary), cut
+# at exact ranks ⌈n/3⌉ / ⌈2n/3⌉ via the shared bounded histogram
+# refinement (llm.ranking.exact_rank_values — the third consumer after
+# perplexity terciles and RFM quintiles).  Output is the per-phase
+# census a curriculum-training run reads to schedule its phases.
+#
+# Determinism: difficulty is an exact int64 (Σ token chars · 1e6 / token
+# count, FLOOR-quantized); cuts are exact order statistics; phase
+# boundaries are value-based (strict >), so ties agree on both engines.
+# --------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(FLOOR(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+                    / len(string_split(text, ' '))
+                    * 1000000.0 + 0.5) AS BIGINT) AS diff_q
+  FROM documents
+),
+ranked AS (
+  SELECT diff_q,
+         ROW_NUMBER() OVER (ORDER BY diff_q) AS rn,
+         COUNT(*) OVER () AS n
+  FROM t
+),
+cuts AS (
+  SELECT MAX(CASE WHEN rn = CAST(CEIL(n / 3.0) AS BIGINT) THEN diff_q END) AS c1,
+         MAX(CASE WHEN rn = CAST(CEIL(2 * n / 3.0) AS BIGINT) THEN diff_q END) AS c2
+  FROM ranked
+)
+SELECT CASE WHEN diff_q > c2 THEN 'hard'
+            WHEN diff_q > c1 THEN 'medium'
+            ELSE 'easy' END AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(diff_q) AS BIGINT) AS min_diff_q,
+       CAST(MAX(diff_q) AS BIGINT) AS max_diff_q
+FROM t CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
+@register("llm_curriculum_order", oracle=_CURRICULUM_ORACLE)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    diff_q = (
+        F.floor(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size(toks)
+            * 1_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("diff_q")
+    )
+    t = d.select("doc_id", diff_q).localCheckpoint(eager=True)  # 2 consumers
+    cuts = exact_rank_values(
+        d.sparkSession,
+        t.select(F.col("diff_q").cast("double").alias("v")),
+        ["c1", "c2"],
+        [lambda n: -(-n // 3), lambda n: -(-(2 * n) // 3)],
+    )
+    phase = (
+        F.when(F.col("diff_q") > F.col("c2"), "hard")
+        .when(F.col("diff_q") > F.col("c1"), "medium")
+        .otherwise("easy")
+    )
+    return (
+        t.crossJoin(F.broadcast(cuts))
+        .groupBy(phase.alias("phase"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("diff_q").cast("bigint").alias("min_diff_q"),
+            F.max("diff_q").cast("bigint").alias("max_diff_q"),
+        )
+    )

@@ -132,6 +132,8 @@ _PRIORITY: list[str] = [
     "agg_weighted_median",           # NEW r8: weighted order statistics
     "llm_knn_graph",                 # NEW r8: bucketed self-kNN graph
     "sink_quarantine",               # NEW r8: write-time expectations
+    "llm_pack_utilization",          # NEW r8: shard fill-census QA
+    "llm_curriculum_order",          # NEW r8: exact-tercile curriculum
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -265,7 +265,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_benjamini_hochberg",  # 1-row k* broadcast over the bounded family
                    "llm_mix_temperature_sweep",  # #langs x 4-alpha literal grid + 1-row total
                    "llm_calibration_ece",  # 1-row N broadcast over the 10-bin aggregate
-                   "llm_ngram_entropy_rate"}  # 1-row N/H broadcasts over count tables
+                   "llm_ngram_entropy_rate",  # 1-row N/H broadcasts over count tables
+                   "llm_curriculum_order"}  # 1-row tercile-cut broadcast (exact_rank_values)
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -817,12 +818,13 @@ def test_scd2_partitioned_merge_read_is_partition_pruned(spark, sf_dir):
 
 
 def test_kcore_iterates_over_checkpointed_pairs(spark, sf_dir):
-    # Peeling must re-join MATERIALIZED pairs (Scan ExistingRDD), never
-    # re-derive the MinHash-LSH lineage per round — no parquet scan, no
-    # nested loop in the final plan.
+    # Peeling must re-join MATERIALIZED pairs — since the candidate_pairs
+    # derived-table rewire that is a scan of the tiny pair parquet, never
+    # a re-derivation of the MinHash-LSH lineage per round (no documents
+    # scan in the plan) — and no nested loop.
     plan = _plan(spark, sf_dir, "graph_kcore")
-    assert "Scan ExistingRDD" in plan
-    assert "FileScan parquet" not in plan
+    assert "documents" not in plan          # LSH lineage never re-derived
+    assert plan.count("FileScan parquet") >= 1  # the materialized pair table
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
@@ -1338,4 +1340,17 @@ def test_knn_graph_bucketed_equi_join(spark, sf_dir):
 def test_quarantine_single_pass_tag(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sink_quarantine")
     assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_utilization_two_phase_prefix(spark, sf_dir):
+    df = eng.queries()["llm_pack_utilization"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not _has_global_window(plan)  # two-phase prefix sum, never global
+
+
+def test_curriculum_cuts_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_curriculum_order")
+    assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan

