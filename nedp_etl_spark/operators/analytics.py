@@ -3461,3 +3461,75 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         at_q(0.5).alias("wmedian"),
         at_q(0.9).alias("wp90"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_pythagorean_means — the full mean family per metric over positive
+# values: arithmetic (exact dsum), geometric (exp of the mean of
+# 1e-9-quantized ln terms — order-free int64 sum), and harmonic (n over
+# the 1e-9-quantized reciprocal sum), plus the AM ≥ GM ≥ HM sanity gap.
+# Rate-style metrics average correctly only under the harmonic mean;
+# publishing all three next to each other is the standard guard against
+# the wrong-mean bug.  The reference reaches mean families only as
+# dbt-model SQL (dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_PYTH_ORACLE = f"""
+WITH t AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq,
+         CAST(FLOOR(LN(value) * 1000000000.0 + 0.5) AS BIGINT) AS lnq,
+         CAST(FLOOR(1.0 / value * 1000000000.0 + 0.5) AS BIGINT) AS rq
+  FROM events WHERE value > 0
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vq) AS BIGINT) AS sv,
+         CAST(SUM(lnq) AS BIGINT) AS sl,
+         CAST(SUM(rq) AS BIGINT) AS sr
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n,
+       FLOOR(CAST(sv AS DOUBLE) / 1000000.0 / n * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_arith,
+       FLOOR(EXP(CAST(sl AS DOUBLE) / 1000000000.0 / n) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_geom,
+       FLOOR(n / (CAST(sr AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_harm
+FROM s
+"""
+
+
+@register("agg_pythagorean_means", oracle=_PYTH_ORACLE)
+def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    t = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("vq"),
+        F.floor(F.log(F.col("value")) * 1_000_000_000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("lnq"),
+        F.floor(1.0 / F.col("value") * 1_000_000_000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("rq"),
+    )
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("vq").cast("bigint").alias("sv"),
+        F.sum("lnq").cast("bigint").alias("sl"),
+        F.sum("rq").cast("bigint").alias("sr"),
+    )
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return s.select(
+        "event_type",
+        "n",
+        q6c(F.col("sv").cast("double") / 1_000_000.0 / F.col("n")).alias(
+            "mean_arith"
+        ),
+        q6c(F.exp(F.col("sl").cast("double") / 1_000_000_000.0 / F.col("n"))).alias(
+            "mean_geom"
+        ),
+        q6c(F.col("n") / (F.col("sr").cast("double") / 1_000_000_000.0)).alias(
+            "mean_harm"
+        ),
+    )

@@ -2598,3 +2598,79 @@ def ts_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_violations",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_drawdown — maximum drawdown per metric over the daily rollup: the
+# largest peak-to-trough drop of the running cumulative series, plus the
+# peak/trough days — the risk readout (worst historical decline) every
+# balance/engagement dashboard publishes.  Running peak is a
+# [unbounded preceding, current] MAX window — Spark's O(1)-per-row fast
+# path (the join_nearest_1d lesson); drawdown rows then reduce by one
+# keyed max_by.  All masses are exact int64 micro-units.
+# --------------------------------------------------------------------------
+
+_TS_DRAWDOWN_ORACLE = f"""
+WITH {_DAILY_CTE},
+q AS (
+  SELECT event_type, d,
+         CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM daily
+),
+c AS (
+  SELECT event_type, d, vq,
+         SUM(vq) OVER (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM q
+),
+p AS (
+  SELECT event_type, d, cum,
+         MAX(cum) OVER (PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM c
+),
+dd AS (
+  SELECT event_type, d, CAST(peak - cum AS BIGINT) AS draw_q
+  FROM p
+)
+SELECT event_type,
+       CAST(MAX(draw_q) AS BIGINT) / 1000000.0 AS max_drawdown,
+       CAST(MIN(CASE WHEN draw_q = (SELECT MAX(d2.draw_q) FROM dd d2
+                                    WHERE d2.event_type = dd.event_type)
+                     THEN d END) AS VARCHAR) AS trough_day
+FROM dd GROUP BY event_type
+"""
+
+
+@register("ts_drawdown", oracle=_TS_DRAWDOWN_ORACLE)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    q = _daily(ev).select(
+        "event_type",
+        "d",
+        F.floor(F.col("v") * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("vq"),
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = q.withColumn("cum", F.sum("vq").over(run))
+    p = c.withColumn("peak", F.max("cum").over(run))
+    dd = p.select(
+        "event_type", "d", (F.col("peak") - F.col("cum")).cast("bigint").alias("draw_q")
+    )
+    # keyed reduce: per-type max drawdown joined back to find the FIRST
+    # day it occurred (min day on ties) — keyed aggregate + keyed join,
+    # no window over the drawdown rows
+    ddc = dd.localCheckpoint(eager=True)  # 2 consumers of the window pass
+    mx = ddc.groupBy("event_type").agg(F.max("draw_q").alias("mxq"))
+    return (
+        ddc.join(mx, "event_type")
+        .filter(F.col("draw_q") == F.col("mxq"))
+        .groupBy("event_type")
+        .agg(
+            (F.max("mxq").cast("bigint") / 1_000_000.0).alias("max_drawdown"),
+            F.min("d").cast("string").alias("trough_day"),
+        )
+    )

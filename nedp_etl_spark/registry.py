@@ -134,6 +134,8 @@ _PRIORITY: list[str] = [
     "sink_quarantine",               # NEW r8: write-time expectations
     "llm_pack_utilization",          # NEW r8: shard fill-census QA
     "llm_curriculum_order",          # NEW r8: exact-tercile curriculum
+    "ts_drawdown",                   # NEW r8: max peak-to-trough decline
+    "agg_pythagorean_means",         # NEW r8: AM/GM/HM mean family
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

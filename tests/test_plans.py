@@ -1354,3 +1354,17 @@ def test_curriculum_cuts_are_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_curriculum_order")
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_drawdown_running_frames_only(spark, sf_dir):
+    # Both windows are [unbounded preceding, current] — the O(1)-per-row
+    # fast path (the join_nearest_1d lesson); the reduce is keyed.
+    plan = _plan(spark, sf_dir, "ts_drawdown")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_pythagorean_means_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_pythagorean_means")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan

@@ -3587,3 +3587,29 @@ def test_curriculum_order_phases_partition(spark, tmp_path):
     assert all(r["n_docs"] == 3 for r in out.values())
     assert out["easy"]["max_diff_q"] < out["medium"]["min_diff_q"]
     assert out["medium"]["max_diff_q"] < out["hard"]["min_diff_q"]
+
+
+def test_drawdown_hand_computed(spark, tmp_path):
+    # Daily values 10, 20, -15, -10, 30: cumulative 10,30,15,5,35 ->
+    # running peak 10,30,30,30,35 -> drawdowns 0,0,15,25,0: max 25 at
+    # day 4 (the trough).
+    base = datetime.datetime(2024, 1, 1, 12)
+    vals = [10.0, 20.0, -15.0, -10.0, 30.0]
+    rows = [(i, base + datetime.timedelta(days=i), 1, "a", v, "{}")
+            for i, v in enumerate(vals)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["ts_drawdown"](spark, str(tmp_path)).collect()[0]
+    assert r["max_drawdown"] == 25.0
+    assert r["trough_day"] == "2024-01-04"
+
+
+def test_pythagorean_means_ordering_and_hand_case(spark, tmp_path):
+    # values 1, 4: AM = 2.5, GM = 2, HM = 1.6 — and AM >= GM >= HM.
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(0, base, 1, "a", 1.0, "{}"), (1, base, 1, "a", 4.0, "{}")]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["agg_pythagorean_means"](spark, str(tmp_path)).collect()[0]
+    assert r["mean_arith"] == 2.5
+    assert abs(r["mean_geom"] - 2.0) < 1e-5
+    assert abs(r["mean_harm"] - 1.6) < 1e-5
+    assert r["mean_arith"] >= r["mean_geom"] >= r["mean_harm"]
