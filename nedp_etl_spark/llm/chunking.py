@@ -460,7 +460,7 @@ def llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never splits, so a doc can straddle its pack boundary; this operator
 # publishes the per-pack fill census a training-loader owner reads before
 # trusting the shards — docs per pack, fill tokens, utilization vs the
-# 512 budget, and the straddle/underfill counts.  Same two-phase prefix
+# 512 budget, and the straddle flag.  Same two-phase prefix
 # sum as the packer (util.global_running_sum — no global window).
 #
 # Determinism: all masses are exact int64 token counts; utilization is

@@ -239,6 +239,7 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses.  Cache key = live session id + fixture dir (fixture
     dirs are immutable within a session; a fresh session rewrites).
     """
+    import hashlib
     import os
 
     from nedp_etl_spark.operators.scans import _scratch
@@ -246,7 +247,12 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark._jsparkSession), sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
-        path = os.path.join(_scratch("candidate_pairs", sf_dir), "pairs")
+        # digest of the FULL fixture path in the scratch layout: _scratch
+        # keys on basename(sf_dir) alone, and unlike every other _scratch
+        # user this one SKIPS the rewrite on cache hit — two dirs sharing
+        # a basename must not share a pair table (review finding).
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = os.path.join(_scratch("candidate_pairs", sf_dir), tag, "pairs")
         (
             llm_dedup_near(spark, sf_dir)
             .select("doc_a", "doc_b")

@@ -1205,6 +1205,7 @@ GROUP BY d.day, dropped.n_expired
 
 @register("sink_ttl_expire", oracle=_SINK_TTL_ORACLE)
 def sink_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
     import shutil
 
     path = _scratch("sink_ttl_expire", sf_dir)
@@ -1214,14 +1215,20 @@ def sink_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base.write.mode("overwrite").partitionBy("day").parquet(path)
 
-    max_d = base.agg(F.max("day")).first()[0]  # 1-value bound: the HW day
-    cutoff = (max_d - __import__("datetime").timedelta(days=_TTL_DAYS)).isoformat()
+    # High-water day straight from the partition LISTING (ISO dates sort
+    # lexicographically) — no second scan of the source (review finding):
+    # the directory enumeration below is already the operator's cost.
+    days = sorted(e[4:] for e in os.listdir(path) if e.startswith("day="))
+    cutoff = (
+        datetime.date.fromisoformat(days[-1])
+        - datetime.timedelta(days=_TTL_DAYS)
+    ).isoformat()
     # Partition drop: remove expired day= directories — O(#expired dirs),
     # zero data read/rewrite (the ALTER TABLE DROP PARTITION shape).
     n_expired = 0
-    for entry in sorted(os.listdir(path)):
-        if entry.startswith("day=") and entry[4:] < cutoff:
-            shutil.rmtree(os.path.join(path, entry))
+    for d in days:
+        if d < cutoff:
+            shutil.rmtree(os.path.join(path, f"day={d}"))
             n_expired += 1
 
     return (

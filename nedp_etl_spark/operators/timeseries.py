@@ -2402,8 +2402,12 @@ _GUMBEL_T = 100
 
 _GUMBEL_ORACLE = f"""
 WITH mx AS (
+  -- 1e-3 quantize (not 1e-6): the SQUARE sum must stay int64 — at 1e-6
+  -- scale ssq was within ~2.2x of 2^63 on the sf0.1 fixture (review
+  -- finding); 1e-3 gives ~6 orders of headroom (values ≤ 1e6 over 1e7
+  -- blocks) at precision far beyond a moments-fit's needs
   SELECT event_type, CAST(ts AS DATE) AS d,
-         CAST(FLOOR(MAX(value) * 1000000.0 + 0.5) AS BIGINT) AS mq
+         CAST(FLOOR(MAX(value) * 1000.0 + 0.5) AS BIGINT) AS mq
   FROM events WHERE value IS NOT NULL
   GROUP BY event_type, CAST(ts AS DATE)
 ),
@@ -2415,11 +2419,11 @@ s AS (
 ),
 p AS (
   SELECT event_type, n,
-         CAST(sq AS DOUBLE) / n / 1000000.0 AS m,
+         CAST(sq AS DOUBLE) / n / 1000.0 AS m,
          CASE WHEN n >= 2
-              THEN SQRT(GREATEST((CAST(ssq AS DOUBLE) / 1000000000000.0
-                        - n * (CAST(sq AS DOUBLE) / n / 1000000.0)
-                          * (CAST(sq AS DOUBLE) / n / 1000000.0)) / (n - 1.0),
+              THEN SQRT(GREATEST((CAST(ssq AS DOUBLE) / 1000000.0
+                        - n * (CAST(sq AS DOUBLE) / n / 1000.0)
+                          * (CAST(sq AS DOUBLE) / n / 1000.0)) / (n - 1.0),
                         0.0))
               ELSE NULL END AS sd
   FROM s
@@ -2447,9 +2451,7 @@ FROM p
 def agg_gumbel_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     mx = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.floor(F.max("value") * 1_000_000.0 + F.lit(0.5))
-        .cast("bigint")
-        .alias("mq")
+        F.floor(F.max("value") * 1_000.0 + F.lit(0.5)).cast("bigint").alias("mq")
     )
     s = mx.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2457,12 +2459,12 @@ def agg_gumbel_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("mq") * F.col("mq")).cast("bigint").alias("ssq"),
     )
     n = F.col("n")
-    m = F.col("sq").cast("double") / n / 1_000_000.0
+    m = F.col("sq").cast("double") / n / 1_000.0
     sd = F.when(
         n >= 2,
         F.sqrt(
             F.greatest(
-                (F.col("ssq").cast("double") / 1_000_000_000_000.0 - n * m * m)
+                (F.col("ssq").cast("double") / 1_000_000.0 - n * m * m)
                 / (n - 1.0),
                 F.lit(0.0),
             )

@@ -1070,7 +1070,9 @@ def test_clustering_coefficient_keyed_joins_only(spark, sf_dir):
     # join is an equi-join on node ids — no nested loop, no window.
     plan = _plan(spark, sf_dir, "graph_clustering_coefficient")
     # pairs come from the shared derived-table materialization
-    # (llm.dedup.candidate_pairs): a plain parquet scan, derived once
+    # (llm.dedup.candidate_pairs): the LSH lineage must never re-derive
+    assert "documents" not in plan
+    assert plan.count("FileScan parquet") >= 1  # the materialized pair table
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
@@ -1081,6 +1083,8 @@ def test_degree_assortativity_keyed_joins_only(spark, sf_dir):
     # readout is one global aggregate — no nested loop, no window.
     plan = _plan(spark, sf_dir, "graph_degree_assortativity")
     # pairs come from the shared derived-table materialization
+    assert "documents" not in plan
+    assert plan.count("FileScan parquet") >= 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan

@@ -3565,8 +3565,9 @@ def test_pack_utilization_reconciles_with_packer(spark, tmp_path):
     for r in out:
         assert abs(r["utilization"] - math.floor(r["fill_tokens"] / 512 * 1e6 + 0.5) / 1e6) < 1e-9
         if r["fill_tokens"] > 512:
-            # a pack can only exceed its budget by straddling forward
-            assert r["straddles_next"] or r is out[-1] or True
+            # docs in pack p start at cum >= p*512, so fill > 512 strictly
+            # implies the pack's last doc crosses the next boundary
+            assert r["straddles_next"]
 
 
 def test_curriculum_order_phases_partition(spark, tmp_path):
