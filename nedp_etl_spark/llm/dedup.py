@@ -1443,3 +1443,63 @@ def llm_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fp_q") / 1_000_000.0 / float(_TUNE_STEPS)).alias("fp_area"),
         (F.col("fn_q") / 1_000_000.0 / float(_TUNE_STEPS)).alias("fn_area"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_dedup_threshold_sweep — dedup-threshold sensitivity sheet: over the
+# VERIFIED candidate pairs (banded LSH proposes, true 3-gram Jaccard
+# verifies — the llm_dedup_lsh_verified derivation, run once), the pair
+# count, affected-document count, and the keep-lowest removal bound at
+# each τ on the 0.5–0.9 grid — the table a dedup owner reads before
+# committing a threshold to a 100 TB pass (the execution-side companion
+# to llm_minhash_band_tuning's analytic S-curves).  The removal bound
+# counts distinct higher-id pair members (pairwise, not transitive — the
+# connected-components keys own transitive closure).
+#
+# Scale shape: the expensive verify runs ONCE; the sweep is the verified
+# pair list × a 5-row literal grid (allowlisted) and two keyed counts
+# per τ.
+# --------------------------------------------------------------------------
+
+_SWEEP_TAUS = ("0.5", "0.6", "0.7", "0.8", "0.9")
+
+_THRESHOLD_SWEEP_ORACLE = f"""
+WITH verified AS ({_LSH_VERIFIED_ORACLE}),
+grid AS (SELECT CAST(t AS DOUBLE) AS tau
+         FROM (SELECT unnest([{", ".join(_SWEEP_TAUS)}]) AS t)),
+hits AS (
+  SELECT g.tau, v.doc_a, v.doc_b
+  FROM verified v JOIN grid g ON v.jaccard >= g.tau
+)
+SELECT g.tau,
+       CAST(COALESCE(COUNT(h.doc_a), 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(COUNT(DISTINCT h.doc_a) + COUNT(DISTINCT h.doc_b), 0)
+            AS BIGINT) AS n_endpoint_ids,
+       CAST(COALESCE(COUNT(DISTINCT h.doc_b), 0) AS BIGINT) AS n_removed_bound
+FROM grid g LEFT JOIN hits h ON h.tau = g.tau
+GROUP BY g.tau
+"""
+
+
+@register("llm_dedup_threshold_sweep", oracle=_THRESHOLD_SWEEP_ORACLE)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verified = llm_dedup_lsh_verified(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # the expensive verify runs once; 5 grid consumers
+    grid = spark.createDataFrame(
+        [(float(t),) for t in _SWEEP_TAUS], "tau double"
+    )
+    hits = verified.join(
+        F.broadcast(grid), verified["jaccard"] >= F.col("tau")
+    ).select("tau", "doc_a", "doc_b")
+    return (
+        grid.join(hits, "tau", "left")
+        .groupBy("tau")
+        .agg(
+            F.count("doc_a").cast("bigint").alias("n_pairs"),
+            (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+            .cast("bigint")
+            .alias("n_endpoint_ids"),
+            F.countDistinct("doc_b").cast("bigint").alias("n_removed_bound"),
+        )
+    )

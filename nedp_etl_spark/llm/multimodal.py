@@ -301,3 +301,68 @@ def llm_multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_batches,
         "doc_id bigint, window_idx bigint, n_window_samples bigint, energy_milli bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# llm_multimodal_dedup — exact BINARY dedup over the media payload column
+# (the image/audio counterpart of llm_dedup_exact: identical bytes ⇒ one
+# stored copy, the first dedup every multimodal ingest runs before any
+# perceptual hashing).  The ingest batch is documents plus EXACT re-
+# uploads of every 10th payload (new asset ids, identical bytes — the
+# re-ingest duplicates exist by construction at any sf).
+# Output: one row per DUPLICATED payload group — content hash, byte size,
+# copy count, keeper (min doc id), and the bytes a dedup store reclaims.
+#
+# Scale shape: md5 map-side over the payload bytes; ONE hash-keyed
+# aggregate (map-side combine).  No joins, no windows.
+# --------------------------------------------------------------------------
+
+_MM_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+h AS (
+  SELECT doc_id,
+         -- DuckDB md5() takes VARCHAR; it hashes the same UTF-8 bytes
+         -- Spark's md5(CAST(text AS BINARY)) hashes, so the keys agree
+         md5(text) AS payload_md5,
+         octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM corpus
+)
+SELECT payload_md5,
+       CAST(MAX(n_bytes) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST((COUNT(*) - 1) * MAX(n_bytes) AS BIGINT) AS bytes_reclaimed
+FROM h GROUP BY payload_md5
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("llm_multimodal_dedup", oracle=_MM_DEDUP_ORACLE)
+def llm_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    h = corpus.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("payload_md5"),
+        F.length(F.col("text").cast("binary")).cast("bigint").alias("n_bytes"),
+    )
+    return (
+        h.groupBy("payload_md5")
+        .agg(
+            F.max("n_bytes").cast("bigint").alias("n_bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+            ((F.count(F.lit(1)) - 1) * F.max("n_bytes"))
+            .cast("bigint")
+            .alias("bytes_reclaimed"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -136,6 +136,8 @@ _PRIORITY: list[str] = [
     "llm_curriculum_order",          # NEW r8: exact-tercile curriculum
     "ts_drawdown",                   # NEW r8: max peak-to-trough decline
     "agg_pythagorean_means",         # NEW r8: AM/GM/HM mean family
+    "llm_dedup_threshold_sweep",     # NEW r8: τ-sensitivity over verified pairs
+    "llm_multimodal_dedup",          # NEW r8: exact binary payload dedup
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -266,7 +266,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_mix_temperature_sweep",  # #langs x 4-alpha literal grid + 1-row total
                    "llm_calibration_ece",  # 1-row N broadcast over the 10-bin aggregate
                    "llm_ngram_entropy_rate",  # 1-row N/H broadcasts over count tables
-                   "llm_curriculum_order"}  # 1-row tercile-cut broadcast (exact_rank_values)
+                   "llm_curriculum_order",  # 1-row tercile-cut broadcast (exact_rank_values)
+                   "llm_dedup_threshold_sweep"}  # 5-row literal tau grid over checkpointed pairs
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1372,3 +1373,17 @@ def test_pythagorean_means_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_pythagorean_means")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_threshold_sweep_verify_once(spark, sf_dir):
+    # The expensive Jaccard verify is checkpointed — the sweep's plan
+    # must not re-derive the shingle lineage per grid row.
+    plan = _plan(spark, sf_dir, "llm_dedup_threshold_sweep")
+    assert "documents" not in plan        # verify ran once, upstream
+    assert not _has_global_window(plan)
+
+
+def test_multimodal_dedup_single_keyed_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "llm_multimodal_dedup")
+    assert "Join" not in plan and "Window" not in plan
+    assert "CartesianProduct" not in plan

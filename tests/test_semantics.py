@@ -3614,3 +3614,41 @@ def test_pythagorean_means_ordering_and_hand_case(spark, tmp_path):
     assert abs(r["mean_geom"] - 2.0) < 1e-5
     assert abs(r["mean_harm"] - 1.6) < 1e-5
     assert r["mean_arith"] >= r["mean_geom"] >= r["mean_harm"]
+
+
+def test_threshold_sweep_monotone(spark, tmp_path):
+    # Counts must be monotone NON-INCREASING in tau, all five grid rows
+    # present even when a tau matches nothing, and the removal bound
+    # never exceeds the endpoint count.
+    rows = [(i, f"doc {i} common shingle text", "en", "s", 24) for i in range(60)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {
+        r["tau"]: r
+        for r in eng.queries()["llm_dedup_threshold_sweep"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {0.5, 0.6, 0.7, 0.8, 0.9}
+    taus = sorted(out)
+    pairs = [out[t]["n_pairs"] for t in taus]
+    assert pairs == sorted(pairs, reverse=True)
+    for r in out.values():
+        assert r["n_removed_bound"] <= r["n_endpoint_ids"]
+        assert (r["n_pairs"] == 0) == (r["n_removed_bound"] == 0)
+
+
+def test_multimodal_dedup_reingest_groups(spark, tmp_path):
+    # 20 unique payloads; every 10th re-ingested -> exactly the two
+    # re-uploaded payloads form groups of 2; keeper is the original id;
+    # reclaimed bytes = payload size.
+    rows = [(i, f"payload body {i:03d} xyz", "en", "s", 20) for i in range(20)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = sorted(
+        eng.queries()["llm_multimodal_dedup"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["keeper"],
+    )
+    assert [r["keeper"] for r in out] == [0, 10]
+    for r in out:
+        assert r["n_copies"] == 2
+        assert r["bytes_reclaimed"] == r["n_bytes"]
+        assert r["n_bytes"] == len(f"payload body {r['keeper']:03d} xyz")
