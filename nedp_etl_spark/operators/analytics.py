@@ -3533,3 +3533,130 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_harm"
         ),
     )
+
+
+
+# --------------------------------------------------------------------------
+# profile_json_schema — semi-structured schema census over a JSON event-
+# properties column against a CANDIDATE KEY LIST (the practical shape:
+# Spark's JSON extractors need foldable paths/patterns, so production
+# profilers sweep a declared key set — here k/ua/lat/tags): per key,
+# presence count, coverage, raw value TYPE (classified from the
+# serialized text with a literal regex per key, so both engines agree
+# without a typed JSON extractor), and distinct-value cardinality — the
+# drift detector a pipeline runs before trusting get_json_object paths.
+# The payload enriches the fixture's uniform props with deterministically
+# synthesized optional keys (by event_id residue) to exercise partial
+# coverage.
+#
+# Scale shape: JSON built and the 4-key sweep exploded map-side; one
+# keyed aggregate + a 1-row total broadcast (allowlisted).
+# --------------------------------------------------------------------------
+
+_JSONPROF_KEYS = ("k", "ua", "lat", "tags")
+
+
+def _jsonprof_probe_sql(k: str) -> str:
+    pat = '"' + k + '":\\s*(.)'
+    return (
+        f"SELECT '{k}' AS key, "
+        f"CASE substr(regexp_extract(j, '{pat}', 1), 1, 1) "
+        f"WHEN '\"' THEN 'string' WHEN '[' THEN 'array' "
+        f"ELSE 'number' END AS vtype, "
+        f"json_extract_string(j, '$.{k}') AS raw "
+        f"FROM js WHERE json_extract_string(j, '$.{k}') IS NOT NULL"
+    )
+
+
+_JSONPROF_UNION = " UNION ALL ".join(_jsonprof_probe_sql(k) for k in _JSONPROF_KEYS)
+
+_JSONPROF_ORACLE = f"""
+WITH js AS (
+  SELECT event_id,
+         '{{"k": ' || CAST(event_id % 100 AS VARCHAR)
+         || CASE WHEN event_id % 3 = 0
+                 THEN ', "ua": "m-' || CAST(event_id % 7 AS VARCHAR) || '"'
+                 ELSE '' END
+         || CASE WHEN event_id % 5 = 0
+                 THEN ', "lat": ' || CAST(event_id % 90 AS VARCHAR) || '.5'
+                 ELSE '' END
+         || CASE WHEN event_id % 7 = 0
+                 THEN ', "tags": ["a", "b"]'
+                 ELSE '' END
+         || '}}' AS j
+  FROM events
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM js),
+kv AS ({_JSONPROF_UNION})
+SELECT kv.key, kv.vtype,
+       CAST(COUNT(*) AS BIGINT) AS n_present,
+       FLOOR(COUNT(*) * 1.0 / tot.n * 1000000.0 + 0.5) / 1000000.0
+         AS coverage,
+       CAST(COUNT(DISTINCT kv.raw) AS BIGINT) AS n_distinct
+FROM kv CROSS JOIN tot
+GROUP BY kv.key, kv.vtype, tot.n
+"""
+
+
+@register("profile_json_schema", oracle=_JSONPROF_ORACLE)
+def profile_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    j = F.concat(
+        F.lit('{"k": '),
+        (eid % 100).cast("string"),
+        F.when(
+            eid % 3 == 0,
+            F.concat(F.lit(', "ua": "m-'), (eid % 7).cast("string"), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.when(
+            eid % 5 == 0,
+            F.concat(F.lit(', "lat": '), (eid % 90).cast("string"), F.lit(".5")),
+        ).otherwise(F.lit("")),
+        F.when(eid % 7 == 0, F.lit(', "tags": ["a", "b"]')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    js = ev.select(j.alias("j")).localCheckpoint(eager=False)
+
+    tot = js.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def _probe(k: str):
+        first_ch = F.substring(
+            F.regexp_extract(F.col("j"), '"' + k + '":\\s*(.)', 1), 1, 1
+        )
+        vtype = (
+            F.when(first_ch == '"', "string")
+            .when(first_ch == "[", "array")
+            .otherwise("number")
+        )
+        return F.struct(
+            F.lit(k).alias("key"),
+            vtype.alias("vtype"),
+            F.get_json_object(F.col("j"), "$." + k).alias("raw"),
+        )
+
+    kv = (
+        js.select(F.explode(F.array(*[_probe(k) for k in _JSONPROF_KEYS])).alias("p"))
+        .select("p.key", "p.vtype", "p.raw")
+        .filter(F.col("raw").isNotNull())
+    )
+    return (
+        kv.crossJoin(F.broadcast(tot))
+        .groupBy("key", "vtype", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_present"),
+            F.countDistinct("raw").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "key",
+            "vtype",
+            "n_present",
+            (
+                F.floor(
+                    F.col("n_present") * 1.0 / F.col("n") * 1_000_000.0 + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("coverage"),
+            "n_distinct",
+        )
+    )

@@ -2676,3 +2676,63 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d").cast("string").alias("trough_day"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_new_vs_returning — the product-analytics daily census: per day, how
+# many active users are NEW (first-ever activity) vs returning, plus the
+# cumulative user base — the growth-accounting readout every engagement
+# dashboard leads with.  New = the user's min activity day equals the
+# day; the cumulative series is a running sum over the per-day aggregate
+# (bounded by calendar days — the justified global-window class).
+#
+# Scale shape: first-seen days are ONE user-keyed aggregate; the daily
+# census is a (day)-keyed aggregate over (user, day) distinct activity;
+# only the bounded per-day relation sees a window.
+# --------------------------------------------------------------------------
+
+_NEWRET_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+fs AS (SELECT user_id, MIN(d) AS first_d FROM act GROUP BY user_id),
+census AS (
+  SELECT act.d,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN act.d = fs.first_d THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM act JOIN fs ON fs.user_id = act.user_id
+  GROUP BY act.d
+)
+SELECT CAST(d AS VARCHAR) AS day, n_active, n_new,
+       n_active - n_new AS n_returning,
+       CAST(SUM(n_new) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM census
+"""
+
+
+@register("ts_new_vs_returning", oracle=_NEWRET_ORACLE)
+def ts_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    fs = act.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    census = (
+        act.join(fs, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return census.select(
+        F.col("d").cast("string").alias("day"),
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        F.sum("n_new").over(run).cast("bigint").alias("cumulative_users"),
+    )

@@ -138,6 +138,8 @@ _PRIORITY: list[str] = [
     "agg_pythagorean_means",         # NEW r8: AM/GM/HM mean family
     "llm_dedup_threshold_sweep",     # NEW r8: τ-sensitivity over verified pairs
     "llm_multimodal_dedup",          # NEW r8: exact binary payload dedup
+    "profile_json_schema",           # NEW r8: JSON key/type/coverage census
+    "ts_new_vs_returning",           # NEW r8: growth-accounting daily census
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

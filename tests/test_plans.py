@@ -267,7 +267,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_calibration_ece",  # 1-row N broadcast over the 10-bin aggregate
                    "llm_ngram_entropy_rate",  # 1-row N/H broadcasts over count tables
                    "llm_curriculum_order",  # 1-row tercile-cut broadcast (exact_rank_values)
-                   "llm_dedup_threshold_sweep"}  # 5-row literal tau grid over checkpointed pairs
+                   "llm_dedup_threshold_sweep",  # 5-row literal tau grid over checkpointed pairs
+                   "profile_json_schema"}  # 1-row total broadcast over the 4-key sweep
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -307,6 +308,7 @@ _GLOBAL_WINDOW_OK = {
     "sort_multi",  # the contract's total-order demo; input bounded by o_orderkey < 2000
     "ts_funnel",  # conv_pct first_value over the ≤4-row step-count aggregate
     "agg_benjamini_hochberg",  # p-value ranking over the ≤ #metrics family aggregate
+    "ts_new_vs_returning",  # cumulative users over the per-day census (bounded by calendar)
 }
 
 
@@ -1387,3 +1389,18 @@ def test_multimodal_dedup_single_keyed_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_multimodal_dedup")
     assert "Join" not in plan and "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_json_schema_profile_mapside_sweep(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "profile_json_schema")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_new_vs_returning_window_over_daily_aggregate(spark, sf_dir):
+    # The only window is the cumulative sum over the per-DAY aggregate
+    # (bounded by calendar days), never over raw activity rows.
+    df = eng.queries()["ts_new_vs_returning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    w_idx = plan.index("Window")
+    assert "Aggregate" in plan[w_idx:], "window must sit above the day census"

@@ -3652,3 +3652,40 @@ def test_multimodal_dedup_reingest_groups(spark, tmp_path):
         assert r["n_copies"] == 2
         assert r["bytes_reclaimed"] == r["n_bytes"]
         assert r["n_bytes"] == len(f"payload body {r['keeper']:03d} xyz")
+
+
+def test_json_schema_profile_coverage(spark, tmp_path):
+    # event_ids 0..29: 'k' everywhere (number), 'ua' on multiples of 3
+    # (string), 'lat' on multiples of 5 (number), 'tags' on multiples of
+    # 7 (array) — exact coverages 1.0, 10/30, 6/30, 5/30.
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 1, "a", 1.0, "{}") for i in range(30)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        (r["key"], r["vtype"]): r
+        for r in eng.queries()["profile_json_schema"](spark, str(tmp_path)).collect()
+    }
+    assert out[("k", "number")]["n_present"] == 30
+    assert out[("k", "number")]["coverage"] == 1.0
+    assert out[("ua", "string")]["n_present"] == 10
+    assert out[("lat", "number")]["n_present"] == 6
+    assert out[("tags", "array")]["n_present"] == 5
+    assert out[("tags", "array")]["n_distinct"] == 1  # constant array value
+    assert out[("ua", "string")]["n_distinct"] == 7   # m-0..m-6
+
+
+def test_new_vs_returning_hand_computed(spark, tmp_path):
+    # Day1: users 1,2 (both new).  Day2: users 1 (returning), 3 (new).
+    # Day3: user 3 only (returning).  Cumulative: 2, 3, 3.
+    base = datetime.datetime(2024, 1, 1, 8)
+    d = lambda k: base + datetime.timedelta(days=k)  # noqa: E731
+    rows = [(0, d(0), 1, "a", 1.0, "{}"), (1, d(0), 2, "a", 1.0, "{}"),
+            (2, d(1), 1, "a", 1.0, "{}"), (3, d(1), 3, "a", 1.0, "{}"),
+            (4, d(2), 3, "a", 1.0, "{}"), (5, d(2), 3, "b", 1.0, "{}")]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(
+        eng.queries()["ts_new_vs_returning"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [(r["n_active"], r["n_new"], r["n_returning"], r["cumulative_users"])
+            for r in out] == [(2, 2, 0, 2), (2, 1, 1, 3), (1, 0, 1, 3)]
