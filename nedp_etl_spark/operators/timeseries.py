@@ -2736,3 +2736,85 @@ def ts_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_active") - F.col("n_new")).alias("n_returning"),
         F.sum("n_new").over(run).cast("bigint").alias("cumulative_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_period_growth — week-over-week growth per metric: ISO-week rollup of
+# the daily values, previous-week comparison, WoW growth rate, and the
+# 4-week trailing total — the plain period-over-period readout every
+# business dashboard leads with (ts_downsample changes grain;
+# this op adds the COMPARISons).  Weeks key on the Monday date
+# (date_trunc 'week' agrees on both engines).
+#
+# Determinism: weekly sums are int64 micro-unit aggregates of the 6-dp
+# daily values; growth = (w − prev)/prev over exact ints, q6, NULL when
+# prev ≤ 0; trailing total from a 4-row running frame (fast path).
+# --------------------------------------------------------------------------
+
+_TS_GROWTH_ORACLE = f"""
+WITH {_DAILY_CTE},
+w AS (
+  SELECT event_type, CAST(date_trunc('week', d) AS DATE) AS wk,
+         CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS wq
+  FROM daily GROUP BY event_type, date_trunc('week', d)
+),
+l AS (
+  SELECT event_type, wk, wq,
+         LAG(wq) OVER (PARTITION BY event_type ORDER BY wk) AS prev_q,
+         CAST(SUM(wq) OVER (PARTITION BY event_type ORDER BY wk
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_q
+  FROM w
+)
+SELECT event_type, CAST(wk AS VARCHAR) AS week_start,
+       wq / 1000000.0 AS week_total,
+       CASE WHEN prev_q IS NULL OR prev_q <= 0 THEN NULL
+            ELSE FLOOR((CAST(wq AS DOUBLE) - prev_q) / prev_q
+                       * 1000000.0 + 0.5) / 1000000.0 END AS wow_growth,
+       trail_q / 1000000.0 AS trailing_4w
+FROM l
+"""
+
+
+@register("ts_period_growth", oracle=_TS_GROWTH_ORACLE)
+def ts_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        _daily(ev)
+        .groupBy(
+            "event_type", F.date_trunc("week", "d").cast("date").alias("wk")
+        )
+        .agg(
+            F.sum(F.floor(F.col("v") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("wq")
+        )
+    )
+    order = Window.partitionBy("event_type").orderBy("wk")
+    trail = order.rowsBetween(-3, 0)
+    l = w.select(
+        "event_type",
+        "wk",
+        "wq",
+        F.lag("wq").over(order).alias("prev_q"),
+        F.sum("wq").over(trail).cast("bigint").alias("trail_q"),
+    )
+    return l.select(
+        "event_type",
+        F.col("wk").cast("string").alias("week_start"),
+        (F.col("wq") / 1_000_000.0).alias("week_total"),
+        F.when(
+            F.col("prev_q").isNull() | (F.col("prev_q") <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.floor(
+                (F.col("wq").cast("double") - F.col("prev_q"))
+                / F.col("prev_q")
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        )
+        .alias("wow_growth"),
+        (F.col("trail_q") / 1_000_000.0).alias("trailing_4w"),
+    )

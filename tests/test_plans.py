@@ -1404,3 +1404,9 @@ def test_new_vs_returning_window_over_daily_aggregate(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     w_idx = plan.index("Window")
     assert "Aggregate" in plan[w_idx:], "window must sit above the day census"
+
+
+def test_period_growth_weekly_rollup_first(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_period_growth")
+    assert not _has_global_window(plan)
+    assert plan.count("FileScan parquet") == 1

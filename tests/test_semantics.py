@@ -3689,3 +3689,24 @@ def test_new_vs_returning_hand_computed(spark, tmp_path):
     )
     assert [(r["n_active"], r["n_new"], r["n_returning"], r["cumulative_users"])
             for r in out] == [(2, 2, 0, 2), (2, 1, 1, 3), (1, 0, 1, 3)]
+
+
+def test_period_growth_hand_computed(spark, tmp_path):
+    # Two full ISO weeks of one-event days (Mon-Sun): week totals 7*10
+    # and 7*20 -> WoW growth exactly 1.0; trailing_4w accumulates both.
+    start = datetime.date(2024, 1, 1)      # a Monday
+    assert start.isoweekday() == 1
+    rows = []
+    for k in range(14):
+        v = 10.0 if k < 7 else 20.0
+        rows.append((k, datetime.datetime.combine(
+            start + datetime.timedelta(days=k), datetime.time(9)), 1, "a", v, "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(
+        eng.queries()["ts_period_growth"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["week_start"],
+    )
+    assert [r["week_total"] for r in out] == [70.0, 140.0]
+    assert out[0]["wow_growth"] is None
+    assert out[1]["wow_growth"] == 1.0
+    assert out[1]["trailing_4w"] == 210.0
