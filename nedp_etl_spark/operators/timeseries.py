@@ -2818,3 +2818,75 @@ def ts_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wow_growth"),
         (F.col("trail_q") / 1_000_000.0).alias("trailing_4w"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_cohort_ltv — lifetime-value curves by signup cohort: users cohort on
+# their first-activity WEEK; each later week contributes its value sum at
+# age = weeks-since-signup; the output is the (cohort, age) LTV matrix
+# with per-cohort cumulative value — the curve a growth team reads to
+# compare cohort quality over time (ts_retention_cohort counts the USERS;
+# this accumulates the VALUE).
+#
+# Determinism: value sums ride the int64 micro-unit fixed-point; ages
+# are exact integer week diffs; the cumulative runs as a fast-path
+# running frame per cohort.  Scale: first-seen is ONE user-keyed
+# aggregate joined back; the matrix is a (cohort, age) keyed aggregate.
+# --------------------------------------------------------------------------
+
+_COHORT_LTV_ORACLE = """
+WITH act AS (
+  SELECT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+         CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL
+),
+fs AS (SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id),
+m AS (
+  SELECT fs.cohort,
+         CAST(date_diff('week', fs.cohort, act.wk) AS BIGINT) AS age_weeks,
+         CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users,
+         CAST(SUM(act.vq) AS BIGINT) AS wq
+  FROM act JOIN fs ON fs.user_id = act.user_id
+  GROUP BY fs.cohort, date_diff('week', fs.cohort, act.wk)
+)
+SELECT CAST(cohort AS VARCHAR) AS cohort_week, age_weeks, n_users,
+       wq / 1000000.0 AS week_value,
+       CAST(SUM(wq) OVER (PARTITION BY cohort ORDER BY age_weeks
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         / 1000000.0 AS cumulative_value
+FROM m
+"""
+
+
+@register("ts_cohort_ltv", oracle=_COHORT_LTV_ORACLE)
+def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    act = ev.select(
+        "user_id",
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("wk"),
+        F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("vq"),
+    )
+    fs = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    age = (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("bigint")
+    m = (
+        act.join(fs, "user_id")
+        .groupBy("cohort", age.alias("age_weeks"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("vq").cast("bigint").alias("wq"),
+        )
+    )
+    run = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return m.select(
+        F.col("cohort").cast("string").alias("cohort_week"),
+        "age_weeks",
+        "n_users",
+        (F.col("wq") / 1_000_000.0).alias("week_value"),
+        (F.sum("wq").over(run).cast("bigint") / 1_000_000.0).alias(
+            "cumulative_value"
+        ),
+    )

@@ -141,6 +141,7 @@ _PRIORITY: list[str] = [
     "profile_json_schema",           # NEW r8: JSON key/type/coverage census
     "ts_new_vs_returning",           # NEW r8: growth-accounting daily census
     "ts_period_growth",              # NEW r8: WoW growth + trailing totals
+    "ts_cohort_ltv",                 # NEW r8: cohort lifetime-value matrix
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -1410,3 +1410,11 @@ def test_period_growth_weekly_rollup_first(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_period_growth")
     assert not _has_global_window(plan)
     assert plan.count("FileScan parquet") == 1
+
+
+def test_cohort_ltv_keyed_matrix(spark, sf_dir):
+    # First-seen is one user-keyed aggregate joined back; the cumulative
+    # frame partitions by cohort — never global.
+    plan = _plan(spark, sf_dir, "ts_cohort_ltv")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan

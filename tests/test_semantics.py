@@ -3710,3 +3710,26 @@ def test_period_growth_hand_computed(spark, tmp_path):
     assert out[0]["wow_growth"] is None
     assert out[1]["wow_growth"] == 1.0
     assert out[1]["trailing_4w"] == 210.0
+
+
+def test_cohort_ltv_hand_computed(spark, tmp_path):
+    # User 1 signs up week 0 (value 10), active again week 2 (value 5).
+    # User 2 signs up week 1 (value 7).  Matrix: cohort0 has ages 0 and 2
+    # (cumulative 10 -> 15); cohort1 has age 0 only.
+    w0 = datetime.date(2024, 1, 1)  # Monday
+    mk = lambda wk, dow: datetime.datetime.combine(  # noqa: E731
+        w0 + datetime.timedelta(weeks=wk, days=dow), datetime.time(10))
+    rows = [(0, mk(0, 2), 1, "a", 10.0, "{}"),
+            (1, mk(2, 4), 1, "a", 5.0, "{}"),
+            (2, mk(1, 0), 2, "a", 7.0, "{}")]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {
+        (r["cohort_week"], r["age_weeks"]): r
+        for r in eng.queries()["ts_cohort_ltv"](spark, str(tmp_path)).collect()
+    }
+    c0, c1 = "2024-01-01", "2024-01-08"
+    assert out[(c0, 0)]["week_value"] == 10.0
+    assert out[(c0, 0)]["cumulative_value"] == 10.0
+    assert out[(c0, 2)]["week_value"] == 5.0
+    assert out[(c0, 2)]["cumulative_value"] == 15.0
+    assert out[(c1, 0)]["week_value"] == 7.0 and out[(c1, 0)]["n_users"] == 1
