@@ -3660,3 +3660,96 @@ def profile_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# agg_price_index — Laspeyres price index by ship-month over lineitem:
+# index_t = Σ p_t·q₀ / Σ p₀·q₀ across parts traded in BOTH the base
+# month (the corpus' first) and month t, with p = the part's mean unit
+# price that month and q₀ its base-month quantity — the inflation-style
+# composite every pricing/marketplace team tracks.  The reference
+# reaches index math only as dbt-model SQL (dbtoperator.py:273-274).
+#
+# Determinism: unit prices quantize to 1e-3 int64 units (so the p·q
+# products stay int64 with ~5 orders of headroom at fixture scale —
+# documented bound: Σ p·q per month must stay < 9e18 milli-units);
+# quantities sum exactly (integral doubles); the final ratio passes q6.
+# Scale: one (part, month) keyed aggregate; base-month rows join back
+# keyed on part; one keyed month rollup; a 1-row base-month broadcast
+# (allowlisted).
+# --------------------------------------------------------------------------
+
+_PRICE_INDEX_ORACLE = """
+WITH pm AS (
+  SELECT l_partkey AS part,
+         CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS mon,
+         CAST(FLOOR({p_expr} * 1000.0 + 0.5) AS BIGINT) AS pq,
+         CAST(SUM(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  GROUP BY l_partkey, date_trunc('month', CAST(l_shipdate AS DATE))
+),
+base AS (SELECT MIN(mon) AS mon0 FROM pm),
+b AS (
+  SELECT pm.part, pm.pq AS p0, pm.qty AS q0
+  FROM pm CROSS JOIN base WHERE pm.mon = base.mon0
+),
+j AS (
+  SELECT pm.mon,
+         CAST(SUM(pm.pq * b.q0) AS BIGINT) AS num,
+         CAST(SUM(b.p0 * b.q0) AS BIGINT) AS den,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pm JOIN b ON b.part = pm.part
+  GROUP BY pm.mon
+)
+SELECT CAST(mon AS VARCHAR) AS month, n_common,
+       FLOOR(CAST(num AS DOUBLE) / den * 1000000.0 + 0.5) / 1000000.0
+         AS laspeyres_index
+FROM j
+""".format(
+    p_expr="(CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))"
+    " AS DOUBLE) / 1000000.0 / SUM(l_quantity))"
+)
+
+
+@register("agg_price_index", oracle=_PRICE_INDEX_ORACLE)
+def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    unit_p = (
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 1_000_000.0 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).cast("double")
+        / 1_000_000.0
+        / F.sum("l_quantity")
+    )
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.date_trunc("month", F.to_date("l_shipdate")).cast("date").alias("mon"),
+    ).agg(
+        F.floor(unit_p * 1_000.0 + F.lit(0.5)).cast("bigint").alias("pq"),
+        F.sum("l_quantity").cast("bigint").alias("qty"),
+    ).localCheckpoint(eager=True)  # base + month branches share one pass
+    base = pm.agg(F.min("mon").alias("mon0"))
+    b = (
+        pm.crossJoin(F.broadcast(base))
+        .filter(F.col("mon") == F.col("mon0"))
+        .select("part", F.col("pq").alias("p0"), F.col("qty").alias("q0"))
+    )
+    j = (
+        pm.join(b, "part")
+        .groupBy("mon")
+        .agg(
+            F.sum(F.col("pq") * F.col("q0")).cast("bigint").alias("num"),
+            F.sum(F.col("p0") * F.col("q0")).cast("bigint").alias("den"),
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        )
+    )
+    return j.select(
+        F.col("mon").cast("string").alias("month"),
+        "n_common",
+        (
+            F.floor(F.col("num").cast("double") / F.col("den") * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("laspeyres_index"),
+    )

@@ -268,7 +268,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_ngram_entropy_rate",  # 1-row N/H broadcasts over count tables
                    "llm_curriculum_order",  # 1-row tercile-cut broadcast (exact_rank_values)
                    "llm_dedup_threshold_sweep",  # 5-row literal tau grid over checkpointed pairs
-                   "profile_json_schema"}  # 1-row total broadcast over the 4-key sweep
+                   "profile_json_schema",  # 1-row total broadcast over the 4-key sweep
+                   "agg_price_index"}  # 1-row base-month broadcast (O(part-months))
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1418,3 +1419,12 @@ def test_cohort_ltv_keyed_matrix(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_cohort_ltv")
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_price_index_one_partmonth_pass(spark, sf_dir):
+    # The (part, month) aggregate is checkpointed — base and month
+    # branches share one lineitem pass; joins are keyed on part.
+    plan = _plan(spark, sf_dir, "agg_price_index")
+    assert "Scan ExistingRDD" in plan
+    assert "lineitem" not in plan          # source never re-derived
+    assert not _has_global_window(plan)

@@ -3733,3 +3733,29 @@ def test_cohort_ltv_hand_computed(spark, tmp_path):
     assert out[(c0, 2)]["week_value"] == 5.0
     assert out[(c0, 2)]["cumulative_value"] == 15.0
     assert out[(c1, 0)]["week_value"] == 7.0 and out[(c1, 0)]["n_users"] == 1
+
+
+def test_price_index_hand_computed(spark, tmp_path):
+    # Two parts, two months.  Base (Jan): p=10 q=2 (part 1), p=20 q=1
+    # (part 2) -> den = 10*2 + 20*1 = 40.  Feb: part 1 at 15, part 2 at
+    # 18 -> num = 15*2 + 18*1 = 48 -> index 1.2; Jan indexes to 1.0.
+    jan = datetime.datetime(1994, 1, 10)
+    feb = datetime.datetime(1994, 2, 10)
+    rows = [
+        (1, 1, 1, 1, 2.0, 20.0, 0.0, 0.0, "N", "O", jan),
+        (1, 2, 1, 2, 1.0, 20.0, 0.0, 0.0, "N", "O", jan),
+        (2, 1, 1, 1, 2.0, 30.0, 0.0, 0.0, "N", "O", feb),
+        (2, 2, 1, 2, 1.0, 18.0, 0.0, 0.0, "N", "O", feb),
+    ]
+    schema = ("l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+              " l_linenumber int, l_quantity double, l_extendedprice double,"
+              " l_discount double, l_tax double, l_returnflag string,"
+              " l_linestatus string, l_shipdate timestamp")
+    _write(spark, tmp_path, "lineitem", rows, schema)
+    out = {
+        r["month"]: r
+        for r in eng.queries()["agg_price_index"](spark, str(tmp_path)).collect()
+    }
+    assert out["1994-01-01"]["laspeyres_index"] == 1.0
+    assert out["1994-01-01"]["n_common"] == 2
+    assert out["1994-02-01"]["laspeyres_index"] == 1.2
