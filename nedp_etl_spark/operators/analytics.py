@@ -3753,3 +3753,123 @@ def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("laspeyres_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_theil_decomposition — the property that justified choosing Theil
+# over Gini (agg_theil_index's docstring): total inequality over ALL
+# positive values splits EXACTLY into within-group and between-group
+# components across event types — T_total = Σ s_g·T_g + Σ s_g·ln(μ_g/μ),
+# s_g = group value share.  The decomposition answers "is the inequality
+# inside metrics or between them?", which the per-metric index cannot.
+#
+# Determinism: all means derive from util.dsum-style exact int64 value
+# sums; every ln term quantizes to 1e-9 int64 before its (bounded or
+# keyed) sum; the identity check (total − within − between) is itself an
+# output column, so the oracle hash PINS the decomposition property.
+# Scale: one stats pass per group + one global row; per-row term pass
+# joins the O(#groups) stats back keyed.
+# --------------------------------------------------------------------------
+
+_THEIL_DECOMP_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS svq
+  FROM events WHERE value > 0 GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(svq) AS BIGINT) AS tvq FROM g
+),
+terms AS (
+  SELECT e.event_type,
+         CAST(FLOOR((e.value / (g.svq / 1000000.0 / g.n))
+              * LN(e.value / (g.svq / 1000000.0 / g.n))
+              * 1000000000.0 + 0.5) AS BIGINT) AS wq,
+         CAST(FLOOR((e.value / (tot.tvq / 1000000.0 / tot.nn))
+              * LN(e.value / (tot.tvq / 1000000.0 / tot.nn))
+              * 1000000000.0 + 0.5) AS BIGINT) AS tq
+  FROM events e
+  JOIN g ON g.event_type = e.event_type
+  CROSS JOIN tot
+  WHERE e.value > 0
+),
+gt AS (
+  SELECT t.event_type,
+         CAST(SUM(t.wq) AS BIGINT) AS swq,
+         CAST(SUM(t.tq) AS BIGINT) AS stq
+  FROM terms t GROUP BY t.event_type
+),
+parts AS (
+  SELECT gt.event_type,
+         (CAST(g.svq AS DOUBLE) / tot.tvq)
+           * (gt.swq / 1000000000.0 / g.n) AS within_part,
+         (CAST(g.svq AS DOUBLE) / tot.tvq)
+           * LN((g.svq / 1000000.0 / g.n) / (tot.tvq / 1000000.0 / tot.nn))
+           AS between_part,
+         gt.stq / 1000000000.0 / tot.nn AS total_part
+  FROM gt JOIN g ON g.event_type = gt.event_type CROSS JOIN tot
+)
+SELECT FLOOR(SUM(total_part) * 1000000.0 + 0.5) / 1000000.0 AS theil_total,
+       FLOOR(SUM(within_part) * 1000000.0 + 0.5) / 1000000.0 AS theil_within,
+       FLOOR(SUM(between_part) * 1000000.0 + 0.5) / 1000000.0 AS theil_between,
+       FLOOR((SUM(total_part) - SUM(within_part) - SUM(between_part))
+             * 1000000.0 + 0.5) / 1000000.0 AS identity_gap
+FROM parts
+"""
+
+
+@register("agg_theil_decomposition", oracle=_THEIL_DECOMP_ORACLE)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("svq"),
+    ).localCheckpoint(eager=True)  # stats reused by terms + parts
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("svq").cast("bigint").alias("tvq"),
+    )
+    q9 = lambda c: F.floor(c * 1_000_000_000.0 + F.lit(0.5)).cast(  # noqa: E731
+        "bigint"
+    )
+    mu_g = F.col("svq") / 1_000_000.0 / F.col("n")
+    mu = F.col("tvq") / 1_000_000.0 / F.col("nn")
+    terms = (
+        ev.join(g, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            q9((F.col("value") / mu_g) * F.log(F.col("value") / mu_g)).alias("wq"),
+            q9((F.col("value") / mu) * F.log(F.col("value") / mu)).alias("tq"),
+        )
+    )
+    gt = terms.groupBy("event_type").agg(
+        F.sum("wq").cast("bigint").alias("swq"),
+        F.sum("tq").cast("bigint").alias("stq"),
+    )
+    parts = (
+        gt.join(g, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("svq").cast("double") / F.col("tvq"))
+                * (F.col("swq") / 1_000_000_000.0 / F.col("n"))
+            ).alias("within_part"),
+            (
+                (F.col("svq").cast("double") / F.col("tvq")) * F.log(mu_g / mu)
+            ).alias("between_part"),
+            (F.col("stq") / 1_000_000_000.0 / F.col("nn")).alias("total_part"),
+        )
+    )
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return parts.agg(
+        q6c(F.sum("total_part")).alias("theil_total"),
+        q6c(F.sum("within_part")).alias("theil_within"),
+        q6c(F.sum("between_part")).alias("theil_between"),
+        q6c(
+            F.sum("total_part") - F.sum("within_part") - F.sum("between_part")
+        ).alias("identity_gap"),
+    )

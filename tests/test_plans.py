@@ -269,7 +269,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_curriculum_order",  # 1-row tercile-cut broadcast (exact_rank_values)
                    "llm_dedup_threshold_sweep",  # 5-row literal tau grid over checkpointed pairs
                    "profile_json_schema",  # 1-row total broadcast over the 4-key sweep
-                   "agg_price_index"}  # 1-row base-month broadcast (O(part-months))
+                   "agg_price_index",  # 1-row base-month broadcast (O(part-months))
+                   "agg_theil_decomposition"}  # 1-row grand-total broadcast (O(n) terms)
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1428,3 +1429,11 @@ def test_price_index_one_partmonth_pass(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "lineitem" not in plan          # source never re-derived
     assert not _has_global_window(plan)
+
+
+def test_theil_decomposition_keyed_stats_reuse(spark, sf_dir):
+    # Group stats are checkpointed (terms + parts reuse); per-row terms
+    # join the O(#groups) stats keyed; no window anywhere.
+    plan = _plan(spark, sf_dir, "agg_theil_decomposition")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

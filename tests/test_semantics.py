@@ -3759,3 +3759,28 @@ def test_price_index_hand_computed(spark, tmp_path):
     assert out["1994-01-01"]["laspeyres_index"] == 1.0
     assert out["1994-01-01"]["n_common"] == 2
     assert out["1994-02-01"]["laspeyres_index"] == 1.2
+
+
+def test_theil_decomposition_identity(spark, tmp_path):
+    # Two groups with different means and internal spreads: the
+    # decomposition identity must close to ~0 (quantization residue
+    # only), all parts non-negative, and total > between (within > 0).
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 1, "lo", v, "{}") for i, v in enumerate([1.0, 2.0, 3.0])] + [
+        (10 + i, base, 1, "hi", v, "{}") for i, v in enumerate([10.0, 20.0, 60.0])
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["agg_theil_decomposition"](spark, str(tmp_path)).collect()[0]
+    assert abs(r["identity_gap"]) < 1e-5
+    assert r["theil_within"] > 0 and r["theil_between"] > 0
+    assert abs(r["theil_total"] - (r["theil_within"] + r["theil_between"])) < 1e-5
+
+
+def test_theil_decomposition_single_group_no_between(spark, tmp_path):
+    # One group: between-component must be ~0 and total == within.
+    base = datetime.datetime(2024, 3, 1)
+    rows = [(i, base, 1, "a", v, "{}") for i, v in enumerate([1.0, 2.0, 9.0])]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    r = eng.queries()["agg_theil_decomposition"](spark, str(tmp_path)).collect()[0]
+    assert abs(r["theil_between"]) < 1e-6
+    assert abs(r["theil_total"] - r["theil_within"]) < 1e-5
