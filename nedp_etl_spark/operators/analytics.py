@@ -3873,3 +3873,60 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_part") - F.sum("within_part") - F.sum("between_part")
         ).alias("identity_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_simpson_diversity — Simpson concentration/diversity per facet pair:
+# λ = Σ p_i² over the (lang, source) cell distribution, diversity
+# 1 − λ, and the effective category count 1/λ — the "how many sources do
+# we REALLY have" readout published next to the entropy-based mix
+# metrics (entropy weighs rare tails; Simpson weighs dominance).
+#
+# Determinism: cell counts exact int64; λ = Σ c² / N² computed from
+# exact integer squares (c² ≤ N² fits int64 through N ~ 3e9 cells-worth
+# of rows; documented bound), q6 outputs.  Scale: one keyed cell
+# aggregate + one 1-row rollup.
+# --------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, source
+),
+s AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * c) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM cells
+)
+SELECT n, n_cells,
+       FLOOR(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * n) * 1000000.0 + 0.5)
+         / 1000000.0 AS simpson_lambda,
+       FLOOR((1.0 - CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             * 1000000.0 + 0.5) / 1000000.0 AS simpson_diversity,
+       FLOOR((CAST(n AS DOUBLE) * n) / ss * 1000000.0 + 0.5) / 1000000.0
+         AS effective_categories
+FROM s
+"""
+
+
+@register("agg_simpson_diversity", oracle=_SIMPSON_ORACLE)
+def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    s = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    nn = F.col("n").cast("double") * F.col("n")
+    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return s.select(
+        "n",
+        "n_cells",
+        q6c(F.col("ss").cast("double") / nn).alias("simpson_lambda"),
+        q6c(1.0 - F.col("ss").cast("double") / nn).alias("simpson_diversity"),
+        q6c(nn / F.col("ss")).alias("effective_categories"),
+    )

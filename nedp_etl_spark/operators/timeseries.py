@@ -2890,3 +2890,151 @@ def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_backtest_cv — rolling-origin cross-validation of the per-series
+# linear trend model: at each weekly cutoff, fit OLS on all days ≤ cutoff
+# (closed-form normal equations from exact integer sums) and score the
+# forecast against the NEXT 7 actual days — the honest out-of-sample
+# error a forecasting pipeline publishes instead of in-sample fit
+# (ts_forecast_linear fits once; ts_mase_backtest scores the seasonal-
+# naive baseline; this one scores the model).
+#
+# Scale shape: the (series, cutoff) training sums come from ONE keyed
+# aggregate over the (daily row × cutoff spine) membership join — the
+# spine is O(#weeks), calendar-bounded, broadcast; test rows join the
+# O(series × cutoffs) fit table keyed.  Determinism: x = day index
+# (exact int), y quantized to int64 micro-units; slope/intercept are
+# identical double closed forms over exact ints; per-day absolute errors
+# re-quantize to int64 before the MAE sum; q6 outputs.
+# --------------------------------------------------------------------------
+
+_BACKTEST_HORIZON = 7
+
+_TS_BACKTEST_ORACLE = f"""
+WITH {_DAILY_CTE},
+q AS (
+  SELECT event_type, d,
+         CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+         CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) AS yq, v
+  FROM daily
+),
+spine AS (
+  SELECT DISTINCT CAST(date_trunc('week', d) AS DATE) AS cutoff FROM daily
+),
+fit AS (
+  SELECT q.event_type, s.cutoff,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q.x) AS BIGINT) AS sx,
+         CAST(SUM(q.yq) AS BIGINT) AS sy,
+         CAST(SUM(q.x * q.yq) AS BIGINT) AS sxy,
+         CAST(SUM(q.x * q.x) AS BIGINT) AS sxx
+  FROM q JOIN spine s ON q.d <= s.cutoff
+  GROUP BY q.event_type, s.cutoff
+  HAVING COUNT(*) >= 2
+),
+co AS (
+  SELECT event_type, cutoff, n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 1000000.0
+           AS slope,
+         (CAST(sy AS DOUBLE) / 1000000.0
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 1000000.0)
+            * sx) / n AS intercept
+  FROM fit
+  WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
+),
+scored AS (
+  SELECT co.event_type, co.cutoff,
+         CAST(ABS(CAST(FLOOR((co.intercept + co.slope * q.x) * 1000000.0 + 0.5)
+                       AS BIGINT) - q.yq) AS BIGINT) AS aeq
+  FROM co
+  JOIN q ON q.event_type = co.event_type
+        AND q.d > co.cutoff
+        AND q.d <= co.cutoff + INTERVAL {_BACKTEST_HORIZON} DAY
+)
+SELECT event_type, CAST(cutoff AS VARCHAR) AS cutoff_week,
+       CAST(COUNT(*) AS BIGINT) AS n_test_days,
+       FLOOR(CAST(SUM(aeq) AS DOUBLE) / 1000000.0 / COUNT(*) * 1000000.0 + 0.5)
+         / 1000000.0 AS mae
+FROM scored GROUP BY event_type, cutoff
+"""
+
+
+@register("ts_backtest_cv", oracle=_TS_BACKTEST_ORACLE)
+def ts_backtest_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev).localCheckpoint(eager=True)  # spine + fit + score reuse
+    q = daily.select(
+        "event_type",
+        "d",
+        F.datediff(F.col("d"), F.lit("1970-01-01")).cast("bigint").alias("x"),
+        F.floor(F.col("v") * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("yq"),
+    )
+    spine = daily.select(
+        F.date_trunc("week", "d").cast("date").alias("cutoff")
+    ).distinct()
+    fit = (
+        q.join(F.broadcast(spine), q["d"] <= F.col("cutoff"))
+        .groupBy("event_type", "cutoff")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("yq").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("yq")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    det = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    slope = (
+        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        / det
+        / 1_000_000.0
+    )
+    intercept = (
+        F.col("sy").cast("double") / 1_000_000.0 - slope * F.col("sx")
+    ) / F.col("n")
+    co = fit.filter(det != 0).select(
+        "event_type", "cutoff", "n", slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+    scored = co.join(
+        q.select(F.col("event_type").alias("et"), "d", "x", "yq"),
+        (F.col("et") == F.col("event_type"))
+        & (F.col("d") > F.col("cutoff"))
+        & (F.col("d") <= F.date_add(F.col("cutoff"), _BACKTEST_HORIZON)),
+    ).select(
+        "event_type",
+        "cutoff",
+        F.abs(
+            F.floor(
+                (F.col("intercept") + F.col("slope") * F.col("x")) * 1_000_000.0
+                + F.lit(0.5)
+            ).cast("bigint")
+            - F.col("yq")
+        )
+        .cast("bigint")
+        .alias("aeq"),
+    )
+    return scored.groupBy("event_type", "cutoff").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+        (
+            F.floor(
+                F.sum("aeq").cast("double")
+                / 1_000_000.0
+                / F.count(F.lit(1))
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("mae"),
+    ).select(
+        "event_type",
+        F.col("cutoff").cast("string").alias("cutoff_week"),
+        "n_test_days",
+        "mae",
+    )

@@ -144,6 +144,8 @@ _PRIORITY: list[str] = [
     "ts_cohort_ltv",                 # NEW r8: cohort lifetime-value matrix
     "agg_price_index",               # NEW r8: Laspeyres composite index
     "agg_theil_decomposition",       # NEW r8: between/within inequality split
+    "ts_backtest_cv",                # NEW r8: rolling-origin forecast CV
+    "agg_simpson_diversity",         # NEW r8: dominance-weighted diversity
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

@@ -270,7 +270,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_dedup_threshold_sweep",  # 5-row literal tau grid over checkpointed pairs
                    "profile_json_schema",  # 1-row total broadcast over the 4-key sweep
                    "agg_price_index",  # 1-row base-month broadcast (O(part-months))
-                   "agg_theil_decomposition"}  # 1-row grand-total broadcast (O(n) terms)
+                   "agg_theil_decomposition",  # 1-row grand-total broadcast (O(n) terms)
+                   "ts_backtest_cv"}  # calendar-bounded cutoff-spine broadcast (O(weeks))
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1437,3 +1438,18 @@ def test_theil_decomposition_keyed_stats_reuse(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_theil_decomposition")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_backtest_cv_spine_broadcast(spark, sf_dir):
+    # The cutoff spine is calendar-bounded and broadcast; the fit table
+    # is O(series x cutoffs); daily relation checkpointed (3 consumers).
+    plan = _plan(spark, sf_dir, "ts_backtest_cv")
+    assert "Scan ExistingRDD" in plan      # checkpointed daily rollup
+    assert "events" not in plan            # source never re-derived
+    assert not _has_global_window(plan)
+
+
+def test_simpson_single_rollup(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_simpson_diversity")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan

@@ -3784,3 +3784,41 @@ def test_theil_decomposition_single_group_no_between(spark, tmp_path):
     r = eng.queries()["agg_theil_decomposition"](spark, str(tmp_path)).collect()[0]
     assert abs(r["theil_between"]) < 1e-6
     assert abs(r["theil_total"] - r["theil_within"]) < 1e-5
+
+
+def test_backtest_cv_perfect_linear_zero_mae(spark, tmp_path):
+    # A perfectly linear daily series: every cutoff's OLS fit forecasts
+    # the next week exactly -> MAE 0 at every cutoff with test days.
+    base = datetime.datetime(2024, 1, 1, 12)
+    rows = [(i, base + datetime.timedelta(days=i), 1, "a", 10.0 + 2.0 * i, "{}")
+            for i in range(21)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = eng.queries()["ts_backtest_cv"](spark, str(tmp_path)).collect()
+    assert out, "no cutoffs scored"
+    for r in out:
+        assert 1 <= r["n_test_days"] <= 7
+        assert r["mae"] == 0.0
+
+
+def test_backtest_cv_step_change_has_error(spark, tmp_path):
+    # A step change after day 13 breaks the linear fit: at least one
+    # cutoff whose test window covers the step must show positive MAE.
+    base = datetime.datetime(2024, 1, 1, 12)
+    rows = [(i, base + datetime.timedelta(days=i), 1, "a",
+             10.0 if i < 14 else 100.0, "{}") for i in range(21)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = eng.queries()["ts_backtest_cv"](spark, str(tmp_path)).collect()
+    assert any(r["mae"] > 10.0 for r in out)
+
+
+def test_simpson_diversity_hand_computed(spark, tmp_path):
+    # Four equal cells of 10 -> lambda = 4*(10/40)^2 = 0.25,
+    # diversity 0.75, effective categories 4.0.
+    rows = [(i, "t", "en" if i % 2 else "fr", "s0" if i % 4 < 2 else "s1", 1)
+            for i in range(40)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    r = eng.queries()["agg_simpson_diversity"](spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["n_cells"]) == (40, 4)
+    assert r["simpson_lambda"] == 0.25
+    assert r["simpson_diversity"] == 0.75
+    assert r["effective_categories"] == 4.0
