@@ -146,6 +146,7 @@ _PRIORITY: list[str] = [
     "agg_theil_decomposition",       # NEW r8: between/within inequality split
     "ts_backtest_cv",                # NEW r8: rolling-origin forecast CV
     "agg_simpson_diversity",         # NEW r8: dominance-weighted diversity
+    "fn_bitpack_roundtrip",          # NEW r8: shift-or lane packing primitive
     # --- (b) keys whose CODE changed in round 8 — rows double as
     # re-verification (llm_dedup_near + llm_curation_e2e: LSH hot-bucket
     # cap, output-identical on current fixtures by the planted test) ---

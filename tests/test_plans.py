@@ -1453,3 +1453,9 @@ def test_simpson_single_rollup(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_simpson_diversity")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_bitpack_pure_mapside(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fn_bitpack_roundtrip")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan and "Exchange" not in plan

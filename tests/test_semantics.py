@@ -3822,3 +3822,19 @@ def test_simpson_diversity_hand_computed(spark, tmp_path):
     assert r["simpson_lambda"] == 0.25
     assert r["simpson_diversity"] == 0.75
     assert r["effective_categories"] == 4.0
+
+
+def test_bitpack_roundtrip_hand_computed(spark, tmp_path):
+    # orderkey 1000: lanes from exact integer floor division; the packed
+    # word reconstructs each probed lane and roundtrip_ok holds.
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(1000, 5, "O", 1.0, base, "1-URGENT")]
+    _write(spark, tmp_path, "orders", rows, _ORD_SCHEMA)
+    r = eng.queries()["fn_bitpack_roundtrip"](spark, str(tmp_path)).collect()[0]
+    l = [1000 % 256] + [(1000 // p) % 256 for p in (7, 11, 13, 17, 19, 23)] + [
+        (1000 // 29) % 128
+    ]
+    word = sum(v << (8 * i) for i, v in enumerate(l))
+    assert r["word"] == word
+    assert r["u0"] == l[0] and r["u4"] == l[4] and r["u7"] == l[7]
+    assert r["roundtrip_ok"]
