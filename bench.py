@@ -17,7 +17,9 @@ is wiped at start so every recorded run is cold and comparable.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_VERBOSE,
-     SPARK_GRAFT_BENCH_KEEP_SCRATCH=1 to skip the cold-start wipe.
+     SPARK_GRAFT_BENCH_KEEP_SCRATCH=1 to skip the cold-start wipe,
+     SPARK_GRAFT_BENCH_ONLY=k1,k2 to bench a named subset (re-anchoring a
+     single key cold without paying the 372-query suite).
 """
 
 from __future__ import annotations
@@ -134,7 +136,16 @@ def main() -> None:
             f.write(summary() + "\n")
         os.replace(tmp, latest)
 
-    for name in sorted(qs):
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = sorted(qs)
+    if only:
+        wanted = [k.strip() for k in only.split(",") if k.strip()]
+        unknown = [k for k in wanted if k not in qs]
+        if unknown:
+            print(f"# SPARK_GRAFT_BENCH_ONLY unknown keys: {unknown}", file=sys.stderr)
+        names = [k for k in sorted(wanted) if k in qs]
+
+    for name in names:
         t0 = time.perf_counter()
         try:
             df = qs[name](spark, sf_dir)

@@ -36,9 +36,35 @@ def _sf_tag(sf_dir: str) -> str:
     return sf.replace(".", "_").replace("-", "_")
 
 
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """8-hex digest of the fixture identity: the full normalized path plus
+    (name, size, mtime_ns) of every parquet file directly under it.
+
+    Scratch layouts skip regeneration via on-disk markers (_SUCCESS,
+    v2.json); keying the scratch path on basename alone let two fixture
+    dirs sharing a basename — or a fixture regenerated in place — silently
+    serve a stale layout (round-8 advice).  Content-stat keying makes the
+    marker check sound: a different or regenerated fixture gets a fresh
+    scratch dir and the layout rebuilds."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(os.path.normpath(sf_dir)).encode())
+    try:
+        with os.scandir(sf_dir) as it:
+            for e in sorted(it, key=lambda e: e.name):
+                if e.name.endswith(".parquet") and e.is_file():
+                    st = e.stat()
+                    h.update(f"{e.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass
+    return h.hexdigest()[:8]
+
+
 def _scratch(name: str, sf_dir: str) -> str:
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.abspath(os.path.join(_SCRATCH, name, sf))
+    return os.path.abspath(
+        os.path.join(_SCRATCH, name, f"{sf}-{_fixture_fingerprint(sf_dir)}")
+    )
 
 
 # --------------------------------------------------------------------------
