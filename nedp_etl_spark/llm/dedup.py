@@ -244,7 +244,14 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nedp_etl_spark.operators.scans import _scratch
 
-    key = (id(spark._jsparkSession), sf_dir)
+    # Stable session identity: sessionUUID is unique per live session and
+    # never reused, unlike id(jobj) which CPython recycles after GC — a new
+    # session could alias a stale entry holding a DataFrame bound to a
+    # stopped session.  Entries from OTHER sessions are evicted on insert
+    # (they are dead weight once a different session is deriving pairs),
+    # which also bounds the dict across many-session test runs.
+    session_uuid = spark._jsparkSession.sessionUUID()
+    key = (session_uuid, sf_dir)
     df = _PAIRS_CACHE.get(key)
     if df is None:
         # digest of the FULL fixture path in the scratch layout: _scratch
@@ -260,6 +267,8 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
         df = spark.read.parquet(path)
+        for k in [k for k in _PAIRS_CACHE if k[0] != session_uuid]:
+            del _PAIRS_CACHE[k]
         _PAIRS_CACHE[key] = df
     return df
 

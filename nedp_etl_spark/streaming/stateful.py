@@ -188,7 +188,15 @@ def _asof_enrich_fn(
 
 @register("stream_asof_enrich", oracle=_ASOF_ENRICH_ORACLE)
 def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _stream_events(spark, sf_dir).select(
+    # One availableNow batch (no maxFilesPerTrigger): directory-layout
+    # fixtures' part files are not time-ordered, and an out-of-order
+    # cross-file batch split would apply a later-batch signup after an
+    # earlier-batch fact with a later timestamp was already emitted
+    # un-enriched.  Within the single batch, per-key order is restored by
+    # the sort inside _asof_enrich_fn.  Cross-BATCH replay of the state
+    # path stays covered by tests/test_streaming.py with deliberately
+    # time-ordered staged parts.
+    ev = _stream_events(spark, sf_dir, max_files_per_trigger=None).select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
     enriched = ev.groupBy("user_id").applyInPandasWithState(

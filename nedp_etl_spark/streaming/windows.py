@@ -138,11 +138,21 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
     """readStream over the events fixture (schema from the batch loader).
 
     FileStreamSource requires a *directory* — the fixture file is staged
     (hard-link/copy) into a repo-local scratch dir once per sf.
+
+    ``max_files_per_trigger=None`` reads every staged file in ONE
+    availableNow micro-batch.  Order-sensitive stateful consumers
+    (``stream_asof_enrich``) need this on directory-layout fixtures:
+    part files are not time-ordered, so file-per-trigger batches can
+    deliver a user's signup AFTER a fact with a later timestamp was
+    already emitted un-enriched (round-8 advice) — single-batch input
+    restores per-key total order via the in-function sort.
     """
     import os
     import shutil
@@ -216,11 +226,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "events")  # applies session conf (nanosAsLong, UTC)
     raw_schema = spark.read.parquet(dst).schema
-    raw = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(stage)
     # Same fixture-generation branch as data.load: int64-nanos builds need
     # integer `div` (epoch-nanos exceed 2^53, float `/` can floor 1µs low);
     # timestamp[us] builds read as NTZ and just need the session-tz cast.
