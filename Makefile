@@ -2,13 +2,17 @@
 # Spark-free tripwire set the pre-commit hook runs; `make check` is the
 # full suite; `make survey` regenerates SURVEY.md §2.3 from the registry.
 
-.PHONY: hygiene check check-sf001 bench survey hooks
+.PHONY: hygiene check check-sf001 bench bench-regress survey hooks
 
 hygiene:
 	python -m pytest tests/test_engine.py -q -x -k "pinned or idempotent or survey"
 
 check:
 	python -m pytest tests/ -q
+	python tools/bench_regress.py
+
+bench-regress:
+	python tools/bench_regress.py
 
 check-sf001:
 	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/ -q

@@ -285,3 +285,54 @@ def test_survey_table_matches_registry():
         "SURVEY §2.3 drift — regenerate with: "
         "python -m nedp_etl_spark.registry --update-survey"
     )
+
+
+# Pairs of keys whose oracle SQL is legitimately near-identical: same
+# relational contract exercised through a DIFFERENT Spark surface (the
+# udf_* family), a converged vs fixed-round variant, or QA readouts over
+# the same derived relation.  Anything NOT listed here that exceeds the
+# similarity bar is treated as a probable duplicate registration — the
+# round-8 incident (three near-duplicate keys written before grepping the
+# registry) caught two only by manual audit.
+_SIMILAR_ORACLES_OK = {
+    ("udf_pandas", "udf_scalar"),          # same contract, pandas vs row UDF
+    ("llm_dedup_cluster", "llm_dedup_cluster_converged"),  # fixed vs converged
+    ("llm_knn_graph", "llm_semantic_lsh"),  # shared embedding-bucket spine
+    ("join_range", "join_range_binned"),    # same join, binned plan variant
+    ("llm_knn_graph", "llm_lsh_bucket_purity"),
+    ("agg_cube", "agg_rollup"),             # grouping-set family pair
+    ("llm_lsh_bucket_purity", "llm_semantic_lsh"),
+    ("stream_state_reader", "stream_transform_state"),  # reader over same state
+    ("agg_skew_twophase", "stream_transform_state"),    # same running-sum oracle
+    ("agg_skew_twophase", "stream_foreachbatch"),
+    ("agg_groupby", "tpch_q1"),             # TPC-H Q1 IS the groupby contract
+    ("graph_triangle_count", "llm_dedup_near"),  # triangle QA over pair table
+}
+
+
+def test_oracle_similarity_tripwire():
+    """Token-set Jaccard > 0.9 between two oracles means the two keys very
+    likely compute the same thing — a duplicate registration unless the
+    pair is explicitly allowlisted with a justification above."""
+    import itertools
+    import re
+
+    import nedp_etl_spark as eng
+
+    toks = {
+        k: frozenset(
+            re.findall(r"[a-z_][a-z0-9_]*|\d+|[^\sa-z0-9_]", sql.lower())
+        )
+        for k, sql in eng.oracle_sql().items()
+    }
+    offenders = []
+    for a, b in itertools.combinations(sorted(toks), 2):
+        ta, tb = toks[a], toks[b]
+        j = len(ta & tb) / len(ta | tb)
+        if j > 0.9 and (a, b) not in _SIMILAR_ORACLES_OK:
+            offenders.append((round(j, 3), a, b))
+    assert not offenders, (
+        "near-identical oracle SQL — duplicate semantics? Either remove the"
+        " redundant key or allowlist the pair with a justification in"
+        f" _SIMILAR_ORACLES_OK: {sorted(offenders, reverse=True)}"
+    )

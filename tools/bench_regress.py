@@ -1,0 +1,113 @@
+"""Per-key bench regression tripwire (Spark-free JSON compare).
+
+Compares the latest local bench run (``BENCH_LATEST.json``, written by
+``bench.py`` after every query) against the committed anchor
+(``BENCH_ANCHOR.json``, the last accepted full-suite per-key map at sf0.1)
+and loudly lists every key that regressed past the gate:
+
+    new > max(2 * anchor, anchor + ABS_FLOOR)
+
+The 2x ratio alone would flag 0.1 s -> 0.25 s noise on trivial keys, so an
+absolute floor rides along.  The exit code is non-zero only when the SUM of
+excesses over the gate exceeds the documented +-12 s single-box jitter band
+(SCALE.md): one heavy key drifting 41 % (the round-8 llm_curation_e2e
+reading) warns; a real structural regression fails.
+
+Why: attributing `graph_bfs_reach` 3.07 -> 5.00 s took a judge session
+(first-consumer cost of the shared candidate_pairs table); with 370+ keys
+the attribution must be automatic.  Keys present only on one side are
+informational (new key / removed key), never failures.
+
+Usage:
+    python tools/bench_regress.py              # compare, list, gate
+    python tools/bench_regress.py --update-anchor   # accept LATEST as anchor
+
+``make bench-regress`` runs the compare; the anchor is refreshed
+deliberately (after reviewing the listing), never automatically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ANCHOR = os.path.join(HERE, "BENCH_ANCHOR.json")
+LATEST = os.path.join(HERE, "BENCH_LATEST.json")
+
+RATIO = 2.0
+ABS_FLOOR = 1.0  # seconds; 2x on a 0.2 s key is noise, not regression
+JITTER_BUDGET = 12.0  # seconds; the documented single-box suite jitter band
+
+
+def _load(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def main(argv: list[str]) -> int:
+    if "--update-anchor" in argv:
+        latest = _load(LATEST)
+        if latest.get("n_errors"):
+            print(f"refusing to anchor a run with {latest['n_errors']} errors:")
+            for k, e in latest.get("errors", {}).items():
+                print(f"  {k}: {e}")
+            return 2
+        with open(ANCHOR, "w") as fh:
+            json.dump(latest, fh, indent=1, sort_keys=True)
+        print(
+            f"anchored {latest['n_queries']} keys, total {latest['value']:.1f}s"
+            f" at sf={latest['sf']}"
+        )
+        return 0
+
+    if not os.path.exists(ANCHOR):
+        print("no BENCH_ANCHOR.json — run with --update-anchor after a full bench")
+        return 0
+    if not os.path.exists(LATEST):
+        print("no BENCH_LATEST.json — run bench.py first; skipping compare")
+        return 0
+
+    anchor, latest = _load(ANCHOR), _load(LATEST)
+    if anchor.get("sf") != latest.get("sf"):
+        print(
+            f"sf mismatch (anchor {anchor.get('sf')} vs latest {latest.get('sf')})"
+            " — cross-sf timings are not comparable; skipping"
+        )
+        return 0
+
+    a_q, l_q = anchor["queries"], latest["queries"]
+    regressed: list[tuple[str, float, float, float]] = []
+    for k, new in sorted(l_q.items()):
+        old = a_q.get(k)
+        if old is None:
+            print(f"NEW       {k}: {new:.2f}s (no anchor; anchors on --update-anchor)")
+            continue
+        gate = max(RATIO * old, old + ABS_FLOOR)
+        if new > gate:
+            regressed.append((k, old, new, new - gate))
+    for k in sorted(set(a_q) - set(l_q)):
+        print(f"REMOVED   {k}: was {a_q[k]:.2f}s in anchor")
+
+    if not regressed:
+        n = len(set(a_q) & set(l_q))
+        print(f"ok: {n} shared keys within the regression gate")
+        return 0
+
+    excess = sum(e for *_ignored, e in regressed)
+    for k, old, new, e in sorted(regressed, key=lambda r: -r[3]):
+        print(f"REGRESSED {k}: {old:.2f}s -> {new:.2f}s (+{e:.2f}s over gate)")
+    print(
+        f"total excess over gate: {excess:.1f}s"
+        f" (jitter budget {JITTER_BUDGET:.0f}s)"
+    )
+    if excess > JITTER_BUDGET:
+        print("FAIL: excess beyond the jitter band — attribute or fix before anchor")
+        return 1
+    print("warn-only: within the jitter band; re-run or attribute in SCALE.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
