@@ -5,7 +5,7 @@
 .PHONY: hygiene check check-sf001 bench bench-regress survey hooks
 
 hygiene:
-	python -m pytest tests/test_engine.py -q -x -k "pinned or idempotent or survey"
+	python -m pytest tests/test_engine.py -q -x -k "pinned or idempotent or survey or similarity"
 
 check:
 	python -m pytest tests/ -q

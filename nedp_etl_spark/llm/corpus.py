@@ -161,6 +161,106 @@ def llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# llm_suffix_dedup — exact substring-level dedup drop list (the suffix-array
+# dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better", re-expressed in the bucketed-candidate shape): hash every
+# window of K consecutive tokens; a window repeated ANYWHERE in the corpus
+# (cross-doc or within-doc — the suffix-array definition, unlike
+# llm_span_dedup's cross-doc count audit) marks its positions, and per doc
+# the marked positions merge into MAXIMAL spans (gap-and-island: windows
+# chain while the position gap is <= K, i.e. the covered text is
+# contiguous).  Output is the actionable (doc_id, span_start, span_end)
+# token-range drop list — what llm_span_dedup's per-doc counts cannot give.
+#
+# Scale shape: candidates by EQUALITY on the window hash (groupBy h +
+# equi-join back), never pairwise; the island merge is one per-doc running
+# window ([unboundedPreceding, currentRow] — the O(1)-per-row frame).
+# Shuffles: (h) agg, (h) join, (doc_id) window, (doc_id, island) agg.  At
+# 100 TB this is exactly the Lee et al. sharded pipeline: dup-hash
+# discovery shards by hash, span assembly shards by document.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SUFFIX_K = 8
+
+_SUFFIX_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+spans AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(l[CAST(i AS INT):CAST(i + {_SUFFIX_K - 1} AS INT)], ' ')) AS h
+  FROM (SELECT doc_id, l,
+               unnest(generate_series(1, CAST(len(l) - {_SUFFIX_K} + 1 AS BIGINT))) AS i
+        FROM t WHERE len(l) >= {_SUFFIX_K})
+),
+dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (h)),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_SUFFIX_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM lagged
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {_SUFFIX_K - 1} AS span_end,
+       MAX(pos) + {_SUFFIX_K} - MIN(pos) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register("llm_suffix_dedup", oracle=_SUFFIX_DEDUP_ORACLE)
+def llm_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l")).filter(
+        F.size("l") >= _SUFFIX_K
+    )
+    spans = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - _SUFFIX_K + 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("l", i, _SUFFIX_K))),
+                )
+            ).alias("p0", "h"),
+        )
+        # sequence() is 1-based; posexplode re-indexes from 0 — undo it so
+        # both engines speak 1-based token positions.
+        .select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "h")
+    )
+    # total-occurrence count (>= 2 ANYWHERE), not distinct-doc count: a
+    # window repeated twice inside one doc is duplicated training text too.
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    hits = spans.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("pos").over(w)
+    brk = F.when(
+        prev.isNull() | ((F.col("pos") - prev) > _SUFFIX_K), F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hits.withColumn("brk", brk).withColumn("island", F.sum("brk").over(run))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + _SUFFIX_K - 1).alias("span_end"),
+        (F.max("pos") + _SUFFIX_K - F.min("pos")).alias("span_tokens"),
+    ).drop("island")
+
+
+# --------------------------------------------------------------------------
 # llm_tokenizer_fertility — subword fertility audit per language: a BPE-ish
 # deterministic proxy (ceil(len(word)/4) subwords per word) aggregated to
 # tokens-per-word by language.  Pure higher-order array math — zero shuffles

@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "fn_bitpack_roundtrip",
     # --- (a2) NEW in round 9 (each: exact oracle green at sf0.001+sf0.01,
     # planted semantic test, plan audit) — appended as they land ---
+    "llm_suffix_dedup",           # NEW r9: Lee et al. exact substring drop list
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

@@ -1459,3 +1459,12 @@ def test_bitpack_pure_mapside(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fn_bitpack_roundtrip")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "Window" not in plan and "Exchange" not in plan
+
+
+def test_suffix_dedup_keyed_no_pairwise(spark, sf_dir):
+    # Candidate discovery is equality-on-hash (agg + equi-join), never a
+    # self-join; the island merge windows are per-doc running frames.
+    plan = _plan(spark, sf_dir, "llm_suffix_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)

@@ -3838,3 +3838,26 @@ def test_bitpack_roundtrip_hand_computed(spark, tmp_path):
     assert r["word"] == word
     assert r["u0"] == l[0] and r["u4"] == l[4] and r["u7"] == l[7]
     assert r["roundtrip_ok"]
+
+
+def test_suffix_dedup_maximal_spans(spark, tmp_path):
+    # K=8.  Docs 1 and 2 share a 10-token block S -> 3 duplicated windows
+    # each, merging into ONE maximal span covering exactly S.  Doc 3 is the
+    # same 8-token block twice (within-doc repeat, the suffix-array
+    # definition llm_span_dedup's cross-doc count misses): hits at pos 1
+    # and 9, gap == K, so the islands MERGE into one 16-token span.  Doc 4
+    # is all-unique and must be absent.
+    s = " ".join(f"s{i}" for i in range(10))
+    a = " ".join(f"a{i}" for i in range(8))
+    rows = [
+        (1, " ".join(f"x{i}" for i in range(5)) + f" {s} " + " ".join(f"y{i}" for i in range(5)), "en", "s", 100),
+        (2, " ".join(f"z{i}" for i in range(3)) + f" {s} " + " ".join(f"w{i}" for i in range(7)), "en", "s", 100),
+        (3, f"{a} {a}", "en", "s", 100),
+        (4, " ".join(f"u{i}" for i in range(20)), "en", "s", 100),
+    ]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in eng.queries()["llm_suffix_dedup"](spark, str(tmp_path)).collect()
+    }
+    assert out == {(1, 6, 15, 10), (2, 4, 13, 10), (3, 1, 16, 16)}
