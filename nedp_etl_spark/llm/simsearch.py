@@ -639,14 +639,19 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-def _kmeans_oracle() -> str:
+def _lloyd_ctes(src: str, k: int, iters: int) -> tuple[list[str], str]:
+    """The Lloyd CTE chain over a (vec_id, v) relation named ``src``:
+    deterministic init (first k by vec_id), ROUND(·,6) distances with
+    lowest-cid tie-break, ROUND(·,9) centroid updates — the single home of
+    the oracle-side assignment contract shared by llm_kmeans and
+    llm_semdedup.  Returns (cte_parts, last_assignment_name)."""
     assign = """
 {a} AS (
   SELECT vec_id, v, cid, ROUND(d, 6) AS dist FROM (
     SELECT e.vec_id, e.v, c.cid, list_distance(e.v, c.c) AS d,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY ROUND(list_distance(e.v, c.c), 6), c.cid) AS rn
-    FROM e, {c} c) WHERE rn = 1
+    FROM {src} e, {c} c) WHERE rn = 1
 )"""
     update = """
 {cn} AS (
@@ -655,14 +660,21 @@ def _kmeans_oracle() -> str:
     FROM {a}, range(1, 65) t(i) GROUP BY cid, t.i) GROUP BY cid
 )"""
     parts = [
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < {_KMEANS_K})",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM {src} WHERE vec_id < {k})",
     ]
-    for i in range(1, _KMEANS_ITERS + 1):
-        parts.append(assign.format(a=f"a{i}", c=f"c{i - 1}").strip())
-        if i < _KMEANS_ITERS:
+    for i in range(1, iters + 1):
+        parts.append(assign.format(a=f"a{i}", c=f"c{i - 1}", src=src).strip())
+        if i < iters:
             parts.append(update.format(cn=f"c{i}", a=f"a{i}").strip())
-    last = f"a{_KMEANS_ITERS}"
+    return parts, f"a{iters}"
+
+
+def _kmeans_oracle() -> str:
+    ctes, last = _lloyd_ctes("e", _KMEANS_K, _KMEANS_ITERS)
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        *ctes,
+    ]
     return (
         ",\n".join(parts)
         + f"""
@@ -676,12 +688,14 @@ FROM {last}
 _KMEANS_ORACLE = _kmeans_oracle()
 
 
-@register("llm_kmeans", oracle=_KMEANS_ORACLE)
-def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3 Lloyd iterations, centroids driver-resident (k·d values — the one
-    collect() that is *architecturally correct* here, exactly what MLlib's
-    KMeans does between iterations); vectors never shuffle."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", _dvec("embedding").alias("v"))
+def _lloyd_assign_df(
+    spark: SparkSession, emb: DataFrame, k: int, iters: int
+) -> DataFrame:
+    """Lloyd iterations over ``emb`` (vec_id, v) → (vec_id, v, cluster,
+    dist).  Centroids driver-resident (k·d values — the one collect() that
+    is *architecturally correct* here, exactly what MLlib's KMeans does
+    between iterations); vectors never shuffle.  The Spark-side twin of
+    ``_lloyd_ctes``, shared by llm_kmeans and llm_semdedup."""
 
     def assign(centroids: list[tuple[int, list[float]]]) -> DataFrame:
         # Map-side only, and plan size independent of K·dim: the centroids
@@ -712,10 +726,10 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = [
         (int(r["vec_id"]), list(r["v"]))
-        for r in emb.filter(F.col("vec_id") < _KMEANS_K).orderBy("vec_id").collect()
+        for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
     assigned = assign(cents)
-    for _ in range(_KMEANS_ITERS - 1):
+    for _ in range(iters - 1):
         new = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -727,13 +741,166 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         assigned = assign([(int(r["cluster"]), list(r["c"])) for r in new])
+    return assigned
 
+
+@register("llm_kmeans", oracle=_KMEANS_ORACLE)
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    assigned = _lloyd_assign_df(spark, emb, _KMEANS_K, _KMEANS_ITERS)
     w_size = Window.partitionBy("cluster")
     return assigned.select(
         "vec_id",
         F.col("cluster"),
         "dist",
         F.count(F.lit(1)).over(w_size).alias("cluster_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm_semdedup — composed semantic dedup (the SemDeDup recipe of Abbas et
+# al. 2023: k-means cluster the embedding space, then prune
+# near-duplicates WITHIN each cluster, keeping the member nearest the
+# centroid).  Completes the dedup ladder exact → near-text (MinHash/LSH) →
+# embedding: the two building blocks (llm_kmeans's Lloyd assignment,
+# llm_dedup_embed's cosine verify) compose; nothing cross-cluster is ever
+# compared.  The corpus is augmented with exact copies (id+1000000, the
+# llm_dedup_embed precedent) so the prune provably fires on the fixture.
+#
+# Drop rule (deterministic): members rank within their cluster by
+# (ROUND(dist,6), vec_id); a member is DROPPED iff some lower-ranked
+# member of the same cluster has ROUND(cosine,6) >= τ with it, and
+# ``dup_of`` names the lowest-ranked such member.  Rank-1 (the
+# centroid-nearest) is always kept — exactly SemDeDup's keep choice.
+#
+# Scale shape: the only pairwise work is the within-cluster self-join,
+# O(Σ s²) not O(n²), and participation is capped at rank <= _SEMDEDUP_CAP
+# (mirrored in the oracle): members past the cap are kept unexamined —
+# the production fix is more clusters (k ~ √n grows with the corpus, so
+# s = n/k stays bounded), and the cap documents the per-cluster bound the
+# plan is safe under, the _HOT_BUCKET_CAP discipline.  Norms are computed
+# once per vector before the join (one fold per pair at verify).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = "0.99"
+_SEMDEDUP_CAP = 512
+_SEMDEDUP_COPIES = 100
+
+
+def _semdedup_oracle() -> str:
+    ctes, last = _lloyd_ctes("e", _KMEANS_K, _KMEANS_ITERS)
+    return (
+        """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM base UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id < """
+        + str(_SEMDEDUP_COPIES)
+        + "),\n"
+        + ",\n".join(ctes)
+        + f""",
+ranked AS (
+  SELECT vec_id, v, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rnk
+  FROM {last}
+),
+part AS (SELECT * FROM ranked WHERE rnk <= {_SEMDEDUP_CAP}),
+drops AS (
+  SELECT j.cid, j.vec_id, MIN(i.rnk) AS dup_rnk
+  FROM part j JOIN part i ON i.cid = j.cid AND i.rnk < j.rnk
+  WHERE ROUND(list_dot_product(i.v, j.v) /
+              (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(j.v, j.v))),
+              6) >= {_SEMDEDUP_TAU}
+  GROUP BY j.cid, j.vec_id
+)
+SELECT r.vec_id, r.cid AS cluster, r.rnk,
+       d.vec_id IS NULL AS keep,
+       m.vec_id AS dup_of
+FROM ranked r
+LEFT JOIN drops d ON d.cid = r.cid AND d.vec_id = r.vec_id
+LEFT JOIN ranked m ON m.cid = d.cid AND m.rnk = d.dup_rnk
+"""
+    )
+
+
+_SEMDEDUP_ORACLE = _semdedup_oracle()
+
+
+@register("llm_semdedup", oracle=_SEMDEDUP_ORACLE)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    corpus = base.unionAll(
+        base.filter(F.col("vec_id") < _SEMDEDUP_COPIES).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "v"
+        )
+    )
+    # localCheckpoint: the ranked relation feeds three branches (both join
+    # sides + the final left joins); without it each re-runs the Lloyd
+    # assignment lineage.
+    ranked = (
+        _lloyd_assign_df(spark, corpus, _KMEANS_K, _KMEANS_ITERS)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy("dist", "vec_id")
+            ),
+        )
+        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .localCheckpoint(eager=False)
+    )
+    part = ranked.filter(F.col("rnk") <= _SEMDEDUP_CAP)
+    i = part.select(
+        F.col("cluster").alias("cid"),
+        F.col("rnk").alias("i_rnk"),
+        F.col("v").alias("iv"),
+        F.col("vn").alias("inorm"),
+    )
+    j = part.select(
+        F.col("cluster").alias("cid"),
+        F.col("vec_id").alias("j_id"),
+        F.col("rnk").alias("j_rnk"),
+        F.col("v").alias("jv"),
+        F.col("vn").alias("jnorm"),
+    )
+    drops = (
+        j.join(i, "cid")
+        .filter(F.col("i_rnk") < F.col("j_rnk"))
+        .filter(
+            F.round(
+                _dot(F.col("iv"), F.col("jv")) / (F.col("inorm") * F.col("jnorm")), 6
+            )
+            >= F.lit(float(_SEMDEDUP_TAU))
+        )
+        .groupBy("cid", "j_id")
+        .agg(F.min("i_rnk").alias("dup_rnk"))
+    )
+    dup_map = ranked.select(
+        F.col("cluster").alias("m_cid"),
+        F.col("rnk").alias("m_rnk"),
+        F.col("vec_id").alias("dup_of"),
+    )
+    return (
+        ranked.join(
+            drops,
+            (ranked["cluster"] == drops["cid"]) & (ranked["vec_id"] == drops["j_id"]),
+            "left",
+        )
+        .join(
+            dup_map,
+            (F.col("cid") == F.col("m_cid")) & (F.col("dup_rnk") == F.col("m_rnk")),
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("cluster"),
+            "rnk",
+            F.col("j_id").isNull().alias("keep"),
+            "dup_of",
+        )
     )
 
 

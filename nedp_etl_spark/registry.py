@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     # --- (a2) NEW in round 9 (each: exact oracle green at sf0.001+sf0.01,
     # planted semantic test, plan audit) — appended as they land ---
     "llm_suffix_dedup",           # NEW r9: Lee et al. exact substring drop list
+    "llm_semdedup",               # NEW r9: SemDeDup k-means + in-cluster prune
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

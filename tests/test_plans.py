@@ -239,6 +239,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_kneser_ney",  # 1-row bigram-type-total broadcast (O(n))
                    "llm_source_rebalance",  # 1-row total/n_langs broadcast (O(#langs))
                    "llm_kmeans",  # 1-row broadcast centroid-array crossJoin (O(n))
+                   "llm_semdedup",  # same 1-row centroid broadcast (Lloyd assignment)
                    "llm_dsir_importance",  # 256-row LM × 1-row totals crossJoin
                    "llm_temperature_sample",  # 1-row total/denom broadcast (O(#langs))
                    "profile_skew",  # 1-row totals broadcast onto top-10 rows
@@ -1467,4 +1468,13 @@ def test_suffix_dedup_keyed_no_pairwise(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_suffix_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)
+
+
+def test_semdedup_pairwise_only_within_cluster(spark, sf_dir):
+    # The only pairwise work is the cluster-keyed equi self-join (rank-
+    # capped); nothing cartesian, and every window partitions by cluster
+    # or vec_id.  The 1-row centroid broadcast rides the kmeans allowlist.
+    plan = _plan(spark, sf_dir, "llm_semdedup")
+    assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)

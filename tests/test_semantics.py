@@ -3861,3 +3861,32 @@ def test_suffix_dedup_maximal_spans(spark, tmp_path):
         for r in eng.queries()["llm_suffix_dedup"](spark, str(tmp_path)).collect()
     }
     assert out == {(1, 6, 15, 10), (2, 4, 13, 10), (3, 1, 16, 16)}
+
+
+def test_semdedup_within_cluster_prune(spark, tmp_path):
+    # 8 far-apart basis vectors (ids 0-7, the deterministic k-means init)
+    # plus id 8 = a 0.97-cosine perturbation of id 0 (below tau=0.99, must
+    # be KEPT).  The operator's own augmentation copies ids < 100, so each
+    # cluster holds {original, exact copy}: the copy ties the original on
+    # centroid distance, loses the vec_id tie-break, and is dropped with
+    # dup_of = the original.  Cluster 0 = {0, 8, copies}: 8 survives the
+    # prune (cos 0.97 < tau), both copies drop onto their exact twins.
+    dim = 8
+    def basis(k, scale=1000.0):
+        v = [0.0] * dim; v[k] = scale; return v
+    rows = [(k, basis(k), 0) for k in range(8)]
+    rows.append((8, [970.0, 241.0] + [0.0] * (dim - 2), 0))  # cos(v0,v8)~0.9705
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    out = {
+        r["vec_id"]: r
+        for r in eng.queries()["llm_semdedup"](spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 18  # 9 originals + 9 copies
+    for k in range(9):
+        assert out[k]["keep"] and out[k]["dup_of"] is None
+        assert not out[1000000 + k]["keep"]
+        assert out[1000000 + k]["dup_of"] == k
+    # the near-but-below-tau member shares cluster 0 with vec 0 yet is kept
+    assert out[8]["cluster"] == out[0]["cluster"]
+    assert out[0]["rnk"] == 1  # centroid-nearest of its cluster, always kept
