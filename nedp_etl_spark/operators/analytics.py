@@ -963,10 +963,21 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted/BigDecimal — ~5× slower than codegen int64 sums): each
     # quantized non-negative value splits into 2^20-radix limbs
     # (hi < 2^17, lo < 2^20), a product contributes three int64-safe
-    # component sums (hi·hi ≤ 2^34, cross ≤ 2^38, lo·lo ≤ 2^40 — each sum
-    # bounded by rows×2^40 < 2^63 up to ~8e6 rows/group; beyond that,
-    # raise the radix split), and the EXACT product sum is reconstructed
-    # in decimal once per GROUP: s_ab = s_hh·2^40 + s_x·2^20 + s_ll.
+    # component sums (hi·hi ≤ 2^34, cross ≤ 2^38, lo·lo ≤ 2^40), and the
+    # EXACT product sum is reconstructed in decimal:
+    # s_ab = s_hh·2^40 + s_x·2^20 + s_ll.
+    #
+    # Round-9 (closing the round-8 "loud guard" watch item): the int64
+    # component sums are TWO-PHASE — phase 1 aggregates per
+    # (group, spark_partition_id), so each int64 sum is bounded by
+    # rows-per-TASK-PARTITION × 2^40, a bound the operator controls via
+    # spark.sql.files.maxPartitionBytes (128 MB default ⇒ ~1.3e6 lineitem
+    # rows ≪ the 2^23 overflow bound) and that is INDEPENDENT of group
+    # size; phase 2 sums the tiny (#groups × #partitions)-row partials in
+    # decimal(38,0), where BigDecimal cost is irrelevant.  A 100 TB group
+    # is now exact instead of aborting.  The loud guard survives at the
+    # only place overflow remains possible — a single task partition
+    # holding > 2^23 rows of one group (a pathological unsplittable file).
     # The oracle accumulates direct HUGEINT products — a different
     # algebra, so a shared limb-math bug cannot self-confirm.
     _RADIX = 1 << 20
@@ -984,9 +995,10 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prods = [(a, b) for a, _ in _CORR_VARS for b, _ in _CORR_VARS
              if (a, b) in _CORR_PAIRS or a == b]
-    aggs = (
-        [F.count(F.lit(1)).alias("n")]
-        + [F.sum(f"q_{n}").cast("decimal(19,0)").alias(f"s_{n}") for n, _ in _CORR_VARS]
+    # phase 1: int64 codegen sums per (group, task partition)
+    part_aggs = (
+        [F.count(F.lit(1)).alias("n_part")]
+        + [F.sum(f"q_{n}").alias(f"s_{n}") for n, _ in _CORR_VARS]
         + [
             agg
             for a, b in prods
@@ -1000,19 +1012,51 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    partials = qd.withColumn("pid", F.spark_partition_id()).groupBy(
+        "l_returnflag", "pid"
+    ).agg(*part_aggs)
+    # loud guard at the only remaining overflow site: one task partition
+    # holding > 2^23 rows of a single group (component sums are bounded by
+    # n_part × 2^40; n_part is partition-size-, not group-size-, bounded)
+    n_part_guarded = F.when(
+        F.col("n_part") <= F.lit(1 << 23), F.col("n_part")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("agg_corr_matrix: a single task partition holds "),
+                F.col("n_part").cast("string"),
+                F.lit(" rows of one group — past the 2^23-row int64-safe"
+                      " bound of the 2^20-radix limb accumulation; lower"
+                      " spark.sql.files.maxPartitionBytes or repartition"
+                      " the scan"),
+            )
+        ).cast("bigint")
+    )
+    partials = partials.withColumn("n_part", n_part_guarded)
+    # phase 2: decimal(38,0) sums over (#groups × #partitions) partial rows
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).alias(c)  # noqa: E731
     s = (
-        qd.groupBy("l_returnflag")
-        .agg(*aggs)
+        partials.groupBy("l_returnflag")
+        .agg(
+            F.sum("n_part").alias("n"),
+            *[dec(f"s_{n}") for n, _ in _CORR_VARS],
+            *[d for a, b in prods
+              for d in (dec(f"hh_{a}_{b}"), dec(f"x_{a}_{b}"), dec(f"ll_{a}_{b}"))],
+        )
         .select(
             "l_returnflag",
             "n",
-            *[F.col(f"s_{n}") for n, _ in _CORR_VARS],
+            # decimal(19,0) keeps the corr() product algebra inside Spark's
+            # 38-digit bound (19+19), the original contract
+            *[
+                F.col(f"s_{n}").cast("decimal(19,0)").alias(f"s_{n}")
+                for n, _ in _CORR_VARS
+            ],
             *[
                 (
-                    dec(f"hh_{a}_{b}") * (_RADIX * _RADIX)
-                    + dec(f"x_{a}_{b}") * _RADIX
-                    + dec(f"ll_{a}_{b}")
+                    F.col(f"hh_{a}_{b}") * (_RADIX * _RADIX)
+                    + F.col(f"x_{a}_{b}") * _RADIX
+                    + F.col(f"ll_{a}_{b}")
                 ).alias(f"s_{a}_{b}")
                 for a, b in prods
             ],
@@ -1048,24 +1092,12 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     ).alias("p")
-    # Loud overflow guard (round-8, advisor item): the ll component sum is
-    # bounded by rows × 2^40, int64-safe only while rows/group < 2^23
-    # (~8.4e6).  Past that the limb sums would overflow SILENTLY and emit
-    # wrong correlations — fail the query instead and name the fix.
-    n_guarded = F.when(
-        F.col("n") <= F.lit(1 << 23), F.col("n").cast("bigint")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("agg_corr_matrix: group size "),
-                F.col("n").cast("string"),
-                F.lit(" exceeds the 2^23-row int64-safe bound of the 2^20-"
-                      "radix limb accumulation; raise the radix split "
-                      "(e.g. 2^16 limbs / 4 components) for this corpus"),
-            )
-        ).cast("bigint")
-    )
-    return s.select("l_returnflag", n_guarded.alias("n_rows"), pairs).select(
+    # (The round-8 group-size guard is gone: two-phase accumulation makes
+    # group size irrelevant — the remaining per-partition bound is guarded
+    # loudly at phase 1.)
+    return s.select(
+        "l_returnflag", F.col("n").cast("bigint").alias("n_rows"), pairs
+    ).select(
         "l_returnflag", F.col("p.var_a").alias("var_a"), F.col("p.var_b").alias("var_b"),
         "n_rows", F.col("p.corr").alias("corr")
     )

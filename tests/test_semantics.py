@@ -3890,3 +3890,60 @@ def test_semdedup_within_cluster_prune(spark, tmp_path):
     # the near-but-below-tau member shares cluster 0 with vec 0 yet is kept
     assert out[8]["cluster"] == out[0]["cluster"]
     assert out[0]["rnk"] == 1  # centroid-nearest of its cluster, always kept
+
+
+def test_corr_matrix_group_beyond_old_int64_bound(spark, tmp_path):
+    # 14e6 rows in ONE group — past the 2^23 group-size bound that the
+    # round-8 design aborted on.  The round-9 two-phase accumulation
+    # (int64 limbs per task partition, decimal over partials) must return
+    # the exact answer instead; price = 2*qty + 1 -> corr exactly +1,
+    # tax = -qty -> exactly -1.  Verified against the DuckDB HUGEINT
+    # oracle on the same fixture (both engines, full row compare).
+    from pyspark.sql import functions as F
+
+    # qty alternates (2^20-1)/1e6 and (2^19-1)/1e6: max-lo-limb values with
+    # LARGE variance (a tiny alternation cancels catastrophically in the
+    # final double conversion and the true corr stops being +-1).  Average
+    # ll product ~6.9e11; at 14e6 rows the single-phase int64 ll sum would
+    # sit at ~9.6e18 > 2^63-1.
+    n = 14_000_000
+    qty = F.lit(0.524287) + (F.col("id") % 2) * 0.524288
+    df = spark.range(n).select(
+        F.lit("A").alias("l_returnflag"),
+        qty.alias("l_quantity"),
+        (qty * 2 + 1.0).alias("l_extendedprice"),
+        F.lit(0.05).alias("l_discount"),
+        (-qty).alias("l_tax"),
+    )
+    df.repartition(8).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    # constant-ish columns compress so well that one task would read every
+    # row (the loud per-partition guard would fire, correctly); bound the
+    # task size the way a production job would
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    try:
+        rows = eng.queries()["agg_corr_matrix"](spark, str(tmp_path)).collect()
+        out = {(r["var_a"], r["var_b"]): r for r in rows}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # both engines: the DuckDB HUGEINT oracle on the same fixture
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    orows = con.execute(eng.oracle_sql()["agg_corr_matrix"]).fetchall()
+    con.close()
+    spark_tuples = sorted(
+        (r["l_returnflag"], r["var_a"], r["var_b"], r["n_rows"], r["corr"])
+        for r in rows
+    )
+    assert spark_tuples == sorted(orows)
+    assert out[("qty", "price")]["corr"] == 1.0
+    assert out[("qty", "tax")]["corr"] == -1.0
+    assert out[("qty", "disc")]["corr"] is None
+    assert all(r["n_rows"] == n for r in out.values())
