@@ -1418,3 +1418,168 @@ def llm_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6c(F.exp(F.col("hcq") / 1_000_000_000.0)).alias("perplexity_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_corpus_overlap_sketch — source-pair content overlap from K-minimum-
+# values sketches (Beyer et al. 2007; the Dolma/CC corpus-overlap recipe):
+# per source, the K lexicographically smallest distinct 5-token shingle
+# md5s form the sketch; the pairwise Jaccard ESTIMATE is the fraction of
+# the union-re-ranked K smallest that appear in both sketches.  The point
+# at 100 TB: corpora are NEVER joined — each is scanned once into a K-row
+# artifact, and all pair math runs on (#sources² × K) sketch rows.  The
+# exact-Jaccard column is the fixture-scale QA readout pricing the
+# estimate (the llm_ann_recall sketch-vs-truth pattern).
+#
+# Determinism: md5 order is total; ROW_NUMBER ties cannot occur (distinct
+# hashes); estimates and exacts quantize q6 identically on both engines.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_W = 5
+
+_KMV_ORACLE = f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(l[CAST(i AS INT):CAST(i + {_KMV_W - 1} AS INT)], ' ')) AS h
+  FROM (SELECT source, l,
+               unnest(generate_series(1, CAST(len(l) - {_KMV_W} + 1 AS BIGINT))) AS i
+        FROM t WHERE len(l) >= {_KMV_W})
+),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM sh) WHERE rn <= {_KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM sh),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+tagged AS (
+  SELECT p.sa, p.sb, s.h, 1 AS in_a, 0 AS in_b
+  FROM pairs p JOIN sk s ON s.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, s.h, 0 AS in_a, 1 AS in_b
+  FROM pairs p JOIN sk s ON s.source = p.sb
+),
+u AS (
+  SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM tagged GROUP BY sa, sb, h
+),
+ur AS (
+  SELECT sa, sb, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+  FROM u
+),
+est AS (
+  SELECT sa, sb,
+         CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both
+  FROM ur WHERE rn <= {_KMV_K} GROUP BY sa, sb
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT e.sa AS source_a, e.sb AS source_b, e.k_used,
+       FLOOR(e.n_both * 1.0 / e.k_used * 1000000.0 + 0.5) / 1000000.0
+         AS est_jaccard,
+       FLOOR(COALESCE(i.ni, 0) * 1.0
+             / (x.n + y.n - COALESCE(i.ni, 0)) * 1000000.0 + 0.5) / 1000000.0
+         AS exact_jaccard
+FROM est e
+JOIN sizes x ON x.source = e.sa
+JOIN sizes y ON y.source = e.sb
+LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+"""
+
+
+@register("llm_corpus_overlap_sketch", oracle=_KMV_ORACLE)
+def llm_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.split("text", " ").alias("l")).filter(
+        F.size("l") >= _KMV_W
+    )
+    sh = (
+        toks.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - _KMV_W + 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("l", i, _KMV_W))),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+        # feeds the sketch, the sizes aggregate, and BOTH sides of the
+        # exact-intersection join
+        .localCheckpoint(eager=False)
+    )
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    sk = sh.withColumn("rn", rn).filter(F.col("rn") <= _KMV_K).drop("rn")
+    srcs = sh.select("source").distinct()
+    # #sources² pair spine: tiny theta self-join (10 × 10 at any sf; the
+    # source list is dimension-sized, never corpus-sized)
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+    )
+    tagged = (
+        pairs.join(sk.withColumnRenamed("source", "sa"), "sa")
+        .select("sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(
+            pairs.join(sk.withColumnRenamed("source", "sb"), "sb")
+            .select("sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+    )
+    u = tagged.groupBy("sa", "sb", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    urn = F.row_number().over(Window.partitionBy("sa", "sb").orderBy("h"))
+    est = (
+        u.withColumn("rn", urn)
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("n_both"),
+        )
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(F.col("x.source").alias("sa"), F.col("y.source").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ni"))
+    )
+    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    return (
+        est.join(sizes.withColumnRenamed("source", "sa").withColumnRenamed("n", "na"), "sa")
+        .join(sizes.withColumnRenamed("source", "sb").withColumnRenamed("n", "nb"), "sb")
+        .join(inter, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "k_used",
+            q6(F.col("n_both") * 1.0 / F.col("k_used")).alias("est_jaccard"),
+            q6(
+                F.coalesce(F.col("ni"), F.lit(0))
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0)))
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -1512,3 +1512,192 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_b").cast("bigint").alias("n_removed_bound"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_bloom_dedup — cross-corpus membership via a Bloom filter (the
+# CCNet/Dolma trick for deduplicating a NEW shard against an existing
+# corpus WITHOUT joining it: the corpus compresses to an m-bit filter that
+# broadcasts to every probe task).  Corpus A = the documents table; probe
+# set B = exact copies of docs < 100 (true members — the Bloom no-false-
+# negative invariant makes every one flag) plus first-word-stripped
+# variants of every doc (non-members — only false positives can flag).
+# k = 3 index functions from disjoint md5 slices; m = 32768 bits packed as
+# 1024 int64 words of 32 used bits each (32-bit payloads keep every shift
+# clear of the sign bit on BOTH engines — the fn_bitpack_roundtrip trap).
+#
+# Scale shape: the build is one keyed bit_or aggregate (m/32 rows
+# regardless of corpus size); the probe joins only the 1024-row word
+# table (AQE broadcasts it — exactly how a production Bloom probe is a
+# map-side test).  The exact-membership columns are the QA readout that
+# prices the filter's false-positive rate on real data (the llm_ann_recall
+# pattern: sketch + truth side-by-side).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 32768
+_BLOOM_K = 3
+_BLOOM_WORD = 32
+
+_BLOOM_DEDUP_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS h, text FROM documents
+),
+probe_set AS (
+  SELECT doc_id + 1000000 AS probe_id, source,
+         md5(lower(trim(text))) AS h
+  FROM norm WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 2000000 AS probe_id, source,
+         md5(lower(trim(substr(text, instr(text, ' ') + 1)))) AS h
+  FROM norm
+),
+a_bits AS (
+  SELECT DISTINCT
+         CAST(CAST('0x' || substr(h, CAST(j.j * 8 + 1 AS INT), 8) AS BIGINT)
+              % {_BLOOM_M} AS BIGINT) AS bitidx
+  FROM norm, generate_series(0, {_BLOOM_K - 1}) j(j)
+),
+words AS (
+  SELECT bitidx // {_BLOOM_WORD} AS word,
+         bit_or(1::BIGINT << CAST(bitidx % {_BLOOM_WORD} AS INT)) AS bits
+  FROM a_bits GROUP BY bitidx // {_BLOOM_WORD}
+),
+probe_bits AS (
+  SELECT p.probe_id, p.source, p.h,
+         CAST(CAST('0x' || substr(p.h, CAST(j.j * 8 + 1 AS INT), 8) AS BIGINT)
+              % {_BLOOM_M} AS BIGINT) AS bitidx
+  FROM probe_set p, generate_series(0, {_BLOOM_K - 1}) j(j)
+),
+probed AS (
+  SELECT pb.probe_id, pb.source, pb.h,
+         MIN(CASE WHEN (COALESCE(w.bits, 0)
+                        >> CAST(pb.bitidx % {_BLOOM_WORD} AS INT)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS flagged
+  FROM probe_bits pb
+  LEFT JOIN words w ON w.word = pb.bitidx // {_BLOOM_WORD}
+  GROUP BY pb.probe_id, pb.source, pb.h
+),
+truth AS (SELECT DISTINCT h FROM norm)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(p.flagged) AS BIGINT) AS n_flagged,
+       CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_members,
+       CAST(SUM(CASE WHEN p.flagged = 1 AND t.h IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       FLOOR(SUM(CASE WHEN p.flagged = 1 AND t.h IS NULL THEN 1 ELSE 0 END)
+             * 1000000.0 / COUNT(*) + 0.5) / 1000000.0 AS fp_rate
+FROM probed p LEFT JOIN truth t ON t.h = p.h
+GROUP BY p.source
+"""
+
+
+def _bloom_bitidx(h, j: int):
+    return (
+        F.conv(F.substring(h, j * 8 + 1, 8), 16, 10).cast("bigint") % _BLOOM_M
+    )
+
+
+@register("llm_bloom_dedup", oracle=_BLOOM_DEDUP_ORACLE)
+def llm_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id", "source", F.md5(F.lower(F.trim("text"))).alias("h"), "text"
+    )
+    probe_set = (
+        norm.filter(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 1000000).alias("probe_id"), "source", "h")
+        .unionAll(
+            norm.select(
+                (F.col("doc_id") + 2000000).alias("probe_id"),
+                "source",
+                F.md5(
+                    F.lower(F.trim(F.expr("substr(text, instr(text, ' ') + 1)")))
+                ).alias("h"),
+            )
+        )
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    a_bits = (
+        norm.select(js, "h")
+        .select(
+            F.conv(
+                F.expr(f"substring(h, j * 8 + 1, 8)"), 16, 10
+            ).cast("bigint").__mod__(_BLOOM_M).alias("bitidx")
+        )
+        .distinct()
+    )
+    # shiftleft/shiftright take a literal bit count in the Python API —
+    # column-valued shifts go through expr()
+    words = a_bits.groupBy(
+        (F.col("bitidx") / _BLOOM_WORD).cast("bigint").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, CAST(bitidx % {_BLOOM_WORD} AS INT))")
+        ).alias("bits")
+    )
+    probe_bits = probe_set.select(
+        "probe_id", "source", "h", js
+    ).select(
+        "probe_id",
+        "source",
+        "h",
+        F.conv(F.expr("substring(h, j * 8 + 1, 8)"), 16, 10)
+        .cast("bigint")
+        .__mod__(_BLOOM_M)
+        .alias("bitidx"),
+    )
+    probed = (
+        probe_bits.join(
+            words,
+            (F.col("bitidx") / _BLOOM_WORD).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .select(
+            "probe_id",
+            "source",
+            "h",
+            F.when(
+                F.expr(
+                    f"shiftright(COALESCE(bits, 0L),"
+                    f" CAST(bitidx % {_BLOOM_WORD} AS INT)) & 1"
+                )
+                == 1,
+                1,
+            )
+            .otherwise(0)
+            .alias("bit_set"),
+        )
+        .groupBy("probe_id", "source", "h")
+        .agg(F.min("bit_set").alias("flagged"))
+    )
+    truth = norm.select("h").distinct().withColumn("member", F.lit(1))
+    return (
+        probed.join(truth, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum("flagged").cast("bigint").alias("n_flagged"),
+            F.count("member").cast("bigint").alias("n_members"),
+            F.sum(
+                F.when((F.col("flagged") == 1) & F.col("member").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(
+                            (F.col("flagged") == 1) & F.col("member").isNull(), 1
+                        ).otherwise(0)
+                    )
+                    * 1_000_000.0
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("fp_rate"),
+        )
+    )

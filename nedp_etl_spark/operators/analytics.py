@@ -3962,3 +3962,163 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6c(1.0 - F.col("ss").cast("double") / nn).alias("simpson_diversity"),
         q6c(nn / F.col("ss")).alias("effective_categories"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_cuped — CUPED variance reduction for A/B readouts (Deng et al. 2013,
+# "Improving the Sensitivity of Online Controlled Experiments"): the
+# industry-standard pre-period adjustment.  Each user's post-period metric
+# is shifted by theta * (pre - mean(pre)) with theta = cov(pre, post) /
+# var(pre) POOLED across arms; the adjusted means compare arms with
+# var_reduction = rho^2 of (pre, post) less noise.  Completes the
+# experiment-tooling family (agg_ab_ztest, agg_power_analysis,
+# agg_diff_in_diff, agg_delta_method_ci, agg_bootstrap_ci).
+#
+# Exactness: per-user pre/post sums quantize to int64 micros; the pooled
+# moment sums accumulate as decimal(38,0)/HUGEINT (per-row products sit
+# near 2^61 — int64 sums would overflow; #users rows make decimal cost
+# irrelevant, and a 100 TB user count would switch to the corr_matrix
+# two-phase limb pattern, noted here deliberately); theta quantizes to
+# 1e-6 before the per-user adjustment; each user's adjusted metric
+# re-quantizes to int64 micros before the per-arm mean (no double
+# summation-order noise).  rho^2 squares exact integers in DOUBLE (the
+# corr() pattern — squaring first would overflow even HUGEINT).
+# Reference parity: experiment SQL reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_CUPED_CUT = "2024-01-16 00:00:00"
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                  THEN CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS pre_q,
+         SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                  THEN CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS post_q
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(pre_q AS HUGEINT)) AS s_pre,
+         SUM(CAST(post_q AS HUGEINT)) AS s_post,
+         SUM(CAST(pre_q AS HUGEINT) * pre_q) AS s_pp,
+         SUM(CAST(pre_q AS HUGEINT) * post_q) AS s_pq,
+         SUM(CAST(post_q AS HUGEINT) * post_q) AS s_qq
+  FROM per_user
+),
+th AS (
+  SELECT n, s_pre,
+         CASE WHEN n * s_pp - s_pre * s_pre > 0 THEN
+           FLOOR((CAST(n AS DOUBLE) * CAST(s_pq AS DOUBLE)
+                  - CAST(s_pre AS DOUBLE) * CAST(s_post AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+                    - CAST(s_pre AS DOUBLE) * CAST(s_pre AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0
+         ELSE 0.0 END AS theta,
+         CASE WHEN n * s_pp - s_pre * s_pre > 0
+               AND n * s_qq - s_post * s_post > 0 THEN
+           FLOOR((CAST(n AS DOUBLE) * CAST(s_pq AS DOUBLE)
+                  - CAST(s_pre AS DOUBLE) * CAST(s_post AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(s_pq AS DOUBLE)
+                    - CAST(s_pre AS DOUBLE) * CAST(s_post AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE)
+                     - CAST(s_pre AS DOUBLE) * CAST(s_pre AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE)
+                       - CAST(s_post AS DOUBLE) * CAST(s_post AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0
+         ELSE 0.0 END AS rho2
+  FROM tot
+),
+adj AS (
+  SELECT u.arm, u.post_q,
+         CAST(FLOOR(CAST(u.post_q AS DOUBLE)
+                    - t.theta * (CAST(u.pre_q AS DOUBLE)
+                                 - CAST(t.s_pre AS DOUBLE)
+                                   / CAST(t.n AS DOUBLE))
+                    + 0.5) AS BIGINT) AS adj_q,
+         t.theta, t.rho2
+  FROM per_user u CROSS JOIN th t
+)
+SELECT arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       FLOOR(CAST(SUM(post_q) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+         AS mean_post,
+       FLOOR(CAST(SUM(adj_q) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+         AS mean_adj,
+       theta, rho2
+FROM adj GROUP BY arm, theta, rho2
+"""
+
+
+@register("agg_cuped", oracle=_CUPED_ORACLE)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    q = F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, q).otherwise(0)).alias("pre_q"),
+        F.sum(F.when(F.col("ts") >= cut, q).otherwise(0)).alias("post_q"),
+    ).select(
+        (F.col("user_id") % 2).alias("arm"), "pre_q", "post_q"
+    ).localCheckpoint(eager=False)  # feeds the totals AND the per-user adj
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec("pre_q")).alias("s_pre"),
+        F.sum(dec("post_q")).alias("s_post"),
+        F.sum(dec("pre_q") * F.col("pre_q")).alias("s_pp"),
+        F.sum(dec("pre_q") * F.col("post_q")).alias("s_pq"),
+        F.sum(dec("post_q") * F.col("post_q")).alias("s_qq"),
+    )
+    nd = F.col("n").cast("double")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = nd * dbl("s_pq") - dbl("s_pre") * dbl("s_post")
+    dx = F.col("n") * F.col("s_pp") - F.col("s_pre") * F.col("s_pre")
+    dy = F.col("n") * F.col("s_qq") - F.col("s_post") * F.col("s_post")
+    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    th = tot.select(
+        "n",
+        "s_pre",
+        F.when(dx > 0, q6(num / (nd * dbl("s_pp") - dbl("s_pre") * dbl("s_pre"))))
+        .otherwise(0.0)
+        .alias("theta"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            q6(
+                num * num
+                / (
+                    (nd * dbl("s_pp") - dbl("s_pre") * dbl("s_pre"))
+                    * (nd * dbl("s_qq") - dbl("s_post") * dbl("s_post"))
+                )
+            ),
+        )
+        .otherwise(0.0)
+        .alias("rho2"),
+    )
+    adj = per_user.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "post_q",
+        F.floor(
+            F.col("post_q").cast("double")
+            - F.col("theta")
+            * (
+                F.col("pre_q").cast("double")
+                - F.col("s_pre").cast("double") / F.col("n").cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("adj_q"),
+        "theta",
+        "rho2",
+    )
+    return adj.groupBy("arm", "theta", "rho2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (F.floor(F.sum("post_q").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+         / 1_000_000.0).alias("mean_post"),
+        (F.floor(F.sum("adj_q").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+         / 1_000_000.0).alias("mean_adj"),
+    ).select("arm", "n_users", "mean_post", "mean_adj", "theta", "rho2")

@@ -240,6 +240,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_source_rebalance",  # 1-row total/n_langs broadcast (O(#langs))
                    "llm_kmeans",  # 1-row broadcast centroid-array crossJoin (O(n))
                    "llm_semdedup",  # same 1-row centroid broadcast (Lloyd assignment)
+                   "agg_cuped",  # 1-row pooled-moments broadcast (O(#users) agg)
+                   "llm_corpus_overlap_sketch",  # #sources^2 pair spine (dimension-sized)
                    "llm_dsir_importance",  # 256-row LM × 1-row totals crossJoin
                    "llm_temperature_sample",  # 1-row total/denom broadcast (O(#langs))
                    "profile_skew",  # 1-row totals broadcast onto top-10 rows
@@ -1476,5 +1478,32 @@ def test_semdedup_pairwise_only_within_cluster(spark, sf_dir):
     # capped); nothing cartesian, and every window partitions by cluster
     # or vec_id.  The 1-row centroid broadcast rides the kmeans allowlist.
     plan = _plan(spark, sf_dir, "llm_semdedup")
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)
+
+
+def test_bloom_dedup_keyed_only(spark, sf_dir):
+    # Build = one keyed bit_or aggregate; probe = equi-join against the
+    # m/32-row word table; truth = equi-join on the hash.  Nothing
+    # pairwise, no window.
+    plan = _plan(spark, sf_dir, "llm_bloom_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)
+
+
+def test_cuped_single_pass_totals_broadcast(spark, sf_dir):
+    # Per-user relation computed once (checkpoint) feeding the 1-row
+    # pooled-moments broadcast and the map-side adjustment; no window.
+    plan = _plan(spark, sf_dir, "agg_cuped")
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)
+
+
+def test_corpus_overlap_sketch_bounded_pairwork(spark, sf_dir):
+    # Sketch windows partition by source / (sa, sb); the only non-equi
+    # join is the dimension-sized source-pair spine (allowlisted).  The
+    # corpus-sized shingle relation appears only in equi joins.
+    plan = _plan(spark, sf_dir, "llm_corpus_overlap_sketch")
     assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)

@@ -3947,3 +3947,78 @@ def test_corr_matrix_group_beyond_old_int64_bound(spark, tmp_path):
     assert out[("qty", "tax")]["corr"] == -1.0
     assert out[("qty", "disc")]["corr"] is None
     assert all(r["n_rows"] == n for r in out.values())
+
+
+def test_bloom_dedup_invariants_and_engineered_fp(spark, tmp_path):
+    # Bloom invariant: a true member can NEVER be missed (every copy-probe
+    # flags); false positives CAN occur and are engineered here: filler
+    # docs are scanned (same md5 index math as the operator) until one's
+    # first-word-stripped variant lands on 3 already-covered bits.
+    import hashlib
+
+    M, K = 32768, 3
+
+    def bits(text: str) -> set:
+        h = hashlib.md5(text.lower().strip().encode()).hexdigest()
+        return {int(h[j * 8:(j + 1) * 8], 16) % M for j in range(K)}
+
+    texts = [f"w{i} " + " ".join(f"t{i}x{j}" for j in range(6)) for i in range(3000)]
+    covered = set()
+    for t in texts:
+        covered |= bits(t)
+    fp_idx = next(
+        i for i, t in enumerate(texts)
+        if bits(t.split(" ", 1)[1]) <= covered
+    )
+    rows = [(i, t, "en", "fp" if i == fp_idx else "s", len(t))
+            for i, t in enumerate(texts)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {r["source"]: r for r in
+           eng.queries()["llm_bloom_dedup"](spark, str(tmp_path)).collect()}
+    for r in out.values():  # no false negatives, ever
+        assert r["n_flagged"] >= r["n_members"]
+    assert out["fp"]["n_false_pos"] >= 1  # the engineered collision flags
+    # members: copies of docs < 100 are exact members and must all flag
+    total_members = sum(r["n_members"] for r in out.values())
+    assert total_members == 100
+
+
+def test_cuped_perfect_covariate(spark, tmp_path):
+    # post = 2*pre + 10 for every user: theta must be exactly 2, rho2
+    # exactly 1, and the adjusted means of both arms collapse to the same
+    # value (all within-arm variance explained by the covariate).
+    base = datetime.datetime(2024, 1, 2)
+    post_day = datetime.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for u in range(10):
+        pre = float(u + 1)
+        rows.append((eid, base, u, "m", pre, "{}")); eid += 1
+        rows.append((eid, post_day, u, "m", 2 * pre + 10.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["arm"]: r for r in
+           eng.queries()["agg_cuped"](spark, str(tmp_path)).collect()}
+    assert out[0]["theta"] == 2.0 and out[1]["theta"] == 2.0
+    assert out[0]["rho2"] == 1.0 and out[1]["rho2"] == 1.0
+    assert out[0]["mean_adj"] == out[1]["mean_adj"]
+    assert out[0]["n_users"] == 5 and out[1]["n_users"] == 5
+
+
+def test_corpus_overlap_sketch_exact_when_under_k(spark, tmp_path):
+    # When every source's distinct-shingle set fits inside K, the sketch
+    # IS the set and the estimate must equal the exact Jaccard.  Sources
+    # a/b share a block; source c is disjoint from both.
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(4)), "en", "a", 1),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(4)), "en", "b", 1),
+        (3, " ".join(f"c{i}" for i in range(12)), "en", "c", 1),
+    ]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {(r["source_a"], r["source_b"]): r for r in
+           eng.queries()["llm_corpus_overlap_sketch"](spark, str(tmp_path)).collect()}
+    assert len(out) == 3
+    ab = out[("a", "b")]
+    assert ab["est_jaccard"] == ab["exact_jaccard"] > 0
+    for pair in (("a", "c"), ("b", "c")):
+        assert out[pair]["est_jaccard"] == 0.0 == out[pair]["exact_jaccard"]
