@@ -1148,6 +1148,67 @@ def scan_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# join_dpp — dynamic partition pruning, pinned: the fact table is laid out
+# partitioned by order_year; the query joins it to a SMALL dim filtered on
+# a non-partition attribute, so the partitions to read are only knowable
+# at RUNTIME from the dim's surviving keys.  Catalyst inserts a
+# DynamicPruningExpression on the fact scan (the broadcast's key set
+# becomes a partition filter) — at 100 TB this is the difference between
+# scanning 7 years and the 2 the dim selects, with no literal year filter
+# anywhere in the query text.  The plan test asserts the
+# dynamicpruningexpression is present; this is the one Catalyst scan
+# optimization the plan-audit suite did not yet pin.
+# --------------------------------------------------------------------------
+
+_DPP_TARGET_YEARS = (1995, 1996)
+
+_DPP_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       COUNT(*) AS n, {osum('o_totalprice')} AS revenue
+FROM orders
+WHERE year(o_orderdate) IN {_DPP_TARGET_YEARS}
+GROUP BY 1, 2
+"""
+
+
+def _dpp_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Year-partitioned orders layout, idempotent via _SUCCESS (the
+    _manifest_layout pattern; _scratch is fixture-fingerprint-keyed)."""
+    path = _scratch("join_dpp", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.year("o_orderdate").cast("int").alias("order_year"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("order_year")
+            .parquet(path)
+        )
+    return path
+
+
+@register("join_dpp", oracle=_DPP_ORACLE)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = spark.read.parquet(_dpp_layout(spark, sf_dir))
+    dim = spark.createDataFrame(
+        [
+            (y, "target" if y in _DPP_TARGET_YEARS else "other")
+            for y in range(1992, 1999)
+        ],
+        "order_year int, label string",
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("label") == "target")), "order_year")
+        .groupBy(F.col("order_year").cast("int").alias("order_year"), "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
 # sink_time_travel — snapshot-versioned table with manifest-driven
 # time-travel reads: the transaction-log primitive of Iceberg/Delta-style
 # lakehouse tables, built from plain parquet + JSON manifests.  Commit v1

@@ -1507,3 +1507,13 @@ def test_corpus_overlap_sketch_bounded_pairwork(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_corpus_overlap_sketch")
     assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)
+
+
+def test_join_dpp_dynamic_pruning_fires(spark, sf_dir):
+    # The year-partitioned fact scan must carry a DynamicPruningExpression
+    # in its PartitionFilters — the dim's surviving keys prune fact
+    # partitions at runtime (no literal year filter exists in the query).
+    df = eng.queries()["join_dpp"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    assert "PartitionFilters" in plan

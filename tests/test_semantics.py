@@ -4022,3 +4022,23 @@ def test_corpus_overlap_sketch_exact_when_under_k(spark, tmp_path):
     assert ab["est_jaccard"] == ab["exact_jaccard"] > 0
     for pair in (("a", "c"), ("b", "c")):
         assert out[pair]["est_jaccard"] == 0.0 == out[pair]["exact_jaccard"]
+
+
+def test_join_dpp_prunes_to_target_years(spark, tmp_path):
+    # Orders across 1993-1998; only the dim-selected 1995/1996 survive,
+    # and the revenue aggregate is exact per (year, status).
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, (y, st, price) in enumerate([
+        (1993, "O", 10.0), (1995, "O", 20.0), (1995, "F", 30.0),
+        (1996, "F", 40.0), (1996, "F", 50.0), (1998, "O", 60.0),
+    ]):
+        rows.append((i, st, price, datetime.datetime(y, 6, 1)))
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+           "o_orderdate timestamp")
+    out = {(r["order_year"], r["o_orderstatus"]): (r["n"], r["revenue"]) for r in
+           eng.queries()["join_dpp"](spark, str(tmp_path)).collect()}
+    assert out == {
+        (1995, "O"): (1, 20.0), (1995, "F"): (1, 30.0), (1996, "F"): (2, 90.0),
+    }
