@@ -1194,3 +1194,137 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_deepwalk_pairs — deterministic DeepWalk (Perozzi et al. 2014)
+# training-pair generation over the LSH candidate graph: W=2 walks of
+# L=3 steps start at every node; the "random" next hop is the neighbor
+# minimizing md5(walk:step:node:neighbor) (a keyed argmin — the
+# derandomized-choice idiom of agg_bootstrap_ci applied to walks), and
+# skip-gram co-occurrence pairs (window 2) aggregate across all walks —
+# the exact artifact a node-embedding trainer consumes.
+#
+# Scale shape: each step is ONE equi-join of the (nodes × W)-row frontier
+# against the symmetrized edge list followed by a keyed min (map-side
+# combining; a hub's neighbor fan-out collapses before the shuffle).  The
+# skip-gram join is keyed on (walk, start) — frames per walk are L+1
+# rows, so output is O(nodes · W · window).  Nothing pairwise on the
+# corpus, ever; the pair table is the shared cached candidate_pairs
+# derivation (LSH lineage runs once per session/sf).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_DW_WALKS = 2
+_DW_STEPS = 3
+_DW_WINDOW = 2
+
+
+def _deepwalk_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for s in range(1, _DW_STEPS + 1):
+        steps.append(f"""
+s{s} AS (
+  SELECT w, start, node, {s} AS step FROM (
+    SELECT c.w, c.start, e.b AS node,
+           ROW_NUMBER() OVER (PARTITION BY c.w, c.start
+                              ORDER BY md5(c.w || ':' || {s} || ':' ||
+                                           c.node || ':' || e.b), e.b) AS rn
+    FROM {prev} c JOIN sym e ON e.a = c.node) WHERE rn = 1
+)""".strip())
+        prev = f"s{s}"
+    walks_union = " UNION ALL ".join(
+        ["SELECT * FROM w0"] + [f"SELECT * FROM s{s}" for s in range(1, _DW_STEPS + 1)]
+    )
+    return f"""
+WITH {_PAIR_EDGES_SQL},
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+w0 AS (
+  SELECT t.w, n.a AS start, n.a AS node, 0 AS step
+  FROM (SELECT DISTINCT a FROM sym) n, range(0, {_DW_WALKS}) t(w)
+),
+{",".join(steps)},
+walks AS ({walks_union}),
+cooc AS (
+  SELECT LEAST(x.node, y.node) AS na, GREATEST(x.node, y.node) AS nb
+  FROM walks x
+  JOIN walks y ON y.w = x.w AND y.start = x.start
+              AND y.step > x.step AND y.step <= x.step + {_DW_WINDOW}
+  WHERE x.node <> y.node
+)
+SELECT na AS node_a, nb AS node_b, CAST(COUNT(*) AS BIGINT) AS n_cooccur
+FROM cooc GROUP BY na, nb
+"""
+
+
+_DEEPWALK_ORACLE = _deepwalk_oracle()
+
+
+@register("graph_deepwalk_pairs", oracle=_DEEPWALK_ORACLE)
+def graph_deepwalk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.llm.dedup import candidate_pairs
+
+    pairs = candidate_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        # feeds every step join — materialize the tiny edge list once
+        .localCheckpoint(eager=False)
+    )
+    starts = sym.select("a").distinct()
+    w0 = starts.crossJoin(
+        spark.range(_DW_WALKS).select(F.col("id").cast("int").alias("w"))
+    ).select("w", F.col("a").alias("start"), F.col("a").alias("node"),
+             F.lit(0).alias("step"))
+    frames = [w0]
+    cur = w0
+    for s in range(1, _DW_STEPS + 1):
+        h = F.md5(
+            F.concat_ws(
+                ":",
+                F.col("w").cast("string"),
+                F.lit(str(s)),
+                F.col("node").cast("string"),
+                F.col("b").cast("string"),
+            )
+        )
+        nxt = (
+            cur.join(sym, cur["node"] == sym["a"])
+            .select("w", "start", h.alias("h"), "b")
+            .groupBy("w", "start")
+            .agg(F.min(F.struct("h", "b")).alias("m"))
+            .select("w", "start", F.col("m.b").alias("node"),
+                    F.lit(s).alias("step"))
+        )
+        frames.append(nxt)
+        cur = nxt
+    walks = frames[0]
+    for f in frames[1:]:
+        walks = walks.unionAll(f)
+    walks = walks.localCheckpoint(eager=False)  # both sides of the skip-gram join
+    x, y = walks.alias("x"), walks.alias("y")
+    cooc = (
+        x.join(
+            y,
+            (F.col("y.w") == F.col("x.w"))
+            & (F.col("y.start") == F.col("x.start")),
+        )
+        .filter(
+            (F.col("y.step") > F.col("x.step"))
+            & (F.col("y.step") <= F.col("x.step") + _DW_WINDOW)
+            & (F.col("x.node") != F.col("y.node"))
+        )
+        .select(
+            F.least(F.col("x.node"), F.col("y.node")).alias("node_a"),
+            F.greatest(F.col("x.node"), F.col("y.node")).alias("node_b"),
+        )
+    )
+    return cooc.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cooccur")
+    )

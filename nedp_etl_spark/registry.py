@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "agg_cuped",                  # NEW r9: CUPED pre-period variance reduction
     "llm_corpus_overlap_sketch",  # NEW r9: KMV source-pair Jaccard estimate
     "join_dpp",                   # NEW r9: runtime dynamic partition pruning
+    "graph_deepwalk_pairs",       # NEW r9: deterministic DeepWalk skip-gram pairs
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

@@ -242,6 +242,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "llm_semdedup",  # same 1-row centroid broadcast (Lloyd assignment)
                    "agg_cuped",  # 1-row pooled-moments broadcast (O(#users) agg)
                    "llm_corpus_overlap_sketch",  # #sources^2 pair spine (dimension-sized)
+                   "graph_deepwalk_pairs",  # nodes x 2-row walk-id spine crossJoin
                    "llm_dsir_importance",  # 256-row LM × 1-row totals crossJoin
                    "llm_temperature_sample",  # 1-row total/denom broadcast (O(#langs))
                    "profile_skew",  # 1-row totals broadcast onto top-10 rows
@@ -1517,3 +1518,12 @@ def test_join_dpp_dynamic_pruning_fires(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+def test_deepwalk_keyed_steps_no_pairwise(spark, sf_dir):
+    # Each walk step is an equi-join + keyed min over the frontier; the
+    # skip-gram join is keyed on (walk, start).  No cartesian, and every
+    # window-free aggregation is keyed.
+    plan = _plan(spark, sf_dir, "graph_deepwalk_pairs")
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)

@@ -4042,3 +4042,40 @@ def test_join_dpp_prunes_to_target_years(spark, tmp_path):
     assert out == {
         (1995, "O"): (1, 20.0), (1995, "F"): (1, 30.0), (1996, "F"): (2, 90.0),
     }
+
+
+def test_deepwalk_matches_pure_python_rederivation(spark, tmp_path):
+    # Third-engine check on a known K3 pair graph (three identical docs):
+    # replicate the deterministic walk choice md5(f"{w}:{s}:{node}:{next}")
+    # and the window-2 skip-gram pairing in pure Python and require the
+    # operator's co-occurrence counts to equal it exactly.
+    import hashlib
+    from collections import Counter
+
+    rows = [(i, "alpha beta gamma", "en", "s", 16) for i in (1, 2, 3)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+
+    edges = {(1, 2), (1, 3), (2, 3)}
+    nbrs = {n: sorted({b for a, b in edges if a == n} |
+                      {a for a, b in edges if b == n}) for n in (1, 2, 3)}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    expected = Counter()
+    for start in (1, 2, 3):
+        for w in range(2):
+            walk = [start]
+            node = start
+            for s in range(1, 4):
+                node = min(nbrs[node], key=lambda b: (md5(f"{w}:{s}:{node}:{b}"), b))
+                walk.append(node)
+            for i in range(len(walk)):
+                for j in range(i + 1, min(i + 2, len(walk) - 1) + 1):
+                    if walk[i] != walk[j]:
+                        expected[(min(walk[i], walk[j]), max(walk[i], walk[j]))] += 1
+    out = Counter({
+        (r["node_a"], r["node_b"]): r["n_cooccur"]
+        for r in eng.queries()["graph_deepwalk_pairs"](spark, str(tmp_path)).collect()
+    })
+    assert out == expected and sum(expected.values()) > 0
