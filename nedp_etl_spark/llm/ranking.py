@@ -1010,3 +1010,179 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("diff_q").cast("bigint").alias("max_diff_q"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_bradley_terry — arena-style leaderboard fit (Bradley-Terry 1952 via
+# Hunter 2004's MM iteration — the model behind Chatbot-Arena Elo-style
+# rankings): sources are the players, matches pair the rank-i document of
+# each source (deterministic zip by per-source doc_id order) with the
+# longer document winning (n_chars; ties to the lexicographically smaller
+# source), and three unrolled MM updates fit the strengths
+#     p_i <- W_i / Σ_j n_ij / (p_i + p_j),    p renormalized to mean 1.
+# Laplace-smoothed wins (W_i + 0.5 per opponent pair) keep a winless
+# player's strength positive so no division can hit 0+0.
+#
+# Scale shape: matches are one rank-zip equi-join (per-source ROW_NUMBER
+# windows, partitioned); every MM update aggregates the (#players²)-row
+# match table joined to the #players-row strength vector — model-sized
+# work after one corpus pass, the IVF/kmeans discipline.  Exactness:
+# strengths round to 1e-9 after every update (fixed-point idiom), final
+# readout q6; win counts are exact integers.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_BT_ITERS = 3
+
+
+def _bt_oracle() -> str:
+    parts = ["""
+ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents
+),
+matches AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CASE WHEN a.n_chars > b.n_chars THEN a.source
+              WHEN b.n_chars > a.n_chars THEN b.source
+              WHEN a.source < b.source THEN a.source ELSE b.source END AS winner
+  FROM ranked a JOIN ranked b ON a.rk = b.rk AND a.source < b.source
+),
+sym AS (
+  SELECT sa AS i, sb AS j, CAST(COUNT(*) AS BIGINT) AS n_ij,
+         CAST(SUM(CASE WHEN winner = sa THEN 1 ELSE 0 END) AS BIGINT) AS w_ij
+  FROM matches GROUP BY sa, sb
+  UNION ALL
+  SELECT sb AS i, sa AS j, CAST(COUNT(*) AS BIGINT) AS n_ij,
+         CAST(SUM(CASE WHEN winner = sb THEN 1 ELSE 0 END) AS BIGINT) AS w_ij
+  FROM matches GROUP BY sb, sa
+),
+wins AS (
+  SELECT i, SUM(w_ij) + 0.5 * COUNT(*) AS w_sm,
+         CAST(SUM(w_ij) AS BIGINT) AS wins_raw,
+         CAST(SUM(n_ij) AS BIGINT) AS n_matches
+  FROM sym GROUP BY i
+),
+p0 AS (SELECT i, 1.0 AS p FROM wins)""".strip()]
+    for t in range(1, _BT_ITERS + 1):
+        parts.append(f"""
+d{t} AS (
+  SELECT s.i, SUM((s.n_ij + 1.0) / (pi.p + pj.p)) AS denom
+  FROM sym s JOIN p{t - 1} pi ON pi.i = s.i JOIN p{t - 1} pj ON pj.i = s.j
+  GROUP BY s.i
+),
+r{t} AS (
+  SELECT w.i, w.w_sm / d.denom AS rawp
+  FROM wins w JOIN d{t} d ON d.i = w.i
+),
+p{t} AS (
+  SELECT i, FLOOR(rawp / (SELECT AVG(rawp) FROM r{t}) * 1000000000.0 + 0.5)
+            / 1000000000.0 AS p
+  FROM r{t}
+)""".strip())
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT w.i AS source, w.wins_raw AS wins, w.n_matches,
+       FLOOR(p.p * 1000000.0 + 0.5) / 1000000.0 AS strength,
+       ROW_NUMBER() OVER (ORDER BY p.p DESC, w.i) AS rank
+FROM wins w JOIN p{_BT_ITERS} p ON p.i = w.i
+"""
+    )
+
+
+_BT_ORACLE = _bt_oracle()
+
+
+@register("llm_bradley_terry", oracle=_BT_ORACLE)
+def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rk = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    ranked = d.select("source", "n_chars", rk.alias("rk"))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    winner = (
+        F.when(F.col("a.n_chars") > F.col("b.n_chars"), F.col("a.source"))
+        .when(F.col("b.n_chars") > F.col("a.n_chars"), F.col("b.source"))
+        .when(F.col("a.source") < F.col("b.source"), F.col("a.source"))
+        .otherwise(F.col("b.source"))
+    )
+    matches = (
+        a.join(b, (F.col("a.rk") == F.col("b.rk"))
+               & (F.col("a.source") < F.col("b.source")))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            winner.alias("winner"),
+        )
+    )
+    half = (
+        matches.groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ij"),
+            F.sum((F.col("winner") == F.col("sa")).cast("int"))
+            .cast("bigint")
+            .alias("w_ij"),
+        )
+    )
+    sym = (
+        half.select(F.col("sa").alias("i"), F.col("sb").alias("j"), "n_ij", "w_ij")
+        .unionAll(
+            matches.groupBy("sb", "sa")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_ij"),
+                F.sum((F.col("winner") == F.col("sb")).cast("int"))
+                .cast("bigint")
+                .alias("w_ij"),
+            )
+            .select(F.col("sb").alias("i"), F.col("sa").alias("j"), "n_ij", "w_ij")
+        )
+        # model-sized (#players²) relation feeding every MM update
+        .localCheckpoint(eager=False)
+    )
+    wins = sym.groupBy("i").agg(
+        (F.sum("w_ij") + 0.5 * F.count(F.lit(1))).alias("w_sm"),
+        F.sum("w_ij").cast("bigint").alias("wins_raw"),
+        F.sum("n_ij").cast("bigint").alias("n_matches"),
+    ).localCheckpoint(eager=False)
+    p = wins.select("i", F.lit(1.0).alias("p"))
+    for _ in range(_BT_ITERS):
+        pi = p.select(F.col("i").alias("pi_i"), F.col("p").alias("pi_p"))
+        pj = p.select(F.col("i").alias("pj_i"), F.col("p").alias("pj_p"))
+        denom = (
+            sym.join(pi, sym["i"] == pi["pi_i"])
+            .join(pj, sym["j"] == pj["pj_i"])
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("n_ij") + 1.0) / (F.col("pi_p") + F.col("pj_p")))
+                .alias("denom")
+            )
+        )
+        raw = wins.join(denom, "i").select(
+            "i", (F.col("w_sm") / F.col("denom")).alias("rawp")
+        )
+        mean = raw.agg(F.avg("rawp").alias("mp"))
+        p = raw.crossJoin(F.broadcast(mean)).select(
+            "i",
+            (
+                F.floor(F.col("rawp") / F.col("mp") * 1_000_000_000.0 + F.lit(0.5))
+                / 1_000_000_000.0
+            ).alias("p"),
+        )
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("p").desc(), F.col("source"))
+    )
+    return (
+        wins.withColumnRenamed("i", "source")
+        .join(p.withColumnRenamed("i", "source"), "source")
+        .select(
+            "source",
+            F.col("wins_raw").alias("wins"),
+            "n_matches",
+            (F.floor(F.col("p") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0)
+            .alias("strength"),
+            "p",  # q9 strength: the rank orders on it, q6 would collapse ties
+        )
+        .withColumn("rank", rnk)
+        .drop("p")
+    )

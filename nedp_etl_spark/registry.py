@@ -108,6 +108,7 @@ _PRIORITY: list[str] = [
     "llm_corpus_overlap_sketch",  # NEW r9: KMV source-pair Jaccard estimate
     "join_dpp",                   # NEW r9: runtime dynamic partition pruning
     "graph_deepwalk_pairs",       # NEW r9: deterministic DeepWalk skip-gram pairs
+    "llm_bradley_terry",          # NEW r9: MM-fitted arena leaderboard
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

@@ -316,6 +316,7 @@ _GLOBAL_WINDOW_OK = {
     "ts_funnel",  # conv_pct first_value over the ≤4-row step-count aggregate
     "agg_benjamini_hochberg",  # p-value ranking over the ≤ #metrics family aggregate
     "ts_new_vs_returning",  # cumulative users over the per-day census (bounded by calendar)
+    "llm_bradley_terry",  # leaderboard rank over the #players strength vector
 }
 
 
@@ -1527,3 +1528,11 @@ def test_deepwalk_keyed_steps_no_pairwise(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_deepwalk_pairs")
     assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)
+
+
+def test_bradley_terry_model_sized_iterations(spark, sf_dir):
+    # One corpus pass (rank-zip join on per-source windows); every MM
+    # update runs on the checkpointed #players² match table.  The only
+    # global window is the allowlisted leaderboard rank.
+    plan = _plan(spark, sf_dir, "llm_bradley_terry")
+    assert "CartesianProduct" not in plan

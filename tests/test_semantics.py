@@ -4079,3 +4079,22 @@ def test_deepwalk_matches_pure_python_rederivation(spark, tmp_path):
         for r in eng.queries()["graph_deepwalk_pairs"](spark, str(tmp_path)).collect()
     })
     assert out == expected and sum(expected.values()) > 0
+
+
+def test_bradley_terry_strict_dominance(spark, tmp_path):
+    # Source x's docs are always longest, z's always shortest: x beats
+    # everyone, z loses everything.  Fitted strengths must be strictly
+    # ordered x > y > z with exact win/match counts; the Laplace
+    # smoothing keeps winless z's strength positive.
+    rows = []
+    for i in range(4):
+        rows.append((i, "a" * 100, "en", "x", 100))
+        rows.append((10 + i, "b" * 50, "en", "y", 50))
+        rows.append((20 + i, "c" * 10, "en", "z", 10))
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {r["source"]: r for r in
+           eng.queries()["llm_bradley_terry"](spark, str(tmp_path)).collect()}
+    assert (out["x"]["wins"], out["y"]["wins"], out["z"]["wins"]) == (8, 4, 0)
+    assert all(r["n_matches"] == 8 for r in out.values())
+    assert (out["x"]["rank"], out["y"]["rank"], out["z"]["rank"]) == (1, 2, 3)
+    assert out["x"]["strength"] > out["y"]["strength"] > out["z"]["strength"] > 0
