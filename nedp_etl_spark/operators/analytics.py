@@ -4122,3 +4122,158 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.sum("adj_q").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
          / 1_000_000.0).alias("mean_adj"),
     ).select("arm", "n_users", "mean_post", "mean_adj", "theta", "rho2")
+
+
+# --------------------------------------------------------------------------
+# agg_msprt — always-valid sequential A/B monitoring (the mixture
+# sequential probability ratio test of Johari, Koomen, Pekelis & Walsh
+# 2017, "Peeking at A/B Tests": the always-valid p-value lets an
+# experiment dashboard be read EVERY day without inflating false
+# positives — the peeking-safe companion to agg_ab_ztest's fixed-horizon
+# readout).  Per calendar day d, the cumulative per-arm moments give the
+# mean difference and its variance; the normal-mixture likelihood ratio
+#     Λ_d = sqrt(se² / (se² + τ)) · exp(δ̂² τ / (2 se² (se² + τ)))
+# yields p_d = min over days ≤ d of 1/Λ (monotone by construction).
+#
+# Scale shape: one keyed (day, arm) aggregate over the corpus; everything
+# after runs on the ≤ #days-row daily relation — the cumulative frames
+# are calendar-bounded global windows (allowlisted, the
+# ts_new_vs_returning precedent).  Exactness: int64 micro sums; Λ and p
+# in double from exact integers, q6 via the shared FLOOR idiom; the
+# running min is exact on q6 values.
+# Reference parity: experiment SQL reaches the reference only as
+# dbt-model SQL (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_MSPRT_TAU = "10000.0"  # effect-size prior variance, metric-scale (values ~10^1)
+
+_MSPRT_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS s,
+         SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS ss
+  FROM events GROUP BY 1, 2
+),
+byday AS (
+  SELECT day,
+         SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS n_t,
+         SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS n_c,
+         SUM(CASE WHEN arm = 1 THEN s ELSE 0 END) AS s_t,
+         SUM(CASE WHEN arm = 0 THEN s ELSE 0 END) AS s_c,
+         SUM(CASE WHEN arm = 1 THEN ss ELSE 0 END) AS ss_t,
+         SUM(CASE WHEN arm = 0 THEN ss ELSE 0 END) AS ss_c
+  FROM daily GROUP BY day
+),
+cum AS (
+  SELECT day,
+         SUM(n_t) OVER w AS n_t, SUM(n_c) OVER w AS n_c,
+         SUM(s_t) OVER w AS s_t, SUM(s_c) OVER w AS s_c,
+         SUM(ss_t) OVER w AS ss_t, SUM(ss_c) OVER w AS ss_c
+  FROM byday
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stats AS (
+  SELECT day, n_t, n_c,
+         CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE) / 1000000.0
+           - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE) / 1000000.0 AS delta,
+         ((CAST(ss_t AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE)
+             / CAST(n_t AS DOUBLE))
+          + (CAST(ss_c AS DOUBLE) - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+             / CAST(n_c AS DOUBLE)))
+         / CAST(n_t + n_c - 2 AS DOUBLE) / 1e12 AS s2
+  FROM cum WHERE n_t >= 2 AND n_c >= 2
+),
+lr AS (
+  SELECT day, n_t, n_c,
+         FLOOR(delta * 1000000.0 + 0.5) / 1000000.0 AS delta,
+         s2 * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)) AS se2
+  FROM stats
+),
+av AS (
+  SELECT day, n_t, n_c, delta,
+         LEAST(sqrt(se2 / (se2 + {_MSPRT_TAU}))
+           * exp(LEAST(delta * delta * {_MSPRT_TAU}
+                 / (2.0 * se2 * (se2 + {_MSPRT_TAU})), 700.0)), 1e12) AS lam
+  FROM lr
+)
+SELECT day, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c, delta,
+       FLOOR(lam * 1000000.0 + 0.5) / 1000000.0 AS mixture_lr,
+       MIN(FLOOR(LEAST(1.0, 1.0 / lam) * 1000000.0 + 0.5) / 1000000.0)
+         OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS always_valid_p
+FROM av
+"""
+
+
+@register("agg_msprt", oracle=_MSPRT_ORACLE)
+def agg_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") % 2).alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).alias("s"),
+        # per-row q² sits near 1e18 (int64-safe); the SUM does not — day
+        # aggregates and the cumulative frame accumulate in decimal(38,0)
+        # (#days rows, BigDecimal cost irrelevant)
+        F.sum((q * q).cast("decimal(38,0)")).alias("ss"),
+    )
+    arm = lambda c, a: F.sum(F.when(F.col("arm") == a, F.col(c)).otherwise(0))  # noqa: E731
+    byday = daily.groupBy("day").agg(
+        arm("n", 1).alias("n_t"), arm("n", 0).alias("n_c"),
+        arm("s", 1).alias("s_t"), arm("s", 0).alias("s_c"),
+        arm("ss", 1).alias("ss_t"), arm("ss", 0).alias("ss_c"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = byday.select(
+        "day",
+        *[F.sum(c).over(w).alias(c) for c in ("n_t", "n_c", "s_t", "s_c", "ss_t", "ss_c")],
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    stats = cum.filter((F.col("n_t") >= 2) & (F.col("n_c") >= 2)).select(
+        "day", "n_t", "n_c",
+        (d("s_t") / d("n_t") / 1e6 - d("s_c") / d("n_c") / 1e6).alias("delta_raw"),
+        (
+            ((d("ss_t") - d("s_t") * d("s_t") / d("n_t"))
+             + (d("ss_c") - d("s_c") * d("s_c") / d("n_c")))
+            / (F.col("n_t") + F.col("n_c") - 2).cast("double") / 1e12
+        ).alias("s2"),
+    )
+    tau = F.lit(float(_MSPRT_TAU))
+    q6 = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    lr = stats.select(
+        "day", "n_t", "n_c",
+        q6(F.col("delta_raw")).alias("delta"),
+        (F.col("s2") * (1.0 / d("n_t") + 1.0 / d("n_c"))).alias("se2"),
+    )
+    # exponent capped at 700 (exp overflow) and lam at 1e12 — identical
+    # caps in the oracle; past either cap the always-valid p is 0 anyway
+    lam = F.least(
+        F.sqrt(F.col("se2") / (F.col("se2") + tau))
+        * F.exp(
+            F.least(
+                F.col("delta") * F.col("delta") * tau
+                / (2.0 * F.col("se2") * (F.col("se2") + tau)),
+                F.lit(700.0),
+            )
+        ),
+        F.lit(1e12),
+    )
+    av = lr.select(
+        "day",
+        F.col("n_t").cast("bigint").alias("n_t"),
+        F.col("n_c").cast("bigint").alias("n_c"),
+        "delta",
+        lam.alias("lam"),
+    )
+    pmin = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return av.select(
+        "day", "n_t", "n_c", "delta",
+        q6(F.col("lam")).alias("mixture_lr"),
+        F.min(q6(F.least(F.lit(1.0), 1.0 / F.col("lam")))).over(pmin)
+        .alias("always_valid_p"),
+    )

@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "join_dpp",                   # NEW r9: runtime dynamic partition pruning
     "graph_deepwalk_pairs",       # NEW r9: deterministic DeepWalk skip-gram pairs
     "llm_bradley_terry",          # NEW r9: MM-fitted arena leaderboard
+    "agg_msprt",                  # NEW r9: always-valid sequential A/B monitor
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

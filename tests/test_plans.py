@@ -317,6 +317,7 @@ _GLOBAL_WINDOW_OK = {
     "agg_benjamini_hochberg",  # p-value ranking over the ≤ #metrics family aggregate
     "ts_new_vs_returning",  # cumulative users over the per-day census (bounded by calendar)
     "llm_bradley_terry",  # leaderboard rank over the #players strength vector
+    "agg_msprt",  # cumulative frames over the calendar-bounded daily rollup
 }
 
 
@@ -1536,3 +1537,13 @@ def test_bradley_terry_model_sized_iterations(spark, sf_dir):
     # global window is the allowlisted leaderboard rank.
     plan = _plan(spark, sf_dir, "llm_bradley_terry")
     assert "CartesianProduct" not in plan
+
+
+def test_msprt_daily_rollup_before_windows(spark, sf_dir):
+    # The cumulative frames run over the calendar-bounded daily aggregate
+    # (<= #days rows), never raw events: an Aggregate must sit below the
+    # first Window in the optimized plan.
+    df = eng.queries()["agg_msprt"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    w_idx = plan.index("Window")
+    assert "Aggregate" in plan[w_idx:], "window must sit above the daily aggregate"

@@ -4098,3 +4098,30 @@ def test_bradley_terry_strict_dominance(spark, tmp_path):
     assert all(r["n_matches"] == 8 for r in out.values())
     assert (out["x"]["rank"], out["y"]["rank"], out["z"]["rank"]) == (1, 2, 3)
     assert out["x"]["strength"] > out["y"]["strength"] > out["z"]["strength"] > 0
+
+
+def test_msprt_planted_shift_detects_and_p_monotone(spark, tmp_path):
+    # Arms identical for days 1-10, then a large persistent shift in the
+    # treatment arm: the always-valid p must be monotone nonincreasing by
+    # construction, stay high through the null days, and cross 0.05 after
+    # the shift.  Null arms use IDENTICAL values so delta is exactly 0.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows, eid = [], 0
+    for day in range(30):
+        ts = base + datetime.timedelta(days=day)
+        for k in range(6):
+            v = float(10 + (k % 3))
+            shift = 50.0 if day >= 10 else 0.0
+            rows.append((eid, ts, 2 * k, "m", v, "{}")); eid += 1        # control
+            rows.append((eid, ts, 2 * k + 1, "m", v + shift, "{}")); eid += 1  # treat
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(
+        eng.queries()["agg_msprt"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["day"],
+    )
+    ps = [r["always_valid_p"] for r in out]
+    assert all(a >= b for a, b in zip(ps, ps[1:]))  # monotone nonincreasing
+    assert out[5]["delta"] == 0.0 and ps[5] == 1.0  # exact null pre-shift
+    assert ps[-1] <= 0.05  # the shift is detected
+    # cumulative delta by day 30: 20 of 30 treatment days carry the +50
+    assert abs(out[-1]["delta"] - 50.0 * 20 / 30) < 1e-6
