@@ -1318,3 +1318,71 @@ def sink_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("disposition")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# sink_vacuum — orphan-file removal against the newest manifest (the
+# VACUUM half of the Iceberg/Delta maintenance pair whose time-travel
+# half is sink_time_travel): data files are immutable and versions are
+# file lists, so a failed write, a retried task, or an expired version
+# leaves files on disk that NO manifest references — reclaimable only by
+# set-differencing the directory listing against the manifest.  The
+# operator plants two deterministic orphans (a copied data file per
+# commit dir — exactly what a killed task attempt leaves), vacuums
+# everything the v2 manifest does not reference, and proves
+# read-after-vacuum integrity by re-aggregating the surviving table.
+#
+# Scale: the listing/diff is metadata-only (no data read); deletion is
+# O(#orphans).  Like sink_ttl_expire, the local-FS walk stands in for
+# the object-store/catalog listing API (PLANS.md note).  The file COUNT
+# is environment-dependent (writer parallelism) and deliberately not
+# output; the orphan count is exactly the 2 planted.
+# --------------------------------------------------------------------------
+
+_VACUUM_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {osum('o_totalprice')} AS total_price,
+       CAST(2 AS BIGINT) AS n_orphans_removed
+FROM orders
+"""
+
+
+@register("sink_vacuum", oracle=_VACUUM_ORACLE)
+def sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import json as _json
+    import shutil
+
+    from nedp_etl_spark.operators.scans import (
+        _read_at_version,
+        _time_travel_layout,
+    )
+
+    root = _time_travel_layout(spark, sf_dir)
+    # plant one orphan per commit dir (idempotent: plant-if-missing, and a
+    # vacuumed orphan is re-planted on the next call so every run removes
+    # exactly 2)
+    planted = []
+    for commit in ("commit1", "commit2"):
+        parts = sorted(_glob.glob(os.path.join(root, commit, "*.parquet")))
+        orphan = os.path.join(root, commit, "orphan-attempt-0.parquet")
+        if parts and not os.path.exists(orphan):
+            shutil.copyfile(parts[0], orphan)
+        planted.append(orphan)
+
+    with open(os.path.join(root, "v2.json")) as fh:
+        referenced = set(_json.load(fh)["files"])
+    on_disk = {
+        f
+        for commit in ("commit1", "commit2")
+        for f in _glob.glob(os.path.join(root, commit, "*.parquet"))
+    }
+    orphans = sorted(on_disk - referenced)
+    for f in orphans:
+        os.remove(f)
+
+    return _read_at_version(spark, root, 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.lit(len(orphans)).cast("bigint").alias("n_orphans_removed"),
+    )

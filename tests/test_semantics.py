@@ -4125,3 +4125,33 @@ def test_msprt_planted_shift_detects_and_p_monotone(spark, tmp_path):
     assert ps[-1] <= 0.05  # the shift is detected
     # cumulative delta by day 30: 20 of 30 treatment days carry the +50
     assert abs(out[-1]["delta"] - 50.0 * 20 / 30) < 1e-6
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    # After vacuum: the planted orphans are gone from disk, every
+    # manifest-referenced file survives, and both time-travel reads stay
+    # intact (v1 strictly pre-cut, v2 the full book).
+    import glob
+    import json
+    import os
+
+    rows = [
+        (1, "O", 10.0, datetime.datetime(1996, 3, 1)),
+        (2, "F", 20.0, datetime.datetime(1997, 5, 1)),
+        (3, "F", 30.0, datetime.datetime(1998, 7, 1)),
+    ]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+           "o_orderdate timestamp")
+    out = eng.queries()["sink_vacuum"](spark, str(tmp_path)).collect()[0]
+    assert out["n_orders"] == 3 and out["n_orphans_removed"] == 2
+    from nedp_etl_spark.operators.scans import _read_at_version, _scratch
+    root = _scratch("sink_time_travel", str(tmp_path))
+    with open(os.path.join(root, "v2.json")) as fh:
+        referenced = set(json.load(fh)["files"])
+    on_disk = {f for c in ("commit1", "commit2")
+               for f in glob.glob(os.path.join(root, c, "*.parquet"))}
+    assert on_disk == referenced  # nothing unreferenced survives
+    assert all(os.path.exists(f) for f in referenced)
+    assert _read_at_version(spark, root, 1).count() == 1  # pre-1997 only
+    assert _read_at_version(spark, root, 2).count() == 3
