@@ -3038,3 +3038,137 @@ def ts_backtest_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_test_days",
         "mae",
     )
+
+
+# --------------------------------------------------------------------------
+# ts_esd_anomaly — generalized-ESD-style iterative masked outlier removal
+# (Rosner 1983, the "Twitter anomaly detection" core): per series, K=3
+# rounds each recompute mean/std over the REMAINING days and remove the
+# largest |x-mean|/std — masking lets a gross outlier stop hiding a
+# second one, which the one-shot z-score/MAD screens (ts_mad_anomaly,
+# ts_control_chart) structurally cannot do.  R > 3.0 is the fixed
+# flagging threshold (the classic 3-sigma variant; the t-quantile lambda
+# schedule is a constant-table refinement, deliberately out of scope).
+#
+# Scale shape: the corpus collapses once to the (series, day) daily
+# relation; each round is one keyed moment aggregate + one keyed
+# rank-1 selection + one anti-join, all on #series x #days rows.
+# Exactness: daily v is q6 -> int64 micros exactly; moment sums in
+# decimal/HUGEINT (vq^2 sums pass int64 at ~month length); mean/std/R in
+# double from exact integers with identical formula text; argmax by
+# (R desc, day) ROW_NUMBER both engines.
+# --------------------------------------------------------------------------
+
+_ESD_ROUNDS = 3
+_ESD_FLAG = "3.0"
+
+
+def _esd_oracle() -> str:
+    parts = [
+        _DAILY_CTE,
+        """rem0 AS (
+  SELECT event_type, d, CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM daily
+)""".strip(),
+    ]
+    for r in range(1, _ESD_ROUNDS + 1):
+        prev = f"rem{r - 1}"
+        parts.append(f"""
+st{r} AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(vq AS HUGEINT)) AS s,
+         SUM(CAST(vq AS HUGEINT) * vq) AS ss
+  FROM {prev} GROUP BY event_type
+),
+sc{r} AS (
+  SELECT p.event_type, p.d, p.vq,
+         FLOOR(ABS(CAST(p.vq AS DOUBLE) - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+               / sqrt((CAST(t.n AS DOUBLE) * CAST(t.ss AS DOUBLE)
+                       - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+                      / (CAST(t.n AS DOUBLE) * CAST(t.n - 1 AS DOUBLE)))
+               * 1000000.0 + 0.5) / 1000000.0 AS r_stat
+  FROM {prev} p JOIN st{r} t ON t.event_type = p.event_type
+  WHERE t.n >= 3 AND t.n * t.ss - t.s * t.s > 0
+),
+out{r} AS (
+  SELECT event_type, d, vq, r_stat, {r} AS round FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY r_stat DESC, d) AS rn
+    FROM sc{r}) WHERE rn = 1
+),
+rem{r} AS (
+  SELECT p.* FROM {prev} p
+  LEFT JOIN out{r} o ON o.event_type = p.event_type AND o.d = p.d
+  WHERE o.d IS NULL
+)""".strip())
+    union = " UNION ALL ".join(f"SELECT * FROM out{r}" for r in range(1, _ESD_ROUNDS + 1))
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT event_type, d AS day, CAST(vq AS DOUBLE) / 1000000.0 AS v,
+       r_stat, CAST(round AS INT) AS round, r_stat > {_ESD_FLAG} AS flagged
+FROM ({union})
+"""
+    )
+
+
+_ESD_ORACLE = _esd_oracle()
+
+
+@register("ts_esd_anomaly", oracle=_ESD_ORACLE)
+def ts_esd_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    rem = _daily(ev).select(
+        "event_type",
+        "d",
+        F.floor(F.col("v") * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("vq"),
+    ).localCheckpoint(eager=False)  # feeds all three rounds' lineages
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    outs = []
+    for r in range(1, _ESD_ROUNDS + 1):
+        st = rem.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec("vq")).alias("s"),
+            F.sum(dec("vq") * F.col("vq")).alias("ss"),
+        )
+        nd = F.col("n").cast("double")
+        sd, ssd = F.col("s").cast("double"), F.col("ss").cast("double")
+        std = F.sqrt(
+            (nd * ssd - sd * sd) / (nd * (F.col("n") - 1).cast("double"))
+        )
+        r_stat = (
+            F.floor(
+                F.abs(F.col("vq").cast("double") - sd / nd) / std * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        )
+        sc = (
+            rem.join(st, "event_type")
+            .filter(
+                (F.col("n") >= 3)
+                & (F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0)
+            )
+            .select("event_type", "d", "vq", r_stat.alias("r_stat"))
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.col("r_stat").desc(), "d")
+        )
+        out = (
+            sc.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("event_type", "d", "vq", "r_stat", F.lit(r).alias("round"))
+            .localCheckpoint(eager=False)  # removed set reused by the anti-join
+        )
+        outs.append(out)
+        rem = rem.join(out.select("event_type", "d"), ["event_type", "d"], "left_anti")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.select(
+        "event_type",
+        F.col("d").alias("day"),
+        (F.col("vq").cast("double") / 1_000_000.0).alias("v"),
+        "r_stat",
+        F.col("round").cast("int").alias("round"),
+        (F.col("r_stat") > F.lit(float(_ESD_FLAG))).alias("flagged"),
+    )

@@ -1547,3 +1547,12 @@ def test_msprt_daily_rollup_before_windows(spark, sf_dir):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     w_idx = plan.index("Window")
     assert "Aggregate" in plan[w_idx:], "window must sit above the daily aggregate"
+
+
+def test_esd_rounds_over_daily_rollup(spark, sf_dir):
+    # Every round's moment aggregate and rank run on the (series, day)
+    # daily relation; windows partition by series; no pairwise work.
+    plan = _plan(spark, sf_dir, "ts_esd_anomaly")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)

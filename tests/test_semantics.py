@@ -4155,3 +4155,28 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     assert all(os.path.exists(f) for f in referenced)
     assert _read_at_version(spark, root, 1).count() == 1  # pre-1997 only
     assert _read_at_version(spark, root, 2).count() == 3
+
+
+def test_esd_masking_finds_second_outlier(spark, tmp_path):
+    # The masking property one-shot screens lack: a huge outlier (1000)
+    # inflates round-1 std enough that 100 looks ordinary; after removing
+    # 1000, round 2 must surface 100.  Baseline days are flat 10s.
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows, eid = [], 0
+    for day in range(20):
+        v = 10.0 + (day % 3) * 0.5  # mild baseline variation: zero-variance
+        if day == 5:                # remainders would (correctly) end ESD early
+            v = 1000.0
+        elif day == 12:
+            v = 100.0
+        rows.append((eid, base + datetime.timedelta(days=day), 1, "a", v, "{}"))
+        eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = sorted(
+        eng.queries()["ts_esd_anomaly"](spark, str(tmp_path)).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in out] == [1, 2, 3]
+    assert out[0]["v"] == 1000.0 and out[0]["flagged"]   # round 1: the giant
+    assert out[1]["v"] == 100.0 and out[1]["flagged"]    # round 2: unmasked
+    assert out[2]["v"] in (10.0, 10.5, 11.0) and not out[2]["flagged"]  # ordinary
