@@ -4277,3 +4277,212 @@ def agg_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(q6(F.least(F.lit(1.0), 1.0 / F.col("lam")))).over(pmin)
         .alias("always_valid_p"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_shapley_attribution — data-driven multi-touch attribution by exact
+# Shapley values (Shapley 1953 applied to conversion paths — the "data-
+# driven attribution" model of ad platforms, vs ts_attribution's
+# first/last-touch rules): channels are the non-purchase event types, a
+# user's path is the SET of channels touched (a bitmask), v(S) = the
+# conversion rate of users whose path ⊆ S, and each channel's credit is
+#   φ_b = Σ_{S ∌ b} |S|!(k-1-|S|)!/k! · (v(S∪{b}) − v(S)).
+#
+# Scale shape: corpus-sized work is ONE user aggregate (path bitmask +
+# converted flag); everything after runs on model-sized relations — the
+# ≤2^k path-mask table, the 2^k subset spine, and k channels (k = distinct
+# channels, bounded by the event vocabulary, NOT the corpus).  The
+# subset-containment and channel-subset joins are bitmask theta joins on
+# those tiny relations (allowlisted).
+#
+# Exactness: v quantizes to 1e-9 ints; Shapley sums run entirely in
+# integer arithmetic — Σ (vq(S∪b) − vq(S))·|S|!·(k-1-|S|)! — and divide
+# by k! only at the final q6 readout.  Efficiency property
+# Σφ = v(full) − v(∅) holds exactly on the quantized values (planted
+# test pins hand-computed φ including a negative credit).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SHAPLEY_ORACLE = """
+WITH rk AS (
+  SELECT event_type, CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS INT) AS b
+  FROM (SELECT DISTINCT event_type FROM events WHERE event_type <> 'purchase')
+),
+kk AS (SELECT CAST(COUNT(*) AS INT) AS k FROM rk),
+firstp AS (
+  SELECT user_id, MIN(ts) AS fp FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+paths AS (
+  SELECT e.user_id,
+         bit_or(CASE WHEN r.b IS NOT NULL
+                      AND (f.fp IS NULL OR e.ts < f.fp)
+                     THEN (CAST(1 AS BIGINT) << r.b) ELSE 0 END) AS mask,
+         MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events e
+  LEFT JOIN rk r ON r.event_type = e.event_type
+  LEFT JOIN firstp f ON f.user_id = e.user_id
+  GROUP BY e.user_id
+),
+pm AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+  FROM paths WHERE mask > 0 GROUP BY mask
+),
+subsets AS (
+  -- fixed 0..255 spine filtered to 2^k: generate_series cannot reference
+  -- a lateral column, and k <= 8 is bounded by the channel vocabulary
+  SELECT CAST(m.m AS BIGINT) AS m
+  FROM generate_series(0, 255) m(m), kk
+  WHERE m.m < CAST(pow(2, kk.k) AS BIGINT)
+),
+v AS (
+  SELECT s.m,
+         CAST(FLOOR(COALESCE(SUM(p.c) * 1.0 / NULLIF(SUM(p.n), 0), 0.0)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS vq
+  FROM subsets s LEFT JOIN pm p ON (p.mask & s.m) = p.mask
+  GROUP BY s.m
+),
+terms AS (
+  SELECT r.event_type,
+         (v1.vq - v0.vq)
+           * factorial(bit_count(v0.m)) * factorial(k.k - 1 - bit_count(v0.m))
+           AS t
+  FROM rk r CROSS JOIN kk k
+  JOIN v v0 ON (v0.m & (CAST(1 AS BIGINT) << r.b)) = 0
+  JOIN v v1 ON v1.m = v0.m | (CAST(1 AS BIGINT) << r.b)
+),
+expo AS (
+  SELECT r.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_exposed,
+         FLOOR(SUM(p.conv) * 1.0 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0
+           AS conv_rate_exposed
+  FROM rk r JOIN paths p ON (p.mask & (CAST(1 AS BIGINT) << r.b)) <> 0
+  GROUP BY r.event_type
+)
+SELECT t.event_type AS channel,
+       FLOOR(SUM(t.t) * 1.0 / factorial(k.k) / 1000000000.0 * 1000000.0 + 0.5)
+         / 1000000.0 AS shapley,
+       e.n_exposed, e.conv_rate_exposed
+FROM terms t CROSS JOIN kk k
+JOIN expo e ON e.event_type = t.event_type
+GROUP BY t.event_type, k.k, e.n_exposed, e.conv_rate_exposed
+"""
+
+
+@register("agg_shapley_attribution", oracle=_SHAPLEY_ORACLE)
+def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    rk = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .withColumn(
+            "b",
+            (F.row_number().over(Window.orderBy("event_type")) - 1).cast("int"),
+        )
+        # k-row channel dictionary feeding four downstream branches
+        .localCheckpoint(eager=False)
+    )
+    kk = rk.agg(F.count(F.lit(1)).cast("int").alias("k"))
+    # shiftleft takes a literal count in the Python API — column-valued
+    # shifts via expr() (the llm_bloom_dedup precedent)
+    bit = F.expr("shiftleft(1L, b)")
+    firstp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    # attribution window: only channels touched BEFORE the user's first
+    # purchase count toward the path (never-purchasers keep the full path)
+    paths = (
+        ev.join(rk, "event_type", "left")
+        .join(firstp, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.bit_or(
+                F.when(
+                    F.col("b").isNotNull()
+                    & (F.col("fp").isNull() | (F.col("ts") < F.col("fp"))),
+                    bit,
+                ).otherwise(0)
+            ).alias("mask"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "conv"
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds pm and the exposure readout
+    )
+    pm = (
+        paths.filter(F.col("mask") > 0)
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("c"),
+        )
+    )
+    subsets = kk.select(
+        F.explode(F.sequence(F.lit(0), F.expr("shiftleft(1, k) - 1"))).alias("m0x")
+    ).select(F.col("m0x").cast("bigint").alias("m"))
+    v = (
+        subsets.join(pm, pm["mask"].bitwiseAND(subsets["m"]) == pm["mask"], "left")
+        .groupBy("m")
+        .agg(
+            F.floor(
+                F.coalesce(
+                    F.sum("c") * 1.0 / F.nullif(F.sum("n"), F.lit(0)), F.lit(0.0)
+                )
+                * 1_000_000_000.0
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("vq")
+        )
+        .localCheckpoint(eager=False)  # both sides of the term join
+    )
+    v0 = v.select(F.col("m").alias("m0"), F.col("vq").alias("vq0"))
+    v1 = v.select(F.col("m").alias("m1"), F.col("vq").alias("vq1"))
+    rbit = F.expr("shiftleft(1L, b)")
+    terms = (
+        rk.crossJoin(F.broadcast(kk))
+        .join(v0, F.col("m0").bitwiseAND(rbit) == 0)
+        .join(v1, F.col("m1") == F.col("m0").bitwiseOR(rbit))
+        .select(
+            "event_type",
+            "k",
+            (
+                (F.col("vq1") - F.col("vq0"))
+                * F.factorial(F.bit_count("m0"))
+                * F.factorial(F.col("k") - 1 - F.bit_count("m0"))
+            ).alias("t"),
+        )
+    )
+    expo = (
+        rk.join(paths, paths["mask"].bitwiseAND(rbit) != 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exposed"),
+            (
+                F.floor(
+                    F.sum("conv") * 1.0 / F.count(F.lit(1)) * 1_000_000.0 + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("conv_rate_exposed"),
+        )
+    )
+    return (
+        terms.groupBy("event_type", "k")
+        .agg(F.sum("t").alias("st"))
+        .select(
+            F.col("event_type").alias("channel"),
+            (
+                F.floor(
+                    F.col("st") * 1.0 / F.factorial("k") / 1_000_000_000.0
+                    * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("shapley"),
+        )
+        .join(expo.withColumnRenamed("event_type", "channel"), "channel")
+    )

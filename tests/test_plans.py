@@ -243,6 +243,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_cuped",  # 1-row pooled-moments broadcast (O(#users) agg)
                    "llm_corpus_overlap_sketch",  # #sources^2 pair spine (dimension-sized)
                    "graph_deepwalk_pairs",  # nodes x 2-row walk-id spine crossJoin
+                   "agg_shapley_attribution",  # bitmask theta joins on 2^k model-sized spines
+                   "llm_bradley_terry",  # 1-row mean-normalizer broadcast per MM update
                    "llm_dsir_importance",  # 256-row LM × 1-row totals crossJoin
                    "llm_temperature_sample",  # 1-row total/denom broadcast (O(#langs))
                    "profile_skew",  # 1-row totals broadcast onto top-10 rows
@@ -318,6 +320,7 @@ _GLOBAL_WINDOW_OK = {
     "ts_new_vs_returning",  # cumulative users over the per-day census (bounded by calendar)
     "llm_bradley_terry",  # leaderboard rank over the #players strength vector
     "agg_msprt",  # cumulative frames over the calendar-bounded daily rollup
+    "agg_shapley_attribution",  # channel-id rank over the k-row channel dictionary
 }
 
 
@@ -1556,3 +1559,10 @@ def test_esd_rounds_over_daily_rollup(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not _has_global_window(plan)
+
+
+def test_shapley_corpus_work_is_one_aggregate(spark, sf_dir):
+    # The only corpus-sized work is the per-user path aggregate; Shapley
+    # terms run on 2^k model-sized spines (bitmask joins, allowlisted).
+    plan = _plan(spark, sf_dir, "agg_shapley_attribution")
+    assert "CartesianProduct" not in plan

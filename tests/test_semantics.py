@@ -4180,3 +4180,28 @@ def test_esd_masking_finds_second_outlier(spark, tmp_path):
     assert out[0]["v"] == 1000.0 and out[0]["flagged"]   # round 1: the giant
     assert out[1]["v"] == 100.0 and out[1]["flagged"]    # round 2: unmasked
     assert out[2]["v"] in (10.0, 10.5, 11.0) and not out[2]["flagged"]  # ordinary
+
+
+def test_shapley_attribution_hand_computed(spark, tmp_path):
+    # Paths: u1={A}->conv, u2={B}->no, u3={A,B}->conv.  v(∅)=0, v(A)=1,
+    # v(B)=0, v(AB)=2/3.  phi_A = (1 + 2/3)/2 = 5/6; phi_B = (0 - 1/3)/2
+    # = -1/6 (negative credit — B's presence only dilutes).  Efficiency:
+    # phi_A + phi_B = v(full) = 2/3.  A channel touched AFTER the first
+    # purchase must not enter the path (u1's post-purchase B touch).
+    t = lambda m: datetime.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        (0, t(0), 1, "a", 1.0, "{}"),
+        (1, t(5), 1, "purchase", 1.0, "{}"),
+        (2, t(9), 1, "b", 1.0, "{}"),        # post-purchase: outside window
+        (3, t(0), 2, "b", 1.0, "{}"),
+        (4, t(0), 3, "a", 1.0, "{}"),
+        (5, t(1), 3, "b", 1.0, "{}"),
+        (6, t(5), 3, "purchase", 1.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["channel"]: r for r in
+           eng.queries()["agg_shapley_attribution"](spark, str(tmp_path)).collect()}
+    assert out["a"]["shapley"] == 0.833333
+    assert out["b"]["shapley"] == -0.166667
+    assert out["a"]["n_exposed"] == 2 and out["a"]["conv_rate_exposed"] == 1.0
+    assert out["b"]["n_exposed"] == 2 and out["b"]["conv_rate_exposed"] == 0.5
