@@ -4486,3 +4486,127 @@ def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(expo.withColumnRenamed("event_type", "channel"), "channel")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_anova_f — one-way ANOVA omnibus F-test across event-type groups
+# (Fisher 1925): does mean(value) differ across ANY of the k event types?
+# Generalizes agg_welch_ttest's two-arm comparison to the k-group omnibus
+# question, with eta² effect size (the "is the difference practically
+# meaningful" companion every A/B readout needs before pairwise drilldown).
+#
+# Scale shape: ONE balanced keyed aggregate over the corpus (k sufficient-
+# stat rows: n, Σx at decimal(25,6), Σx² at decimal(36,12)); the global
+# combine runs on those k rows.  No windows, no second corpus pass.
+#
+# Parity discipline: per-group ratio terms (Σx²/n forms) quantize to 1e-6
+# fixed-point BEFORE the cross-group sum (k doubles summed in engine order
+# would differ in the low bits); every downstream expression is textually
+# identical IEEE arithmetic on both engines.  Degenerate inputs (k < 2,
+# N ≤ k, zero within-group variance) yield NULL via guards on exact values.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(value AS DECIMAL(25,6))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+  FROM events GROUP BY event_type
+),
+t AS (
+  SELECT n, sx, CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd FROM g
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(sx) AS DOUBLE) AS sxt,
+         CAST(SUM(CAST(FLOOR((sxd * sxd / n) * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS b_sum,
+         CAST(SUM(CAST(FLOOR((sxxd - sxd * sxd / n) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS ssw
+  FROM t
+),
+f AS (
+  SELECT k, nt, ssw,
+         FLOOR((b_sum - sxt * sxt / nt) * 1000000.0 + 0.5) / 1000000.0 AS ssb
+  FROM c
+)
+SELECT k AS k_groups, nt AS n_total,
+       ssb AS ss_between, ssw AS ss_within,
+       CASE WHEN k > 1 AND nt > k AND ssw > 0
+            THEN FLOOR((ssb / (k - 1)) / (ssw / (nt - k)) * 1000000.0 + 0.5)
+                 / 1000000.0 END AS f_stat,
+       CASE WHEN ssb + ssw > 0
+            THEN FLOOR(ssb / (ssb + ssw) * 1000000.0 + 0.5) / 1000000.0
+       END AS eta_sq
+FROM f
+"""
+
+
+@register("agg_anova_f", oracle=_ANOVA_ORACLE)
+def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    dec25 = F.col("value").cast("decimal(25,6)")
+    dec18 = F.col("value").cast("decimal(18,6)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec25).alias("sx"),
+        F.sum(dec18 * dec18).alias("sxx"),
+    )
+    t = g.select(
+        "n",
+        "sx",
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sxx").cast("double").alias("sxxd"),
+    )
+    b_term = F.col("sxd") * F.col("sxd") / F.col("n")
+    c = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("sx").cast("double").alias("sxt"),
+        (
+            F.sum(F.floor(b_term * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 1_000_000.0
+        ).alias("b_sum"),
+        (
+            F.sum(
+                F.floor((F.col("sxxd") - b_term) * 1_000_000.0 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("ssw"),
+    )
+    k, nt, ssw = F.col("k"), F.col("nt"), F.col("ssw")
+    f = c.select(
+        k,
+        nt,
+        ssw,
+        (
+            F.floor(
+                (F.col("b_sum") - F.col("sxt") * F.col("sxt") / nt) * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("ssb"),
+    )
+    ssb = F.col("ssb")
+    return f.select(
+        k.alias("k_groups"),
+        nt.alias("n_total"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        F.when(
+            (k > 1) & (nt > k) & (ssw > 0),
+            F.floor((ssb / (k - 1)) / (ssw / (nt - k)) * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0,
+        ).alias("f_stat"),
+        F.when(
+            ssb + ssw > 0,
+            F.floor(ssb / (ssb + ssw) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
+        ).alias("eta_sq"),
+    )

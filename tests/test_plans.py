@@ -1566,3 +1566,13 @@ def test_shapley_corpus_work_is_one_aggregate(spark, sf_dir):
     # terms run on 2^k model-sized spines (bitmask joins, allowlisted).
     plan = _plan(spark, sf_dir, "agg_shapley_attribution")
     assert "CartesianProduct" not in plan
+
+
+def test_anova_f_single_corpus_aggregate(spark, sf_dir):
+    # Corpus-sized work is ONE keyed aggregate (k sufficient-stat rows);
+    # the combine runs on those k rows.  No windows, no joins, no repeat
+    # scan of events.
+    plan = _plan(spark, sf_dir, "agg_anova_f")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") <= 1

@@ -4205,3 +4205,30 @@ def test_shapley_attribution_hand_computed(spark, tmp_path):
     assert out["b"]["shapley"] == -0.166667
     assert out["a"]["n_exposed"] == 2 and out["a"]["conv_rate_exposed"] == 1.0
     assert out["b"]["n_exposed"] == 2 and out["b"]["conv_rate_exposed"] == 0.5
+
+
+def test_anova_f_hand_computed_three_groups(spark, tmp_path):
+    # Groups a=[1,2,3], b=[2,4,6], c=[5,5]: grand mean 3.5, SSB = 12.0,
+    # SSW = 10.0 exactly -> F = (12/2)/(10/5) = 3.0, eta^2 = 12/22.
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    vals = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0),
+            ("b", 6.0), ("c", 5.0), ("c", 5.0)]
+    rows = [(i, t, i, g, v, "{}") for i, (g, v) in enumerate(vals)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_anova_f"](spark, str(tmp_path)).collect()
+    assert (r["k_groups"], r["n_total"]) == (3, 8)
+    assert r["ss_between"] == 12.0 and r["ss_within"] == 10.0
+    assert r["f_stat"] == 3.0
+    assert r["eta_sq"] == 0.545455
+
+
+def test_anova_f_zero_within_variance_yields_null_f(spark, tmp_path):
+    # Constant values inside every group: SSW = 0 -> F undefined (NULL),
+    # eta^2 = 1 when between-group spread exists.
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    vals = [("a", 2.0), ("a", 2.0), ("b", 7.0), ("b", 7.0)]
+    rows = [(i, t, i, g, v, "{}") for i, (g, v) in enumerate(vals)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_anova_f"](spark, str(tmp_path)).collect()
+    assert r["f_stat"] is None
+    assert r["ss_within"] == 0.0 and r["eta_sq"] == 1.0
