@@ -1185,3 +1185,61 @@ def llm_mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         q6c(F.col("eq") / 1_000_000_000.0).alias("mix_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_k_anonymity — privacy audit of a corpus release (Sweeney 2002
+# k-anonymity; Machanavajjhala 2007 l-diversity): group documents by their
+# quasi-identifier tuple (lang, source-agnostic size bucket), measure each
+# equivalence class's size k and its diversity l over the sensitive
+# attribute (source), and flag the classes a k=5 / l=2 release policy
+# would have to suppress.  The pre-release check any public corpus drop
+# (or de-identified log share) runs before shipping.
+#
+# Scale shape: ONE keyed aggregate over the corpus (quasi-identifier
+# grouping, count + count-distinct per class) — the class relation is
+# bounded by the QI vocabulary (langs × size buckets), never by corpus
+# size.  No windows, no joins, no second pass.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_K_ANON_K = 5
+_L_DIV_L = 2
+_K_ANON_BUCKET = 256  # chars per size bucket — QI coarseness, not corpus-sized
+
+_K_ANON_ORACLE = f"""
+SELECT lang,
+       CAST(FLOOR(n_chars / {_K_ANON_BUCKET}) AS BIGINT) AS size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS l_distinct,
+       COUNT(*) >= {_K_ANON_K} AS k_anonymous,
+       COUNT(DISTINCT source) >= {_L_DIV_L} AS l_diverse,
+       COUNT(*) < {_K_ANON_K} OR COUNT(DISTINCT source) < {_L_DIV_L}
+         AS suppress
+FROM documents
+GROUP BY lang, CAST(FLOOR(n_chars / {_K_ANON_BUCKET}) AS BIGINT)
+"""
+
+
+@register("llm_k_anonymity", oracle=_K_ANON_ORACLE)
+def llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cls = docs.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / _K_ANON_BUCKET).cast("bigint").alias("size_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct("source").cast("bigint").alias("l_distinct"),
+    )
+    k_ok = F.col("class_size") >= _K_ANON_K
+    l_ok = F.col("l_distinct") >= _L_DIV_L
+    return cls.select(
+        "lang",
+        "size_bucket",
+        "class_size",
+        "l_distinct",
+        k_ok.alias("k_anonymous"),
+        l_ok.alias("l_diverse"),
+        (~k_ok | ~l_ok).alias("suppress"),
+    )

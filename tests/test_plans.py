@@ -1576,3 +1576,11 @@ def test_anova_f_single_corpus_aggregate(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert plan.count("Scan parquet") <= 1
+
+
+def test_k_anonymity_single_aggregate(spark, sf_dir):
+    # One QI-keyed aggregate; class relation bounded by the QI vocabulary.
+    plan = _plan(spark, sf_dir, "llm_k_anonymity")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") <= 1

@@ -4232,3 +4232,28 @@ def test_anova_f_zero_within_variance_yields_null_f(spark, tmp_path):
     [r] = eng.queries()["agg_anova_f"](spark, str(tmp_path)).collect()
     assert r["f_stat"] is None
     assert r["ss_within"] == 0.0 and r["eta_sq"] == 1.0
+
+
+def test_k_anonymity_suppression_boundaries(spark, tmp_path):
+    # Class (en, bucket 0, 5 docs across 2 sources): k-anonymous AND
+    # l-diverse -> keep.  Class (fr, bucket 0, 4 docs): k < 5 -> suppress.
+    # Class (de, bucket 1, 5 docs all one source): l < 2 -> suppress even
+    # though k holds.
+    rows = []
+    i = 0
+    for src in ["s1", "s1", "s1", "s2", "s2"]:
+        rows.append((i, "x", "en", src, 10)); i += 1
+    for src in ["s1", "s2", "s1", "s2"]:
+        rows.append((i, "x", "fr", src, 10)); i += 1
+    for _ in range(5):
+        rows.append((i, "x", "de", "s1", 300)); i += 1
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {(r["lang"], r["size_bucket"]): r for r in
+           eng.queries()["llm_k_anonymity"](spark, str(tmp_path)).collect()}
+    assert len(out) == 3
+    en = out[("en", 0)]
+    assert (en["class_size"], en["l_distinct"]) == (5, 2)
+    assert en["k_anonymous"] and en["l_diverse"] and not en["suppress"]
+    assert out[("fr", 0)]["suppress"] and not out[("fr", 0)]["k_anonymous"]
+    de = out[("de", 1)]
+    assert de["suppress"] and de["k_anonymous"] and not de["l_diverse"]
