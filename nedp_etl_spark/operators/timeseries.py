@@ -3172,3 +3172,196 @@ def ts_esd_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("round").cast("int").alias("round"),
         (F.col("r_stat") > F.lit(float(_ESD_FLAG))).alias("flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_mann_kendall — non-parametric monotonic-trend test per series (Mann
+# 1945 / Kendall 1975) with Sen's slope (Sen 1968): S = Σ_{i<j}
+# sign(x_j − x_i) over the daily means, tie-corrected variance
+# Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, continuity-corrected
+# Z = (S∓1)/√Var(S), and the robust slope estimate = median of all
+# pairwise slopes.  The standard "is this KPI actually trending" test —
+# distribution-free where ts_forecast_linear's OLS assumes normal errors.
+#
+# Scale shape: pairwise work runs on the CALENDAR-BOUNDED daily rollup
+# (≤ #days rows per series, the ts_esd_anomaly bound) via an equi-join on
+# event_type — never on raw events; the Sen median ranks within
+# per-series windows over those bounded pair sets.  At 100 TB the daily
+# relation still has #series × #days rows.
+#
+# Parity discipline: S and the tie term are exact integers; slopes
+# quantize to 1e-6 fixed-point BEFORE the median rank (so ordering and
+# the two middle order statistics are integer-exact); the median of the
+# two middle values is SUM/COUNT in doubles — identical expression both
+# engines.  All-tied series: Var(S) = 0 exactly → Z NULL, 'no trend'.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_MK_Z_CRIT = 1.959964  # two-sided 5% normal critical value
+
+_MK_ORACLE = f"""
+WITH {_DAILY_CTE},
+p AS (
+  SELECT a.event_type,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sg,
+         CAST(FLOOR((b.v - a.v) / date_diff('day', a.d, b.d) * 1000000.0 + 0.5)
+              AS BIGINT) AS slope_q
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.d > a.d
+),
+s AS (
+  SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat FROM p GROUP BY event_type
+),
+nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, v)
+  GROUP BY event_type
+),
+rk AS (
+  SELECT event_type, slope_q,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_q) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM p
+),
+sen AS (
+  SELECT event_type,
+         FLOOR(CAST(SUM(slope_q) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+           AS sen_slope
+  FROM rk
+  WHERE rn = CAST(FLOOR((m + 1) / 2.0) AS BIGINT)
+     OR rn = CAST(FLOOR((m + 2) / 2.0) AS BIGINT)
+  GROUP BY event_type
+),
+v AS (
+  SELECT nn.event_type, nn.n, s.s_stat, sen.sen_slope,
+         (CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) AS DOUBLE)
+          - CAST(ties.tie_term AS DOUBLE)) / 18.0 AS var_s
+  FROM nn JOIN s ON s.event_type = nn.event_type
+  JOIN ties ON ties.event_type = nn.event_type
+  JOIN sen ON sen.event_type = nn.event_type
+),
+z AS (
+  SELECT event_type, n, s_stat, sen_slope,
+         FLOOR(var_s * 1000000.0 + 0.5) / 1000000.0 AS var_s,
+         CASE WHEN var_s <= 0 THEN NULL
+              WHEN s_stat > 0 THEN
+                FLOOR((s_stat - 1) / sqrt(var_s) * 1000000.0 + 0.5) / 1000000.0
+              WHEN s_stat < 0 THEN
+                FLOOR((s_stat + 1) / sqrt(var_s) * 1000000.0 + 0.5) / 1000000.0
+              ELSE 0.0 END AS z_stat
+  FROM v
+)
+SELECT event_type, n AS n_days, s_stat, var_s, z_stat, sen_slope,
+       CASE WHEN z_stat IS NULL THEN 'no trend'
+            WHEN z_stat > {_MK_Z_CRIT} THEN 'increasing'
+            WHEN z_stat < -{_MK_Z_CRIT} THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM z
+"""
+
+
+@register("ts_mann_kendall", oracle=_MK_ORACLE)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev).localCheckpoint(eager=False)  # feeds 4 branches
+    a, b = daily.alias("a"), daily.alias("b")
+    av, bv = F.col("a.v"), F.col("b.v")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(bv > av, 1).when(bv < av, -1).otherwise(0).alias("sg"),
+        F.floor(
+            (bv - av) / F.datediff(F.col("b.d"), F.col("a.d")) * 1_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("slope_q"),
+    )
+    s = pairs.groupBy("event_type").agg(F.sum("sg").cast("bigint").alias("s_stat"))
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).cast("bigint").alias("tie_term"))
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_q")
+    wm = Window.partitionBy("event_type")
+    rk = pairs.select(
+        "event_type",
+        "slope_q",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wm).alias("m"),
+    )
+    m = F.col("m")
+    sen = (
+        rk.filter(
+            (F.col("rn") == F.floor((m + 1) / 2.0).cast("bigint"))
+            | (F.col("rn") == F.floor((m + 2) / 2.0).cast("bigint"))
+        )
+        .groupBy("event_type")
+        .agg(
+            (
+                F.floor(
+                    F.sum("slope_q").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("sen_slope")
+        )
+    )
+    n = F.col("n")
+    v = (
+        nn.join(s, "event_type")
+        .join(ties, "event_type")
+        .join(sen, "event_type")
+        .withColumn(
+            "var_s_raw",
+            (
+                (n * (n - 1) * (2 * n + 5)).cast("double")
+                - F.col("tie_term").cast("double")
+            )
+            / 18.0,
+        )
+    )
+    ss, vr = F.col("s_stat"), F.col("var_s_raw")
+    z = v.select(
+        "event_type",
+        "n",
+        "s_stat",
+        "sen_slope",
+        (F.floor(vr * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias("var_s"),
+        F.when(vr <= 0, F.lit(None).cast("double"))
+        .when(
+            ss > 0,
+            F.floor((ss - 1) / F.sqrt(vr) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
+        )
+        .when(
+            ss < 0,
+            F.floor((ss + 1) / F.sqrt(vr) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
+        )
+        .otherwise(0.0)
+        .alias("z_stat"),
+    )
+    zc = F.col("z_stat")
+    return z.select(
+        "event_type",
+        n.alias("n_days"),
+        "s_stat",
+        "var_s",
+        "z_stat",
+        "sen_slope",
+        F.when(zc.isNull(), "no trend")
+        .when(zc > _MK_Z_CRIT, "increasing")
+        .when(zc < -_MK_Z_CRIT, "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+    )

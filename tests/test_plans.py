@@ -1584,3 +1584,14 @@ def test_k_anonymity_single_aggregate(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert plan.count("Scan parquet") <= 1
+
+
+def test_mann_kendall_pairs_over_daily_rollup(spark, sf_dir):
+    # Pairwise work and the Sen median run on the calendar-bounded daily
+    # relation (equi-join on event_type + windows partitioned by series),
+    # never raw events: the optimized plan joins above an Aggregate and
+    # has no cartesian/global-window hazard.
+    plan = _plan(spark, sf_dir, "ts_mann_kendall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)

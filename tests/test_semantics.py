@@ -4257,3 +4257,29 @@ def test_k_anonymity_suppression_boundaries(spark, tmp_path):
     assert out[("fr", 0)]["suppress"] and not out[("fr", 0)]["k_anonymous"]
     de = out[("de", 1)]
     assert de["suppress"] and de["k_anonymous"] and not de["l_diverse"]
+
+
+def test_mann_kendall_monotone_and_tied_series(spark, tmp_path):
+    # "up": one event/day, values 1..5 -> S = C(5,2) = 10, no ties,
+    # Var(S) = 5*4*15/18 = 16.666667, Z = 9/sqrt(50/3) = 2.204541 > 1.96
+    # -> increasing; Sen slope exactly 1.0/day.  "flat": all values equal
+    # -> S = 0 and the tie term cancels Var(S) to 0 -> Z NULL, 'no trend'.
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    for i in range(5):
+        rows.append((i, base + datetime.timedelta(days=i), i, "up",
+                     float(i + 1), "{}"))
+        rows.append((10 + i, base + datetime.timedelta(days=i), i, "flat",
+                     7.0, "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           eng.queries()["ts_mann_kendall"](spark, str(tmp_path)).collect()}
+    up = out["up"]
+    assert (up["n_days"], up["s_stat"]) == (5, 10)
+    assert up["var_s"] == 16.666667
+    assert up["z_stat"] == 2.204541
+    assert up["sen_slope"] == 1.0
+    assert up["trend"] == "increasing"
+    flat = out["flat"]
+    assert flat["s_stat"] == 0 and flat["var_s"] == 0.0
+    assert flat["z_stat"] is None and flat["trend"] == "no trend"
