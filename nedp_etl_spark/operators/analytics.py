@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
-from nedp_etl_spark.util import dsum, histogram_rank_walk, osum
+from nedp_etl_spark.util import dsum, global_running_sum, histogram_rank_walk, osum
 
 # --------------------------------------------------------------------------
 # ts_retention_cohort — weekly cohort retention matrix: users are assigned to
@@ -4609,4 +4609,200 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             ssb + ssw > 0,
             F.floor(ssb / (ssb + ssw) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
         ).alias("eta_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_spearman_rho — tie-corrected Spearman rank correlation for the same
+# variable pairs as agg_corr_matrix (Spearman 1904): Pearson correlation
+# computed on average ranks, the monotone-association companion to the
+# linear Pearson matrix (outlier-robust; detects any monotone relation).
+#
+# Scale shape (the part Spark lacks a primitive for): average ranks of a
+# possibly-billion-row column CANNOT use a global window (single
+# partition).  Each variable ranks via its DISTINCT-VALUE relation — one
+# keyed aggregate (value → count), then util.global_running_sum's
+# balanced two-phase prefix sum over the sorted distinct values, giving
+# rank2(v) = 2·cum(v) − cnt(v) + 1 (twice the tie-averaged rank, an exact
+# INTEGER, so tie averaging costs no float).  Ranks join back on the
+# value key (4 balanced shuffles), and moments accumulate with the
+# agg_corr_matrix discipline: 2^20-radix limb decomposition, int64
+# component sums per task partition (codegen, guarded at the 2^23-row
+# partition bound), decimal(38,0) phase-2 combine.  rank2 ≤ 2n keeps the
+# limb algebra exact to n ≈ 2^38 rows.  The ×2 rank scale cancels in the
+# correlation ratio.
+#
+# The oracle ranks via window functions and sums direct HUGEINT products —
+# a different algebra, so a shared limb-math bug cannot self-confirm.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SPEAR_VARS = _CORR_VARS  # the Pearson matrix's variables — deliberate contrast
+_SPEAR_PAIRS = _CORR_PAIRS
+
+
+def _spearman_oracle() -> str:
+    qs = ", ".join(
+        f"CAST(FLOOR({col} * 1000000.0 + 0.5) AS BIGINT) AS q_{n}"
+        for n, col in _SPEAR_VARS
+    )
+    rks = ", ".join(
+        f"2 * RANK() OVER (ORDER BY q_{n}) + COUNT(*) OVER (PARTITION BY q_{n})"
+        f" - 1 AS r_{n}"
+        for n, _ in _SPEAR_VARS
+    )
+    names = [n for n, _ in _SPEAR_VARS]
+    sums = ", ".join(
+        ["COUNT(*) AS n"]
+        + [f"SUM(CAST(r_{n} AS HUGEINT)) AS s_{n}" for n in names]
+        + [
+            f"SUM(CAST(r_{a} AS HUGEINT) * r_{b}) AS s_{a}_{b}"
+            for a in names
+            for b in names
+            if (a, b) in _SPEAR_PAIRS or a == b
+        ]
+    )
+
+    def rho(a: str, b: str) -> str:
+        dx = f"(n * s_{a}_{a} - s_{a} * s_{a})"
+        dy = f"(n * s_{b}_{b} - s_{b} * s_{b})"
+        return (
+            f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN "
+            f"ROUND((CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt(CAST({dx} AS DOUBLE) * CAST({dy} AS DOUBLE)), 6) END"
+        )
+
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT '{a}' AS var_a, '{b}' AS var_b,"
+        f" CAST(n AS BIGINT) AS n_rows, {rho(a, b)} AS rho FROM s"
+        for a, b in _SPEAR_PAIRS
+    )
+    return f"""
+WITH q AS (SELECT {qs} FROM lineitem),
+r AS (SELECT {rks} FROM q),
+s AS (SELECT {sums} FROM r)
+{branches}
+"""
+
+
+_SPEARMAN_ORACLE = _spearman_oracle()
+
+
+@register("agg_spearman_rho", oracle=_SPEARMAN_ORACLE)
+def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    names = [n for n, _ in _SPEAR_VARS]
+    rows = li.select(
+        *[
+            F.floor(F.col(col) * 1_000_000.0 + 0.5).cast("long").alias(f"q_{n}")
+            for n, col in _SPEAR_VARS
+        ]
+    )
+    ranked = rows
+    for n_ in names:
+        dv = rows.groupBy(f"q_{n_}").agg(F.count(F.lit(1)).alias("__cnt"))
+        cum = global_running_sum(dv, [f"q_{n_}"], F.col("__cnt"), "__cum")
+        rmap = cum.select(
+            f"q_{n_}",
+            (2 * F.col("__cum") - F.col("__cnt") + 1).alias(f"r_{n_}"),
+        )
+        ranked = ranked.join(rmap, f"q_{n_}")
+    _RADIX = 1 << 20
+    limbs = ranked.select(
+        *[F.col(f"r_{n}") for n in names],
+        *[(F.col(f"r_{n}") / _RADIX).cast("long").alias(f"hi_{n}") for n in names],
+        *[(F.col(f"r_{n}") % _RADIX).alias(f"lo_{n}") for n in names],
+    )
+    prods = [
+        (a, b) for a in names for b in names if (a, b) in _SPEAR_PAIRS or a == b
+    ]
+    part_aggs = (
+        [F.count(F.lit(1)).alias("n_part")]
+        + [F.sum(f"r_{n}").alias(f"s_{n}") for n in names]
+        + [
+            agg
+            for a, b in prods
+            for agg in (
+                F.sum(F.col(f"hi_{a}") * F.col(f"hi_{b}")).alias(f"hh_{a}_{b}"),
+                F.sum(
+                    F.col(f"hi_{a}") * F.col(f"lo_{b}")
+                    + F.col(f"lo_{a}") * F.col(f"hi_{b}")
+                ).alias(f"x_{a}_{b}"),
+                F.sum(F.col(f"lo_{a}") * F.col(f"lo_{b}")).alias(f"ll_{a}_{b}"),
+            )
+        ]
+    )
+    partials = (
+        limbs.withColumn("pid", F.spark_partition_id()).groupBy("pid").agg(*part_aggs)
+    )
+    partials = partials.withColumn(
+        "n_part",
+        F.when(F.col("n_part") <= F.lit(1 << 23), F.col("n_part")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "agg_spearman_rho: a task partition exceeds the 2^23-row"
+                    " int64-safe bound of the limb accumulation; lower"
+                    " spark.sql.files.maxPartitionBytes"
+                )
+            ).cast("bigint")
+        ),
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).alias(c)  # noqa: E731
+    s = (
+        partials.agg(
+            F.sum("n_part").alias("n"),
+            *[dec(f"s_{n}") for n in names],
+            *[
+                d
+                for a, b in prods
+                for d in (dec(f"hh_{a}_{b}"), dec(f"x_{a}_{b}"), dec(f"ll_{a}_{b}"))
+            ],
+        )
+    ).select(
+        "n",
+        *[F.col(f"s_{n}").cast("decimal(19,0)").alias(f"s_{n}") for n in names],
+        *[
+            (
+                F.col(f"hh_{a}_{b}") * (_RADIX * _RADIX)
+                + F.col(f"x_{a}_{b}") * _RADIX
+                + F.col(f"ll_{a}_{b}")
+            ).alias(f"s_{a}_{b}")
+            for a, b in prods
+        ],
+    )
+
+    def rho(a: str, b: str) -> F.Column:
+        nd = F.col("n").cast("decimal(19,0)")
+        dx = nd * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        dy = nd * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}_{b}").cast("double")
+        return F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                (n * sab - sa * sb) / F.sqrt(dx.cast("double") * dy.cast("double")),
+                6,
+            ),
+        )
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    rho(a, b).alias("rho"),
+                )
+                for a, b in _SPEAR_PAIRS
+            ]
+        )
+    ).alias("p")
+    return s.select(F.col("n").cast("bigint").alias("n_rows"), pairs).select(
+        F.col("p.var_a").alias("var_a"),
+        F.col("p.var_b").alias("var_b"),
+        "n_rows",
+        F.col("p.rho").alias("rho"),
     )

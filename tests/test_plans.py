@@ -1595,3 +1595,14 @@ def test_mann_kendall_pairs_over_daily_rollup(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not _has_global_window(plan)
+
+
+def test_spearman_ranks_avoid_global_window(spark, sf_dir):
+    # Ranks come from the two-phase prefix sum over distinct-value
+    # relations — the only windows in the plan are the helper's
+    # pid-partitioned running sums (the oracle's global RANK() windows
+    # must NOT appear on the Spark side), and no cartesian hazard.
+    plan = _plan(spark, sf_dir, "agg_spearman_rho")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

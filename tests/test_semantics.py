@@ -4283,3 +4283,30 @@ def test_mann_kendall_monotone_and_tied_series(spark, tmp_path):
     flat = out["flat"]
     assert flat["s_stat"] == 0 and flat["var_s"] == 0.0
     assert flat["z_stat"] is None and flat["trend"] == "no trend"
+
+
+def test_spearman_rho_hand_computed_with_ties_and_constants(spark, tmp_path):
+    # qty = 1..5, price = [2,1,4,3,5] -> Spearman = 1 - 6*4/120 = 0.8;
+    # tax = reversed qty -> exactly -1; disc constant -> zero rank
+    # variance -> NULL for every pair involving it.
+    t = datetime.datetime(1994, 1, 10)
+    qty = [1.0, 2.0, 3.0, 4.0, 5.0]
+    price = [2.0, 1.0, 4.0, 3.0, 5.0]
+    rows = [
+        (i, 1, 1, i, qty[i], price[i], 0.05, 6.0 - qty[i], "N", "O", t)
+        for i in range(5)
+    ]
+    schema = ("l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+              " l_linenumber int, l_quantity double, l_extendedprice double,"
+              " l_discount double, l_tax double, l_returnflag string,"
+              " l_linestatus string, l_shipdate timestamp")
+    _write(spark, tmp_path, "lineitem", rows, schema)
+    out = {(r["var_a"], r["var_b"]): r for r in
+           eng.queries()["agg_spearman_rho"](spark, str(tmp_path)).collect()}
+    assert len(out) == 6 and all(r["n_rows"] == 5 for r in out.values())
+    assert out[("qty", "price")]["rho"] == 0.8
+    assert out[("qty", "tax")]["rho"] == -1.0
+    assert out[("price", "tax")]["rho"] == -0.8
+    assert out[("qty", "disc")]["rho"] is None
+    assert out[("price", "disc")]["rho"] is None
+    assert out[("disc", "tax")]["rho"] is None
