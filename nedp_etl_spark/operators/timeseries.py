@@ -3365,3 +3365,147 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no trend")
         .alias("trend"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_ljung_box — portmanteau white-noise test per series (Ljung & Box
+# 1978): Q(m) = n(n+2)·Σ_{k=1..m} ρ̂_k²/(n−k) over the ts_acf calendar-lag
+# autocorrelations (lags 1..7 days of the shared daily rollup), compared
+# to the χ²(m) 5% critical value.  The "is there ANY autocorrelation
+# left" gate a forecasting pipeline runs on its residuals before trusting
+# prediction intervals — the omnibus companion to ts_acf's per-lag view.
+#
+# Scale shape: identical to ts_acf (daily rollup → self-join at 7
+# calendar offsets, all relations calendar-bounded); the Q combine runs
+# on ≤ 7 rows per series.  Zero-variance series (ss = 0) are excluded —
+# the statistic is undefined there.
+#
+# Parity discipline: ρ̂_k inherits ts_acf's exact construction (dsum
+# numerators / denominators, ROUND 6); per-lag terms ρ²/(n−k) quantize to
+# 1e-12 fixed-point BEFORE the cross-lag sum (k-order independent), and
+# Q, the constant χ² critical-value CASE (df = m_lags), and the reject
+# flag are identical expressions both engines.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_LB_CHI2_95 = {  # qchisq(0.95, df), df 1..7 — shared literals, both engines
+    1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729,
+    5: 11.070498, 6: 12.591587, 7: 14.067140,
+}
+
+_LB_CRIT_SQL = "CASE m_lags " + " ".join(
+    f"WHEN {df} THEN {v}" for df, v in _LB_CHI2_95.items()
+) + " END"
+
+_LJUNG_BOX_ORACLE = f"""
+WITH {_DAILY_CTE},
+stats AS (
+  SELECT event_type, ROUND({osum('v')} / COUNT(*), 6) AS m FROM daily
+  GROUP BY event_type
+),
+x AS (
+  SELECT daily.event_type, daily.d, daily.v - stats.m AS x
+  FROM daily JOIN stats ON daily.event_type = stats.event_type
+),
+den AS (
+  SELECT event_type, {osum('x * x')} AS ss FROM x GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type, k.k, a.x AS xa, b.x AS xb
+  FROM x a
+  JOIN (SELECT UNNEST(range(1, 8)) AS k) k ON TRUE
+  JOIN x b ON b.event_type = a.event_type AND b.d = a.d + CAST(k.k AS INT)
+),
+rho AS (
+  SELECT p.event_type, p.k, ROUND({osum('p.xa * p.xb')} / den.ss, 6) AS rho
+  FROM pairs p JOIN den ON p.event_type = den.event_type
+  WHERE den.ss > 0
+  GROUP BY p.event_type, p.k, den.ss
+),
+nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY event_type
+),
+terms AS (
+  SELECT r.event_type, nn.n,
+         CAST(COUNT(*) AS INT) AS m_lags,
+         SUM(CAST(FLOOR(r.rho * r.rho / (nn.n - r.k) * 1000000000000.0 + 0.5)
+                  AS BIGINT)) AS sq
+  FROM rho r JOIN nn ON nn.event_type = r.event_type
+  GROUP BY r.event_type, nn.n
+)
+SELECT event_type, n AS n_days, m_lags,
+       FLOOR(n * (n + 2) * (CAST(sq AS DOUBLE) / 1000000000000.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS q_stat,
+       CAST({_LB_CRIT_SQL} AS DOUBLE) AS chi2_crit_95,
+       FLOOR(n * (n + 2) * (CAST(sq AS DOUBLE) / 1000000000000.0)
+             * 1000000.0 + 0.5) / 1000000.0 > {_LB_CRIT_SQL}
+         AS reject_white_noise
+FROM terms
+"""
+
+
+@register("ts_ljung_box", oracle=_LJUNG_BOX_ORACLE)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev).localCheckpoint(eager=True)  # ts_acf's shared-branch fix
+    stats = daily.groupBy("event_type").agg(
+        F.round(dsum("v") / F.count(F.lit(1)), 6).alias("m")
+    )
+    x = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type", "d", (F.col("v") - F.col("m")).alias("x")
+    )
+    den = x.groupBy("event_type").agg(dsum(F.col("x") * F.col("x")).alias("ss"))
+    lagged = x.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
+        F.col("d").alias("d0"),
+        F.col("x").alias("xa"),
+    ).withColumn("d_pair", F.expr("date_add(d0, k)"))
+    pairs = lagged.join(
+        x.select("event_type", F.col("d").alias("d_pair"), F.col("x").alias("xb")),
+        ["event_type", "d_pair"],
+    )
+    rho = (
+        pairs.groupBy("event_type", "k")
+        .agg(dsum(F.col("xa") * F.col("xb")).alias("num"))
+        .join(F.broadcast(den.filter(F.col("ss") > 0)), "event_type")
+        .select(
+            "event_type", "k", F.round(F.col("num") / F.col("ss"), 6).alias("rho")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    terms = (
+        rho.join(F.broadcast(nn), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("m_lags"),
+            F.sum(
+                F.floor(
+                    F.col("rho") * F.col("rho") / (F.col("n") - F.col("k"))
+                    * 1_000_000_000_000.0
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("sq"),
+        )
+    )
+    n = F.col("n")
+    q_stat = (
+        F.floor(
+            n * (n + 2) * (F.col("sq").cast("double") / 1_000_000_000_000.0)
+            * 1_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    crit = F.lit(None).cast("double")
+    for df_, v in sorted(_LB_CHI2_95.items(), reverse=True):
+        crit = F.when(F.col("m_lags") == df_, F.lit(v)).otherwise(crit)
+    return terms.select(
+        "event_type",
+        n.alias("n_days"),
+        "m_lags",
+        q_stat.alias("q_stat"),
+        crit.alias("chi2_crit_95"),
+        (q_stat > crit).alias("reject_white_noise"),
+    )

@@ -1606,3 +1606,13 @@ def test_spearman_ranks_avoid_global_window(spark, sf_dir):
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ljung_box_calendar_bounded_like_acf(spark, sf_dir):
+    # Inherits ts_acf's shape: daily rollup self-join at 7 calendar
+    # offsets; Q combines <= 7 rows per series.  No cartesian, no global
+    # window, one events scan (the checkpoint freezes the rollup).
+    plan = _plan(spark, sf_dir, "ts_ljung_box")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)

@@ -4310,3 +4310,25 @@ def test_spearman_rho_hand_computed_with_ties_and_constants(spark, tmp_path):
     assert out[("qty", "disc")]["rho"] is None
     assert out[("price", "disc")]["rho"] is None
     assert out[("disc", "tax")]["rho"] is None
+
+
+def test_ljung_box_hand_computed_alternating_series(spark, tmp_path):
+    # "alt": days 1..4 values [1,-1,1,-1] -> mean 0, ss = 4; rho_1 = -3/4,
+    # rho_2 = 2/4, rho_3 = -1/4.  Q = 4*6*(0.5625/3 + 0.25/2 + 0.0625/1)
+    # = 24 * 0.375 = 9.0 > chi2(3)=7.814728 -> reject.  "const": constant
+    # series -> ss = 0 -> excluded entirely (statistic undefined).
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    for i, v in enumerate([1.0, -1.0, 1.0, -1.0]):
+        rows.append((i, base + datetime.timedelta(days=i), i, "alt", v, "{}"))
+        rows.append((10 + i, base + datetime.timedelta(days=i), i, "const",
+                     5.0, "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           eng.queries()["ts_ljung_box"](spark, str(tmp_path)).collect()}
+    assert set(out) == {"alt"}
+    alt = out["alt"]
+    assert (alt["n_days"], alt["m_lags"]) == (4, 3)
+    assert alt["q_stat"] == 9.0
+    assert alt["chi2_crit_95"] == 7.814728
+    assert alt["reject_white_noise"] is True
