@@ -1290,3 +1290,81 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _state(1).unionAll(_state(2)).select(
         "version", "n_orders", "total_price"
     )
+
+
+# --------------------------------------------------------------------------
+# scan_deletion_vectors — merge-on-read with positional deletion vectors
+# (the Delta Lake "deletion vectors" / Iceberg v2 "positional delete file"
+# mechanic): a delete marks (file, row_position) pairs in a side file
+# instead of rewriting data files; readers anti-join positions during the
+# scan.  The layout builds once per (sf, fixture fingerprint): an 8-file
+# range layout of orders, then a DV parquet holding the positions of the
+# rows a predicate delete would remove — derived POSITIONALLY via
+# ``_metadata.row_index``, exactly as a real writer records them.  The
+# read path never sees the predicate; the oracle states it directly
+# against the fixture, so the gate proves positional MOR reproduces the
+# predicate delete.
+#
+# Scale shape: DV files are tiny relative to data files — the anti-join
+# broadcasts the DV side (real readers load the per-file bitmap into
+# memory); the base scan stays a plain parquet scan with pushdown intact.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_DV_ORACLE = """
+SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 6) AS o_totalprice
+FROM orders WHERE o_orderkey % 7 <> 3
+"""
+
+
+def _dv_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Base files + deletion-vector file, built once (marker-gated like
+    _manifest_layout; the scratch path is fixture-fingerprint-keyed)."""
+    root = _scratch("scan_deletion_vectors", sf_dir)
+    base = os.path.join(root, "base")
+    dv = os.path.join(root, "deletes")
+    if not os.path.exists(os.path.join(dv, "_SUCCESS")):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartitionByRange(8, "o_orderkey")
+            .write.mode("overwrite")
+            .parquet(base)
+        )
+        (
+            spark.read.parquet(base)
+            .select(
+                "o_orderkey",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                    "file_name"
+                ),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            .filter(F.col("o_orderkey") % 7 == 3)
+            .select("file_name", "pos")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dv)
+        )
+    return root
+
+
+@register("scan_deletion_vectors", oracle=_DV_ORACLE)
+def scan_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _dv_layout(spark, sf_dir)
+    base = spark.read.parquet(os.path.join(root, "base")).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "file_name"
+        ),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    dv = spark.read.parquet(os.path.join(root, "deletes"))
+    return base.join(F.broadcast(dv), ["file_name", "pos"], "left_anti").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )

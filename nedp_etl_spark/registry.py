@@ -118,6 +118,7 @@ _PRIORITY: list[str] = [
     "ts_mann_kendall",            # NEW r9: tie-corrected trend test + Sen slope
     "agg_spearman_rho",           # NEW r9: tie-corrected rank correlation matrix
     "ts_ljung_box",               # NEW r9: portmanteau white-noise test
+    "scan_deletion_vectors",      # NEW r9: merge-on-read positional deletes
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

@@ -1616,3 +1616,12 @@ def test_ljung_box_calendar_bounded_like_acf(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not _has_global_window(plan)
+
+
+def test_deletion_vectors_broadcast_anti_join(spark, sf_dir):
+    # The DV side must broadcast (real readers hold the per-file bitmap in
+    # memory); the base side stays a plain parquet scan.
+    plan = _plan(spark, sf_dir, "scan_deletion_vectors")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -4332,3 +4332,45 @@ def test_ljung_box_hand_computed_alternating_series(spark, tmp_path):
     assert alt["q_stat"] == 9.0
     assert alt["chi2_crit_95"] == 7.814728
     assert alt["reject_white_noise"] is True
+
+
+def test_deletion_vectors_positional_not_predicate(spark, tmp_path):
+    # The reader applies POSITIONS, not the predicate: corrupt the DV by
+    # dropping one entry after layout build — the row whose position was
+    # removed must come back, proving the read path consults the DV file
+    # rather than re-evaluating o_orderkey % 7.
+    import os
+    from pyspark.sql import functions as F
+
+    t = datetime.datetime(1995, 3, 1)
+    rows = [(k, 1, "O", 100.0 + k, t, "1-URGENT", "c", 0, "x")
+            for k in range(1, 30)]
+    schema = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+              " o_totalprice double, o_orderdate timestamp,"
+              " o_orderpriority string, o_clerk string, o_shippriority int,"
+              " o_comment string")
+    _write(spark, tmp_path, "orders", rows, schema)
+    q = eng.queries()["scan_deletion_vectors"]
+    out1 = {r["o_orderkey"] for r in q(spark, str(tmp_path)).collect()}
+    assert out1 == {k for k in range(1, 30) if k % 7 != 3}
+    # drop the DV entry for key 10 (10 % 7 == 3 -> was deleted)
+    import glob as _glob
+    from nedp_etl_spark.operators.scans import _scratch as _sc
+    dv_dir = os.path.join(_sc("scan_deletion_vectors", str(tmp_path)), "deletes")
+    dv = spark.read.parquet(dv_dir)
+    base_dir = os.path.join(_sc("scan_deletion_vectors", str(tmp_path)), "base")
+    pos10 = (spark.read.parquet(base_dir)
+             .select(F.col("o_orderkey"),
+                     F.col("_metadata.row_index").alias("pos"),
+                     F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                      .alias("file_name"))
+             .filter(F.col("o_orderkey") == 10).collect()[0])
+    kept = dv.filter(~((F.col("file_name") == pos10["file_name"])
+                       & (F.col("pos") == pos10["pos"])))
+    kept.coalesce(1).write.mode("overwrite").parquet(dv_dir + "_tmp")
+    for f in _glob.glob(os.path.join(dv_dir, "*")):
+        os.remove(f)
+    for f in _glob.glob(os.path.join(dv_dir + "_tmp", "*")):
+        os.rename(f, os.path.join(dv_dir, os.path.basename(f)))
+    out2 = {r["o_orderkey"] for r in q(spark, str(tmp_path)).collect()}
+    assert out2 == out1 | {10}
