@@ -4806,3 +4806,186 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("p.rho").alias("rho"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_jackknife_ci — delete-one-day (block) jackknife confidence interval
+# for a RATIO estimator (Quenouille 1956 / Tukey 1958; the delete-a-group
+# jackknife is the survey-statistics standard for metrics whose
+# denominator is itself random): per metric, R̂ = Σ value / #user-days,
+# and each day's leave-one-out replicate R₍ᵢ₎ = (S−sᵢ)/(N−nᵢ) comes from
+# per-day partials — no resampling, no second corpus pass.  Complements
+# agg_bootstrap_ci (derandomized row resampling of a MEAN): the jackknife
+# handles the ratio's denominator randomness and needs only d replicates.
+#
+# Scale shape: ONE keyed aggregate over events (per (metric, day) partial
+# sums — calendar-bounded), a per-metric total, and the replicate algebra
+# on ≤ #days rows per metric joined via broadcast.  No windows.
+#
+# Parity discipline: day partials are dsum-exact fixed-point bigints and
+# exact distinct counts; replicates quantize q6; squared deviations
+# quantize 1e-12 BEFORE the cross-day sum; se/CI are identical IEEE
+# expressions.  Degenerate series (d < 2 or a replicate denominator ≤ 0)
+# yield NULL stats rather than a wrong interval.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_JK_Z = 1.959964
+
+_JACKKNIFE_ORACLE = f"""
+WITH day_part AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS svq,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS ud
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+tot AS (
+  SELECT event_type, CAST(SUM(svq) AS BIGINT) AS s,
+         CAST(SUM(ud) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS d_days
+  FROM day_part GROUP BY event_type
+),
+rep AS (
+  SELECT p.event_type, t.s, t.n, t.d_days,
+         CASE WHEN t.n - p.ud > 0 THEN
+           FLOOR((t.s - p.svq) / 1000000.0 / (t.n - p.ud) * 1000000.0 + 0.5)
+           / 1000000.0 END AS r_i
+  FROM day_part p JOIN tot t ON t.event_type = p.event_type
+),
+agg AS (
+  SELECT event_type, s, n, d_days,
+         COUNT(*) = COUNT(r_i) AS ok,
+         CAST(SUM(CAST(FLOOR(r_i * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / d_days / 1000000.0 AS rbar
+  FROM rep GROUP BY event_type, s, n, d_days
+),
+vr AS (
+  SELECT r.event_type, a.s, a.n, a.d_days, a.ok,
+         CAST(SUM(CAST(FLOOR((r.r_i - a.rbar) * (r.r_i - a.rbar)
+                             * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS tq
+  FROM rep r JOIN agg a ON a.event_type = r.event_type
+  GROUP BY r.event_type, a.s, a.n, a.d_days, a.ok
+),
+fin AS (
+  SELECT event_type, d_days,
+         FLOOR(s / 1000000.0 / n * 1000000.0 + 0.5) / 1000000.0 AS r_hat,
+         CASE WHEN ok AND d_days >= 2 THEN
+           FLOOR(sqrt((d_days - 1.0) / d_days * (CAST(tq AS DOUBLE)
+                 / 1000000000000.0)) * 1000000.0 + 0.5) / 1000000.0
+         END AS jk_se
+  FROM vr
+)
+SELECT event_type, d_days AS n_days, r_hat, jk_se,
+       CASE WHEN jk_se IS NOT NULL THEN
+         FLOOR((r_hat - {_JK_Z} * jk_se) * 1000000.0 + 0.5) / 1000000.0
+       END AS ci_lo,
+       CASE WHEN jk_se IS NOT NULL THEN
+         FLOOR((r_hat + {_JK_Z} * jk_se) * 1000000.0 + 0.5) / 1000000.0
+       END AS ci_hi
+FROM fin
+"""
+
+
+@register("agg_jackknife_ci", oracle=_JACKKNIFE_ORACLE)
+def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # eager checkpoint: tot/rep/vr all branch off the calendar-bounded
+    # partial relation — without it each branch re-scans events (the
+    # ts_acf shared-branch fix; 4 corpus scans observed in the plan).
+    day_part = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("svq"),
+            F.countDistinct("user_id").cast("bigint").alias("ud"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = day_part.groupBy("event_type").agg(
+        F.sum("svq").cast("bigint").alias("s"),
+        F.sum("ud").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("d_days"),
+    )
+    rep = day_part.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "s",
+        "n",
+        "d_days",
+        F.when(
+            F.col("n") - F.col("ud") > 0,
+            F.floor(
+                (F.col("s") - F.col("svq"))
+                / 1_000_000.0
+                / (F.col("n") - F.col("ud"))
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0,
+        ).alias("r_i"),
+    )
+    agg = rep.groupBy("event_type", "s", "n", "d_days").agg(
+        (F.count(F.lit(1)) == F.count("r_i")).alias("ok"),
+        (
+            F.sum(F.floor(F.col("r_i") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / F.col("d_days")
+            / 1_000_000.0
+        ).alias("rbar"),
+    )
+    dev = F.col("r_i") - F.col("rbar")
+    vr = (
+        rep.join(
+            F.broadcast(agg.select("event_type", "ok", "rbar")), "event_type"
+        )
+        .groupBy("event_type", "s", "n", "d_days", "ok")
+        .agg(
+            F.sum(
+                F.floor(dev * dev * 1_000_000_000_000.0 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("tq")
+        )
+    )
+    dd = F.col("d_days")
+    fin = vr.select(
+        "event_type",
+        "d_days",
+        (
+            F.floor(F.col("s") / 1_000_000.0 / F.col("n") * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("r_hat"),
+        F.when(
+            F.col("ok") & (dd >= 2),
+            F.floor(
+                F.sqrt(
+                    (dd - 1.0)
+                    / dd
+                    * (F.col("tq").cast("double") / 1_000_000_000_000.0)
+                )
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0,
+        ).alias("jk_se"),
+    )
+    se = F.col("jk_se")
+    return fin.select(
+        "event_type",
+        dd.alias("n_days"),
+        "r_hat",
+        "jk_se",
+        F.when(
+            se.isNotNull(),
+            F.floor((F.col("r_hat") - _JK_Z * se) * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0,
+        ).alias("ci_lo"),
+        F.when(
+            se.isNotNull(),
+            F.floor((F.col("r_hat") + _JK_Z * se) * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0,
+        ).alias("ci_hi"),
+    )

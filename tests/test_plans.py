@@ -1625,3 +1625,13 @@ def test_deletion_vectors_broadcast_anti_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_jackknife_runs_on_daily_partials(spark, sf_dir):
+    # One corpus-sized keyed aggregate (day partials); replicate algebra
+    # joins the calendar-bounded partials to broadcast totals.  No
+    # windows, no cartesian, one events scan.
+    plan = _plan(spark, sf_dir, "agg_jackknife_ci")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") <= 1

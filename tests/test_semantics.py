@@ -4374,3 +4374,34 @@ def test_deletion_vectors_positional_not_predicate(spark, tmp_path):
         os.rename(f, os.path.join(dv_dir, os.path.basename(f)))
     out2 = {r["o_orderkey"] for r in q(spark, str(tmp_path)).collect()}
     assert out2 == out1 | {10}
+
+
+def test_jackknife_ci_hand_computed_ratio(spark, tmp_path):
+    # Metric m: day1 two users (values 4, 6), day2 one user (4), day3 one
+    # user (6).  R = 20/4 = 5.0; replicates 5.0, 5.333333, 4.666667 ->
+    # rbar = 5.0, var = (2/3) * 0.222221777778 -> se = 0.3849 exactly at
+    # the q6 ladder; CI = 5 -/+ 1.959964*se = [4.24561, 5.75439].
+    base = datetime.datetime(2024, 3, 1, 9, 0)
+    rows = [
+        (0, base, 1, "m", 4.0, "{}"),
+        (1, base, 2, "m", 6.0, "{}"),
+        (2, base + datetime.timedelta(days=1), 1, "m", 4.0, "{}"),
+        (3, base + datetime.timedelta(days=2), 2, "m", 6.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_jackknife_ci"](spark, str(tmp_path)).collect()
+    assert (r["event_type"], r["n_days"]) == ("m", 3)
+    assert r["r_hat"] == 5.0
+    assert r["jk_se"] == 0.3849
+    assert (r["ci_lo"], r["ci_hi"]) == (4.24561, 5.75439)
+
+
+def test_jackknife_ci_single_day_yields_null(spark, tmp_path):
+    # One day only: no leave-one-out replicate has a positive denominator
+    # (N - n_1 = 0) -> se and CI NULL, point estimate still reported.
+    t = datetime.datetime(2024, 3, 1, 9, 0)
+    rows = [(0, t, 1, "m", 8.0, "{}"), (1, t, 2, "m", 2.0, "{}")]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_jackknife_ci"](spark, str(tmp_path)).collect()
+    assert r["r_hat"] == 5.0
+    assert r["jk_se"] is None and r["ci_lo"] is None and r["ci_hi"] is None
