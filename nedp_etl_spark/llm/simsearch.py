@@ -1680,3 +1680,150 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_mmr_diversify — Maximal Marginal Relevance re-ranking (Carbonell &
+# Goldstein 1998): greedily pick K results maximizing
+# λ·rel(i) − (1−λ)·max_{j∈S} sim(i,j) — the standard diversification stage
+# between retrieval and a RAG prompt, so the context window isn't K
+# near-copies of the same passage.
+#
+# Scale shape: the DISTRIBUTED work is relevance scoring (broadcast probe
+# against the corpus) and the top-N pool cut (sort+limit —
+# TakeOrderedAndProject, never a global window).  The greedy re-rank then
+# runs driver-side on the POOL-sized relation (N=24 rows — bounded by
+# construction, the llm_kmeans bounded-collect precedent): exactly how a
+# production retriever does it, rerank being client-side over the
+# retrieved page.  K chained DataFrame stages would shuffle 24 rows K
+# times for no benefit.
+#
+# Parity discipline: every similarity and score quantizes via the q6
+# floor formula (identical IEEE sequence in Python driver code, Spark,
+# and the oracle's K generated chained CTEs); λ = 0.7 and 1−λ = 0.3 are
+# twin literals (never computed — 1-0.7 != 0.3 in binary); ties break on
+# vec_id ascending everywhere.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_MMR_POOL, _MMR_K = 24, 8
+_MMR_LAM, _MMR_ONE_MINUS_LAM = "0.7", "0.3"
+
+
+def _mmr_oracle() -> str:
+    q6s = lambda e: f"FLOOR(({e}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    cos = lambda a, b: (  # noqa: E731
+        f"list_dot_product({a}.v, {b}.v) / (sqrt(list_dot_product({a}.v, {a}.v))"
+        f" * sqrt(list_dot_product({b}.v, {b}.v)))"
+    )
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT v FROM e WHERE vec_id = 0),
+pool AS MATERIALIZED (
+  SELECT e.vec_id, {q6s(cos('p', 'e'))} AS rel, e.v
+  FROM e, p WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL}
+),
+ps AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b, {q6s(cos('a', 'b'))} AS sim
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+),
+p1 AS MATERIALIZED (SELECT vec_id, rel, 0.0 AS max_sim,
+              {q6s(f'{_MMR_LAM} * rel')} AS score
+       FROM pool ORDER BY score DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id FROM p1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f""",
+p{i} AS MATERIALIZED (SELECT pl.vec_id AS vec_id, pl.rel, ms.max_sim,
+              {q6s(f'{_MMR_LAM} * pl.rel - {_MMR_ONE_MINUS_LAM} * ms.max_sim')}
+                AS score
+         FROM pool pl
+         JOIN (SELECT a AS vec_id, MAX(sim) AS max_sim FROM ps
+               WHERE b IN (SELECT vec_id FROM sel{i - 1}) GROUP BY a) ms
+           ON ms.vec_id = pl.vec_id
+         WHERE pl.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+         ORDER BY score DESC, vec_id LIMIT 1),
+sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM p{i})"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, vec_id, rel AS relevance, max_sim,"
+        f" score AS mmr_score FROM p{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+_MMR_ORACLE = _mmr_oracle()
+
+
+@register("llm_mmr_diversify", oracle=_MMR_ORACLE)
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _dvec("embedding").alias("v")).withColumn(
+        "n", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("n").alias("pn")
+    )
+    rel = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "v",
+            (
+                F.floor(
+                    _dot(F.col("pv"), F.col("v"))
+                    / (F.col("pn") * F.col("n"))
+                    * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("rel"),
+        )
+    )
+    # bounded collect: exactly _MMR_POOL rows by construction (the rerank
+    # page a client holds in memory) — the llm_kmeans centroid precedent
+    pool = rel.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_POOL).collect()
+    vecs = {r["vec_id"]: r["v"] for r in pool}
+    rels = {r["vec_id"]: r["rel"] for r in pool}
+
+    def cos(a: int, b: int) -> float:
+        va, vb = vecs[a], vecs[b]
+        s = na = nb = 0.0
+        for x, y in zip(va, vb):  # sequential folds — _dot's exact order
+            s += x * y
+        for x in va:
+            na += x * x
+        for y in vb:
+            nb += y * y
+        return math.floor(s / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5) / 1e6
+
+    lam, one_minus = float(_MMR_LAM), float(_MMR_ONE_MINUS_LAM)
+    selected: list = []
+    out = []
+    remaining = sorted(vecs)
+    for rank in range(1, _MMR_K + 1):
+        if not remaining:  # pool smaller than K (tiny fixtures)
+            break
+        best = None
+        for vid in remaining:
+            ms = max((cos(vid, s) for s in selected), default=0.0)
+            score = math.floor((lam * rels[vid] - one_minus * ms) * 1e6 + 0.5) / 1e6
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, ms, score)
+        _, vid, ms, score = best
+        selected.append(vid)
+        remaining.remove(vid)
+        out.append((rank, vid, rels[vid], ms, score))
+    return spark.createDataFrame(
+        out, "rank int, vec_id bigint, relevance double, max_sim double,"
+        " mmr_score double"
+    )

@@ -4405,3 +4405,28 @@ def test_jackknife_ci_single_day_yields_null(spark, tmp_path):
     [r] = eng.queries()["agg_jackknife_ci"](spark, str(tmp_path)).collect()
     assert r["r_hat"] == 5.0
     assert r["jk_se"] is None and r["ci_lo"] is None and r["ci_hi"] is None
+
+
+def test_mmr_diversify_prefers_diverse_over_duplicate(spark, tmp_path):
+    # Probe [1,0,0,0].  Candidates: v1 and v2 are EXACT duplicates
+    # (rel 0.9 each, mutual sim 1.0); v3 has the same relevance 0.9 but
+    # points the other way (sim(v3, v1) = 0.62).  Pure relevance ranks
+    # [1, 2, 3] (tie on vec_id); MMR must pick v1, then v3 over the
+    # duplicate (0.63 - 0.3*0.62 = 0.444 > 0.63 - 0.3*1.0 = 0.33), and
+    # v2 last with max_sim 1.0 to the already-selected twin.
+    b = 0.4358898943540674  # sqrt(1 - 0.81): unit-norm companions
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, b, 0.0, 0.0], 0),
+        (2, [0.9, b, 0.0, 0.0], 0),
+        (3, [0.9, -b, 0.0, 0.0], 0),
+    ]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    out = eng.queries()["llm_mmr_diversify"](spark, str(tmp_path)).collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]  # not the rel order 1,2,3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["max_sim"] == 0.0
+    assert out[2]["max_sim"] == 1.0          # the duplicate's penalty
+    assert abs(out[1]["max_sim"] - 0.62) < 1e-4
+    assert out[1]["mmr_score"] > out[2]["mmr_score"]
