@@ -4989,3 +4989,147 @@ def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0,
         ).alias("ci_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_raking_ipf — survey-weight raking by iterative proportional fitting
+# (Deming & Stephan 1940): a biased subsample (customers with positive
+# account balance) gets per-cell weights scaled in T=5 alternating passes
+# so its (nation, segment) margins match the FULL population's margins —
+# the post-stratification standard for reweighting any skewed sample
+# (panels, A/B holdouts, response bias).
+#
+# Scale shape: ONE corpus aggregate produces the cell table with BOTH the
+# subsample count and the population count (margins derive from the cells
+# — no second scan); the 2T scaling passes run on the model-sized cell
+# relation (≤ nations × segments rows) with keyed sums + broadcast
+# factors.
+#
+# Parity discipline: weights are q9 fixed-point after EVERY scaling step;
+# margin sums accumulate as exact scaled bigints; the scale factor
+# N/(S_q9/1e9) is an identical IEEE expression both engines; a dimension
+# slice with zero subsample mass keeps its weights (CASE S>0) instead of
+# dividing by zero.  The oracle is 2T generated MATERIALIZED CTE stages
+# (the llm_mmr_diversify lesson: unhinted chained CTEs re-expand
+# exponentially in DuckDB).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_IPF_T = 5
+
+
+def _ipf_oracle() -> str:
+    step = (
+        "CASE WHEN s.sq > 0 THEN FLOOR(w.w * m.{tgt} /"
+        " (CAST(s.sq AS DOUBLE) / 1000000000.0) * 1000000000.0 + 0.5)"
+        " / 1000000000.0 ELSE w.w END AS w"
+    )
+    parts = [
+        """
+WITH cells AS MATERIALIZED (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(COUNT(*) FILTER (WHERE c_acctbal > 0) AS BIGINT) AS n_s,
+         CAST(COUNT(*) AS BIGINT) AS n_pop
+  FROM customer GROUP BY 1, 2
+),
+mn AS MATERIALIZED (SELECT nk, CAST(SUM(n_pop) AS BIGINT) AS tn
+                    FROM cells GROUP BY nk),
+ms AS MATERIALIZED (SELECT seg, CAST(SUM(n_pop) AS BIGINT) AS ts
+                    FROM cells GROUP BY seg),
+w0 AS MATERIALIZED (SELECT nk, seg, n_s, CAST(n_s AS DOUBLE) AS w FROM cells)"""
+    ]
+    prev = "w0"
+    for t in range(1, _IPF_T + 1):
+        parts.append(
+            f""",
+a{t} AS MATERIALIZED (
+  SELECT w.nk, w.seg, w.n_s, {step.format(tgt='tn')}
+  FROM {prev} w
+  JOIN (SELECT nk, SUM(CAST(FLOOR(w * 1000000000.0 + 0.5) AS BIGINT)) AS sq
+        FROM {prev} GROUP BY nk) s ON s.nk = w.nk
+  JOIN mn m ON m.nk = w.nk
+),
+b{t} AS MATERIALIZED (
+  SELECT w.nk, w.seg, w.n_s, {step.format(tgt='ts')}
+  FROM a{t} w
+  JOIN (SELECT seg, SUM(CAST(FLOOR(w * 1000000000.0 + 0.5) AS BIGINT)) AS sq
+        FROM a{t} GROUP BY seg) s ON s.seg = w.seg
+  JOIN ms m ON m.seg = w.seg
+)"""
+        )
+        prev = f"b{t}"
+    parts.append(
+        f"""
+SELECT nk AS c_nationkey, seg AS c_mktsegment, n_s AS n_sample,
+       n_pop AS n_population,
+       FLOOR({prev}.w * 1000000.0 + 0.5) / 1000000.0 AS raked_weight
+FROM {prev} JOIN cells USING (nk, seg, n_s)"""
+    )
+    return "".join(parts)
+
+
+_IPF_ORACLE = _ipf_oracle()
+
+
+@register("agg_raking_ipf", oracle=_IPF_ORACLE)
+def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        c.groupBy(
+            F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+        )
+        .agg(
+            F.count(F.when(F.col("c_acctbal") > 0, 1)).cast("bigint").alias("n_s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        )
+        .localCheckpoint(eager=True)  # one corpus scan; 2T+2 consumers
+    )
+    mn = cells.groupBy("nk").agg(F.sum("n_pop").cast("bigint").alias("tn"))
+    ms = cells.groupBy("seg").agg(F.sum("n_pop").cast("bigint").alias("ts"))
+    w = cells.select("nk", "seg", "n_s", F.col("n_s").cast("double").alias("w"))
+
+    def _scale(df: DataFrame, key: str, margins: DataFrame, tgt: str) -> DataFrame:
+        sq = df.groupBy(key).agg(
+            F.sum(F.floor(F.col("w") * 1_000_000_000.0 + F.lit(0.5)).cast("bigint"))
+            .alias("sq")
+        )
+        return (
+            df.join(F.broadcast(sq), key)
+            .join(F.broadcast(margins), key)
+            .select(
+                "nk",
+                "seg",
+                "n_s",
+                F.when(
+                    F.col("sq") > 0,
+                    F.floor(
+                        F.col("w")
+                        * F.col(tgt)
+                        / (F.col("sq").cast("double") / 1_000_000_000.0)
+                        * 1_000_000_000.0
+                        + F.lit(0.5)
+                    )
+                    / 1_000_000_000.0,
+                )
+                .otherwise(F.col("w"))
+                .alias("w"),
+            )
+        )
+
+    for _ in range(_IPF_T):
+        # per-pass checkpoint (the graph_connected_components round
+        # discipline): _scale consumes its input twice (margin sum + join),
+        # so an unmaterialized lineage doubles per stage — 2^(2T) plan
+        # blowup observed.  The relation is model-sized (≤ cells rows).
+        w = _scale(w, "nk", mn, "tn").localCheckpoint(eager=True)
+        w = _scale(w, "seg", ms, "ts").localCheckpoint(eager=True)
+    return w.join(cells.select("nk", "seg", "n_pop"), ["nk", "seg"]).select(
+        F.col("nk").alias("c_nationkey"),
+        F.col("seg").alias("c_mktsegment"),
+        F.col("n_s").alias("n_sample"),
+        F.col("n_pop").alias("n_population"),
+        (F.floor(F.col("w") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "raked_weight"
+        ),
+    )

@@ -1635,3 +1635,13 @@ def test_jackknife_runs_on_daily_partials(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert plan.count("Scan parquet") <= 1
+
+
+def test_raking_ipf_model_sized_iterations(spark, sf_dir):
+    # The 2T scaling passes run on the checkpointed cell relation
+    # (<= nations x segments rows); the final plan joins checkpoint scans
+    # only — at most the single corpus aggregate's parquet scan survives.
+    plan = _plan(spark, sf_dir, "agg_raking_ipf")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") <= 1

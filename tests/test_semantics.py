@@ -4430,3 +4430,47 @@ def test_mmr_diversify_prefers_diverse_over_duplicate(spark, tmp_path):
     assert out[2]["max_sim"] == 1.0          # the duplicate's penalty
     assert abs(out[1]["max_sim"] - 0.62) < 1e-4
     assert out[1]["mmr_score"] > out[2]["mmr_score"]
+
+
+def test_raking_ipf_symmetric_converges_exactly(spark, tmp_path):
+    # Population 2x2 with margins A=3, B=3, s1=3, s2=3; subsample has one
+    # unit per cell.  IPF scales every weight to exactly 1.5 in one pass
+    # and stays there — fixed point, pinned exactly.
+    rows, i = [], 0
+    # (nation, seg, in_sample): pop A-s1 2 (1 sampled), A-s2 1 (1), B-s1 1
+    # (1), B-s2 2 (1)
+    for nk, seg, bal in [(0, "s1", 10.0), (0, "s1", -5.0), (0, "s2", 10.0),
+                         (1, "s1", 10.0), (1, "s2", 10.0), (1, "s2", -5.0)]:
+        rows.append((i, f"c{i}", "addr", nk, "p", bal, seg, "x")); i += 1
+    schema = ("c_custkey bigint, c_name string, c_address string,"
+              " c_nationkey bigint, c_phone string, c_acctbal double,"
+              " c_mktsegment string, c_comment string")
+    _write(spark, tmp_path, "customer", rows, schema)
+    out = {(r["c_nationkey"], r["c_mktsegment"]): r for r in
+           eng.queries()["agg_raking_ipf"](spark, str(tmp_path)).collect()}
+    assert len(out) == 4
+    assert all(r["raked_weight"] == 1.5 for r in out.values())
+    assert out[(0, "s1")]["n_sample"] == 1 and out[(0, "s1")]["n_population"] == 2
+    # raked SEGMENT margins hit the targets (segment is the final pass):
+    s1 = sum(r["raked_weight"] for k, r in out.items() if k[1] == "s1")
+    s2 = sum(r["raked_weight"] for k, r in out.items() if k[1] == "s2")
+    assert (s1, s2) == (3.0, 3.0)
+
+
+def test_raking_ipf_empty_slice_keeps_zero_weights(spark, tmp_path):
+    # A nation with population but NO sampled unit cannot be raked: its
+    # cells keep weight 0 (S=0 guard) instead of dividing by zero, and
+    # sampled nations still hit their own margins.
+    rows = [
+        (0, "c0", "a", 0, "p", 10.0, "s1", "x"),
+        (1, "c1", "a", 0, "p", 10.0, "s1", "x"),
+        (2, "c2", "a", 1, "p", -3.0, "s1", "x"),  # nation 1: never sampled
+    ]
+    schema = ("c_custkey bigint, c_name string, c_address string,"
+              " c_nationkey bigint, c_phone string, c_acctbal double,"
+              " c_mktsegment string, c_comment string")
+    _write(spark, tmp_path, "customer", rows, schema)
+    out = {(r["c_nationkey"], r["c_mktsegment"]): r for r in
+           eng.queries()["agg_raking_ipf"](spark, str(tmp_path)).collect()}
+    assert out[(1, "s1")]["raked_weight"] == 0.0
+    assert out[(0, "s1")]["raked_weight"] > 0.0
