@@ -3509,3 +3509,199 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("chi2_crit_95"),
         (q_stat > crit).alias("reject_white_noise"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_hurst_exponent — long-memory estimation by rescaled-range analysis
+# (Hurst 1951; Mandelbrot & Wallis 1969): chop each series' daily values
+# into full blocks of n ∈ {8,16,32} days, compute the rescaled range
+# R/S per block (range of cumulative deviations over population std),
+# average per scale, and fit log2(mean R/S) against log2(n) — the slope
+# is H.  H≈0.5 random walk, H→1 persistent/trending, H→0 mean-reverting:
+# the "does this KPI trend or revert" fingerprint behind retention and
+# load forecasting choices.
+#
+# Scale shape: everything runs on the calendar-bounded daily rollup
+# (eagerly checkpointed — scale explosion ×3 and the regression branch
+# reuse it); windows partition by (series, scale, block) — never global.
+# The regression runs on ≤ 3 rows per series.
+#
+# Parity discipline: block means ROUND 6 (the _daily ladder); per-day
+# squared deviations quantize 1e-12 before the block sum; cumulative
+# deviations sum in day order under identical window frames (same IEEE
+# sequence both engines); R/S quantizes q6, per-scale means are exact
+# fixed-point ratios; log2 is written ln(x)/ln(2.0) TEXTUALLY on both
+# engines and quantizes q9 before the exact-integer regression sums;
+# log2(n) is exact (3,4,5).  Series with <2 populated scales yield NULL.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_HURST_SCALES = [8, 16, 32]
+
+_HURST_ORACLE = f"""
+WITH {_DAILY_CTE},
+idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+  FROM daily
+),
+nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+  GROUP BY event_type
+),
+blocks AS (
+  SELECT i.event_type, s.n, CAST(FLOOR((i.t - 1) / s.n) AS BIGINT) AS blk,
+         i.t, i.v
+  FROM idx i JOIN (SELECT UNNEST([{', '.join(str(x) for x in _HURST_SCALES)}]) AS n) s
+    ON TRUE
+),
+fullb AS (
+  SELECT event_type, n, blk
+  FROM blocks GROUP BY event_type, n, blk HAVING COUNT(*) = MAX(n)
+),
+bm AS (
+  SELECT b.event_type, b.n, b.blk,
+         ROUND({osum('b.v')} / COUNT(*), 6) AS m
+  FROM blocks b JOIN fullb f
+    ON f.event_type = b.event_type AND f.n = b.n AND f.blk = b.blk
+  GROUP BY b.event_type, b.n, b.blk
+),
+dev AS (
+  SELECT b.event_type, b.n, b.blk, b.t, b.v - bm.m AS dv,
+         SUM(b.v - bm.m) OVER (PARTITION BY b.event_type, b.n, b.blk
+                               ORDER BY b.t) AS z
+  FROM blocks b JOIN bm
+    ON bm.event_type = b.event_type AND bm.n = b.n AND bm.blk = b.blk
+),
+rs AS (
+  SELECT event_type, n, blk,
+         MAX(z) - MIN(z) AS r,
+         CAST(SUM(CAST(FLOOR(dv * dv * 1000000000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS ssq
+  FROM dev GROUP BY event_type, n, blk
+),
+rsq AS (
+  SELECT event_type, n,
+         CAST(FLOOR(r / sqrt(CAST(ssq AS DOUBLE) / 1000000000000.0 / n)
+                    * 1000000.0 + 0.5) AS BIGINT) AS rs_q
+  FROM rs WHERE ssq > 0
+),
+sc AS (
+  SELECT event_type, n,
+         CAST(FLOOR(ln(CAST(SUM(rs_q) AS DOUBLE) / COUNT(*) / 1000000.0)
+                    / ln(2.0) * 1000000000.0 + 0.5) AS BIGINT) AS yq,
+         CAST(CASE n WHEN 8 THEN 3 WHEN 16 THEN 4 WHEN 32 THEN 5 END
+              AS BIGINT) AS x
+  FROM rsq GROUP BY event_type, n
+),
+fit AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(x * yq) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM sc GROUP BY event_type
+)
+SELECT nn.event_type, nn.n_days, COALESCE(fit.k, 0) AS n_scales,
+       CASE WHEN fit.k >= 2 THEN
+         FLOOR(CAST(fit.k * fit.sxy - fit.sx * fit.sy AS DOUBLE)
+               / CAST(fit.k * fit.sxx - fit.sx * fit.sx AS DOUBLE)
+               / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0
+       END AS hurst
+FROM nn LEFT JOIN fit ON fit.event_type = nn.event_type
+"""
+
+
+@register("ts_hurst_exponent", oracle=_HURST_ORACLE)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev).localCheckpoint(eager=True)  # ×3 scales + count branch
+    idx = daily.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("t"),
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    blocks = idx.select(
+        "event_type",
+        "v",
+        "t",
+        F.explode(F.array(*[F.lit(x) for x in _HURST_SCALES])).alias("n"),
+    ).withColumn("blk", F.floor((F.col("t") - 1) / F.col("n")).cast("bigint"))
+    fullb = (
+        blocks.groupBy("event_type", "n", "blk")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("n").alias("mn"))
+        .filter(F.col("c") == F.col("mn"))
+        .select("event_type", "n", "blk")
+    )
+    kept = blocks.join(fullb, ["event_type", "n", "blk"])
+    bm = kept.groupBy("event_type", "n", "blk").agg(
+        F.round(dsum("v") / F.count(F.lit(1)), 6).alias("m")
+    )
+    wz = Window.partitionBy("event_type", "n", "blk").orderBy("t")
+    dev = kept.join(bm, ["event_type", "n", "blk"]).select(
+        "event_type",
+        "n",
+        "blk",
+        "t",
+        (F.col("v") - F.col("m")).alias("dv"),
+    ).withColumn("z", F.sum("dv").over(wz))
+    rs = dev.groupBy("event_type", "n", "blk").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.sum(
+            F.floor(F.col("dv") * F.col("dv") * 1_000_000_000_000.0 + F.lit(0.5))
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("ssq"),
+    )
+    rsq = rs.filter(F.col("ssq") > 0).select(
+        "event_type",
+        "n",
+        F.floor(
+            F.col("r")
+            / F.sqrt(F.col("ssq").cast("double") / 1_000_000_000_000.0 / F.col("n"))
+            * 1_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rs_q"),
+    )
+    xmap = F.when(F.col("n") == 8, 3).when(F.col("n") == 16, 4).otherwise(5)
+    sc = rsq.groupBy("event_type", "n").agg(
+        F.floor(
+            F.log(F.sum("rs_q").cast("double") / F.count(F.lit(1)) / 1_000_000.0)
+            / F.log(F.lit(2.0))
+            * 1_000_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("yq"),
+    ).withColumn("x", xmap.cast("bigint"))
+    fit = sc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("yq")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    k = F.col("k")
+    return nn.join(fit, "event_type", "left").select(
+        "event_type",
+        "n_days",
+        F.coalesce(k, F.lit(0)).cast("bigint").alias("n_scales"),
+        F.when(
+            k >= 2,
+            F.floor(
+                (k * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (k * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                / 1_000_000_000.0
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0,
+        ).alias("hurst"),
+    )

@@ -122,6 +122,7 @@ _PRIORITY: list[str] = [
     "agg_jackknife_ci",           # NEW r9: delete-one-day jackknife ratio CI
     "llm_mmr_diversify",          # NEW r9: MMR retrieval diversification
     "agg_raking_ipf",             # NEW r9: IPF survey-weight raking
+    "ts_hurst_exponent",          # NEW r9: rescaled-range long-memory estimate
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

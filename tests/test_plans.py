@@ -1645,3 +1645,12 @@ def test_raking_ipf_model_sized_iterations(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert plan.count("Scan parquet") <= 1
+
+
+def test_hurst_windows_partition_by_block(spark, sf_dir):
+    # All windows partition by (series[, scale, block]); the regression
+    # runs on <= 3 rows/series.  One events scan (checkpointed rollup).
+    plan = _plan(spark, sf_dir, "ts_hurst_exponent")
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)
+    assert plan.count("Scan parquet") <= 1

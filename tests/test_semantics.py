@@ -4474,3 +4474,37 @@ def test_raking_ipf_empty_slice_keeps_zero_weights(spark, tmp_path):
            eng.queries()["agg_raking_ipf"](spark, str(tmp_path)).collect()}
     assert out[(1, "s1")]["raked_weight"] == 0.0
     assert out[(0, "s1")]["raked_weight"] > 0.0
+
+
+def test_hurst_alternating_is_antipersistent_zero(spark, tmp_path):
+    # 32 days of [1,-1,1,-1,...]: every full block at every scale has mean
+    # 0, cumulative deviations z in {1,0}, so R = 1 and S = 1 -> R/S = 1
+    # at n = 8, 16, 32 -> log-log slope EXACTLY 0 (perfectly
+    # anti-persistent).  "trend": v = t is maximally persistent -> H ~ 1.
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    for i in range(32):
+        rows.append((i, base + datetime.timedelta(days=i), i, "alt",
+                     1.0 if i % 2 == 0 else -1.0, "{}"))
+        rows.append((100 + i, base + datetime.timedelta(days=i), i, "trend",
+                     float(i + 1), "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           eng.queries()["ts_hurst_exponent"](spark, str(tmp_path)).collect()}
+    alt = out["alt"]
+    assert (alt["n_days"], alt["n_scales"]) == (32, 3)
+    assert alt["hurst"] == 0.0
+    tr = out["trend"]
+    assert tr["n_scales"] == 3
+    assert 0.97 < tr["hurst"] < 1.01
+
+
+def test_hurst_short_series_yields_null(spark, tmp_path):
+    # 10 days: only the n=8 scale has a full block -> 1 scale point -> no
+    # slope -> NULL (never a fake estimate from a single point).
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = [(i, base + datetime.timedelta(days=i), i, "s",
+             float((i * 7) % 5), "{}") for i in range(10)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["ts_hurst_exponent"](spark, str(tmp_path)).collect()
+    assert r["n_scales"] == 1 and r["hurst"] is None
