@@ -5133,3 +5133,247 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raked_weight"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_logistic_irls — logistic regression trained INSIDE the engine by
+# iteratively reweighted least squares (Nelder & Wedderburn 1972; the
+# textbook GLM fit): P(converted) ~ intercept + log(1+#events) +
+# log(1+avg value), T=6 IRLS passes, each pass ONE keyed aggregate of the
+# 9 sufficient statistics (X'WX upper triangle + X'Wz) and a closed-form
+# 3×3 cofactor solve on the 1-row result.  The "train the propensity /
+# quality classifier where the data lives" pattern — no corpus export, no
+# ML runtime; llm_quality_classifier SCORES a fixed model, this one FITS.
+#
+# Scale shape: features come from ONE user aggregate (eagerly
+# checkpointed; T passes re-read local blocks); each pass is a single
+# balanced aggregate (9 sums) with the current β broadcast as a 1-row
+# relation (allowlisted nested-loop, the llm_kmeans shape); the solve is
+# driver-free (1-row select, eagerly checkpointed so plan size stays
+# linear in T).
+#
+# Parity discipline: features quantize q6; per-row contributions quantize
+# 1e-9 fixed-point (bigint floor) BEFORE decimal/HUGEINT sums — exp is
+# per-row nonlinear, so engine sum order must not see raw doubles; μ
+# clamps to [1e-9, 1−1e-9] with shared literals (w = 0 would poison z);
+# β quantizes q9 after every solve; a singular normal matrix keeps the
+# previous β (det ≠ 0 guard) instead of dividing by zero.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_IRLS_T = 6
+_IRLS_FEATURES = ["intercept", "log_events", "log_avg_value"]
+
+
+def _irls_oracle() -> str:
+    np_cnt = "COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END)"
+    np_sum = osum("CASE WHEN event_type <> 'purchase' THEN value END")
+    parts = [
+        f"""
+WITH u AS MATERIALIZED (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+         FLOOR(ln(1 + {np_cnt}) * 1000000.0 + 0.5) / 1000000.0 AS x1,
+         CASE WHEN {np_cnt} > 0 THEN
+           FLOOR(ln(1 + GREATEST({np_sum} / {np_cnt}, 0.0)) * 1000000.0 + 0.5)
+           / 1000000.0
+         ELSE 0.0 END AS x2
+  FROM events GROUP BY user_id
+),
+bt0 AS MATERIALIZED (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"""
+    ]
+    q9 = lambda e: f"FLOOR(({e}) * 1000000000.0 + 0.5) / 1000000000.0"  # noqa: E731
+    sq = lambda e, n: (  # noqa: E731
+        f"CAST(SUM(CAST(FLOOR(({e}) * 1000000000.0 + 0.5) AS BIGINT))"
+        f" AS DOUBLE) / 1000000000.0 AS {n}"
+    )
+    for t in range(1, _IRLS_T + 1):
+        parts.append(
+            f""",
+s{t} AS MATERIALIZED (
+  SELECT {sq('w', 's00')}, {sq('w * x1', 's01')}, {sq('w * x2', 's02')},
+         {sq('w * x1 * x1', 's11')}, {sq('w * x1 * x2', 's12')},
+         {sq('w * x2 * x2', 's22')},
+         {sq('w * z', 'r0')}, {sq('w * z * x1', 'r1')}, {sq('w * z * x2', 'r2')}
+  FROM (
+    SELECT y, x1, x2, eta, muc, muc * (1.0 - muc) AS w,
+           eta + (y - muc) / (muc * (1.0 - muc)) AS z
+    FROM (
+      SELECT u.y, u.x1, u.x2,
+             b.b0 + b.b1 * u.x1 + b.b2 * u.x2 AS eta,
+             LEAST(GREATEST(
+               1.0 / (1.0 + exp(-(b.b0 + b.b1 * u.x1 + b.b2 * u.x2))),
+               0.000000001), 0.999999999) AS muc
+      FROM u, bt{t - 1} b))
+),
+bt{t} AS MATERIALIZED (
+  SELECT CASE WHEN det <> 0 THEN {q9('(c00 * r0 + c01 * r1 + c02 * r2) / det')}
+         ELSE pb0 END AS b0,
+         CASE WHEN det <> 0 THEN {q9('(c01 * r0 + c11 * r1 + c12 * r2) / det')}
+         ELSE pb1 END AS b1,
+         CASE WHEN det <> 0 THEN {q9('(c02 * r0 + c12 * r1 + c22 * r2) / det')}
+         ELSE pb2 END AS b2
+  FROM (
+    SELECT s{t}.*, pb.b0 AS pb0, pb.b1 AS pb1, pb.b2 AS pb2,
+           s11 * s22 - s12 * s12 AS c00,
+           s02 * s12 - s01 * s22 AS c01,
+           s01 * s12 - s02 * s11 AS c02,
+           s00 * s22 - s02 * s02 AS c11,
+           s01 * s02 - s00 * s12 AS c12,
+           s00 * s11 - s01 * s01 AS c22,
+           s00 * (s11 * s22 - s12 * s12)
+             - s01 * (s01 * s22 - s12 * s02)
+             + s02 * (s01 * s12 - s11 * s02) AS det
+    FROM s{t}, bt{t - 1} pb))"""
+        )
+    parts.append(
+        f""",
+nstat AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(y) AS BIGINT) AS n_converted
+  FROM u
+)
+SELECT f.feature, FLOOR(f.b * 1000000.0 + 0.5) / 1000000.0 AS beta,
+       n.n_users, n.n_converted
+FROM (
+  SELECT 'intercept' AS feature, b0 AS b FROM bt{_IRLS_T}
+  UNION ALL SELECT 'log_events', b1 FROM bt{_IRLS_T}
+  UNION ALL SELECT 'log_avg_value', b2 FROM bt{_IRLS_T}
+) f, nstat n"""
+    )
+    return "".join(parts)
+
+
+_IRLS_ORACLE = _irls_oracle()
+
+
+@register("agg_logistic_irls", oracle=_IRLS_ORACLE)
+def agg_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    npv = F.when(F.col("event_type") != "purchase", F.col("value"))
+    np_cnt = F.count(F.when(F.col("event_type") != "purchase", 1))
+    np_sum = F.sum(F.floor(npv * 1_000_000.0 + 0.5).cast("long")) / 1_000_000.0
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "y"
+            ),
+            np_cnt.alias("c_np"),
+            np_sum.alias("s_np"),
+        )
+        .select(
+            "y",
+            (
+                F.floor(F.log(1 + F.col("c_np")) * 1_000_000.0 + F.lit(0.5))
+                / 1_000_000.0
+            ).alias("x1"),
+            F.when(
+                F.col("c_np") > 0,
+                F.floor(
+                    F.log(
+                        1 + F.greatest(F.col("s_np") / F.col("c_np"), F.lit(0.0))
+                    )
+                    * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0,
+            )
+            .otherwise(0.0)
+            .alias("x2"),
+        )
+        .localCheckpoint(eager=True)  # T IRLS passes re-read local blocks
+    )
+    beta = spark.createDataFrame([(0.0, 0.0, 0.0)], "b0 double, b1 double, b2 double")
+
+    def _sq(e: F.Column, n: str) -> F.Column:
+        return (
+            F.sum(F.floor(e * 1_000_000_000.0 + F.lit(0.5)).cast("decimal(38,0)"))
+            .cast("double")
+            / 1_000_000_000.0
+        ).alias(n)
+
+    q9 = lambda c: F.floor(c * 1_000_000_000.0 + F.lit(0.5)) / 1_000_000_000.0  # noqa: E731
+    for _ in range(_IRLS_T):
+        eta = F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
+        rows = u.crossJoin(F.broadcast(beta)).select(
+            "y",
+            "x1",
+            "x2",
+            eta.alias("eta"),
+            F.least(
+                F.greatest(
+                    1.0 / (1.0 + F.exp(-eta)), F.lit(0.000000001)
+                ),
+                F.lit(0.999999999),
+            ).alias("muc"),
+        )
+        w = F.col("muc") * (1.0 - F.col("muc"))
+        rows = rows.select(
+            "y",
+            "x1",
+            "x2",
+            w.alias("w"),
+            (F.col("eta") + (F.col("y") - F.col("muc")) / w).alias("z"),
+        )
+        x1, x2, wv, z = F.col("x1"), F.col("x2"), F.col("w"), F.col("z")
+        s = rows.agg(
+            _sq(wv, "s00"), _sq(wv * x1, "s01"), _sq(wv * x2, "s02"),
+            _sq(wv * x1 * x1, "s11"), _sq(wv * x1 * x2, "s12"),
+            _sq(wv * x2 * x2, "s22"),
+            _sq(wv * z, "r0"), _sq(wv * z * x1, "r1"), _sq(wv * z * x2, "r2"),
+        )
+        c = lambda n: F.col(n)  # noqa: E731
+        solved = s.crossJoin(F.broadcast(beta.selectExpr(
+            "b0 as pb0", "b1 as pb1", "b2 as pb2"
+        ))).select(
+            "*",
+            (c("s11") * c("s22") - c("s12") * c("s12")).alias("c00"),
+            (c("s02") * c("s12") - c("s01") * c("s22")).alias("c01"),
+            (c("s01") * c("s12") - c("s02") * c("s11")).alias("c02"),
+            (c("s00") * c("s22") - c("s02") * c("s02")).alias("c11"),
+            (c("s01") * c("s02") - c("s00") * c("s12")).alias("c12"),
+            (c("s00") * c("s11") - c("s01") * c("s01")).alias("c22"),
+            (
+                c("s00") * (c("s11") * c("s22") - c("s12") * c("s12"))
+                - c("s01") * (c("s01") * c("s22") - c("s12") * c("s02"))
+                + c("s02") * (c("s01") * c("s12") - c("s11") * c("s02"))
+            ).alias("det"),
+        )
+        det = F.col("det")
+        beta = solved.select(
+            F.when(
+                det != 0,
+                q9((c("c00") * c("r0") + c("c01") * c("r1") + c("c02") * c("r2")) / det),
+            ).otherwise(F.col("pb0")).alias("b0"),
+            F.when(
+                det != 0,
+                q9((c("c01") * c("r0") + c("c11") * c("r1") + c("c12") * c("r2")) / det),
+            ).otherwise(F.col("pb1")).alias("b1"),
+            F.when(
+                det != 0,
+                q9((c("c02") * c("r0") + c("c12") * c("r1") + c("c22") * c("r2")) / det),
+            ).otherwise(F.col("pb2")).alias("b2"),
+        ).localCheckpoint(eager=True)  # 1 row; keeps plan size linear in T
+    nstat = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("y").cast("bigint").alias("n_converted"),
+    )
+    feats = beta.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("intercept").alias("feature"), F.col("b0").alias("b")),
+                F.struct(F.lit("log_events").alias("feature"), F.col("b1").alias("b")),
+                F.struct(
+                    F.lit("log_avg_value").alias("feature"), F.col("b2").alias("b")
+                ),
+            )
+        ).alias("f")
+    ).select(
+        F.col("f.feature").alias("feature"),
+        (F.floor(F.col("f.b") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "beta"
+        ),
+    )
+    return feats.crossJoin(F.broadcast(nstat))

@@ -277,7 +277,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "profile_json_schema",  # 1-row total broadcast over the 4-key sweep
                    "agg_price_index",  # 1-row base-month broadcast (O(part-months))
                    "agg_theil_decomposition",  # 1-row grand-total broadcast (O(n) terms)
-                   "ts_backtest_cv"}  # calendar-bounded cutoff-spine broadcast (O(weeks))
+                   "ts_backtest_cv",  # calendar-bounded cutoff-spine broadcast (O(weeks))
+                   "agg_logistic_irls"}  # 1-row beta broadcast per IRLS pass (O(n) agg)
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1654,3 +1655,14 @@ def test_hurst_windows_partition_by_block(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)
     assert plan.count("Scan parquet") <= 1
+
+
+def test_logistic_irls_aggregates_only(spark, sf_dir):
+    # Each IRLS pass = one balanced 9-sum aggregate with a 1-row beta
+    # broadcast (allowlisted); the solve is a 1-row select.  No windows,
+    # no sort-merge joins, one events scan feeding the checkpointed
+    # feature relation.
+    plan = _plan(spark, sf_dir, "agg_logistic_irls")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 0  # all inputs are checkpointed

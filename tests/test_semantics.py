@@ -4508,3 +4508,71 @@ def test_hurst_short_series_yields_null(spark, tmp_path):
     _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
     [r] = eng.queries()["ts_hurst_exponent"](spark, str(tmp_path)).collect()
     assert r["n_scales"] == 1 and r["hurst"] is None
+
+
+def _irls_replica(users, t_iters=6):
+    # Pure-Python third engine: the exact quantized IRLS recurrence
+    # (q6 features, 1e-9 per-term floors, q9 betas, mu clamp, det guard).
+    q6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    q9 = lambda v: math.floor(v * 1e9 + 0.5) / 1e9  # noqa: E731
+    feats = [
+        (y, q6(math.log(1 + n)),
+         q6(math.log(1 + max(avg, 0.0))) if n > 0 else 0.0)
+        for y, n, avg in users
+    ]
+    b = (0.0, 0.0, 0.0)
+    for _ in range(t_iters):
+        sums = [0] * 9
+        for y, x1, x2 in feats:
+            eta = b[0] + b[1] * x1 + b[2] * x2
+            muc = min(max(1.0 / (1.0 + math.exp(-eta)), 1e-9), 0.999999999)
+            w = muc * (1.0 - muc)
+            z = eta + (y - muc) / w
+            for i, t in enumerate([w, w * x1, w * x2, w * x1 * x1,
+                                   w * x1 * x2, w * x2 * x2,
+                                   w * z, w * z * x1, w * z * x2]):
+                sums[i] += math.floor(t * 1e9 + 0.5)
+        s00, s01, s02, s11, s12, s22, r0, r1, r2 = [x / 1e9 for x in sums]
+        c00 = s11 * s22 - s12 * s12; c01 = s02 * s12 - s01 * s22
+        c02 = s01 * s12 - s02 * s11; c11 = s00 * s22 - s02 * s02
+        c12 = s01 * s02 - s00 * s12; c22 = s00 * s11 - s01 * s01
+        det = (s00 * (s11 * s22 - s12 * s12)
+               - s01 * (s01 * s22 - s12 * s02)
+               + s02 * (s01 * s12 - s11 * s02))
+        if det != 0:
+            b = (q9((c00 * r0 + c01 * r1 + c02 * r2) / det),
+                 q9((c01 * r0 + c11 * r1 + c12 * r2) / det),
+                 q9((c02 * r0 + c12 * r1 + c22 * r2) / det))
+    return {"intercept": q6(b[0]), "log_events": q6(b[1]),
+            "log_avg_value": q6(b[2])}
+
+
+def test_logistic_irls_matches_python_replica(spark, tmp_path):
+    # 18 users: heavy-activity users mostly convert, light users mostly
+    # don't, one crossover each way (no perfect separation -> finite MLE).
+    # The fitted log_events coefficient must be positive and every beta
+    # must equal the pure-Python replica of the quantized recurrence.
+    base = datetime.datetime(2024, 5, 1, 12, 0)
+    rows, eid, users = [], 0, []
+    for uid in range(1, 10):          # 9 converters
+        n_np = 4 if uid != 9 else 1   # user 9 converts despite light profile
+        val = 10.0 if uid % 2 else 2.0  # value decorrelated from conversion
+        for j in range(n_np):
+            rows.append((eid, base, uid, "view", val, "{}")); eid += 1
+        rows.append((eid, base, uid, "purchase", 1.0, "{}")); eid += 1
+        users.append((1, n_np, val))
+    for uid in range(11, 20):         # 9 non-converters
+        n_np = 1 if uid != 19 else 4  # user 19 is heavy but never converts
+        val = 10.0 if uid % 2 else 2.0
+        for j in range(n_np):
+            rows.append((eid, base, uid, "view", val, "{}")); eid += 1
+        users.append((0, n_np, val))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["feature"]: r for r in
+           eng.queries()["agg_logistic_irls"](spark, str(tmp_path)).collect()}
+    exp = _irls_replica(users)
+    assert all(r["n_users"] == 18 and r["n_converted"] == 9
+               for r in out.values())
+    for f in ("intercept", "log_events", "log_avg_value"):
+        assert out[f]["beta"] == exp[f], f
+    assert out["log_events"]["beta"] > 0
