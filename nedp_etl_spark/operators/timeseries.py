@@ -3705,3 +3705,178 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0,
         ).alias("hurst"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_sax_symbolize — Symbolic Aggregate approXimation per series (Lin,
+# Keogh et al. 2003): z-normalize the daily values, Piecewise Aggregate
+# Approximate into 7-day frames, and map each frame mean to a 4-letter
+# alphabet by the N(0,1) quartile breakpoints (−0.6745, 0, 0.6745).  The
+# classic dimensionality reduction that turns a series into a short WORD
+# — the index key for whole-corpus motif search, similarity grouping, and
+# anomaly triage at 100 TB (words join/group in constant space).
+#
+# Scale shape: one daily rollup (calendar-bounded, checkpointed), exact
+# per-series moments (fixed-point Σ / decimal Σ² — no second pass), frame
+# means over ≤7-row windows partitioned by (series, frame), word assembly
+# via sort_array(collect_list) over ≤⌈days/7⌉ frames per series.
+#
+# Parity discipline: z-scores quantize q6 ((v−m)/s on ROUND-6 m and q6 s
+# from exact moments); frame means are fixed-point ratios; symbol CASE
+# thresholds compare q6 values against shared literals; zero-variance
+# series yield a NULL word (z undefined) rather than a fake constant.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SAX_FRAME = 7
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)  # N(0,1) quartiles, alphabet a..d
+
+_SAX_ORACLE = f"""
+WITH {_DAILY_CTE},
+idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+  FROM daily
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+         SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)
+             * CAST(FLOOR(v * 1000000.0 + 0.5) AS HUGEINT)) AS ssq
+  FROM daily GROUP BY event_type
+),
+mom AS (
+  SELECT event_type, n,
+         ROUND(CAST(sq AS DOUBLE) / 1000000.0 / n, 6) AS m,
+         CASE WHEN n * ssq - CAST(sq AS HUGEINT) * sq > 0 THEN
+           FLOOR(sqrt(CAST(n * ssq - CAST(sq AS HUGEINT) * sq AS DOUBLE))
+                 / n / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+         END AS s
+  FROM st
+),
+z AS (
+  SELECT i.event_type, mom.n, CAST(FLOOR((i.t - 1) / {_SAX_FRAME}) AS BIGINT)
+           AS seg,
+         FLOOR((i.v - mom.m) / mom.s * 1000000.0 + 0.5) / 1000000.0 AS z
+  FROM idx i JOIN mom ON mom.event_type = i.event_type
+  WHERE mom.s IS NOT NULL
+),
+paa AS (
+  SELECT event_type, n, seg,
+         CAST(SUM(CAST(FLOOR(z * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000.0 AS pm
+  FROM z GROUP BY event_type, n, seg
+),
+sym AS (
+  SELECT event_type, n, seg,
+         CASE WHEN pm < {_SAX_BREAKS[0]} THEN 'a'
+              WHEN pm < {_SAX_BREAKS[1]} THEN 'b'
+              WHEN pm < {_SAX_BREAKS[2]} THEN 'c'
+              ELSE 'd' END AS sy
+  FROM paa
+),
+words AS (
+  SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         string_agg(sy, '' ORDER BY seg) AS sax_word
+  FROM sym GROUP BY event_type, n
+),
+nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+  GROUP BY event_type
+)
+SELECT nn.event_type, nn.n_days,
+       COALESCE(w.n_segments, 0) AS n_segments, w.sax_word
+FROM nn LEFT JOIN words w ON w.event_type = nn.event_type
+"""
+
+
+@register("ts_sax_symbolize", oracle=_SAX_ORACLE)
+def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev).localCheckpoint(eager=True)  # idx/moments/count branches
+    idx = daily.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("t"),
+    )
+    vq = F.floor(F.col("v") * 1_000_000.0 + 0.5).cast("bigint")
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vq).cast("bigint").alias("sq"),
+        F.sum((vq * vq).cast("decimal(38,0)")).alias("ssq"),
+    )
+    n, sq = F.col("n"), F.col("sq")
+    var_num = n.cast("decimal(38,0)") * F.col("ssq") - sq.cast(
+        "decimal(38,0)"
+    ) * sq
+    mom = st.select(
+        "event_type",
+        "n",
+        F.round(sq.cast("double") / 1_000_000.0 / n, 6).alias("m"),
+        F.when(
+            var_num > 0,
+            F.floor(
+                F.sqrt(var_num.cast("double")) / n / 1_000_000.0 * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0,
+        ).alias("s"),
+    )
+    z = (
+        idx.join(F.broadcast(mom.filter(F.col("s").isNotNull())), "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.floor((F.col("t") - 1) / _SAX_FRAME).cast("bigint").alias("seg"),
+            (
+                F.floor(
+                    (F.col("v") - F.col("m")) / F.col("s") * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("z"),
+        )
+    )
+    paa = z.groupBy("event_type", "n", "seg").agg(
+        (
+            F.sum(F.floor(F.col("z") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 1_000_000.0
+        ).alias("pm")
+    )
+    pm = F.col("pm")
+    sym = paa.select(
+        "event_type",
+        "n",
+        "seg",
+        F.when(pm < _SAX_BREAKS[0], "a")
+        .when(pm < _SAX_BREAKS[1], "b")
+        .when(pm < _SAX_BREAKS[2], "c")
+        .otherwise("d")
+        .alias("sy"),
+    )
+    words = sym.groupBy("event_type", "n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg", "sy"))),
+                lambda x: x["sy"],
+            ),
+        ).alias("sax_word"),
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return nn.join(words.drop("n"), "event_type", "left").select(
+        "event_type",
+        "n_days",
+        F.coalesce(F.col("n_segments"), F.lit(0)).cast("bigint").alias(
+            "n_segments"
+        ),
+        "sax_word",
+    )

@@ -1666,3 +1666,12 @@ def test_logistic_irls_aggregates_only(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") == 0  # all inputs are checkpointed
+
+
+def test_sax_calendar_bounded_windows(spark, sf_dir):
+    # Everything runs on the checkpointed daily rollup; windows partition
+    # by series; words assemble from <= days/7 frames per series.
+    plan = _plan(spark, sf_dir, "ts_sax_symbolize")
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)
+    assert plan.count("Scan parquet") == 0  # checkpointed rollup only

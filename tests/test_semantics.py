@@ -4576,3 +4576,25 @@ def test_logistic_irls_matches_python_replica(spark, tmp_path):
     for f in ("intercept", "log_events", "log_avg_value"):
         assert out[f]["beta"] == exp[f], f
     assert out["log_events"]["beta"] > 0
+
+
+def test_sax_word_high_then_low(spark, tmp_path):
+    # 14 days: 10.0 for the first week, 0.0 for the second.  m = 5,
+    # population std = 5 -> z = +1/-1 -> frame means +1/-1 -> word "da"
+    # (above 0.6745, below -0.6745).  "flat" is zero-variance -> NULL
+    # word, segments 0.
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    for i in range(14):
+        rows.append((i, base + datetime.timedelta(days=i), i, "step",
+                     10.0 if i < 7 else 0.0, "{}"))
+        rows.append((50 + i, base + datetime.timedelta(days=i), i, "flat",
+                     3.0, "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           eng.queries()["ts_sax_symbolize"](spark, str(tmp_path)).collect()}
+    step = out["step"]
+    assert (step["n_days"], step["n_segments"]) == (14, 2)
+    assert step["sax_word"] == "da"
+    flat = out["flat"]
+    assert flat["sax_word"] is None and flat["n_segments"] == 0
