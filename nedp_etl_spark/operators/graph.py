@@ -1328,3 +1328,145 @@ def graph_deepwalk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooc.groupBy("node_a", "node_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cooccur")
     )
+
+
+# --------------------------------------------------------------------------
+# graph_topo_levels — distributed topological levels by Kahn's algorithm
+# (Kahn 1962): derive a precedence digraph over the event-type vocabulary
+# (edge a→b when strictly more users touch a before b than the reverse,
+# by first-occurrence timestamps — discovered funnel ordering), then peel
+# zero-in-degree nodes in rounds; a node's level is its peel round (= its
+# longest-path depth on a DAG), and nodes never peeled within the round
+# bound are cycle members (a Condorcet-style majority cycle), flagged
+# rather than mis-levelled.  The dependency-scheduling primitive
+# (dbt_model_dag EXECUTES a hand-declared DAG; this one derives and
+# levels a graph FROM data).
+#
+# Scale shape: corpus-sized work is the per-(user, type) first-occurrence
+# aggregate; precedence counting self-joins that relation per user (≤ k²
+# rows per user, k = event vocabulary); all peel rounds run on the
+# ≤ k-node / ≤ k² -edge model-sized relations with per-round eager
+# checkpoints (the IPF/graph-round discipline).  _TOPO_ROUNDS = 10 bounds
+# the depth — sound because levels are bounded by the vocabulary size,
+# which the planted tests keep ≤ 10 and real vocabularies are ≤ dozens
+# (raise the constant with the vocabulary, never with the corpus).
+# Parity: counts and comparisons are exact integers end to end.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_TOPO_ROUNDS = 10
+
+
+def _topo_oracle() -> str:
+    parts = [
+        """
+WITH firsts AS MATERIALIZED (
+  SELECT user_id, event_type, MIN(ts) AS ft FROM events GROUP BY 1, 2
+),
+cnt AS MATERIALIZED (
+  SELECT a.event_type AS src, b.event_type AS dst,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM firsts a JOIN firsts b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+   AND a.ft < b.ft
+  GROUP BY 1, 2
+),
+edges0 AS MATERIALIZED (
+  SELECT x.src, x.dst FROM cnt x
+  LEFT JOIN cnt y ON y.src = x.dst AND y.dst = x.src
+  WHERE x.n > COALESCE(y.n, 0)
+),
+nodes0 AS MATERIALIZED (SELECT DISTINCT event_type FROM events)"""
+    ]
+    for r in range(1, _TOPO_ROUNDS + 1):
+        parts.append(
+            f""",
+peel{r} AS MATERIALIZED (
+  SELECT n.event_type FROM nodes{r - 1} n
+  WHERE NOT EXISTS (SELECT 1 FROM edges{r - 1} e WHERE e.dst = n.event_type)
+),
+nodes{r} AS MATERIALIZED (
+  SELECT event_type FROM nodes{r - 1}
+  WHERE event_type NOT IN (SELECT event_type FROM peel{r})
+),
+edges{r} AS MATERIALIZED (
+  SELECT src, dst FROM edges{r - 1}
+  WHERE src NOT IN (SELECT event_type FROM peel{r})
+)"""
+        )
+    lvls = "\nUNION ALL\n".join(
+        f"SELECT event_type, CAST({r - 1} AS INT) AS level, FALSE AS in_cycle"
+        f" FROM peel{r}"
+        for r in range(1, _TOPO_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+{lvls}
+UNION ALL
+SELECT event_type, CAST(NULL AS INT) AS level, TRUE AS in_cycle
+FROM nodes{_TOPO_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+_TOPO_ORACLE = _topo_oracle()
+
+
+@register("graph_topo_levels", oracle=_TOPO_ORACLE)
+def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("ft"))
+        .localCheckpoint(eager=True)  # both sides of the precedence join
+    )
+    a, b = firsts.alias("a"), firsts.alias("b")
+    cnt = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.ft") < F.col("b.ft"))
+        )
+        .groupBy(
+            F.col("a.event_type").alias("src"), F.col("b.event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # consumed twice (both orientations)
+    )
+    x, y = cnt.alias("x"), cnt.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("y.src") == F.col("x.dst")) & (F.col("y.dst") == F.col("x.src")),
+            "left",
+        )
+        .filter(F.col("x.n") > F.coalesce(F.col("y.n"), F.lit(0)))
+        .select(F.col("x.src").alias("src"), F.col("x.dst").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = ev.select("event_type").distinct().localCheckpoint(eager=True)
+    out = None
+    for r in range(_TOPO_ROUNDS):
+        peel = nodes.join(
+            edges.select(F.col("dst").alias("event_type")), "event_type", "left_anti"
+        ).localCheckpoint(eager=True)
+        lvl = peel.select(
+            "event_type",
+            F.lit(r).cast("int").alias("level"),
+            F.lit(False).alias("in_cycle"),
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+        nodes = nodes.join(peel, "event_type", "left_anti").localCheckpoint(
+            eager=True
+        )
+        edges = edges.join(
+            peel.select(F.col("event_type").alias("src")), "src", "left_anti"
+        ).localCheckpoint(eager=True)
+    return out.unionByName(
+        nodes.select(
+            "event_type",
+            F.lit(None).cast("int").alias("level"),
+            F.lit(True).alias("in_cycle"),
+        )
+    )

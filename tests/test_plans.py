@@ -1675,3 +1675,13 @@ def test_sax_calendar_bounded_windows(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)
     assert plan.count("Scan parquet") == 0  # checkpointed rollup only
+
+
+def test_topo_levels_model_sized_rounds(spark, sf_dir):
+    # Peel rounds run on checkpointed <= k-node relations; the one
+    # corpus-sized stage (first-occurrence aggregate) is checkpointed, so
+    # the final plan reads no parquet and joins tiny relations only.
+    plan = _plan(spark, sf_dir, "graph_topo_levels")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 0

@@ -4598,3 +4598,42 @@ def test_sax_word_high_then_low(spark, tmp_path):
     assert step["sax_word"] == "da"
     flat = out["flat"]
     assert flat["sax_word"] is None and flat["n_segments"] == 0
+
+
+def test_topo_levels_chain_with_branch(spark, tmp_path):
+    # Majority precedence: both users put a first and c last; they
+    # DISAGREE on b-vs-d (1-1 tie -> no edge between them).  Edges:
+    # a->b, a->d, a->c, b->c, d->c.  Kahn levels: a=0, b=d=1, c=2.
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    m = lambda k: base + datetime.timedelta(minutes=k)  # noqa: E731
+    rows, eid = [], 0
+    for uid, order in [(1, ["a", "b", "d", "c"]), (2, ["a", "d", "b", "c"])]:
+        for k, et in enumerate(order):
+            rows.append((eid, m(k), uid, et, 1.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           eng.queries()["graph_topo_levels"](spark, str(tmp_path)).collect()}
+    assert not any(r["in_cycle"] for r in out.values())
+    assert out["a"]["level"] == 0
+    assert out["b"]["level"] == 1 and out["d"]["level"] == 1
+    assert out["c"]["level"] == 2
+
+
+def test_topo_levels_condorcet_cycle_flagged(spark, tmp_path):
+    # Three users with rotated orderings: p<q (u1), q<r (u2), r<p (u3),
+    # each direction winning 2-1 -> edges p->q->r->p, a majority cycle.
+    # All three nodes must be flagged in_cycle with NULL level; an
+    # isolated type "z" (one user, alone) levels at 0.
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    m = lambda k: base + datetime.timedelta(minutes=k)  # noqa: E731
+    rows, eid = [], 0
+    for uid, order in [(1, "pqr"), (2, "qrp"), (3, "rpq")]:
+        for k, et in enumerate(order):
+            rows.append((eid, m(k), uid, et, 1.0, "{}")); eid += 1
+    rows.append((eid, m(0), 9, "z", 1.0, "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           eng.queries()["graph_topo_levels"](spark, str(tmp_path)).collect()}
+    for et in "pqr":
+        assert out[et]["in_cycle"] and out[et]["level"] is None
+    assert out["z"]["level"] == 0 and not out["z"]["in_cycle"]
