@@ -3880,3 +3880,193 @@ def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "sax_word",
     )
+
+
+# --------------------------------------------------------------------------
+# ts_conformal_interval — split conformal prediction interval for the
+# next-day forecast (Vovk et al. 2005; Lei et al. 2018): fit OLS trend on
+# the first half of each series, score absolute residuals on the held-out
+# second half, and take the ⌈(n_cal+1)(1−α)⌉-th smallest residual as the
+# interval half-width.  DISTRIBUTION-FREE ≥(1−α) coverage — no normality
+# assumption, unlike the z-based bands elsewhere in the repo; the modern
+# UQ wrapper every forecast ships with.
+#
+# Scale shape: the shared calendar-bounded daily rollup (checkpointed),
+# exact-integer OLS sums on the train half, residual ranking via windows
+# partitioned BY SERIES over ≤ #days rows.  α = 0.1 and the rank
+# k* = ⌈9(n_cal+1)/10⌉ are INTEGER arithmetic — (n+1)·0.9 in binary
+# doubles crosses ceil boundaries wrong (10·0.9 ↛ 9 exactly).
+#
+# Parity discipline: vq fixed-point, slope/intercept q9 from exact sums,
+# residuals q6, identical IEEE forecast expression; series with
+# k* > n_cal (too few calibration days for the requested coverage) yield
+# NULL interval — never a fake band.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_CONF_ORACLE = f"""
+WITH {_DAILY_CTE},
+idx AS (
+  SELECT event_type, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+           AS t,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+),
+tr AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(t) AS BIGINT) AS sx,
+         CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS syq,
+         CAST(SUM(t * CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS HUGEINT)
+           AS sxyq,
+         CAST(SUM(t * t) AS BIGINT) AS sxx
+  FROM idx WHERE t <= n / 2 GROUP BY event_type
+),
+fit AS (
+  SELECT event_type, k,
+         FLOOR(CAST(k * sxyq - CAST(sx AS HUGEINT) * syq AS DOUBLE)
+               / CAST(k * sxx - sx * sx AS DOUBLE) / 1000000.0
+               * 1000000000.0 + 0.5) / 1000000000.0 AS b
+  FROM tr WHERE k >= 2 AND k * sxx - sx * sx > 0
+),
+fit2 AS (
+  SELECT f.event_type, f.k, f.b,
+         FLOOR((CAST(t.syq AS DOUBLE) / 1000000.0 - f.b * t.sx) / f.k
+               * 1000000000.0 + 0.5) / 1000000000.0 AS a
+  FROM fit f JOIN tr t ON t.event_type = f.event_type
+),
+res AS (
+  SELECT i.event_type, i.n, f.a, f.b,
+         FLOOR(abs(i.v - (f.a + f.b * i.t)) * 1000000.0 + 0.5) / 1000000.0 AS r
+  FROM idx i JOIN fit2 f ON f.event_type = i.event_type
+  WHERE i.t > i.n / 2
+),
+rk AS (
+  SELECT event_type, n, a, b, r,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal
+  FROM res
+),
+q AS (
+  SELECT event_type, n, a, b, n_cal, r AS qhat
+  FROM rk WHERE rn = (9 * (n_cal + 1) + 9) // 10
+)
+SELECT r0.event_type,
+       CAST(FLOOR(r0.n / 2) AS BIGINT) AS n_train,
+       r0.n_cal,
+       FLOOR((r0.a + r0.b * (r0.n + 1)) * 1000000.0 + 0.5) / 1000000.0
+         AS yhat_next,
+       q.qhat AS q_conformal,
+       FLOOR((r0.a + r0.b * (r0.n + 1) - q.qhat) * 1000000.0 + 0.5) / 1000000.0
+         AS lo,
+       FLOOR((r0.a + r0.b * (r0.n + 1) + q.qhat) * 1000000.0 + 0.5) / 1000000.0
+         AS hi
+FROM (SELECT DISTINCT event_type, n, a, b, n_cal FROM rk) r0
+LEFT JOIN q ON q.event_type = r0.event_type
+"""
+
+
+@register("ts_conformal_interval", oracle=_CONF_ORACLE)
+def ts_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev).localCheckpoint(eager=True)
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "v",
+        F.row_number().over(w.orderBy("d")).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=True)  # train + calib branches
+    vq = F.floor(F.col("v") * 1_000_000.0 + 0.5).cast("bigint")
+    tr = (
+        idx.filter(F.col("t") <= (F.col("n") / 2).cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("t").cast("bigint").alias("sx"),
+            F.sum(vq).cast("bigint").alias("syq"),
+            F.sum((F.col("t") * vq).cast("decimal(38,0)")).alias("sxyq"),
+            F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx"),
+        )
+    )
+    k, sx, sxx = F.col("k"), F.col("sx"), F.col("sxx")
+    den = k * sxx - sx * sx
+    fit = tr.filter((k >= 2) & (den > 0)).select(
+        "event_type",
+        "k",
+        "sx",
+        "syq",
+        (
+            F.floor(
+                (
+                    k.cast("decimal(38,0)") * F.col("sxyq")
+                    - sx.cast("decimal(38,0)") * F.col("syq")
+                ).cast("double")
+                / den.cast("double")
+                / 1_000_000.0
+                * 1_000_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000_000.0
+        ).alias("b"),
+    )
+    fit2 = fit.select(
+        "event_type",
+        "b",
+        (
+            F.floor(
+                (F.col("syq").cast("double") / 1_000_000.0 - F.col("b") * sx)
+                / k
+                * 1_000_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000_000.0
+        ).alias("a"),
+    )
+    res = (
+        idx.filter(F.col("t") > (F.col("n") / 2).cast("bigint"))
+        .join(F.broadcast(fit2), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "a",
+            "b",
+            (
+                F.floor(
+                    F.abs(F.col("v") - (F.col("a") + F.col("b") * F.col("t")))
+                    * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("r"),
+        )
+    )
+    wrk = Window.partitionBy("event_type")
+    rk = res.select(
+        "event_type",
+        "n",
+        "a",
+        "b",
+        "r",
+        F.row_number().over(wrk.orderBy("r")).alias("rn"),
+        F.count(F.lit(1)).over(wrk).cast("bigint").alias("n_cal"),
+    )
+    q = rk.filter(
+        F.col("rn") == F.floor((9 * (F.col("n_cal") + 1) + 9) / 10).cast("int")
+    ).select("event_type", F.col("r").alias("qhat"))
+    base = rk.select("event_type", "n", "a", "b", "n_cal").distinct()
+    yhat = F.col("a") + F.col("b") * (F.col("n") + 1)
+    return base.join(q, "event_type", "left").select(
+        "event_type",
+        (F.col("n") / 2).cast("bigint").alias("n_train"),
+        "n_cal",
+        (F.floor(yhat * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias("yhat_next"),
+        F.col("qhat").alias("q_conformal"),
+        (
+            F.floor((yhat - F.col("qhat")) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+        ).alias("lo"),
+        (
+            F.floor((yhat + F.col("qhat")) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+        ).alias("hi"),
+    )

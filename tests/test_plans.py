@@ -1685,3 +1685,12 @@ def test_topo_levels_model_sized_rounds(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert plan.count("Scan parquet") == 0
+
+
+def test_conformal_windows_partition_by_series(spark, sf_dir):
+    # OLS sums and residual ranks run over the checkpointed daily rollup;
+    # all windows partition by series.
+    plan = _plan(spark, sf_dir, "ts_conformal_interval")
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)
+    assert plan.count("Scan parquet") == 0

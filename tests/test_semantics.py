@@ -4637,3 +4637,44 @@ def test_topo_levels_condorcet_cycle_flagged(spark, tmp_path):
     for et in "pqr":
         assert out[et]["in_cycle"] and out[et]["level"] is None
     assert out["z"]["level"] == 0 and not out["z"]["in_cycle"]
+
+
+def test_conformal_interval_hand_computed(spark, tmp_path):
+    # 20 days, exactly linear train half (v = 10t for t=1..10 -> slope 10,
+    # intercept 0 exactly); calibration half carries planted deviations
+    # with max |d| = 10 -> k* = ceil(0.9*11) = 10 = n_cal -> qhat = 10.
+    # Forecast t=21: 210, interval [200, 220].
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    dev = [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0, 9.0, -10.0]
+    rows = []
+    for i in range(20):
+        v = 10.0 * (i + 1) + (dev[i - 10] if i >= 10 else 0.0)
+        rows.append((i, base + datetime.timedelta(days=i), i, "m", v, "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["ts_conformal_interval"](spark, str(tmp_path)).collect()
+    assert (r["n_train"], r["n_cal"]) == (10, 10)
+    assert r["yhat_next"] == 210.0
+    assert r["q_conformal"] == 10.0
+    assert (r["lo"], r["hi"]) == (200.0, 220.0)
+
+
+def test_conformal_interval_odd_days_and_tiny_calib(spark, tmp_path):
+    # 21 days (odd: train 10, calib 11 -> k* = ceil(0.9*12) = 11 = n_cal,
+    # still valid); and a 4-day series where k* = ceil(0.9*3) = 3 > 2 =
+    # n_cal -> NULL interval, never a fake band.
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    for i in range(21):
+        rows.append((i, base + datetime.timedelta(days=i), i, "long",
+                     10.0 * (i + 1) + (1.0 if i >= 10 else 0.0), "{}"))
+    for i in range(4):
+        rows.append((100 + i, base + datetime.timedelta(days=i), i, "tiny",
+                     float(i * i), "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           eng.queries()["ts_conformal_interval"](spark, str(tmp_path)).collect()}
+    lg = out["long"]
+    assert (lg["n_train"], lg["n_cal"]) == (10, 11)
+    assert lg["q_conformal"] == 1.0
+    tiny = out["tiny"]
+    assert tiny["q_conformal"] is None and tiny["lo"] is None
