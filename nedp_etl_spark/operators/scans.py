@@ -1368,3 +1368,111 @@ def scan_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round("o_totalprice", 6).alias("o_totalprice"),
     )
+
+
+# --------------------------------------------------------------------------
+# sink_write_audit_publish — the WAP (write-audit-publish) table promotion
+# pattern (popularized by Netflix on Iceberg; Delta's staging+swap twin):
+# a candidate batch is STAGED to an unpublished location, a quality-check
+# battery runs ON THE STAGED FILES (never the live table), and only a
+# fully-green audit atomically advances the published-version manifest —
+# a red audit leaves the previous version live.  Exercised here with two
+# cycles: a clean batch (publishes as v1) and a corrupted batch (NULLed
+# keys; audit fails, v1 stays live).  Returns the audit ledger plus the
+# live version after each cycle — the artifact a data-platform oncall
+# actually reads.
+#
+# Scale shape: staging writes are ordinary partitioned parquet writes;
+# each audit is one aggregate over the staged files; the manifest is a
+# 1-line JSON pointer (the atomic swap is a pointer write, never a data
+# rewrite — same shape at 100 TB).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_WAP_ORACLE = """
+WITH good AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS nulls,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS dk
+  FROM orders
+),
+bad AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                                     ELSE o_orderkey END IS NULL) AS BIGINT)
+           AS nulls,
+         CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                             ELSE o_orderkey END) AS BIGINT) AS dk
+  FROM orders
+)
+SELECT 1 AS cycle, 'row_count' AS check_name, n AS observed, n > 0 AS passed,
+       1 AS live_version FROM good
+UNION ALL SELECT 1, 'null_keys', nulls, nulls = 0, 1 FROM good
+UNION ALL SELECT 1, 'unique_keys', dk, dk = n - nulls, 1 FROM good
+UNION ALL SELECT 2, 'row_count', n, n > 0, 1 FROM bad
+UNION ALL SELECT 2, 'null_keys', nulls, nulls = 0, 1 FROM bad
+UNION ALL SELECT 2, 'unique_keys', dk, dk = n - nulls, 1 FROM bad
+"""
+
+
+def _wap_audit(df: DataFrame) -> list:
+    """The check battery, computed ON THE STAGED FILES in one aggregate.
+    Returns [(check_name, observed, passed)] — bounded (3 rows)."""
+    [r] = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).cast("bigint").alias(
+            "nulls"
+        ),
+        F.countDistinct("o_orderkey").cast("bigint").alias("dk"),
+    ).collect()
+    return [
+        ("row_count", r["n"], r["n"] > 0),
+        ("null_keys", r["nulls"], r["nulls"] == 0),
+        ("unique_keys", r["dk"], r["dk"] == r["n"] - r["nulls"]),
+    ]
+
+
+@register("sink_write_audit_publish", oracle=_WAP_ORACLE)
+def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    root = _scratch("sink_write_audit_publish", sf_dir)
+    manifest = os.path.join(root, "published.json")
+    os.makedirs(root, exist_ok=True)
+    if os.path.exists(manifest):
+        os.remove(manifest)  # replay both cycles deterministically
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    batches = {
+        1: o,  # clean candidate
+        2: o.withColumn(  # corrupted upstream: keys NULLed on a spine
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit(None)).otherwise(
+                F.col("o_orderkey")
+            ),
+        ),
+    }
+    ledger = []
+    live = 0
+    for cycle, batch in batches.items():
+        stage = os.path.join(root, f"stage_v{cycle}")
+        batch.write.mode("overwrite").parquet(stage)  # 1. WRITE (staged)
+        staged = spark.read.parquet(stage)  # audit reads the FILES
+        checks = _wap_audit(staged)  # 2. AUDIT
+        if all(p for _, _, p in checks):  # 3. PUBLISH (pointer write)
+            live = cycle
+            with open(manifest, "w") as f:
+                json.dump({"version": live, "path": stage}, f)
+        with open(manifest) as f:  # live version AFTER this cycle
+            now_live = json.load(f)["version"]
+        ledger.extend(
+            (cycle, name, obs, passed, now_live) for name, obs, passed in checks
+        )
+    return spark.createDataFrame(
+        ledger,
+        "cycle int, check_name string, observed bigint, passed boolean,"
+        " live_version int",
+    )

@@ -4678,3 +4678,32 @@ def test_conformal_interval_odd_days_and_tiny_calib(spark, tmp_path):
     assert lg["q_conformal"] == 1.0
     tiny = out["tiny"]
     assert tiny["q_conformal"] is None and tiny["lo"] is None
+
+
+def test_wap_red_audit_keeps_previous_version_live(spark, tmp_path):
+    # Orders 1..10 plus key 97 (hits the corruption spine).  Cycle 1 is
+    # green -> publishes v1.  Cycle 2 stages a batch with key 97 NULLed ->
+    # null_keys audit fails -> the manifest must still point at v1, and
+    # the published table read through the manifest contains the CLEAN
+    # batch (key 97 intact).
+    import json, os
+    t = datetime.datetime(1995, 3, 1)
+    keys = list(range(1, 11)) + [97]
+    rows = [(k, 1, "O", 100.0 + k, t, "1-URGENT", "c", 0, "x") for k in keys]
+    schema = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+              " o_totalprice double, o_orderdate timestamp,"
+              " o_orderpriority string, o_clerk string, o_shippriority int,"
+              " o_comment string")
+    _write(spark, tmp_path, "orders", rows, schema)
+    out = eng.queries()["sink_write_audit_publish"](spark, str(tmp_path)).collect()
+    led = {(r["cycle"], r["check_name"]): r for r in out}
+    assert led[(1, "null_keys")]["passed"] and led[(1, "null_keys")]["live_version"] == 1
+    assert not led[(2, "null_keys")]["passed"]
+    assert led[(2, "null_keys")]["observed"] == 1
+    assert all(r["live_version"] == 1 for r in out)  # v2 never went live
+    from nedp_etl_spark.operators.scans import _scratch as _sc
+    man = json.load(open(os.path.join(
+        _sc("sink_write_audit_publish", str(tmp_path)), "published.json")))
+    assert man["version"] == 1
+    live = spark.read.parquet(man["path"])
+    assert live.filter("o_orderkey = 97").count() == 1  # clean batch is live
