@@ -1827,3 +1827,304 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "rank int, vec_id bigint, relevance double, max_sim double,"
         " mmr_score double"
     )
+
+
+# --------------------------------------------------------------------------
+# llm_embed_pca_power — dominant principal component of the embedding
+# cloud by power iteration (von Mises & Pollaczek-Geiringer 1929; the
+# PCA workhorse behind "all-but-the-top" embedding post-processing and
+# anisotropy correction): ONE corpus pass builds the d×d covariance
+# (the llm_embed_covariance expansion, mirrored to a full matrix), then
+# T=12 iterations of u ← C·u / ‖C·u‖ run entirely on MODEL-SIZED
+# relations (a 64-row vector joined to a 4096-row matrix).  Outputs the
+# loadings, the top eigenvalue and the explained-variance ratio — the
+# "is this embedding space collapsing onto one axis" number.
+#
+# Scale shape: corpus cost = the single covariance aggregate (2080
+# groups, map-side combined); iterations never touch the corpus.
+# Per-iteration eager checkpoint (model-sized) keeps lineage linear.
+#
+# Parity discipline: covariance cells q6 from exact int64 sums; u starts
+# at the exactly-representable 1/8·1 vector (a basis-vector start can be
+# orthogonal to the top component — all-ones is not, for covariance
+# matrices of centered data); matrix-vector products and norm squares
+# quantize 1e-12 BEFORE their sums; u quantizes q9 per iteration; a zero
+# norm keeps u (guard) and yields evr NULL.  Sign convention: the
+# largest-|loading| component (ties → lowest dim) is made positive.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_PCA_T = 12
+
+
+def _pca_oracle() -> str:
+    d = _EMBED_DIM
+    parts = [
+        f"""
+WITH q AS (
+  SELECT ti.i AS i, tj.j AS j,
+         CAST(FLOOR(CAST(embedding[CAST(ti.i + 1 AS INT)] AS DOUBLE)
+                    * 1000.0 + 0.5) AS BIGINT) AS qi,
+         CAST(FLOOR(CAST(embedding[CAST(tj.j + 1 AS INT)] AS DOUBLE)
+                    * 1000.0 + 0.5) AS BIGINT) AS qj
+  FROM embeddings, range(0, {d}) ti(i), range(0, {d}) tj(j)
+  WHERE tj.j >= ti.i
+),
+s AS MATERIALIZED (
+  SELECT i, j, COUNT(*) AS n,
+         CAST(SUM(qi) AS BIGINT) AS si, CAST(SUM(qj) AS BIGINT) AS sj,
+         CAST(SUM(qi * qj) AS BIGINT) AS sij
+  FROM q GROUP BY i, j
+),
+up AS MATERIALIZED (
+  SELECT i, j, n,
+         FLOOR((CAST(sij AS DOUBLE) / 1000000.0
+                - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE) / 1000000.0 / n)
+               / n * 1000000.0 + 0.5) / 1000000.0 AS cov
+  FROM s
+),
+cov AS MATERIALIZED (
+  SELECT i, j, cov FROM up
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM up WHERE j > i
+),
+u0 AS MATERIALIZED (
+  SELECT r.i AS i, 0.125 AS u FROM range(0, {d}) r(i)
+)"""
+    ]
+    for t in range(1, _PCA_T + 1):
+        parts.append(
+            f""",
+mv{t} AS MATERIALIZED (
+  SELECT c.i,
+         CAST(SUM(CAST(FLOOR(c.cov * u.u * 1000000000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000000000.0 AS v
+  FROM cov c JOIN u{t - 1} u ON u.i = c.j GROUP BY c.i
+),
+nr{t} AS MATERIALIZED (
+  SELECT sqrt(CAST(SUM(CAST(FLOOR(v * v * 1000000000000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1000000000000.0) AS nrm
+  FROM mv{t}
+),
+u{t} AS MATERIALIZED (
+  SELECT m.i,
+         CASE WHEN n.nrm > 0 THEN
+           FLOOR(m.v / n.nrm * 1000000000.0 + 0.5) / 1000000000.0
+         ELSE (SELECT u FROM u{t - 1} p WHERE p.i = m.i) END AS u
+  FROM mv{t} m, nr{t} n
+)"""
+        )
+    T = _PCA_T
+    parts.append(
+        f""",
+lamv AS MATERIALIZED (
+  SELECT c.i,
+         CAST(SUM(CAST(FLOOR(c.cov * u.u * 1000000000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000000000.0 AS v
+  FROM cov c JOIN u{T} u ON u.i = c.j GROUP BY c.i
+),
+lam AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(FLOOR(l.v * u.u * 1000000000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000000000.0 AS lam
+  FROM lamv l JOIN u{T} u ON u.i = l.i
+),
+tra AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(FLOOR(cov * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS tr,
+         CAST(MAX(n) AS BIGINT) AS n_vectors
+  FROM up WHERE i = j
+),
+flip AS MATERIALIZED (
+  SELECT CASE WHEN MAX(struct_pack(a := abs(u), ni := -i,
+                                   sg := CASE WHEN u < 0 THEN -1.0
+                                         ELSE 1.0 END)).sg < 0
+              THEN -1.0 ELSE 1.0 END AS f
+  FROM u{T}
+)
+SELECT CAST(u.i AS INT) AS dim,
+       FLOOR(u.u * flip.f * 1000000.0 + 0.5) / 1000000.0 AS loading,
+       FLOOR(lam.lam * 1000000.0 + 0.5) / 1000000.0 AS lambda_top,
+       CASE WHEN tra.tr > 0 THEN
+         FLOOR(lam.lam / tra.tr * 1000000.0 + 0.5) / 1000000.0 END
+         AS explained_var_ratio,
+       tra.n_vectors
+FROM u{T} u, lam, tra, flip"""
+    )
+    return "".join(parts)
+
+
+_PCA_ORACLE = _pca_oracle()
+
+
+@register("llm_embed_pca_power", oracle=_PCA_ORACLE)
+def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    d = _EMBED_DIM
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000.0 + F.lit(0.5)).cast("long"),
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda i: F.transform(
+                    F.sequence(F.lit(0), F.lit(d - 1)),
+                    lambda j: F.struct(
+                        i.alias("i"),
+                        j.alias("j"),
+                        F.element_at(F.col("q"), i + 1).alias("qi"),
+                        F.element_at(F.col("q"), j + 1).alias("qj"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["j"] >= p["i"],
+    )
+    s = (
+        e.select(qarr.alias("q"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.qi", "p.qj")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qi").alias("si"),
+            F.sum("qj").alias("sj"),
+            F.sum(F.col("qi") * F.col("qj")).alias("sij"),
+        )
+    )
+    n = F.col("n")
+    up = s.select(
+        "i",
+        "j",
+        "n",
+        (
+            F.floor(
+                (
+                    F.col("sij").cast("double") / 1_000_000.0
+                    - F.col("si").cast("double")
+                    * F.col("sj").cast("double")
+                    / 1_000_000.0
+                    / n
+                )
+                / n
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("cov"),
+    ).localCheckpoint(eager=True)  # mirrored + trace + every iteration
+    cov = up.select("i", "j", "cov").unionByName(
+        up.filter(F.col("j") > F.col("i")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=True)
+    u = spark.range(d).select(
+        F.col("id").cast("bigint").alias("i"), F.lit(0.125).alias("u")
+    )
+
+    def _mv(uv: DataFrame) -> DataFrame:
+        return (
+            cov.join(uv.select(F.col("i").alias("j"), "u"), "j")
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("cov") * F.col("u") * 1_000_000_000_000.0
+                            + F.lit(0.5)
+                        ).cast("bigint")
+                    ).cast("double")
+                    / 1_000_000_000_000.0
+                ).alias("v")
+            )
+        )
+
+    for _ in range(_PCA_T):
+        mv = _mv(u).localCheckpoint(eager=True)
+        nr = mv.agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(
+                        F.col("v") * F.col("v") * 1_000_000_000_000.0 + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / 1_000_000_000_000.0
+            ).alias("nrm")
+        )
+        u = (
+            mv.crossJoin(F.broadcast(nr))
+            .join(u.select(F.col("i"), F.col("u").alias("pu")), "i")
+            .select(
+                "i",
+                F.when(
+                    F.col("nrm") > 0,
+                    F.floor(
+                        F.col("v") / F.col("nrm") * 1_000_000_000.0 + F.lit(0.5)
+                    )
+                    / 1_000_000_000.0,
+                )
+                .otherwise(F.col("pu"))
+                .alias("u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    lamv = _mv(u)
+    lam = (
+        lamv.join(u, "i")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("v") * F.col("u") * 1_000_000_000_000.0 + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / 1_000_000_000_000.0
+            ).alias("lam")
+        )
+    )
+    tra = up.filter(F.col("i") == F.col("j")).agg(
+        (
+            F.sum(F.floor(F.col("cov") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 1_000_000.0
+        ).alias("tr"),
+        F.max("n").cast("bigint").alias("n_vectors"),
+    )
+    flip = u.agg(
+        F.when(
+            F.max(
+                F.struct(
+                    F.abs(F.col("u")).alias("a"),
+                    (-F.col("i")).alias("ni"),
+                    F.when(F.col("u") < 0, -1.0).otherwise(1.0).alias("sg"),
+                )
+            )["sg"]
+            < 0,
+            -1.0,
+        )
+        .otherwise(1.0)
+        .alias("f")
+    )
+    return (
+        u.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tra))
+        .crossJoin(F.broadcast(flip))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            (
+                F.floor(F.col("u") * F.col("f") * 1_000_000.0 + F.lit(0.5))
+                / 1_000_000.0
+            ).alias("loading"),
+            (F.floor(F.col("lam") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+                "lambda_top"
+            ),
+            F.when(
+                F.col("tr") > 0,
+                F.floor(F.col("lam") / F.col("tr") * 1_000_000.0 + F.lit(0.5))
+                / 1_000_000.0,
+            ).alias("explained_var_ratio"),
+            "n_vectors",
+        )
+    )

@@ -1694,3 +1694,13 @@ def test_conformal_windows_partition_by_series(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)
     assert plan.count("Scan parquet") == 0
+
+
+def test_pca_power_corpus_touched_once(spark, sf_dir):
+    # The covariance aggregate is the only corpus-sized stage and it is
+    # checkpointed before the 12 iterations; the final plan reads no
+    # parquet and carries no global window.
+    plan = _plan(spark, sf_dir, "llm_embed_pca_power")
+    assert plan.count("Scan parquet") == 0
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)

@@ -4707,3 +4707,27 @@ def test_wap_red_audit_keeps_previous_version_live(spark, tmp_path):
     assert man["version"] == 1
     live = spark.read.parquet(man["path"])
     assert live.filter("o_orderkey = 97").count() == 1  # clean batch is live
+
+
+def test_pca_power_finds_dominant_axis(spark, tmp_path):
+    # Four 64-dim vectors: dim 2 carries +/-10 (variance 100), dim 5
+    # carries +/-1 (variance 1), signs independent -> covariance is
+    # diagonal diag(0,..,100,..,1,..0).  Top component must be exactly
+    # e_2 with positive loading (sign convention), lambda = 100, and
+    # explained variance 100/101 = 0.990099.
+    def vec(d2, d5):
+        v = [0.0] * 64
+        v[2], v[5] = d2, d5
+        return v
+    rows = [(0, vec(10.0, 1.0), 0), (1, vec(10.0, -1.0), 0),
+            (2, vec(-10.0, 1.0), 1), (3, vec(-10.0, -1.0), 1)]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    out = {r["dim"]: r for r in
+           eng.queries()["llm_embed_pca_power"](spark, str(tmp_path)).collect()}
+    assert len(out) == 64
+    assert out[2]["loading"] == 1.0
+    assert all(out[i]["loading"] == 0.0 for i in range(64) if i != 2)
+    assert out[0]["lambda_top"] == 100.0
+    assert out[0]["explained_var_ratio"] == 0.990099
+    assert out[0]["n_vectors"] == 4
