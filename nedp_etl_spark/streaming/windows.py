@@ -775,3 +775,55 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vq")
     )
     return _topk_rank(sums)
+
+
+# --------------------------------------------------------------------------
+# stream_join_left_outer — watermarked LEFT OUTER stream-stream join: every
+# click appears, purchase columns null-padded when no purchase follows
+# within the hour.  The semantically hard streaming case: an outer
+# stream-stream join may emit a null-padded row ONLY once the watermark
+# proves no match can still arrive, so Spark REQUIRES watermarks on both
+# sides plus the time-range condition (the inner variant merely bounds
+# state).  Registered in its batch form (exact oracle);
+# tests/test_streaming.py replays it as a genuine outer stream-stream
+# join and proves parity INCLUDING the null-padded rows.  Scale: per-side
+# state is bounded by watermark + range exactly as the inner join.
+# --------------------------------------------------------------------------
+
+_STREAM_LOJ_ORACLE = f"""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       {ots_str('c.ts')} AS click_ts,
+       {ots_str('p.ts')} AS purchase_ts,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+"""
+
+
+def _stream_loj_plan(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("interval 1 hour")),
+        "left_outer",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        ts_str("click_ts").alias("click_ts"),
+        ts_str("purchase_ts").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+@register("stream_join_left_outer", oracle=_STREAM_LOJ_ORACLE)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks, purchases = _stream_stream_join_sides(ev)
+    return _stream_loj_plan(clicks, purchases)

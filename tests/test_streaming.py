@@ -473,3 +473,51 @@ def test_asof_enrich_state_across_two_microbatches(spark, tmp_path):
         (5, 2, 40_000_000, "click", 30_000_000, 200.0),
         (6, 1, 50_000_000, "click", 10_000_000, 100.0),
     }
+
+
+def test_stream_left_outer_join_matches_batch_with_null_padding(spark, sf_dir):
+    """Outer stream-stream join: null-padded rows may only be emitted once
+    the watermark proves no match can arrive — end-of-stream under
+    availableNow finalizes them, so the streamed result must equal the
+    batch left join INCLUDING clicks with no purchase."""
+    from nedp_etl_spark.streaming.windows import (
+        _stream_loj_plan,
+        _stream_stream_join_sides,
+    )
+
+    batch = {
+        tuple(r)
+        for r in eng.queries()["stream_join_left_outer"](spark, sf_dir).collect()
+    }
+    assert any(r[2] is None for r in batch)  # fixture has unmatched clicks
+
+    ev = _stream_events(spark, sf_dir)
+    clicks, purchases = _stream_stream_join_sides(ev)
+    joined = _stream_loj_plan(
+        clicks.withWatermark("click_ts", "2 hours"),
+        purchases.withWatermark("purchase_ts", "2 hours"),
+    )
+    streamed = {
+        tuple(r)
+        for r in _run_to_memory(joined, "parity_loj", "append").collect()
+    }
+    # Matched rows emit immediately -> exact parity.  Null-padded rows emit
+    # only once the watermark PROVES no match can arrive; at end of stream
+    # the final watermark (max event time - 2h) leaves clicks inside the
+    # last watermark+range hours unproven, so those rows are withheld --
+    # the documented outer-join end-of-stream semantics, same as the
+    # withheld in-flight window in the late-data test.
+    inner = lambda rows: {r for r in rows if r[2] is not None}  # noqa: E731
+    nulls = lambda rows: {r for r in rows if r[2] is None}  # noqa: E731
+    assert inner(streamed) == inner(batch)
+    assert nulls(streamed) <= nulls(batch)
+    assert len(nulls(streamed)) > 0  # null padding did stream
+    import datetime as _dt
+    all_ts = [r[3] for r in batch] + [r[4] for r in batch if r[4]]
+    maxts = max(_dt.datetime.strptime(t, "%Y-%m-%d %H:%M:%S") for t in all_ts)
+    cutoff = maxts - _dt.timedelta(hours=4)  # watermark 2h + range 1h + slack
+    withheld = nulls(batch) - nulls(streamed)
+    assert all(
+        _dt.datetime.strptime(r[3], "%Y-%m-%d %H:%M:%S") >= cutoff
+        for r in withheld
+    ), "a null row outside the watermark tail was withheld"
