@@ -1701,3 +1701,119 @@ def llm_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_minhash_containment — ASYMMETRIC containment on the shared candidate
+# pairs (Broder 1997's containment C(A,B) = |A∩B|/|A|, the quantity
+# resemblance-Jaccard cannot see): a short document quoted whole inside a
+# long one has tiny Jaccard but containment ≈ 1 — exactly the
+# quote/excerpt contamination case llm_dedup_near under-flags.  Candidates
+# come from the ONE shared MinHash-LSH pair table (featurize-once); the
+# containment itself is EXACT — distinct-shingle intersection counted per
+# candidate pair — so the sketch only proposes, never decides.
+#
+# Scale shape: pair list is LSH-bounded (never all-pairs); the exact
+# intersection joins the (doc, shingle) relation to the pair table on doc
+# key then on shingle equality — work ∝ Σ shingles over candidate docs,
+# not corpus².  Sizes ride the same shingle relation.
+#
+# Parity: counts are exact integers; ratios q6; direction thresholds at
+# the shared 0.9 literal.  The augmented corpus guarantees true
+# containments exist (a first-token-dropped copy's shingle set is a
+# strict subset of its source's).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_CONTAIN_TAU = 0.9
+
+_CONTAIN_ORACLE = f"""
+WITH {PAIRS_SQL},
+corpus AS ({_AUG_SQL}),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform({_SHINGLES_SQL},
+                                                     x -> md5(x)))) AS h
+  FROM corpus WHERE len(string_split(text,' ')) >= 3
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.h = a.h
+  GROUP BY p.doc_a, p.doc_b
+),
+scored AS (
+  SELECT i.doc_a, i.doc_b, i.i AS inter_size,
+         FLOOR(i.i * 1.0 / sa.sz * 1000000.0 + 0.5) / 1000000.0 AS cont_a_in_b,
+         FLOOR(i.i * 1.0 / sb.sz * 1000000.0 + 0.5) / 1000000.0 AS cont_b_in_a
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, inter_size, cont_a_in_b, cont_b_in_a,
+       CASE WHEN cont_a_in_b >= {_CONTAIN_TAU} AND cont_b_in_a >= {_CONTAIN_TAU}
+              THEN 'mutual'
+            WHEN cont_a_in_b >= {_CONTAIN_TAU} THEN 'a_in_b'
+            ELSE 'b_in_a' END AS direction
+FROM scored
+WHERE cont_a_in_b >= {_CONTAIN_TAU} OR cont_b_in_a >= {_CONTAIN_TAU}
+"""
+
+
+@register("llm_minhash_containment", oracle=_CONTAIN_ORACLE)
+def llm_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = candidate_pairs(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    corpus = _aug_corpus(docs)
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        corpus.select("doc_id", toks.alias("toks"))
+        .filter(F.size(F.col("toks")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(_shingles(F.col("toks")), lambda x: F.md5(x))
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)  # intersection (×2 sides) + sizes
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").alias("inter_size"),
+            (
+                F.floor(F.col("i") * 1.0 / F.col("sza") * 1_000_000.0 + F.lit(0.5))
+                / 1_000_000.0
+            ).alias("cont_a_in_b"),
+            (
+                F.floor(F.col("i") * 1.0 / F.col("szb") * 1_000_000.0 + F.lit(0.5))
+                / 1_000_000.0
+            ).alias("cont_b_in_a"),
+        )
+    )
+    ca, cb = F.col("cont_a_in_b"), F.col("cont_b_in_a")
+    return scored.filter((ca >= _CONTAIN_TAU) | (cb >= _CONTAIN_TAU)).select(
+        "doc_a",
+        "doc_b",
+        "inter_size",
+        "cont_a_in_b",
+        "cont_b_in_a",
+        F.when((ca >= _CONTAIN_TAU) & (cb >= _CONTAIN_TAU), "mutual")
+        .when(ca >= _CONTAIN_TAU, "a_in_b")
+        .otherwise("b_in_a")
+        .alias("direction"),
+    )

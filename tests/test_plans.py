@@ -1704,3 +1704,13 @@ def test_pca_power_corpus_touched_once(spark, sf_dir):
     assert plan.count("Scan parquet") == 0
     assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)
+
+
+def test_containment_rides_candidate_pairs(spark, sf_dir):
+    # The pair list is the shared LSH-bounded derived table; the exact
+    # intersection joins the checkpointed shingle relation — never an
+    # all-pairs product.
+    plan = _plan(spark, sf_dir, "llm_minhash_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)

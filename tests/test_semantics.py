@@ -4731,3 +4731,21 @@ def test_pca_power_finds_dominant_axis(spark, tmp_path):
     assert out[0]["lambda_top"] == 100.0
     assert out[0]["explained_var_ratio"] == 0.990099
     assert out[0]["n_vectors"] == 4
+
+
+def test_minhash_containment_detects_strict_subset(spark, tmp_path):
+    # The augmented corpus pairs every doc with its first-token-dropped
+    # copy (+1000000): that copy's shingle set is a STRICT SUBSET of its
+    # source's, so containment copy-in-source must be exactly 1.0 while
+    # Jaccard is below 1 (the asymmetry resemblance cannot express).
+    words = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, words, "en", "s1", len(words))]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           eng.queries()["llm_minhash_containment"](spark, str(tmp_path)).collect()}
+    pair = out[(1, 1000001)]
+    # copy (doc_b) has 27 shingles, source 28; intersection = 27
+    assert pair["inter_size"] == 27
+    assert pair["cont_b_in_a"] == 1.0          # full containment
+    assert pair["cont_a_in_b"] == 0.964286     # 27/28 — NOT symmetric
+    assert pair["direction"] == "mutual"       # both clear 0.9 here
