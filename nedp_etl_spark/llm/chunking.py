@@ -533,3 +533,118 @@ def llm_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "straddles_next"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# llm_packing_attention_mask — the varlen-attention sidecar for packed
+# training sequences (the `cu_seqlens` input of FlashAttention varlen /
+# the document-mask of packed pretraining): extend llm_seq_packing's
+# start-offset assignment to FULL document segmentation — a document
+# spanning pack boundaries contributes one segment per pack it crosses —
+# and emit, per pack, the 0-prefixed cumulative segment lengths plus how
+# many segments continue a document from an earlier pack (those get
+# position-id resets but must NOT attend to their prefix — the exact
+# metadata a trainer needs to mask cross-document attention).
+#
+# Scale shape: the same two-phase global prefix sum as llm_seq_packing
+# (range partition + per-pid windows + bounded offset collect — never a
+# global window); segmentation explodes each doc into ≤ ⌈n/cap⌉+1
+# segments map-side; per-pack windows are bounded by the cap (≤ cap
+# segments per pack).  Exact integers end to end.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_MASK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS start
+  FROM t WHERE n > 0
+),
+seg AS (
+  SELECT c.doc_id,
+         CAST(p.p AS BIGINT) AS pack_id,
+         GREATEST(c.start, p.p * {_PACK_CAP}) - p.p * {_PACK_CAP} AS seg_off,
+         LEAST(c.start + c.n, (p.p + 1) * {_PACK_CAP})
+           - GREATEST(c.start, p.p * {_PACK_CAP}) AS seg_len,
+         p.p > CAST(FLOOR(c.start / {_PACK_CAP}) AS BIGINT) AS is_cont
+  FROM c, UNNEST(range(CAST(FLOOR(c.start / {_PACK_CAP}) AS BIGINT),
+                       CAST(FLOOR((c.start + c.n - 1) / {_PACK_CAP}) AS BIGINT)
+                       + 1)) p(p)
+),
+cum AS (
+  SELECT pack_id, seg_off, seg_len, is_cont,
+         CAST(SUM(seg_len) OVER (PARTITION BY pack_id ORDER BY seg_off
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cu
+  FROM seg
+)
+SELECT pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(seg_len) AS BIGINT) AS pack_tokens,
+       CAST(SUM(CASE WHEN is_cont THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_continuations,
+       list_prepend(CAST(0 AS BIGINT), list(cu ORDER BY seg_off))
+         AS cu_seqlens
+FROM cum GROUP BY pack_id
+"""
+
+
+@register("llm_packing_attention_mask", oracle=_MASK_ORACLE)
+def llm_packing_attention_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from nedp_etl_spark.util import global_running_sum
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    ).filter(F.col("n") > 0)
+    c = global_running_sum(t, ["doc_id"], F.col("n"), "cum").withColumn(
+        "start", F.col("cum") - F.col("n")
+    )
+    p0 = F.floor(F.col("start") / _PACK_CAP).cast("bigint")
+    p1 = F.floor((F.col("start") + F.col("n") - 1) / _PACK_CAP).cast("bigint")
+    seg = c.select(
+        "doc_id",
+        "start",
+        "n",
+        F.explode(F.sequence(p0, p1)).alias("pack_id"),
+        p0.alias("p0"),
+    ).select(
+        "pack_id",
+        (
+            F.greatest(F.col("start"), F.col("pack_id") * _PACK_CAP)
+            - F.col("pack_id") * _PACK_CAP
+        ).alias("seg_off"),
+        (
+            F.least(F.col("start") + F.col("n"), (F.col("pack_id") + 1) * _PACK_CAP)
+            - F.greatest(F.col("start"), F.col("pack_id") * _PACK_CAP)
+        ).alias("seg_len"),
+        (F.col("pack_id") > F.col("p0")).alias("is_cont"),
+    )
+    w = (
+        Window.partitionBy("pack_id")
+        .orderBy("seg_off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = seg.withColumn("cu", F.sum("seg_len").over(w).cast("bigint"))
+    return cum.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("seg_len").cast("bigint").alias("pack_tokens"),
+        F.sum(F.when(F.col("is_cont"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_continuations"),
+        F.concat(
+            F.array(F.lit(0).cast("bigint")),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg_off", "cu"))),
+                lambda x: x["cu"],
+            ),
+        ).alias("cu_seqlens"),
+    )

@@ -1714,3 +1714,11 @@ def test_containment_rides_candidate_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not _has_global_window(plan)
+
+
+def test_packing_mask_no_global_window(spark, sf_dir):
+    # The prefix sum is the two-phase helper; per-pack windows are bounded
+    # by the cap.  No single-partition window, no cartesian.
+    plan = _plan(spark, sf_dir, "llm_packing_attention_mask")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan

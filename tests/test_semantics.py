@@ -4749,3 +4749,22 @@ def test_minhash_containment_detects_strict_subset(spark, tmp_path):
     assert pair["cont_b_in_a"] == 1.0          # full containment
     assert pair["cont_a_in_b"] == 0.964286     # 27/28 — NOT symmetric
     assert pair["direction"] == "mutual"       # both clear 0.9 here
+
+
+def test_packing_mask_segments_and_continuations(spark, tmp_path):
+    # Three docs of 300, 400, 200 tokens against cap 512.  Doc 2 starts at
+    # 300 and CROSSES the pack boundary: segment (300..512) in pack 0 and
+    # a continuation (0..188) in pack 1; doc 3 fills 188..388 of pack 1.
+    # cu_seqlens: pack 0 -> [0, 300, 512]; pack 1 -> [0, 188, 388];
+    # continuations: pack 1 has exactly one.
+    docs = [(1, " ".join(["a"] * 300)), (2, " ".join(["b"] * 400)),
+            (3, " ".join(["c"] * 200))]
+    rows = [(i, t, "en", "s", len(t)) for i, t in docs]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {r["pack_id"]: r for r in
+           eng.queries()["llm_packing_attention_mask"](spark, str(tmp_path)).collect()}
+    p0, p1 = out[0], out[1]
+    assert (p0["n_segments"], p0["pack_tokens"], p0["n_continuations"]) == (2, 512, 0)
+    assert list(p0["cu_seqlens"]) == [0, 300, 512]
+    assert (p1["n_segments"], p1["pack_tokens"], p1["n_continuations"]) == (2, 388, 1)
+    assert list(p1["cu_seqlens"]) == [0, 188, 388]
