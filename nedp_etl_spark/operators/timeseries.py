@@ -4070,3 +4070,169 @@ def ts_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((yhat + F.col("qhat")) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
         ).alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_theta_forecast — the Theta method (Assimakopoulos & Nikolopoulos
+# 2000; winner of the M3 forecasting competition), in its classical
+# equivalent form (Hyndman & Billah 2003): forecast = SES level of the
+# series + h·(b̂/2), where b̂ is the OLS slope — i.e. simple exponential
+# smoothing WITH half the linear drift.  The strongest cheap univariate
+# baseline; complements ts_holt (adaptive trend) and ts_forecast_linear
+# (pure trend) with the hybrid that beat both at M3.
+#
+# Scale shape: daily rollup (calendar-bounded, checkpointed), OLS slope
+# from exact integer sums (the ts_conformal_interval algebra), and the
+# SES level as a CLOSED-FORM weighted sum — α = 0.5 makes every weight
+# α(1−α)^{n−i} = 2^{-(n-i+1)} an EXACT binary double (no libm pow
+# parity risk), so the recurrence needs no iteration at all: one
+# aggregate per series with 1e-9 fixed-point terms.  h = 1..3 horizons
+# explode from a literal.
+#
+# Parity discipline: weighted terms and the init term quantize 1e-9
+# before their sums; slope q9; forecasts q6; series with n < 2 or zero
+# x-variance fall back to drift 0 (SES level alone).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_THETA_H = 3
+
+_THETA_ORACLE = f"""
+WITH {_DAILY_CTE},
+idx AS (
+  SELECT event_type, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+           AS t,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+),
+ses AS (
+  SELECT event_type, MAX(n) AS n,
+         CAST(SUM(CASE WHEN t >= 2 THEN
+           CAST(FLOOR(v * pow(2.0, -(n - t + 1))
+                      * 1000000000.0 + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+           / 1000000000.0
+         + CAST(SUM(CASE WHEN t = 1 THEN
+             CAST(FLOOR(v * pow(2.0, -(n - 1)) * 1000000000.0 + 0.5) AS BIGINT)
+           ELSE 0 END) AS DOUBLE) / 1000000000.0 AS level
+  FROM idx GROUP BY event_type
+),
+tr AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(t) AS BIGINT) AS sx,
+         CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS syq,
+         CAST(SUM(t * CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)) AS HUGEINT)
+           AS sxyq,
+         CAST(SUM(t * t) AS BIGINT) AS sxx
+  FROM idx GROUP BY event_type
+),
+sl AS (
+  SELECT event_type,
+         CASE WHEN k >= 2 AND k * sxx - sx * sx > 0 THEN
+           FLOOR(CAST(k * sxyq - CAST(sx AS HUGEINT) * syq AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE) / 1000000.0
+                 * 1000000000.0 + 0.5) / 1000000000.0
+         ELSE 0.0 END AS b
+  FROM tr
+)
+SELECT s.event_type, s.n AS n_days, CAST(h.h AS INT) AS horizon,
+       FLOOR((s.level + h.h * sl.b / 2.0) * 1000000.0 + 0.5) / 1000000.0
+         AS theta_forecast
+FROM ses s JOIN sl ON sl.event_type = s.event_type,
+     UNNEST(range(1, {_THETA_H + 1})) h(h)
+"""
+
+
+@register("ts_theta_forecast", oracle=_THETA_ORACLE)
+def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev).localCheckpoint(eager=True)
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "v",
+        F.row_number().over(w.orderBy("d")).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=True)  # ses + trend branches
+    wgt = F.pow(F.lit(2.0), -(F.col("n") - F.col("t") + 1))
+    winit = F.pow(F.lit(2.0), -(F.col("n") - 1))
+    ses = idx.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (
+            (
+                F.sum(
+                    F.when(
+                        F.col("t") >= 2,
+                        F.floor(
+                            F.col("v") * wgt * 1_000_000_000.0 + F.lit(0.5)
+                        ).cast("bigint"),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                ).cast("double")
+                / 1_000_000_000.0
+            )
+            + (
+                F.sum(
+                    F.when(
+                        F.col("t") == 1,
+                        F.floor(
+                            F.col("v") * winit * 1_000_000_000.0 + F.lit(0.5)
+                        ).cast("bigint"),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                ).cast("double")
+                / 1_000_000_000.0
+            )
+        ).alias("level"),
+    )
+    vq = F.floor(F.col("v") * 1_000_000.0 + 0.5).cast("bigint")
+    tr = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum(vq).cast("bigint").alias("syq"),
+        F.sum((F.col("t") * vq).cast("decimal(38,0)")).alias("sxyq"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx"),
+    )
+    k, sx, sxx = F.col("k"), F.col("sx"), F.col("sxx")
+    den = k * sxx - sx * sx
+    sl = tr.select(
+        "event_type",
+        F.when(
+            (k >= 2) & (den > 0),
+            F.floor(
+                (
+                    k.cast("decimal(38,0)") * F.col("sxyq")
+                    - sx.cast("decimal(38,0)") * F.col("syq")
+                ).cast("double")
+                / den.cast("double")
+                / 1_000_000.0
+                * 1_000_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000_000.0,
+        )
+        .otherwise(0.0)
+        .alias("b"),
+    )
+    return (
+        ses.join(sl, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "level",
+            "b",
+            F.explode(F.sequence(F.lit(1), F.lit(_THETA_H))).alias("horizon"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.col("horizon").cast("int").alias("horizon"),
+            (
+                F.floor(
+                    (F.col("level") + F.col("horizon") * F.col("b") / 2.0)
+                    * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("theta_forecast"),
+        )
+    )

@@ -132,6 +132,7 @@ _PRIORITY: list[str] = [
     "stream_join_left_outer",     # NEW r9: watermarked outer stream-stream join
     "llm_minhash_containment",    # NEW r9: asymmetric containment on shared pairs
     "llm_packing_attention_mask", # NEW r9: cu_seqlens / document-mask sidecar
+    "ts_theta_forecast",          # NEW r9: Theta method (SES + half drift)
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

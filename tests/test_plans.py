@@ -1722,3 +1722,13 @@ def test_packing_mask_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_packing_attention_mask")
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_theta_closed_form_no_iteration(spark, sf_dir):
+    # The SES level is a single aggregate (exact powers of two as
+    # weights) — no iterative stage, no global window, one events scan
+    # into the checkpointed rollup.
+    plan = _plan(spark, sf_dir, "ts_theta_forecast")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0

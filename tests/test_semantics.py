@@ -4768,3 +4768,20 @@ def test_packing_mask_segments_and_continuations(spark, tmp_path):
     assert list(p0["cu_seqlens"]) == [0, 300, 512]
     assert (p1["n_segments"], p1["pack_tokens"], p1["n_continuations"]) == (2, 388, 1)
     assert list(p1["cu_seqlens"]) == [0, 188, 388]
+
+
+def test_theta_forecast_matches_ses_recurrence_plus_half_drift(spark, tmp_path):
+    # v = [8,4,2,6]: the alpha=0.5 SES recurrence gives L4 = 5 exactly
+    # (closed form must agree: 8/8 + 4/8 + 2/4 + 6/2 = 5); OLS slope is
+    # (4*46 - 10*20)/(4*30 - 100) = -0.8, so theta forecasts are
+    # 5 + h*(-0.4): 4.6, 4.2, 3.8.
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = [(i, base + datetime.timedelta(days=i), i, "m", v, "{}")
+            for i, v in enumerate([8.0, 4.0, 2.0, 6.0])]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["horizon"]: r for r in
+           eng.queries()["ts_theta_forecast"](spark, str(tmp_path)).collect()}
+    assert all(r["n_days"] == 4 for r in out.values())
+    assert out[1]["theta_forecast"] == 4.6
+    assert out[2]["theta_forecast"] == 4.2
+    assert out[3]["theta_forecast"] == 3.8
