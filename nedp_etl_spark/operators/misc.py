@@ -418,3 +418,175 @@ def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (luhn_total(F.col("valid_num")) % 10 == 0).alias("valid_passes"),
         (luhn_total(F.col("corrupt_num")) % 10 == 0).alias("corrupt_passes"),
     )
+
+
+# --------------------------------------------------------------------------
+# fn_geohash — geohash encode/decode (Niemeyer 2008, public domain): the
+# prefix-joinable spatial key — equal 4-char prefixes ⇒ same ~40 km cell,
+# so geo joins become string-prefix equi-joins (the hierarchical upgrade
+# of fn_geo_haversine's flat 1°×1° grid).  Classic bisection is a loop;
+# here both engines compute the IDENTICAL branch-free form: scale
+# lat/lon to 20-bit integers (binary bisection ≡ floor scaling), Horner-
+# interleave lon/lat bits into the 40-bit code over a literal range
+# (shift-by-column doesn't exist in either engine — exact pow(2,k)
+# doubles cast to BIGINT do), then 8× base32 substr.  The decoded cell
+# center is recovered FROM the code (not the inputs), proving the
+# interleave invertible.
+#
+# Scale: pure map-side projection, zero shuffles.  Parity: every power
+# of two is exact in binary doubles; centers q6.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+_FN_GEOHASH_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 % 18000) / 100.0 - 90.0 + 0.005 AS lat,
+         (c_custkey * 104729 % 36000) / 100.0 - 180.0 + 0.005 AS lon
+  FROM customer WHERE c_custkey < 400
+),
+bits AS (
+  SELECT c_custkey, lat, lon,
+         LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * 1048576.0) AS BIGINT),
+               1048575) AS latb,
+         LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * 1048576.0) AS BIGINT),
+               1048575) AS lonb
+  FROM pts
+),
+z AS (
+  SELECT c_custkey, lat, lon, latb, lonb,
+         list_sum(list_transform(range(0, 20), k ->
+           ((lonb // CAST(pow(2.0, k) AS BIGINT)) % 2)
+             * CAST(pow(2.0, 2 * k + 1) AS BIGINT)
+           + ((latb // CAST(pow(2.0, k) AS BIGINT)) % 2)
+             * CAST(pow(2.0, 2 * k) AS BIGINT))) AS code
+  FROM bits
+),
+dec AS (
+  SELECT c_custkey, lat, lon, code,
+         list_sum(list_transform(range(0, 20), k ->
+           ((code // CAST(pow(2.0, 2 * k) AS BIGINT)) % 2)
+             * CAST(pow(2.0, k) AS BIGINT))) AS latd,
+         list_sum(list_transform(range(0, 20), k ->
+           ((code // CAST(pow(2.0, 2 * k + 1) AS BIGINT)) % 2)
+             * CAST(pow(2.0, k) AS BIGINT))) AS lond
+  FROM z
+),
+gh AS (
+  SELECT c_custkey, lat, lon, latd, lond,
+         substr('{_GH_ALPHA}',
+                CAST((code // 34359738368) % 32 AS INT) + 1, 1)
+         || substr('{_GH_ALPHA}',
+                CAST((code // 1073741824) % 32 AS INT) + 1, 1)
+         || substr('{_GH_ALPHA}',
+                CAST((code // 33554432) % 32 AS INT) + 1, 1)
+         || substr('{_GH_ALPHA}',
+                CAST((code // 1048576) % 32 AS INT) + 1, 1)
+         || substr('{_GH_ALPHA}',
+                CAST((code // 32768) % 32 AS INT) + 1, 1)
+         || substr('{_GH_ALPHA}',
+                CAST((code // 1024) % 32 AS INT) + 1, 1)
+         || substr('{_GH_ALPHA}',
+                CAST((code // 32) % 32 AS INT) + 1, 1)
+         || substr('{_GH_ALPHA}',
+                CAST(code % 32 AS INT) + 1, 1) AS geohash
+  FROM dec
+)
+SELECT c_custkey, lat, lon, geohash, substr(geohash, 1, 4) AS geohash4,
+       FLOOR(((latd + 0.5) / 1048576.0 * 180.0 - 90.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS center_lat,
+       FLOOR(((lond + 0.5) / 1048576.0 * 360.0 - 180.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS center_lon
+FROM gh
+"""
+
+
+@register("fn_geohash", oracle=_FN_GEOHASH_ORACLE)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    lat = (F.col("c_custkey") * 7919 % 18000) / 100.0 - 90.0 + 0.005
+    lon = (F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0 + 0.005
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    latb = F.least(
+        F.floor((F.col("lat") + 90.0) / 180.0 * 1048576.0).cast("bigint"),
+        F.lit(1048575),
+    )
+    lonb = F.least(
+        F.floor((F.col("lon") + 180.0) / 360.0 * 1048576.0).cast("bigint"),
+        F.lit(1048575),
+    )
+    bits = pts.select("c_custkey", "lat", "lon", latb.alias("latb"), lonb.alias("lonb"))
+
+    def _interleave(lo: F.Column, la: F.Column) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(19)),
+            F.lit(0).cast("bigint"),
+            lambda acc, k: acc
+            + (lo / F.pow(F.lit(2.0), k).cast("bigint")).cast("bigint") % 2
+            * F.pow(F.lit(2.0), 2 * k + 1).cast("bigint")
+            + (la / F.pow(F.lit(2.0), k).cast("bigint")).cast("bigint") % 2
+            * F.pow(F.lit(2.0), 2 * k).cast("bigint"),
+        )
+
+    z = bits.withColumn("code", _interleave(F.col("lonb"), F.col("latb")))
+
+    def _debits(code: F.Column, odd: int) -> F.Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(19)),
+            F.lit(0).cast("bigint"),
+            lambda acc, k: acc
+            + (code / F.pow(F.lit(2.0), 2 * k + odd).cast("bigint")).cast("bigint")
+            % 2
+            * F.pow(F.lit(2.0), k).cast("bigint"),
+        )
+
+    dec = z.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        "code",
+        _debits(F.col("code"), 0).alias("latd"),
+        _debits(F.col("code"), 1).alias("lond"),
+    )
+    # base32 digit lookup: element_at over the split alphabet (F.substring
+    # needs a literal position; the digit index is a column)
+    alpha = F.split(F.lit(" ".join(_GH_ALPHA)), " ")
+    gh = F.concat(
+        *[
+            F.element_at(
+                alpha,
+                (
+                    (F.col("code") / F.lit(2 ** (35 - 5 * i)).cast("bigint"))
+                    .cast("bigint")
+                    % 32
+                ).cast("int")
+                + 1,
+            )
+            for i in range(8)
+        ]
+    )
+    out = dec.withColumn("geohash", gh)
+    return out.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        "geohash",
+        F.substring("geohash", 1, 4).alias("geohash4"),
+        (
+            F.floor(
+                ((F.col("latd") + 0.5) / 1048576.0 * 180.0 - 90.0) * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("center_lat"),
+        (
+            F.floor(
+                ((F.col("lond") + 0.5) / 1048576.0 * 360.0 - 180.0) * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("center_lon"),
+    )

@@ -1732,3 +1732,11 @@ def test_theta_closed_form_no_iteration(spark, sf_dir):
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") == 0
+
+
+def test_geohash_pure_map_side(spark, sf_dir):
+    # Encode/decode is a projection: no exchange beyond the scan, no
+    # window, no join.
+    plan = _plan(spark, sf_dir, "fn_geohash")
+    assert "Window" not in plan
+    assert "Join" not in plan

@@ -4785,3 +4785,47 @@ def test_theta_forecast_matches_ses_recurrence_plus_half_drift(spark, tmp_path):
     assert out[1]["theta_forecast"] == 4.6
     assert out[2]["theta_forecast"] == 4.2
     assert out[3]["theta_forecast"] == 3.8
+
+
+def _geohash_replica(lat, lon, p=8):
+    # Pure-Python third engine: textbook bisection geohash (Niemeyer).
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+    bits, out, even = 0, "", True
+    ch = 0
+    while len(out) < p:
+        if even:
+            mid = (lon_r[0] + lon_r[1]) / 2
+            if lon >= mid:
+                ch = ch * 2 + 1; lon_r[0] = mid
+            else:
+                ch = ch * 2; lon_r[1] = mid
+        else:
+            mid = (lat_r[0] + lat_r[1]) / 2
+            if lat >= mid:
+                ch = ch * 2 + 1; lat_r[0] = mid
+            else:
+                ch = ch * 2; lat_r[1] = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out += alpha[ch]; bits, ch = 0, 0
+    return out
+
+
+def test_geohash_matches_textbook_bisection(spark, tmp_path):
+    # The branch-free scaled-integer interleave must equal the textbook
+    # successive-bisection encoder for every customer, and the decoded
+    # cell center must sit within half a cell of the input.
+    rows = [(k, f"c{k}", "a", 0, "p", 1.0, "s", "x") for k in range(1, 60)]
+    schema = ("c_custkey bigint, c_name string, c_address string,"
+              " c_nationkey bigint, c_phone string, c_acctbal double,"
+              " c_mktsegment string, c_comment string")
+    _write(spark, tmp_path, "customer", rows, schema)
+    out = eng.queries()["fn_geohash"](spark, str(tmp_path)).collect()
+    assert len(out) == 59
+    for r in out:
+        assert r["geohash"] == _geohash_replica(r["lat"], r["lon"]), r["c_custkey"]
+        assert r["geohash4"] == r["geohash"][:4]
+        assert abs(r["center_lat"] - r["lat"]) <= 180.0 / (1 << 20)
+        assert abs(r["center_lon"] - r["lon"]) <= 360.0 / (1 << 20)
