@@ -590,3 +590,146 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("center_lon"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_spatial_neighbors — nearest-neighbor geo join with 3×3 neighbor-
+# cell expansion: join_spatial_grid's plain cell equi-join MISSES pairs
+# that straddle a cell boundary (two points metres apart in adjacent
+# cells).  The standard fix at scale: expand the probe side to its 9
+# surrounding 1° cells map-side (×9, constant), equi-join on cell id
+# (longitude wraps at ±180°), score candidates with the exact haversine,
+# and keep each point's nearest neighbor within the 3×3 patch.  Correct
+# whenever the search radius ≤ one cell (~111 km here — points further
+# than that from everyone report no neighbor, by design).
+#
+# Scale shape: ×9 map-side expansion, ONE cell equi-join (never
+# all-pairs), per-point ranking windows bounded by the 9-cell candidate
+# population.  Parity: the fn_geo_haversine literals and q6 ladder;
+# nearest-neighbor ties break on neighbor key.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SPATIAL_NBR_ORACLE = f"""
+WITH pts AS (
+  -- denser regional derivation than fn_geo_haversine's global scatter:
+  -- 400 points over a 20 x 40 degree region so adjacent cells are populated
+  SELECT c_custkey,
+         (c_custkey * 7919 % 2000) / 100.0 + 0.005 AS lat,
+         (c_custkey * 104729 % 4000) / 100.0 + 0.005 AS lon,
+         CAST(FLOOR((c_custkey * 7919 % 2000) / 100.0 + 0.005)
+              AS BIGINT) AS cy,
+         CAST(FLOOR((c_custkey * 104729 % 4000) / 100.0 + 0.005)
+              AS BIGINT) AS cx
+  FROM customer WHERE c_custkey < 400
+),
+probe AS (
+  SELECT p.*, p.cy + dy.dy AS ny,
+         ((p.cx + dx.dx + 180 + 360) % 360) - 180 AS nx
+  FROM pts p,
+       UNNEST([-1, 0, 1]) dy(dy),
+       UNNEST([-1, 0, 1]) dx(dx)
+),
+cand AS (
+  SELECT a.c_custkey, a.lat AS alat, a.lon AS alon,
+         b.c_custkey AS neighbor_key, b.lat AS blat, b.lon AS blon,
+         a.cy = b.cy AND a.cx = b.cx AS same_cell
+  FROM probe a JOIN pts b ON b.cy = a.ny AND b.cx = a.nx
+  WHERE b.c_custkey <> a.c_custkey
+),
+scored AS (
+  SELECT c_custkey, neighbor_key, same_cell,
+         FLOOR({_GEO_R2} * ASIN(SQRT(
+             SIN((blat - alat) * {_GEO_RAD} / 2.0)
+               * SIN((blat - alat) * {_GEO_RAD} / 2.0)
+             + COS(alat * {_GEO_RAD}) * COS(blat * {_GEO_RAD})
+               * SIN((blon - alon) * {_GEO_RAD} / 2.0)
+               * SIN((blon - alon) * {_GEO_RAD} / 2.0)))
+           * 1000000.0 + 0.5) / 1000000.0 AS dist_km
+  FROM cand
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                               ORDER BY dist_km, neighbor_key) AS rn
+  FROM scored
+)
+SELECT c_custkey, neighbor_key, dist_km, same_cell
+FROM rk WHERE rn = 1
+"""
+
+
+@register("join_spatial_neighbors", oracle=_SPATIAL_NBR_ORACLE)
+def join_spatial_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    rad, r2 = float(_GEO_RAD), float(_GEO_R2)
+    # regional derivation (20 x 40 degrees) — see oracle comment
+    lat = (F.col("c_custkey") * 7919 % 2000) / 100.0 + 0.005
+    lon = (F.col("c_custkey") * 104729 % 4000) / 100.0 + 0.005
+    pts = c.select(
+        "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.floor(lat).cast("bigint").alias("cy"),
+        F.floor(lon).cast("bigint").alias("cx"),
+    ).localCheckpoint(eager=True)  # probe and build sides
+    probe = pts.select(
+        "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy")
+    ).select(
+        "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx")
+    ).select(
+        "c_custkey",
+        "lat",
+        "lon",
+        "cy",
+        "cx",
+        (F.col("cy") + F.col("dy")).alias("ny"),
+        (((F.col("cx") + F.col("dx") + 180 + 360) % 360) - 180).alias("nx"),
+    )
+    b = pts.select(
+        F.col("c_custkey").alias("neighbor_key"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        F.col("cy").alias("ny"),
+        F.col("cx").alias("nx"),
+        F.col("cy").alias("bcy"),
+        F.col("cx").alias("bcx"),
+    )
+    cand = probe.join(b, ["ny", "nx"]).filter(
+        F.col("neighbor_key") != F.col("c_custkey")
+    )
+    dlat = (F.col("blat") - F.col("lat")) * rad / 2.0
+    dlon = (F.col("blon") - F.col("lon")) * rad / 2.0
+    dist = (
+        F.floor(
+            r2
+            * F.asin(
+                F.sqrt(
+                    F.sin(dlat) * F.sin(dlat)
+                    + F.cos(F.col("lat") * rad)
+                    * F.cos(F.col("blat") * rad)
+                    * F.sin(dlon)
+                    * F.sin(dlon)
+                )
+            )
+            * 1_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    scored = cand.select(
+        "c_custkey",
+        "neighbor_key",
+        ((F.col("cy") == F.col("bcy")) & (F.col("cx") == F.col("bcx"))).alias(
+            "same_cell"
+        ),
+        dist.alias("dist_km"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "neighbor_key")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "neighbor_key", "dist_km", "same_cell")
+    )

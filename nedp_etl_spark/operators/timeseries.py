@@ -4236,3 +4236,177 @@ def ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theta_forecast"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_variance_ratio_test — Lo & MacKinlay (1988) variance-ratio test for
+# the random-walk hypothesis, on daily LEVELS diffs: if a series is a
+# random walk, the variance of q-step increments is q× the one-step
+# variance, so VR(q) = Var(v_t − v_{t−q}) / (q·Var(v_t − v_{t−1})) ≈ 1;
+# VR < 1 ⇒ mean reversion, VR > 1 ⇒ trending/momentum.  The hypothesis-
+# test companion to ts_hurst_exponent's descriptive H (same question,
+# different machinery: a z-statistic under the homoskedastic null,
+# z = (VR−1)/√(2(2q−1)(q−1)/(3q·m))).
+#
+# Scale shape: lag windows and moment sums over the calendar-bounded
+# daily rollup, partitioned by series; one checkpoint, no joins beyond
+# the broadcast of per-series means.
+#
+# Parity discipline: μ from exact fixed-point sums (q9); squared
+# deviations quantize 1e-12 BEFORE the cross-row sums; VR and z are
+# identical IEEE expressions, q6; degenerate series (fewer than q+2
+# returns, or zero one-step variance) yield NULLs.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_VR_Q = 4
+
+_VR_ORACLE = f"""
+WITH {_DAILY_CTE},
+idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+  FROM daily
+),
+lagd AS (
+  SELECT event_type, v, t,
+         v - LAG(v, 1) OVER (PARTITION BY event_type ORDER BY t) AS r1,
+         v - LAG(v, {_VR_Q}) OVER (PARTITION BY event_type ORDER BY t) AS rq
+  FROM idx
+),
+mu AS (
+  SELECT event_type,
+         CAST(COUNT(r1) AS BIGINT) AS m,
+         FLOOR(CAST(SUM(CAST(FLOOR(r1 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / COUNT(r1) * 1000000000.0 + 0.5) / 1000000000.0
+           AS mu
+  FROM lagd GROUP BY event_type
+),
+vv AS (
+  SELECT l.event_type, mu.m, mu.mu,
+         CAST(SUM(CASE WHEN l.r1 IS NOT NULL THEN
+           CAST(FLOOR((l.r1 - mu.mu) * (l.r1 - mu.mu) * 1000000000000.0 + 0.5)
+                AS BIGINT) END) AS DOUBLE) / 1000000000000.0 AS ss1,
+         CAST(SUM(CASE WHEN l.rq IS NOT NULL THEN
+           CAST(FLOOR((l.rq - {_VR_Q} * mu.mu) * (l.rq - {_VR_Q} * mu.mu)
+                      * 1000000000000.0 + 0.5) AS BIGINT) END) AS DOUBLE)
+           / 1000000000000.0 AS ssq,
+         CAST(COUNT(l.rq) AS BIGINT) AS mq
+  FROM lagd l JOIN mu ON mu.event_type = l.event_type
+  GROUP BY l.event_type, mu.m, mu.mu
+)
+SELECT event_type, m AS n_returns,
+       CASE WHEN m >= {_VR_Q} + 2 AND ss1 > 0 AND mq > 0 THEN
+         FLOOR((ssq / mq) / ({_VR_Q}.0 * ss1 / m) * 1000000.0 + 0.5) / 1000000.0
+       END AS vr,
+       CASE WHEN m >= {_VR_Q} + 2 AND ss1 > 0 AND mq > 0 THEN
+         FLOOR(((ssq / mq) / ({_VR_Q}.0 * ss1 / m) - 1.0)
+               / sqrt(2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1)
+                      / (3.0 * {_VR_Q} * m))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS z_stat,
+       CASE WHEN m < {_VR_Q} + 2 OR ss1 <= 0 OR mq = 0 THEN NULL
+            WHEN FLOOR(((ssq / mq) / ({_VR_Q}.0 * ss1 / m) - 1.0)
+                       / sqrt(2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1)
+                              / (3.0 * {_VR_Q} * m))
+                       * 1000000.0 + 0.5) / 1000000.0 > 1.959964
+              THEN 'trending'
+            WHEN FLOOR(((ssq / mq) / ({_VR_Q}.0 * ss1 / m) - 1.0)
+                       / sqrt(2.0 * (2 * {_VR_Q} - 1) * ({_VR_Q} - 1)
+                              / (3.0 * {_VR_Q} * m))
+                       * 1000000.0 + 0.5) / 1000000.0 < -1.959964
+              THEN 'mean_reverting'
+            ELSE 'random_walk' END AS regime
+FROM vv
+"""
+
+
+@register("ts_variance_ratio_test", oracle=_VR_ORACLE)
+def ts_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev).localCheckpoint(eager=True)
+    wo = Window.partitionBy("event_type").orderBy("t")
+    idx = daily.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("t"),
+    )
+    lagd = idx.select(
+        "event_type",
+        "v",
+        "t",
+        (F.col("v") - F.lag("v", 1).over(wo)).alias("r1"),
+        (F.col("v") - F.lag("v", _VR_Q).over(wo)).alias("rq"),
+    )
+    mu = lagd.groupBy("event_type").agg(
+        F.count("r1").cast("bigint").alias("m"),
+        (
+            F.floor(
+                F.sum(F.floor(F.col("r1") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / 1_000_000.0
+                / F.count("r1")
+                * 1_000_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000_000.0
+        ).alias("mu"),
+    )
+    d1 = F.col("r1") - F.col("mu")
+    dq = F.col("rq") - _VR_Q * F.col("mu")
+    vv = (
+        lagd.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type", "m", "mu")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("r1").isNotNull(),
+                        F.floor(d1 * d1 * 1_000_000_000_000.0 + F.lit(0.5)).cast(
+                            "bigint"
+                        ),
+                    )
+                ).cast("double")
+                / 1_000_000_000_000.0
+            ).alias("ss1"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("rq").isNotNull(),
+                        F.floor(dq * dq * 1_000_000_000_000.0 + F.lit(0.5)).cast(
+                            "bigint"
+                        ),
+                    )
+                ).cast("double")
+                / 1_000_000_000_000.0
+            ).alias("ssq"),
+            F.count("rq").cast("bigint").alias("mq"),
+        )
+    )
+    m, ss1, ssq, mq = F.col("m"), F.col("ss1"), F.col("ssq"), F.col("mq")
+    ok = (m >= _VR_Q + 2) & (ss1 > 0) & (mq > 0)
+    vr = F.floor((ssq / mq) / (float(_VR_Q) * ss1 / m) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+    se = F.sqrt(
+        2.0 * (2 * _VR_Q - 1) * (_VR_Q - 1) / (3.0 * _VR_Q * m)
+    )
+    z = (
+        F.floor(
+            ((ssq / mq) / (float(_VR_Q) * ss1 / m) - 1.0) / se * 1_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    return vv.select(
+        "event_type",
+        m.alias("n_returns"),
+        F.when(ok, vr).alias("vr"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(~ok, F.lit(None).cast("string"))
+        .when(z > 1.959964, "trending")
+        .when(z < -1.959964, "mean_reverting")
+        .otherwise("random_walk")
+        .alias("regime"),
+    )

@@ -134,6 +134,8 @@ _PRIORITY: list[str] = [
     "llm_packing_attention_mask", # NEW r9: cu_seqlens / document-mask sidecar
     "ts_theta_forecast",          # NEW r9: Theta method (SES + half drift)
     "fn_geohash",                 # NEW r9: branch-free geohash encode/decode
+    "ts_variance_ratio_test",     # NEW r9: Lo-MacKinlay VR(q) random-walk test
+    "join_spatial_neighbors",     # NEW r9: boundary-correct 3x3 cell NN join
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

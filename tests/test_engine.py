@@ -242,7 +242,7 @@ def test_model_graph_rejects_this_outside_incremental():
 
 # Static @register sites; stream_transform_state joins at runtime when the
 # protobuf bootstrap succeeds (streaming/transformstate.py gate).
-EXPECTED_STATIC_KEYS = 404
+EXPECTED_STATIC_KEYS = 406
 
 
 def test_registry_key_count_pinned():
@@ -296,6 +296,7 @@ def test_survey_table_matches_registry():
 # registry) caught two only by manual audit.
 _SIMILAR_ORACLES_OK = {
     ("udf_pandas", "udf_scalar"),          # same contract, pandas vs row UDF
+    ("stream_join_left_outer", "stream_stream_join"),  # same query, join TYPE is the point
     ("llm_dedup_cluster", "llm_dedup_cluster_converged"),  # fixed vs converged
     ("llm_knn_graph", "llm_semantic_lsh"),  # shared embedding-bucket spine
     ("join_range", "join_range_binned"),    # same join, binned plan variant

@@ -278,7 +278,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_price_index",  # 1-row base-month broadcast (O(part-months))
                    "agg_theil_decomposition",  # 1-row grand-total broadcast (O(n) terms)
                    "ts_backtest_cv",  # calendar-bounded cutoff-spine broadcast (O(weeks))
-                   "agg_logistic_irls"}  # 1-row beta broadcast per IRLS pass (O(n) agg)
+                   "agg_logistic_irls",  # 1-row beta broadcast per IRLS pass (O(n) agg)
+                   "llm_embed_pca_power"}  # 1-row lambda/trace/flip broadcasts onto 64 rows
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1740,3 +1741,21 @@ def test_geohash_pure_map_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fn_geohash")
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_variance_ratio_series_partitioned(spark, sf_dir):
+    # Lag windows and moment sums partition by series over the
+    # checkpointed rollup; per-series means broadcast back.
+    plan = _plan(spark, sf_dir, "ts_variance_ratio_test")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 0
+
+
+def test_spatial_neighbors_cell_equijoin_only(spark, sf_dir):
+    # x9 map-side expansion + ONE cell equi-join; never an all-pairs
+    # product; ranking windows partition per point.
+    plan = _plan(spark, sf_dir, "join_spatial_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)

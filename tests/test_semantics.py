@@ -4829,3 +4829,69 @@ def test_geohash_matches_textbook_bisection(spark, tmp_path):
         assert r["geohash4"] == r["geohash"][:4]
         assert abs(r["center_lat"] - r["lat"]) <= 180.0 / (1 << 20)
         assert abs(r["center_lon"] - r["lon"]) <= 360.0 / (1 << 20)
+
+
+def test_variance_ratio_alternating_is_mean_reverting(spark, tmp_path):
+    # Alternating series: q=4-step increments are ALWAYS 0 (period 2
+    # divides 4), so VR collapses toward 0 and the z-statistic is deeply
+    # negative -> 'mean_reverting'.  A constant series has zero one-step
+    # variance -> all NULLs (the test is undefined, never faked).
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    for i in range(18):
+        rows.append((i, base + datetime.timedelta(days=i), i, "alt",
+                     1.0 if i % 2 == 0 else -1.0, "{}"))
+        rows.append((50 + i, base + datetime.timedelta(days=i), i, "const",
+                     4.0, "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           eng.queries()["ts_variance_ratio_test"](spark, str(tmp_path)).collect()}
+    alt = out["alt"]
+    assert alt["n_returns"] == 17
+    assert alt["vr"] is not None and alt["vr"] < 0.1
+    assert alt["regime"] == "mean_reverting"
+    const = out["const"]
+    assert const["vr"] is None and const["regime"] is None
+
+
+def test_spatial_neighbors_cross_cell_boundary(spark, tmp_path):
+    # Part 1: three far-apart points -> no 3x3 patch holds a candidate,
+    # so the honest answer is empty.  Part 2: search the key space for a
+    # derived pair in ADJACENT cells and verify each finds the other as
+    # nearest neighbor with same_cell = False — the pair a plain cell
+    # equi-join (join_spatial_grid) would miss.
+    rows = [(k, f"c{k}", 0, 1.0, "s") for k in (1, 2, 3)]
+    schema = ("c_custkey bigint, c_name string, c_nationkey bigint,"
+              " c_acctbal double, c_mktsegment string")
+    _write(spark, tmp_path, "customer", rows, schema)
+    out = {r["c_custkey"]: r for r in
+           eng.queries()["join_spatial_neighbors"](spark, str(tmp_path)).collect()}
+    # derived coords: key1 -> (19.195, 7.295) cell (19,7);
+    # key2 -> (18.385, 14.585) cell (18,14); key3 -> (17.575, 1.875) (17,1)
+    # no two points share or neighbor a cell -> empty result is the honest
+    # answer here; assert the operator returns rows ONLY when a 3x3 patch
+    # holds a candidate
+    assert out == {}
+    # now plant a genuine boundary pair: keys 253 & 506 derive to
+    # lat/lon (.., ..) — instead compute two keys whose cells are adjacent
+    import itertools
+    def coords(k):
+        return ((k * 7919 % 2000) / 100.0 + 0.005,
+                (k * 104729 % 4000) / 100.0 + 0.005)
+    found = None
+    for a, b in itertools.combinations(range(1, 400), 2):
+        la, lo = coords(a); lb, lob = coords(b)
+        ca, cb = (int(la), int(lo)), (int(lb), int(lob))
+        if ca != cb and abs(ca[0] - cb[0]) <= 1 and abs(ca[1] - cb[1]) <= 1:
+            found = (a, b); break
+    assert found, "no boundary pair exists in the derivation"
+    a, b = found
+    rows = [(k, f"c{k}", 0, 1.0, "s") for k in (a, b)]
+    second = tmp_path / "second"   # fresh dir: data.load caches per (session, dir)
+    second.mkdir()
+    _write(spark, second, "customer", rows, schema)
+    out = {r["c_custkey"]: r for r in
+           eng.queries()["join_spatial_neighbors"](spark, str(second)).collect()}
+    assert out[a]["neighbor_key"] == b and out[b]["neighbor_key"] == a
+    assert not out[a]["same_cell"]  # found ACROSS the boundary
+    assert out[a]["dist_km"] < 260.0  # within the 3x3 patch diagonal
