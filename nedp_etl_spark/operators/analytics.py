@@ -5377,3 +5377,107 @@ def agg_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return feats.crossJoin(F.broadcast(nstat))
+
+
+# --------------------------------------------------------------------------
+# agg_roc_auc — exact ROC-AUC of a score column against binary labels
+# (Hanley & McNeil 1982; AUC = U/(n₊·n₋), the ML-evaluation view of the
+# Mann-Whitney statistic agg_mannwhitney_u uses for A/B inference): here
+# the score is the first embedding component and the label parity splits
+# the classes — the shape of every "does this quality/propensity score
+# actually rank positives above negatives" check run before deploying a
+# filter model.
+#
+# Scale shape: tie-corrected average ranks WITHOUT a global window — the
+# agg_spearman_rho machinery (distinct-value aggregate →
+# util.global_running_sum two-phase prefix → rank2 = 2·cum − cnt + 1
+# joined back on the value key); the positive-rank sum accumulates in
+# decimal(38,0) (rank2·n can pass int64 near 10⁹ rows).
+#
+# Parity: scores quantize q6 before ranking; rank2 is an exact integer
+# (tie averaging costs no float); AUC assembles from exact sums with the
+# q6 floor; degenerate inputs (a class empty) yield NULL.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_ROC_AUC_ORACLE = """
+WITH s AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS q,
+         CAST(label % 2 AS INT) AS y
+  FROM embeddings
+),
+r AS (
+  SELECT y,
+         2 * RANK() OVER (ORDER BY q) + COUNT(*) OVER (PARTITION BY q) - 1
+           AS r2
+  FROM s
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+         SUM(CASE WHEN y = 1 THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS rp2
+  FROM r
+)
+SELECT np AS n_pos, nn AS n_neg,
+       CASE WHEN np > 0 AND nn > 0 THEN
+         FLOOR((CAST(rp2 AS DOUBLE) / 2.0 - CAST(np AS DOUBLE) * (np + 1) / 2.0)
+               / (CAST(np AS DOUBLE) * nn) * 1000000.0 + 0.5) / 1000000.0
+       END AS auc,
+       CASE WHEN np > 0 AND nn > 0 THEN
+         FLOOR((2.0 * ((CAST(rp2 AS DOUBLE) / 2.0
+                        - CAST(np AS DOUBLE) * (np + 1) / 2.0)
+                       / (CAST(np AS DOUBLE) * nn)) - 1.0)
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS gini
+FROM agg
+"""
+
+
+@register("agg_roc_auc", oracle=_ROC_AUC_ORACLE)
+def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    s = e.select(
+        F.floor(
+            F.element_at(F.col("embedding"), 1).cast("double") * 1_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("q"),
+        (F.col("label") % 2).cast("int").alias("y"),
+    )
+    dv = s.groupBy("q").agg(F.count(F.lit(1)).alias("__cnt"))
+    cum = global_running_sum(dv, ["q"], F.col("__cnt"), "__cum")
+    rmap = cum.select("q", (2 * F.col("__cum") - F.col("__cnt") + 1).alias("r2"))
+    ranked = s.join(rmap, "q")
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("np"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("bigint").alias("nn"),
+        F.sum(
+            F.when(F.col("y") == 1, F.col("r2")).otherwise(0).cast("decimal(38,0)")
+        ).alias("rp2"),
+    )
+    np_, nn_ = F.col("np"), F.col("nn")
+    auc = (
+        F.floor(
+            (
+                F.col("rp2").cast("double") / 2.0
+                - np_.cast("double") * (np_ + 1) / 2.0
+            )
+            / (np_.cast("double") * nn_)
+            * 1_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    ok = (np_ > 0) & (nn_ > 0)
+    return agg.select(
+        np_.alias("n_pos"),
+        nn_.alias("n_neg"),
+        F.when(ok, auc).alias("auc"),
+        F.when(
+            ok,
+            F.floor((2.0 * auc - 1.0) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
+        ).alias("gini"),
+    )

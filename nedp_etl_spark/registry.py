@@ -136,6 +136,7 @@ _PRIORITY: list[str] = [
     "fn_geohash",                 # NEW r9: branch-free geohash encode/decode
     "ts_variance_ratio_test",     # NEW r9: Lo-MacKinlay VR(q) random-walk test
     "join_spatial_neighbors",     # NEW r9: boundary-correct 3x3 cell NN join
+    "agg_roc_auc",                # NEW r9: exact tie-corrected AUC / gini
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

@@ -1759,3 +1759,11 @@ def test_spatial_neighbors_cell_equijoin_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not _has_global_window(plan)
+
+
+def test_roc_auc_no_global_window(spark, sf_dir):
+    # Ranks via the two-phase prefix sum; one corpus join on the score
+    # key; no single-partition window.
+    plan = _plan(spark, sf_dir, "agg_roc_auc")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan

@@ -4895,3 +4895,33 @@ def test_spatial_neighbors_cross_cell_boundary(spark, tmp_path):
     assert out[a]["neighbor_key"] == b and out[b]["neighbor_key"] == a
     assert not out[a]["same_cell"]  # found ACROSS the boundary
     assert out[a]["dist_km"] < 260.0  # within the 3x3 patch diagonal
+
+
+def test_roc_auc_hand_computed_with_tie(spark, tmp_path):
+    # Scores (dim 0): positives [3, 2], negatives [2, 1] -> pairwise wins
+    # 3 of 4 plus one tie at 0.5 -> AUC = 0.875, gini = 0.75 (the tie is
+    # exactly the case naive rank() without averaging gets wrong).
+    def vec(x):
+        v = [0.0] * 64
+        v[0] = x
+        return v
+    rows = [(0, vec(3.0), 1), (1, vec(2.0), 1),   # label%2==1 -> positive
+            (2, vec(2.0), 0), (3, vec(1.0), 0)]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    [r] = eng.queries()["agg_roc_auc"](spark, str(tmp_path)).collect()
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["auc"] == 0.875
+    assert r["gini"] == 0.75
+
+
+def test_roc_auc_single_class_yields_null(spark, tmp_path):
+    def vec(x):
+        v = [0.0] * 64
+        v[0] = x
+        return v
+    rows = [(0, vec(3.0), 1), (1, vec(2.0), 1)]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    [r] = eng.queries()["agg_roc_auc"](spark, str(tmp_path)).collect()
+    assert r["auc"] is None and r["gini"] is None
