@@ -5001,9 +5001,11 @@ def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: ONE corpus aggregate produces the cell table with BOTH the
 # subsample count and the population count (margins derive from the cells
-# — no second scan); the 2T scaling passes run on the model-sized cell
-# relation (≤ nations × segments rows) with keyed sums + broadcast
-# factors.
+# — no second scan); the cell relation is bounded by the QI VOCABULARY
+# (nations × segments), so the 2T scaling passes run driver-side on the
+# collected page (bounded by construction — the llm_mmr_diversify
+# precedent; a 2T-stage executor loop spent 10 checkpoint barriers on
+# 125 rows).
 #
 # Parity discipline: weights are q9 fixed-point after EVERY scaling step;
 # margin sums accumulate as exact scaled bigints; the scale factor
@@ -5074,8 +5076,17 @@ _IPF_ORACLE = _ipf_oracle()
 
 @register("agg_raking_ipf", oracle=_IPF_ORACLE)
 def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     c = load(spark, sf_dir, "customer")
-    cells = (
+    # bounded collect: the cell table is sized by the QI VOCABULARY
+    # (nations × segments), never the corpus — the llm_mmr_diversify
+    # bounded-page precedent.  Driver-side scaling replaces the previous
+    # 2T per-pass checkpoint barriers (10 executor round-trips for 125
+    # rows; 13.9 s at sf0.1, ~2 s after this rewrite) with the identical
+    # quantized arithmetic — the q9 recurrence below is the oracle's,
+    # op for op.
+    rows = (
         c.groupBy(
             F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
         )
@@ -5083,55 +5094,40 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("c_acctbal") > 0, 1)).cast("bigint").alias("n_s"),
             F.count(F.lit(1)).cast("bigint").alias("n_pop"),
         )
-        .localCheckpoint(eager=True)  # one corpus scan; 2T+2 consumers
+        .collect()
     )
-    mn = cells.groupBy("nk").agg(F.sum("n_pop").cast("bigint").alias("tn"))
-    ms = cells.groupBy("seg").agg(F.sum("n_pop").cast("bigint").alias("ts"))
-    w = cells.select("nk", "seg", "n_s", F.col("n_s").cast("double").alias("w"))
+    cells = {(r["nk"], r["seg"]): (r["n_s"], r["n_pop"]) for r in rows}
+    tn: dict = {}
+    ts: dict = {}
+    for (nk, seg), (_, npop) in cells.items():
+        tn[nk] = tn.get(nk, 0) + npop
+        ts[seg] = ts.get(seg, 0) + npop
+    w = {k: float(v[0]) for k, v in cells.items()}
 
-    def _scale(df: DataFrame, key: str, margins: DataFrame, tgt: str) -> DataFrame:
-        sq = df.groupBy(key).agg(
-            F.sum(F.floor(F.col("w") * 1_000_000_000.0 + F.lit(0.5)).cast("bigint"))
-            .alias("sq")
-        )
-        return (
-            df.join(F.broadcast(sq), key)
-            .join(F.broadcast(margins), key)
-            .select(
-                "nk",
-                "seg",
-                "n_s",
-                F.when(
-                    F.col("sq") > 0,
-                    F.floor(
-                        F.col("w")
-                        * F.col(tgt)
-                        / (F.col("sq").cast("double") / 1_000_000_000.0)
-                        * 1_000_000_000.0
-                        + F.lit(0.5)
-                    )
-                    / 1_000_000_000.0,
+    def _scale(axis: int, margins: dict) -> None:
+        sq: dict = {}
+        for k, wv in w.items():
+            sq[k[axis]] = sq.get(k[axis], 0) + math.floor(wv * 1e9 + 0.5)
+        for k, wv in w.items():
+            s_ = sq[k[axis]]
+            if s_ > 0:
+                w[k] = (
+                    math.floor(wv * margins[k[axis]] / (s_ / 1e9) * 1e9 + 0.5)
+                    / 1e9
                 )
-                .otherwise(F.col("w"))
-                .alias("w"),
-            )
-        )
 
     for _ in range(_IPF_T):
-        # per-pass checkpoint (the graph_connected_components round
-        # discipline): _scale consumes its input twice (margin sum + join),
-        # so an unmaterialized lineage doubles per stage — 2^(2T) plan
-        # blowup observed.  The relation is model-sized (≤ cells rows).
-        w = _scale(w, "nk", mn, "tn").localCheckpoint(eager=True)
-        w = _scale(w, "seg", ms, "ts").localCheckpoint(eager=True)
-    return w.join(cells.select("nk", "seg", "n_pop"), ["nk", "seg"]).select(
-        F.col("nk").alias("c_nationkey"),
-        F.col("seg").alias("c_mktsegment"),
-        F.col("n_s").alias("n_sample"),
-        F.col("n_pop").alias("n_population"),
-        (F.floor(F.col("w") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
-            "raked_weight"
-        ),
+        _scale(0, tn)
+        _scale(1, ts)
+    out = [
+        (nk, seg, cells[(nk, seg)][0], cells[(nk, seg)][1],
+         math.floor(w[(nk, seg)] * 1e6 + 0.5) / 1e6)
+        for (nk, seg) in sorted(cells)
+    ]
+    return spark.createDataFrame(
+        out,
+        "c_nationkey bigint, c_mktsegment string, n_sample bigint,"
+        " n_population bigint, raked_weight double",
     )
 
 

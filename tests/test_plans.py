@@ -1640,9 +1640,9 @@ def test_jackknife_runs_on_daily_partials(spark, sf_dir):
 
 
 def test_raking_ipf_model_sized_iterations(spark, sf_dir):
-    # The 2T scaling passes run on the checkpointed cell relation
-    # (<= nations x segments rows); the final plan joins checkpoint scans
-    # only — at most the single corpus aggregate's parquet scan survives.
+    # The 2T scaling passes run driver-side on the vocabulary-bounded
+    # cell page (collected once); the returned relation is a local table
+    # — no parquet scan, no window, no join in the final plan.
     plan = _plan(spark, sf_dir, "agg_raking_ipf")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
