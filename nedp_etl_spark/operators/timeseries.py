@@ -4410,3 +4410,228 @@ def ts_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("random_walk")
         .alias("regime"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_forecast_reconcile — hierarchical forecast reconciliation
+# (Hyndman et al. 2011's coherence problem; bottom-up vs top-down of
+# Gross & Sohl 1990): independent per-nation and per-region OLS forecasts
+# of daily order volume are INCOHERENT (region ≠ Σ nations); emit both
+# classical reconciliations — bottom-up (sum the leaves) and top-down
+# (split the region forecast by historical proportions) — plus the
+# coherence gap each one closes.  The planning readout every org with a
+# geography rollup produces nightly.
+#
+# Scale shape: one orders⋈customer⋈nation pass (broadcast dims) into a
+# calendar-bounded (nation, day) rollup; OLS sums per nation and per
+# region are exact-integer aggregates on it; the forecast horizon
+# (global max day + 1) is a 1-row broadcast.  No windows.
+#
+# Parity: counts exact; slopes/intercepts q9 from exact sums; forecasts
+# q6; bottom-up sums fixed-point over leaf q6 values; shares q6 of exact
+# totals.  Degenerate series (n < 2 or zero x-variance) forecast their
+# historical daily mean instead (q6) — flat-line fallback, flagged.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH daily AS (
+  SELECT n.n_regionkey AS rk, n.n_nationkey AS nk,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2, 3
+),
+hz AS (SELECT MAX(x) + 1 AS xs FROM daily),
+nfit AS (
+  SELECT rk, nk, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM daily GROUP BY rk, nk
+),
+nfc AS (
+  SELECT rk, nk, m, sy,
+         CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 THEN
+           FLOOR(GREATEST(
+             (CAST(sy AS DOUBLE) - FLOOR(CAST(m * sxy - sx * sy AS DOUBLE)
+                / CAST(m * sxx - sx * sx AS DOUBLE) * 1000000000.0 + 0.5)
+                / 1000000000.0 * CAST(sx AS DOUBLE)) / m
+             + FLOOR(CAST(m * sxy - sx * sy AS DOUBLE)
+                / CAST(m * sxx - sx * sx AS DOUBLE) * 1000000000.0 + 0.5)
+                / 1000000000.0 * hz.xs,
+             0.0) * 1000000.0 + 0.5) / 1000000.0
+         ELSE FLOOR(CAST(sy AS DOUBLE) / m * 1000000.0 + 0.5) / 1000000.0
+         END AS nation_fc,
+         NOT (m >= 2 AND m * sxx - sx * sx > 0) AS fallback_mean
+  FROM nfit, hz
+),
+rdaily AS (
+  SELECT rk, x, CAST(SUM(y) AS BIGINT) AS y FROM daily GROUP BY rk, x
+),
+rfit AS (
+  SELECT rk, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM rdaily GROUP BY rk
+),
+rfc AS (
+  SELECT rk,
+         CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 THEN
+           FLOOR(GREATEST(
+             (CAST(sy AS DOUBLE) - FLOOR(CAST(m * sxy - sx * sy AS DOUBLE)
+                / CAST(m * sxx - sx * sx AS DOUBLE) * 1000000000.0 + 0.5)
+                / 1000000000.0 * CAST(sx AS DOUBLE)) / m
+             + FLOOR(CAST(m * sxy - sx * sy AS DOUBLE)
+                / CAST(m * sxx - sx * sx AS DOUBLE) * 1000000000.0 + 0.5)
+                / 1000000000.0 * hz.xs,
+             0.0) * 1000000.0 + 0.5) / 1000000.0
+         ELSE FLOOR(CAST(sy AS DOUBLE) / m * 1000000.0 + 0.5) / 1000000.0
+         END AS region_fc
+  FROM rfit, hz
+),
+bu AS (
+  SELECT rk,
+         CAST(SUM(CAST(FLOOR(nation_fc * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS bottom_up_fc
+  FROM nfc GROUP BY rk
+),
+tot AS (
+  SELECT rk, CAST(SUM(sy) AS BIGINT) AS rtot FROM nfit GROUP BY rk
+)
+SELECT f.rk AS region_key, f.nk AS nation_key,
+       f.nation_fc, f.fallback_mean,
+       r.region_fc, b.bottom_up_fc,
+       FLOOR(CAST(f.sy AS DOUBLE) / t.rtot * 1000000.0 + 0.5) / 1000000.0
+         AS td_share,
+       FLOOR(r.region_fc
+             * (FLOOR(CAST(f.sy AS DOUBLE) / t.rtot * 1000000.0 + 0.5)
+                / 1000000.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS top_down_fc,
+       FLOOR((r.region_fc - b.bottom_up_fc) * 1000000.0 + 0.5) / 1000000.0
+         AS coherence_gap
+FROM nfc f
+JOIN rfc r ON r.rk = f.rk
+JOIN bu b ON b.rk = f.rk
+JOIN tot t ON t.rk = f.rk
+"""
+
+
+def _ols_fc(m, sx, sy, sxy, sxx, xs):
+    den = m * sxx - sx * sx
+    b = (
+        F.floor(
+            (m * sxy - sx * sy).cast("double") / den.cast("double")
+            * 1_000_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000_000.0
+    )
+    fc = F.greatest(
+        (sy.cast("double") - b * sx.cast("double")) / m + b * xs, F.lit(0.0)
+    )
+    ok = (m >= 2) & (den > 0)
+    return (
+        F.when(
+            ok, F.floor(fc * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+        ).otherwise(
+            F.floor(sy.cast("double") / m * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+        ),
+        ~ok,
+    )
+
+
+@register("ts_forecast_reconcile", oracle=_RECON_ORACLE)
+def ts_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    daily = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_regionkey").alias("rk"),
+            F.col("n_nationkey").alias("nk"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("bigint").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint(eager=True)  # nation fits, region fits, horizon
+    )
+    hz = daily.agg((F.max("x") + 1).alias("xs"))
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+
+    def _fit(df: DataFrame, keys: list) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("x").cast("decimal(38,0)").alias("sx"),
+            F.sum("y").cast("decimal(38,0)").alias("sy"),
+            F.sum(dec("x") * F.col("y")).alias("sxy"),
+            F.sum(dec("x") * F.col("x")).alias("sxx"),
+        )
+
+    nfit = _fit(daily, ["rk", "nk"])
+    nfc_col, nfall = _ols_fc(
+        F.col("m"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx"),
+        F.col("xs"),
+    )
+    nfc = nfit.crossJoin(F.broadcast(hz)).select(
+        "rk", "nk", "sy", nfc_col.alias("nation_fc"), nfall.alias("fallback_mean")
+    )
+    rdaily = daily.groupBy("rk", "x").agg(F.sum("y").cast("bigint").alias("y"))
+    rfit = _fit(rdaily, ["rk"])
+    rfc_col, _ = _ols_fc(
+        F.col("m"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx"),
+        F.col("xs"),
+    )
+    rfc = rfit.crossJoin(F.broadcast(hz)).select("rk", rfc_col.alias("region_fc"))
+    bu = nfc.groupBy("rk").agg(
+        (
+            F.sum(
+                F.floor(F.col("nation_fc") * 1_000_000.0 + F.lit(0.5)).cast("bigint")
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("bottom_up_fc")
+    )
+    tot = nfit.groupBy("rk").agg(F.sum("sy").cast("bigint").alias("rtot"))
+    share = (
+        F.floor(
+            F.col("sy").cast("double") / F.col("rtot") * 1_000_000.0 + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    return (
+        nfc.join(F.broadcast(rfc), "rk")
+        .join(F.broadcast(bu), "rk")
+        .join(F.broadcast(tot), "rk")
+        .select(
+            F.col("rk").alias("region_key"),
+            F.col("nk").alias("nation_key"),
+            "nation_fc",
+            "fallback_mean",
+            "region_fc",
+            "bottom_up_fc",
+            share.alias("td_share"),
+            (
+                F.floor(
+                    F.col("region_fc") * share * 1_000_000.0 + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("top_down_fc"),
+            (
+                F.floor(
+                    (F.col("region_fc") - F.col("bottom_up_fc")) * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("coherence_gap"),
+        )
+    )

@@ -1767,3 +1767,11 @@ def test_roc_auc_no_global_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_roc_auc")
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_forecast_reconcile_broadcast_dims(spark, sf_dir):
+    # Dims broadcast into the single orders pass; fits run on the
+    # checkpointed calendar-bounded rollup; no global window.
+    plan = _plan(spark, sf_dir, "ts_forecast_reconcile")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan

@@ -4925,3 +4925,61 @@ def test_roc_auc_single_class_yields_null(spark, tmp_path):
            "vec_id bigint, embedding array<float>, label int")
     [r] = eng.queries()["agg_roc_auc"](spark, str(tmp_path)).collect()
     assert r["auc"] is None and r["gini"] is None
+
+
+_NATION_SCHEMA = ("n_nationkey bigint, n_name string, n_regionkey bigint,"
+                  " n_comment string")
+_ORDERS_MIN_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string,"
+    " o_clerk string, o_shippriority int, o_comment string")
+_CUST_MIN_SCHEMA = ("c_custkey bigint, c_name string, c_nationkey bigint,"
+                    " c_acctbal double, c_mktsegment string")
+
+
+def _recon_fixture(spark, tmp_path, b_counts):
+    d0 = datetime.datetime(2024, 1, 1)
+    _write(spark, tmp_path, "nation",
+           [(1, "A", 7, "x"), (2, "B", 7, "x")], _NATION_SCHEMA)
+    _write(spark, tmp_path, "customer",
+           [(1, "c1", 1, 1.0, "s"), (2, "c2", 2, 1.0, "s")], _CUST_MIN_SCHEMA)
+    rows, oid = [], 0
+    for day, cnt in enumerate([1, 2, 3]):          # nation A: slope 1
+        for _ in range(cnt):
+            rows.append((oid, 1, "O", 1.0, d0 + datetime.timedelta(days=day),
+                         "p", "c", 0, "x")); oid += 1
+    for day, cnt in enumerate(b_counts):           # nation B
+        for _ in range(cnt):
+            rows.append((oid, 2, "O", 1.0, d0 + datetime.timedelta(days=day),
+                         "p", "c", 0, "x")); oid += 1
+    _write(spark, tmp_path, "orders", rows, _ORDERS_MIN_SCHEMA)
+
+
+def test_forecast_reconcile_balanced_is_coherent(spark, tmp_path):
+    # Aligned day sets: OLS is linear in y, so region fit = sum of nation
+    # fits and the coherence gap is EXACTLY 0; top-down splits 6.0 by the
+    # 6/12 shares.
+    _recon_fixture(spark, tmp_path, [2, 2, 2])
+    out = {r["nation_key"]: r for r in
+           eng.queries()["ts_forecast_reconcile"](spark, str(tmp_path)).collect()}
+    a, b = out[1], out[2]
+    assert a["nation_fc"] == 4.0 and b["nation_fc"] == 2.0
+    assert a["region_fc"] == 6.0 and a["bottom_up_fc"] == 6.0
+    assert a["coherence_gap"] == 0.0
+    assert a["td_share"] == 0.5 and a["top_down_fc"] == 3.0
+    assert not a["fallback_mean"]
+
+
+def test_forecast_reconcile_unbalanced_panel_gaps(spark, tmp_path):
+    # Nation B misses day 2 (no orders -> absent row, not zero): its OLS
+    # sees only two days (flat 2.0) while the region series [3,2,5] fits
+    # slope 1 -> region fc 5.333333 vs bottom-up 6.0: gap -0.666667 —
+    # exactly the incoherence reconciliation exists to close.
+    _recon_fixture(spark, tmp_path, [2, 0, 2])
+    out = {r["nation_key"]: r for r in
+           eng.queries()["ts_forecast_reconcile"](spark, str(tmp_path)).collect()}
+    a, b = out[1], out[2]
+    assert b["nation_fc"] == 2.0 and a["nation_fc"] == 4.0
+    assert a["region_fc"] == 5.333333
+    assert a["bottom_up_fc"] == 6.0
+    assert a["coherence_gap"] == -0.666667
