@@ -5477,3 +5477,154 @@ def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((2.0 * auc - 1.0) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_empirical_bayes — beta-binomial shrinkage of per-entity rates
+# (Robbins 1956; the James-Stein lesson applied to proportions; Efron &
+# Morris 1975): small-sample conversion rates are noise — shrink each
+# nation's rate toward the pooled prior, weighting by evidence.  The
+# prior Beta(α, β) is fit by METHOD OF MOMENTS from the observed rate
+# distribution itself (that's the "empirical" part): with m̄ the pooled
+# mean rate and v the between-entity variance of rates,
+# α+β = m̄(1−m̄)/v − 1.  Shrunk rate = (x + α)/(n + α + β).  The ranking
+# fix for every "best/worst region" leaderboard dominated by tiny cells.
+#
+# Scale shape: one corpus aggregate per entity (x successes of n), one
+# bounded combine over the ≤ #entities rows for the moments, a broadcast
+# of the 1-row prior back.  No windows.
+#
+# Parity: rates q6 before the moment sums (1e-12 fixed-point terms);
+# α, β q6 from identical IEEE expressions; v ≤ 0 (under-dispersed —
+# nothing to shrink) degrades to prior-free raw rates with a flag, and
+# the shrunk rate is exactly the raw rate in that case.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_EB_ORACLE = """
+WITH ent AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey
+),
+rt AS (
+  SELECT nk, n, x,
+         FLOOR(x * 1.0 / n * 1000000.0 + 0.5) / 1000000.0 AS r
+  FROM ent
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(FLOOR(r * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 1000000.0 AS mbar
+  FROM rt
+),
+vv AS (
+  SELECT m.k, m.mbar,
+         CASE WHEN m.k >= 2 THEN
+           CAST(SUM(CAST(FLOOR((rt.r - m.mbar) * (rt.r - m.mbar)
+                               * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000000.0 / (m.k - 1)
+         END AS v
+  FROM rt, mom m GROUP BY m.k, m.mbar
+),
+prior AS (
+  SELECT k, mbar, v,
+         CASE WHEN v > 0 AND mbar * (1.0 - mbar) / v - 1.0 > 0 THEN
+           FLOOR(mbar * (mbar * (1.0 - mbar) / v - 1.0) * 1000000.0 + 0.5)
+             / 1000000.0 END AS alpha,
+         CASE WHEN v > 0 AND mbar * (1.0 - mbar) / v - 1.0 > 0 THEN
+           FLOOR((1.0 - mbar) * (mbar * (1.0 - mbar) / v - 1.0) * 1000000.0
+                 + 0.5) / 1000000.0 END AS beta
+  FROM vv
+)
+SELECT rt.nk AS c_nationkey, rt.n AS n_orders, rt.x AS n_flagged,
+       rt.r AS raw_rate,
+       p.alpha, p.beta,
+       CASE WHEN p.alpha IS NOT NULL THEN
+         FLOOR((rt.x + p.alpha) / (rt.n + p.alpha + p.beta) * 1000000.0 + 0.5)
+           / 1000000.0
+       ELSE rt.r END AS shrunk_rate,
+       p.alpha IS NULL AS no_shrinkage
+FROM rt, prior p
+"""
+
+
+@register("agg_empirical_bayes", oracle=_EB_ORACLE)
+def agg_empirical_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    ent = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    rt = ent.select(
+        "nk",
+        "n",
+        "x",
+        (
+            F.floor(F.col("x") * 1.0 / F.col("n") * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("r"),
+    ).localCheckpoint(eager=True)  # moments + final join
+    mom = rt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.sum(F.floor(F.col("r") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 1_000_000.0
+        ).alias("mbar"),
+    )
+    dev = F.col("r") - F.col("mbar")
+    vv = rt.crossJoin(F.broadcast(mom)).groupBy("k", "mbar").agg(
+        F.when(
+            F.col("k") >= 2,
+            F.sum(
+                F.floor(dev * dev * 1_000_000_000_000.0 + F.lit(0.5)).cast("bigint")
+            ).cast("double")
+            / 1_000_000_000_000.0
+            / (F.col("k") - 1),
+        ).alias("v")
+    )
+    mbar, v = F.col("mbar"), F.col("v")
+    strength = mbar * (1.0 - mbar) / v - 1.0
+    prior = vv.select(
+        F.when(
+            (v > 0) & (strength > 0),
+            F.floor(mbar * strength * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
+        ).alias("alpha"),
+        F.when(
+            (v > 0) & (strength > 0),
+            F.floor((1.0 - mbar) * strength * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0,
+        ).alias("beta"),
+    )
+    a, b = F.col("alpha"), F.col("beta")
+    return rt.crossJoin(F.broadcast(prior)).select(
+        F.col("nk").alias("c_nationkey"),
+        F.col("n").alias("n_orders"),
+        F.col("x").alias("n_flagged"),
+        F.col("r").alias("raw_rate"),
+        "alpha",
+        "beta",
+        F.when(
+            a.isNotNull(),
+            F.floor(
+                (F.col("x") + a) / (F.col("n") + a + b) * 1_000_000.0 + F.lit(0.5)
+            )
+            / 1_000_000.0,
+        )
+        .otherwise(F.col("r"))
+        .alias("shrunk_rate"),
+        a.isNull().alias("no_shrinkage"),
+    )

@@ -1775,3 +1775,11 @@ def test_forecast_reconcile_broadcast_dims(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_forecast_reconcile")
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_empirical_bayes_one_fact_pass(spark, sf_dir):
+    # One orders pass with a broadcast dim; moments over the bounded
+    # entity relation; 1-row prior broadcast back.  No windows.
+    plan = _plan(spark, sf_dir, "agg_empirical_bayes")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

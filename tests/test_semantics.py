@@ -4983,3 +4983,56 @@ def test_forecast_reconcile_unbalanced_panel_gaps(spark, tmp_path):
     assert a["region_fc"] == 5.333333
     assert a["bottom_up_fc"] == 6.0
     assert a["coherence_gap"] == -0.666667
+
+
+def test_empirical_bayes_shrinks_small_samples_harder(spark, tmp_path):
+    # Nations: (2 orders, 1 F), (100, 10 F), (100, 30 F) -> rates 0.5,
+    # 0.1, 0.3; pooled mean exactly 0.3, between-entity var exactly 0.04.
+    # The 2-order nation must be pulled far toward the prior mean while
+    # the 100-order nations barely move; alpha/beta must equal the
+    # method-of-moments formula computed with the identical op sequence.
+    d0 = datetime.datetime(2024, 1, 1)
+    _write(spark, tmp_path, "customer",
+           [(1, "c1", 1, 1.0, "s"), (2, "c2", 2, 1.0, "s"),
+            (3, "c3", 3, 1.0, "s")], _CUST_MIN_SCHEMA)
+    rows, oid = [], 0
+    for cust, n, x in [(1, 2, 1), (2, 100, 10), (3, 100, 30)]:
+        for i in range(n):
+            rows.append((oid, cust, "F" if i < x else "O", 1.0, d0,
+                         "p", "c", 0, "x")); oid += 1
+    _write(spark, tmp_path, "orders", rows, _ORDERS_MIN_SCHEMA)
+    out = {r["c_nationkey"]: r for r in
+           eng.queries()["agg_empirical_bayes"](spark, str(tmp_path)).collect()}
+    mbar, v = 0.3, 0.04
+    strength = mbar * (1.0 - mbar) / v - 1.0
+    alpha = math.floor(mbar * strength * 1e6 + 0.5) / 1e6
+    beta = math.floor((1.0 - mbar) * strength * 1e6 + 0.5) / 1e6
+    r1 = out[1]
+    assert r1["raw_rate"] == 0.5
+    assert (r1["alpha"], r1["beta"]) == (alpha, beta)
+    assert r1["shrunk_rate"] == math.floor(
+        (1 + alpha) / (2 + alpha + beta) * 1e6 + 0.5) / 1e6
+    move1 = abs(r1["shrunk_rate"] - r1["raw_rate"])
+    move2 = abs(out[2]["shrunk_rate"] - out[2]["raw_rate"])
+    assert move1 > 5 * move2              # small n shrinks much harder
+    assert abs(r1["shrunk_rate"] - mbar) < abs(r1["raw_rate"] - mbar)
+    assert not r1["no_shrinkage"]
+
+
+def test_empirical_bayes_underdispersed_keeps_raw(spark, tmp_path):
+    # Identical rates across entities: between-entity variance is 0 ->
+    # no prior can be fit -> raw rates pass through, flagged.
+    d0 = datetime.datetime(2024, 1, 1)
+    _write(spark, tmp_path, "customer",
+           [(1, "c1", 1, 1.0, "s"), (2, "c2", 2, 1.0, "s")],
+           _CUST_MIN_SCHEMA)
+    rows, oid = [], 0
+    for cust in (1, 2):
+        for i in range(10):
+            rows.append((oid, cust, "F" if i < 2 else "O", 1.0, d0,
+                         "p", "c", 0, "x")); oid += 1
+    _write(spark, tmp_path, "orders", rows, _ORDERS_MIN_SCHEMA)
+    out = {r["c_nationkey"]: r for r in
+           eng.queries()["agg_empirical_bayes"](spark, str(tmp_path)).collect()}
+    assert all(r["no_shrinkage"] for r in out.values())
+    assert all(r["shrunk_rate"] == r["raw_rate"] == 0.2 for r in out.values())
