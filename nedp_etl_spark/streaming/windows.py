@@ -827,3 +827,85 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     clicks, purchases = _stream_stream_join_sides(ev)
     return _stream_loj_plan(clicks, purchases)
+
+
+# --------------------------------------------------------------------------
+# stream_exactly_once_sink — exactly-once delivery over an at-least-once
+# engine (the Structured Streaming contract: foreachBatch MAY redeliver a
+# batch after a failure, with the SAME batch_id; an idempotent sink must
+# turn that into exactly-once).  The sink keeps a batch-id transaction
+# log: data writes land first (append mode — a naive retry would
+# duplicate), the commit marker lands LAST (the atomic commit point), and
+# a redelivered batch_id short-circuits on the marker.  After the stream
+# drains, the writer is re-invoked with an already-committed batch_id and
+# the full input — the worst-case duplicate delivery — and must skip it:
+# the final table equals the plain batch aggregate, not double it.
+#
+# Scale: per-batch work is an ordinary partitioned append; the txn log is
+# one empty marker file per batch (what Delta's txn table / Kafka's
+# committed offsets do).  Exactness: totals accumulate as fixed-point
+# micros, order- and batch-count-independent.
+# --------------------------------------------------------------------------
+
+_EOS_ORACLE = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {osum('value')} AS total_value,
+       CAST(1 AS INT) AS n_redeliveries_skipped
+FROM events GROUP BY event_type
+"""
+
+
+@register("stream_exactly_once_sink", oracle=_EOS_ORACLE)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from nedp_etl_spark.data import load as _load
+    from nedp_etl_spark.operators.scans import _scratch
+
+    base = _scratch("stream_exactly_once", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    calls = {"delivered": 0, "committed": 0}
+
+    def write_once(batch_df: DataFrame, batch_id: int) -> None:
+        calls["delivered"] += 1
+        marker = os.path.join(base, f"_committed_{batch_id}")
+        if os.path.exists(marker):
+            return  # already-committed batch redelivered: exactly-once no-op
+        (
+            batch_df.select(
+                "event_type",
+                F.floor(F.col("value") * 1_000_000.0 + 0.5)
+                .cast("long")
+                .alias("value_micros"),
+            )
+            .write.mode("append")  # append: a naive retry WOULD duplicate
+            .parquet(os.path.join(base, "data"))
+        )
+        open(marker, "w").close()  # commit point strictly after the data
+        calls["committed"] += 1
+
+    ev = _stream_events(_isolated(spark), sf_dir)
+    s = ev.sparkSession
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        ev.writeStream.foreachBatch(write_once)
+        .option("checkpointLocation", os.path.join(base, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # simulate the engine's at-least-once retry: redeliver batch 0 whole
+    write_once(_load(s, sf_dir, "events"), 0)
+    skipped = calls["delivered"] - calls["committed"]
+    return (
+        s.read.parquet(os.path.join(base, "data"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("value_micros").cast("double") / 1_000_000.0).alias(
+                "total_value"
+            ),
+        )
+        .withColumn("n_redeliveries_skipped", F.lit(skipped).cast("int"))
+    )

@@ -521,3 +521,19 @@ def test_stream_left_outer_join_matches_batch_with_null_padding(spark, sf_dir):
         _dt.datetime.strptime(r[3], "%Y-%m-%d %H:%M:%S") >= cutoff
         for r in withheld
     ), "a null row outside the watermark tail was withheld"
+
+
+def test_exactly_once_sink_skips_redelivery_and_naive_would_double(spark, sf_dir):
+    """The registered query already replays a worst-case duplicate
+    delivery; prove the marker is LOAD-BEARING: totals equal the batch
+    aggregate exactly (a naive append sink would double them), and
+    exactly one redelivery was skipped."""
+    out = eng.queries()["stream_exactly_once_sink"](spark, sf_dir).collect()
+    from nedp_etl_spark.data import load as _load
+    batch = {
+        (r["event_type"], r["n"]) for r in
+        _load(spark, sf_dir, "events").groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n")).collect()
+    }
+    assert {(r["event_type"], r["n"]) for r in out} == batch
+    assert all(r["n_redeliveries_skipped"] == 1 for r in out)
