@@ -5628,3 +5628,155 @@ def agg_empirical_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("shrunk_rate"),
         a.isNull().alias("no_shrinkage"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_levene_test — Levene's test for variance homogeneity across the k
+# event-type groups (Levene 1960, the mean-centered original): ANOVA's F
+# assumes equal group variances — this IS that assumption's test, the
+# one-way ANOVA machinery applied to the absolute deviations
+# z_ij = |x_ij − x̄_j|.  Reject ⇒ agg_anova_f's p-values are unreliable
+# and agg_welch_ttest's unequal-variance form is the right pairwise tool.
+#
+# Scale shape: TWO corpus passes by necessity (group means, then
+# deviations — Levene is defined on them), each a balanced keyed
+# aggregate with the k-row means broadcast back.  The combine reuses the
+# agg_anova_f fixed-point discipline on the k-row relation.
+#
+# Parity: means ROUND 6 from exact decimal sums; z quantizes q6;
+# per-group ratio terms quantize 1e-6 before the cross-group sum; W and
+# the dfs are identical IEEE expressions; degenerate inputs NULL out.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_LEVENE_ORACLE = """
+WITH gm AS (
+  SELECT event_type,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+           AS m
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type,
+         FLOOR(abs(e.value - gm.m) * 1000000.0 + 0.5) / 1000000.0 AS z
+  FROM events e JOIN gm ON gm.event_type = e.event_type
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(z AS DECIMAL(25,6))) AS sz,
+         SUM(CAST(z AS DECIMAL(18,6)) * CAST(z AS DECIMAL(18,6))) AS szz
+  FROM z GROUP BY event_type
+),
+t AS (
+  SELECT n, sz, CAST(sz AS DOUBLE) AS szd, CAST(szz AS DOUBLE) AS szzd FROM g
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(sz) AS DOUBLE) AS szt,
+         CAST(SUM(CAST(FLOOR((szd * szd / n) * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS b_sum,
+         CAST(SUM(CAST(FLOOR((szzd - szd * szd / n) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS ssw
+  FROM t
+),
+f AS (
+  SELECT k, nt, ssw,
+         FLOOR((b_sum - szt * szt / nt) * 1000000.0 + 0.5) / 1000000.0 AS ssb
+  FROM c
+)
+SELECT k AS k_groups, nt AS n_total,
+       CASE WHEN k > 1 AND nt > k AND ssw > 0 THEN
+         FLOOR((ssb / (k - 1)) / (ssw / (nt - k)) * 1000000.0 + 0.5)
+           / 1000000.0 END AS levene_w,
+       CASE WHEN k > 1 AND nt > k AND ssw > 0 THEN
+         FLOOR((ssb / (k - 1)) / (ssw / (nt - k)) * 1000000.0 + 0.5)
+           / 1000000.0 >
+           CASE CAST(k - 1 AS INT) WHEN 1 THEN 3.841459 WHEN 2 THEN 2.995732
+                WHEN 3 THEN 2.604898 WHEN 4 THEN 2.371611
+                ELSE 2.214069 END
+       END AS variances_differ
+FROM f
+"""
+
+
+@register("agg_levene_test", oracle=_LEVENE_ORACLE)
+def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    gm = ev.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    z = ev.join(F.broadcast(gm), "event_type").select(
+        "event_type",
+        (
+            F.floor(F.abs(F.col("value") - F.col("m")) * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("z"),
+    )
+    dec25 = F.col("z").cast("decimal(25,6)")
+    dec18 = F.col("z").cast("decimal(18,6)")
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec25).alias("sz"),
+        F.sum(dec18 * dec18).alias("szz"),
+    )
+    t = g.select(
+        "n",
+        "sz",
+        F.col("sz").cast("double").alias("szd"),
+        F.col("szz").cast("double").alias("szzd"),
+    )
+    b_term = F.col("szd") * F.col("szd") / F.col("n")
+    c = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("sz").cast("double").alias("szt"),
+        (
+            F.sum(F.floor(b_term * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 1_000_000.0
+        ).alias("b_sum"),
+        (
+            F.sum(
+                F.floor((F.col("szzd") - b_term) * 1_000_000.0 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("ssw"),
+    )
+    k, nt, ssw = F.col("k"), F.col("nt"), F.col("ssw")
+    f = c.select(
+        k,
+        nt,
+        ssw,
+        (
+            F.floor(
+                (F.col("b_sum") - F.col("szt") * F.col("szt") / nt) * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("ssb"),
+    )
+    ssb = F.col("ssb")
+    ok = (k > 1) & (nt > k) & (ssw > 0)
+    w = F.floor((ssb / (k - 1)) / (ssw / (nt - k)) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+    crit = (
+        F.when(k - 1 == 1, 3.841459)
+        .when(k - 1 == 2, 2.995732)
+        .when(k - 1 == 3, 2.604898)
+        .when(k - 1 == 4, 2.371611)
+        .otherwise(2.214069)
+    )
+    return f.select(
+        k.alias("k_groups"),
+        nt.alias("n_total"),
+        F.when(ok, w).alias("levene_w"),
+        F.when(ok, w > crit).alias("variances_differ"),
+    )

@@ -140,6 +140,7 @@ _PRIORITY: list[str] = [
     "ts_forecast_reconcile",      # NEW r9: bottom-up / top-down hierarchy coherence
     "agg_empirical_bayes",        # NEW r9: beta-binomial rate shrinkage
     "stream_exactly_once_sink",   # NEW r9: idempotent foreachBatch txn log
+    "agg_levene_test",            # NEW r9: variance-homogeneity gate for ANOVA
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

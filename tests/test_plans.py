@@ -1783,3 +1783,12 @@ def test_empirical_bayes_one_fact_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_empirical_bayes")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_levene_two_balanced_passes(spark, sf_dir):
+    # Two keyed corpus aggregates (means, then deviations) with the k-row
+    # means broadcast between them; no windows.
+    plan = _plan(spark, sf_dir, "agg_levene_test")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2

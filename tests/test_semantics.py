@@ -5036,3 +5036,30 @@ def test_empirical_bayes_underdispersed_keeps_raw(spark, tmp_path):
            eng.queries()["agg_empirical_bayes"](spark, str(tmp_path)).collect()}
     assert all(r["no_shrinkage"] for r in out.values())
     assert all(r["shrunk_rate"] == r["raw_rate"] == 0.2 for r in out.values())
+
+
+def test_levene_detects_unequal_spread(spark, tmp_path):
+    # a = [0,10,1,9] (|dev| = 5,5,4,4) vs b = [5,5,4,6] (|dev| = 0,0,1,1):
+    # SSB = 32, SSW = 2 -> W = (32/1)/(2/6) = 96 exactly -> variances
+    # differ at chi2/F crit 3.841.
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    vals = [("a", v) for v in (0.0, 10.0, 1.0, 9.0)] + \
+           [("b", v) for v in (5.0, 5.0, 4.0, 6.0)]
+    rows = [(i, t, i, g, v, "{}") for i, (g, v) in enumerate(vals)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_levene_test"](spark, str(tmp_path)).collect()
+    assert (r["k_groups"], r["n_total"]) == (2, 8)
+    assert r["levene_w"] == 96.0
+    assert r["variances_differ"] is True
+
+
+def test_levene_equal_spread_scores_zero(spark, tmp_path):
+    # b is a pure LOCATION shift of a (same deviations): between-group
+    # deviation spread is exactly 0 -> W = 0, no difference.
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    vals = [("a", v) for v in (0.0, 10.0, 1.0, 9.0)] + \
+           [("b", v) for v in (100.0, 110.0, 101.0, 109.0)]
+    rows = [(i, t, i, g, v, "{}") for i, (g, v) in enumerate(vals)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_levene_test"](spark, str(tmp_path)).collect()
+    assert r["levene_w"] == 0.0 and r["variances_differ"] is False
