@@ -1959,6 +1959,8 @@ _PCA_ORACLE = _pca_oracle()
 
 @register("llm_embed_pca_power", oracle=_PCA_ORACLE)
 def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     e = load(spark, sf_dir, "embeddings")
     d = _EMBED_DIM
     qarr = F.transform(
@@ -1982,7 +1984,12 @@ def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda p: p["j"] >= p["i"],
     )
-    s = (
+    # the ONLY distributed stage: the covariance sufficient-stat aggregate;
+    # bounded collect of its d(d+1)/2 = 2080 rows (model-sized by the
+    # embedding DIMENSION, never the corpus — the agg_raking_ipf page rule;
+    # the executor-loop form spent ~36 checkpoint barriers on 64-row
+    # relations, 10 s at sf0.1 vs ~2.5 s on the driver page)
+    rows = (
         e.select(qarr.alias("q"))
         .select(F.explode(pairs).alias("p"))
         .select("p.i", "p.j", "p.qi", "p.qj")
@@ -1993,138 +2000,60 @@ def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qj").alias("sj"),
             F.sum(F.col("qi") * F.col("qj")).alias("sij"),
         )
+        .collect()
     )
-    n = F.col("n")
-    up = s.select(
-        "i",
-        "j",
-        "n",
-        (
-            F.floor(
-                (
-                    F.col("sij").cast("double") / 1_000_000.0
-                    - F.col("si").cast("double")
-                    * F.col("sj").cast("double")
-                    / 1_000_000.0
-                    / n
-                )
-                / n
-                * 1_000_000.0
-                + F.lit(0.5)
+    # oracle arithmetic, op for op (CAST(x AS DOUBLE) ≡ float(x))
+    cov: dict = {}
+    trace_q = 0
+    n_vectors = 0
+    for r in rows:
+        n = r["n"]
+        c = (
+            math.floor(
+                (r["sij"] / 1e6 - float(r["si"]) * float(r["sj"]) / 1e6 / n) / n
+                * 1e6
+                + 0.5
             )
-            / 1_000_000.0
-        ).alias("cov"),
-    ).localCheckpoint(eager=True)  # mirrored + trace + every iteration
-    cov = up.select("i", "j", "cov").unionByName(
-        up.filter(F.col("j") > F.col("i")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+            / 1e6
         )
-    ).localCheckpoint(eager=True)
-    u = spark.range(d).select(
-        F.col("id").cast("bigint").alias("i"), F.lit(0.125).alias("u")
-    )
+        cov[(r["i"], r["j"])] = c
+        cov[(r["j"], r["i"])] = c
+        if r["i"] == r["j"]:
+            trace_q += math.floor(c * 1e6 + 0.5)
+            n_vectors = max(n_vectors, n)
+    trace = trace_q / 1e6
 
-    def _mv(uv: DataFrame) -> DataFrame:
-        return (
-            cov.join(uv.select(F.col("i").alias("j"), "u"), "j")
-            .groupBy("i")
-            .agg(
-                (
-                    F.sum(
-                        F.floor(
-                            F.col("cov") * F.col("u") * 1_000_000_000_000.0
-                            + F.lit(0.5)
-                        ).cast("bigint")
-                    ).cast("double")
-                    / 1_000_000_000_000.0
-                ).alias("v")
-            )
-        )
+    def mv(u: list) -> list:
+        out = []
+        for i in range(d):
+            acc = 0
+            for j in range(d):
+                acc += math.floor(cov[(i, j)] * u[j] * 1e12 + 0.5)
+            out.append(acc / 1e12)
+        return out
 
+    u = [0.125] * d
     for _ in range(_PCA_T):
-        mv = _mv(u).localCheckpoint(eager=True)
-        nr = mv.agg(
-            F.sqrt(
-                F.sum(
-                    F.floor(
-                        F.col("v") * F.col("v") * 1_000_000_000_000.0 + F.lit(0.5)
-                    ).cast("bigint")
-                ).cast("double")
-                / 1_000_000_000_000.0
-            ).alias("nrm")
+        v = mv(u)
+        nrm = math.sqrt(
+            sum(math.floor(x * x * 1e12 + 0.5) for x in v) / 1e12
         )
-        u = (
-            mv.crossJoin(F.broadcast(nr))
-            .join(u.select(F.col("i"), F.col("u").alias("pu")), "i")
-            .select(
-                "i",
-                F.when(
-                    F.col("nrm") > 0,
-                    F.floor(
-                        F.col("v") / F.col("nrm") * 1_000_000_000.0 + F.lit(0.5)
-                    )
-                    / 1_000_000_000.0,
-                )
-                .otherwise(F.col("pu"))
-                .alias("u"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    lamv = _mv(u)
-    lam = (
-        lamv.join(u, "i")
-        .agg(
-            (
-                F.sum(
-                    F.floor(
-                        F.col("v") * F.col("u") * 1_000_000_000_000.0 + F.lit(0.5)
-                    ).cast("bigint")
-                ).cast("double")
-                / 1_000_000_000_000.0
-            ).alias("lam")
-        )
+        if nrm > 0:
+            u = [math.floor(x / nrm * 1e9 + 0.5) / 1e9 for x in v]
+    lv = mv(u)
+    lam = sum(math.floor(a * b * 1e12 + 0.5) for a, b in zip(lv, u)) / 1e12
+    best = max((abs(u[i]), -i, -1.0 if u[i] < 0 else 1.0) for i in range(d))
+    flip = -1.0 if best[2] < 0 else 1.0
+    lam_q = math.floor(lam * 1e6 + 0.5) / 1e6
+    evr = (
+        math.floor(lam / trace * 1e6 + 0.5) / 1e6 if trace > 0 else None
     )
-    tra = up.filter(F.col("i") == F.col("j")).agg(
-        (
-            F.sum(F.floor(F.col("cov") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
-            .cast("double")
-            / 1_000_000.0
-        ).alias("tr"),
-        F.max("n").cast("bigint").alias("n_vectors"),
-    )
-    flip = u.agg(
-        F.when(
-            F.max(
-                F.struct(
-                    F.abs(F.col("u")).alias("a"),
-                    (-F.col("i")).alias("ni"),
-                    F.when(F.col("u") < 0, -1.0).otherwise(1.0).alias("sg"),
-                )
-            )["sg"]
-            < 0,
-            -1.0,
-        )
-        .otherwise(1.0)
-        .alias("f")
-    )
-    return (
-        u.crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(tra))
-        .crossJoin(F.broadcast(flip))
-        .select(
-            F.col("i").cast("int").alias("dim"),
-            (
-                F.floor(F.col("u") * F.col("f") * 1_000_000.0 + F.lit(0.5))
-                / 1_000_000.0
-            ).alias("loading"),
-            (F.floor(F.col("lam") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
-                "lambda_top"
-            ),
-            F.when(
-                F.col("tr") > 0,
-                F.floor(F.col("lam") / F.col("tr") * 1_000_000.0 + F.lit(0.5))
-                / 1_000_000.0,
-            ).alias("explained_var_ratio"),
-            "n_vectors",
-        )
+    out = [
+        (i, math.floor(u[i] * flip * 1e6 + 0.5) / 1e6, lam_q, evr, n_vectors)
+        for i in range(d)
+    ]
+    return spark.createDataFrame(
+        out,
+        "dim int, loading double, lambda_top double,"
+        " explained_var_ratio double, n_vectors bigint",
     )

@@ -1476,3 +1476,79 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cycle int, check_name string, observed bigint, passed boolean,"
         " live_version int",
     )
+
+
+# --------------------------------------------------------------------------
+# sink_shallow_clone — zero-copy table clone via manifest pointers (Delta
+# Lake's SHALLOW CLONE / Iceberg snapshot-ref semantics): the clone is a
+# MANIFEST that lists the source's physical files — no data movement, so
+# cloning a 100 TB table costs one JSON write — and subsequent writes land
+# in the clone's OWN delta area, diverging the clone without ever
+# touching the source.  The dev/staging-against-prod-data workflow.
+#
+# Layout (fingerprint-keyed scratch): src/ holds the source files;
+# clone.json lists [src files] + the clone's delta files; delta/ holds
+# clone-only appends.  The registered query builds the layout, appends a
+# divergence batch to the CLONE only, and returns per-side aggregates —
+# the oracle states both sides' expected content against the fixture.
+# The planted test proves zero-copy: the clone manifest references the
+# SOURCE'S physical files and the clone directory holds only delta files.
+# --------------------------------------------------------------------------
+
+_SHALLOW_CLONE_ORACLE = """
+SELECT 'source' AS side, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS total_price
+FROM orders WHERE o_totalprice > 150000
+UNION ALL
+SELECT 'clone', CAST(a.n + b.n AS BIGINT),
+       CAST(a.s + b.s AS DOUBLE) / 1000000.0
+FROM (SELECT COUNT(*) AS n,
+             SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS s
+      FROM orders WHERE o_totalprice > 150000) a,
+     (SELECT COUNT(*) AS n,
+             SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS s
+      FROM orders WHERE o_orderkey % 89 = 5) b
+"""
+
+
+@register("sink_shallow_clone", oracle=_SHALLOW_CLONE_ORACLE)
+def sink_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import json
+    import shutil
+
+    root = _scratch("sink_shallow_clone", sf_dir)
+    src, delta = os.path.join(root, "src"), os.path.join(root, "delta")
+    manifest = os.path.join(root, "clone.json")
+    shutil.rmtree(root, ignore_errors=True)
+
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice"]
+    o.filter(F.col("o_totalprice") > 150000).select(*cols).write.parquet(src)
+    src_files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+    # SHALLOW CLONE: a manifest pointing at the source's files — no copy
+    with open(manifest, "w") as f:
+        json.dump({"files": src_files}, f)
+    # diverge the CLONE only: append a batch into the clone's delta area
+    o.filter(F.col("o_orderkey") % 89 == 5).select(*cols).write.parquet(delta)
+    clone_spec = json.load(open(manifest))
+    clone_spec["files"] += sorted(_glob.glob(os.path.join(delta, "*.parquet")))
+    with open(manifest, "w") as f:
+        json.dump(clone_spec, f)
+
+    src_df = spark.read.parquet(src)
+    clone_df = spark.read.parquet(*json.load(open(manifest))["files"])
+    q = lambda df: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 1_000_000.0 + 0.5).cast("long"))
+            .cast("double")
+            / 1_000_000.0
+        ).alias("total_price"),
+    )
+    return (
+        q(src_df).select(F.lit("source").alias("side"), "n_rows", "total_price")
+    ).unionByName(
+        q(clone_df).select(F.lit("clone").alias("side"), "n_rows", "total_price")
+    )

@@ -278,8 +278,7 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_price_index",  # 1-row base-month broadcast (O(part-months))
                    "agg_theil_decomposition",  # 1-row grand-total broadcast (O(n) terms)
                    "ts_backtest_cv",  # calendar-bounded cutoff-spine broadcast (O(weeks))
-                   "agg_logistic_irls",  # 1-row beta broadcast per IRLS pass (O(n) agg)
-                   "llm_embed_pca_power"}  # 1-row lambda/trace/flip broadcasts onto 64 rows
+                   "agg_logistic_irls"}  # 1-row beta broadcast per IRLS pass (O(n) agg)
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1698,9 +1697,9 @@ def test_conformal_windows_partition_by_series(spark, sf_dir):
 
 
 def test_pca_power_corpus_touched_once(spark, sf_dir):
-    # The covariance aggregate is the only corpus-sized stage and it is
-    # checkpointed before the 12 iterations; the final plan reads no
-    # parquet and carries no global window.
+    # The covariance aggregate is the only corpus-sized stage; iterations
+    # run on the collected d^2-bounded page, so the returned relation is
+    # a local table — no parquet scan, no window, no join.
     plan = _plan(spark, sf_dir, "llm_embed_pca_power")
     assert plan.count("Scan parquet") == 0
     assert "CartesianProduct" not in plan
@@ -1792,3 +1791,11 @@ def test_levene_two_balanced_passes(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_shallow_clone_reads_are_plain_scans(spark, sf_dir):
+    # Clone reads are ordinary parquet scans over pointed-at files; no
+    # windows, no joins in the returned comparison relation.
+    plan = _plan(spark, sf_dir, "sink_shallow_clone")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan

@@ -5063,3 +5063,31 @@ def test_levene_equal_spread_scores_zero(spark, tmp_path):
     _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
     [r] = eng.queries()["agg_levene_test"](spark, str(tmp_path)).collect()
     assert r["levene_w"] == 0.0 and r["variances_differ"] is False
+
+
+def test_shallow_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    # The clone manifest must reference the SOURCE's physical files (no
+    # data copy) plus only delta files; the clone sees source rows plus
+    # the divergence batch while the source is untouched.
+    import glob, json, os
+    t = datetime.datetime(1995, 3, 1)
+    rows = [(k, 1, "O", 200000.0 + k, t, "p", "c", 0, "x")
+            for k in (1, 2, 3, 4, 6)]  # pass the filter; none is 5 mod 89
+    rows.append((89 * 3 + 5, 1, "O", 100.0, t, "p", "c", 0, "x"))  # delta-only
+    _write(spark, tmp_path, "orders", rows, _ORDERS_MIN_SCHEMA.replace(
+        "o_custkey bigint,", "o_custkey bigint,"))
+    out = {r["side"]: r for r in
+           eng.queries()["sink_shallow_clone"](spark, str(tmp_path)).collect()}
+    assert out["source"]["n_rows"] == 5
+    assert out["clone"]["n_rows"] == 6          # source + 1 delta row
+    from nedp_etl_spark.operators.scans import _scratch as _sc
+    root = _sc("sink_shallow_clone", str(tmp_path))
+    spec = json.load(open(os.path.join(root, "clone.json")))
+    src_files = set(glob.glob(os.path.join(root, "src", "*.parquet")))
+    delta_files = set(glob.glob(os.path.join(root, "delta", "*.parquet")))
+    assert src_files and delta_files
+    assert set(spec["files"]) == src_files | delta_files  # POINTERS, no copy
+    # no data file exists outside src/ and delta/ (the clone copied nothing)
+    all_parquet = set(glob.glob(os.path.join(root, "**", "*.parquet"),
+                                recursive=True))
+    assert all_parquet == src_files | delta_files
