@@ -4635,3 +4635,148 @@ def ts_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coherence_gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_haar_energy — multi-resolution energy decomposition by the Haar
+# wavelet transform (Haar 1910; the Mallat 1989 pyramid in its simplest
+# basis): three rounds of pairwise average/difference split each series'
+# daily values into detail energies at 2-, 4- and 8-day scales — "is the
+# volatility intraweek noise or week-over-week drift" in one relation,
+# the time-frequency complement of ts_periodogram (global frequencies)
+# and ts_hurst_exponent (one summary exponent).
+#
+# Scale shape: each pyramid round is a keyed AGGREGATE on a halving,
+# calendar-bounded relation (pair id = ⌈t/2⌉; no windows beyond the
+# per-series day index); series truncate to ⌊n/8⌋ full 8-day blocks so
+# every pair is complete.
+#
+# Parity: the unnormalized Haar split (x±y)/2 is EXACT binary arithmetic
+# on the q6 daily values — the pyramid introduces no rounding at all;
+# only the squared-energy sums quantize (1e-12 fixed point).  Series
+# shorter than 8 days are dropped (no full block).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_HAAR_ORACLE = f"""
+WITH {_DAILY_CTE},
+idx AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t,
+         CAST(FLOOR(COUNT(*) OVER (PARTITION BY event_type) / 8) * 8 AS BIGINT)
+           AS n8
+  FROM daily
+),
+x0 AS (SELECT event_type, t, v AS a FROM idx WHERE t <= n8),
+l1 AS (
+  SELECT event_type, CAST(CEIL(t / 2.0) AS BIGINT) AS t,
+         SUM(a) / 2.0 AS a,
+         SUM(CASE WHEN t % 2 = 1 THEN a ELSE -a END) / 2.0 AS dd
+  FROM x0 GROUP BY event_type, CAST(CEIL(t / 2.0) AS BIGINT)
+),
+l2 AS (
+  SELECT event_type, CAST(CEIL(t / 2.0) AS BIGINT) AS t,
+         SUM(a) / 2.0 AS a,
+         SUM(CASE WHEN t % 2 = 1 THEN a ELSE -a END) / 2.0 AS dd
+  FROM l1 GROUP BY event_type, CAST(CEIL(t / 2.0) AS BIGINT)
+),
+l3 AS (
+  SELECT event_type, CAST(CEIL(t / 2.0) AS BIGINT) AS t,
+         SUM(a) / 2.0 AS a,
+         SUM(CASE WHEN t % 2 = 1 THEN a ELSE -a END) / 2.0 AS dd
+  FROM l2 GROUP BY event_type, CAST(CEIL(t / 2.0) AS BIGINT)
+),
+en AS (
+  SELECT event_type, 1 AS level,
+         CAST(SUM(CAST(FLOOR(dd * dd * 1000000000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000000000.0 AS energy
+  FROM l1 GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 2,
+         CAST(SUM(CAST(FLOOR(dd * dd * 1000000000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000000000.0
+  FROM l2 GROUP BY event_type
+  UNION ALL
+  SELECT event_type, 3,
+         CAST(SUM(CAST(FLOOR(dd * dd * 1000000000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000000000.0
+  FROM l3 GROUP BY event_type
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(CAST(FLOOR(energy * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS etot
+  FROM en GROUP BY event_type
+)
+SELECT en.event_type, CAST(en.level AS INT) AS level,
+       FLOOR(en.energy * 1000000.0 + 0.5) / 1000000.0 AS energy,
+       CASE WHEN tot.etot > 0 THEN
+         FLOOR(en.energy / tot.etot * 1000000.0 + 0.5) / 1000000.0
+       END AS energy_frac
+FROM en JOIN tot ON tot.event_type = en.event_type
+"""
+
+
+@register("ts_haar_energy", oracle=_HAAR_ORACLE)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev).localCheckpoint(eager=True)
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "v",
+        F.row_number().over(w.orderBy("d")).alias("t"),
+        (F.floor(F.count(F.lit(1)).over(w) / 8) * 8).cast("bigint").alias("n8"),
+    )
+    cur = idx.filter(F.col("t") <= F.col("n8")).select(
+        "event_type", "t", F.col("v").alias("a")
+    )
+    levels = []
+    for _ in range(3):
+        nxt = cur.groupBy(
+            "event_type", F.ceil(F.col("t") / 2.0).cast("bigint").alias("t")
+        ).agg(
+            (F.sum("a") / 2.0).alias("a"),
+            (
+                F.sum(
+                    F.when(F.col("t") % 2 == 1, F.col("a")).otherwise(-F.col("a"))
+                )
+                / 2.0
+            ).alias("dd"),
+        ).localCheckpoint(eager=False)
+        levels.append(nxt)
+        cur = nxt
+    en = None
+    for lv, df in enumerate(levels, start=1):
+        e = df.groupBy("event_type").agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("dd") * F.col("dd") * 1_000_000_000_000.0
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / 1_000_000_000_000.0
+            ).alias("energy")
+        ).select("event_type", F.lit(lv).cast("int").alias("level"), "energy")
+        en = e if en is None else en.unionByName(e)
+    tot = en.groupBy("event_type").agg(
+        (
+            F.sum(F.floor(F.col("energy") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 1_000_000.0
+        ).alias("etot")
+    )
+    return en.join(tot, "event_type").select(
+        "event_type",
+        "level",
+        (F.floor(F.col("energy") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "energy"
+        ),
+        F.when(
+            F.col("etot") > 0,
+            F.floor(F.col("energy") / F.col("etot") * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0,
+        ).alias("energy_frac"),
+    )

@@ -1799,3 +1799,11 @@ def test_shallow_clone_reads_are_plain_scans(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sink_shallow_clone")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_haar_pyramid_keyed_aggregates(spark, sf_dir):
+    # Three halving keyed aggregates over the checkpointed rollup; the
+    # only windows are the per-series day index.
+    plan = _plan(spark, sf_dir, "ts_haar_energy")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan

@@ -5091,3 +5091,23 @@ def test_shallow_clone_is_zero_copy_and_diverges(spark, tmp_path):
     all_parquet = set(glob.glob(os.path.join(root, "**", "*.parquet"),
                                 recursive=True))
     assert all_parquet == src_files | delta_files
+
+
+def test_haar_energy_localizes_scale(spark, tmp_path):
+    # "step" = [1,1,1,1,5,5,5,5]: all pairwise differences vanish until
+    # the coarsest split -> energy (0, 0, 4) at levels (1,2,3).
+    # "alt" = [1,-1,...]x4: every 2-day pair differs -> (4, 0, 0).
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    for i in range(8):
+        rows.append((i, base + datetime.timedelta(days=i), i, "step",
+                     1.0 if i < 4 else 5.0, "{}"))
+        rows.append((50 + i, base + datetime.timedelta(days=i), i, "alt",
+                     1.0 if i % 2 == 0 else -1.0, "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {(r["event_type"], r["level"]): r for r in
+           eng.queries()["ts_haar_energy"](spark, str(tmp_path)).collect()}
+    assert [out[("step", l)]["energy"] for l in (1, 2, 3)] == [0.0, 0.0, 4.0]
+    assert out[("step", 3)]["energy_frac"] == 1.0
+    assert [out[("alt", l)]["energy"] for l in (1, 2, 3)] == [4.0, 0.0, 0.0]
+    assert out[("alt", 1)]["energy_frac"] == 1.0
