@@ -5780,3 +5780,145 @@ def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, w).alias("levene_w"),
         F.when(ok, w > crit).alias("variances_differ"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_iv_2sls — instrumental-variables estimate of a causal slope (Wright
+# 1928; the Wald estimator for a binary instrument ≡ 2SLS): OLS of
+# purchase value on engagement is confounded (motivated users do both);
+# the A/B arm (user_id % 2 — ts the agg_ab_ztest assignment) moves
+# engagement but touches outcomes only THROUGH it, so
+# β_IV = cov(z, y)/cov(z, x) isolates the causal path.  Reported next to
+# the confounded OLS slope and the FIRST-STAGE F (Staiger & Stock 1997's
+# weak-instrument rule: F < 10 ⇒ the IV answer is untrustworthy and the
+# flag says so).
+#
+# Scale shape: ONE user-level aggregate (x = q6 avg non-purchase value,
+# y = q6 purchase total, z = arm), then ONE moments aggregate (decimal
+# sums of 1e6-scaled integer products — exact at any n).  No windows, no
+# joins.
+#
+# Parity: all slopes/F from identical IEEE expressions on exact sums,
+# q6; zero denominators (no arm variation, constant x) yield NULLs.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_IV_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS z,
+         CAST(FLOOR(COALESCE(
+           SUM(CASE WHEN event_type <> 'purchase' THEN value END)
+             / NULLIF(COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END), 0),
+           0.0) * 1000000.0 + 0.5) AS BIGINT) AS xq,
+         CAST(FLOOR(COALESCE(
+           SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0)
+           * 1000000.0 + 0.5) AS BIGINT) AS yq
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(z) AS HUGEINT) AS sz,
+         CAST(SUM(xq) AS HUGEINT) AS sx, CAST(SUM(yq) AS HUGEINT) AS sy,
+         CAST(SUM(z * xq) AS HUGEINT) AS szx,
+         CAST(SUM(z * yq) AS HUGEINT) AS szy,
+         CAST(SUM(CAST(xq AS HUGEINT) * yq) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS sxx
+  FROM u
+),
+f AS (
+  SELECT n, sz,
+         CAST(n * szy - sz * sy AS DOUBLE) AS czy,
+         CAST(n * szx - sz * sx AS DOUBLE) AS czx,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+         CAST(n * sz - sz * sz AS DOUBLE) AS czz
+  FROM m
+)
+SELECT n AS n_users,
+       CASE WHEN cxx > 0 THEN
+         FLOOR(cxy / cxx * 1000000.0 + 0.5) / 1000000.0 END AS beta_ols,
+       CASE WHEN czx <> 0 AND czz > 0 THEN
+         FLOOR(czy / czx * 1000000.0 + 0.5) / 1000000.0 END AS beta_iv,
+       CASE WHEN czz > 0 AND n > 2
+                 AND cxx / n / 1000000.0 / 1000000.0 * n
+                     - (czx / n / 1000000.0) * (czx / n / 1000000.0) / (czz / n / n) > 0
+            THEN
+         FLOOR(((czx / n / 1000000.0) * (czx / n / 1000000.0) / (czz / n / n))
+               / ((cxx / n / 1000000.0 / 1000000.0 * n
+                   - (czx / n / 1000000.0) * (czx / n / 1000000.0)
+                     / (czz / n / n)) / (n - 2))
+               * 1000000.0 + 0.5) / 1000000.0 END AS first_stage_f,
+       CASE WHEN czz > 0 AND n > 2
+                 AND cxx / n / 1000000.0 / 1000000.0 * n
+                     - (czx / n / 1000000.0) * (czx / n / 1000000.0) / (czz / n / n) > 0
+            THEN
+         FLOOR(((czx / n / 1000000.0) * (czx / n / 1000000.0) / (czz / n / n))
+               / ((cxx / n / 1000000.0 / 1000000.0 * n
+                   - (czx / n / 1000000.0) * (czx / n / 1000000.0)
+                     / (czz / n / n)) / (n - 2))
+               * 1000000.0 + 0.5) / 1000000.0 < 10.0 END AS weak_instrument
+FROM f
+"""
+
+
+@register("agg_iv_2sls", oracle=_IV_ORACLE)
+def agg_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    npv = F.when(F.col("event_type") != "purchase", F.col("value"))
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    u = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("bigint").alias("z"),
+        F.floor(
+            F.coalesce(F.sum(npv) / F.count(npv), F.lit(0.0)) * 1_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("xq"),
+        F.floor(F.coalesce(F.sum(pv), F.lit(0.0)) * 1_000_000.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("yq"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum("xq").cast("decimal(38,0)").alias("sx"),
+        F.sum("yq").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("z") * F.col("xq")).cast("decimal(38,0)").alias("szx"),
+        F.sum(F.col("z") * F.col("yq")).cast("decimal(38,0)").alias("szy"),
+        F.sum(dec(F.col("xq")) * F.col("yq")).alias("sxy"),
+        F.sum(dec(F.col("xq")) * F.col("xq")).alias("sxx"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    f = m.select(
+        F.col("n"),
+        (n * F.col("szy") - F.col("sz") * F.col("sy")).cast("double").alias("czy"),
+        (n * F.col("szx") - F.col("sz") * F.col("sx")).cast("double").alias("czx"),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("cxy"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("cxx"),
+        (n * F.col("sz") - F.col("sz") * F.col("sz")).cast("double").alias("czz"),
+    )
+    nn = F.col("n")
+    czy, czx, cxy, cxx, czz = (
+        F.col("czy"), F.col("czx"), F.col("cxy"), F.col("cxx"), F.col("czz"),
+    )
+    # first-stage F on the q6 x-scale: slope/variance terms de-scaled by 1e6
+    b1 = czx / nn / 1_000_000.0
+    ess = b1 * b1 / (czz / nn / nn)
+    rss = cxx / nn / 1_000_000.0 / 1_000_000.0 * nn - ess
+    fstat = F.floor(ess / (rss / (nn - 2)) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+    return f.select(
+        nn.alias("n_users"),
+        F.when(
+            cxx > 0, F.floor(cxy / cxx * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+        ).alias("beta_ols"),
+        F.when(
+            (czx != 0) & (czz > 0),
+            F.floor(czy / czx * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
+        ).alias("beta_iv"),
+        F.when((czz > 0) & (nn > 2) & (rss > 0), fstat).alias("first_stage_f"),
+        F.when((czz > 0) & (nn > 2) & (rss > 0), fstat < 10.0).alias(
+            "weak_instrument"
+        ),
+    )

@@ -143,6 +143,7 @@ _PRIORITY: list[str] = [
     "agg_levene_test",            # NEW r9: variance-homogeneity gate for ANOVA
     "sink_shallow_clone",         # NEW r9: zero-copy manifest clone + divergence
     "ts_haar_energy",             # NEW r9: Haar pyramid multi-scale energy
+    "agg_iv_2sls",                # NEW r9: instrumental-variables causal slope
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

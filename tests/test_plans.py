@@ -1807,3 +1807,11 @@ def test_haar_pyramid_keyed_aggregates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_haar_energy")
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_iv_2sls_two_aggregates_only(spark, sf_dir):
+    # One user aggregate, one moments aggregate; no windows, no joins.
+    plan = _plan(spark, sf_dir, "agg_iv_2sls")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") <= 1

@@ -5111,3 +5111,26 @@ def test_haar_energy_localizes_scale(spark, tmp_path):
     assert out[("step", 3)]["energy_frac"] == 1.0
     assert [out[("alt", l)]["energy"] for l in (1, 2, 3)] == [4.0, 0.0, 0.0]
     assert out[("alt", 1)]["energy_frac"] == 1.0
+
+
+def test_iv_2sls_recovers_causal_slope_under_confounding(spark, tmp_path):
+    # Hidden motivation m drives BOTH engagement x = 1 + 2z + 3m and
+    # outcome y = 5x + 10m.  OLS is biased up (380/52 = 7.307692); the
+    # arm z moves x but reaches y only through it, so the Wald/IV ratio
+    # recovers the causal 5.0 EXACTLY (czy/czx = 40/8).  With 4 users the
+    # first-stage F is 0.888889 -> flagged weak.
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    rows, eid = [], 0
+    for uid, m in [(0, 0), (1, 0), (2, 1), (3, 1)]:
+        z = uid % 2
+        x = 1.0 + 2.0 * z + 3.0 * m
+        y = 5.0 * x + 10.0 * m
+        rows.append((eid, t, uid, "view", x, "{}")); eid += 1
+        rows.append((eid, t, uid, "purchase", y, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_iv_2sls"](spark, str(tmp_path)).collect()
+    assert r["n_users"] == 4
+    assert r["beta_iv"] == 5.0
+    assert r["beta_ols"] == 7.307692
+    assert r["first_stage_f"] == 0.888889
+    assert r["weak_instrument"] is True
