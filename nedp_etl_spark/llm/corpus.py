@@ -1583,3 +1583,148 @@ def llm_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# llm_topic_segments — lexical-cohesion topic segmentation (TextTiling,
+# Hearst 1997, in its block-comparison form): slice each document into
+# 10-token blocks, score adjacent blocks by token-set Jaccard, and call a
+# topic boundary wherever cohesion drops below τ — the
+# chunk-by-TOPIC preprocessor for RAG indexing and long-document packing
+# (llm_chunking cuts at fixed offsets; this cuts where the vocabulary
+# actually shifts).
+#
+# Scale shape: tokens explode map-side into (doc, block, token) distinct
+# rows; adjacent-block scoring is an equi-join on (doc, block+1) plus
+# per-(doc, block) size aggregates — work ∝ corpus tokens, never
+# pairwise across documents.
+#
+# Parity: exact integer intersection/union counts; Jaccard q6; the
+# boundary threshold is a shared literal; single-block documents emit
+# zero boundaries and cohesion NULL.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SEG_BLOCK = 10
+_SEG_TAU = 0.2
+
+_TOPIC_SEG_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t.i - 1 AS idx, string_split(text, ' ')[CAST(t.i AS INT)] AS w
+  FROM documents, UNNEST(range(1, len(string_split(text, ' ')) + 1)) t(i)
+  WHERE doc_id < 300
+),
+blk AS (
+  SELECT DISTINCT doc_id, CAST(FLOOR(idx / {_SEG_BLOCK}) AS BIGINT) AS b, w
+  FROM tok
+),
+sz AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS n FROM blk GROUP BY doc_id, b
+),
+inter AS (
+  SELECT a.doc_id, a.b,
+         CAST(COUNT(*) AS BIGINT) AS i
+  FROM blk a JOIN blk c ON c.doc_id = a.doc_id AND c.b = a.b + 1 AND c.w = a.w
+  GROUP BY a.doc_id, a.b
+),
+adj AS (
+  SELECT sa.doc_id, sa.b,
+         FLOOR(COALESCE(i.i, 0) * 1.0
+               / (sa.n + sb.n - COALESCE(i.i, 0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS jac
+  FROM sz sa
+  JOIN sz sb ON sb.doc_id = sa.doc_id AND sb.b = sa.b + 1
+  LEFT JOIN inter i ON i.doc_id = sa.doc_id AND i.b = sa.b
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(CASE WHEN jac < {_SEG_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boundaries,
+         FLOOR(CAST(SUM(CAST(FLOOR(jac * 1000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / COUNT(*) / 1000000.0 * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_cohesion
+  FROM adj GROUP BY doc_id
+),
+nb AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT b) AS BIGINT) AS n_blocks FROM blk
+  GROUP BY doc_id
+)
+SELECT nb.doc_id, nb.n_blocks,
+       COALESCE(a.n_boundaries, 0) AS n_boundaries,
+       COALESCE(a.n_boundaries, 0) + 1 AS n_segments,
+       a.mean_cohesion
+FROM nb LEFT JOIN agg a ON a.doc_id = nb.doc_id
+"""
+
+
+@register("llm_topic_segments", oracle=_TOPIC_SEG_ORACLE)
+def llm_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("idx", "w"),
+    )
+    blk = tok.select(
+        "doc_id",
+        F.floor(F.col("idx") / _SEG_BLOCK).cast("bigint").alias("b"),
+        "w",
+    ).distinct().localCheckpoint(eager=True)  # sizes + both join sides
+    sz = blk.groupBy("doc_id", "b").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nxt = blk.select("doc_id", (F.col("b") - 1).alias("b"), F.col("w"))
+    inter = (
+        blk.join(nxt, ["doc_id", "b", "w"])
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sb = sz.select("doc_id", (F.col("b") - 1).alias("b"), F.col("n").alias("nb"))
+    adj = (
+        sz.join(sb, ["doc_id", "b"])
+        .join(inter, ["doc_id", "b"], "left")
+        .select(
+            "doc_id",
+            "b",
+            (
+                F.floor(
+                    F.coalesce(F.col("i"), F.lit(0))
+                    * 1.0
+                    / (F.col("n") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0)))
+                    * 1_000_000.0
+                    + F.lit(0.5)
+                )
+                / 1_000_000.0
+            ).alias("jac"),
+        )
+    )
+    agg = adj.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(F.when(F.col("jac") < _SEG_TAU, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boundaries"),
+        (
+            F.floor(
+                F.sum(F.floor(F.col("jac") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / 1_000_000.0
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("mean_cohesion"),
+    )
+    nb = blk.groupBy("doc_id").agg(
+        F.countDistinct("b").cast("bigint").alias("n_blocks")
+    )
+    return nb.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        F.coalesce(F.col("n_boundaries"), F.lit(0)).cast("bigint").alias(
+            "n_boundaries"
+        ),
+        (F.coalesce(F.col("n_boundaries"), F.lit(0)) + 1)
+        .cast("bigint")
+        .alias("n_segments"),
+        "mean_cohesion",
+    )

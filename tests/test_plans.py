@@ -1815,3 +1815,12 @@ def test_iv_2sls_two_aggregates_only(spark, sf_dir):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Scan parquet") <= 1
+
+
+def test_topic_segments_within_doc_joins_only(spark, sf_dir):
+    # Adjacent-block joins key on (doc, block): work scales with corpus
+    # tokens, never cross-document pairs.
+    plan = _plan(spark, sf_dir, "llm_topic_segments")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not _has_global_window(plan)

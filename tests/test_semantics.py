@@ -5134,3 +5134,29 @@ def test_iv_2sls_recovers_causal_slope_under_confounding(spark, tmp_path):
     assert r["beta_ols"] == 7.307692
     assert r["first_stage_f"] == 0.888889
     assert r["weak_instrument"] is True
+
+
+def test_topic_segments_boundary_at_vocabulary_shift(spark, tmp_path):
+    # "shift": 10 fruit tokens then 10 animal tokens -> two blocks with
+    # ZERO shared vocabulary -> jaccard 0 -> one boundary, two segments.
+    # "same": the same 10 tokens twice -> jaccard 1 -> no boundary.
+    # "tiny": a single block -> no gaps -> cohesion NULL, one segment.
+    fruit = " ".join(f"apple{i}" for i in range(10))
+    animal = " ".join(f"zebra{i}" for i in range(10))
+    rows = [
+        (1, fruit + " " + animal, "en", "s", 42),
+        (2, fruit + " " + fruit, "en", "s", 42),
+        (3, fruit, "en", "s", 42),
+    ]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = {r["doc_id"]: r for r in
+           eng.queries()["llm_topic_segments"](spark, str(tmp_path)).collect()}
+    shift = out[1]
+    assert (shift["n_blocks"], shift["n_boundaries"], shift["n_segments"]) == (2, 1, 2)
+    assert shift["mean_cohesion"] == 0.0
+    same = out[2]
+    assert (same["n_boundaries"], same["n_segments"]) == (0, 1)
+    assert same["mean_cohesion"] == 1.0
+    tiny = out[3]
+    assert (tiny["n_blocks"], tiny["n_segments"]) == (1, 1)
+    assert tiny["mean_cohesion"] is None
