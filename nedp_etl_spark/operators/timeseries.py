@@ -4780,3 +4780,127 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0,
         ).alias("energy_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_event_study — stacked event-study lift curve (the MacKinlay 1997
+# event-study design applied to product analytics): align every user's
+# activity on their purchase days (offset 0), average activity value at
+# each relative day in a ±3-day window across ALL anchors, and report
+# each offset's lift over the pre-period mean — "what does behavior do
+# around conversion", the descriptive-causal readout behind incrementality
+# reviews.  Complements agg_diff_in_diff (two groups, one cutoff) with
+# the per-offset dynamic curve; multiple purchases stack as independent
+# anchors, the standard design.
+#
+# Scale shape: a calendar-bounded (user, day) activity rollup joined to
+# the anchor relation ON USER with the |offset| ≤ 3 band — work ∝
+# anchors × window, never a cross of users; the offset relation is 7
+# rows.  Pre-period baseline is a 1-row broadcast.
+#
+# Parity: daily values dsum-exact; offset means fixed-point ratios (q6);
+# lift = mean − pre-mean on q6 values; offsets with no observations are
+# absent (never fabricated zeros); lift NULL when no pre-period exists.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_EVSTUDY_W = 3
+
+_EVSTUDY_ORACLE = f"""
+WITH act AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS svq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type <> 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+anchor AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad
+  FROM events WHERE event_type = 'purchase'
+),
+win AS (
+  SELECT date_diff('day', an.ad, a.d) AS rel, a.svq, a.n
+  FROM anchor an JOIN act a
+    ON a.user_id = an.user_id
+   AND a.d BETWEEN an.ad - {_EVSTUDY_W} AND an.ad + {_EVSTUDY_W}
+),
+per AS (
+  SELECT CAST(rel AS INT) AS rel_day,
+         CAST(SUM(n) AS BIGINT) AS n_obs,
+         FLOOR(CAST(SUM(svq) AS DOUBLE) / 1000000.0 / SUM(n) * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_value
+  FROM win GROUP BY rel
+),
+pre AS (
+  SELECT CASE WHEN SUM(n) > 0 THEN
+           FLOOR(CAST(SUM(svq) AS DOUBLE) / 1000000.0 / SUM(n) * 1000000.0
+                 + 0.5) / 1000000.0 END AS pre_mean
+  FROM win WHERE rel < 0
+)
+SELECT p.rel_day, p.n_obs, p.mean_value,
+       CASE WHEN pre.pre_mean IS NOT NULL THEN
+         FLOOR((p.mean_value - pre.pre_mean) * 1000000.0 + 0.5) / 1000000.0
+       END AS lift_vs_pre
+FROM per p, pre
+"""
+
+
+@register("ts_event_study", oracle=_EVSTUDY_ORACLE)
+def ts_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    act = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("svq"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    anchor = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("ad"))
+        .distinct()
+    )
+    win = (
+        anchor.join(act, "user_id")
+        .filter(
+            (F.col("d") >= F.date_sub(F.col("ad"), _EVSTUDY_W))
+            & (F.col("d") <= F.date_add(F.col("ad"), _EVSTUDY_W))
+        )
+        .select(
+            F.datediff(F.col("d"), F.col("ad")).alias("rel"),
+            "svq",
+            "n",
+        )
+        .localCheckpoint(eager=True)  # per-offset means + pre baseline
+    )
+    mean_q6 = (
+        F.floor(
+            F.sum("svq").cast("double") / 1_000_000.0 / F.sum("n") * 1_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    per = win.groupBy(F.col("rel").cast("int").alias("rel_day")).agg(
+        F.sum("n").cast("bigint").alias("n_obs"),
+        mean_q6.alias("mean_value"),
+    )
+    pre = win.filter(F.col("rel") < 0).agg(
+        F.when(F.sum("n") > 0, mean_q6).alias("pre_mean")
+    )
+    return per.crossJoin(F.broadcast(pre)).select(
+        "rel_day",
+        "n_obs",
+        "mean_value",
+        F.when(
+            F.col("pre_mean").isNotNull(),
+            F.floor(
+                (F.col("mean_value") - F.col("pre_mean")) * 1_000_000.0 + F.lit(0.5)
+            )
+            / 1_000_000.0,
+        ).alias("lift_vs_pre"),
+    )

@@ -1824,3 +1824,11 @@ def test_topic_segments_within_doc_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not _has_global_window(plan)
+
+
+def test_event_study_user_keyed_band_join(spark, sf_dir):
+    # Anchors join activity ON USER with the banded date filter; offsets
+    # aggregate to 7 rows; the pre baseline is a 1-row broadcast.
+    plan = _plan(spark, sf_dir, "ts_event_study")
+    assert "CartesianProduct" not in plan
+    assert not _has_global_window(plan)

@@ -5160,3 +5160,25 @@ def test_topic_segments_boundary_at_vocabulary_shift(spark, tmp_path):
     tiny = out[3]
     assert (tiny["n_blocks"], tiny["n_segments"]) == (1, 1)
     assert tiny["mean_cohesion"] is None
+
+
+def test_event_study_lift_curve(spark, tmp_path):
+    # One user, purchase anchored at day 5; activity value 1.0 on days
+    # 2-5 and 3.0 on days 6-8 -> per-offset means [1,1,1,1,3,3,3] over
+    # rel days -3..+3, pre-mean 1.0, lift [0,0,0,0,2,2,2].
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    day = lambda k: base + datetime.timedelta(days=k)  # noqa: E731
+    rows, eid = [], 0
+    for k in range(2, 9):
+        rows.append((eid, day(k), 1, "view", 1.0 if k <= 5 else 3.0, "{}"))
+        eid += 1
+    rows.append((eid, day(5), 1, "purchase", 1.0, "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["rel_day"]: r for r in
+           eng.queries()["ts_event_study"](spark, str(tmp_path)).collect()}
+    assert sorted(out) == [-3, -2, -1, 0, 1, 2, 3]
+    for rd in (-3, -2, -1, 0):
+        assert out[rd]["mean_value"] == 1.0 and out[rd]["lift_vs_pre"] == 0.0
+    for rd in (1, 2, 3):
+        assert out[rd]["mean_value"] == 3.0 and out[rd]["lift_vs_pre"] == 2.0
+    assert all(r["n_obs"] == 1 for r in out.values())
