@@ -5922,3 +5922,165 @@ def agg_iv_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weak_instrument"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_gpd_tail — peaks-over-threshold tail modeling with the Generalized
+# Pareto Distribution (Pickands 1975; moment estimators of Hosking &
+# Wallis 1987): exceedances of value over a per-metric threshold
+# (mean + 2σ, from exact moments — one pass) follow a GPD whose shape ξ
+# and scale β come from the exceedances' mean and variance:
+# ξ = (1 − m²/v)/2, β = m(m²/v + 1)/2.  Reports the 1-in-10,000-events
+# return level — the "how bad can a single event plausibly get" number
+# agg_gumbel_extremes answers for BLOCK maxima; POT uses every tail
+# observation instead and is the standard when exceedances are plentiful.
+#
+# Scale shape: TWO corpus aggregates (global moments for the threshold,
+# then exceedance moments above it) with the 1-row thresholds broadcast
+# between — no sorting, no windows, no order statistics.
+#
+# Parity: thresholds and moments from exact fixed-point/decimal sums;
+# ξ, β, and the return level are identical IEEE expressions (q6);
+# metrics with < 30 exceedances or zero exceedance variance yield NULLs
+# (a tail fit on nothing is noise).  ξ ≥ 1 (infinite-mean regime) NULLs
+# the return level but reports the shape.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_GPD_RETURN_N = 10000.0  # 1-in-N-events return level
+_GPD_MIN_EXC = 30
+
+_GPD_ORACLE = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sq,
+         SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT)) AS ssq
+  FROM events GROUP BY event_type
+),
+thr AS (
+  SELECT event_type, n,
+         FLOOR((CAST(sq AS DOUBLE) / 1000000.0 / n
+                + 2.0 * sqrt(GREATEST(
+                    (CAST(ssq AS DOUBLE) / 1000000.0 / 1000000.0
+                     - CAST(sq AS DOUBLE) / 1000000.0
+                       * (CAST(sq AS DOUBLE) / 1000000.0) / n) / n, 0.0)))
+               * 1000000.0 + 0.5) / 1000000.0 AS u
+  FROM g
+),
+exc AS (
+  SELECT e.event_type, t.n AS n_total, t.u,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(FLOOR((e.value - t.u) * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sq,
+         SUM(CAST(FLOOR((e.value - t.u) * 1000000.0 + 0.5) AS BIGINT)
+             * CAST(FLOOR((e.value - t.u) * 1000000.0 + 0.5) AS HUGEINT))
+           AS ssq
+  FROM events e JOIN thr t ON t.event_type = e.event_type
+  WHERE e.value > t.u
+  GROUP BY e.event_type, t.n, t.u
+),
+fit AS (
+  SELECT event_type, n_total, u, k,
+         CAST(sq AS DOUBLE) / 1000000.0 / k AS m,
+         (CAST(ssq AS DOUBLE) / 1000000.0 / 1000000.0
+          - CAST(sq AS DOUBLE) / 1000000.0
+            * (CAST(sq AS DOUBLE) / 1000000.0) / k) / NULLIF(k - 1, 0) AS v
+  FROM exc
+)
+SELECT event_type, u AS threshold, k AS n_exceed,
+       CASE WHEN k >= {_GPD_MIN_EXC} AND v > 0 THEN
+         FLOOR((1.0 - m * m / v) / 2.0 * 1000000.0 + 0.5) / 1000000.0
+       END AS xi,
+       CASE WHEN k >= {_GPD_MIN_EXC} AND v > 0 THEN
+         FLOOR(m * (m * m / v + 1.0) / 2.0 * 1000000.0 + 0.5) / 1000000.0
+       END AS beta,
+       CASE WHEN k >= {_GPD_MIN_EXC} AND v > 0
+                 AND (1.0 - m * m / v) / 2.0 < 1.0
+                 AND abs((1.0 - m * m / v) / 2.0) > 0.000001 THEN
+         FLOOR((u + m * (m * m / v + 1.0) / 2.0
+                    / ((1.0 - m * m / v) / 2.0)
+                    * (pow({_GPD_RETURN_N} * k / n_total,
+                           (1.0 - m * m / v) / 2.0) - 1.0))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS return_level_10k
+FROM fit
+"""
+
+
+@register("agg_gpd_tail", oracle=_GPD_ORACLE)
+def agg_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vq).cast("bigint").alias("sq"),
+        F.sum((vq * vq).cast("decimal(38,0)")).alias("ssq"),
+    )
+    n = F.col("n")
+    mean = F.col("sq").cast("double") / 1_000_000.0 / n
+    var = (
+        F.col("ssq").cast("double") / 1_000_000.0 / 1_000_000.0
+        - F.col("sq").cast("double")
+        / 1_000_000.0
+        * (F.col("sq").cast("double") / 1_000_000.0)
+        / n
+    ) / n
+    thr = g.select(
+        "event_type",
+        "n",
+        (
+            F.floor(
+                (mean + 2.0 * F.sqrt(F.greatest(var, F.lit(0.0)))) * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("u"),
+    )
+    eq = F.floor((F.col("value") - F.col("u")) * 1_000_000.0 + 0.5).cast("bigint")
+    exc = (
+        ev.join(F.broadcast(thr), "event_type")
+        .filter(F.col("value") > F.col("u"))
+        .groupBy("event_type", F.col("n").alias("n_total"), "u")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(eq).cast("bigint").alias("sq"),
+            F.sum((eq * eq).cast("decimal(38,0)")).alias("ssq"),
+        )
+    )
+    k = F.col("k")
+    m = F.col("sq").cast("double") / 1_000_000.0 / k
+    v = (
+        F.col("ssq").cast("double") / 1_000_000.0 / 1_000_000.0
+        - F.col("sq").cast("double")
+        / 1_000_000.0
+        * (F.col("sq").cast("double") / 1_000_000.0)
+        / k
+    ) / F.nullif(k - 1, F.lit(0))
+    fit = exc.select("event_type", "n_total", "u", "k", m.alias("m"), v.alias("v"))
+    mm, vv = F.col("m"), F.col("v")
+    xi = (1.0 - mm * mm / vv) / 2.0
+    beta = mm * (mm * mm / vv + 1.0) / 2.0
+    ok = (k >= _GPD_MIN_EXC) & (vv > 0)
+    rl = (
+        F.col("u")
+        + beta / xi * (F.pow(_GPD_RETURN_N * k / F.col("n_total"), xi) - 1.0)
+    )
+    return fit.select(
+        "event_type",
+        F.col("u").alias("threshold"),
+        k.alias("n_exceed"),
+        F.when(ok, F.floor(xi * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "xi"
+        ),
+        F.when(ok, F.floor(beta * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "beta"
+        ),
+        F.when(
+            ok & (xi < 1.0) & (F.abs(xi) > 0.000001),
+            F.floor(rl * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
+        ).alias("return_level_10k"),
+    )

@@ -146,6 +146,7 @@ _PRIORITY: list[str] = [
     "agg_iv_2sls",                # NEW r9: instrumental-variables causal slope
     "llm_topic_segments",         # NEW r9: TextTiling lexical-cohesion boundaries
     "ts_event_study",             # NEW r9: stacked pre/post lift curve
+    "agg_gpd_tail",               # NEW r9: peaks-over-threshold GPD tail fit
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

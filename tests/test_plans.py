@@ -1832,3 +1832,12 @@ def test_event_study_user_keyed_band_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_event_study")
     assert "CartesianProduct" not in plan
     assert not _has_global_window(plan)
+
+
+def test_gpd_two_moment_passes(spark, sf_dir):
+    # Global moments then exceedance moments with the 1-row thresholds
+    # broadcast between; no windows, no order statistics.
+    plan = _plan(spark, sf_dir, "agg_gpd_tail")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2

@@ -5182,3 +5182,47 @@ def test_event_study_lift_curve(spark, tmp_path):
     for rd in (1, 2, 3):
         assert out[rd]["mean_value"] == 3.0 and out[rd]["lift_vs_pre"] == 2.0
     assert all(r["n_obs"] == 1 for r in out.values())
+
+
+def test_gpd_tail_bounded_uniform_exceedances(spark, tmp_path):
+    # 960 zero-value events plus a planted uniform tail 101..140: the
+    # mean+2sigma threshold lands near 52, all 40 tail points exceed it,
+    # and uniform exceedances have m^2/v ~ 3 -> xi ~ -1 (a BOUNDED tail).
+    # Exact values are pinned by replicating the estimator's op sequence.
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = [(i, t, i, "m", 0.0, "{}") for i in range(960)]
+    rows += [(1000 + i, t, i, "m", 100.0 + i, "{}") for i in range(1, 41)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_gpd_tail"](spark, str(tmp_path)).collect()
+    # replica (same op sequence as both engines)
+    vals = [0.0] * 960 + [100.0 + i for i in range(1, 41)]
+    n = len(vals)
+    sq = sum(math.floor(v * 1e6 + 0.5) for v in vals)
+    ssq = sum(math.floor(v * 1e6 + 0.5) ** 2 for v in vals)
+    mean = sq / 1e6 / n
+    var = (ssq / 1e6 / 1e6 - sq / 1e6 * (sq / 1e6) / n) / n
+    u = math.floor((mean + 2.0 * math.sqrt(max(var, 0.0))) * 1e6 + 0.5) / 1e6
+    exc = [v for v in vals if v > u]
+    k = len(exc)
+    eq = [math.floor((v - u) * 1e6 + 0.5) for v in exc]
+    seq_, sseq = sum(eq), sum(x * x for x in eq)
+    m = seq_ / 1e6 / k
+    v2 = (sseq / 1e6 / 1e6 - seq_ / 1e6 * (seq_ / 1e6) / k) / (k - 1)
+    xi = (1.0 - m * m / v2) / 2.0
+    beta = m * (m * m / v2 + 1.0) / 2.0
+    rl = u + beta / xi * (math.pow(10000.0 * k / n, xi) - 1.0)
+    assert r["n_exceed"] == 40 and r["threshold"] == u
+    assert r["xi"] == math.floor(xi * 1e6 + 0.5) / 1e6
+    assert r["xi"] < 0                      # bounded tail detected
+    assert r["beta"] == math.floor(beta * 1e6 + 0.5) / 1e6
+    assert r["return_level_10k"] == math.floor(rl * 1e6 + 0.5) / 1e6
+    assert r["return_level_10k"] < 150.0    # finite endpoint respected
+
+
+def test_gpd_tail_too_few_exceedances_yields_null(spark, tmp_path):
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = [(i, t, i, "m", 0.0, "{}") for i in range(100)]
+    rows += [(200 + i, t, i, "m", 50.0 + i, "{}") for i in range(5)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_gpd_tail"](spark, str(tmp_path)).collect()
+    assert r["xi"] is None and r["return_level_10k"] is None
