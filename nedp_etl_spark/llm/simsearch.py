@@ -2057,3 +2057,186 @@ def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim int, loading double, lambda_top double,"
         " explained_var_ratio double, n_vectors bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# profile_embedding_drift — embedding-space drift monitor (the ML-ops
+# companion to profile_drift_psi's tabular PSI; the "did the encoder or
+# the traffic shift" check run between two snapshots): split the corpus
+# into reference/current cohorts (label parity — the fixture's stand-in
+# for two time windows), compare per-dimension means and variances, and
+# report the drift battery: cosine between mean vectors, L2 mean shift,
+# how many dimensions moved more than τ, and the variance (trace) ratio.
+#
+# Scale shape: ONE map-side explode into (dim, cohort) groups — 2d rows
+# out regardless of corpus size; the final battery is a d-row combine.
+#
+# Parity: per-dim sums are exact 1e-3 fixed-point int64 (the
+# llm_embed_covariance quantization); means q9; every metric is an
+# identical IEEE expression (q6); an empty cohort yields NULLs.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_DRIFT_TAU = 0.05
+
+_EMB_DRIFT_ORACLE = f"""
+WITH q AS (
+  SELECT CAST(label % 2 AS INT) AS coh, t.i AS dim,
+         CAST(FLOOR(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)
+                    * 1000.0 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, range(0, {_EMBED_DIM}) t(i)
+),
+g AS (
+  SELECT coh, dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qv) AS BIGINT) AS s, SUM(qv * CAST(qv AS HUGEINT)) AS ss
+  FROM q GROUP BY coh, dim
+),
+m AS (
+  SELECT dim,
+         FLOOR(CAST(MAX(CASE WHEN coh = 0 THEN s END) AS DOUBLE) / 1000.0
+               / MAX(CASE WHEN coh = 0 THEN n END) * 1000000000.0 + 0.5)
+           / 1000000000.0 AS m0,
+         FLOOR(CAST(MAX(CASE WHEN coh = 1 THEN s END) AS DOUBLE) / 1000.0
+               / MAX(CASE WHEN coh = 1 THEN n END) * 1000000000.0 + 0.5)
+           / 1000000000.0 AS m1,
+         (CAST(MAX(CASE WHEN coh = 0 THEN ss END) AS DOUBLE) / 1000000.0
+          - CAST(MAX(CASE WHEN coh = 0 THEN s END) AS DOUBLE) / 1000.0
+            * (CAST(MAX(CASE WHEN coh = 0 THEN s END) AS DOUBLE) / 1000.0)
+            / MAX(CASE WHEN coh = 0 THEN n END))
+           / MAX(CASE WHEN coh = 0 THEN n END) AS v0,
+         (CAST(MAX(CASE WHEN coh = 1 THEN ss END) AS DOUBLE) / 1000000.0
+          - CAST(MAX(CASE WHEN coh = 1 THEN s END) AS DOUBLE) / 1000.0
+            * (CAST(MAX(CASE WHEN coh = 1 THEN s END) AS DOUBLE) / 1000.0)
+            / MAX(CASE WHEN coh = 1 THEN n END))
+           / MAX(CASE WHEN coh = 1 THEN n END) AS v1
+  FROM g GROUP BY dim
+  HAVING MAX(CASE WHEN coh = 0 THEN n END) IS NOT NULL
+     AND MAX(CASE WHEN coh = 1 THEN n END) IS NOT NULL
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         SUM(CAST(FLOOR(m0 * m1 * 1000000000000.0 + 0.5) AS BIGINT)) AS dot,
+         SUM(CAST(FLOOR(m0 * m0 * 1000000000000.0 + 0.5) AS BIGINT)) AS n0,
+         SUM(CAST(FLOOR(m1 * m1 * 1000000000000.0 + 0.5) AS BIGINT)) AS n1,
+         SUM(CAST(FLOOR((m1 - m0) * (m1 - m0) * 1000000000000.0 + 0.5)
+                  AS BIGINT)) AS l2,
+         CAST(SUM(CASE WHEN abs(m1 - m0) > {_DRIFT_TAU} THEN 1 ELSE 0 END)
+              AS BIGINT) AS moved,
+         SUM(CAST(FLOOR(v0 * 1000000000.0 + 0.5) AS BIGINT)) AS t0,
+         SUM(CAST(FLOOR(v1 * 1000000000.0 + 0.5) AS BIGINT)) AS t1
+  FROM m
+)
+SELECT d AS n_dims,
+       CASE WHEN n0 > 0 AND n1 > 0 THEN
+         FLOOR(CAST(dot AS DOUBLE)
+               / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 END AS mean_cosine,
+       FLOOR(sqrt(CAST(l2 AS DOUBLE) / 1000000000000.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_l2_shift,
+       moved AS dims_moved,
+       CASE WHEN t0 > 0 THEN
+         FLOOR(CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE) * 1000000.0 + 0.5)
+           / 1000000.0 END AS trace_ratio
+FROM agg
+"""
+
+
+@register("profile_embedding_drift", oracle=_EMB_DRIFT_ORACLE)
+def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    d = _EMBED_DIM
+    q = e.select(
+        (F.col("label") % 2).cast("int").alias("coh"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000.0 + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "qv"),
+    )
+    g = q.groupBy("coh", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qv").cast("bigint").alias("s"),
+        F.sum((F.col("qv") * F.col("qv")).cast("decimal(38,0)")).alias("ss"),
+    )
+    pick = lambda c, col: F.max(F.when(F.col("coh") == c, F.col(col)))  # noqa: E731
+    mean9 = lambda c: (  # noqa: E731
+        F.floor(
+            pick(c, "s").cast("double") / 1000.0 / pick(c, "n") * 1_000_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000_000.0
+    )
+    var_ = lambda c: (  # noqa: E731
+        pick(c, "ss").cast("double") / 1_000_000.0
+        - pick(c, "s").cast("double")
+        / 1000.0
+        * (pick(c, "s").cast("double") / 1000.0)
+        / pick(c, "n")
+    ) / pick(c, "n")
+    m = (
+        g.groupBy("dim")
+        .agg(
+            mean9(0).alias("m0"),
+            mean9(1).alias("m1"),
+            var_(0).alias("v0"),
+            var_(1).alias("v1"),
+            pick(0, "n").alias("na"),
+            pick(1, "n").alias("nb"),
+        )
+        .filter(F.col("na").isNotNull() & F.col("nb").isNotNull())
+    )
+    fx = lambda e_, sc: F.sum(F.floor(e_ * sc + F.lit(0.5)).cast("bigint"))  # noqa: E731
+    agg = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        fx(F.col("m0") * F.col("m1") * 1_000_000_000_000.0, 1.0).alias("dot"),
+        fx(F.col("m0") * F.col("m0") * 1_000_000_000_000.0, 1.0).alias("n0"),
+        fx(F.col("m1") * F.col("m1") * 1_000_000_000_000.0, 1.0).alias("n1"),
+        fx(
+            (F.col("m1") - F.col("m0")) * (F.col("m1") - F.col("m0"))
+            * 1_000_000_000_000.0,
+            1.0,
+        ).alias("l2"),
+        F.sum(
+            F.when(F.abs(F.col("m1") - F.col("m0")) > _DRIFT_TAU, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("moved"),
+        fx(F.col("v0") * 1_000_000_000.0, 1.0).alias("t0"),
+        fx(F.col("v1") * 1_000_000_000.0, 1.0).alias("t1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    return agg.select(
+        F.col("d").alias("n_dims"),
+        F.when(
+            (n0 > 0) & (n1 > 0),
+            F.floor(
+                F.col("dot").cast("double")
+                / F.sqrt(n0.cast("double") * n1.cast("double"))
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0,
+        ).alias("mean_cosine"),
+        (
+            F.floor(
+                F.sqrt(F.col("l2").cast("double") / 1_000_000_000_000.0)
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("mean_l2_shift"),
+        F.col("moved").alias("dims_moved"),
+        F.when(
+            F.col("t0") > 0,
+            F.floor(
+                F.col("t1").cast("double") / F.col("t0").cast("double")
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0,
+        ).alias("trace_ratio"),
+    )

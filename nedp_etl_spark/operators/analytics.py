@@ -6084,3 +6084,182 @@ def agg_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(rl * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
         ).alias("return_level_10k"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_huber_mean — robust location per metric by Huber's M-estimator
+# (Huber 1964), fit with T=5 IRLS passes: weights w = min(1, c·s/|x−μ|)
+# downweight observations beyond c = 1.345 scale units (the 95%-efficiency
+# tuning constant), so a fat-tailed value column gets a location estimate
+# a handful of outliers cannot drag — the robust companion to the plain
+# mean next to agg_trimmed_winsorized's fixed-fraction cuts (Huber adapts
+# the cut to the data's own scale).
+#
+# Scale shape: the agg_logistic_irls pattern — one moments pass for the
+# initial mean/scale, then T corpus aggregates with the current k-row μ
+# relation broadcast; weighted sums accumulate 1e-9-floored bigints into
+# decimal(38,0) (the weight is per-row nonlinear).
+#
+# Parity: s and μ₀ q6 from exact sums; w, Σwx, Σw identical IEEE with
+# fixed-point floors; μ q9 per pass; zero scale (constant column)
+# short-circuits to the plain mean.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_HUBER_T = 5
+_HUBER_C = 1.345
+
+
+def _huber_oracle() -> str:
+    parts = [
+        """
+WITH g AS MATERIALIZED (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sq,
+         SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value * 1000000.0 + 0.5) AS HUGEINT)) AS ssq
+  FROM events GROUP BY event_type
+),
+init AS MATERIALIZED (
+  SELECT event_type, n,
+         FLOOR(CAST(sq AS DOUBLE) / 1000000.0 / n * 1000000.0 + 0.5)
+           / 1000000.0 AS m0,
+         FLOOR(sqrt(GREATEST((CAST(ssq AS DOUBLE) / 1000000.0 / 1000000.0
+                    - CAST(sq AS DOUBLE) / 1000000.0
+                      * (CAST(sq AS DOUBLE) / 1000000.0) / n) / n, 0.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS s
+  FROM g
+),
+mu0 AS MATERIALIZED (SELECT event_type, m0 AS mu FROM init)"""
+    ]
+    for t in range(1, _HUBER_T + 1):
+        parts.append(
+            f""",
+mu{t} AS MATERIALIZED (
+  SELECT i.event_type,
+         CASE WHEN i.s > 0 THEN
+           FLOOR(
+             (CAST(SUM(CAST(FLOOR(
+                LEAST(1.0, {_HUBER_C} * i.s / NULLIF(abs(e.value - p.mu), 0.0))
+                * e.value * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+              / 1000000000.0)
+             / (CAST(SUM(CAST(FLOOR(
+                LEAST(1.0, {_HUBER_C} * i.s / NULLIF(abs(e.value - p.mu), 0.0))
+                * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 1000000000.0)
+             * 1000000000.0 + 0.5) / 1000000000.0
+         ELSE i.m0 END AS mu
+  FROM events e
+  JOIN init i ON i.event_type = e.event_type
+  JOIN mu{t - 1} p ON p.event_type = e.event_type
+  GROUP BY i.event_type, i.s, i.m0
+)"""
+        )
+    parts.append(
+        f"""
+SELECT i.event_type, i.n, i.m0 AS mean_plain, i.s AS scale_s,
+       FLOOR(m.mu * 1000000.0 + 0.5) / 1000000.0 AS huber_mean
+FROM init i JOIN mu{_HUBER_T} m ON m.event_type = i.event_type"""
+    )
+    return "".join(parts)
+
+
+_HUBER_ORACLE = _huber_oracle()
+
+
+@register("agg_huber_mean", oracle=_HUBER_ORACLE)
+def agg_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 1_000_000.0 + 0.5).cast("bigint")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vq).cast("bigint").alias("sq"),
+        F.sum((vq * vq).cast("decimal(38,0)")).alias("ssq"),
+    )
+    n = F.col("n")
+    init = g.select(
+        "event_type",
+        "n",
+        (
+            F.floor(
+                F.col("sq").cast("double") / 1_000_000.0 / n * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("m0"),
+        (
+            F.floor(
+                F.sqrt(
+                    F.greatest(
+                        (
+                            F.col("ssq").cast("double") / 1_000_000.0 / 1_000_000.0
+                            - F.col("sq").cast("double")
+                            / 1_000_000.0
+                            * (F.col("sq").cast("double") / 1_000_000.0)
+                            / n
+                        )
+                        / n,
+                        F.lit(0.0),
+                    )
+                )
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("s"),
+    ).localCheckpoint(eager=True)  # T passes + final join
+    mu = init.select("event_type", F.col("m0").alias("mu"))
+    for _ in range(_HUBER_T):
+        w = F.least(
+            F.lit(1.0),
+            _HUBER_C
+            * F.col("s")
+            / F.nullif(F.abs(F.col("value") - F.col("mu")), F.lit(0.0)),
+        )
+        mu = (
+            ev.join(F.broadcast(init.select("event_type", "s", "m0")), "event_type")
+            .join(F.broadcast(mu), "event_type")
+            .groupBy("event_type", "s", "m0")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(w * F.col("value") * 1_000_000_000.0 + F.lit(0.5))
+                        .cast("decimal(38,0)")
+                    ).cast("double")
+                    / 1_000_000_000.0
+                ).alias("swx"),
+                (
+                    F.sum(
+                        F.floor(w * 1_000_000_000.0 + F.lit(0.5)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / 1_000_000_000.0
+                ).alias("sw"),
+            )
+            .select(
+                "event_type",
+                F.when(
+                    F.col("s") > 0,
+                    F.floor(
+                        F.col("swx") / F.col("sw") * 1_000_000_000.0 + F.lit(0.5)
+                    )
+                    / 1_000_000_000.0,
+                )
+                .otherwise(F.col("m0"))
+                .alias("mu"),
+            )
+            .localCheckpoint(eager=True)  # k rows; linear plan in T
+        )
+    return init.join(mu, "event_type").select(
+        "event_type",
+        "n",
+        F.col("m0").alias("mean_plain"),
+        F.col("s").alias("scale_s"),
+        (F.floor(F.col("mu") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
+            "huber_mean"
+        ),
+    )

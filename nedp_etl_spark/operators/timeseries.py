@@ -4904,3 +4904,150 @@ def ts_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0,
         ).alias("lift_vs_pre"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_seasonality_strength — the tsfeatures strength-of-components measures
+# (Wang, Smith & Hyndman 2006; the F_T/F_S features behind every
+# "which series deserve a seasonal model" triage): on the
+# ts_stl_decompose output, F_T = max(0, 1 − Var(resid)/Var(v − seasonal))
+# and F_S = max(0, 1 − Var(resid)/Var(v − trend)) — near 1 ⇒ the
+# component dominates, near 0 ⇒ noise.  The single-row-per-series triage
+# the full decomposition relation is too wide for.
+#
+# Scale shape: COMPOSES the registered ts_stl_decompose (same plan, same
+# checkpoint discipline) and adds one variance aggregate per series over
+# the interior days (trend non-NULL).  Oracle deliberately re-states the
+# decomposition chain (allowlisted as similar to ts_stl_decompose — the
+# strengths are defined ON that decomposition).
+#
+# Parity: components quantize q6; variances from exact int64/HUGEINT
+# sums; strengths q6 with the max(0,·) clamp; zero component variance →
+# NULL strength.  Threshold 0.64 (Hyndman's seasonal cutoff) flags.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_SEAS_STRENGTH_ORACLE = f"""
+WITH {_DAILY_CTE},
+q AS (
+  SELECT event_type, d, v,
+         CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM daily
+),
+ma AS (
+  SELECT event_type, d, v,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN FLOOR(CAST(SUM(vq) OVER w AS DOUBLE) / 7.0 + 0.5) / 1000000.0
+         END AS trend
+  FROM q
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT event_type, d, v, trend, dayofweek(d) AS dow,
+         ROUND(v - trend, 6) AS dt
+  FROM ma
+),
+sdow AS (
+  SELECT event_type, dow,
+         FLOOR({osum('dt')} / COUNT(dt) * 1000000.0 + 0.5) / 1000000.0 AS s_raw
+  FROM det WHERE dt IS NOT NULL GROUP BY event_type, dow
+),
+scen AS (
+  SELECT event_type,
+         FLOOR({osum('s_raw')} / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS s_mean
+  FROM sdow GROUP BY event_type
+),
+sfin AS (
+  SELECT s.event_type, s.dow, ROUND(s.s_raw - c.s_mean, 6) AS seasonal
+  FROM sdow s JOIN scen c ON c.event_type = s.event_type
+),
+rows_ AS (
+  SELECT m.event_type,
+         CAST(FLOOR(ROUND(m.v - m.trend - f.seasonal, 6) * 1000000.0 + 0.5)
+              AS BIGINT) AS rq,
+         CAST(FLOOR(ROUND(m.v - f.seasonal, 6) * 1000000.0 + 0.5) AS BIGINT)
+           AS aq,
+         CAST(FLOOR(ROUND(m.v - m.trend, 6) * 1000000.0 + 0.5) AS BIGINT) AS dq
+  FROM det m JOIN sfin f ON f.event_type = m.event_type AND f.dow = m.dow
+  WHERE m.trend IS NOT NULL
+),
+vs AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rq) AS HUGEINT) AS sr, SUM(rq * CAST(rq AS HUGEINT)) AS srr,
+         CAST(SUM(aq) AS HUGEINT) AS sa, SUM(aq * CAST(aq AS HUGEINT)) AS saa,
+         CAST(SUM(dq) AS HUGEINT) AS sd, SUM(dq * CAST(dq AS HUGEINT)) AS sdd
+  FROM rows_ GROUP BY event_type
+)
+SELECT event_type, n AS n_days_used,
+       CASE WHEN n * saa - sa * sa > 0 THEN
+         FLOOR(GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                                   / CAST(n * saa - sa * sa AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 END AS f_trend,
+       CASE WHEN n * sdd - sd * sd > 0 THEN
+         FLOOR(GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                                   / CAST(n * sdd - sd * sd AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 END AS f_seasonal,
+       CASE WHEN n * sdd - sd * sd > 0 THEN
+         FLOOR(GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                                   / CAST(n * sdd - sd * sd AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 > 0.64 END AS strongly_seasonal
+FROM vs
+"""
+
+
+@register("ts_seasonality_strength", oracle=_SEAS_STRENGTH_ORACLE)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = ts_stl_decompose(spark, sf_dir).filter(F.col("trend").isNotNull())
+    rq = F.floor(F.col("resid") * 1_000_000.0 + 0.5).cast("bigint")
+    aq = F.floor(
+        F.round(F.col("v") - F.col("seasonal"), 6) * 1_000_000.0 + 0.5
+    ).cast("bigint")
+    dq = F.floor(
+        F.round(F.col("v") - F.col("trend"), 6) * 1_000_000.0 + 0.5
+    ).cast("bigint")
+    rows = dec.select(
+        "event_type", rq.alias("rq"), aq.alias("aq"), dq.alias("dq")
+    )
+    dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    vs = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rq").cast("decimal(38,0)").alias("sr"),
+        F.sum((F.col("rq") * F.col("rq")).cast("decimal(38,0)")).alias("srr"),
+        F.sum("aq").cast("decimal(38,0)").alias("sa"),
+        F.sum((F.col("aq") * F.col("aq")).cast("decimal(38,0)")).alias("saa"),
+        F.sum("dq").cast("decimal(38,0)").alias("sd"),
+        F.sum((F.col("dq") * F.col("dq")).cast("decimal(38,0)")).alias("sdd"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    vr = n * F.col("srr") - F.col("sr") * F.col("sr")
+    va = n * F.col("saa") - F.col("sa") * F.col("sa")
+    vd = n * F.col("sdd") - F.col("sd") * F.col("sd")
+    ft = (
+        F.floor(
+            F.greatest(
+                F.lit(0.0), 1.0 - vr.cast("double") / va.cast("double")
+            )
+            * 1_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    fs = (
+        F.floor(
+            F.greatest(
+                F.lit(0.0), 1.0 - vr.cast("double") / vd.cast("double")
+            )
+            * 1_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    return vs.select(
+        "event_type",
+        F.col("n").alias("n_days_used"),
+        F.when(va > 0, ft).alias("f_trend"),
+        F.when(vd > 0, fs).alias("f_seasonal"),
+        F.when(vd > 0, fs > 0.64).alias("strongly_seasonal"),
+    )

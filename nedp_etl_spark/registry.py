@@ -147,6 +147,9 @@ _PRIORITY: list[str] = [
     "llm_topic_segments",         # NEW r9: TextTiling lexical-cohesion boundaries
     "ts_event_study",             # NEW r9: stacked pre/post lift curve
     "agg_gpd_tail",               # NEW r9: peaks-over-threshold GPD tail fit
+    "agg_huber_mean",             # NEW r9: robust location via Huber IRLS
+    "ts_seasonality_strength",    # NEW r9: tsfeatures F_T/F_S triage
+    "profile_embedding_drift",    # NEW r9: embedding-space drift battery
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

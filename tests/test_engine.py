@@ -242,7 +242,7 @@ def test_model_graph_rejects_this_outside_incremental():
 
 # Static @register sites; stream_transform_state joins at runtime when the
 # protobuf bootstrap succeeds (streaming/transformstate.py gate).
-EXPECTED_STATIC_KEYS = 417
+EXPECTED_STATIC_KEYS = 420
 
 
 def test_registry_key_count_pinned():
@@ -297,6 +297,7 @@ def test_survey_table_matches_registry():
 _SIMILAR_ORACLES_OK = {
     ("udf_pandas", "udf_scalar"),          # same contract, pandas vs row UDF
     ("stream_join_left_outer", "stream_stream_join"),  # same query, join TYPE is the point
+    ("ts_seasonality_strength", "ts_stl_decompose"),  # strengths are DEFINED on that chain
     ("llm_dedup_cluster", "llm_dedup_cluster_converged"),  # fixed vs converged
     ("llm_knn_graph", "llm_semantic_lsh"),  # shared embedding-bucket spine
     ("join_range", "join_range_binned"),    # same join, binned plan variant

@@ -278,7 +278,10 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_price_index",  # 1-row base-month broadcast (O(part-months))
                    "agg_theil_decomposition",  # 1-row grand-total broadcast (O(n) terms)
                    "ts_backtest_cv",  # calendar-bounded cutoff-spine broadcast (O(weeks))
-                   "agg_logistic_irls"}  # 1-row beta broadcast per IRLS pass (O(n) agg)
+                   "agg_logistic_irls",  # 1-row beta broadcast per IRLS pass (O(n) agg)
+                   "ts_forecast_reconcile",  # 1-row horizon broadcast onto the fits
+                   "agg_empirical_bayes",  # 1-row pooled-moments/prior broadcasts
+                   "ts_event_study"}  # 1-row pre-period baseline broadcast
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1841,3 +1844,27 @@ def test_gpd_two_moment_passes(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 2
+
+
+def test_huber_t_balanced_passes(spark, sf_dir):
+    # One moments pass + T weighted passes with the k-row mu broadcast;
+    # no windows.
+    plan = _plan(spark, sf_dir, "agg_huber_mean")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonality_strength_composes_stl(spark, sf_dir):
+    # Same plan family as ts_stl_decompose plus one variance aggregate;
+    # windows stay series-partitioned.
+    plan = _plan(spark, sf_dir, "ts_seasonality_strength")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_drift_single_explode_aggregate(spark, sf_dir):
+    # One map-side explode into 2d groups; the battery combines d rows.
+    plan = _plan(spark, sf_dir, "profile_embedding_drift")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 1

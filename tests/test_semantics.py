@@ -5226,3 +5226,93 @@ def test_gpd_tail_too_few_exceedances_yields_null(spark, tmp_path):
     _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
     [r] = eng.queries()["agg_gpd_tail"](spark, str(tmp_path)).collect()
     assert r["xi"] is None and r["return_level_10k"] is None
+
+
+def test_huber_mean_resists_outlier(spark, tmp_path):
+    # [1, 2, 3, 100]: plain mean 26.5; Huber reweighting must land near
+    # the inlier mass (< 10) and equal the op-sequence replica exactly.
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    vals = [1.0, 2.0, 3.0, 100.0]
+    rows = [(i, t, i, "m", v, "{}") for i, v in enumerate(vals)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_huber_mean"](spark, str(tmp_path)).collect()
+    # replica
+    n = len(vals)
+    sq = sum(math.floor(v * 1e6 + 0.5) for v in vals)
+    ssq = sum(math.floor(v * 1e6 + 0.5) ** 2 for v in vals)
+    m0 = math.floor(sq / 1e6 / n * 1e6 + 0.5) / 1e6
+    s = math.floor(math.sqrt(max((ssq / 1e6 / 1e6
+                                  - sq / 1e6 * (sq / 1e6) / n) / n, 0.0))
+                   * 1e6 + 0.5) / 1e6
+    mu = m0
+    for _ in range(5):
+        swx = sum(math.floor(min(1.0, 1.345 * s / abs(v - mu)) * v * 1e9 + 0.5)
+                  if v != mu else math.floor(1.0 * v * 1e9 + 0.5)
+                  for v in vals)
+        sw = sum(math.floor(min(1.0, 1.345 * s / abs(v - mu)) * 1e9 + 0.5)
+                 if v != mu else math.floor(1e9 + 0.5) for v in vals)
+        mu = math.floor((swx / 1e9) / (sw / 1e9) * 1e9 + 0.5) / 1e9
+    assert r["mean_plain"] == 26.5
+    assert r["huber_mean"] == math.floor(mu * 1e6 + 0.5) / 1e6
+    assert r["huber_mean"] < 26.5  # pulled toward the inlier mass
+    assert r["scale_s"] == s
+
+
+def test_huber_constant_column_passthrough(spark, tmp_path):
+    t = datetime.datetime(2024, 1, 1, 10, 0)
+    rows = [(i, t, i, "m", 7.0, "{}") for i in range(5)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_huber_mean"](spark, str(tmp_path)).collect()
+    assert r["huber_mean"] == 7.0 and r["scale_s"] == 0.0
+
+
+def test_seasonality_strength_separates_regimes(spark, tmp_path):
+    # "seasonal": pure weekly pattern (v = dow index, 28 days) -> the
+    # seasonal component explains the interior variance, F_S near 1 and
+    # flagged; F_T near 0 (no trend).  "trendy": v = t (pure ramp) -> the
+    # trend explains everything: F_T near 1, F_S near 0, not flagged.
+    base = datetime.datetime(2024, 1, 1, 12, 0)  # a Monday
+    rows = []
+    for i in range(28):
+        rows.append((i, base + datetime.timedelta(days=i), i, "seasonal",
+                     float(i % 7), "{}"))
+        rows.append((100 + i, base + datetime.timedelta(days=i), i, "trendy",
+                     float(i), "{}"))
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["event_type"]: r for r in
+           eng.queries()["ts_seasonality_strength"](spark, str(tmp_path)).collect()}
+    sea = out["seasonal"]
+    assert sea["n_days_used"] == 22          # 28 minus the 3+3 MA edges
+    assert sea["f_seasonal"] > 0.99 and sea["strongly_seasonal"]
+    # pure pattern: the deseasonalized series is CONSTANT -> trend
+    # strength undefined (zero component variance) -> NULL, not a number
+    assert sea["f_trend"] is None
+    tr = out["trendy"]
+    assert tr["f_trend"] > 0.99
+    # pure ramp: detrended interior is identically 0 -> seasonal strength
+    # undefined -> NULL (and the flag with it)
+    assert tr["f_seasonal"] is None and tr["strongly_seasonal"] is None
+
+
+def test_embedding_drift_detects_planted_shift(spark, tmp_path):
+    # Cohort 0 (labels 0): unit mass on dim 0.  Cohort 1 (labels 1): the
+    # same mass rotated onto dim 1 -> mean cosine 0, L2 shift sqrt(2),
+    # exactly 2 dims moved beyond tau; equal variances -> trace NULL
+    # (both cohorts are constant -> zero trace) — so plant variance too:
+    # cohort 1 jitters dim 2 by +/-0.5 -> trace ratio > 1.
+    def vec(d0, d1, d2):
+        v = [0.0] * 64
+        v[0], v[1], v[2] = d0, d1, d2
+        return v
+    rows = [
+        (0, vec(1.0, 0.0, 0.5), 0), (1, vec(1.0, 0.0, -0.5), 0),
+        (2, vec(0.0, 1.0, 1.5), 1), (3, vec(0.0, 1.0, -1.5), 1),
+    ]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>, label int")
+    [r] = eng.queries()["profile_embedding_drift"](spark, str(tmp_path)).collect()
+    assert r["n_dims"] == 64
+    assert r["mean_cosine"] == 0.0            # orthogonal mean vectors
+    assert r["mean_l2_shift"] == 1.414214     # sqrt(2) at q6
+    assert r["dims_moved"] == 2               # dims 0 and 1 only
+    assert r["trace_ratio"] == 9.0            # var 2.25 vs 0.25 on dim 2
