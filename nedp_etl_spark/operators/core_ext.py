@@ -1386,3 +1386,75 @@ def sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("total_price"),
         F.lit(len(orphans)).cast("bigint").alias("n_orphans_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# sample_weighted_reservoir — weight-proportional sampling without
+# replacement, derandomized (Efraimidis & Spirakis 2006's A-ES: assign
+# each item key = u^(1/w) with u uniform, keep the top-k keys — the ONLY
+# known one-pass weighted reservoir).  sample_bottomk draws uniformly;
+# this draws documents proportionally to n_chars (importance sampling for
+# curation: long documents carry more training tokens, so a
+# token-budgeted audit sample should over-represent them).  u derives
+# from md5(doc_id) — no RNG, bit-replayable on any engine.
+#
+# Scale shape: key assignment is map-side; top-k is orderBy+limit
+# (TakeOrderedAndProject: each partition keeps its local k; the corpus is
+# never globally sorted).
+#
+# Parity: u = (first 8 md5 hex digits)/2^32, clamped away from 0; key
+# computed as exp(ln(u)/w) TEXTUALLY on both engines, quantized q9 with
+# the doc_id tie-break; zero/negative weights are excluded (their key is
+# undefined — A-ES requires w > 0).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_WRES_K = 25
+
+_WRES_ORACLE = f"""
+WITH it AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS DOUBLE) / 4294967296.0 AS u0
+  FROM documents WHERE n_chars > 0
+),
+keyed AS (
+  SELECT doc_id, w,
+         FLOOR(exp(ln(GREATEST(u0, 0.000000001)) / w) * 1000000000.0 + 0.5)
+           / 1000000000.0 AS k
+  FROM it
+)
+SELECT doc_id, CAST(w AS BIGINT) AS weight, k AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {_WRES_K}
+"""
+
+
+@register("sample_weighted_reservoir", oracle=_WRES_ORACLE)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u0 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / 4294967296.0
+    )
+    w = F.col("n_chars").cast("double")
+    key = (
+        F.floor(
+            F.exp(F.log(F.greatest(u0, F.lit(0.000000001))) / w)
+            * 1_000_000_000.0
+            + F.lit(0.5)
+        )
+        / 1_000_000_000.0
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(_WRES_K)
+    )

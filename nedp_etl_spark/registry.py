@@ -150,6 +150,7 @@ _PRIORITY: list[str] = [
     "agg_huber_mean",             # NEW r9: robust location via Huber IRLS
     "ts_seasonality_strength",    # NEW r9: tsfeatures F_T/F_S triage
     "profile_embedding_drift",    # NEW r9: embedding-space drift battery
+    "sample_weighted_reservoir",  # NEW r9: derandomized A-ES weighted sample
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

@@ -1868,3 +1868,11 @@ def test_embedding_drift_single_explode_aggregate(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 1
+
+
+def test_weighted_reservoir_take_ordered(spark, sf_dir):
+    # Map-side keys + TakeOrderedAndProject: no global sort, no window.
+    df = eng.queries()["sample_weighted_reservoir"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

@@ -5316,3 +5316,26 @@ def test_embedding_drift_detects_planted_shift(spark, tmp_path):
     assert r["mean_l2_shift"] == 1.414214     # sqrt(2) at q6
     assert r["dims_moved"] == 2               # dims 0 and 1 only
     assert r["trace_ratio"] == 9.0            # var 2.25 vs 0.25 on dim 2
+
+
+def test_weighted_reservoir_favors_heavy_items(spark, tmp_path):
+    # 30 light docs (w=10) and 10 heavy docs (w=100000): u^(1/w) -> 1 as
+    # w grows, so ALL heavy docs must enter the k=25 sample; the exact
+    # selection equals the A-ES replica computed with the same ops.
+    import hashlib
+    rows = [(i, "x", "en", "s", 10) for i in range(30)]
+    rows += [(100 + i, "x", "en", "s", 100000) for i in range(10)]
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    out = eng.queries()["sample_weighted_reservoir"](spark, str(tmp_path)).collect()
+    assert len(out) == 25
+    got = [r["doc_id"] for r in out]
+    def key(doc_id, w):
+        u0 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 4294967296.0
+        return math.floor(math.exp(math.log(max(u0, 1e-9)) / w) * 1e9 + 0.5) / 1e9
+    exp = sorted(((key(i, 10), i) for i in range(30)), key=lambda t: (-t[0], t[1]))
+    exph = sorted(((key(100 + i, 100000), 100 + i) for i in range(10)),
+                  key=lambda t: (-t[0], t[1]))
+    allk = sorted([(k, i) for k, i in exp] + [(k, i) for k, i in exph],
+                  key=lambda t: (-t[0], t[1]))[:25]
+    assert got == [i for _, i in allk]
+    assert all(100 + i in got for i in range(10))  # every heavy doc sampled
