@@ -5051,3 +5051,92 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(vd > 0, fs).alias("f_seasonal"),
         F.when(vd > 0, fs > 0.64).alias("strongly_seasonal"),
     )
+
+
+# --------------------------------------------------------------------------
+# ts_peak_prominence — peak detection with windowed topographic prominence
+# (the scipy.signal find_peaks/peak_prominences contract, window-bounded):
+# a day is a peak when it strictly exceeds both neighbors, and its
+# prominence is its height above the HIGHER of the two bounding valleys
+# (the min over the ±3-day flanks) — the filter that separates real
+# spikes from ripple, which a bare local-max test cannot (every ripple
+# crest is a local max; only genuine spikes have prominence).
+#
+# Scale shape: three series-partitioned windows over the calendar-bounded
+# daily rollup (lag/lead + two 3-day flank minima); peaks rank per series.
+#
+# Parity: v is the q6 daily mean; prominence is max/min arithmetic on
+# those exact values, q6; boundary days (missing a neighbor) cannot be
+# peaks; flanks shorter than 3 days use the days available.
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_PEAK_ORACLE = f"""
+WITH {_DAILY_CTE},
+x AS (
+  SELECT event_type, d, v,
+         LAG(v) OVER w AS pv, LEAD(v) OVER w AS nv,
+         MIN(v) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lmin,
+         MIN(v) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS rmin
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+pk AS (
+  SELECT event_type, d, v,
+         FLOOR((v - GREATEST(lmin, rmin)) * 1000000.0 + 0.5) / 1000000.0
+           AS prominence
+  FROM x
+  WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+)
+SELECT event_type, CAST(d AS VARCHAR) AS d, v, prominence,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY prominence DESC, d) AS INT) AS peak_rank
+FROM pk
+"""
+
+
+@register("ts_peak_prominence", oracle=_PEAK_ORACLE)
+def ts_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = _daily(ev)
+    w = Window.partitionBy("event_type").orderBy("d")
+    x = daily.select(
+        "event_type",
+        "d",
+        "v",
+        F.lag("v").over(w).alias("pv"),
+        F.lead("v").over(w).alias("nv"),
+        F.min("v").over(w.rowsBetween(-3, -1)).alias("lmin"),
+        F.min("v").over(w.rowsBetween(1, 3)).alias("rmin"),
+    )
+    pk = x.filter(
+        F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+        & (F.col("v") > F.col("pv"))
+        & (F.col("v") > F.col("nv"))
+    ).select(
+        "event_type",
+        "d",
+        "v",
+        (
+            F.floor(
+                (F.col("v") - F.greatest(F.col("lmin"), F.col("rmin")))
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("prominence"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("prominence").desc(), F.col("d")
+    )
+    return pk.select(
+        "event_type",
+        F.col("d").cast("string").alias("d"),
+        "v",
+        "prominence",
+        F.row_number().over(wr).cast("int").alias("peak_rank"),
+    )

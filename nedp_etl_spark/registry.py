@@ -151,6 +151,7 @@ _PRIORITY: list[str] = [
     "ts_seasonality_strength",    # NEW r9: tsfeatures F_T/F_S triage
     "profile_embedding_drift",    # NEW r9: embedding-space drift battery
     "sample_weighted_reservoir",  # NEW r9: derandomized A-ES weighted sample
+    "ts_peak_prominence",         # NEW r9: windowed topographic peak filter
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

@@ -1876,3 +1876,9 @@ def test_weighted_reservoir_take_ordered(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_peak_prominence_series_windows(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_peak_prominence")
+    assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan

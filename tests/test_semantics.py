@@ -5339,3 +5339,18 @@ def test_weighted_reservoir_favors_heavy_items(spark, tmp_path):
                   key=lambda t: (-t[0], t[1]))[:25]
     assert got == [i for _, i in allk]
     assert all(100 + i in got for i in range(10))  # every heavy doc sampled
+
+
+def test_peak_prominence_separates_spike_from_ripple(spark, tmp_path):
+    # v = [1,1,5,1,1,3,1]: peaks at the 5 (prominence 4, rank 1) and the
+    # 3 (prominence 2, rank 2); endpoints can never be peaks.
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    vals = [1.0, 1.0, 5.0, 1.0, 1.0, 3.0, 1.0]
+    rows = [(i, base + datetime.timedelta(days=i), i, "m", v, "{}")
+            for i, v in enumerate(vals)]
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    out = {r["peak_rank"]: r for r in
+           eng.queries()["ts_peak_prominence"](spark, str(tmp_path)).collect()}
+    assert len(out) == 2
+    assert out[1]["v"] == 5.0 and out[1]["prominence"] == 4.0
+    assert out[2]["v"] == 3.0 and out[2]["prominence"] == 2.0
