@@ -6263,3 +6263,174 @@ def agg_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "huber_mean"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_parallel_trends — the pre-trend diagnostic agg_diff_in_diff ASSUMES
+# (the event-study pre-test of Angrist & Pischke's DiD chapter): in the
+# PRE-period (before the same midpoint cutoff DiD uses), regress the
+# daily treatment−control gap on the day index; a slope t-statistic
+# beyond ±1.96 means the arms were already diverging and the DiD estimate
+# is confounded.  Completes the assumption-check pattern (ANOVA ↔ Levene,
+# IV ↔ first-stage F): every estimator in the repo ships with the test of
+# the thing it takes on faith.
+#
+# Scale shape: ONE corpus aggregate into (arm, day) cells (calendar-
+# bounded), the per-day gap pivot, and an exact-integer OLS on ≤ #days
+# rows.  The midpoint cutoff is a 1-row broadcast (the DiD convention).
+#
+# Parity: daily means ROUND 6 from exact decimal sums; gaps q6 and
+# scaled to integers for the regression sums (HUGEINT/decimal);
+# slope/se/t identical IEEE expressions (q6); < 3 pre-days or zero
+# x-variance or zero residual variance → NULL t (flag NULL, never a
+# fake verdict).
+# Reference parity: reaches the reference only as dbt-model SQL
+# (/root/reference/dbtoperator.py:273-274).
+# --------------------------------------------------------------------------
+
+_PTREND_ORACLE = """
+WITH bounds AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cut FROM events
+),
+cells AS (
+  SELECT user_id % 2 AS treat, CAST(ts AS DATE) AS d,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(25,6))) AS sx
+  FROM events CROSS JOIN bounds b
+  WHERE epoch_us(ts) < b.cut
+  GROUP BY 1, 2, 3
+),
+gap AS (
+  SELECT x,
+         CAST(FLOOR((ROUND(CAST(MAX(CASE WHEN treat = 1 THEN sx END) AS DOUBLE)
+                           / MAX(CASE WHEN treat = 1 THEN n END), 6)
+                     - ROUND(CAST(MAX(CASE WHEN treat = 0 THEN sx END) AS DOUBLE)
+                             / MAX(CASE WHEN treat = 0 THEN n END), 6))
+                    * 1000000.0 + 0.5) AS BIGINT) AS gq
+  FROM cells GROUP BY d, x
+  HAVING MAX(CASE WHEN treat = 1 THEN n END) IS NOT NULL
+     AND MAX(CASE WHEN treat = 0 THEN n END) IS NOT NULL
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(gq) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * gq) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(gq AS HUGEINT) * gq) AS HUGEINT) AS syy
+  FROM gap
+),
+f AS (
+  SELECT k,
+         CAST(k * sxy - sx * sy AS DOUBLE) AS cxy,
+         CAST(k * sxx - sx * sx AS DOUBLE) AS cxx,
+         CAST(k * syy - sy * sy AS DOUBLE) AS cyy
+  FROM m
+)
+SELECT k AS n_pre_days,
+       CASE WHEN k >= 3 AND cxx > 0 THEN
+         FLOOR(cxy / cxx / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
+       END AS gap_slope_per_day,
+       CASE WHEN k >= 3 AND cxx > 0 AND cyy - cxy * cxy / cxx > 0 THEN
+         FLOOR((cxy / cxx)
+               / sqrt((cyy - cxy * cxy / cxx) / (k - 2) / cxx)
+               * 1000000.0 + 0.5) / 1000000.0
+            WHEN k >= 3 AND cxx > 0 AND cxy = 0 THEN 0.0
+       END AS trend_t_stat,
+       CASE WHEN k >= 3 AND cxx > 0 AND cyy - cxy * cxy / cxx > 0 THEN
+         abs(FLOOR((cxy / cxx)
+                   / sqrt((cyy - cxy * cxy / cxx) / (k - 2) / cxx)
+                   * 1000000.0 + 0.5) / 1000000.0) <= 1.959964
+            WHEN k >= 3 AND cxx > 0 THEN cxy = 0
+       END AS parallel_ok
+FROM f
+"""
+
+
+@register("agg_parallel_trends", oracle=_PTREND_ORACLE)
+def agg_parallel_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("bigint")
+        .alias("cut")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(F.unix_micros("ts") < F.col("cut"))
+        .groupBy(
+            (F.col("user_id") % 2).alias("treat"),
+            F.col("ts").cast("date").alias("d"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("bigint").alias("x"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("sx"),
+        )
+    )
+    pick = lambda t, c: F.max(F.when(F.col("treat") == t, F.col(c)))  # noqa: E731
+    gap = (
+        cells.groupBy("d", "x")
+        .agg(
+            pick(1, "sx").alias("sx1"), pick(1, "n").alias("n1"),
+            pick(0, "sx").alias("sx0"), pick(0, "n").alias("n0"),
+        )
+        .filter(F.col("n1").isNotNull() & F.col("n0").isNotNull())
+        .select(
+            "x",
+            F.floor(
+                (
+                    F.round(F.col("sx1").cast("double") / F.col("n1"), 6)
+                    - F.round(F.col("sx0").cast("double") / F.col("n0"), 6)
+                )
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("gq"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = gap.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("gq").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("gq")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("gq") * F.col("gq")).alias("syy"),
+    )
+    kd = F.col("k").cast("decimal(38,0)")
+    f = m.select(
+        F.col("k"),
+        (kd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("cxy"),
+        (kd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("cxx"),
+        (kd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("cyy"),
+    )
+    k, cxy, cxx, cyy = F.col("k"), F.col("cxy"), F.col("cxx"), F.col("cyy")
+    rssx = cyy - cxy * cxy / cxx
+    t = (
+        F.floor(
+            (cxy / cxx) / F.sqrt(rssx / (k - 2) / cxx) * 1_000_000.0 + F.lit(0.5)
+        )
+        / 1_000_000.0
+    )
+    ok = (k >= 3) & (cxx > 0)
+    # perfect-fit branches: a constant gap (cxy = 0, rssx = 0) is the
+    # textbook parallel case (t = 0, ok); a perfectly LINEAR divergence
+    # (rssx = 0, cxy != 0) is infinitely significant (t NULL, not ok).
+    return f.select(
+        k.alias("n_pre_days"),
+        F.when(
+            ok,
+            F.floor(cxy / cxx / 1_000_000.0 * 1_000_000.0 + F.lit(0.5))
+            / 1_000_000.0,
+        ).alias("gap_slope_per_day"),
+        F.when(ok & (rssx > 0), t)
+        .when(ok & (cxy == 0), F.lit(0.0))
+        .alias("trend_t_stat"),
+        F.when(ok & (rssx > 0), F.abs(t) <= 1.959964)
+        .when(ok, cxy == 0)
+        .alias("parallel_ok"),
+    )

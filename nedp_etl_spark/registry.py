@@ -152,6 +152,7 @@ _PRIORITY: list[str] = [
     "profile_embedding_drift",    # NEW r9: embedding-space drift battery
     "sample_weighted_reservoir",  # NEW r9: derandomized A-ES weighted sample
     "ts_peak_prominence",         # NEW r9: windowed topographic peak filter
+    "agg_parallel_trends",        # NEW r9: DiD pre-trend assumption check
     # --- (b) spare budget: the 50 keys the round-8 sweep verified green
     # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
     "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",

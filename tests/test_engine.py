@@ -242,7 +242,7 @@ def test_model_graph_rejects_this_outside_incremental():
 
 # Static @register sites; stream_transform_state joins at runtime when the
 # protobuf bootstrap succeeds (streaming/transformstate.py gate).
-EXPECTED_STATIC_KEYS = 422
+EXPECTED_STATIC_KEYS = 423
 
 
 def test_registry_key_count_pinned():

@@ -281,7 +281,8 @@ _NESTED_LOOP_OK = {"join_cross_theta", "join_range", "llm_sim_search",
                    "agg_logistic_irls",  # 1-row beta broadcast per IRLS pass (O(n) agg)
                    "ts_forecast_reconcile",  # 1-row horizon broadcast onto the fits
                    "agg_empirical_bayes",  # 1-row pooled-moments/prior broadcasts
-                   "ts_event_study"}  # 1-row pre-period baseline broadcast
+                   "ts_event_study",  # 1-row pre-period baseline broadcast
+                   "agg_parallel_trends"}  # 1-row midpoint-cut broadcast (DiD convention)
 
 
 def test_pagerank_iterates_over_checkpointed_edges(spark, sf_dir):
@@ -1881,4 +1882,12 @@ def test_weighted_reservoir_take_ordered(spark, sf_dir):
 def test_peak_prominence_series_windows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_peak_prominence")
     assert not _has_global_window(plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_parallel_trends_one_pass_regression(spark, sf_dir):
+    # One (arm, day) aggregate under the broadcast cutoff; the gap
+    # regression runs on <= #days rows.  No windows.
+    plan = _plan(spark, sf_dir, "agg_parallel_trends")
+    assert "Window" not in plan
     assert "CartesianProduct" not in plan

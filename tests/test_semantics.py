@@ -5354,3 +5354,39 @@ def test_peak_prominence_separates_spike_from_ripple(spark, tmp_path):
     assert len(out) == 2
     assert out[1]["v"] == 5.0 and out[1]["prominence"] == 4.0
     assert out[2]["v"] == 3.0 and out[2]["prominence"] == 2.0
+
+
+def test_parallel_trends_pre_test(spark, tmp_path):
+    # Pre-period = first half (midpoint cutoff).  Case A: both arms rise
+    # together (gap constant 1.0) -> slope 0, t = 0, parallel_ok TRUE.
+    base = datetime.datetime(2024, 1, 1, 0, 0)
+    day = lambda k, h=12: base + datetime.timedelta(days=k, hours=h)  # noqa: E731
+    rows, eid = [], 0
+    for k in range(4):                       # pre-period days 0..3
+        rows.append((eid, day(k), 0, "view", 10.0 + k, "{}")); eid += 1
+        rows.append((eid, day(k), 1, "view", 11.0 + k, "{}")); eid += 1
+    rows.append((eid, day(40), 0, "view", 1.0, "{}")); eid += 1  # post tail
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_parallel_trends"](spark, str(tmp_path)).collect()
+    assert r["n_pre_days"] == 4
+    assert r["gap_slope_per_day"] == 0.0
+    assert r["trend_t_stat"] == 0.0
+    assert r["parallel_ok"] is True
+
+
+def test_parallel_trends_detects_divergence(spark, tmp_path):
+    # Case B: the gap opens 2.0/day EXACTLY (perfect linear divergence):
+    # slope 2, zero residual -> infinitely significant -> t NULL,
+    # parallel_ok FALSE — DiD on this data would be confounded.
+    base = datetime.datetime(2024, 1, 1, 0, 0)
+    day = lambda k: base + datetime.timedelta(days=k, hours=12)  # noqa: E731
+    rows, eid = [], 0
+    for k in range(4):
+        rows.append((eid, day(k), 0, "view", 10.0, "{}")); eid += 1
+        rows.append((eid, day(k), 1, "view", 10.0 + 2.0 * k, "{}")); eid += 1
+    rows.append((eid, day(40), 0, "view", 1.0, "{}")); eid += 1
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = eng.queries()["agg_parallel_trends"](spark, str(tmp_path)).collect()
+    assert r["gap_slope_per_day"] == 2.0
+    assert r["trend_t_stat"] is None
+    assert r["parallel_ok"] is False
