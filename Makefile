@@ -5,6 +5,7 @@
 .PHONY: hygiene check check-sf001 bench bench-regress survey hooks
 
 hygiene:
+	python tools/priority_check.py
 	python -m pytest tests/test_engine.py -q -x -k "pinned or idempotent or survey or similarity"
 
 check:

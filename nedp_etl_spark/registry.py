@@ -50,130 +50,84 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # keys for spare budget.  Cumulative driver coverage after r7: 279/294
 # green, 0 red — the (a) block closes the registry to 294/294.
 _PRIORITY: list[str] = [
-    # Round-9 ordering (the driver sweeps a ~50-key PREFIX in order):
-    # (a) the 44 round-8 keys still awaiting their first driver
-    # CORRECTNESS row — every one hash-exact vs its oracle at sf0.001 AND
-    # sf0.01 in the in-repo suite (re-verified by the round-8 judge), but
-    # the external gate has not seen them.  Listed in commit order.
-    "llm_rouge_overlap",
-    "llm_cooccurrence_pmi",
-    "fn_geo_haversine",
-    "llm_minhash_band_tuning",
-    "ts_croston",
-    "llm_embed_quantize",
-    "llm_assembly_e2e",
-    "agg_wilson_ci",
-    "agg_theil_index",
-    "agg_cramers_v",
-    "ts_bollinger_bands",
-    "agg_mutual_information",
-    "llm_judge_agreement",
-    "agg_kurtosis_skewness",
-    "agg_benjamini_hochberg",
-    "llm_paragraph_dedup",
-    "stream_topk_per_window",
-    "llm_mix_temperature_sweep",
-    "llm_calibration_ece",
-    "join_nearest_1d",
-    "agg_gumbel_extremes",
-    "fn_luhn",
-    "llm_ngram_entropy_rate",
-    "agg_lorenz_curve",
-    "ts_control_chart",
-    "sink_ttl_expire",
-    "agg_weighted_median",
-    "llm_knn_graph",
-    "sink_quarantine",
-    "llm_pack_utilization",
-    "llm_curriculum_order",
-    "ts_drawdown",
-    "agg_pythagorean_means",
-    "llm_dedup_threshold_sweep",
-    "llm_multimodal_dedup",
-    "profile_json_schema",
-    "ts_new_vs_returning",
-    "ts_period_growth",
-    "ts_cohort_ltv",
-    "agg_price_index",
-    "agg_theil_decomposition",
-    "ts_backtest_cv",
-    "agg_simpson_diversity",
-    "fn_bitpack_roundtrip",
-    # --- (a2) NEW in round 9 (each: exact oracle green at sf0.001+sf0.01,
-    # planted semantic test, plan audit) — appended as they land ---
-    "llm_suffix_dedup",           # NEW r9: Lee et al. exact substring drop list
-    "llm_semdedup",               # NEW r9: SemDeDup k-means + in-cluster prune
-    "llm_bloom_dedup",            # NEW r9: Bloom-filter cross-corpus membership
-    "agg_cuped",                  # NEW r9: CUPED pre-period variance reduction
-    "llm_corpus_overlap_sketch",  # NEW r9: KMV source-pair Jaccard estimate
-    "join_dpp",                   # NEW r9: runtime dynamic partition pruning
-    "graph_deepwalk_pairs",       # NEW r9: deterministic DeepWalk skip-gram pairs
-    "llm_bradley_terry",          # NEW r9: MM-fitted arena leaderboard
-    "agg_msprt",                  # NEW r9: always-valid sequential A/B monitor
-    "sink_vacuum",                # NEW r9: manifest-diff orphan file removal
-    "ts_esd_anomaly",             # NEW r9: iterative masked outlier removal
-    "agg_shapley_attribution",    # NEW r9: exact Shapley multi-touch credit
-    "agg_anova_f",                # NEW r9: one-way ANOVA omnibus F + eta^2
-    "llm_k_anonymity",            # NEW r9: k-anonymity / l-diversity release audit
-    "ts_mann_kendall",            # NEW r9: tie-corrected trend test + Sen slope
-    "agg_spearman_rho",           # NEW r9: tie-corrected rank correlation matrix
-    "ts_ljung_box",               # NEW r9: portmanteau white-noise test
-    "scan_deletion_vectors",      # NEW r9: merge-on-read positional deletes
-    "agg_jackknife_ci",           # NEW r9: delete-one-day jackknife ratio CI
-    "llm_mmr_diversify",          # NEW r9: MMR retrieval diversification
-    "agg_raking_ipf",             # NEW r9: IPF survey-weight raking
-    "ts_hurst_exponent",          # NEW r9: rescaled-range long-memory estimate
-    "agg_logistic_irls",          # NEW r9: in-engine GLM fit via IRLS aggregates
-    "ts_sax_symbolize",           # NEW r9: SAX word per series (PAA + breakpoints)
-    "graph_topo_levels",          # NEW r9: Kahn levels + majority-cycle flag
-    "ts_conformal_interval",      # NEW r9: split conformal next-day band
-    "sink_write_audit_publish",   # NEW r9: WAP staged promotion + audit ledger
-    "llm_embed_pca_power",        # NEW r9: top principal component by power iteration
-    "stream_join_left_outer",     # NEW r9: watermarked outer stream-stream join
-    "llm_minhash_containment",    # NEW r9: asymmetric containment on shared pairs
-    "llm_packing_attention_mask", # NEW r9: cu_seqlens / document-mask sidecar
-    "ts_theta_forecast",          # NEW r9: Theta method (SES + half drift)
-    "fn_geohash",                 # NEW r9: branch-free geohash encode/decode
-    "ts_variance_ratio_test",     # NEW r9: Lo-MacKinlay VR(q) random-walk test
-    "join_spatial_neighbors",     # NEW r9: boundary-correct 3x3 cell NN join
-    "agg_roc_auc",                # NEW r9: exact tie-corrected AUC / gini
-    "ts_forecast_reconcile",      # NEW r9: bottom-up / top-down hierarchy coherence
-    "agg_empirical_bayes",        # NEW r9: beta-binomial rate shrinkage
-    "stream_exactly_once_sink",   # NEW r9: idempotent foreachBatch txn log
-    "agg_levene_test",            # NEW r9: variance-homogeneity gate for ANOVA
-    "sink_shallow_clone",         # NEW r9: zero-copy manifest clone + divergence
-    "ts_haar_energy",             # NEW r9: Haar pyramid multi-scale energy
-    "agg_iv_2sls",                # NEW r9: instrumental-variables causal slope
-    "llm_topic_segments",         # NEW r9: TextTiling lexical-cohesion boundaries
-    "ts_event_study",             # NEW r9: stacked pre/post lift curve
-    "agg_gpd_tail",               # NEW r9: peaks-over-threshold GPD tail fit
-    "agg_huber_mean",             # NEW r9: robust location via Huber IRLS
-    "ts_seasonality_strength",    # NEW r9: tsfeatures F_T/F_S triage
-    "profile_embedding_drift",    # NEW r9: embedding-space drift battery
-    "sample_weighted_reservoir",  # NEW r9: derandomized A-ES weighted sample
-    "ts_peak_prominence",         # NEW r9: windowed topographic peak filter
-    "agg_parallel_trends",        # NEW r9: DiD pre-trend assumption check
-    # --- (b) spare budget: the 50 keys the round-8 sweep verified green
-    # (CORRECTNESS_r08, 50/50), for re-confirmation if budget remains ---
-    "agg_bootstrap_ci", "agg_delta_method_ci", "agg_diff_in_diff",
-    "agg_mannwhitney_u", "agg_market_basket", "agg_markov_transitions",
-    "agg_power_analysis", "agg_rfm_segments", "agg_survival_km",
-    "agg_time_decay_score", "agg_trimmed_winsorized", "agg_welch_ttest",
-    "agg_zipf_fit", "fn_ipv4", "fn_timezone",
-    "graph_bipartite_projection", "graph_clustering_coefficient", "graph_degree_assortativity",
-    "graph_hits", "graph_kcore", "graph_modularity",
-    "graph_neighbor_jaccard", "graph_shortest_path", "join_fuzzy_blocked",
-    "join_pit_features", "llm_bpe_fertility", "llm_candidate_compare",
-    "llm_cdc_chunking", "llm_class_weights", "llm_dataset_card",
-    "llm_dataset_interleave", "llm_dedup_simhash", "llm_embed_covariance",
-    "llm_hard_negatives", "llm_kneser_ney", "llm_ngram_novelty",
-    "llm_perplexity_buckets", "llm_prefix_dedup", "scan_manifest_prune",
-    "scan_range_generator", "scan_xml", "sink_scd2_partitioned",
-    "sink_time_travel", "stream_asof_enrich", "stream_windowed_distinct",
-    "ts_kalman", "ts_mase_backtest", "ts_periodogram",
-    "ts_stl_decompose", "win_rolling_regression",
+    # Round-10 ordering (the driver sweeps a ~50-key PREFIX in order):
+    # (a) the 46 round-9 keys still awaiting their first driver
+    # CORRECTNESS row — every one hash-exact vs its DuckDB oracle at
+    # sf0.001 AND sf0.01 in the in-repo suite (re-verified firsthand by
+    # the round-9 judge: 1066 passed / 0 failed), but the external gate
+    # has not seen them.  Listed in commit order.  tools/priority_check.py
+    # (wired into `make hygiene` + the pre-commit hook) fails the build if
+    # any driver-unverified key ever sits behind verified keys again.
+    "graph_deepwalk_pairs",
+    "llm_bradley_terry",
+    "agg_msprt",
+    "sink_vacuum",
+    "ts_esd_anomaly",
+    "agg_shapley_attribution",
+    "agg_anova_f",
+    "llm_k_anonymity",
+    "ts_mann_kendall",
+    "agg_spearman_rho",
+    "ts_ljung_box",
+    "scan_deletion_vectors",
+    "agg_jackknife_ci",
+    "llm_mmr_diversify",
+    "agg_raking_ipf",
+    "ts_hurst_exponent",
+    "agg_logistic_irls",
+    "ts_sax_symbolize",
+    "graph_topo_levels",
+    "ts_conformal_interval",
+    "sink_write_audit_publish",
+    "llm_embed_pca_power",
+    "stream_join_left_outer",
+    "llm_minhash_containment",
+    "llm_packing_attention_mask",
+    "ts_theta_forecast",
+    "fn_geohash",
+    "ts_variance_ratio_test",
+    "join_spatial_neighbors",
+    "agg_roc_auc",
+    "ts_forecast_reconcile",
+    "agg_empirical_bayes",
+    "stream_exactly_once_sink",
+    "agg_levene_test",
+    "sink_shallow_clone",
+    "ts_haar_energy",
+    "agg_iv_2sls",
+    "llm_topic_segments",
+    "ts_event_study",
+    "agg_gpd_tail",
+    "agg_huber_mean",
+    "ts_seasonality_strength",
+    "profile_embedding_drift",
+    "sample_weighted_reservoir",
+    "ts_peak_prominence",
+    "agg_parallel_trends",
+    # --- (a2) NEW in round 10 — appended as they land (each: exact oracle
+    # green at sf0.001+sf0.01, planted semantic test, plan audit) ---
+    # --- (b) spare budget: the 50 keys the round-9 sweep verified green
+    # (CORRECTNESS_r09, 50/50), for re-confirmation if budget remains ---
+    "agg_benjamini_hochberg", "agg_cramers_v", "agg_cuped",
+    "agg_gumbel_extremes", "agg_kurtosis_skewness", "agg_lorenz_curve",
+    "agg_mutual_information", "agg_price_index", "agg_pythagorean_means",
+    "agg_simpson_diversity", "agg_theil_decomposition", "agg_theil_index",
+    "agg_weighted_median", "agg_wilson_ci", "fn_bitpack_roundtrip",
+    "fn_geo_haversine", "fn_luhn", "join_dpp",
+    "join_nearest_1d", "llm_assembly_e2e", "llm_bloom_dedup",
+    "llm_calibration_ece", "llm_cooccurrence_pmi", "llm_corpus_overlap_sketch",
+    "llm_curriculum_order", "llm_dedup_threshold_sweep", "llm_embed_quantize",
+    "llm_judge_agreement", "llm_knn_graph", "llm_minhash_band_tuning",
+    "llm_mix_temperature_sweep", "llm_multimodal_dedup", "llm_ngram_entropy_rate",
+    "llm_pack_utilization", "llm_paragraph_dedup", "llm_rouge_overlap",
+    "llm_semdedup", "llm_suffix_dedup", "profile_json_schema",
+    "sink_quarantine", "sink_ttl_expire", "stream_topk_per_window",
+    "ts_backtest_cv", "ts_bollinger_bands", "ts_cohort_ltv",
+    "ts_control_chart", "ts_croston", "ts_drawdown",
+    "ts_new_vs_returning", "ts_period_growth",
     # --- (c) older previously-green keys, registration order thereafter ---
 ]
+
 
 
 def _ordered(d: dict) -> dict:
