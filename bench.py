@@ -80,6 +80,40 @@ def main() -> None:
         ).collect()
     except Exception:
         pass
+    # Text-machinery JIT warmup ON SYNTHETIC RANGE DATA — never fixture
+    # rows: C2 only compiles the UTF8String / regex-split / xxhash64 /
+    # hash-aggregate hot loops after real invocation volume, and without
+    # this pass the first text-heavy key in the suite is billed ~2 s of
+    # shared JVM warmup (measured on llm_curation_e2e: 12 s cold vs 10.2 s
+    # after this pass vs 6.2 s steady-state; the residual cold delta is
+    # that plan's own first-execution JIT — reproduced with
+    # spark.sql.codegen.wholeStage=false, so it is not Janino compile.
+    # SCALE.md "Round 10 — flagship cold-start anatomy").
+    try:
+        from pyspark.sql import functions as F
+
+        _base = spark.range(60000).select(
+            F.concat_ws(
+                " ",
+                *[
+                    F.sha2(F.concat(F.col("id").cast("string"), F.lit(i)), 256)
+                    for i in range(20)
+                ],
+            ).alias("text")
+        )
+        (
+            _base.select(
+                F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok")
+            )
+            .select(F.xxhash64("tok").alias("h"))
+            .groupBy((F.col("h") % 1024).alias("b"))
+            .count()
+            .orderBy(F.desc("count"))
+            .limit(5)
+            .collect()
+        )
+    except Exception:
+        pass
     # The transformWithState state-server bootstrap (worker protobuf import
     # + Python<->JVM handshake + first RocksDB open: 12.8 s first-in-session
     # vs 3.9 s warm, SCALE.md) is likewise one-time session work: prime it
