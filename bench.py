@@ -137,7 +137,13 @@ def main() -> None:
             pass
 
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
-    latest = os.path.join(here, "BENCH_LATEST.json")
+    # SPARK_GRAFT_BENCH_OUT redirects the per-query map — subset runs
+    # (SPARK_GRAFT_BENCH_ONLY) must not clobber the last FULL suite map
+    # that tools/bench_regress.py anchors from (it bit this round: a 2-key
+    # isolation run overwrote a fresh 424-key map).
+    latest = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "BENCH_LATEST.json")
+    )
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

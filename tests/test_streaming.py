@@ -537,3 +537,58 @@ def test_exactly_once_sink_skips_redelivery_and_naive_would_double(spark, sf_dir
     }
     assert {(r["event_type"], r["n"]) for r in out} == batch
     assert all(r["n_redeliveries_skipped"] == 1 for r in out)
+
+
+def test_sliding_window_batch_equals_streaming(spark, sf_dir):
+    """Sliding windows multiply state (each event lands in window/slide = 4
+    buckets): the streaming replay must reproduce the batch rows exactly —
+    same bucket starts, same counts, no double-assignment at bucket seams."""
+    batch = {
+        tuple(r)
+        for r in eng.queries()["stream_sliding"](spark, sf_dir)
+        .select("window_start", "event_type", "n")
+        .collect()
+    }
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    streamed = {
+        tuple(r) for r in _run_to_memory(agg, "parity_sliding", "complete").collect()
+    }
+    assert streamed == batch
+
+
+def test_static_join_batch_equals_streaming(spark, sf_dir):
+    """Stream-static join parity: the static (broadcast) side is re-joined
+    per micro-batch by the streaming engine; the replay must reproduce the
+    batch enrichment + aggregate exactly, dsum quantization included."""
+    from nedp_etl_spark.data import load
+    from nedp_etl_spark.streaming.windows import _isolated
+    from nedp_etl_spark.util import dsum
+
+    batch = {
+        tuple(r) for r in eng.queries()["stream_static_join"](spark, sf_dir).collect()
+    }
+    s = _isolated(spark)
+    ev = _stream_events(s, sf_dir)
+    nation = load(s, sf_dir, "nation")
+    agg = (
+        ev.join(
+            F.broadcast(nation),
+            (F.col("user_id") % 25).cast("int") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+    )
+    streamed = {
+        tuple(r)
+        for r in _run_to_memory(agg, "parity_static_join", "complete").collect()
+    }
+    assert streamed == batch
