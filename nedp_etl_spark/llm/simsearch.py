@@ -2003,6 +2003,12 @@ def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     # oracle arithmetic, op for op (CAST(x AS DOUBLE) ≡ float(x))
+    if not rows:  # empty corpus: no moments, no component — empty result
+        return spark.createDataFrame(
+            [],
+            "dim int, loading double, lambda_top double,"
+            " explained_var_ratio double, n_vectors bigint",
+        )
     cov: dict = {}
     trace_q = 0
     n_vectors = 0

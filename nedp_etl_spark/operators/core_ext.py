@@ -254,7 +254,10 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        spark.read.parquet(path)
+        # explicit schema: an all-empty source writes no data files and
+        # schema inference would fail (routine empty-day case at scale)
+        spark.read.schema(base.schema)
+        .parquet(path)
         .groupBy(F.col("order_year").cast("int").alias("order_year"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("price").alias("total_price"))
     )
@@ -595,8 +598,10 @@ def sink_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.mode("overwrite").parquet(path)  # the ONLY pass over the data
     m = obs.get
+    # SUM over zero rows observes NULL (SQL semantics) — keep it NULL
+    total = float(m["total_price"]) if m["total_price"] is not None else None
     return spark.createDataFrame(
-        [(m["n_rows"], m["n_null_priority"], float(m["total_price"]))],
+        [(m["n_rows"], m["n_null_priority"], total)],
         "n_rows bigint, n_null_priority bigint, total_price double",
     )
 
@@ -1219,6 +1224,10 @@ def sink_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lexicographically) — no second scan of the source (review finding):
     # the directory enumeration below is already the operator's cost.
     days = sorted(e[4:] for e in os.listdir(path) if e.startswith("day="))
+    if not days:  # empty source → no partitions, nothing to expire
+        return spark.createDataFrame(
+            [], "day string, n bigint, n_expired_partitions bigint"
+        )
     cutoff = (
         datetime.date.fromisoformat(days[-1])
         - datetime.timedelta(days=_TTL_DAYS)

@@ -193,7 +193,9 @@ def sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("order_year"),
     )
     out.write.mode("overwrite").partitionBy("order_year").parquet(path)
-    df = spark.read.parquet(path)
+    # explicit schema: an all-empty source (an empty day/partition at 100 TB
+    # is routine) writes zero data files, and schema inference would fail
+    df = spark.read.schema(out.schema).parquet(path)
     # partition column comes back last and as read-schema int — re-order and
     # re-cast so the materialized table equals the declared SELECT.
     return df.select(
@@ -360,13 +362,19 @@ FROM base WHERE NOT (segment = 'BUILDING' AND c_acctbal > 9000)
 """
 
 
-def _scd2_affected_read(spark: SparkSession, path: str, affected: list) -> DataFrame:
+def _scd2_affected_read(
+    spark: SparkSession, path: str, affected: list, schema
+) -> DataFrame:
     """Partition-pruned read of the SCD2 target — only `affected` segments.
 
     Factored out so the plan test can assert the scan carries
-    PartitionFilters (the rewrite never opens untouched partitions).
+    PartitionFilters (the rewrite never opens untouched partitions).  The
+    explicit schema keeps the read working when the target holds zero data
+    files (an all-empty snapshot — inference would fail).
     """
-    return spark.read.parquet(path).filter(F.col("segment").isin(affected))
+    return (
+        spark.read.schema(schema).parquet(path).filter(F.col("segment").isin(affected))
+    )
 
 
 @register("sink_scd2_partitioned", oracle=_SINK_SCD2_PART_ORACLE)
@@ -400,7 +408,7 @@ def sink_scd2_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         {r["segment"] for r in updates.select("segment").distinct().collect()}
         | {"BUILDING"}
     )
-    existing = _scd2_affected_read(spark, path, affected)
+    existing = _scd2_affected_read(spark, path, affected, t0.schema)
 
     upd_keys = updates.select("c_custkey")
     closed = (
@@ -426,7 +434,7 @@ def sink_scd2_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("segment")
         .parquet(path)
     )
-    return spark.read.parquet(path).select(
+    return spark.read.schema(t0.schema).parquet(path).select(
         "c_custkey", "segment", "c_acctbal", "valid_from", "valid_to", "is_current"
     )
 
@@ -1193,7 +1201,11 @@ def _dpp_layout(spark: SparkSession, sf_dir: str) -> str:
 
 @register("join_dpp", oracle=_DPP_ORACLE)
 def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact = spark.read.parquet(_dpp_layout(spark, sf_dir))
+    # explicit schema: an empty source leaves the layout with no data files
+    fact = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+        " order_year int"
+    ).parquet(_dpp_layout(spark, sf_dir))
     dim = spark.createDataFrame(
         [
             (y, "target" if y in _DPP_TARGET_YEARS else "other")
@@ -1466,8 +1478,11 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             live = cycle
             with open(manifest, "w") as f:
                 json.dump({"version": live, "path": stage}, f)
-        with open(manifest) as f:  # live version AFTER this cycle
-            now_live = json.load(f)["version"]
+        if os.path.exists(manifest):  # live version AFTER this cycle
+            with open(manifest) as f:
+                now_live = json.load(f)["version"]
+        else:  # nothing ever published (e.g. every audit failed) — v0
+            now_live = 0
         ledger.extend(
             (cycle, name, obs, passed, now_live) for name, obs, passed in checks
         )

@@ -832,7 +832,11 @@ def test_scd2_partitioned_merge_read_is_partition_pruned(spark, sf_dir):
     eng.queries()["sink_scd2_partitioned"](spark, sf_dir).collect()
     path = _scratch("sink_scd2_partitioned", sf_dir)
     assert os.path.isdir(path)
-    df = _scd2_affected_read(spark, path, ["BUILDING", "PREMIUM"])
+    target_schema = (
+        "c_custkey bigint, c_acctbal double, valid_from string,"
+        " valid_to string, is_current boolean, segment string"
+    )
+    df = _scd2_affected_read(spark, path, ["BUILDING", "PREMIUM"], target_schema)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "segment" in plan.split("PartitionFilters")[1][:200]
 
