@@ -118,7 +118,7 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "audio/wav")
         .otherwise("video/mp4")
         .alias("mime"),
-    )
+    ).filter(F.col("payload").isNotNull())  # absent media: nothing to decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # One pandas frame per Arrow batch: vectorized transfer, per-row
@@ -165,7 +165,9 @@ FROM vids, UNNEST(range(0, n_frames, 5)) AS t(f)
 @register("llm_multimodal_framesample", oracle=_FRAMESAMPLE_ORACLE)
 def llm_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
-    src = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    src = d.select("doc_id", F.col("text").cast("binary").alias("payload")).filter(
+        F.col("payload").isNotNull()  # absent media object — nothing to process
+    )
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # 1→N inside the Arrow batch: real deployment replaces the modular
@@ -219,7 +221,9 @@ FROM imgs
 @register("llm_multimodal_resize", oracle=_RESIZE_ORACLE)
 def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    src = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    src = d.select("doc_id", F.col("text").cast("binary").alias("payload")).filter(
+        F.col("payload").isNotNull()  # absent media object — nothing to process
+    )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -274,7 +278,9 @@ FROM auds, UNNEST(range(0, CAST(CEIL(n_samples / 16000.0) AS BIGINT))) AS t(w)
 @register("llm_multimodal_audio_window", oracle=_AUDIO_WINDOW_ORACLE)
 def llm_multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
-    src = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    src = d.select("doc_id", F.col("text").cast("binary").alias("payload")).filter(
+        F.col("payload").isNotNull()  # absent media object — nothing to process
+    )
 
     def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rate = 16000  # 1-second windows at 16 kHz

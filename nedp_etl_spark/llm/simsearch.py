@@ -746,8 +746,10 @@ def _lloyd_assign_df(
 
 @register("llm_kmeans", oracle=_KMEANS_ORACLE)
 def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # corrupt row: no vector
+        .select("vec_id", _dvec("embedding").alias("v"))
     )
     assigned = _lloyd_assign_df(spark, emb, _KMEANS_K, _KMEANS_ITERS)
     w_size = Window.partitionBy("cluster")
@@ -830,8 +832,10 @@ _SEMDEDUP_ORACLE = _semdedup_oracle()
 
 @register("llm_semdedup", oracle=_SEMDEDUP_ORACLE)
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v")
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())  # corrupt row: no vector
+        .select("vec_id", _dvec("embedding").alias("v"))
     )
     corpus = base.unionAll(
         base.filter(F.col("vec_id") < _SEMDEDUP_COPIES).select(
@@ -1765,8 +1769,10 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", _dvec("embedding").alias("v")).withColumn(
-        "n", F.sqrt(_dot(F.col("v"), F.col("v")))
+    e = (
+        emb.filter(F.col("embedding").isNotNull())  # corrupt row: no vector
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     probe = e.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("pv"), F.col("n").alias("pn")

@@ -4249,6 +4249,11 @@ def agg_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "n_t", "n_c",
         q6(F.col("delta_raw")).alias("delta"),
         (F.col("s2") * (1.0 / d("n_t") + 1.0 / d("n_c"))).alias("se2"),
+    ).filter(
+        # a day with zero pooled variance (e.g. all-NULL or constant values
+        # after dirty-data drops) carries no evidence and would divide by
+        # zero in the mixture LR — the monitor simply has nothing to update
+        F.col("se2") > 0
     )
     # exponent capped at 700 (exp overflow) and lam at 1e12 — identical
     # caps in the oracle; past either cap the always-valid p is 0 anyway
@@ -5087,7 +5092,11 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantized arithmetic — the q9 recurrence below is the oracle's,
     # op for op.
     rows = (
-        c.groupBy(
+        # survey-raking convention: respondents with incomplete QI (a NULL
+        # nation or segment) cannot be assigned a margin cell and are
+        # excluded from the calibration — standard IPF practice
+        c.filter(F.col("c_nationkey").isNotNull() & F.col("c_mktsegment").isNotNull())
+        .groupBy(
             F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
         )
         .agg(

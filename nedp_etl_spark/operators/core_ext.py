@@ -1223,7 +1223,13 @@ def sink_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     # High-water day straight from the partition LISTING (ISO dates sort
     # lexicographically) — no second scan of the source (review finding):
     # the directory enumeration below is already the operator's cost.
-    days = sorted(e[4:] for e in os.listdir(path) if e.startswith("day="))
+    days = sorted(
+        e[4:]
+        for e in os.listdir(path)
+        # NULL event timestamps land in day=__HIVE_DEFAULT_PARTITION__ —
+        # undated rows have no age, so TTL neither counts nor expires them
+        if e.startswith("day=") and not e.endswith("__HIVE_DEFAULT_PARTITION__")
+    )
     if not days:  # empty source → no partitions, nothing to expire
         return spark.createDataFrame(
             [], "day string, n bigint, n_expired_partitions bigint"

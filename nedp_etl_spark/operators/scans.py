@@ -704,7 +704,9 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(path, exist_ok=True)
     for r in docs:
         with open(os.path.join(path, f"doc_{r['doc_id']}.bin"), "wb") as fh:
-            fh.write(r["text"].encode("utf-8"))
+            # NULL text → empty blob: a missing payload is an empty file,
+            # the binaryFile scan under test must still list and read it
+            fh.write((r["text"] or "").encode("utf-8"))
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
@@ -883,9 +885,12 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = spark.read.text(stage)
     parts = F.split("value", "\\|")
+    # F.get, not getItem: a malformed/short line (NULL fields upstream make
+    # concat_ws emit fewer separators) must read back as NULL, not raise
+    # INVALID_ARRAY_INDEX under ANSI mode
     return lines.select(
-        parts.getItem(0).alias("name"),
-        parts.getItem(1).cast("int").alias("region_key"),
+        F.get(parts, 0).alias("name"),
+        F.get(parts, 1).cast("int").alias("region_key"),
         F.length("value").cast("bigint").alias("line_len"),
     )
 

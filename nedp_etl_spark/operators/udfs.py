@@ -149,6 +149,8 @@ def udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:  # NULL document → zero rows (LATERAL drops it)
+                return
             for i, tok in enumerate(text.split(" ")):
                 yield i, tok
 
