@@ -1269,12 +1269,17 @@ def agg_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nn").cast("bigint").alias("n_rows"),
         F.max((F.col("ka") - 1) * (F.col("kb") - 1)).cast("bigint").alias("dof"),
         chi2,
-        F.round(
-            F.sqrt(
-                (chi_fp / 1_000_000.0)
-                / (F.max("nn") * F.least(F.max("ka") - 1, F.max("kb") - 1))
+        F.when(
+            # a 1×k or k×1 contingency table has dof 0: V is undefined
+            # (and the denominator would divide by zero under ANSI)
+            F.least(F.max("ka") - 1, F.max("kb") - 1) > 0,
+            F.round(
+                F.sqrt(
+                    (chi_fp / 1_000_000.0)
+                    / (F.max("nn") * F.least(F.max("ka") - 1, F.max("kb") - 1))
+                ),
+                6,
             ),
-            6,
         ).alias("cramers_v"),
     )
 

@@ -887,7 +887,15 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot = raw_scores.agg(F.sum("raw").alias("s"))  # 1-row broadcast
         return raw_scores.crossJoin(F.broadcast(tot)).select(
             "node",
-            F.floor(F.col("raw").cast("double") / F.col("s") * float(_HQ) + 0.5)
+            # a degenerate graph (e.g. one node, no in-edges) can make a
+            # side's score mass 0 — every score is 0, not a zero-division
+            F.when(
+                F.col("s") > 0,
+                F.floor(
+                    F.col("raw").cast("double") / F.col("s") * float(_HQ) + 0.5
+                ),
+            )
+            .otherwise(F.lit(0))
             .cast("long")
             .alias(out),
         )
