@@ -4651,6 +4651,16 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPEAR_VARS = _CORR_VARS  # the Pearson matrix's variables — deliberate contrast
 _SPEAR_PAIRS = _CORR_PAIRS
 
+# Variables whose value vocabulary is bounded by the SCHEMA, not the data:
+# TPC-H pins l_quantity to 1..50, l_discount to {0.00..0.10}, l_tax to
+# {0.00..0.08}.  Their rank maps are tiny at ANY corpus size, so they build
+# on a bounded driver page and broadcast back — the corpus rows shuffle
+# only for the one unbounded variable (price) instead of 4×.  The cap
+# guards the declaration: if a "bounded" vocabulary ever exceeds it, the
+# variable silently takes the distributed prefix-sum path instead.
+_SPEAR_BOUNDED = {"qty", "disc", "tax"}
+_SPEAR_PAGE_CAP = 1 << 16
+
 
 def _spearman_oracle() -> str:
     qs = ", ".join(
@@ -4710,15 +4720,61 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             for n, col in _SPEAR_VARS
         ]
     )
+    bounded = [n for n in names if n in _SPEAR_BOUNDED]
+    pages: dict[str, list] = {n: [] for n in bounded}
+    if bounded:
+        # One corpus pass serves every bounded variable's distinct-count
+        # page: explode to (var, value) — map-side combine collapses each
+        # partition to vocabulary size before the shuffle.
+        tagged = rows.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(n).alias("var"), F.col(f"q_{n}").alias("q")
+                        )
+                        for n in bounded
+                    ]
+                )
+            ).alias("t")
+        )
+        counted = (
+            tagged.groupBy("t.var", "t.q")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .limit(len(bounded) * _SPEAR_PAGE_CAP + 1)
+            .collect()
+        )
+        if len(counted) <= len(bounded) * _SPEAR_PAGE_CAP:
+            for r in counted:
+                pages[r["var"]].append((r["q"], r["__cnt"]))
+        else:  # vocabulary blew the declared bound — distributed path for all
+            pages = {n: None for n in bounded}
     ranked = rows
     for n_ in names:
-        dv = rows.groupBy(f"q_{n_}").agg(F.count(F.lit(1)).alias("__cnt"))
-        cum = global_running_sum(dv, [f"q_{n_}"], F.col("__cnt"), "__cum")
-        rmap = cum.select(
-            f"q_{n_}",
-            (2 * F.col("__cum") - F.col("__cnt") + 1).alias(f"r_{n_}"),
-        )
-        ranked = ranked.join(rmap, f"q_{n_}")
+        page = pages.get(n_)
+        if page is not None and len(page) <= _SPEAR_PAGE_CAP:
+            # Driver-page rank map: replicate the distributed path exactly —
+            # ascending NULLS FIRST cumulation (a NULL group shifts later
+            # ranks, as repartitionByRange/orderBy would), then emit ranks
+            # only for non-NULL values (the equi-join drops NULLs anyway).
+            page.sort(key=lambda qc: (qc[0] is not None, qc[0]))
+            cum, entries = 0, []
+            for q_val, cnt in page:
+                cum += cnt
+                if q_val is not None:
+                    entries.append((q_val, 2 * cum - cnt + 1))
+            rmap = spark.createDataFrame(
+                entries, schema=f"q_{n_} bigint, r_{n_} bigint"
+            )
+            ranked = ranked.join(F.broadcast(rmap), f"q_{n_}")
+        else:
+            dv = rows.groupBy(f"q_{n_}").agg(F.count(F.lit(1)).alias("__cnt"))
+            cum = global_running_sum(dv, [f"q_{n_}"], F.col("__cnt"), "__cum")
+            rmap = cum.select(
+                f"q_{n_}",
+                (2 * F.col("__cum") - F.col("__cnt") + 1).alias(f"r_{n_}"),
+            )
+            ranked = ranked.join(rmap, f"q_{n_}")
     _RADIX = 1 << 20
     limbs = ranked.select(
         *[F.col(f"r_{n}") for n in names],

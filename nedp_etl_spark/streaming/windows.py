@@ -314,9 +314,19 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     between micro-batches, so all (in-order) fixture data is aggregated and
     append mode emits exactly the windows whose end precedes the final
     watermark (max(event_ts) - 10min); in continuous operation the same
-    plan drops late events and finalizes windows past the watermark.
+    plan drops late events and finalizes windows past the watermark (that
+    REAL drop path is pinned by test_watermark_drops_late_rows).
+
+    ``max_files_per_trigger=None`` (one availableNow batch) because part
+    files are not time-ordered: replaying a multi-file events layout
+    file-per-trigger advances the watermark between files and drops rows
+    that are only "late" by accident of layout — the round-10 partition-
+    invariance sweep caught the 7-file relayout emitting 266 windows vs
+    the single-file 867.  Single-batch replay makes the result a pure
+    function of the DATA (the exact oracle) at any layout, which is also
+    the stream_asof_enrich convention (round-8 advice).
     """
-    ev = _stream_events(_isolated(spark), sf_dir)
+    ev = _stream_events(_isolated(spark), sf_dir, max_files_per_trigger=None)
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
