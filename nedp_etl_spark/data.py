@@ -81,12 +81,31 @@ def prepare(spark: SparkSession) -> SparkSession:
 _DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def finite_or_null(c):
+    """Non-finite doubles carry no usable magnitude — NULL at ingestion.
+
+    NaN/±Inf appear in real computed-float columns (upstream
+    divide-by-zero, overflowed transforms, degenerate encoders) and
+    parquet stores them happily, but under ANSI mode the engine's
+    fixed-point quantize (``floor(x*1e6+0.5).cast('long')``) raises on
+    them — the round-10 non-finite sweep crashed 65 keys that way.
+    Normalizing ONCE at the ingestion seam maps the whole class onto the
+    already-hardened NULL path (SQL aggregates skip NULL; the NULL-riddled
+    sweep holds registry-wide) instead of guarding 378 quantize sites.
+    NULL stays NULL (``isnan(NULL)`` is NULL → WHEN falls through to NULL).
+    """
+    return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
     Plain ``spark.read.parquet`` so Catalyst's scan keeps predicate pushdown
     + column pruning; at cluster scale the same call reads a partitioned
-    directory tree and prunes partitions for free.
+    directory tree and prunes partitions for free.  The two computed-float
+    columns (``events.value``, ``embeddings.embedding``) are normalized via
+    :func:`finite_or_null` — key/date/identity columns stay raw expressions,
+    so their predicate pushdown (pinned in tests/test_plans.py) is intact.
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
@@ -113,6 +132,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # wall-clock values (and oracle hashes) are unchanged.
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             # plain "timestamp" passes through untouched
+            df = df.withColumn("value", finite_or_null(F.col("value")))
+        elif name == "embeddings":
+            # A vector with ANY non-finite element is corrupt wholesale —
+            # NULL the vector (the NULL-vector route-out every consumer
+            # already handles), never propagate NaN into dot products.
+            df = df.withColumn(
+                "embedding",
+                F.when(
+                    ~F.exists(
+                        "embedding",
+                        lambda x: F.isnan(x) | (F.abs(x) == float("inf")),
+                    ),
+                    F.col("embedding"),
+                ),
+            )
         _DF_CACHE[key] = df
     return df
 

@@ -461,10 +461,13 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 0D, (acc, v) -> acc + v)"
     )
     denom = (F.lit(1.0) - F.pow(F.lit(0.7), F.size("l"))) / F.lit(0.3)
+    # collect_list skips NULL values, so a frame whose 10 ticks are all
+    # routed-out (NULL/non-finite) measurements leaves l empty and denom 0
+    # (ANSI divide-by-zero) — no observations means no EWMA: NULL.
     return t.select(
         "event_type", "event_id",
         F.round("value", 6).alias("value"),
-        F.round(num / denom, 6).alias("ewma"),
+        F.when(F.size("l") > 0, F.round(num / denom, 6)).alias("ewma"),
     )
 
 

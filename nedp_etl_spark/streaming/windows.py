@@ -230,6 +230,11 @@ def _stream_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(stage)
+    # Same ingestion normalization as data.load: non-finite doubles carry
+    # no usable magnitude → NULL (the hardened path); see finite_or_null.
+    from nedp_etl_spark.data import finite_or_null
+
+    raw = raw.withColumn("value", finite_or_null(F.col("value")))
     # Same fixture-generation branch as data.load: int64-nanos builds need
     # integer `div` (epoch-nanos exceed 2^53, float `/` can floor 1µs low);
     # timestamp[us] builds read as NTZ and just need the session-tz cast.
