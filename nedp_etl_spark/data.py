@@ -97,6 +97,28 @@ def finite_or_null(c):
     return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c)
 
 
+# Event-time plausibility window.  Two independent hazards meet at the same
+# bound: (1) Arrow's pandas bridge is nanosecond-based, so a timestamp
+# outside [1677-09-21, 2262-04-11] cannot cross into a Pandas UDF /
+# applyInPandasWithState (pyarrow ArrowInvalid, probed); (2) data-derived
+# calendars (``sequence(min_day, max_day)``) silently explode when one
+# parser sentinel ('9999-12-31') stretches the span to ~3M days per group
+# (the round-10 timestamp-extremes sweep clocked ts_gapfill 1 s → 122 s at
+# sf0.001).  In event logs such values are sentinels or junk, never
+# measurements — operators route them out AT THE CROSSING or at the
+# grid-derivation site via :func:`plausible_event_time`.  Deliberately NOT
+# applied at the scan: event-time predicates must keep parquet pushdown.
+EVENT_TIME_MIN = "1677-09-22"
+EVENT_TIME_MAX = "2262-04-10"
+
+
+def plausible_event_time(c):
+    """True for NULL or in-window event time (NULL stays on the hardened
+    NULL path; out-of-window values are sentinels → caller filters)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.isNull() | c.between(EVENT_TIME_MIN, EVENT_TIME_MAX)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 

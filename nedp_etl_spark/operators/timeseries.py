@@ -148,13 +148,20 @@ FROM cal LEFT JOIN daily
 
 @register("ts_gapfill", oracle=_TS_GAPFILL_ORACLE)
 def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.data import plausible_event_time
+
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("avg_val"),
-    )
+    ).filter(plausible_event_time("d"))
+    # ^ the grid below is sequence(min d, max d): ONE '9999-12-31' parser
+    # sentinel would stretch it to ~3M days per group (timestamp-extremes
+    # sweep: 1 s → 122 s at sf0.001; at 100 TB a silent 1000× output).
+    # Sentinel days are junk, not observations — they neither anchor nor
+    # receive gapfilled rows.
     cal = (
         daily.groupBy("event_type")
         .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
@@ -534,10 +541,15 @@ FROM w
 
 @register("ts_interpolate", oracle=_TS_INTERPOLATE_ORACLE)
 def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.data import plausible_event_time
+
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
-    ).agg(F.round(F.avg("value"), 6).alias("v0"))
+    ).agg(F.round(F.avg("value"), 6).alias("v0")).filter(
+        # same sentinel guard as ts_gapfill: the grid is sequence(min, max)
+        plausible_event_time("d")
+    )
     obs = daily.select(
         "event_type",
         "d",
@@ -559,10 +571,17 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("x")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fb = (
+    # "Next observation" via a DESC-ordered running frame, not
+    # first(...) over [currentRow, unboundedFollowing]: Spark computes
+    # growing [unboundedPreceding, currentRow] frames incrementally (O(n)
+    # per partition) but re-scans shrinking following-frames per row
+    # (O(n²) — the timestamp-extremes sweep clocked a 20k-day grid at
+    # 27 s; same rows this way: sub-second).  last() over the reversed
+    # order is the identical value.
+    nb = (
         Window.partitionBy("event_type")
-        .orderBy("x")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     vx = F.when(F.col("v").isNotNull(), F.col("x"))
     w = g.select(
@@ -572,8 +591,8 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.last("v", ignorenulls=True).over(pb).alias("pv"),
         F.last(vx, ignorenulls=True).over(pb).alias("px"),
-        F.first("v", ignorenulls=True).over(fb).alias("nv"),
-        F.first(vx, ignorenulls=True).over(fb).alias("nx"),
+        F.last("v", ignorenulls=True).over(nb).alias("nv"),
+        F.last(vx, ignorenulls=True).over(nb).alias("nx"),
     )
     interp = (
         F.when(F.col("v").isNotNull(), F.col("v"))
@@ -717,7 +736,12 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("x"),
+        # datediff is 32-bit: a '9999-12-31' parser sentinel puts x at
+        # ~2.9M days and x*x past int32 (ANSI integer overflow, caught by
+        # the timestamp-extremes sweep) — widen to long before products.
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
     ).agg(
         F.floor(dsum("value") * 1000000.0 + 0.5).cast("long").alias("ymicros")
     )
@@ -732,7 +756,8 @@ def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum(dec(F.col("ymicros"))).alias("sy"),
-        F.sum(dec(F.col("x") * F.col("ymicros"))).alias("sxy"),
+        # cast BEFORE the product: a bigint x*ymicros would overflow first
+        F.sum(dec(F.col("x")) * dec(F.col("ymicros"))).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.max("x").alias("last_x"),
     ).filter(F.col("n") >= 2)  # 1-day series: zero fit denominator (ADVICE r3)

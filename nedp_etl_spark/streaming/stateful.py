@@ -75,7 +75,15 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch aggregate, which is the registered oracle.  The in-repo test
     additionally asserts the same equality through the DataFrame API.
     """
-    ev = _stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    from nedp_etl_spark.data import plausible_event_time
+
+    # ts crosses into Python here: out-of-ns-window sentinels cannot pass
+    # the Arrow bridge (see data.plausible_event_time) — route them out.
+    ev = (
+        _stream_events(spark, sf_dir)
+        .select("user_id", "ts", "value")
+        .filter(plausible_event_time("ts"))
+    )
     profiles = ev.groupBy("user_id").applyInPandasWithState(
         _update_user_profile,
         outputStructType=_OUT_SCHEMA,
@@ -196,8 +204,14 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sort inside _asof_enrich_fn.  Cross-BATCH replay of the state
     # path stays covered by tests/test_streaming.py with deliberately
     # time-ordered staged parts.
-    ev = _stream_events(spark, sf_dir, max_files_per_trigger=None).select(
-        "event_id", "user_id", "ts", "event_type", "value"
+    from nedp_etl_spark.data import plausible_event_time
+
+    # ts crosses into Python here: out-of-ns-window sentinels cannot pass
+    # the Arrow bridge (see data.plausible_event_time) — route them out.
+    ev = (
+        _stream_events(spark, sf_dir, max_files_per_trigger=None)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .filter(plausible_event_time("ts"))
     )
     enriched = ev.groupBy("user_id").applyInPandasWithState(
         _asof_enrich_fn,
