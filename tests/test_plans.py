@@ -329,6 +329,29 @@ _GLOBAL_WINDOW_OK = {
 }
 
 
+# Queries allowed a SHRINKING following-frame (start moves with currentRow,
+# end pinned at unboundedFollowing): Spark computes growing running frames
+# incrementally but re-scans a shrinking frame per row — O(n²) per
+# partition (the round-10 ts_interpolate finding: 27 s on a 20k-day grid,
+# rewritten as last() over the DESC-ordered running frame).  Keep empty:
+# every such frame has an O(n) reversed-running-frame equivalent.
+_SHRINKING_FRAME_OK: set = set()
+
+
+def _has_shrinking_following_frame(plan: str) -> bool:
+    """True if any window frame ends at unboundedFollowing without starting
+    at unboundedPreceding (full-partition frames evaluate once, shrinking
+    frames re-scan per row)."""
+    import re
+
+    for m in re.finditer(
+        r"specifiedwindowframe\(\w+, ([^,]+), unboundedfollowing\$\(\)\)", plan
+    ):
+        if "unboundedpreceding" not in m.group(1):
+            return True
+    return False
+
+
 def _has_global_window(plan: str) -> bool:
     """True if any Window node sits directly on a SinglePartition exchange
     (the physical signature of ``Window.orderBy`` with no partitionBy:
@@ -364,6 +387,8 @@ def test_registry_wide_plan_audit(spark, sf_dir):
             offenders.append((name, "unexpected nested-loop/cartesian"))
         if _has_global_window(plan) and name not in _GLOBAL_WINDOW_OK:
             offenders.append((name, "un-partitioned window (SinglePartition exchange)"))
+        if _has_shrinking_following_frame(plan) and name not in _SHRINKING_FRAME_OK:
+            offenders.append((name, "shrinking following-frame (O(n^2) per partition)"))
     assert not offenders, offenders
 
 
