@@ -1296,14 +1296,19 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # QA: a healthy encoder has a well-spread diagonal and small off-diagonal
 # mass; representation collapse shows up as a few dominant cells.
 #
-# Scale shape: each vector expands map-side to its 2080 (i, j, qi, qj)
-# terms and the ONLY shuffle is the map-side-combined (i, j) aggregate —
-# 2080 groups regardless of corpus size; no joins, no second pass (the
-# per-dimension sums ride along in the same groups).
+# Scale shape: per-ARROW-BATCH Gram partials via mapInPandas — numpy
+# computes QᵀQ (d×d), Σq and max|q| over each batch in C, so each ~10k-row
+# batch emits exactly 2080 (i, j) partial rows and the ONLY shuffle
+# carries 2080 rows per batch (not 2080 per VECTOR: the previous
+# map-side explode amplified a 600k-vector corpus to 1.25e9 aggregate
+# inputs; the Gram rewrite took the sf0.1 warm time 3.8 → 0.6 s and is
+# the textbook distributed-covariance shape at 100 TB).  Partials combine
+# in ONE keyed aggregate over decimal(38,0) — exact at any corpus size.
 # Exactness: values quantize to 1e-3 fixed point (q ≤ ~8e3 for unit-ish
-# embeddings), so Σq and Σqq are EXACT int64 up to ~1e11 rows; the
-# covariance assembles from the exact sums in double with the
-# FLOOR(x·1e6+0.5)/1e6 cross-engine quantize.
+# embeddings) BEFORE the matmul, all int64 in-batch (loud in-batch guard
+# below), so the partial sums are exactly the integers the old explode
+# produced; the covariance assembles from the exact sums in double with
+# the FLOOR(x·1e6+0.5)/1e6 cross-engine quantize.
 # --------------------------------------------------------------------------
 
 _EMBED_DIM = 64
@@ -1331,50 +1336,74 @@ FROM s
 """
 
 
+def _gram_partials(batches):
+    """Per-Arrow-batch exact Gram partials: 2080 upper-tri rows per batch.
+
+    Q is the 1e-3-quantized int64 matrix (np.floor on float64 ≡ Spark's
+    F.floor on double — identical IEEE ops, so these are exactly the
+    integers the JVM expansion produced).  NULL / wrong-length vectors
+    contribute nothing (the NULL-vector route-out convention).
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(_EMBED_DIM)
+    for pdf in batches:
+        vecs = [
+            v
+            for v in pdf["embedding"]
+            if v is not None and len(v) == _EMBED_DIM
+        ]
+        if not vecs:
+            continue
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+        n = len(q)
+        mq = np.abs(q).max(axis=0)
+        # Loud in-batch guard (the agg_corr_matrix rule): numpy int64
+        # wraps SILENTLY; n·max|qi|·max|qj| bounds every Gram entry.
+        if float(n) * float(mq.max()) * float(mq.max()) >= float(1 << 62):
+            raise ValueError(
+                "llm_embed_covariance: n*max|qi|*max|qj| exceeds the "
+                "int64-safe bound of the 1e-3 fixed-point batch Gram; "
+                "coarsen the quantization or shrink the Arrow batch"
+            )
+        g = q.T @ q
+        s = q.sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "i": iu,
+                "j": ju,
+                "n": n,
+                "si": s[iu],
+                "sj": s[ju],
+                "sij": g[iu, ju],
+                "mqi": mq[iu],
+                "mqj": mq[ju],
+            }
+        )
+
+
 @register("llm_embed_covariance", oracle=_EMBED_COV_ORACLE)
 def llm_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    # map-side expansion: per vector, the 2080 upper-triangular (i, j)
-    # terms with 1e-3-quantized int64 components
-    qarr = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000.0 + F.lit(0.5)).cast("long"),
+    parts = e.select("embedding").mapInPandas(
+        _gram_partials,
+        schema="i int, j int, n long, si long, sj long, sij long,"
+        " mqi long, mqj long",
     )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_EMBED_DIM - 1)),
-                lambda i: F.transform(
-                    F.sequence(F.lit(0), F.lit(_EMBED_DIM - 1)),
-                    lambda j: F.struct(
-                        i.alias("i"),
-                        j.alias("j"),
-                        F.element_at(F.col("q"), i + 1).alias("qi"),
-                        F.element_at(F.col("q"), j + 1).alias("qj"),
-                    ),
-                ),
-            )
-        ),
-        lambda p: p["j"] >= p["i"],
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).alias(c)  # noqa: E731
+    s = parts.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        dec("si"),
+        dec("sj"),
+        dec("sij"),
+        F.max("mqi").alias("mqi"),
+        F.max("mqj").alias("mqj"),
     )
-    terms = (
-        e.select(qarr.alias("q"))
-        .select(F.explode(pairs).alias("p"))
-        .select("p.i", "p.j", "p.qi", "p.qj")
-    )
-    s = terms.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("qi").alias("si"),
-        F.sum("qj").alias("sj"),
-        F.sum(F.col("qi") * F.col("qj")).alias("sij"),
-        F.max(F.abs(F.col("qi"))).alias("mqi"),
-        F.max(F.abs(F.col("qj"))).alias("mqj"),
-    )
-    # Loud overflow guard (the agg_corr_matrix rule): Σ qi·qj is bounded by
-    # n·max|qi|·max|qj|; if that bound cannot fit int64 the sum may have
-    # wrapped silently — fail with the fix named instead of emitting a
-    # corrupted covariance.  For unit-ish embeddings (|q| ≤ ~8e3) this
-    # admits ~1e11 vectors.
+    # The decimal(38,0) combine cannot wrap, but the double assembly below
+    # loses exactness past 2^62 — keep the loud corpus-level guard so a
+    # silently-imprecise covariance can never ship (same rule as before).
     guard_ok = (
         F.col("n").cast("double")
         * F.col("mqi").cast("double")
@@ -1969,42 +1998,26 @@ def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     d = _EMBED_DIM
-    qarr = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 1000.0 + F.lit(0.5)).cast("long"),
-    )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(d - 1)),
-                lambda i: F.transform(
-                    F.sequence(F.lit(0), F.lit(d - 1)),
-                    lambda j: F.struct(
-                        i.alias("i"),
-                        j.alias("j"),
-                        F.element_at(F.col("q"), i + 1).alias("qi"),
-                        F.element_at(F.col("q"), j + 1).alias("qj"),
-                    ),
-                ),
-            )
-        ),
-        lambda p: p["j"] >= p["i"],
-    )
-    # the ONLY distributed stage: the covariance sufficient-stat aggregate;
-    # bounded collect of its d(d+1)/2 = 2080 rows (model-sized by the
-    # embedding DIMENSION, never the corpus — the agg_raking_ipf page rule;
-    # the executor-loop form spent ~36 checkpoint barriers on 64-row
+    # the ONLY distributed stage: the covariance sufficient-stat aggregate
+    # over the shared per-Arrow-batch Gram partials (_gram_partials — the
+    # llm_embed_covariance rewrite; 2080 partial rows per BATCH, not per
+    # vector); bounded collect of its d(d+1)/2 = 2080 rows (model-sized by
+    # the embedding DIMENSION, never the corpus — the agg_raking_ipf page
+    # rule; the executor-loop form spent ~36 checkpoint barriers on 64-row
     # relations, 10 s at sf0.1 vs ~2.5 s on the driver page)
     rows = (
-        e.select(qarr.alias("q"))
-        .select(F.explode(pairs).alias("p"))
-        .select("p.i", "p.j", "p.qi", "p.qj")
+        e.select("embedding")
+        .mapInPandas(
+            _gram_partials,
+            schema="i int, j int, n long, si long, sj long, sij long,"
+            " mqi long, mqj long",
+        )
         .groupBy("i", "j")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("qi").alias("si"),
-            F.sum("qj").alias("sj"),
-            F.sum(F.col("qi") * F.col("qj")).alias("sij"),
+            F.sum("n").alias("n"),
+            F.sum("si").alias("si"),
+            F.sum("sj").alias("sj"),
+            F.sum("sij").alias("sij"),
         )
         .collect()
     )
