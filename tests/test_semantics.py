@@ -4312,6 +4312,79 @@ def test_spearman_rho_hand_computed_with_ties_and_constants(spark, tmp_path):
     assert out[("disc", "tax")]["rho"] is None
 
 
+def test_spearman_rho_page_cap_fallback_matches(spark, tmp_path, monkeypatch):
+    # The bounded-vocabulary driver-page rank maps are an optimization with
+    # a declared cap; force the cap to 1 so EVERY variable takes the
+    # distributed prefix-sum path, and pin that both paths produce the
+    # identical result on the same rows (same fixture as the ties test).
+    import nedp_etl_spark.operators.analytics as an
+
+    t = datetime.datetime(1994, 1, 10)
+    qty = [1.0, 2.0, 3.0, 4.0, 5.0]
+    price = [2.0, 1.0, 4.0, 3.0, 5.0]
+    rows = [
+        (i, 1, 1, i, qty[i], price[i], 0.05, 6.0 - qty[i], "N", "O", t)
+        for i in range(5)
+    ]
+    schema = ("l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+              " l_linenumber int, l_quantity double, l_extendedprice double,"
+              " l_discount double, l_tax double, l_returnflag string,"
+              " l_linestatus string, l_shipdate timestamp")
+    _write(spark, tmp_path, "lineitem", rows, schema)
+    fast = sorted(map(tuple, eng.queries()["agg_spearman_rho"](
+        spark, str(tmp_path)).collect()))
+    monkeypatch.setattr(an, "_SPEAR_PAGE_CAP", 1)
+    slow = sorted(map(tuple, eng.queries()["agg_spearman_rho"](
+        spark, str(tmp_path)).collect()))
+    assert fast == slow
+    assert ("qty", "price", 5, 0.8) in fast
+
+
+def test_plausible_event_time_keeps_nulls_and_drops_sentinels(spark):
+    # The guard's contract: NULL flows through (hardened path), in-window
+    # passes, 9999-sentinel and pre-1677 junk are routed out.
+    import datetime as dt
+
+    from nedp_etl_spark.data import plausible_event_time
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1)),
+        (2, None),
+        (3, dt.datetime(9999, 12, 31, 23, 59, 59)),
+        (4, dt.datetime(1600, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp")
+    kept = sorted(r["id"] for r in df.filter(plausible_event_time("ts")).collect())
+    assert kept == [1, 2]
+
+
+def test_gram_partials_skip_null_and_ragged_vectors(spark):
+    # The Gram stage's route-out: NULL vectors and wrong-length vectors
+    # contribute nothing; n counts only the clean 64-dim rows.
+    from nedp_etl_spark.llm.simsearch import _EMBED_DIM, _gram_partials
+
+    rows = [
+        (1, [1.0] * _EMBED_DIM, 0),
+        (2, None, 0),
+        (3, [1.0] * (_EMBED_DIM // 2), 0),
+        (4, [2.0] * _EMBED_DIM, 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    parts = df.select("embedding").mapInPandas(
+        _gram_partials,
+        schema="i int, j int, n long, si long, sj long, sij long,"
+        " mqi long, mqj long",
+    )
+    from pyspark.sql import functions as F
+
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("n").alias("n"), F.sum("si").alias("si"), F.sum("sij").alias("sij")
+    )
+    r00 = agg.filter((F.col("i") == 0) & (F.col("j") == 0)).collect()[0]
+    # two clean vectors: q = 1000 and 2000 -> si = 3000, sij = 5e6, n = 2
+    assert (r00["n"], r00["si"], r00["sij"]) == (2, 3000, 5_000_000)
+
+
 def test_ljung_box_hand_computed_alternating_series(spark, tmp_path):
     # "alt": days 1..4 values [1,-1,1,-1] -> mean 0, ss = 4; rho_1 = -3/4,
     # rho_2 = 2/4, rho_3 = -1/4.  Q = 4*6*(0.5625/3 + 0.25/2 + 0.0625/1)
