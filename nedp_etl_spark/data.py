@@ -156,18 +156,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # plain "timestamp" passes through untouched
             df = df.withColumn("value", finite_or_null(F.col("value")))
         elif name == "embeddings":
-            # A vector with ANY non-finite element is corrupt wholesale —
-            # NULL the vector (the NULL-vector route-out every consumer
-            # already handles), never propagate NaN into dot products.
-            df = df.withColumn(
-                "embedding",
-                F.when(
-                    ~F.exists(
-                        "embedding",
-                        lambda x: F.isnan(x) | (F.abs(x) == float("inf")),
-                    ),
-                    F.col("embedding"),
+            # A vector with ANY non-finite OR NULL element is corrupt
+            # wholesale — NULL the vector (the NULL-vector route-out every
+            # consumer already handles), never propagate NaN into dot
+            # products.  NULL elements are routed out wholesale BY DESIGN:
+            # under three-valued logic exists() returns NULL (not false)
+            # for a vector whose only oddity is a NULL element, and the
+            # coalesce makes that policy explicit instead of an accident
+            # of WHEN's NULL fall-through (ADVICE r11).
+            corrupt = F.coalesce(
+                F.exists(
+                    "embedding",
+                    lambda x: F.isnan(x) | (F.abs(x) == float("inf")),
                 ),
+                F.lit(True),
+            )
+            df = df.withColumn(
+                "embedding", F.when(~corrupt, F.col("embedding"))
             )
         _DF_CACHE[key] = df
     return df

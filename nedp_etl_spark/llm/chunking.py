@@ -589,7 +589,8 @@ SELECT pack_id,
        CAST(SUM(seg_len) AS BIGINT) AS pack_tokens,
        CAST(SUM(CASE WHEN is_cont THEN 1 ELSE 0 END) AS BIGINT)
          AS n_continuations,
-       list_prepend(CAST(0 AS BIGINT), list(cu ORDER BY seg_off))
+       array_to_string(list_prepend(CAST(0 AS BIGINT),
+                                    list(cu ORDER BY seg_off)), '|')
          AS cu_seqlens
 FROM cum GROUP BY pack_id
 """
@@ -640,11 +641,18 @@ def llm_packing_attention_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_cont"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_continuations"),
-        F.concat(
-            F.array(F.lit(0).cast("bigint")),
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("seg_off", "cu"))),
-                lambda x: x["cu"],
-            ),
+        # |-joined string, not array<bigint>: the driver's pandas
+        # canonicalizer sort_values-es every output column and a raw list
+        # column is unhashable (round-10 incident) — container types must
+        # never appear in a registered query's top-level output schema.
+        F.concat_ws(
+            "|",
+            F.concat(
+                F.array(F.lit(0).cast("bigint")),
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg_off", "cu"))),
+                    lambda x: x["cu"],
+                ),
+            ).cast("array<string>"),
         ).alias("cu_seqlens"),
     )

@@ -1357,7 +1357,20 @@ def _gram_partials(batches):
         if not vecs:
             continue
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        q = np.floor(x * 1000.0 + 0.5).astype(np.int64)
+        qf = np.floor(x * 1000.0 + 0.5)
+        # Loud overflow BEFORE the int64 cast: .astype(np.int64) on a
+        # float64 beyond int64 range is C-cast UB (wraps silently, often
+        # to INT64_MIN, whose np.abs is itself negative) — so the n·mq²
+        # guard below would compute from already-corrupt values.  The
+        # replaced Catalyst path (floor().cast('long') under ANSI) raised
+        # loudly on the same input; keep that rule here.
+        if float(np.abs(qf).max()) >= float(1 << 62):
+            raise ValueError(
+                "llm_embed_covariance: |embedding|*1000 exceeds the "
+                "int64-safe range of the 1e-3 fixed-point quantization; "
+                "normalize or clip the embedding column first"
+            )
+        q = qf.astype(np.int64)
         n = len(q)
         mq = np.abs(q).max(axis=0)
         # Loud in-batch guard (the agg_corr_matrix rule): numpy int64
@@ -2005,7 +2018,12 @@ def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the embedding DIMENSION, never the corpus — the agg_raking_ipf page
     # rule; the executor-loop form spent ~36 checkpoint barriers on 64-row
     # relations, 10 s at sf0.1 vs ~2.5 s on the driver page)
-    rows = (
+    # decimal(38,0) combine + loud corpus-level n·mq² guard: the SAME
+    # overflow discipline as llm_embed_covariance (the other consumer of
+    # _gram_partials) — a plain long sum here would rely on ANSI overflow
+    # alone and its failure message would not name the fix.
+    dec = lambda c: F.sum(F.col(c).cast("decimal(38,0)")).alias(c)  # noqa: E731
+    s = (
         e.select("embedding")
         .mapInPandas(
             _gram_partials,
@@ -2015,12 +2033,32 @@ def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("si").alias("si"),
-            F.sum("sj").alias("sj"),
-            F.sum("sij").alias("sij"),
+            dec("si"),
+            dec("sj"),
+            dec("sij"),
+            F.max("mqi").alias("mqi"),
+            F.max("mqj").alias("mqj"),
         )
-        .collect()
     )
+    guard_ok = (
+        F.col("n").cast("double")
+        * F.col("mqi").cast("double")
+        * F.col("mqj").cast("double")
+        < F.lit(float(1 << 62))
+    )
+    s = s.withColumn(
+        "n",
+        F.when(guard_ok, F.col("n")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "llm_embed_pca_power: n*max|qi|*max|qj| exceeds the "
+                    "int64-safe bound of the 1e-3 fixed-point accumulation; "
+                    "coarsen the quantization or switch to limb sums"
+                )
+            ).cast("bigint")
+        ),
+    )
+    rows = s.select("i", "j", "n", "si", "sj", "sij").collect()
     # oracle arithmetic, op for op (CAST(x AS DOUBLE) ≡ float(x))
     if not rows:  # empty corpus: no moments, no component — empty result
         return spark.createDataFrame(
@@ -2035,7 +2073,8 @@ def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = r["n"]
         c = (
             math.floor(
-                (r["sij"] / 1e6 - float(r["si"]) * float(r["sj"]) / 1e6 / n) / n
+                (float(r["sij"]) / 1e6
+                 - float(r["si"]) * float(r["sj"]) / 1e6 / n) / n
                 * 1e6
                 + 0.5
             )

@@ -122,9 +122,15 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TS_GAPFILL_ORACLE = """
 WITH daily AS (
+  -- mirror of the Spark side's plausible_event_time guard on the daily
+  -- grid key (sentinel days are junk, not observations — ADVICE r11):
+  -- NULL ts stays on the NULL path, out-of-window days are routed out
   SELECT event_type, CAST(ts AS DATE) AS d,
          COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_val
-  FROM events GROUP BY event_type, CAST(ts AS DATE)
+  FROM events
+  WHERE ts IS NULL
+     OR CAST(ts AS DATE) BETWEEN DATE '1677-09-22' AND DATE '2262-04-10'
+  GROUP BY event_type, CAST(ts AS DATE)
 ),
 spans AS (
   SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY event_type
@@ -491,8 +497,11 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TS_INTERPOLATE_ORACLE = """
 WITH daily AS (
+  -- same sentinel-day guard mirror as _TS_GAPFILL_ORACLE (ADVICE r11)
   SELECT event_type, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS v
   FROM events
+  WHERE ts IS NULL
+     OR CAST(ts AS DATE) BETWEEN DATE '1677-09-22' AND DATE '2262-04-10'
   GROUP BY event_type, CAST(ts AS DATE)
 ),
 obs AS (
@@ -693,10 +702,17 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TS_FORECAST_ORACLE = f"""
 WITH daily AS (
+  -- sentinel-day guard mirror (ADVICE r11): a single '9999-12-31' parser
+  -- sentinel is an x≈2.9e6 leverage point that dominates slope/intercept
+  -- and sets last_x — the same plausible_event_time policy as
+  -- ts_gapfill/ts_interpolate, applied on BOTH sides
   SELECT event_type,
          date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
          CAST(FLOOR(({osum('value')}) * 1000000.0 + 0.5) AS BIGINT) AS ymicros
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE ts IS NULL
+     OR CAST(ts AS DATE) BETWEEN DATE '1677-09-22' AND DATE '2262-04-10'
+  GROUP BY 1, 2
 ),
 s AS (
   SELECT event_type,
@@ -733,12 +749,18 @@ FROM fit
 
 @register("ts_forecast_linear", oracle=_TS_FORECAST_ORACLE)
 def ts_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nedp_etl_spark.data import plausible_event_time
+
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    # Sentinel days are junk, not observations: one '9999-12-31' parser
+    # sentinel would be an x≈2.9e6 leverage point dominating the OLS fit
+    # and setting last_x — route it out BEFORE the rollup, same policy as
+    # ts_gapfill/ts_interpolate (mirrored in the oracle's WHERE).  The
+    # map-side filter keeps the rollup's partial aggregation intact.
+    daily = ev.filter(plausible_event_time(F.col("ts").cast("date"))).groupBy(
         "event_type",
-        # datediff is 32-bit: a '9999-12-31' parser sentinel puts x at
-        # ~2.9M days and x*x past int32 (ANSI integer overflow, caught by
-        # the timestamp-extremes sweep) — widen to long before products.
+        # datediff is 32-bit: widen to long before products (the in-window
+        # x is small, but the widening costs nothing and stays ANSI-safe).
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
         .cast("long")
         .alias("x"),

@@ -50,82 +50,60 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # keys for spare budget.  Cumulative driver coverage after r7: 279/294
 # green, 0 red — the (a) block closes the registry to 294/294.
 _PRIORITY: list[str] = [
-    # Round-10 ordering (the driver sweeps a ~50-key PREFIX in order):
-    # (a) the 46 round-9 keys still awaiting their first driver
-    # CORRECTNESS row — every one hash-exact vs its DuckDB oracle at
-    # sf0.001 AND sf0.01 in the in-repo suite (re-verified firsthand by
-    # the round-9 judge: 1066 passed / 0 failed), but the external gate
-    # has not seen them.  Listed in commit order.  tools/priority_check.py
-    # (wired into `make hygiene` + the pre-commit hook) fails the build if
-    # any driver-unverified key ever sits behind verified keys again.
-    "graph_deepwalk_pairs",
-    "llm_bradley_terry",
-    "agg_msprt",
-    "sink_vacuum",
-    "ts_esd_anomaly",
-    "agg_shapley_attribution",
-    "agg_anova_f",
-    "llm_k_anonymity",
-    "ts_mann_kendall",
-    "agg_spearman_rho",
-    "ts_ljung_box",
-    "scan_deletion_vectors",
-    "agg_jackknife_ci",
-    "llm_mmr_diversify",
-    "agg_raking_ipf",
-    "ts_hurst_exponent",
-    "agg_logistic_irls",
-    "ts_sax_symbolize",
-    "graph_topo_levels",
-    "ts_conformal_interval",
-    "sink_write_audit_publish",
-    "llm_embed_pca_power",
-    "stream_join_left_outer",
-    "llm_minhash_containment",
+    # Round-11 ordering (the driver sweeps a ~50-key PREFIX in order):
+    # (a) the one round-10 driver-RED key: its raw array<bigint>
+    # cu_seqlens column broke the driver's pandas canonicalizer (the only
+    # container-typed output column of all 424, per the round-10 judge's
+    # live schema scan); round 11 stringifies it on both sides
+    # (llm/chunking.py), the in-repo oracle + new driver-canon replica are
+    # green, and the registry-wide plan audit now bans the class.
     "llm_packing_attention_mask",
-    "ts_theta_forecast",
-    "fn_geohash",
-    "ts_variance_ratio_test",
-    "join_spatial_neighbors",
-    "agg_roc_auc",
-    "ts_forecast_reconcile",
-    "agg_empirical_bayes",
-    "stream_exactly_once_sink",
-    "agg_levene_test",
-    "sink_shallow_clone",
-    "ts_haar_energy",
-    "agg_iv_2sls",
-    "llm_topic_segments",
-    "ts_event_study",
-    "agg_gpd_tail",
-    "agg_huber_mean",
-    "ts_seasonality_strength",
-    "profile_embedding_drift",
-    "sample_weighted_reservoir",
-    "ts_peak_prominence",
-    "agg_parallel_trends",
-    # --- (a2) NEW in round 10 — appended as they land (each: exact oracle
-    # green at sf0.001+sf0.01, planted semantic test, plan audit) ---
-    # --- (b) spare budget: the 50 keys the round-9 sweep verified green
-    # (CORRECTNESS_r09, 50/50), for re-confirmation if budget remains ---
-    "agg_benjamini_hochberg", "agg_cramers_v", "agg_cuped",
-    "agg_gumbel_extremes", "agg_kurtosis_skewness", "agg_lorenz_curve",
-    "agg_mutual_information", "agg_price_index", "agg_pythagorean_means",
-    "agg_simpson_diversity", "agg_theil_decomposition", "agg_theil_index",
-    "agg_weighted_median", "agg_wilson_ci", "fn_bitpack_roundtrip",
-    "fn_geo_haversine", "fn_luhn", "join_dpp",
-    "join_nearest_1d", "llm_assembly_e2e", "llm_bloom_dedup",
-    "llm_calibration_ece", "llm_cooccurrence_pmi", "llm_corpus_overlap_sketch",
-    "llm_curriculum_order", "llm_dedup_threshold_sweep", "llm_embed_quantize",
-    "llm_judge_agreement", "llm_knn_graph", "llm_minhash_band_tuning",
-    "llm_mix_temperature_sweep", "llm_multimodal_dedup", "llm_ngram_entropy_rate",
-    "llm_pack_utilization", "llm_paragraph_dedup", "llm_rouge_overlap",
-    "llm_semdedup", "llm_suffix_dedup", "profile_json_schema",
-    "sink_quarantine", "sink_ttl_expire", "stream_topk_per_window",
-    "ts_backtest_cv", "ts_bollinger_bands", "ts_cohort_ltv",
-    "ts_control_chart", "ts_croston", "ts_drawdown",
-    "ts_new_vs_returning", "ts_period_growth",
-    # --- (c) older previously-green keys, registration order thereafter ---
+    # (b) re-verification: keys whose implementing code changed in round
+    # 10 (robustness-sweep fixes) AFTER their last driver-green row —
+    # harvested mechanically from the 54e3256..12d2512 diffs (hunk →
+    # enclosing @register site), minus the 50 keys CORRECTNESS_r10 already
+    # verified at final round-10 HEAD.  All hash-exact in the in-repo
+    # suite; the external gate has not re-seen this code.  Keys also
+    # touched by the round-11 ADVICE fixes (simsearch Gram-partial
+    # overflow guard, timeseries oracle normalization) head the block.
+    "llm_embed_covariance",
+    "ts_gapfill",
+    "ts_interpolate",
+    "ts_forecast_linear",
+    "agg_chisq_independence",
+    "graph_hits",
+    "llm_multimodal_audio_window",
+    "llm_multimodal_decode",
+    "llm_multimodal_framesample",
+    "llm_multimodal_resize",
+    "llm_hard_negatives",
+    "llm_kmeans",
+    "llm_semdedup",
+    "sink_observe_metrics",
+    "sink_partition_overwrite",
+    "sink_ttl_expire",
+    "join_dpp",
+    "scan_binaryfile",
+    "scan_text_lines",
+    "sink_scd2_partitioned",
+    "sink_snapshot_scd2",
+    "sink_table",
+    "ts_ewma",
+    "udtf_native",
+    "stream_asof_enrich",
+    "stream_custom_state",
+    "stream_session",
+    "stream_watermark_late",
+    # --- (c) spare budget: the longest-unconfirmed greens (last driver
+    # row round 1, code untouched since), oldest-first alphabetical ---
+    "agg_collect", "agg_cube", "agg_distinct", "agg_filter_clause",
+    "agg_global", "agg_groupby", "agg_grouping_sets", "agg_having",
+    "agg_mode_median", "agg_stats", "agg_string_agg", "cte_chain",
+    "cte_recursive", "dbt_schema_tests", "filter_corr_subquery",
+    "filter_like_in_between", "filter_null", "filter_pred",
+    "filter_subquery", "fn_regex", "fn_sequence", "fn_struct",
+    "join_broadcast", "join_bucketed", "join_cross_theta",
+    # --- (d) older previously-green keys, registration order thereafter ---
 ]
 
 

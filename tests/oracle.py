@@ -24,11 +24,37 @@ import duckdb
 from nedp_etl_spark.data import TABLES
 
 
+# Mirrors of the Spark side's ingestion normalization (data.load): on the
+# driver's clean fixtures these are no-ops, but the degenerate sweep
+# fixtures carry NaN/Inf and NULL-element vectors, and without the mirror
+# the declared operator≡oracle contract silently diverges there (the
+# sweeps alone assert only "no crash" — ADVICE r11).
+_VIEW_NORMALIZE = {
+    # finite_or_null on the computed-float column
+    "events": (
+        "* REPLACE (CASE WHEN isnan(value) OR isinf(value) THEN NULL "
+        "ELSE value END AS value)"
+    ),
+    # a vector with ANY non-finite or NULL element is corrupt wholesale
+    "embeddings": (
+        "* REPLACE (CASE WHEN len(list_filter(embedding, "
+        "x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL "
+        "ELSE embedding END AS embedding)"
+    ),
+}
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        sel = _VIEW_NORMALIZE.get(t, "*")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written sweep fixtures: a directory
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{path}')"
         )
     return con
 
@@ -136,6 +162,22 @@ def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def driver_canon(cols: list[str], rows: list[tuple]) -> None:
+    """Replica of the driver's pandas canonicalization (round-10 incident).
+
+    The external gate builds a pandas DataFrame from the result and
+    ``sort_values``-es over every column before hashing; a container-typed
+    cell (list/dict/Row) is unhashable there and turns the whole key into an
+    ``err`` row even when values are oracle-exact.  Running the exact same
+    canonicalization in-repo makes that class fail here first.
+    """
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=cols)
+    if len(df.columns):
+        df.sort_values(by=sorted(df.columns), inplace=True, kind="stable")
+
+
 def compare(spark, name: str, sf_dir: str) -> None:
     """Assert Spark output ≡ oracle output for query ``name``."""
     import nedp_etl_spark as eng
@@ -143,6 +185,14 @@ def compare(spark, name: str, sf_dir: str) -> None:
     sdf = eng.queries()[name](spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    try:
+        driver_canon(s_cols, s_rows)
+    except TypeError as e:
+        raise AssertionError(
+            f"{name}: output is not driver-canonicalizable (pandas sort_values "
+            f"over all columns raised {e!r}) — a container-typed column must be "
+            f"stringified before it leaves the query"
+        ) from e
 
     con = duck_connect(sf_dir)
     try:

@@ -245,3 +245,26 @@ def test_max_token_freq_property_vs_counter(spark):
            df.select("i", _max_token_freq(F.col("toks")).alias("m")).collect()}
     for i, l in enumerate(lists):
         assert got[i] == max(collections.Counter(l).values()), (i, l)
+
+
+def test_gram_partials_loud_on_pre_cast_overflow():
+    # Round-11 ADVICE: np.floor(x*1000+0.5).astype(np.int64) is C-cast UB
+    # for |x| >= ~9.2e15 (wraps silently, typically to INT64_MIN, whose
+    # np.abs is itself negative — so the in-batch n*mq^2 guard could pass
+    # on already-corrupt values).  The guard must fire on the FLOAT side,
+    # before the cast, exactly like the replaced ANSI floor().cast('long').
+    import pandas as pd
+    import pytest
+
+    from nedp_etl_spark.llm.simsearch import _EMBED_DIM, _gram_partials
+
+    big = [9.3e15] * _EMBED_DIM  # finite, but *1000 exceeds int64
+    with pytest.raises(ValueError, match="int64-safe"):
+        list(_gram_partials([pd.DataFrame({"embedding": [big]})]))
+
+    # and a normal batch still yields exact partials
+    ok = [0.5] * _EMBED_DIM
+    out = list(_gram_partials([pd.DataFrame({"embedding": [ok]})]))
+    assert len(out) == 1
+    assert (out[0]["sij"] == 500 * 500).all()
+    assert (out[0]["n"] == 1).all()

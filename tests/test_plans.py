@@ -372,14 +372,30 @@ def _has_global_window(plan: str) -> bool:
 def test_registry_wide_plan_audit(spark, sf_dir):
     """Every registered batch query: no accidental row-Python, no
     accidental cartesian product, no un-partitioned (single-partition)
-    window over unbounded input.  Streaming/sink queries execute real
-    side effects and are audited by their own tests — skipped here."""
+    window over unbounded input.  Also: no top-level Array/Map/Struct
+    output column — the driver's canonicalizer pandas-``sort_values``-es
+    every column before hashing, and container cells are unhashable there
+    (the round-10 ``llm_packing_attention_mask`` incident: a raw
+    ``array<bigint>`` ``cu_seqlens`` was the only container column in all
+    424 keys and turned an oracle-exact key into an ``err`` row);
+    stringify (``concat_ws``/``to_json``/``as_str``) before the column
+    leaves the query.  Streaming/sink queries execute real side effects
+    and are audited by their own tests plus the ``driver_canon`` replica
+    inside ``tests.oracle.compare`` — skipped here."""
+    from pyspark.sql import types as T
+
     skip_prefixes = ("stream_", "sink_", "scan_csv_json", "scan_orc", "join_bucketed")
     offenders = []
     for name, fn in sorted(eng.queries().items()):
         if name.startswith(skip_prefixes):
             continue
         df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append(
+                    (name, f"container output column {f.name}: "
+                           f"{f.dataType.simpleString()} (driver-canon incompatible)")
+                )
         plan = df._jdf.queryExecution().executedPlan().toString()
         if "BatchEvalPython" in plan and name not in _ROW_PYTHON_OK:
             offenders.append((name, "row-at-a-time Python"))

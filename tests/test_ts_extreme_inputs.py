@@ -75,3 +75,17 @@ def test_every_key_survives_timestamp_extremes(spark, tsx_dir, chunk):
         except Exception:
             failures.append(f"{k}: {traceback.format_exc().splitlines()[-1]}")
     assert not failures, "keys crashed on extreme timestamps:\n" + "\n".join(failures)
+
+
+@pytest.mark.parametrize(
+    "name", ["ts_gapfill", "ts_interpolate", "ts_forecast_linear"]
+)
+def test_sentinel_guarded_keys_stay_oracle_exact(spark, tsx_dir, name):
+    # The plausible_event_time guard routes sentinel days out on the Spark
+    # side; its WHERE mirror lives in the oracle SQL, and duck_connect
+    # mirrors load()'s finite→NULL ingestion rewrite.  This pins the FULL
+    # operator≡oracle contract on poisoned data — "no crash" alone let the
+    # two sides diverge silently (ADVICE r11).
+    from tests.oracle import compare
+
+    compare(spark, name, tsx_dir)
