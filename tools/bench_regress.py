@@ -5,13 +5,24 @@ Compares the latest local bench run (``BENCH_LATEST.json``, written by
 (``BENCH_ANCHOR.json``, the last accepted full-suite per-key map at sf0.1)
 and loudly lists every key that regressed past the gate:
 
-    new > max(2 * anchor, anchor + ABS_FLOOR)
+    new / inflation > max(2 * anchor, anchor + ABS_FLOOR)
+
+where ``inflation`` is the run-level MEDIAN of per-key new/anchor ratios
+over non-trivial shared keys, clamped to >= 1.  Round-10 postmortem: a
+shared noisy box inflated the whole suite uniformly (median ratio 1.19,
+load 3.6-6.6 with none of our processes running), and absolute per-key
+thresholds flagged different keys in different runs.  Dividing by the
+median ratio removes exactly that uniform environmental component — a
+single-key code regression does not move the median of 400+ keys, so it
+still reads at its full ratio.  The clamp means a uniformly FASTER run
+never manufactures regressions on keys that merely failed to speed up.
 
 The 2x ratio alone would flag 0.1 s -> 0.25 s noise on trivial keys, so an
 absolute floor rides along.  The exit code is non-zero only when the SUM of
-excesses over the gate exceeds the documented +-12 s single-box jitter band
-(SCALE.md): one heavy key drifting 41 % (the round-8 llm_curation_e2e
-reading) warns; a real structural regression fails.
+load-adjusted excesses over the gate exceeds the documented +-12 s
+single-box jitter band (SCALE.md): one heavy key drifting 41 % (the
+round-8 llm_curation_e2e reading) warns; a real structural regression
+fails.
 
 Why: attributing `graph_bfs_reach` 3.07 -> 5.00 s took a judge session
 (first-consumer cost of the shared candidate_pairs table); with 370+ keys
@@ -24,21 +35,29 @@ Usage:
 
 ``make bench-regress`` runs the compare; the anchor is refreshed
 deliberately (after reviewing the listing), never automatically.
+Env (for tests): SPARK_GRAFT_BENCH_ANCHOR / SPARK_GRAFT_BENCH_LATEST
+override the default file paths.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ANCHOR = os.path.join(HERE, "BENCH_ANCHOR.json")
-LATEST = os.path.join(HERE, "BENCH_LATEST.json")
+ANCHOR = os.environ.get(
+    "SPARK_GRAFT_BENCH_ANCHOR", os.path.join(HERE, "BENCH_ANCHOR.json")
+)
+LATEST = os.environ.get(
+    "SPARK_GRAFT_BENCH_LATEST", os.path.join(HERE, "BENCH_LATEST.json")
+)
 
 RATIO = 2.0
 ABS_FLOOR = 1.0  # seconds; 2x on a 0.2 s key is noise, not regression
 JITTER_BUDGET = 12.0  # seconds; the documented single-box suite jitter band
+MEDIAN_MIN_ANCHOR = 0.3  # seconds; ratios of sub-0.3 s keys are pure noise
 
 
 def _load(path: str) -> dict:
@@ -78,15 +97,32 @@ def main(argv: list[str]) -> int:
         return 0
 
     a_q, l_q = anchor["queries"], latest["queries"]
+    # Run-level environmental inflation: median new/anchor over non-trivial
+    # shared keys, clamped to >= 1 (discount slowdowns only — a uniformly
+    # faster run must not manufacture regressions).
+    ratios = [
+        l_q[k] / a_q[k]
+        for k in set(a_q) & set(l_q)
+        if a_q[k] >= MEDIAN_MIN_ANCHOR
+    ]
+    inflation = max(1.0, statistics.median(ratios)) if len(ratios) >= 20 else 1.0
+    loads = latest.get("loadavg")
+    print(
+        f"run inflation factor: {inflation:.3f} (median new/anchor over "
+        f"{len(ratios)} keys >= {MEDIAN_MIN_ANCHOR}s"
+        + (f"; loadavg {loads}" if loads else "")
+        + ")"
+    )
     regressed: list[tuple[str, float, float, float]] = []
     for k, new in sorted(l_q.items()):
         old = a_q.get(k)
         if old is None:
             print(f"NEW       {k}: {new:.2f}s (no anchor; anchors on --update-anchor)")
             continue
+        adj = new / inflation
         gate = max(RATIO * old, old + ABS_FLOOR)
-        if new > gate:
-            regressed.append((k, old, new, new - gate))
+        if adj > gate:
+            regressed.append((k, old, adj, adj - gate))
     for k in sorted(set(a_q) - set(l_q)):
         print(f"REMOVED   {k}: was {a_q[k]:.2f}s in anchor")
 
@@ -96,8 +132,11 @@ def main(argv: list[str]) -> int:
         return 0
 
     excess = sum(e for *_ignored, e in regressed)
-    for k, old, new, e in sorted(regressed, key=lambda r: -r[3]):
-        print(f"REGRESSED {k}: {old:.2f}s -> {new:.2f}s (+{e:.2f}s over gate)")
+    for k, old, adj, e in sorted(regressed, key=lambda r: -r[3]):
+        print(
+            f"REGRESSED {k}: {old:.2f}s -> {adj:.2f}s load-adjusted "
+            f"(+{e:.2f}s over gate)"
+        )
     print(
         f"total excess over gate: {excess:.1f}s"
         f" (jitter budget {JITTER_BUDGET:.0f}s)"
