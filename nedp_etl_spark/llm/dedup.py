@@ -222,22 +222,23 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIRS_CACHE: dict = {}
 
 
-def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MinHash-LSH candidate pair list (doc_a < doc_b), derived ONCE
-    per (live session, fixture dir) and shared by every downstream
-    graph/QA consumer — the featurize-once discipline applied ACROSS
-    queries: ten operators ride this relation, and without the cache each
-    re-runs the shingle→minhash→band lineage (~2.5 s at sf0.1 apiece).
+def derived_table(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
+    """A session-scoped DERIVED TABLE: ``builder(spark, sf_dir)`` is
+    executed ONCE per (live session, fixture dir, name), its result
+    written to scratch parquet, and every caller handed a plain scan —
+    the featurize-once discipline applied ACROSS queries.
 
-    Materialization is a DERIVED TABLE (scratch parquet written once,
-    plain scans handed out — ``data.load`` semantics) rather than a
+    Materialization is parquet (``data.load`` semantics) rather than a
     cross-query localCheckpoint: checkpoint blocks reused by LATER
     queries try to update the original query's GC'd SQL-metrics
-    accumulators (spurious DAGScheduler ERROR noise), while a parquet
-    scan re-plans cleanly per query, costs no executor memory, and is
-    exactly the "materialize the pair list" shape a production dedup
-    pipeline uses.  Cache key = live session id + fixture dir (fixture
-    dirs are immutable within a session; a fresh session rewrites).
+    accumulators (spurious DAGScheduler ERROR noise), memory-cached
+    blocks evict under pressure and silently re-run the whole lineage
+    (the round-10 llm_candidate_compare 13.7 s ↔ 3.96 s bimodality),
+    while a parquet scan re-plans cleanly per query, costs no executor
+    memory, and is exactly the "materialize the pair list" shape a
+    production dedup pipeline uses.  Cache key = live session id +
+    fixture dir + name (fixture dirs are immutable within a session; a
+    fresh session rewrites).
     """
     import hashlib
     import os
@@ -248,29 +249,49 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never reused, unlike id(jobj) which CPython recycles after GC — a new
     # session could alias a stale entry holding a DataFrame bound to a
     # stopped session.  Entries from OTHER sessions are evicted on insert
-    # (they are dead weight once a different session is deriving pairs),
-    # which also bounds the dict across many-session test runs.
+    # (they are dead weight once a different session is deriving), which
+    # also bounds the dict across many-session test runs.
     session_uuid = spark._jsparkSession.sessionUUID()
-    key = (session_uuid, sf_dir)
+    key = (session_uuid, sf_dir, name)
     df = _PAIRS_CACHE.get(key)
     if df is None:
         # digest of the FULL fixture path in the scratch layout: _scratch
         # keys on basename(sf_dir) alone, and unlike every other _scratch
         # user this one SKIPS the rewrite on cache hit — two dirs sharing
-        # a basename must not share a pair table (review finding).
+        # a basename must not share a derived table (review finding).
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        path = os.path.join(_scratch("candidate_pairs", sf_dir), tag, "pairs")
-        (
-            llm_dedup_near(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+        path = os.path.join(_scratch(name, sf_dir), tag, name)
+        builder(spark, sf_dir).write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
         for k in [k for k in _PAIRS_CACHE if k[0] != session_uuid]:
             del _PAIRS_CACHE[k]
         _PAIRS_CACHE[key] = df
     return df
+
+
+def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate pair list (doc_a < doc_b), derived ONCE
+    per (live session, fixture dir) and shared by every downstream
+    graph/QA consumer: ten operators ride this relation, and without the
+    cache each re-runs the shingle→minhash→band lineage (~2.5 s at sf0.1
+    apiece).  See :func:`derived_table` for the materialization rationale.
+    """
+    return derived_table(
+        spark,
+        sf_dir,
+        "candidate_pairs",
+        lambda s, d: llm_dedup_near(s, d).select("doc_a", "doc_b"),
+    )
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified SimHash pair list (doc_a, doc_b, hamming), derived
+    once per (session, fixture dir) — the order-insensitive complement of
+    :func:`candidate_pairs`, shared by the QA comparators so they scan a
+    materialized relation instead of re-running the token→votes→band→
+    verify lineage (whose localCheckpoint blocks evicted under load and
+    made llm_candidate_compare bimodal, round-10 bench postmortem)."""
+    return derived_table(spark, sf_dir, "simhash_pairs", _simhash_pairs_build)
 
 
 
@@ -1219,6 +1240,15 @@ SELECT doc_a, doc_b, hamming FROM sh_pairs
 
 @register("llm_dedup_simhash", oracle=_DEDUP_SIMHASH_ORACLE)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Serve the registered key from the session-scoped derived table:
+    # the token→votes→band→verify lineage runs ONCE per (session, sf) —
+    # whichever of llm_candidate_compare / llm_dedup_simhash builds first
+    # pays the materialization, the other scans parquet (round-11 task 7:
+    # under box load the re-run lineage read 13.7 s vs 3.96 s quiet).
+    return simhash_pairs(spark, sf_dir)
+
+
+def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
         "doc_id", F.md5("tok").alias("h")
@@ -1319,7 +1349,9 @@ def llm_candidate_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = candidate_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("in_m")
     )
-    sh = llm_dedup_simhash(spark, sf_dir).select(
+    # materialized derived table, not the live simhash lineage: both join
+    # inputs are then plain parquet scans (round-10 bimodality fix)
+    sh = simhash_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("in_s")
     )
     j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")

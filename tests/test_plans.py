@@ -897,8 +897,17 @@ def test_dedup_simhash_banded_equi_join_no_all_pairs(spark, sf_dir):
     # Pigeonhole banding: candidates come from equi-joins on
     # (block_idx, block_value) and the verify step joins the fingerprint
     # table by doc id — never a nested loop over doc pairs, and the text
-    # column never shuffles (fingerprints are map-side).
-    plan = _plan(spark, sf_dir, "llm_dedup_simhash")
+    # column never shuffles (fingerprints are map-side).  Audit the
+    # BUILDER's plan: the registered key serves the session-scoped derived
+    # table (a parquet scan), so the lineage only exists here.
+    from nedp_etl_spark.llm.dedup import _simhash_pairs_build
+
+    plan = (
+        _simhash_pairs_build(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     for ln in plan.splitlines():
