@@ -65,8 +65,14 @@ _PRIORITY: list[str] = [
     # verified at final round-10 HEAD.  All hash-exact in the in-repo
     # suite; the external gate has not re-seen this code.  Keys also
     # touched by the round-11 ADVICE fixes (simsearch Gram-partial
-    # overflow guard, timeseries oracle normalization) head the block.
+    # overflow guard, timeseries oracle normalization) and the round-11
+    # derived-table rewrite (llm_dedup_simhash / llm_candidate_compare
+    # serve the materialized simhash_pairs relation; llm_embed_pca_power
+    # gained the decimal combine) head the block.
     "llm_embed_covariance",
+    "llm_embed_pca_power",
+    "llm_dedup_simhash",
+    "llm_candidate_compare",
     "ts_gapfill",
     "ts_interpolate",
     "ts_forecast_linear",
