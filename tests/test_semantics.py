@@ -4838,9 +4838,11 @@ def test_packing_mask_segments_and_continuations(spark, tmp_path):
            eng.queries()["llm_packing_attention_mask"](spark, str(tmp_path)).collect()}
     p0, p1 = out[0], out[1]
     assert (p0["n_segments"], p0["pack_tokens"], p0["n_continuations"]) == (2, 512, 0)
-    assert list(p0["cu_seqlens"]) == [0, 300, 512]
+    # cu_seqlens is a |-joined STRING (round-11: container-typed output
+    # columns are banned — the driver canonicalizer cannot hash them)
+    assert p0["cu_seqlens"] == "0|300|512"
     assert (p1["n_segments"], p1["pack_tokens"], p1["n_continuations"]) == (2, 388, 1)
-    assert list(p1["cu_seqlens"]) == [0, 188, 388]
+    assert p1["cu_seqlens"] == "0|188|388"
 
 
 def test_theta_forecast_matches_ses_recurrence_plus_half_drift(spark, tmp_path):
