@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""List registered query keys whose implementing code changed in a git range.
+
+The `_PRIORITY` rotation needs "keys whose code changed AFTER their last
+driver-green row" every round; harvesting that list by eye missed keys
+twice (round-9/10 postmortems) and took a judge session to reconstruct.
+This makes it mechanical and attribution-accurate:
+
+  * each ``@register("key", ...)``-decorated top-level function's span is
+    its AST range (first decorator line .. end of body);
+  * a diff hunk inside that span changes that key;
+  * a hunk BETWEEN spans (oracle SQL constants, per-key helpers — which
+    by repo convention sit directly ABOVE their key's decorator) is
+    attributed to the NEXT register site below it;
+  * shared cross-key modules (data.py, util.py, registry.py) are
+    deliberately out of scope — changing those touches everything and
+    must be judged by hand.
+
+Spark-free (git + ast only).
+
+Usage:
+    python tools/changed_keys.py <old-rev> [<new-rev>]       # default HEAD
+    python tools/changed_keys.py <old-rev> --not-in CORRECTNESS_r10.json
+        # additionally drop keys already driver-verified at <new-rev>'s
+        # code version (rows in the given CORRECTNESS file)
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import re
+import subprocess
+import sys
+
+_HUNK_RE = re.compile(r"^@@ -\S+ \+(\d+)(?:,(\d+))? @@", re.M)
+_SHARED = ("nedp_etl_spark/data.py", "nedp_etl_spark/util.py",
+           "nedp_etl_spark/registry.py", "nedp_etl_spark/engine.py")
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _register_name(dec: ast.expr) -> str | None:
+    if (
+        isinstance(dec, ast.Call)
+        and isinstance(dec.func, ast.Name)
+        and dec.func.id == "register"
+        and dec.args
+        and isinstance(dec.args[0], ast.Constant)
+        and isinstance(dec.args[0].value, str)
+    ):
+        return dec.args[0].value
+    return None
+
+
+def _key_spans(src: str) -> list[tuple[str, int, int]]:
+    """[(key, first_decorator_line, body_end_line)] for top-level
+    @register-decorated functions, in source order."""
+    out = []
+    for node in ast.parse(src).body:
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        for dec in node.decorator_list:
+            name = _register_name(dec)
+            if name:
+                start = min(d.lineno for d in node.decorator_list)
+                out.append((name, start, node.end_lineno or node.lineno))
+                break
+    return out
+
+
+def changed_keys(old: str, new: str = "HEAD") -> dict[str, list[str]]:
+    """{file: [keys]} for every register site the range's new-side diff
+    hunks attribute to (span intersection, else next-site-below)."""
+    files = [
+        f
+        for f in _git("diff", "--name-only", f"{old}..{new}").splitlines()
+        if f.startswith("nedp_etl_spark/")
+        and f.endswith(".py")
+        and f not in _SHARED
+    ]
+    out: dict[str, list[str]] = {}
+    for f in files:
+        diff = _git("diff", "-U0", f"{old}..{new}", "--", f)
+        hunks = [
+            (int(m.group(1)), int(m.group(1)) + max(int(m.group(2) or 1), 1) - 1)
+            for m in _HUNK_RE.finditer(diff)
+        ]
+        try:
+            src = _git("show", f"{new}:{f}")
+        except subprocess.CalledProcessError:
+            continue  # deleted file: its keys are gone, nothing to verify
+        try:
+            spans = _key_spans(src)
+        except SyntaxError:
+            continue
+        hit: list[str] = []
+        for h0, h1 in hunks:
+            inside = [k for k, a, b in spans if h0 <= b and h1 >= a]
+            if inside:
+                hit += inside
+            else:
+                below = [k for k, a, _b in spans if a > h1]
+                if below:
+                    hit.append(below[0])
+        uniq = sorted(set(hit))
+        if uniq:
+            out[f] = uniq
+    return out
+
+
+def main(argv: list[str]) -> int:
+    if not argv:
+        print(__doc__)
+        return 2
+    old = argv[0]
+    new = "HEAD"
+    skip: set[str] = set()
+    rest = argv[1:]
+    while rest:
+        a = rest.pop(0)
+        if a == "--not-in":
+            skip |= set(json.load(open(rest.pop(0))))
+        else:
+            new = a
+    per_file = changed_keys(old, new)
+    all_keys = sorted({k for ks in per_file.values() for k in ks} - skip)
+    for f, ks in sorted(per_file.items()):
+        kept = [k for k in ks if k not in skip]
+        if kept:
+            print(f"{f}: {' '.join(kept)}")
+    print(f"# {len(all_keys)} keys need driver re-verification:")
+    print(",".join(all_keys))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
