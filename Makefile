@@ -7,6 +7,7 @@
 hygiene:
 	python tools/priority_check.py
 	python -m pytest tests/test_engine.py -q -x -k "pinned or idempotent or survey or similarity"
+	python -m pytest tests/test_bench_regress.py tests/test_changed_keys.py -q -x
 
 check:
 	python -m pytest tests/ -q
