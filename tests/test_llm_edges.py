@@ -268,3 +268,25 @@ def test_gram_partials_loud_on_pre_cast_overflow():
     assert len(out) == 1
     assert (out[0]["sij"] == 500 * 500).all()
     assert (out[0]["n"] == 1).all()
+
+
+def test_derived_table_distinct_dirs_sharing_basename(spark, tmp_path):
+    # Two fixture dirs with the SAME basename must get DISTINCT derived
+    # tables (_scratch keys on basename alone; the md5-of-full-path tag is
+    # the only separator — the round-10 candidate_pairs review finding,
+    # now generic to every derived_table user).
+    import pyspark.sql.functions as F
+
+    from nedp_etl_spark.llm.dedup import derived_table
+
+    a = tmp_path / "x" / "sf"
+    b = tmp_path / "y" / "sf"
+    for d, n in ((a, 3), (b, 7)):
+        spark.range(n).select(F.col("id")).write.parquet(str(d / "t.parquet"))
+
+    builder = lambda s, sf: s.read.parquet(f"{sf}/t.parquet")  # noqa: E731
+    na = derived_table(spark, str(a), "dt_basename_pin", builder).count()
+    nb = derived_table(spark, str(b), "dt_basename_pin", builder).count()
+    assert (na, nb) == (3, 7)
+    # and the cache hands back the materialized table, not a rebuild
+    assert derived_table(spark, str(a), "dt_basename_pin", builder).count() == 3
