@@ -92,14 +92,39 @@ def _max_token_freq(toks: F.Column) -> F.Column:
 
 
 def _trigram_set(tok_col) -> F.Column:
-    """Distinct 3-gram strings from a token array (JVM-side transform)."""
-    grams = F.transform(
-        F.slice(tok_col, 1, F.size(tok_col) - 2),
-        lambda _, i: F.concat_ws(
-            " ", tok_col[i], tok_col[i + 1], tok_col[i + 2]
-        ),
+    """Distinct 3-gram strings from a token array (JVM-side zip_with).
+
+    zip_with over three shifted slices, NEVER an index-lambda over the
+    outer array (``lambda _, i: tok_col[i]``): a lambda that references
+    the enclosing array re-evaluates that array's whole expression tree
+    PER ELEMENT in interpreted eval — and higher-order functions always
+    evaluate interpreted, so when projection collapse inlines
+    ``split(text)`` into the lambda the n-gram build turns O(n²) per
+    document (round-11 long-doc catalog: one 200k-token doc wedged
+    llm_curation_e2e's stage-1 filter for 10+ minutes; measured 19 s →
+    75 s for 10k → 20k tokens, clean quadratic).  zip_with's lambda sees
+    only its BOUND arguments, so each slice evaluates once per row."""
+    n = F.size(tok_col)
+    a = F.slice(tok_col, 1, n - 2)
+    b = F.slice(tok_col, 2, n - 2)
+    c = F.slice(tok_col, 3, n - 2)
+    grams = F.zip_with(
+        F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)),
+        c,
+        lambda xy, z: F.concat_ws(" ", xy, z),
     )
     return F.array_distinct(grams)
+
+
+def _bigram_list(tok_col) -> F.Column:
+    """Adjacent-bigram strings from a token array — same zip_with rule as
+    :func:`_trigram_set` (the index-lambda form is O(n²) per document)."""
+    n = F.size(tok_col)
+    return F.zip_with(
+        F.slice(tok_col, 1, n - 1),
+        F.slice(tok_col, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
 
 
 @register("llm_contamination", oracle=_CONTAM_ORACLE)
@@ -221,10 +246,7 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token list, counting occurrences via filter(size) — O(distinct × n)
     # inside one task, no shuffle.
     max_freq = _max_token_freq(F.col("toks"))
-    bigrams = F.transform(
-        F.slice(F.col("toks"), 1, F.size("toks") - 1),
-        lambda _, i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
-    )
+    bigrams = _bigram_list(F.col("toks"))
     m = t.select(
         "doc_id",
         "lang",
@@ -920,10 +942,7 @@ def llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "text", F.split("text", " ").alias("toks")
     )
     max_freq = _max_token_freq(F.col("toks"))
-    bigrams = F.transform(
-        F.slice(F.col("toks"), 1, F.size("toks") - 1),
-        lambda _, i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
-    )
+    bigrams = _bigram_list(F.col("toks"))
     grams = F.when(F.size("toks") >= 3, _trigram_set(F.col("toks"))).otherwise(
         F.array().cast("array<string>")
     )

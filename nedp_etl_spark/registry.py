@@ -73,6 +73,12 @@ _PRIORITY: list[str] = [
     "llm_embed_pca_power",
     "llm_dedup_simhash",
     "llm_candidate_compare",
+    # round-11 long-doc catalog fix: n-gram builds rewritten zip_with
+    # (the index-lambda form re-split the text per element — O(n²)/doc)
+    "llm_curation_e2e",
+    "llm_contamination",
+    "llm_repetition_filter",
+    "llm_ngram_novelty",
     "ts_gapfill",
     "ts_interpolate",
     "ts_forecast_linear",
