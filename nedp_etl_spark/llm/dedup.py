@@ -58,7 +58,21 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles(toks: Column) -> Column:
     """Word 3-grams from a pre-split token array.  Callers must materialize
     the token array as its own column first — referencing split() inside the
-    lambda would re-evaluate it per element.  Total for ANY input length:
+    lambda would re-evaluate it per element.
+
+    HAZARD BOUNDARY (round-11 long-doc finding): this index-lambda form
+    references the ENCLOSING array; it stays linear only because
+    CollapseProject declines to inline a non-cheap multi-use reference
+    into a PROJECT.  Predicate pushdown substitutes unconditionally, so
+    if a consumer ever puts a shingle expression inside a FILTER
+    predicate, interpreted eval re-splits the text per element — O(n²)
+    per document (the llm_curation_e2e stage-1 wedge; see
+    curation._trigram_set for the zip_with rewrite that is immune, and
+    tests/test_longdoc_inputs.py for the empirical tripwire).  No current
+    consumer filters on shingles (the opt-in long-doc sweep pins that);
+    rewrite to zip_with before adding one.
+
+    Total for ANY input length:
     Spark's sequence() auto-steps DOWNWARD when start > stop, so an
     unguarded ``sequence(1, n-2)`` on a 2-token doc yields indices [1, 0]
     and element_at(toks, 0) throws at execution (1-token: [1, 0, -1],
