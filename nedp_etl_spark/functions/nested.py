@@ -120,8 +120,8 @@ _FN_JSON_ORACLE = """
 SELECT
   event_id,
   json_extract_string(props, '$.k') AS k_str,
-  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tuple,
+  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tuple,
   json_extract_string(props, '$.missing') AS k_missing,
   '{"event_type":"' || event_type || '","k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
 FROM events
@@ -141,7 +141,13 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id"),
         F.get_json_object(props, "$.k").alias("k_str"),
         F.from_json(props, schema)["k"].alias("k_int"),
-        F.col("jt").cast("bigint").alias("k_tuple"),
+        # try_cast, not cast: real event streams carry junk payloads where
+        # $.k is a non-numeric string, and the ANSI cast turns one bad row
+        # into a job failure (round-11 adversarial-JSON catalog — a 1 MB
+        # string value crashed the whole key); junk extraction routes to
+        # NULL like every other ingestion-seam junk class.  TRY_CAST
+        # mirrors it in the oracle; identical on numeric payloads.
+        F.col("jt").try_cast("bigint").alias("k_tuple"),
         F.get_json_object(props, "$.missing").alias("k_missing"),
         F.to_json(
             F.struct(
@@ -178,11 +184,16 @@ FROM events WHERE event_id % 7 = 0
 @register("fn_variant", oracle=_FN_VARIANT_ORACLE)
 def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
-    v = F.parse_json("props")
+    # try_parse_json / try_variant_get, not the throwing forms: one
+    # malformed payload or one non-numeric $.k must NULL its row, not
+    # fail the job (round-11 adversarial-JSON catalog).  Identical to the
+    # strict forms on well-formed numeric payloads, so the oracle hash is
+    # unchanged on the driver fixtures.
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
-        F.variant_get(v, "$.k", "bigint").alias("k_int"),
-        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.missing", "string").alias("missing"),
         F.to_json(v).alias("roundtrip"),
     )

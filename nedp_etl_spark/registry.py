@@ -79,6 +79,10 @@ _PRIORITY: list[str] = [
     "llm_contamination",
     "llm_repetition_filter",
     "llm_ngram_novelty",
+    # round-11 adversarial-JSON catalog fix: try_cast / try_parse_json /
+    # try_variant_get (junk payloads NULL their row, never fail the job)
+    "fn_json",
+    "fn_variant",
     "ts_gapfill",
     "ts_interpolate",
     "ts_forecast_linear",
