@@ -45,3 +45,25 @@ def test_oracle_constant_attributes_to_key_below():
     out = _run("f53d8a4", "b665d76")
     assert "ts_gapfill" in out
     assert "ts_sessionize" not in out
+
+
+def test_stale_green_keys_invariants():
+    """stale_green_keys feeds the _PRIORITY head (round-11 verdict task 1):
+    every entry must be a registered key with a green row whose code
+    changed since that round's swept rev, ordered oldest-green-first."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from changed_keys import _latest_green_rounds, stale_green_keys
+    from priority_check import registered_keys
+
+    latest = _latest_green_rounds(str(REPO))
+    stale = stale_green_keys()
+    keys = registered_keys()
+    assert set(stale) <= keys
+    assert all(k in latest for k in stale)
+    rounds = [latest[k] for k in stale]
+    assert rounds == sorted(rounds)
+    # the two round-11-verdict-named keys are stale until the r12 sweep
+    # re-greens them (this assertion self-retires: once their latest green
+    # round postdates the derived-table rewrite they drop out of the set)
+    for k in ("llm_dedup_near", "llm_simhash"):
+        assert latest[k] >= 12 or k in stale

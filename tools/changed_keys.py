@@ -113,10 +113,69 @@ def changed_keys(old: str, new: str = "HEAD") -> dict[str, list[str]]:
     return out
 
 
+def _latest_green_rounds(root: str = ".") -> dict[str, int]:
+    """{key: most recent round with a driver-green CORRECTNESS row}."""
+    import glob
+    import pathlib
+
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(str(pathlib.Path(root) / "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", pathlib.Path(f).name)
+        if not m:
+            continue
+        r = int(m.group(1))
+        for k, v in json.load(open(f)).items():
+            if isinstance(v, dict) and v.get("err") is None and v.get("rows_match"):
+                latest[k] = max(latest.get(k, 0), r)
+    return latest
+
+
+def _round_revs() -> dict[int, str]:
+    """{round N: git rev the round-N driver sweep actually tested}.
+
+    The driver lands ``CORRECTNESS_rN.json`` in a ``round N: verdict/...``
+    commit whose PARENT is the code the sweep ran against (the end-of-round
+    snapshot or the builder's last commit).
+    """
+    revs: dict[int, str] = {}
+    for line in _git("log", "--format=%H %s").splitlines():
+        h, _, subj = line.partition(" ")
+        m = re.match(r"round (\d+): verdict", subj)
+        if m:
+            n = int(m.group(1))
+            if n not in revs:  # log is newest-first; keep the newest
+                revs[n] = _git("rev-parse", f"{h}^").strip()
+    return revs
+
+
+def stale_green_keys(new: str = "HEAD") -> list[str]:
+    """Keys whose implementing code changed AFTER their latest driver-green
+    CORRECTNESS row — the set that must HEAD ``_PRIORITY`` (round-11 verdict
+    task 1: re-verification outranks re-confirming fresh greens)."""
+    latest = _latest_green_rounds()
+    revs = _round_revs()
+    changed_since: dict[int, set[str]] = {}
+    stale: list[str] = []
+    for k, n in latest.items():
+        if n not in revs:
+            continue  # no verdict commit for that round: cannot attribute
+        if n not in changed_since:
+            per_file = changed_keys(revs[n], new)
+            changed_since[n] = {key for ks in per_file.values() for key in ks}
+        if k in changed_since[n]:
+            stale.append(k)
+    return sorted(stale, key=lambda k: (latest[k], k))
+
+
 def main(argv: list[str]) -> int:
     if not argv:
         print(__doc__)
         return 2
+    if argv[0] == "--stale-green":
+        stale = stale_green_keys(argv[1] if len(argv) > 1 else "HEAD")
+        print(f"# {len(stale)} keys changed after their last driver-green row:")
+        print(",".join(stale))
+        return 0
     old = argv[0]
     new = "HEAD"
     skip: set[str] = set()

@@ -17,6 +17,12 @@ end.  This check makes the rotation structural:
     driver-verified key is listed AHEAD of any unverified key (a stale
     prefix: the driver would re-confirm old greens while the backlog
     stays invisible);
+  * FAIL if any CHANGED-AFTER-GREEN key (code hunks since the rev its
+    latest green round's sweep tested — computed mechanically by
+    ``tools/changed_keys.stale_green_keys``) is missing from ``_PRIORITY``
+    or trails an unchanged fresh-green key (round-11 verdict task 1: the
+    old check validated only unverified-first, which passed while two
+    rewrite-touched keys sat behind the prefix);
   * WARN (non-fatal) if the unverified backlog exceeds the ~50-row sweep
     budget — some keys will wait a round no matter the order.
 
@@ -71,6 +77,15 @@ def priority_list() -> list[str]:
     raise SystemExit("priority_check: _PRIORITY not found in registry.py")
 
 
+def changed_after_green() -> set[str]:
+    """Keys whose code changed since the rev their latest green sweep
+    tested.  Delegates to tools/changed_keys.py (git + ast, no Spark)."""
+    sys.path.insert(0, str(ROOT / "tools"))
+    from changed_keys import stale_green_keys
+
+    return set(stale_green_keys("HEAD"))
+
+
 def main() -> int:
     keys = registered_keys()
     green = green_keys() & keys
@@ -88,27 +103,44 @@ def main() -> int:
             f"to the driver's ~{SWEEP_BUDGET}-key sweep): {missing}"
         )
         return 1
-    idx = {k: i for i, k in enumerate(prio)}
-    max_unver = max(idx[k] for k in unverified) if unverified else -1
-    stale = sorted((k for k in prio[: max_unver + 1] if k in green), key=idx.get)
-    if stale:
+    changed = changed_after_green() & keys
+    missing_changed = sorted(changed - set(prio) - unverified)
+    if missing_changed:
         print(
-            "priority_check: FAIL — stale prefix: driver-verified keys are "
-            f"listed ahead of unverified ones in _PRIORITY; the driver "
-            f"would spend sweep budget re-confirming {len(stale)} greens "
-            f"while the backlog waits.  Move these behind every unverified "
-            f"key: {stale[:10]}{' ...' if len(stale) > 10 else ''}"
+            "priority_check: FAIL — changed-after-green keys absent from "
+            f"_PRIORITY (their code changed since the driver last verified "
+            f"them; re-verification must head the sweep): {missing_changed}"
         )
         return 1
-    if len(unverified) > SWEEP_BUDGET + 5:
+    idx = {k: i for i, k in enumerate(prio)}
+    # Keys needing (re-)verification: unverified + changed-after-green.
+    backlog = unverified | changed
+    max_backlog = max(idx[k] for k in backlog) if backlog else -1
+    stale = sorted(
+        (k for k in prio[: max_backlog + 1] if k in green and k not in backlog),
+        key=idx.get,
+    )
+    if stale:
         print(
-            f"priority_check: WARN — {len(unverified)} unverified keys exceed "
-            f"the ~{SWEEP_BUDGET}-row sweep budget; some will wait a round. "
-            "Prefer depth over new keys (round-9 verdict task 7)."
+            "priority_check: FAIL — stale prefix: fresh-green keys are "
+            f"listed ahead of keys needing (re-)verification in _PRIORITY; "
+            f"the driver would spend sweep budget re-confirming "
+            f"{len(stale)} greens while the backlog waits.  Move these "
+            f"behind every backlog key: "
+            f"{stale[:10]}{' ...' if len(stale) > 10 else ''}"
+        )
+        return 1
+    if len(backlog) > SWEEP_BUDGET + 5:
+        print(
+            f"priority_check: WARN — {len(backlog)} backlog keys (unverified "
+            f"+ changed-after-green) exceed the ~{SWEEP_BUDGET}-row sweep "
+            "budget; some will wait a round. Prefer depth over new keys "
+            "(round-9 verdict task 7)."
         )
     print(
         f"priority_check: OK — {len(keys)} keys, {len(green)} driver-green, "
-        f"{len(unverified)} unverified, all heading _PRIORITY."
+        f"{len(unverified)} unverified, {len(changed)} changed-after-green, "
+        "all heading _PRIORITY."
     )
     return 0
 
