@@ -136,6 +136,27 @@ def main() -> None:
         except Exception:
             pass
 
+    # Materialize the session-scoped DERIVED TABLES (candidate_pairs,
+    # simhash_pairs) up front and bill each build as its own line: the
+    # build otherwise lands on whichever consumer key runs first
+    # (alphabetical order), which is what produced the round-11 2.47x
+    # reading on llm_dedup_cluster_converged — a key whose own code was
+    # untouched.  Per-key times now measure the operator; the shared build
+    # is accounted explicitly in "derived_builds" (and in the total).
+    derived_builds: dict[str, float] = {}
+    try:
+        from nedp_etl_spark.llm.dedup import candidate_pairs, simhash_pairs
+
+        for _nm, _fn in (
+            ("candidate_pairs", candidate_pairs),
+            ("simhash_pairs", simhash_pairs),
+        ):
+            _t0 = time.perf_counter()
+            _fn(spark, sf_dir).count()
+            derived_builds[_nm] = round(time.perf_counter() - _t0, 4)
+    except Exception as exc:
+        print(f"# derived-table prebuild failed: {exc}", file=sys.stderr)
+
     verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
     # SPARK_GRAFT_BENCH_OUT redirects the per-query map — subset runs
     # (SPARK_GRAFT_BENCH_ONLY) must not clobber the last FULL suite map
@@ -172,7 +193,7 @@ def main() -> None:
             load_now = None
         out = {
             "metric": "suite_total_wall_clock",
-            "value": round(total, 4),
+            "value": round(total + sum(derived_builds.values()), 4),
             "unit": "sec",
             "queries": qmap,
             "n_queries": len(timings),
@@ -180,6 +201,8 @@ def main() -> None:
             "sf": sf,
             "loadavg": [load_start, load_now],
         }
+        if derived_builds:
+            out["derived_builds"] = derived_builds
         if not compact:
             out["errors"] = errors
         return json.dumps(out, separators=(",", ":"))

@@ -96,7 +96,16 @@ def main(argv: list[str]) -> int:
         )
         return 0
 
-    a_q, l_q = anchor["queries"], latest["queries"]
+    # Derived-table builds (bench.py pre-materialization, round-12) are
+    # compared like keys under a "derived:" prefix — a build-time blowup is
+    # a plan regression even though no single query is billed for it.
+    def _with_builds(run: dict) -> dict:
+        q = dict(run["queries"])
+        for k, v in run.get("derived_builds", {}).items():
+            q[f"derived:{k}"] = v
+        return q
+
+    a_q, l_q = _with_builds(anchor), _with_builds(latest)
     # Run-level environmental inflation: median new/anchor over non-trivial
     # shared keys, clamped to >= 1 (discount slowdowns only — a uniformly
     # faster run must not manufacture regressions).
