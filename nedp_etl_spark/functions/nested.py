@@ -170,13 +170,19 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dbt-model SQL (/root/reference/dbtoperator.py:273-274).
 # --------------------------------------------------------------------------
 
+# TRY_CAST / extraction-from-TRY_CAST, mirroring the Spark side's
+# try_parse_json/try_variant_get tolerance: on junk payloads both sides
+# NULL the row instead of throwing, so the parity contract stays probeable
+# on junk-bearing fixtures (round-12 ADVICE: the strict CAST/json() forms
+# here would have thrown where the operator NULLs).  Identical output on
+# well-formed payloads — the driver-fixture hash is unchanged.
 _FN_VARIANT_ORACLE = """
 SELECT
   event_id,
-  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-  json_extract_string(props, '$.k') AS k_str,
-  json_extract_string(props, '$.missing') AS missing,
-  CAST(json(props) AS VARCHAR) AS roundtrip
+  TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT) AS k_int,
+  json_extract_string(TRY_CAST(props AS JSON), '$.k') AS k_str,
+  json_extract_string(TRY_CAST(props AS JSON), '$.missing') AS missing,
+  CAST(json_extract(TRY_CAST(props AS JSON), '$') AS VARCHAR) AS roundtrip
 FROM events WHERE event_id % 7 = 0
 """
 

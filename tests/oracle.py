@@ -173,6 +173,20 @@ def driver_canon(cols: list[str], rows: list[tuple]) -> None:
     """
     import pandas as pd
 
+    # Detect container cells directly rather than relying on pandas to
+    # fail: sort_values over object columns of lists raises TypeError on
+    # some pandas versions, ValueError (numpy ambiguous-truth) on others,
+    # and can succeed outright — any of which would let a container-typed
+    # output slip past this replica (round-12 ADVICE).
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, (list, dict, set, tuple)) or type(v).__name__ in (
+                "Row",
+                "ndarray",
+            ):
+                raise TypeError(
+                    f"container-typed cell in column {cols[i]!r}: {type(v).__name__}"
+                )
     df = pd.DataFrame(rows, columns=cols)
     if len(df.columns):
         df.sort_values(by=sorted(df.columns), inplace=True, kind="stable")
@@ -187,7 +201,7 @@ def compare(spark, name: str, sf_dir: str) -> None:
     s_rows = [tuple(r) for r in sdf.collect()]
     try:
         driver_canon(s_cols, s_rows)
-    except TypeError as e:
+    except (TypeError, ValueError) as e:
         raise AssertionError(
             f"{name}: output is not driver-canonicalizable (pandas sort_values "
             f"over all columns raised {e!r}) — a container-typed column must be "

@@ -46,8 +46,15 @@ _PAYLOADS = {
 
 @pytest.fixture(scope="module")
 def junkjson_dir(spark, sf_dir):
+    import hashlib
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = os.path.join(here, "_scratch", "json_fixtures")
+    # Key the fixture dir on the payload content: editing _PAYLOADS must
+    # invalidate the cached parquet, or the sweep silently tests old data
+    # (round-12 ADVICE).  Stale sibling dirs are bounded by the _scratch
+    # wipe bench.py performs at every cold run.
+    tag = hashlib.md5(repr(sorted(_PAYLOADS.items())).encode()).hexdigest()[:8]
+    out = os.path.join(here, "_scratch", f"json_fixtures_{tag}")
     for t in TABLES:
         p = os.path.join(out, f"{t}.parquet")
         if os.path.exists(p):

@@ -38,7 +38,6 @@ def longdoc_dir(spark, sf_dir):
     import random
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = os.path.join(here, "_scratch", "longdoc_fixtures")
     rng = random.Random(11)
     vocab = ["alpha", "beta", "gamma", "delta", "epsilon",
              "zeta", "eta", "theta", "iota", "kappa"]
@@ -47,6 +46,13 @@ def longdoc_dir(spark, sf_dir):
         11: " ".join(["alpha beta"] * 25_000),   # heavy repetition
         13: " ".join(["omega"] * 10_000),        # single repeated token
     }
+    # Key the fixture dir on the generated text content: editing texts /
+    # _LONG_N / the seed must invalidate the cached parquet (round-12
+    # ADVICE — the exists() skip silently tested stale data otherwise).
+    import hashlib
+
+    tag = hashlib.md5(repr(sorted(texts.items())).encode()).hexdigest()[:8]
+    out = os.path.join(here, "_scratch", f"longdoc_fixtures_{tag}")
     for t in TABLES:
         p = os.path.join(out, f"{t}.parquet")
         if os.path.exists(p):
@@ -61,10 +67,19 @@ def longdoc_dir(spark, sf_dir):
     return out
 
 
-def _run_budgeted(fn, budget_s: float, label: str) -> None:
+def _run_budgeted(spark, fn, budget_s: float, label: str) -> None:
     err: list = []
+    group = f"longdoc-budget-{label}"
 
     def work():
+        # Job group is thread-local: tag the jobs this thread submits so an
+        # over-budget run can be killed from the main thread — without the
+        # cancel, the abandoned O(n²) job keeps contending with every later
+        # test on the shared session, turning one tripwire failure into
+        # cascade flakiness (round-12 ADVICE).
+        # No clear needed: pinned-thread mode (the PySpark 4 default) keeps
+        # local properties per Python thread, and this thread only runs fn.
+        spark.sparkContext.setJobGroup(group, label, interruptOnCancel=True)
         try:
             fn()
         except Exception:
@@ -73,7 +88,11 @@ def _run_budgeted(fn, budget_s: float, label: str) -> None:
     th = threading.Thread(target=work, daemon=True)
     th.start()
     th.join(budget_s)
-    assert not th.is_alive(), (
+    timed_out = th.is_alive()
+    if timed_out:
+        spark.sparkContext.cancelJobGroup(group)
+        th.join(30)
+    assert not timed_out, (
         f"{label} exceeded the {budget_s:.0f}s long-doc budget — a per-doc "
         f"superlinear surface is back (round-11: index-lambdas over the "
         f"enclosing array re-evaluate it per element in interpreted eval)"
@@ -91,7 +110,7 @@ def test_ngram_keys_linear_on_megatoken_doc(spark, longdoc_dir, name):
     # quiet.  120 s absorbs box load while still failing the O(n²) shape
     # by 5x or more.
     _run_budgeted(
-        lambda: eng.queries()[name](spark, longdoc_dir).collect(), 120, name
+        spark, lambda: eng.queries()[name](spark, longdoc_dir).collect(), 120, name
     )
 
 
