@@ -138,13 +138,31 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_MAX_DRAIN_BATCHES = 16  # availableNow micro-batch cap under "auto" (below)
+
+
 def _stream_events(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None | str = "auto",
 ) -> DataFrame:
     """readStream over the events fixture (schema from the batch loader).
 
     FileStreamSource requires a *directory* — the fixture file is staged
     (hard-link/copy) into a repo-local scratch dir once per sf.
+
+    ``max_files_per_trigger="auto"`` (default) keys the trigger size to the
+    FILE COUNT so an availableNow drain runs at most ``_MAX_DRAIN_BATCHES``
+    micro-batches: ``ceil(n_files / 16)`` files per trigger.  On the
+    single-file fixture that is the old one-batch behavior, and planted
+    multi-part directories up to 16 files keep their one-file-per-batch
+    replay — but a many-small-files layout (the round-12 shape regime:
+    events delivered as 200 tiny parts) no longer runs one STATE-STORE
+    COMMIT per file.  At 100 TB that coupling is the killer: a million-file
+    drop would schedule a million micro-batches, each paying a full
+    state-store commit + offset-log write, and the drain never finishes
+    (locally: the three stateful keys stalled past their 120 s budget at
+    just 200 files).  Batch count must track data volume, not file count.
 
     ``max_files_per_trigger=None`` reads every staged file in ONE
     availableNow micro-batch.  Order-sensitive stateful consumers
@@ -225,6 +243,12 @@ def _stream_events(
             _stage_one(src, dst)
 
     load(spark, sf_dir, "events")  # applies session conf (nanosAsLong, UTC)
+    if max_files_per_trigger == "auto":
+        import glob as _glob
+        import math
+
+        n_files = len(_glob.glob(os.path.join(stage, "events*")))
+        max_files_per_trigger = max(1, math.ceil(n_files / _MAX_DRAIN_BATCHES))
     raw_schema = spark.read.parquet(dst).schema
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
