@@ -44,6 +44,9 @@ def _git(*args: str) -> str:
     ).stdout
 
 
+_GATED_RE = re.compile(r"""register\(\s*["']([a-z0-9_]+)["']""")
+
+
 def _register_name(dec: ast.expr) -> str | None:
     if (
         isinstance(dec, ast.Call)
@@ -57,20 +60,121 @@ def _register_name(dec: ast.expr) -> str | None:
     return None
 
 
-def _key_spans(src: str) -> list[tuple[str, int, int]]:
-    """[(key, first_decorator_line, body_end_line)] for top-level
-    @register-decorated functions, in source order."""
-    out = []
-    for node in ast.parse(src).body:
+def _gated_registrars(src: str, tree: ast.Module) -> dict[str, str]:
+    """{decorator_name: key} for runtime-gated registration wrappers — a
+    bare-Name decorator whose own def calls ``register("key", ...)``
+    (e.g. transformstate._register_if_supported, which only registers
+    stream_transform_state when the protobuf dep imports)."""
+    lines = src.splitlines()
+    out: dict[str, str] = {}
+    for node in tree.body:
         if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             continue
-        for dec in node.decorator_list:
-            name = _register_name(dec)
-            if name:
-                start = min(d.lineno for d in node.decorator_list)
-                out.append((name, start, node.end_lineno or node.lineno))
-                break
+        if any(_register_name(d) for d in node.decorator_list):
+            continue
+        body = "\n".join(lines[node.lineno - 1 : node.end_lineno])
+        m = _GATED_RE.search(body)
+        if m:
+            out[node.name] = m.group(1)
     return out
+
+
+def _node_key(node: ast.AST, gated: dict[str, str]) -> str | None:
+    """The registry key a top-level function registers under, through the
+    plain @register decorator or a gated wrapper decorator."""
+    for dec in node.decorator_list:
+        name = _register_name(dec)
+        if name:
+            return name
+        if isinstance(dec, ast.Name) and dec.id in gated:
+            return gated[dec.id]
+    return None
+
+
+def _key_spans(src: str) -> list[tuple[str, int, int]]:
+    """[(key, first_decorator_line, body_end_line)] for top-level
+    registered functions (plain or gated decorator), in source order."""
+    tree = ast.parse(src)
+    gated = _gated_registrars(src, tree)
+    out = []
+    for node in tree.body:
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        name = _node_key(node, gated)
+        if name:
+            start = min(d.lineno for d in node.decorator_list)
+            out.append((name, start, node.end_lineno or node.lineno))
+    return out
+
+
+def _helper_spans(src: str) -> list[tuple[str, int, int]]:
+    """[(fn_name, start, end)] for top-level defs that are NOT register
+    sites — shared helpers whose changes affect every key that calls them,
+    including keys in OTHER files (round-12: the _stream_events trigger
+    rewrite changed three stateful streaming keys' behavior, two of them
+    in files the diff never touched)."""
+    tree = ast.parse(src)
+    gated = _gated_registrars(src, tree)
+    out = []
+    for node in tree.body:
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        if _node_key(node, gated) or node.name in gated:
+            continue
+        start = min([d.lineno for d in node.decorator_list] + [node.lineno])
+        out.append((node.name, start, node.end_lineno or node.lineno))
+    return out
+
+
+_PKG_SRC_CACHE: dict[str, list[tuple[str, str]]] = {}
+_REF_CACHE: dict[tuple[str, str], list[str]] = {}
+
+
+def _pkg_sources(new: str) -> list[tuple[str, str]]:
+    """[(path, source)] for every package .py at rev ``new`` (one git
+    batch per rev, memoized — _keys_referencing runs per helper hunk)."""
+    cached = _PKG_SRC_CACHE.get(new)
+    if cached is None:
+        cached = []
+        for f in _git("ls-tree", "-r", "--name-only", new).splitlines():
+            if f.startswith("nedp_etl_spark/") and f.endswith(".py"):
+                try:
+                    cached.append((f, _git("show", f"{new}:{f}")))
+                except subprocess.CalledProcessError:
+                    continue
+        _PKG_SRC_CACHE[new] = cached
+    return cached
+
+
+def _keys_referencing(helper: str, new: str) -> list[str]:
+    """Registered keys (package-wide, at rev ``new``) whose function body
+    references ``helper`` by name.  Name-level match — a false positive
+    merely re-verifies an unchanged key, which is cheap and safe."""
+    memo = _REF_CACHE.get((helper, new))
+    if memo is not None:
+        return memo
+    hits: list[str] = []
+    ref = re.compile(rf"(?<![\w.]){re.escape(helper)}\s*\(")
+    for f, src in _pkg_sources(new):
+        if helper not in src:
+            continue
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            continue
+        gated = _gated_registrars(src, tree)
+        lines = src.splitlines()
+        for node in tree.body:
+            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            key = _node_key(node, gated)
+            if key is None:
+                continue
+            body = "\n".join(lines[node.lineno - 1 : node.end_lineno])
+            if ref.search(body):
+                hits.append(key)
+    _REF_CACHE[(helper, new)] = hits
+    return hits
 
 
 def changed_keys(old: str, new: str = "HEAD") -> dict[str, list[str]]:
@@ -98,6 +202,10 @@ def changed_keys(old: str, new: str = "HEAD") -> dict[str, list[str]]:
             spans = _key_spans(src)
         except SyntaxError:
             continue
+        try:
+            helpers = _helper_spans(src)
+        except SyntaxError:
+            helpers = []
         hit: list[str] = []
         for h0, h1 in hunks:
             inside = [k for k, a, b in spans if h0 <= b and h1 >= a]
@@ -107,6 +215,12 @@ def changed_keys(old: str, new: str = "HEAD") -> dict[str, list[str]]:
                 below = [k for k, a, _b in spans if a > h1]
                 if below:
                     hit.append(below[0])
+            # a hunk inside a shared (non-register) top-level helper also
+            # changes every key that CALLS the helper — including keys in
+            # files the diff never touched (cross-file consumers).
+            for hname, a, b in helpers:
+                if h0 <= b and h1 >= a:
+                    hit += _keys_referencing(hname, new)
         uniq = sorted(set(hit))
         if uniq:
             out[f] = uniq
