@@ -190,3 +190,31 @@ def test_every_key_survives_many_small_files(spark, manyfiles_dir, chunk):
         except Exception:
             failures.append(f"{k}: {traceback.format_exc().splitlines()[-1]}")
     assert not failures, "keys crashed on many-small-files:\n" + "\n".join(failures)
+
+
+@pytest.mark.skipif(not _SWEEP, reason="opt-in wide sweep; set SPARK_GRAFT_SHAPE_SWEEP=1")
+@pytest.mark.parametrize("chunk", range(8))
+def test_every_key_survives_wide_rows(spark, widerow_dir, chunk):
+    qs = eng.queries()
+    keys = sorted(qs)
+    failures = []
+    for k in keys[chunk::8]:
+        try:
+            qs[k](spark, widerow_dir).collect()
+        except Exception:
+            failures.append(f"{k}: {traceback.format_exc().splitlines()[-1]}")
+    assert not failures, "keys crashed on wide-rows:\n" + "\n".join(failures)
+
+
+@pytest.mark.skipif(not _SWEEP, reason="opt-in wide sweep; set SPARK_GRAFT_SHAPE_SWEEP=1")
+@pytest.mark.parametrize("chunk", range(8))
+def test_every_key_survives_deep_struct(spark, deepstruct_dir, chunk):
+    qs = eng.queries()
+    keys = sorted(qs)
+    failures = []
+    for k in keys[chunk::8]:
+        try:
+            qs[k](spark, deepstruct_dir).collect()
+        except Exception:
+            failures.append(f"{k}: {traceback.format_exc().splitlines()[-1]}")
+    assert not failures, "keys crashed on deep-struct:\n" + "\n".join(failures)
