@@ -145,12 +145,30 @@ def main() -> None:
     # is accounted explicitly in "derived_builds" (and in the total).
     derived_builds: dict[str, float] = {}
     try:
+        import inspect
+
         from nedp_etl_spark.llm.dedup import candidate_pairs, simhash_pairs
 
+        # Subset runs (SPARK_GRAFT_BENCH_ONLY) skip builds no subset key
+        # consumes — an isolation run of an unrelated key must not pay the
+        # ~10 s shared build wall-clock.  Consumption is a source-level
+        # reference to the derived-table accessor (same static-match rule
+        # as tools/changed_keys._keys_referencing).
+        _only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        _subset_src = ""
+        if _only:
+            for _k in _only.split(","):
+                try:
+                    _subset_src += inspect.getsource(qs[_k.strip()])
+                except Exception:
+                    _subset_src = None  # unknown key/source: build everything
+                    break
         for _nm, _fn in (
             ("candidate_pairs", candidate_pairs),
             ("simhash_pairs", simhash_pairs),
         ):
+            if _only and _subset_src is not None and _nm not in _subset_src:
+                continue
             _t0 = time.perf_counter()
             _fn(spark, sf_dir).count()
             derived_builds[_nm] = round(time.perf_counter() - _t0, 4)
