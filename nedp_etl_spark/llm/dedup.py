@@ -17,6 +17,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -234,6 +236,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 _PAIRS_CACHE: dict = {}
+_PAIRS_LOCK = threading.Lock()
 
 
 def derived_table(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
@@ -269,17 +272,27 @@ def derived_table(spark: SparkSession, sf_dir: str, name: str, builder) -> DataF
     key = (session_uuid, sf_dir, name)
     df = _PAIRS_CACHE.get(key)
     if df is None:
-        # digest of the FULL fixture path in the scratch layout: _scratch
-        # keys on basename(sf_dir) alone, and unlike every other _scratch
-        # user this one SKIPS the rewrite on cache hit — two dirs sharing
-        # a basename must not share a derived table (review finding).
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        path = os.path.join(_scratch(name, sf_dir), tag, name)
-        builder(spark, sf_dir).write.mode("overwrite").parquet(path)
-        df = spark.read.parquet(path)
-        for k in [k for k in _PAIRS_CACHE if k[0] != session_uuid]:
-            del _PAIRS_CACHE[k]
-        _PAIRS_CACHE[key] = df
+        # Build under the module lock: two concurrent consumers on a cold
+        # cache would otherwise BOTH miss and race overwrite-writes to the
+        # SAME scratch path (thin-client apps do issue registry queries
+        # from thread pools; round-12 concurrency tripwire).  Double-check
+        # after acquiring — the loser of the race reuses the winner's
+        # materialization instead of rebuilding.
+        with _PAIRS_LOCK:
+            df = _PAIRS_CACHE.get(key)
+            if df is None:
+                # digest of the FULL fixture path in the scratch layout:
+                # _scratch keys on basename(sf_dir) alone, and unlike every
+                # other _scratch user this one SKIPS the rewrite on cache
+                # hit — two dirs sharing a basename must not share a
+                # derived table (review finding).
+                tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+                path = os.path.join(_scratch(name, sf_dir), tag, name)
+                builder(spark, sf_dir).write.mode("overwrite").parquet(path)
+                df = spark.read.parquet(path)
+                for k in [k for k in _PAIRS_CACHE if k[0] != session_uuid]:
+                    del _PAIRS_CACHE[k]
+                _PAIRS_CACHE[key] = df
     return df
 
 
