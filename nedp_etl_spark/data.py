@@ -179,6 +179,41 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
-    """Register fixture tables as temp views for ``spark.sql`` queries."""
+    """Register fixture tables as temp views for ``spark.sql`` queries.
+
+    Temp views are SESSION-scoped, so this is only safe where the caller
+    owns the session's name space for the duration — the engine's
+    warehouse bootstrap (one ``EngineSession`` per session+sf, mirroring
+    the reference's one-warehouse-per-operator contract) and
+    single-threaded tests.  Registry queries must NOT use it on the shared
+    session: use :func:`run_sql`, which binds tables with no shared name.
+    """
     for n in names or TABLES:
         load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str, tables) -> DataFrame:
+    """Run SQL text that references fixture tables by bare name, binding
+    each name to THIS ``sf_dir``'s DataFrame via parameterized
+    ``spark.sql`` (each ``\\btable\\b`` becomes a ``{table}`` placeholder).
+
+    The temp-view alternative (``views()`` + ``spark.sql``) is a
+    multi-tenant hazard: temp views are session-global, so two threads
+    running queries at DIFFERENT fixture dirs race on one name, and the
+    loser's eager analysis silently binds the winner's data.  Parameter
+    binding introduces no shared name, so concurrent runs at any mix of
+    sf_dirs stay independent by construction — and the SQL text remains
+    byte-shareable with the DuckDB oracle, which reads bare table names.
+
+    Word-boundary substitution is safe for the fixture vocabulary: no
+    table name contains another as a ``\\b``-delimited word, and derived
+    identifiers (``stg_orders``, ``n_orders``) sit behind ``_`` which is a
+    word character.
+    """
+    import re
+
+    bound = {}
+    for n in dict.fromkeys(tables):
+        sql = re.sub(rf"\b{n}\b", f"{{{n}}}", sql)
+        bound[n] = load(spark, sf_dir, n)
+    return spark.sql(sql, **bound)

@@ -361,8 +361,9 @@ GROUP BY l_returnflag
 
 @register("agg_percentile_exact", oracle=_PCT_ORACLE)
 def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parameter-bound relation: a fixed temp-view name would be session-
+    # global and race when two threads run this at different sf_dirs
     li = load(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("__pct_lineitem")
     return spark.sql(
         """
         SELECT
@@ -372,9 +373,10 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
           ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p75,
           ROUND(percentile_cont(0.90) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p90,
           ROUND(percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p50_disc
-        FROM __pct_lineitem
+        FROM {li}
         GROUP BY l_returnflag
-        """
+        """,
+        li=li,
     )
 
 

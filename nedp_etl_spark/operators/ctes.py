@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nedp_etl_spark.data import views
+from nedp_etl_spark.data import run_sql
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import osum
 
@@ -41,8 +41,7 @@ GROUP BY c_mktsegment
 
 @register("cte_chain", oracle=_CTE_CHAIN_SQL)
 def cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views(spark, sf_dir, "orders", "customer")
-    return spark.sql(_CTE_CHAIN_SQL)
+    return run_sql(spark, sf_dir, _CTE_CHAIN_SQL, ["orders", "customer"])
 
 
 # --------------------------------------------------------------------------
@@ -68,5 +67,4 @@ LEFT JOIN (
 
 @register("cte_recursive", oracle=_CTE_RECURSIVE_SQL)
 def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views(spark, sf_dir, "orders")
-    return spark.sql(_CTE_RECURSIVE_SQL)
+    return run_sql(spark, sf_dir, _CTE_RECURSIVE_SQL, ["orders"])

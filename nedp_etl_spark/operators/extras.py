@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nedp_etl_spark.data import views
+from nedp_etl_spark.data import run_sql
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import osum
 
@@ -33,8 +33,7 @@ GROUP BY l_returnflag
 
 @register("agg_filter_clause", oracle=_AGG_FILTER_SQL)
 def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views(spark, sf_dir, "lineitem")
-    return spark.sql(_AGG_FILTER_SQL)
+    return run_sql(spark, sf_dir, _AGG_FILTER_SQL, ["lineitem"])
 
 
 # --------------------------------------------------------------------------
@@ -69,8 +68,7 @@ _WIN_IGNORE_NULLS_DUCK = _WIN_IGNORE_NULLS_TEMPLATE.format(
 
 @register("win_ignore_nulls", oracle=_WIN_IGNORE_NULLS_DUCK)
 def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views(spark, sf_dir, "orders")
-    return spark.sql(_WIN_IGNORE_NULLS_SPARK)
+    return run_sql(spark, sf_dir, _WIN_IGNORE_NULLS_SPARK, ["orders"])
 
 
 # --------------------------------------------------------------------------
@@ -91,5 +89,4 @@ WHERE t.n_orders > 0
 
 @register("join_lateral", oracle=_JOIN_LATERAL_SQL)
 def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views(spark, sf_dir, "customer", "orders")
-    return spark.sql(_JOIN_LATERAL_SQL)
+    return run_sql(spark, sf_dir, _JOIN_LATERAL_SQL, ["customer", "orders"])

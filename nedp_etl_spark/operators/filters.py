@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nedp_etl_spark.data import load, views
+from nedp_etl_spark.data import load, run_sql
 from nedp_etl_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -139,11 +139,12 @@ WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2)
 
 @register("filter_subquery", oracle=_FILTER_SUBQUERY_SQL)
 def filter_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark SQL text on temp views: the scalar subquery becomes a broadcast
-    # of a 1-row aggregate; EXISTS/IN become left-semi joins after Catalyst's
-    # RewritePredicateSubquery — the same SQL is its own oracle.
-    views(spark, sf_dir, "orders", "lineitem", "customer")
-    return spark.sql(_FILTER_SUBQUERY_SQL)
+    # Spark SQL text with parameter-bound tables: the scalar subquery becomes
+    # a broadcast of a 1-row aggregate; EXISTS/IN become left-semi joins after
+    # Catalyst's RewritePredicateSubquery — the same SQL is its own oracle.
+    return run_sql(
+        spark, sf_dir, _FILTER_SUBQUERY_SQL, ["orders", "lineitem", "customer"]
+    )
 
 
 # --------------------------------------------------------------------------
@@ -163,5 +164,4 @@ WHERE o.o_totalprice > 1.5 * (
 
 @register("filter_corr_subquery", oracle=_FILTER_CORR_SQL)
 def filter_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views(spark, sf_dir, "orders")
-    return spark.sql(_FILTER_CORR_SQL)
+    return run_sql(spark, sf_dir, _FILTER_CORR_SQL, ["orders"])

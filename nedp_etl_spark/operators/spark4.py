@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nedp_etl_spark.data import load, views
+from nedp_etl_spark.data import load, run_sql
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import osum
 
@@ -136,8 +136,9 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("sql_pipe_syntax", oracle=_PIPE_ORACLE)
 def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    views(spark, sf_dir, "lineitem")
-    return spark.sql(
+    return run_sql(
+        spark,
+        sf_dir,
         """
         FROM lineitem
         |> WHERE l_quantity > 10
@@ -146,7 +147,8 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(FLOOR(rev * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
                / 1000000.0 AS revenue
            GROUP BY l_returnflag, l_linestatus
-        """
+        """,
+        ["lineitem"],
     )
 
 

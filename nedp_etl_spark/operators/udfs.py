@@ -155,10 +155,14 @@ def udtf_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i, tok
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    # lateral-join the UDTF against each document row
-    d.createOrReplaceTempView("_udtf_docs")
+    # lateral-join the UDTF against each document row; the docs relation is
+    # parameter-bound (no session-global temp-view name — a fixed name would
+    # race when two threads run this at different sf_dirs on one session).
+    # The FUNCTION registration stays session-wide, but its definition is
+    # identical on every call, so re-registration is idempotent.
     spark.udtf.register("tokenize_udtf", Tokenize)
     return spark.sql(
         "SELECT d.doc_id, t.pos, t.token "
-        "FROM _udtf_docs d, LATERAL tokenize_udtf(d.text) t"
+        "FROM {d} d, LATERAL tokenize_udtf(d.text) t",
+        d=d,
     )

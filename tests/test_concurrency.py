@@ -17,6 +17,7 @@ run — value-identical, not just no-crash.
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pytest
@@ -60,3 +61,75 @@ def test_derived_table_consumers_race_clean(spark, sf_dir):
             f"{k}: concurrent result diverges from sequential — the "
             "derived-table build raced"
         )
+
+
+# --------------------------------------------------------------------------
+# Cross-tenant fixture isolation: the same query issued CONCURRENTLY at two
+# DIFFERENT fixture dirs on one shared session must each read its own data.
+#
+# The hazard this pins: session-global temp views.  A query written as
+# ``createOrReplaceTempView("orders")`` + ``spark.sql`` races on the shared
+# name — spark.sql binds views eagerly, so the loser of the registration
+# race silently analyzes against the winner's fixture and returns the
+# OTHER tenant's answer (wrong data, no error).  The registry's SQL-text
+# queries therefore bind tables via parameterized ``spark.sql``
+# (``data.run_sql`` / ``{df}`` args), which introduces no shared name.
+# The keys below are exactly the former temp-view registrants.
+# --------------------------------------------------------------------------
+
+_TENANT_KEYS = [
+    "agg_percentile_exact",  # formerly __pct_lineitem
+    "udtf_native",           # formerly _udtf_docs (+ LATERAL)
+    "filter_subquery",       # formerly orders/lineitem/customer bare views
+    "cte_chain",             # formerly orders/customer bare views
+]
+
+_ROUNDS = 3
+
+
+def _other_sf(sf_dir: str) -> str:
+    alt = "/root/testdata/sf0.01"
+    if os.path.normpath(sf_dir) == os.path.normpath(alt):
+        alt = "/root/testdata/sf0.001"
+    return alt
+
+
+def test_same_key_two_fixture_dirs_race_clean(spark, sf_dir):
+    other = _other_sf(sf_dir)
+    if not os.path.isdir(other):
+        pytest.skip(f"second fixture dir missing: {other}")
+    qs = eng.queries()
+    expected = {
+        (k, d): _rows(qs[k](spark, d))
+        for k in _TENANT_KEYS
+        for d in (sf_dir, other)
+    }
+
+    for _ in range(_ROUNDS):
+        barrier = threading.Barrier(2 * len(_TENANT_KEYS))
+        results: dict[tuple[str, str], list] = {}
+        errors: dict[tuple[str, str], str] = {}
+
+        def run(k: str, d: str) -> None:
+            try:
+                q = qs[k]
+                barrier.wait(60)  # maximize registration/analysis overlap
+                results[(k, d)] = _rows(q(spark, d))
+            except Exception as e:  # noqa: BLE001 — the assert reports it
+                errors[(k, d)] = repr(e)
+
+        threads = [
+            threading.Thread(target=run, args=(k, d))
+            for k in _TENANT_KEYS
+            for d in (sf_dir, other)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(300)
+        assert not errors, f"concurrent tenants crashed: {errors}"
+        for key, rows in results.items():
+            assert rows == expected[key], (
+                f"{key}: concurrent result diverges from sequential — a "
+                "session-global name leaked across fixture dirs"
+            )

@@ -1945,3 +1945,127 @@ def test_parallel_trends_one_pass_regression(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_parallel_trends")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Shared-session state audit (Spark-free, AST over the package source):
+# registered queries run on a session they do NOT own — the driver's, an
+# engine gateway's, a thread pool's — so their bodies may not plant
+# session-global names or mutate session conf.  A fixed temp-view name is
+# the cross-tenant wrong-data race tests/test_concurrency.py pins (two
+# threads at different sf_dirs, loser reads the winner's fixture); use
+# data.run_sql / parameterized spark.sql instead.  Allowlisted sites own
+# their namespace: data.views (engine/tests, documented), ModelGraph
+# (always handed a per-(key, sf) sibling session), the dbt sibling-session
+# keys, and sink_view (the view-materialization demo; its name is
+# sf-scoped).
+# --------------------------------------------------------------------------
+
+_TEMP_VIEW_ALLOWED = {
+    ("data.py", "views"),
+    ("models.py", "run"),
+    ("models.py", "_run_incremental"),
+    ("operators/core_ext.py", "dbt_incremental_dag"),  # sibling session
+    ("operators/scans.py", "sink_view"),  # sf-scoped name, deliberate
+}
+
+_CONF_SET_ALLOWED = {
+    ("data.py", "prepare"),  # the documented per-query re-pin contract
+    ("streaming/windows.py", "_run_to_memory"),  # isolated newSession only
+}
+
+
+def _session_state_sites(method: str):
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(eng.__file__).resolve().parent
+    hits = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        tree = ast.parse(path.read_text(), filename=rel)
+        # enclosing top-level function (or method's class-level def) by span
+        spans = [
+            (n.name, n.lineno, max(getattr(n, "end_lineno", n.lineno), n.lineno))
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == method
+            ):
+                owner = min(
+                    (
+                        (hi - lo, name)
+                        for name, lo, hi in spans
+                        if lo <= node.lineno <= hi
+                    ),
+                    default=(0, "<module>"),
+                )[1]
+                hits.append((rel, owner, node.lineno))
+    return hits
+
+
+def test_no_session_global_temp_views():
+    bad = [
+        h
+        for h in _session_state_sites("createOrReplaceTempView")
+        if (h[0], h[1]) not in _TEMP_VIEW_ALLOWED
+    ]
+    assert not bad, (
+        f"session-global temp view(s) outside the allowlist: {bad} — "
+        "registered queries must bind tables via data.run_sql / "
+        "parameterized spark.sql (cross-tenant race, see SCALE.md round 12)"
+    )
+
+
+def test_no_caller_session_conf_mutation():
+    """``spark.conf.set`` — mutating the CALLER's session — is banned.
+
+    Isolated sessions (``s = _isolated(spark)`` / ``newSession()`` /
+    ``_sibling``) may pin conf freely; the package naming convention is
+    that the handed-in session is always called ``spark``, so the precise
+    AST shape ``Name('spark').conf.set(...)`` is exactly the hazard: a
+    registered query silently re-planning every other tenant's concurrent
+    queries (e.g. shuffle.partitions mid-flight)."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(eng.__file__).resolve().parent
+    bad = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = str(path.relative_to(pkg))
+        tree = ast.parse(path.read_text(), filename=rel)
+        spans = [
+            (n.name, n.lineno, max(getattr(n, "end_lineno", n.lineno), n.lineno))
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "set"
+                and isinstance(node.func.value, ast.Attribute)
+                and node.func.value.attr == "conf"
+                and isinstance(node.func.value.value, ast.Name)
+                and node.func.value.value.id == "spark"
+            ):
+                continue
+            owner = min(
+                (
+                    (hi - lo, name)
+                    for name, lo, hi in spans
+                    if lo <= node.lineno <= hi
+                ),
+                default=(0, "<module>"),
+            )[1]
+            if (rel, owner) not in _CONF_SET_ALLOWED:
+                bad.append((rel, owner, node.lineno))
+    assert not bad, (
+        f"caller-session conf mutation(s) outside the allowlist: {bad} — "
+        "registered queries run on a session they don't own; pin conf on "
+        "an isolated newSession() (streaming) or via data.prepare"
+    )
