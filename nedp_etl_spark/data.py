@@ -77,8 +77,15 @@ def prepare(spark: SparkSession) -> SparkSession:
 
 # DataFrame plans are immutable and reusable — cache per (session, sf,
 # table) so a 100-query suite doesn't re-list files and re-read footers on
-# every load.  Keyed on the session id so a new driver session re-reads.
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# every load.  Keyed on sessionUUID — unique per live session and never
+# reused — NOT id(jobj): CPython recycles addresses after GC, and the
+# isolated streaming sessions churn py4j proxies, so an id key could
+# alias a fresh session onto a dead session's cached DataFrames (the
+# same hazard ``derived_table`` documents and avoids).  Cleared wholesale
+# at the size cap: entries are tiny, but unbounded many-short-session
+# runs shouldn't pin dead JVM plans forever.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_DF_CACHE_CAP = 4096
 
 
 def finite_or_null(c):
@@ -132,7 +139,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
     prepare(spark)
-    key = (id(spark._jsparkSession), sf_dir, name)
+    key = (spark._jsparkSession.sessionUUID(), sf_dir, name)
     df = _DF_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -174,6 +181,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "embedding", F.when(~corrupt, F.col("embedding"))
             )
+        if len(_DF_CACHE) >= _DF_CACHE_CAP:
+            _DF_CACHE.clear()
         _DF_CACHE[key] = df
     return df
 
