@@ -88,20 +88,36 @@ _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _DF_CACHE_CAP = 4096
 
 
-def finite_or_null(c):
-    """Non-finite doubles carry no usable magnitude — NULL at ingestion.
+# The engine's fixed-point numeric domain: values quantize via
+# ``floor(x*1e6+0.5)``, so any |x| >= 2^63/1e6 ≈ 9.223e12 cannot be
+# represented.  9.2e12 is the documented bound (same literal on the
+# DuckDB oracle side — tests/oracle.py mirrors it in the table views).
+VALUE_ABS_MAX = 9.2e12
 
-    NaN/±Inf appear in real computed-float columns (upstream
-    divide-by-zero, overflowed transforms, degenerate encoders) and
-    parquet stores them happily, but under ANSI mode the engine's
-    fixed-point quantize (``floor(x*1e6+0.5).cast('long')``) raises on
-    them — the round-10 non-finite sweep crashed 65 keys that way.
-    Normalizing ONCE at the ingestion seam maps the whole class onto the
+
+def finite_or_null(c):
+    """Values with no usable magnitude — NULL at ingestion.
+
+    Two junk classes meet the same policy here:
+
+    - NaN/±Inf (upstream divide-by-zero, overflowed transforms, degenerate
+      encoders): parquet stores them happily, but under ANSI mode the
+      engine's fixed-point quantize (``floor(x*1e6+0.5).cast('long')``)
+      raises on them — the round-10 non-finite sweep crashed 65 keys.
+    - finite but beyond :data:`VALUE_ABS_MAX` (sensor glitches, unit-mixup
+      corruptions like epoch-nanos landing in a measurement column): here
+      the failure is WORSE than a crash — Spark's ``floor(double)``
+      saturates to ``Long.MaxValue`` silently, so one poison event would
+      silently corrupt every downstream aggregate, while the DuckDB
+      oracle's ``CAST`` throws (round-12 magnitude probe).
+
+    Normalizing ONCE at the ingestion seam maps both classes onto the
     already-hardened NULL path (SQL aggregates skip NULL; the NULL-riddled
     sweep holds registry-wide) instead of guarding 378 quantize sites.
-    NULL stays NULL (``isnan(NULL)`` is NULL → WHEN falls through to NULL).
+    NULL stays NULL (``isnan(NULL)`` is NULL → WHEN falls through to
+    NULL); ±Inf fails the magnitude test, so one predicate covers all.
     """
-    return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c)
+    return F.when(~F.isnan(c) & (F.abs(c) < VALUE_ABS_MAX), c)
 
 
 # Event-time plausibility window.  Two independent hazards meet at the same
@@ -174,7 +190,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             corrupt = F.coalesce(
                 F.exists(
                     "embedding",
-                    lambda x: F.isnan(x) | (F.abs(x) == float("inf")),
+                    lambda x: F.isnan(x) | (F.abs(x) >= VALUE_ABS_MAX),
                 ),
                 F.lit(True),
             )

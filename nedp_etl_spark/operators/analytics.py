@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
-from nedp_etl_spark.util import dsum, global_running_sum, histogram_rank_walk, osum
+from nedp_etl_spark.util import dsum, dsum_prod, global_running_sum, histogram_rank_walk, osum, osum_prod
 
 # --------------------------------------------------------------------------
 # ts_retention_cohort — weekly cohort retention matrix: users are assigned to

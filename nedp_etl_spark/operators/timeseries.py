@@ -23,7 +23,16 @@ from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
-from nedp_etl_spark.util import dsum, osum, ts_str
+from nedp_etl_spark.util import (
+    dsum,
+    dsum_prod,
+    ohuge_dbl,
+    oqprod,
+    osum,
+    osum_prod,
+    qprod,
+    ts_str,
+)
 
 # --------------------------------------------------------------------------
 # agg_rollup — ROLLUP over two keys (hierarchical subtotals; 3 grouping sets
@@ -1212,7 +1221,7 @@ x AS (
   FROM daily JOIN stats ON daily.event_type = stats.event_type
 ),
 den AS (
-  SELECT event_type, {osum('x * x')} AS ss FROM x GROUP BY event_type
+  SELECT event_type, {osum_prod('x', 'x')} AS ss FROM x GROUP BY event_type
 ),
 pairs AS (
   SELECT a.event_type, k.k, a.x AS xa, b.x AS xb
@@ -1222,7 +1231,7 @@ pairs AS (
 )
 SELECT p.event_type, CAST(p.k AS INT) AS k,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND({osum('p.xa * p.xb')} / NULLIF(den.ss, 0.0), 6) AS acf
+       ROUND({osum_prod('p.xa', 'p.xb')} / NULLIF(den.ss, 0.0), 6) AS acf
 FROM pairs p JOIN den ON p.event_type = den.event_type
 GROUP BY p.event_type, p.k, den.ss
 """
@@ -1242,7 +1251,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = daily.join(F.broadcast(stats), "event_type").select(
         "event_type", "d", (F.col("v") - F.col("m")).alias("x")
     )
-    den = x.groupBy("event_type").agg(dsum(F.col("x") * F.col("x")).alias("ss"))
+    den = x.groupBy("event_type").agg(dsum_prod("x", "x").alias("ss"))
     lagged = x.select(
         "event_type",
         F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
@@ -1257,7 +1266,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("event_type", F.col("k").cast("int").alias("k"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            dsum(F.col("xa") * F.col("xb")).alias("num"),
+            dsum_prod("xa", "xb").alias("num"),
         )
         .join(F.broadcast(den), "event_type")
         .select(
@@ -1383,9 +1392,11 @@ def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Exactness: gap durations are exact integer MILLISECONDS (epoch-µs
 # integer-division — both engines agree bit-for-bit), values quantize to
-# 6-dp micros, and the integral Σ vq·Δt accumulates as int64 — safe
-# because Σ Δt telescopes to ≤ one day (8.64e7 ms), bounding the sum by
-# |v|ₘₐₓ·1e6·8.64e7 (< 2^63 for |v| up to ~10⁵).  Order ties break on
+# 6-dp micros, and the integral Σ vq·Δt accumulates as exact integers in
+# decimal(38,0)/HUGEINT — vq·Δt reaches |v|ₘₐₓ·1e6·8.64e7 ≈ 8e26 at the
+# full value domain, past int64 (round-12 magnitude sweep); Σ Δt still
+# telescopes to ≤ one day so the SUM stays far under 1e38.  Order ties
+# break on
 # event_id so LEAD is total on both engines.
 # Scale shape: one event_type-keyed window (LEAD) + one keyed aggregate;
 # per-partition state is one series.
@@ -1411,7 +1422,8 @@ g AS (
 ),
 a AS (
   SELECT event_type, d,
-         SUM(CASE WHEN nxt IS NOT NULL THEN vq * (nxt - tms) END) AS ws,
+         SUM(CASE WHEN nxt IS NOT NULL
+                  THEN CAST(vq AS HUGEINT) * (nxt - tms) END) AS ws,
          MAX(tms) - MIN(tms) AS span_ms,
          COUNT(*) AS n,
          MIN(v1) AS v1
@@ -1421,7 +1433,7 @@ SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
        CAST(n AS BIGINT) AS n_samples,
        CAST(span_ms AS BIGINT) AS span_ms,
        CASE WHEN span_ms > 0
-            THEN ROUND((CAST(ws AS DOUBLE) / CAST(span_ms AS DOUBLE)) / 1000000.0, 6)
+            THEN ROUND((CAST(CAST(ws AS VARCHAR) AS DOUBLE) / CAST(span_ms AS DOUBLE)) / 1000000.0, 6)
             ELSE ROUND(v1 / 1000000.0, 6) END AS twa
 FROM a
 """
@@ -1448,7 +1460,10 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = g.groupBy("event_type", "d").agg(
         F.sum(
-            F.when(F.col("nxt").isNotNull(), F.col("vq") * (F.col("nxt") - F.col("tms")))
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.col("vq").cast("decimal(38,0)") * (F.col("nxt") - F.col("tms")),
+            )
         ).alias("ws"),
         (F.max("tms") - F.min("tms")).alias("span_ms"),
         F.count(F.lit(1)).alias("n"),
@@ -2132,10 +2147,11 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arguments per period (t mod p), each value quantized to a 6-dp INTEGER
 # (micro-units) immediately after the transcendental; the daily mean
 # (already an exact 6-dp value) is likewise lifted to integer micro-units,
-# so every per-day contribution v_int * trig_int is an exact int64
-# product and the per-(event_type, period) sums are order-independent.
-# |contribution| <= 1e6*|v|*1e6 — int64-safe for daily means below ~9e6
-# over thousands of days.  re/im come back as int/1e12 (identical IEEE
+# so every per-day contribution v_int * trig_int is an exact integer
+# product in decimal(38,0)/HUGEINT and the per-(event_type, period) sums
+# are order-independent.  |contribution| <= 1e6*|v|*1e6 ≈ 9e24 at the
+# full value domain — past int64 (round-12 magnitude sweep), far under
+# 1e38.  re/im come back as int/1e12 (identical IEEE
 # division), power = re^2 + im^2 then the q6 FLOOR quantize.
 #
 # Scale shape: one groupBy (event_type, day) over the events scan, a
@@ -2164,15 +2180,19 @@ x AS (
 agg AS (
   SELECT event_type, CAST(p AS INT) AS period,
          CAST(COUNT(*) AS BIGINT) AS n_days,
-         CAST(SUM(vq * cq) AS DOUBLE) / 1000000000000.0 AS re,
-         CAST(SUM(vq * sq) AS DOUBLE) / 1000000000000.0 AS im
+         CAST(CAST(SUM(CAST(vq AS HUGEINT) * cq) AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS re,
+         CAST(CAST(SUM(CAST(vq AS HUGEINT) * sq) AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS im
   FROM x GROUP BY event_type, p
 )
-SELECT event_type, period, n_days,
-       FLOOR(re * 1000000.0 + 0.5) / 1000000.0 AS re,
-       FLOOR(im * 1000000.0 + 0.5) / 1000000.0 AS im,
+, outq AS (
+  SELECT event_type, period, n_days,
+         FLOOR(re * 1000000.0 + 0.5) / 1000000.0 AS re,
+         FLOOR(im * 1000000.0 + 0.5) / 1000000.0 AS im
+  FROM agg
+)
+SELECT event_type, period, n_days, re, im,
        FLOOR((re * re + im * im) * 1000000.0 + 0.5) / 1000000.0 AS power
-FROM agg
+FROM outq
 """
 
 
@@ -2203,18 +2223,28 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = x.groupBy("event_type", F.col("p").cast("int").alias("period")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        (F.sum(F.col("vq") * F.col("cq")).cast("double") / 1_000_000_000_000.0).alias("re"),
-        (F.sum(F.col("vq") * F.col("sq")).cast("double") / 1_000_000_000_000.0).alias("im"),
+        (
+            F.sum(F.col("vq").cast("decimal(38,0)") * F.col("cq")).cast("double")
+            / 1_000_000_000_000.0
+        ).alias("re"),
+        (
+            F.sum(F.col("vq").cast("decimal(38,0)") * F.col("sq")).cast("double")
+            / 1_000_000_000_000.0
+        ).alias("im"),
     )
-    re, im = F.col("re"), F.col("im")
-    return agg.select(
+    out = agg.select(
         "event_type",
         "period",
         "n_days",
-        q6(re).alias("re"),
-        q6(im).alias("im"),
-        q6(re * re + im * im).alias("power"),
+        q6(F.col("re")).alias("re"),
+        q6(F.col("im")).alias("im"),
     )
+    # power from the QUANTIZED re/im: the raw decimal→double (Spark) vs
+    # HUGEINT→double (DuckDB) conversions can differ by 1 ulp at ~1e24
+    # sums, and the square amplifies it past the 6-dp round; the quantized
+    # values are exact on both engines
+    re, im = F.col("re"), F.col("im")
+    return out.withColumn("power", q6(re * re + im * im))
 
 
 # --------------------------------------------------------------------------
@@ -2341,8 +2371,9 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window sums — order-free; mean/variance reconstruct in identical
 # doubles, sqrt is correctly rounded, and every output passes q6.
 # Scale: corpus collapses to (series, day) first; windows partition by
-# series over daily rows.  Σx² of 6-dp micro-units bounds value ≤ ~3e4
-# per tick for int64 safety at frame length 7 (documented guard).
+# series over daily rows.  Σx² runs as decimal(38,0)/HUGEINT integer
+# products of the int64 micro-units — exact for the full value domain
+# (round-12 magnitude sweep: int64 products overflow per value at ~3e6).
 # --------------------------------------------------------------------------
 
 _BOLL_N = 7
@@ -2357,7 +2388,7 @@ q AS (
 w AS (
   SELECT event_type, d, v,
          CAST(SUM(vq) OVER win AS BIGINT) AS sq,
-         CAST(SUM(vq * vq) OVER win AS BIGINT) AS ssq,
+         SUM(CAST(vq AS HUGEINT) * vq) OVER win AS ssq,
          CAST(COUNT(*) OVER win AS BIGINT) AS n
   FROM q
   WINDOW win AS (PARTITION BY event_type ORDER BY d
@@ -2367,7 +2398,7 @@ m AS (
   SELECT event_type, d, v, n,
          CAST(sq AS DOUBLE) / n / 1000000.0 AS mean,
          CASE WHEN n >= 2
-              THEN GREATEST((CAST(ssq AS DOUBLE) / 1000000000000.0
+              THEN GREATEST((CAST(CAST(ssq AS VARCHAR) AS DOUBLE) / 1000000000000.0
                              - n * (CAST(sq AS DOUBLE) / n / 1000000.0)
                                * (CAST(sq AS DOUBLE) / n / 1000000.0))
                             / (n - 1.0), 0.0)
@@ -2401,7 +2432,9 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "v",
         F.sum("vq").over(win).cast("bigint").alias("sq"),
-        F.sum(F.col("vq") * F.col("vq")).over(win).cast("bigint").alias("ssq"),
+        F.sum(
+            F.col("vq").cast("decimal(38,0)") * F.col("vq").cast("decimal(38,0)")
+        ).over(win).alias("ssq"),
         F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
     )
     mean = F.col("sq").cast("double") / F.col("n") / 1_000_000.0
@@ -2978,27 +3011,37 @@ fit AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(q.x) AS BIGINT) AS sx,
          CAST(SUM(q.yq) AS BIGINT) AS sy,
-         CAST(SUM(q.x * q.yq) AS BIGINT) AS sxy,
+         SUM(CAST(q.x AS HUGEINT) * q.yq) AS sxy,
          CAST(SUM(q.x * q.x) AS BIGINT) AS sxx
   FROM q JOIN spine s ON q.d <= s.cutoff
   GROUP BY q.event_type, s.cutoff
   HAVING COUNT(*) >= 2
 ),
-co AS (
+co0 AS (
   SELECT event_type, cutoff, n,
-         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         -- slope/intercept quantize to 6 dp before prediction: the raw
+         -- double forms agree only to ~1 ulp across engines, and the
+         -- pred quantize amplifies that into MAE diffs (round-12 sweep)
+         FLOOR((CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 1000000.0
-           AS slope,
-         (CAST(sy AS DOUBLE) / 1000000.0
-          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 1000000.0)
-            * sx) / n AS intercept
+           * 1000000.0 + 0.5) / 1000000.0 AS slope,
+         sx, sy
   FROM fit
   WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <> 0
 ),
+co AS (
+  -- centered form: pred = (sy/1e6 + slope*(n*x - sx))/n.  The intercept
+  -- form cancels two ~1e11 terms to a ~1e8 prediction, amplifying 1-ulp
+  -- cross-engine drift past the 6-dp grid (round-12 sweep); here every
+  -- operand is small or exact and the op sequence is identical IEEE
+  SELECT event_type, cutoff, n, slope, sx, sy FROM co0
+),
 scored AS (
   SELECT co.event_type, co.cutoff,
-         CAST(ABS(CAST(FLOOR((co.intercept + co.slope * q.x) * 1000000.0 + 0.5)
+         CAST(ABS(CAST(FLOOR((CAST(co.sy AS DOUBLE) / 1000000.0
+                              + co.slope * (co.n * q.x - co.sx)) / co.n
+                             * 1000000.0 + 0.5)
                        AS BIGINT) - q.yq) AS BIGINT) AS aeq
   FROM co
   JOIN q ON q.event_type = co.event_type
@@ -3033,24 +3076,29 @@ def ts_backtest_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("x").cast("bigint").alias("sx"),
             F.sum("yq").cast("bigint").alias("sy"),
-            F.sum(F.col("x") * F.col("yq")).cast("bigint").alias("sxy"),
+            # x·yq reaches ~2e4·9.2e18 ≈ 1.9e23 at the full value
+            # domain — integer decimal/HUGEINT product, never long
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("yq")).alias("sxy"),
             F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         )
         .filter(F.col("n") >= 2)
     )
     nd = F.col("n").cast("double")
     det = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    # explicit double casts on BOTH engines: DuckDB otherwise keeps the
+    # integral-double × HUGEINT product in integer domain (exact) while
+    # Spark rounds each double op — 1.5e-5 slope drift (round-12 sweep)
     slope = (
-        (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+        (nd * F.col("sxy").cast("double")
+         - F.col("sx").cast("double") * F.col("sy").cast("double"))
         / det
         / 1_000_000.0
     )
-    intercept = (
-        F.col("sy").cast("double") / 1_000_000.0 - slope * F.col("sx")
-    ) / F.col("n")
+    from nedp_etl_spark.util import q6
+
+    # quantized slope + centered prediction (see the oracle comment)
     co = fit.filter(det != 0).select(
-        "event_type", "cutoff", "n", slope.alias("slope"),
-        intercept.alias("intercept"),
+        "event_type", "cutoff", "n", "sx", "sy", q6(slope).alias("slope")
     )
     scored = co.join(
         q.select(F.col("event_type").alias("et"), "d", "x", "yq"),
@@ -3062,7 +3110,12 @@ def ts_backtest_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cutoff",
         F.abs(
             F.floor(
-                (F.col("intercept") + F.col("slope") * F.col("x")) * 1_000_000.0
+                (
+                    F.col("sy").cast("double") / 1_000_000.0
+                    + F.col("slope") * (F.col("n") * F.col("x") - F.col("sx"))
+                )
+                / F.col("n")
+                * 1_000_000.0
                 + F.lit(0.5)
             ).cast("bigint")
             - F.col("yq")
@@ -3459,7 +3512,7 @@ x AS (
   FROM daily JOIN stats ON daily.event_type = stats.event_type
 ),
 den AS (
-  SELECT event_type, {osum('x * x')} AS ss FROM x GROUP BY event_type
+  SELECT event_type, {osum_prod('x', 'x')} AS ss FROM x GROUP BY event_type
 ),
 pairs AS (
   SELECT a.event_type, k.k, a.x AS xa, b.x AS xb
@@ -3468,7 +3521,7 @@ pairs AS (
   JOIN x b ON b.event_type = a.event_type AND b.d = a.d + CAST(k.k AS INT)
 ),
 rho AS (
-  SELECT p.event_type, p.k, ROUND({osum('p.xa * p.xb')} / den.ss, 6) AS rho
+  SELECT p.event_type, p.k, ROUND({osum_prod('p.xa', 'p.xb')} / den.ss, 6) AS rho
   FROM pairs p JOIN den ON p.event_type = den.event_type
   WHERE den.ss > 0
   GROUP BY p.event_type, p.k, den.ss
@@ -3505,7 +3558,7 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = daily.join(F.broadcast(stats), "event_type").select(
         "event_type", "d", (F.col("v") - F.col("m")).alias("x")
     )
-    den = x.groupBy("event_type").agg(dsum(F.col("x") * F.col("x")).alias("ss"))
+    den = x.groupBy("event_type").agg(dsum_prod("x", "x").alias("ss"))
     lagged = x.select(
         "event_type",
         F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
@@ -3518,7 +3571,7 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rho = (
         pairs.groupBy("event_type", "k")
-        .agg(dsum(F.col("xa") * F.col("xb")).alias("num"))
+        .agg(dsum_prod("xa", "xb").alias("num"))
         .join(F.broadcast(den.filter(F.col("ss") > 0)), "event_type")
         .select(
             "event_type", "k", F.round(F.col("num") / F.col("ss"), 6).alias("rho")
@@ -3627,13 +3680,13 @@ dev AS (
 rs AS (
   SELECT event_type, n, blk,
          MAX(z) - MIN(z) AS r,
-         CAST(SUM(CAST(FLOOR(dv * dv * 1000000000000.0 + 0.5) AS BIGINT))
-              AS BIGINT) AS ssq
+         SUM({oqprod('dv', 'dv')}) AS ssq
   FROM dev GROUP BY event_type, n, blk
 ),
 rsq AS (
   SELECT event_type, n,
-         CAST(FLOOR(r / sqrt(CAST(ssq AS DOUBLE) / 1000000000000.0 / n)
+         CAST(FLOOR(r / sqrt(CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
+                             / 1000000000000.0 / n)
                     * 1000000.0 + 0.5) AS BIGINT) AS rs_q
   FROM rs WHERE ssq > 0
 ),
@@ -3701,12 +3754,9 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("z", F.sum("dv").over(wz))
     rs = dev.groupBy("event_type", "n", "blk").agg(
         (F.max("z") - F.min("z")).alias("r"),
-        F.sum(
-            F.floor(F.col("dv") * F.col("dv") * 1_000_000_000_000.0 + F.lit(0.5))
-            .cast("bigint")
-        )
-        .cast("bigint")
-        .alias("ssq"),
+        # factor-quantized integer product: dv²·1e12 overflows the
+        # int64 quantize per VALUE for in-domain dv (round-12 sweep)
+        F.sum(qprod(F.col("dv"), F.col("dv"))).alias("ssq"),
     )
     rsq = rs.filter(F.col("ssq") > 0).select(
         "event_type",
@@ -3800,7 +3850,8 @@ mom AS (
   SELECT event_type, n,
          ROUND(CAST(sq AS DOUBLE) / 1000000.0 / n, 6) AS m,
          CASE WHEN n * ssq - CAST(sq AS HUGEINT) * sq > 0 THEN
-           FLOOR(sqrt(CAST(n * ssq - CAST(sq AS HUGEINT) * sq AS DOUBLE))
+           FLOOR(sqrt(CAST(CAST(n * ssq - CAST(sq AS HUGEINT) * sq
+                             AS VARCHAR) AS DOUBLE))
                  / n / 1000000.0 * 1000000.0 + 0.5) / 1000000.0
          END AS s
   FROM st
@@ -3856,7 +3907,7 @@ def ts_sax_symbolize(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(vq).cast("bigint").alias("sq"),
-        F.sum((vq * vq).cast("decimal(38,0)")).alias("ssq"),
+        F.sum(vq.cast("decimal(38,0)") * vq.cast("decimal(38,0)")).alias("ssq"),
     )
     n, sq = F.col("n"), F.col("sq")
     var_num = n.cast("decimal(38,0)") * F.col("ssq") - sq.cast(
@@ -4335,12 +4386,12 @@ mu AS (
 ),
 vv AS (
   SELECT l.event_type, mu.m, mu.mu,
-         CAST(SUM(CASE WHEN l.r1 IS NOT NULL THEN
-           CAST(FLOOR((l.r1 - mu.mu) * (l.r1 - mu.mu) * 1000000000000.0 + 0.5)
-                AS BIGINT) END) AS DOUBLE) / 1000000000000.0 AS ss1,
-         CAST(SUM(CASE WHEN l.rq IS NOT NULL THEN
-           CAST(FLOOR((l.rq - {_VR_Q} * mu.mu) * (l.rq - {_VR_Q} * mu.mu)
-                      * 1000000000000.0 + 0.5) AS BIGINT) END) AS DOUBLE)
+         CAST(CAST(SUM(CASE WHEN l.r1 IS NOT NULL THEN
+           {oqprod('l.r1 - mu.mu', 'l.r1 - mu.mu')} END) AS VARCHAR) AS DOUBLE)
+           / 1000000000000.0 AS ss1,
+         CAST(CAST(SUM(CASE WHEN l.rq IS NOT NULL THEN
+           {oqprod(f'l.rq - {_VR_Q} * mu.mu', f'l.rq - {_VR_Q} * mu.mu')} END)
+           AS VARCHAR) AS DOUBLE)
            / 1000000000000.0 AS ssq,
          CAST(COUNT(l.rq) AS BIGINT) AS mq
   FROM lagd l JOIN mu ON mu.event_type = l.event_type
@@ -4412,25 +4463,13 @@ def ts_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "m", "mu")
         .agg(
             (
-                F.sum(
-                    F.when(
-                        F.col("r1").isNotNull(),
-                        F.floor(d1 * d1 * 1_000_000_000_000.0 + F.lit(0.5)).cast(
-                            "bigint"
-                        ),
-                    )
-                ).cast("double")
+                F.sum(F.when(F.col("r1").isNotNull(), qprod(d1, d1)))
+                .cast("double")
                 / 1_000_000_000_000.0
             ).alias("ss1"),
             (
-                F.sum(
-                    F.when(
-                        F.col("rq").isNotNull(),
-                        F.floor(dq * dq * 1_000_000_000_000.0 + F.lit(0.5)).cast(
-                            "bigint"
-                        ),
-                    )
-                ).cast("double")
+                F.sum(F.when(F.col("rq").isNotNull(), qprod(dq, dq)))
+                .cast("double")
                 / 1_000_000_000_000.0
             ).alias("ssq"),
             F.count("rq").cast("bigint").alias("mq"),
@@ -5032,16 +5071,16 @@ vs AS (
 )
 SELECT event_type, n AS n_days_used,
        CASE WHEN n * saa - sa * sa > 0 THEN
-         FLOOR(GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
-                                   / CAST(n * saa - sa * sa AS DOUBLE))
+         FLOOR(GREATEST(0.0, 1.0 - CAST(CAST(n * srr - sr * sr AS VARCHAR) AS DOUBLE)
+                                   / CAST(CAST(n * saa - sa * sa AS VARCHAR) AS DOUBLE))
                * 1000000.0 + 0.5) / 1000000.0 END AS f_trend,
        CASE WHEN n * sdd - sd * sd > 0 THEN
-         FLOOR(GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
-                                   / CAST(n * sdd - sd * sd AS DOUBLE))
+         FLOOR(GREATEST(0.0, 1.0 - CAST(CAST(n * srr - sr * sr AS VARCHAR) AS DOUBLE)
+                                   / CAST(CAST(n * sdd - sd * sd AS VARCHAR) AS DOUBLE))
                * 1000000.0 + 0.5) / 1000000.0 END AS f_seasonal,
        CASE WHEN n * sdd - sd * sd > 0 THEN
-         FLOOR(GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
-                                   / CAST(n * sdd - sd * sd AS DOUBLE))
+         FLOOR(GREATEST(0.0, 1.0 - CAST(CAST(n * srr - sr * sr AS VARCHAR) AS DOUBLE)
+                                   / CAST(CAST(n * sdd - sd * sd AS VARCHAR) AS DOUBLE))
                * 1000000.0 + 0.5) / 1000000.0 > 0.64 END AS strongly_seasonal
 FROM vs
 """
@@ -5064,11 +5103,11 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs = rows.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("rq").cast("decimal(38,0)").alias("sr"),
-        F.sum((F.col("rq") * F.col("rq")).cast("decimal(38,0)")).alias("srr"),
+        F.sum(F.col("rq").cast("decimal(38,0)") * F.col("rq").cast("decimal(38,0)")).alias("srr"),
         F.sum("aq").cast("decimal(38,0)").alias("sa"),
-        F.sum((F.col("aq") * F.col("aq")).cast("decimal(38,0)")).alias("saa"),
+        F.sum(F.col("aq").cast("decimal(38,0)") * F.col("aq").cast("decimal(38,0)")).alias("saa"),
         F.sum("dq").cast("decimal(38,0)").alias("sd"),
-        F.sum((F.col("dq") * F.col("dq")).cast("decimal(38,0)")).alias("sdd"),
+        F.sum(F.col("dq").cast("decimal(38,0)") * F.col("dq").cast("decimal(38,0)")).alias("sdd"),
     )
     n = F.col("n").cast("decimal(38,0)")
     vr = n * F.col("srr") - F.col("sr") * F.col("sr")

@@ -528,7 +528,7 @@ s AS (
          COUNT(*) OVER w AS n,
          CAST(SUM(x) OVER w AS BIGINT) AS sx,
          CAST(SUM(vq) OVER w AS BIGINT) AS sy,
-         CAST(SUM(x * vq) OVER w AS BIGINT) AS sxy,
+         SUM(CAST(x AS HUGEINT) * vq) OVER w AS sxy,
          CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
   FROM q
   WINDOW w AS (PARTITION BY event_type ORDER BY d
@@ -536,7 +536,8 @@ s AS (
 )
 SELECT event_type, d, v, CAST(n AS INT) AS n_window,
        CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-            ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) / 1000000.0
+            ELSE FLOOR(CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy
+                            AS VARCHAR) AS DOUBLE) / 1000000.0
                        / CAST(n * sxx - sx * sx AS DOUBLE)
                        * 1000000.0 + 0.5) / 1000000.0
        END AS slope
@@ -568,11 +569,13 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("x").over(w).alias("sx"),
         F.sum("vq").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("vq")).over(w).alias("sxy"),
+        # x·vq ≈ 2e4·9.2e18 at the full value domain — integer
+        # decimal/HUGEINT product, never long (round-12 magnitude sweep)
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("vq")).over(w).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")
     # FLOOR(x·1e6 + 0.5)/1e6, not ROUND(x, 6): Spark's round goes through
     # BigDecimal's shortest-decimal repr (HALF_UP on "-0.5073285") while
     # DuckDB rounds the binary double (…2849999… → down) — they disagree

@@ -25,10 +25,21 @@ def q6(col):
     repr while DuckDB rounds the binary double — they disagree on half-ulp
     boundaries (bit win_rolling_regression at sf0.01).  This explicit op
     sequence is identical IEEE arithmetic on both engines; :func:`oq6` is
-    the SQL twin."""
+    the SQL twin.
+
+    Magnitude guard (round-12 magnitude sweep): Spark's ``floor(double)``
+    returns a LONG and silently SATURATES at ±2^63 — a squared output
+    (variance, spectral power) of in-domain values pins to
+    9223372036854.775 while DuckDB's double FLOOR keeps the true value.
+    Doubles at |y| ≥ 2^52 are already integral, so floor is the identity
+    there — branch to the same ``y/1e6`` DuckDB computes, staying
+    bit-identical on BOTH sides of the threshold."""
     from pyspark.sql import functions as F
 
-    return F.floor(col * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
+    y = col * 1_000_000.0 + F.lit(0.5)
+    return F.when(F.abs(y) < F.lit(float(1 << 52)), F.floor(y) / 1_000_000.0).otherwise(
+        y / 1_000_000.0
+    )
 
 
 def oq6(expr: str) -> str:
@@ -69,6 +80,65 @@ def dsum_dec(col: Column | str) -> Column:
     """Exact-decimal order-independent SUM — unbounded-magnitude slow path."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(_DEC)).cast("double")
+
+
+# Second-moment algebra: ``dsum(x*x)`` overflows PER VALUE once
+# |x²·1e6| ≥ 2^63, i.e. |x| ≥ ~3e6 — far inside the declared value domain
+# (data.VALUE_ABS_MAX = 9.2e12; the round-12 magnitude sweep crashed 20
+# keys with one in-domain 1e9 event).  Exact cross-engine products need
+# INTEGER algebra end-to-end: quantize to int64 micros FIRST (floor in
+# IEEE doubles + double→long, identical on both engines for the whole
+# domain), then multiply as exact integers — Spark long→decimal(38,0)
+# (exact, unlike double→decimal whose shortest-repr vs binary-expansion
+# disagreement poisons big values), DuckDB HUGEINT.  q² ≤ 8.5e37 fits
+# both.  Bound: the SUM of products must stay under ~1e38 — at the domain
+# edge that is single-digit rows per group, at |x| ≤ 1e9 it is ~1e14
+# rows; size the scale per column beyond that.
+_DECQ = "decimal(38,0)"
+
+
+def q6l(col: Column | str) -> Column:
+    """``floor(x·1e6 + 0.5)`` as an exact int64 — the quantize underneath
+    :func:`dsum`, exposed for product/square algebra."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 1_000_000.0 + F.lit(0.5)).cast("long")
+
+
+def oq6l(expr: str) -> str:
+    """DuckDB oracle twin of :func:`q6l`."""
+    return f"CAST(FLOOR(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def qprod(a: Column | str, b: Column | str) -> Column:
+    """Exact decimal(38,0) product of two 6-dp-quantized values (scale
+    1e12); window- or group-summable.  See the second-moment note above."""
+    return q6l(a).cast(_DECQ) * q6l(b).cast(_DECQ)
+
+
+def oqprod(ea: str, eb: str) -> str:
+    """DuckDB oracle twin of :func:`qprod` (HUGEINT product, scale 1e12)."""
+    return f"(CAST({oq6l(ea)} AS HUGEINT) * {oq6l(eb)})"
+
+
+def dsum_prod(a: Column | str, b: Column | str) -> Column:
+    """Order-independent exact SUM(a·b) over 6-dp-quantized values, valid
+    for the FULL value domain (second-moment safe)."""
+    return F.sum(qprod(a, b)).cast("double") / F.lit(1e12)
+
+
+def ohuge_dbl(expr: str) -> str:
+    """HUGEINT/DECIMAL → DOUBLE via VARCHAR: DuckDB's direct cast is
+    DOUBLE-ROUNDED for |x| ≥ 2^63 (two-limb conversion; probed 1–2 ulp off
+    at ~2e19 in round 12) while Spark's decimal→double is correctly
+    rounded — the string round-trip is correctly rounded on both.  Use for
+    ANY oracle integer that can exceed int64; plain ``CAST(… AS DOUBLE)``
+    is fine below 2^63 (sign-extended hi limb, single rounding)."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
+
+def osum_prod(ea: str, eb: str) -> str:
+    """DuckDB oracle twin of :func:`dsum_prod`."""
+    return f"({ohuge_dbl(f'SUM({oqprod(ea, eb)})')} / 1000000000000.0)"
 
 
 def osum_dec(expr: str) -> str:

@@ -30,15 +30,18 @@ from nedp_etl_spark.data import TABLES
 # the declared operator≡oracle contract silently diverges there (the
 # sweeps alone assert only "no crash" — ADVICE r11).
 _VIEW_NORMALIZE = {
-    # finite_or_null on the computed-float column
+    # finite_or_null on the computed-float column: NaN, ±Inf, and finite
+    # magnitudes beyond the engine's fixed-point domain (data.VALUE_ABS_MAX,
+    # same 9.2e12 literal) all carry no usable magnitude -> NULL
     "events": (
-        "* REPLACE (CASE WHEN isnan(value) OR isinf(value) THEN NULL "
+        "* REPLACE (CASE WHEN isnan(value) OR abs(value) >= 9.2e12 THEN NULL "
         "ELSE value END AS value)"
     ),
-    # a vector with ANY non-finite or NULL element is corrupt wholesale
+    # a vector with ANY non-finite, out-of-domain, or NULL element is
+    # corrupt wholesale
     "embeddings": (
         "* REPLACE (CASE WHEN len(list_filter(embedding, "
-        "x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 THEN NULL "
+        "x -> x IS NULL OR isnan(x) OR abs(x) >= 9.2e12)) > 0 THEN NULL "
         "ELSE embedding END AS embedding)"
     ),
 }
