@@ -39,7 +39,10 @@ SELECT
   b.vec_id, b.emb_len, b.emb_sum, b.pos_sum, b.n_distinct, b.emb_min, b.emb_max,
   CAST(t.i - 1 AS INT) AS pos,
   ROUND(CAST(b.head4[CAST(t.i AS INT)] AS DOUBLE), 6) AS head_val
+-- filter to the ACTUAL list positions: a corrupt (NULL) vector emits no
+-- rows, matching posexplode's drop; short lists emit only their elements
 FROM base b, range(1, 5) t(i)
+WHERE t.i <= COALESCE(len(b.head4), 0)
 """
 
 

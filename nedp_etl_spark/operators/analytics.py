@@ -33,7 +33,17 @@ from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load
 from nedp_etl_spark.registry import register
-from nedp_etl_spark.util import dsum, dsum_prod, global_running_sum, histogram_rank_walk, osum, osum_prod
+from nedp_etl_spark.util import (
+    dsum,
+    dsum_prod,
+    global_running_sum,
+    histogram_rank_walk,
+    ohuge_dbl,
+    oqprod,
+    osum,
+    osum_prod,
+    qprod,
+)
 
 # --------------------------------------------------------------------------
 # ts_retention_cohort — weekly cohort retention matrix: users are assigned to
@@ -403,8 +413,10 @@ WITH s AS (
          -- engines (25,6 squared overflows Spark's 38-digit cap, which
          -- clamps scale to 6 while DuckDB keeps 12 — a latent mismatch
          -- for values with >3 decimal digits)
-         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
-              AS DOUBLE) AS sxx
+         CAST(CAST(SUM(
+             CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
+             * CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT))
+           AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxx
   FROM events GROUP BY event_type, user_id % 2
 ),
 p AS (
@@ -1528,8 +1540,10 @@ WITH s AS (
   SELECT event_type, user_id % 2 AS arm,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
-              AS DOUBLE) AS sxx
+         CAST(CAST(SUM(
+             CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
+             * CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT))
+           AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxx
   FROM events GROUP BY event_type, user_id % 2
 ),
 p AS (
@@ -1573,7 +1587,16 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec25).cast("double").alias("sx"),
-        F.sum(dec18 * dec18).cast("double").alias("sxx"),
+        # integer micros then the same two-step conversion the oracle
+        # does (int -> double, / 1e12): a direct decimal -> double single
+        # rounding differs by 1 ulp from the oracle's pair of roundings
+        (
+            F.sum(
+                (dec25 * 1_000_000).cast("decimal(38,0)")
+                * (dec25 * 1_000_000).cast("decimal(38,0)")
+            ).cast("double")
+            / 1_000_000_000_000.0
+        ).alias("sxx"),
     )
     p = s.groupBy("event_type").agg(
         F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
@@ -1959,18 +1982,25 @@ _Z975 = "1.959964"
 _DELTA_CI_ORACLE = f"""
 WITH s1 AS (
   SELECT event_type, user_id,
-         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(15,6)) AS xi,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DECIMAL(18,6)) AS xi,
          CAST(COUNT(value) AS BIGINT) AS yi
   FROM events GROUP BY event_type, user_id
 ),
+s1m AS (
+  -- exact HUGEINT micros of xi: DuckDB's narrow-decimal multiply runs in
+  -- int64 and overflows at |xi| ~1e9 (round-12 magnitude sweep)
+  SELECT event_type, xi, yi,
+         CAST(CAST(xi AS DECIMAL(25,6)) * 1000000 AS HUGEINT) AS xm
+  FROM s1
+),
 s2 AS (
   SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(xi) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(xi AS DECIMAL(19,6)) * xi) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(xi) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(xm * xm) AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxx,
          CAST(SUM(yi) AS DOUBLE) AS sy,
          CAST(SUM(yi * yi) AS DOUBLE) AS syy,
-         CAST(SUM(xi * CAST(yi AS DECIMAL(12,0))) AS DOUBLE) AS sxy
-  FROM s1 GROUP BY event_type
+         CAST(CAST(SUM(xm * yi) AS VARCHAR) AS DOUBLE) / 1000000.0 AS sxy
+  FROM s1m GROUP BY event_type
 ),
 m AS (
   SELECT event_type, n, sx, sy,
@@ -2004,7 +2034,7 @@ def agg_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     dec25 = F.col("value").cast("decimal(25,6)")
     s1 = ev.groupBy("event_type", "user_id").agg(
-        F.sum(dec25).cast("decimal(15,6)").alias("xi"),
+        F.sum(dec25).cast("decimal(18,6)").alias("xi"),
         F.count("value").cast("bigint").alias("yi"),
     )
     xi = F.col("xi")
@@ -2073,8 +2103,10 @@ WITH s AS (
   SELECT event_type, user_id % 2 AS arm,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
-              AS DOUBLE) AS sxx
+         CAST(CAST(SUM(
+             CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
+             * CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT))
+           AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxx
   FROM events GROUP BY event_type, user_id % 2
 ),
 p AS (
@@ -2114,7 +2146,16 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec25).cast("double").alias("sx"),
-        F.sum(dec18 * dec18).cast("double").alias("sxx"),
+        # integer micros then the same two-step conversion the oracle
+        # does (int -> double, / 1e12): a direct decimal -> double single
+        # rounding differs by 1 ulp from the oracle's pair of roundings
+        (
+            F.sum(
+                (dec25 * 1_000_000).cast("decimal(38,0)")
+                * (dec25 * 1_000_000).cast("decimal(38,0)")
+            ).cast("double")
+            / 1_000_000_000_000.0
+        ).alias("sxx"),
     )
     p = s.groupBy("event_type").agg(
         F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
@@ -2182,8 +2223,10 @@ cells AS (
          CASE WHEN epoch_us(ts) >= b.cut THEN 1 ELSE 0 END AS post,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
-              AS DOUBLE) AS sxx
+         CAST(CAST(SUM(
+             CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
+             * CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT))
+           AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxx
   FROM events CROSS JOIN bounds b
   GROUP BY 1, 2, 3
 ),
@@ -2258,7 +2301,16 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(dec25).cast("double").alias("sx"),
-            F.sum(dec18 * dec18).cast("double").alias("sxx"),
+            # integer micros then the same two-step conversion the oracle
+        # does (int -> double, / 1e12): a direct decimal -> double single
+        # rounding differs by 1 ulp from the oracle's pair of roundings
+        (
+            F.sum(
+                (dec25 * 1_000_000).cast("decimal(38,0)")
+                * (dec25 * 1_000_000).cast("decimal(38,0)")
+            ).cast("double")
+            / 1_000_000_000_000.0
+        ).alias("sxx"),
         )
     )
 
@@ -3111,7 +3163,7 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hl = _entropy(rt, "rt").withColumnRenamed("hq", "hlq")
     hs = _entropy(ct, "ct").withColumnRenamed("hq", "hsq")
-    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6 as q6c  # saturation-guarded quantize
     return (
         tot.crossJoin(F.broadcast(mi))
         .crossJoin(F.broadcast(hl))
@@ -3164,29 +3216,37 @@ WITH s AS (
   FROM events GROUP BY event_type
 ),
 d AS (
+  -- m2 widens to the full value domain (integer HUGEINT product of the
+  -- 6-dp quantized deviation); d3/d4 carry the MOMENT DOMAIN |d| <= 1e5:
+  -- a fourth power at trillion-row scale exceeds 128-bit fixed point
+  -- beyond that, so out-of-domain groups report NULL skew/kurtosis
+  -- rather than a silently saturated estimate (round-12 magnitude sweep)
   SELECT e.event_type, s.n, s.mu,
-         CAST(FLOOR((e.value - s.mu) * (e.value - s.mu)
-                    * 1000000.0 + 0.5) AS BIGINT) AS d2q,
-         CAST(FLOOR((e.value - s.mu) * (e.value - s.mu) * (e.value - s.mu)
-                    * 1000.0 + 0.5) AS BIGINT) AS d3q,
-         CAST(FLOOR((e.value - s.mu) * (e.value - s.mu) * (e.value - s.mu)
-                    * (e.value - s.mu) * 100.0 + 0.5) AS BIGINT) AS d4q
+         {oqprod('e.value - s.mu', 'e.value - s.mu')} AS d2q,
+         CASE WHEN abs(e.value - s.mu) <= 100000.0 THEN
+           CAST(FLOOR((e.value - s.mu) * (e.value - s.mu) * (e.value - s.mu)
+                      * 1000.0 + 0.5) AS BIGINT) END AS d3q,
+         CASE WHEN abs(e.value - s.mu) <= 100000.0 THEN
+           CAST(FLOOR((e.value - s.mu) * (e.value - s.mu) * (e.value - s.mu)
+                      * (e.value - s.mu) * 100.0 + 0.5) AS BIGINT) END AS d4q,
+         abs(e.value - s.mu) > 100000.0 AS oob
   FROM events e JOIN s ON s.event_type = e.event_type
 ),
 m AS (
   SELECT event_type, n, mu,
-         CAST(SUM(d2q) AS DOUBLE) / 1000000.0 / n AS m2,
-         CAST(SUM(d3q) AS DOUBLE) / 1000.0 / n AS m3,
-         CAST(SUM(d4q) AS DOUBLE) / 100.0 / n AS m4
+         {ohuge_dbl('SUM(d2q)')} / 1000000000000.0 / n AS m2,
+         {ohuge_dbl('SUM(d3q)')} / 1000.0 / n AS m3,
+         {ohuge_dbl('SUM(d4q)')} / 100.0 / n AS m4,
+         BOOL_OR(oob) AS any_oob
   FROM d GROUP BY event_type, n, mu
 )
 SELECT event_type, n,
        FLOOR(mu * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
        FLOOR(m2 * 1000000.0 + 0.5) / 1000000.0 AS m2,
-       CASE WHEN m2 <= 0 THEN NULL
+       CASE WHEN m2 <= 0 OR any_oob THEN NULL
             ELSE FLOOR(m3 / POWER(m2, 1.5) * 1000000.0 + 0.5) / 1000000.0
        END AS skewness,
-       CASE WHEN m2 <= 0 THEN NULL
+       CASE WHEN m2 <= 0 OR any_oob THEN NULL
             ELSE FLOOR((m4 / (m2 * m2) - 3.0) * 1000000.0 + 0.5) / 1000000.0
        END AS excess_kurtosis
 FROM m
@@ -3201,20 +3261,30 @@ def agg_kurtosis_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum("value") / F.count(F.lit(1))).alias("mu"),
     )
     dd = F.col("value") - F.col("mu")
+    in_dom = F.abs(dd) <= 100000.0  # the d3/d4 moment domain (see oracle)
     d = ev.join(s, "event_type").select(
         "event_type",
         "n",
         "mu",
-        F.floor(dd * dd * 1_000_000.0 + F.lit(0.5)).cast("bigint").alias("d2q"),
-        F.floor(dd * dd * dd * 1_000.0 + F.lit(0.5)).cast("bigint").alias("d3q"),
-        F.floor(dd * dd * dd * dd * 100.0 + F.lit(0.5)).cast("bigint").alias("d4q"),
+        qprod(dd, dd).alias("d2q"),
+        F.when(in_dom, F.floor(dd * dd * dd * 1_000.0 + F.lit(0.5)).cast("bigint"))
+        .alias("d3q"),
+        F.when(
+            in_dom,
+            F.floor(dd * dd * dd * dd * 100.0 + F.lit(0.5)).cast("bigint"),
+        ).alias("d4q"),
+        (~in_dom).alias("oob"),
     )
     m = d.groupBy("event_type", "n", "mu").agg(
-        (F.sum("d2q").cast("double") / 1_000_000.0 / F.col("n")).alias("m2"),
-        (F.sum("d3q").cast("double") / 1_000.0 / F.col("n")).alias("m3"),
-        (F.sum("d4q").cast("double") / 100.0 / F.col("n")).alias("m4"),
+        (F.sum("d2q").cast("double") / 1_000_000_000_000.0 / F.col("n")).alias("m2"),
+        (F.sum(F.col("d3q").cast("decimal(38,0)")).cast("double") / 1_000.0
+         / F.col("n")).alias("m3"),
+        (F.sum(F.col("d4q").cast("decimal(38,0)")).cast("double") / 100.0
+         / F.col("n")).alias("m4"),
+        F.max("oob").alias("any_oob"),
     )
-    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6 as q6c  # saturation-guarded quantize
+
     m2 = F.col("m2")
     return m.select(
         "event_type",
@@ -3222,9 +3292,11 @@ def agg_kurtosis_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6c(F.col("mu")).alias("mean_value"),
         q6c(m2).alias("m2"),
         F.when(m2 <= 0, F.lit(None).cast("double"))
+        .when(F.col("any_oob"), F.lit(None).cast("double"))
         .otherwise(q6c(F.col("m3") / F.pow(m2, 1.5)))
         .alias("skewness"),
         F.when(m2 <= 0, F.lit(None).cast("double"))
+        .when(F.col("any_oob"), F.lit(None).cast("double"))
         .otherwise(q6c(F.col("m4") / (m2 * m2) - 3.0))
         .alias("excess_kurtosis"),
     )
@@ -3306,7 +3378,7 @@ def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         + float(_AS_B[4]) * t * t * t * t * t
     )
     tail = F.lit(float(_INV_SQRT_2PI)) * F.exp(-(x * x) / 2.0) * poly
-    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6 as q6c  # saturation-guarded quantize
     p = fam.select(
         "event_type",
         "z_stat",
@@ -3515,17 +3587,23 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PYTH_ORACLE = f"""
 WITH t AS (
+  -- reciprocal domain: a value below 1e-9 has no representable reciprocal
+  -- at the 1e-9 quantize (1/denormal overflows to inf and saturates the
+  -- int64 path — round-12 magnitude sweep); such groups report NULL
+  -- harmonic mean rather than a saturated one
   SELECT event_type,
          CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS vq,
          CAST(FLOOR(LN(value) * 1000000000.0 + 0.5) AS BIGINT) AS lnq,
-         CAST(FLOOR(1.0 / value * 1000000000.0 + 0.5) AS BIGINT) AS rq
+         CASE WHEN value >= 1e-9 THEN
+           CAST(FLOOR(1.0 / value * 1000000000.0 + 0.5) AS BIGINT) END AS rq
   FROM events WHERE value > 0
 ),
 s AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(vq) AS BIGINT) AS sv,
          CAST(SUM(lnq) AS BIGINT) AS sl,
-         CAST(SUM(rq) AS BIGINT) AS sr
+         CAST(SUM(rq) AS BIGINT) AS sr,
+         COUNT(*) = COUNT(rq) AS harm_ok
   FROM t GROUP BY event_type
 )
 SELECT event_type, n,
@@ -3533,8 +3611,9 @@ SELECT event_type, n,
          / 1000000.0 AS mean_arith,
        FLOOR(EXP(CAST(sl AS DOUBLE) / 1000000000.0 / n) * 1000000.0 + 0.5)
          / 1000000.0 AS mean_geom,
-       FLOOR(n / (CAST(sr AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5)
-         / 1000000.0 AS mean_harm
+       CASE WHEN harm_ok THEN
+         FLOOR(n / (CAST(sr AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5)
+           / 1000000.0 END AS mean_harm
 FROM s
 """
 
@@ -3548,17 +3627,21 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.log(F.col("value")) * 1_000_000_000.0 + F.lit(0.5))
         .cast("bigint")
         .alias("lnq"),
-        F.floor(1.0 / F.col("value") * 1_000_000_000.0 + F.lit(0.5))
-        .cast("bigint")
-        .alias("rq"),
+        F.when(
+            F.col("value") >= 1e-9,  # reciprocal domain (see oracle)
+            F.floor(1.0 / F.col("value") * 1_000_000_000.0 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("rq"),
     )
     s = t.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("vq").cast("bigint").alias("sv"),
         F.sum("lnq").cast("bigint").alias("sl"),
         F.sum("rq").cast("bigint").alias("sr"),
+        (F.count(F.lit(1)) == F.count("rq")).alias("harm_ok"),
     )
-    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6 as q6c  # saturation-guarded quantize
     return s.select(
         "event_type",
         "n",
@@ -3568,9 +3651,10 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6c(F.exp(F.col("sl").cast("double") / 1_000_000_000.0 / F.col("n"))).alias(
             "mean_geom"
         ),
-        q6c(F.col("n") / (F.col("sr").cast("double") / 1_000_000_000.0)).alias(
-            "mean_harm"
-        ),
+        F.when(
+            F.col("harm_ok"),
+            q6c(F.col("n") / (F.col("sr").cast("double") / 1_000_000_000.0)),
+        ).alias("mean_harm"),
     )
 
 
@@ -3903,7 +3987,7 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("stq") / 1_000_000_000.0 / F.col("nn")).alias("total_part"),
         )
     )
-    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6 as q6c  # saturation-guarded quantize
     return parts.agg(
         q6c(F.sum("total_part")).alias("theil_total"),
         q6c(F.sum("within_part")).alias("theil_within"),
@@ -3961,7 +4045,7 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
     )
     nn = F.col("n").cast("double") * F.col("n")
-    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6 as q6c  # saturation-guarded quantize
     return s.select(
         "n",
         "n_cells",
@@ -4159,7 +4243,7 @@ WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
          CAST(COUNT(*) AS BIGINT) AS n,
          SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS s,
-         SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)
+         SUM(CAST(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT)
              * CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS ss
   FROM events GROUP BY 1, 2
 ),
@@ -4227,7 +4311,7 @@ def agg_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-row q² sits near 1e18 (int64-safe); the SUM does not — day
         # aggregates and the cumulative frame accumulate in decimal(38,0)
         # (#days rows, BigDecimal cost irrelevant)
-        F.sum((q * q).cast("decimal(38,0)")).alias("ss"),
+        F.sum(q.cast("decimal(38,0)") * q.cast("decimal(38,0)")).alias("ss"),
     )
     arm = lambda c, a: F.sum(F.when(F.col("arm") == a, F.col(c)).otherwise(0))  # noqa: E731
     byday = daily.groupBy("day").agg(
@@ -4525,25 +4609,42 @@ WITH g AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          SUM(CAST(value AS DECIMAL(25,6))) AS sx,
-         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+         -- HUGEINT micro product: DuckDB multiplies DECIMAL(18) in int64
+         -- and overflows at |value| ~1e9; micros of the same 6-dp decimal
+         -- keep the identical rational value in int128
+         SUM(CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
+             * CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)) AS sxx
   FROM events GROUP BY event_type
 ),
 t AS (
-  SELECT n, sx, CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd FROM g
+  -- varchar-route conversions (internal int128 beyond 2^63 double-rounds)
+  SELECT n, sx, CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxxd FROM g
 ),
 c AS (
+  -- group squared-sum terms are int64-quantize-exact only below 9.2e12;
+  -- out-of-range groups (one extreme value suffices) flip exact_ok and
+  -- the statistics report NULL instead of a saturated estimate
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n) AS BIGINT) AS nt,
          CAST(SUM(sx) AS DOUBLE) AS sxt,
-         CAST(SUM(CAST(FLOOR((sxd * sxd / n) * 1000000.0 + 0.5) AS BIGINT))
+         BOOL_AND(abs(sxd * sxd / n) < 9.2e12
+                  AND abs(sxxd - sxd * sxd / n) < 9.2e12) AS exact_ok,
+         CAST(SUM(CASE WHEN abs(sxd * sxd / n) < 9.2e12 THEN
+              CAST(FLOOR((sxd * sxd / n) * 1000000.0 + 0.5) AS BIGINT) END)
               AS DOUBLE) / 1000000.0 AS b_sum,
-         CAST(SUM(CAST(FLOOR((sxxd - sxd * sxd / n) * 1000000.0 + 0.5)
-                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS ssw
+         CAST(SUM(CASE WHEN abs(sxxd - sxd * sxd / n) < 9.2e12 THEN
+              CAST(FLOOR((sxxd - sxd * sxd / n) * 1000000.0 + 0.5)
+                       AS BIGINT) END) AS DOUBLE) / 1000000.0 AS ssw
   FROM t
 ),
 f AS (
-  SELECT k, nt, ssw,
-         FLOOR((b_sum - sxt * sxt / nt) * 1000000.0 + 0.5) / 1000000.0 AS ssb
+  SELECT k, nt, exact_ok,
+         CASE WHEN exact_ok THEN ssw END AS ssw,
+         CASE WHEN exact_ok
+              AND abs(b_sum - sxt * sxt / nt) < 9.2e12 THEN
+           FLOOR((b_sum - sxt * sxt / nt) * 1000000.0 + 0.5)
+             / 1000000.0 END AS ssb
   FROM c
 )
 SELECT k AS k_groups, nt AS n_total,
@@ -4575,37 +4676,45 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxx").cast("double").alias("sxxd"),
     )
     b_term = F.col("sxd") * F.col("sxd") / F.col("n")
+    w_term = F.col("sxxd") - b_term
+    _BND = 9.2e12  # int64 quantize bound — see the oracle's exact_ok note
     c = t.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("sx").cast("double").alias("sxt"),
+        F.min((F.abs(b_term) < _BND) & (F.abs(w_term) < _BND)).alias("exact_ok"),
         (
-            F.sum(F.floor(b_term * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+            F.sum(
+                F.when(
+                    F.abs(b_term) < _BND,
+                    F.floor(b_term * 1_000_000.0 + F.lit(0.5)).cast("bigint"),
+                )
+            )
             .cast("double")
             / 1_000_000.0
         ).alias("b_sum"),
         (
             F.sum(
-                F.floor((F.col("sxxd") - b_term) * 1_000_000.0 + F.lit(0.5)).cast(
-                    "bigint"
+                F.when(
+                    F.abs(w_term) < _BND,
+                    F.floor(w_term * 1_000_000.0 + F.lit(0.5)).cast("bigint"),
                 )
             ).cast("double")
             / 1_000_000.0
         ).alias("ssw"),
     )
-    k, nt, ssw = F.col("k"), F.col("nt"), F.col("ssw")
+    k, nt = F.col("k"), F.col("nt")
+    ssb_raw = F.col("b_sum") - F.col("sxt") * F.col("sxt") / nt
     f = c.select(
         k,
         nt,
-        ssw,
-        (
-            F.floor(
-                (F.col("b_sum") - F.col("sxt") * F.col("sxt") / nt) * 1_000_000.0
-                + F.lit(0.5)
-            )
-            / 1_000_000.0
+        F.when(F.col("exact_ok"), F.col("ssw")).alias("ssw"),
+        F.when(
+            F.col("exact_ok") & (F.abs(ssb_raw) < _BND),
+            F.floor(ssb_raw * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
         ).alias("ssb"),
     )
+    ssw = F.col("ssw")
     ssb = F.col("ssb")
     return f.select(
         k.alias("k_groups"),
@@ -4931,9 +5040,7 @@ agg AS (
 ),
 vr AS (
   SELECT r.event_type, a.s, a.n, a.d_days, a.ok,
-         CAST(SUM(CAST(FLOOR((r.r_i - a.rbar) * (r.r_i - a.rbar)
-                             * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-           AS tq
+         SUM({oqprod('r.r_i - a.rbar', 'r.r_i - a.rbar')}) AS tq
   FROM rep r JOIN agg a ON a.event_type = r.event_type
   GROUP BY r.event_type, a.s, a.n, a.d_days, a.ok
 ),
@@ -4941,7 +5048,8 @@ fin AS (
   SELECT event_type, d_days,
          FLOOR(s / 1000000.0 / n * 1000000.0 + 0.5) / 1000000.0 AS r_hat,
          CASE WHEN ok AND d_days >= 2 THEN
-           FLOOR(sqrt((d_days - 1.0) / d_days * (CAST(tq AS DOUBLE)
+           FLOOR(sqrt((d_days - 1.0) / d_days
+                      * (CAST(CAST(tq AS VARCHAR) AS DOUBLE)
                  / 1000000000000.0)) * 1000000.0 + 0.5) / 1000000.0
          END AS jk_se
   FROM vr
@@ -5011,11 +5119,7 @@ def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "s", "n", "d_days", "ok")
         .agg(
-            F.sum(
-                F.floor(dev * dev * 1_000_000_000_000.0 + F.lit(0.5)).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("tq")
+            F.sum(qprod(dev, dev)).alias("tq")
         )
     )
     dd = F.col("d_days")
@@ -5474,7 +5578,10 @@ WITH s AS (
   SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
            AS q,
          CAST(label % 2 AS INT) AS y
-  FROM embeddings
+  -- corrupt (NULL) vectors carry no score: route out BEFORE ranking on
+  -- BOTH engines (Spark's rank join drops NULL q; DuckDB would rank
+  -- NULLs last and skew np/nn — round-12 magnitude sweep)
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 r AS (
   SELECT y,
@@ -5505,7 +5612,7 @@ FROM agg
 
 @register("agg_roc_auc", oracle=_ROC_AUC_ORACLE)
 def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     s = e.select(
         F.floor(
             F.element_at(F.col("embedding"), 1).cast("double") * 1_000_000.0
@@ -5546,7 +5653,24 @@ def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, auc).alias("auc"),
         F.when(
             ok,
-            F.floor((2.0 * auc - 1.0) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
+            # from the RAW ratio, as the oracle does — the quantized auc
+            # loses the sub-micro bits that decide gini's own floor
+            F.floor(
+                (
+                    2.0
+                    * (
+                        (
+                            F.col("rp2").cast("double") / 2.0
+                            - np_.cast("double") * (np_ + 1) / 2.0
+                        )
+                        / (np_.cast("double") * nn_)
+                    )
+                    - 1.0
+                )
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            / 1_000_000.0,
         ).alias("gini"),
     )
 
@@ -5738,25 +5862,42 @@ g AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          SUM(CAST(z AS DECIMAL(25,6))) AS sz,
-         SUM(CAST(z AS DECIMAL(18,6)) * CAST(z AS DECIMAL(18,6))) AS szz
+         -- HUGEINT micro product: DuckDB multiplies DECIMAL(18) in int64
+         -- and overflows at |z| ~1e9; micros of the same 6-dp decimal
+         -- keep the identical rational value in int128
+         SUM(CAST(CAST(z AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
+             * CAST(CAST(z AS DECIMAL(25,6)) * 1000000 AS HUGEINT)) AS szz
   FROM z GROUP BY event_type
 ),
 t AS (
-  SELECT n, sz, CAST(sz AS DOUBLE) AS szd, CAST(szz AS DOUBLE) AS szzd FROM g
+  -- varchar-route conversions (internal int128 beyond 2^63 double-rounds)
+  SELECT n, sz, CAST(CAST(sz AS VARCHAR) AS DOUBLE) AS szd,
+         CAST(CAST(szz AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS szzd FROM g
 ),
 c AS (
+  -- group squared-sum terms are int64-quantize-exact only below 9.2e12;
+  -- out-of-range groups (one extreme value suffices) flip exact_ok and
+  -- the statistics report NULL instead of a saturated estimate
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n) AS BIGINT) AS nt,
          CAST(SUM(sz) AS DOUBLE) AS szt,
-         CAST(SUM(CAST(FLOOR((szd * szd / n) * 1000000.0 + 0.5) AS BIGINT))
+         BOOL_AND(abs(szd * szd / n) < 9.2e12
+                  AND abs(szzd - szd * szd / n) < 9.2e12) AS exact_ok,
+         CAST(SUM(CASE WHEN abs(szd * szd / n) < 9.2e12 THEN
+              CAST(FLOOR((szd * szd / n) * 1000000.0 + 0.5) AS BIGINT) END)
               AS DOUBLE) / 1000000.0 AS b_sum,
-         CAST(SUM(CAST(FLOOR((szzd - szd * szd / n) * 1000000.0 + 0.5)
-                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS ssw
+         CAST(SUM(CASE WHEN abs(szzd - szd * szd / n) < 9.2e12 THEN
+              CAST(FLOOR((szzd - szd * szd / n) * 1000000.0 + 0.5)
+                       AS BIGINT) END) AS DOUBLE) / 1000000.0 AS ssw
   FROM t
 ),
 f AS (
-  SELECT k, nt, ssw,
-         FLOOR((b_sum - szt * szt / nt) * 1000000.0 + 0.5) / 1000000.0 AS ssb
+  SELECT k, nt, exact_ok,
+         CASE WHEN exact_ok THEN ssw END AS ssw,
+         CASE WHEN exact_ok
+              AND abs(b_sum - szt * szt / nt) < 9.2e12 THEN
+           FLOOR((b_sum - szt * szt / nt) * 1000000.0 + 0.5)
+             / 1000000.0 END AS ssb
   FROM c
 )
 SELECT k AS k_groups, nt AS n_total,
@@ -5805,37 +5946,45 @@ def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("szz").cast("double").alias("szzd"),
     )
     b_term = F.col("szd") * F.col("szd") / F.col("n")
+    w_term = F.col("szzd") - b_term
+    _BND = 9.2e12  # int64 quantize bound — see the oracle's exact_ok note
     c = t.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("sz").cast("double").alias("szt"),
+        F.min((F.abs(b_term) < _BND) & (F.abs(w_term) < _BND)).alias("exact_ok"),
         (
-            F.sum(F.floor(b_term * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
+            F.sum(
+                F.when(
+                    F.abs(b_term) < _BND,
+                    F.floor(b_term * 1_000_000.0 + F.lit(0.5)).cast("bigint"),
+                )
+            )
             .cast("double")
             / 1_000_000.0
         ).alias("b_sum"),
         (
             F.sum(
-                F.floor((F.col("szzd") - b_term) * 1_000_000.0 + F.lit(0.5)).cast(
-                    "bigint"
+                F.when(
+                    F.abs(w_term) < _BND,
+                    F.floor(w_term * 1_000_000.0 + F.lit(0.5)).cast("bigint"),
                 )
             ).cast("double")
             / 1_000_000.0
         ).alias("ssw"),
     )
-    k, nt, ssw = F.col("k"), F.col("nt"), F.col("ssw")
+    k, nt = F.col("k"), F.col("nt")
+    ssb_raw = F.col("b_sum") - F.col("szt") * F.col("szt") / nt
     f = c.select(
         k,
         nt,
-        ssw,
-        (
-            F.floor(
-                (F.col("b_sum") - F.col("szt") * F.col("szt") / nt) * 1_000_000.0
-                + F.lit(0.5)
-            )
-            / 1_000_000.0
+        F.when(F.col("exact_ok"), F.col("ssw")).alias("ssw"),
+        F.when(
+            F.col("exact_ok") & (F.abs(ssb_raw) < _BND),
+            F.floor(ssb_raw * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0,
         ).alias("ssb"),
     )
+    ssw = F.col("ssw")
     ssb = F.col("ssb")
     ok = (k > 1) & (nt > k) & (ssw > 0)
     w = F.floor((ssb / (k - 1)) / (ssw / (nt - k)) * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0
@@ -6090,7 +6239,7 @@ def agg_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(vq).cast("bigint").alias("sq"),
-        F.sum((vq * vq).cast("decimal(38,0)")).alias("ssq"),
+        F.sum(vq.cast("decimal(38,0)") * vq.cast("decimal(38,0)")).alias("ssq"),
     )
     n = F.col("n")
     mean = F.col("sq").cast("double") / 1_000_000.0 / n
@@ -6249,7 +6398,7 @@ def agg_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(vq).cast("bigint").alias("sq"),
-        F.sum((vq * vq).cast("decimal(38,0)")).alias("ssq"),
+        F.sum(vq.cast("decimal(38,0)") * vq.cast("decimal(38,0)")).alias("ssq"),
     )
     n = F.col("n")
     init = g.select(

@@ -2449,7 +2449,7 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0.0))
     m = w.select("event_type", "d", "v", "n", mean.alias("mean"), var.alias("var"))
     sd = F.sqrt(F.col("var"))
-    q6l = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6 as q6l  # saturation-guarded quantize
     return m.select(
         "event_type",
         F.col("d").alias("day"),
@@ -2559,7 +2559,7 @@ def agg_gumbel_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _math
 
     lnln = _math.log(-_math.log(1.0 - 1.0 / _GUMBEL_T))
-    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6 as q6c  # saturation-guarded quantize
     sd_c, m_c = F.col("sd"), F.col("m")
     return p.select(
         "event_type",
@@ -2661,7 +2661,7 @@ def ts_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     lim = s.select(
         "event_type", "n_days", center.alias("center"), band.alias("band")
     )
-    q6c = lambda c: F.floor(c * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0  # noqa: E731
+    from nedp_etl_spark.util import q6 as q6c  # saturation-guarded quantize
     lcl = q6c(F.col("center") - F.col("band"))
     ucl = q6c(F.col("center") + F.col("band"))
     return (
@@ -4777,31 +4777,25 @@ l3 AS (
   FROM l2 GROUP BY event_type, CAST(CEIL(t / 2.0) AS BIGINT)
 ),
 en AS (
-  SELECT event_type, 1 AS level,
-         CAST(SUM(CAST(FLOOR(dd * dd * 1000000000000.0 + 0.5) AS BIGINT))
-              AS DOUBLE) / 1000000000000.0 AS energy
+  -- exact integer micro-square sums (eq): totals and fractions derive
+  -- from the integers so no order-dependent double addition exists
+  SELECT event_type, 1 AS level, SUM({oqprod('dd', 'dd')}) AS eq
   FROM l1 GROUP BY event_type
   UNION ALL
-  SELECT event_type, 2,
-         CAST(SUM(CAST(FLOOR(dd * dd * 1000000000000.0 + 0.5) AS BIGINT))
-              AS DOUBLE) / 1000000000000.0
-  FROM l2 GROUP BY event_type
+  SELECT event_type, 2, SUM({oqprod('dd', 'dd')}) FROM l2 GROUP BY event_type
   UNION ALL
-  SELECT event_type, 3,
-         CAST(SUM(CAST(FLOOR(dd * dd * 1000000000000.0 + 0.5) AS BIGINT))
-              AS DOUBLE) / 1000000000000.0
-  FROM l3 GROUP BY event_type
+  SELECT event_type, 3, SUM({oqprod('dd', 'dd')}) FROM l3 GROUP BY event_type
 ),
 tot AS (
-  SELECT event_type,
-         CAST(SUM(CAST(FLOOR(energy * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-           / 1000000.0 AS etot
-  FROM en GROUP BY event_type
+  SELECT event_type, SUM(eq) AS eqt FROM en GROUP BY event_type
 )
 SELECT en.event_type, CAST(en.level AS INT) AS level,
-       FLOOR(en.energy * 1000000.0 + 0.5) / 1000000.0 AS energy,
-       CASE WHEN tot.etot > 0 THEN
-         FLOOR(en.energy / tot.etot * 1000000.0 + 0.5) / 1000000.0
+       FLOOR(CAST(CAST(en.eq AS VARCHAR) AS DOUBLE) / 1000000000000.0
+             * 1000000.0 + 0.5) / 1000000.0 AS energy,
+       CASE WHEN tot.eqt > 0 THEN
+         FLOOR(CAST(CAST(en.eq AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(tot.eqt AS VARCHAR) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0
        END AS energy_frac
 FROM en JOIN tot ON tot.event_type = en.event_type
 """
@@ -4839,34 +4833,20 @@ def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = None
     for lv, df in enumerate(levels, start=1):
         e = df.groupBy("event_type").agg(
-            (
-                F.sum(
-                    F.floor(
-                        F.col("dd") * F.col("dd") * 1_000_000_000_000.0
-                        + F.lit(0.5)
-                    ).cast("bigint")
-                ).cast("double")
-                / 1_000_000_000_000.0
-            ).alias("energy")
-        ).select("event_type", F.lit(lv).cast("int").alias("level"), "energy")
+            F.sum(qprod(F.col("dd"), F.col("dd"))).alias("eq")
+        ).select("event_type", F.lit(lv).cast("int").alias("level"), "eq")
         en = e if en is None else en.unionByName(e)
-    tot = en.groupBy("event_type").agg(
-        (
-            F.sum(F.floor(F.col("energy") * 1_000_000.0 + F.lit(0.5)).cast("bigint"))
-            .cast("double")
-            / 1_000_000.0
-        ).alias("etot")
-    )
+    from nedp_etl_spark.util import q6
+
+    tot = en.groupBy("event_type").agg(F.sum("eq").alias("eqt"))
+    energy_raw = F.col("eq").cast("double") / 1_000_000_000_000.0
     return en.join(tot, "event_type").select(
         "event_type",
         "level",
-        (F.floor(F.col("energy") * 1_000_000.0 + F.lit(0.5)) / 1_000_000.0).alias(
-            "energy"
-        ),
+        q6(energy_raw).alias("energy"),
         F.when(
-            F.col("etot") > 0,
-            F.floor(F.col("energy") / F.col("etot") * 1_000_000.0 + F.lit(0.5))
-            / 1_000_000.0,
+            F.col("eqt") > 0,
+            q6(F.col("eq").cast("double") / F.col("eqt").cast("double")),
         ).alias("energy_frac"),
     )
 
