@@ -369,11 +369,18 @@ def llm_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("nrm", 6).alias("l2_norm"),
         F.round(_dot(unit, unit), 6).alias("unit_dot"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("v"),
-                lambda x: F.round(127 * x / F.col("nrm")).cast("bigint").cast("string"),
+        # NULL vector -> NULL row value: concat_ws would quietly emit ''
+        # for a corrupt embedding while the oracle keeps NULL
+        F.when(
+            F.col("v").isNotNull(),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.round(127 * x / F.col("nrm"))
+                    .cast("bigint")
+                    .cast("string"),
+                ),
             ),
         ).alias("q_int8"),
     )
@@ -672,7 +679,8 @@ def _lloyd_ctes(src: str, k: int, iters: int) -> tuple[list[str], str]:
 def _kmeans_oracle() -> str:
     ctes, last = _lloyd_ctes("e", _KMEANS_K, _KMEANS_ITERS)
     parts = [
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
         *ctes,
     ]
     return (
@@ -796,7 +804,8 @@ _SEMDEDUP_COPIES = 100
 def _semdedup_oracle() -> str:
     ctes, last = _lloyd_ctes("e", _KMEANS_K, _KMEANS_ITERS)
     return (
-        """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
 e AS (SELECT vec_id, v FROM base UNION ALL
       SELECT vec_id + 1000000 AS vec_id, v FROM base WHERE vec_id < """
         + str(_SEMDEDUP_COPIES)
@@ -942,7 +951,8 @@ _PQ_K = 16
 _PQ_SUB = 16  # 64 dims / M
 
 _PQ_ORACLE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
 sub AS (
   SELECT vec_id, CAST(t.m AS INT) AS m,
          CAST(list_slice(v, CAST(t.m AS INT) * {_PQ_SUB} + 1,
@@ -972,8 +982,12 @@ SELECT vec_id, m, cid AS code, ROUND(d, 6) AS dist FROM (
 
 @register("llm_pq_encode", oracle=_PQ_ORACLE)
 def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("v")
+    # corrupt (NULL) vectors route out — same policy as every other
+    # embedding consumer (the oracle filters embedding IS NOT NULL)
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _dvec("embedding").alias("v"))
     )
     sub = emb.select(
         "vec_id",
@@ -1765,7 +1779,8 @@ def _mmr_oracle() -> str:
     )
     parts = [
         f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
 p AS (SELECT v FROM e WHERE vec_id = 0),
 pool AS MATERIALIZED (
   SELECT e.vec_id, {q6s(cos('p', 'e'))} AS rel, e.v

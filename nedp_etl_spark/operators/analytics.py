@@ -2918,8 +2918,11 @@ WITH s AS (
 ),
 t AS (
   SELECT e.event_type, s.n, s.mu,
-         CAST(FLOOR((e.value / s.mu) * LN(e.value / s.mu) * 1000000.0 + 0.5)
-              AS BIGINT) AS tq
+         -- ratio can UNDERFLOW to 0.0 for denormal values (LN(0) errors
+         -- on DuckDB, NULLs on Spark): guard it — x·ln(x) -> 0 anyway
+         CASE WHEN e.value / s.mu > 0 THEN
+           CAST(FLOOR((e.value / s.mu) * LN(e.value / s.mu) * 1000000.0 + 0.5)
+                AS BIGINT) END AS tq
   FROM events e JOIN s ON s.event_type = e.event_type
   WHERE e.value > 0
 )
@@ -3906,12 +3909,16 @@ tot AS (
 ),
 terms AS (
   SELECT e.event_type,
-         CAST(FLOOR((e.value / (g.svq / 1000000.0 / g.n))
-              * LN(e.value / (g.svq / 1000000.0 / g.n))
-              * 1000000000.0 + 0.5) AS BIGINT) AS wq,
-         CAST(FLOOR((e.value / (tot.tvq / 1000000.0 / tot.nn))
-              * LN(e.value / (tot.tvq / 1000000.0 / tot.nn))
-              * 1000000000.0 + 0.5) AS BIGINT) AS tq
+         -- underflow-to-zero ratios guard LN (x·ln x -> 0; DuckDB LN(0)
+         -- errors where Spark NULLs — round-12 magnitude sweep)
+         CASE WHEN e.value / (g.svq / 1000000.0 / g.n) > 0 THEN
+           CAST(FLOOR((e.value / (g.svq / 1000000.0 / g.n))
+                * LN(e.value / (g.svq / 1000000.0 / g.n))
+                * 1000000000.0 + 0.5) AS BIGINT) END AS wq,
+         CASE WHEN e.value / (tot.tvq / 1000000.0 / tot.nn) > 0 THEN
+           CAST(FLOOR((e.value / (tot.tvq / 1000000.0 / tot.nn))
+                * LN(e.value / (tot.tvq / 1000000.0 / tot.nn))
+                * 1000000000.0 + 0.5) AS BIGINT) END AS tq
   FROM events e
   JOIN g ON g.event_type = e.event_type
   CROSS JOIN tot

@@ -1309,8 +1309,8 @@ s AS (
          COUNT(*)    OVER w AS m,
          SUM(vq)     OVER w AS sx,
          SUM(n)      OVER w AS sy,
-         SUM(vq * n) OVER w AS sxy,
-         SUM(vq * vq) OVER w AS sxx,
+         SUM(CAST(vq AS HUGEINT) * n) OVER w AS sxy,
+         SUM(CAST(vq AS HUGEINT) * vq) OVER w AS sxx,
          SUM(n * n)  OVER w AS syy
   FROM daily2
   WINDOW w AS (PARTITION BY event_type ORDER BY d
@@ -1319,9 +1319,12 @@ s AS (
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
        CAST(n AS BIGINT) AS n_events,
        ROUND(vq / 1000000.0, 6) AS v,
-       CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
-            THEN ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
-                       / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+       CASE WHEN m >= 2 AND m * sxx - CAST(sx AS HUGEINT) * sx > 0
+                 AND m * syy - sy * sy > 0
+            THEN ROUND(CAST(CAST(m * sxy - CAST(sx AS HUGEINT) * sy
+                            AS VARCHAR) AS DOUBLE)
+                       / sqrt(CAST(CAST(m * sxx - CAST(sx AS HUGEINT) * sx
+                                   AS VARCHAR) AS DOUBLE)
                               * CAST(m * syy - sy * sy AS DOUBLE)), 6)
             END AS corr7
 FROM s
