@@ -413,9 +413,7 @@ WITH s AS (
          -- engines (25,6 squared overflows Spark's 38-digit cap, which
          -- clamps scale to 6 while DuckDB keeps 12 — a latent mismatch
          -- for values with >3 decimal digits)
-         CAST(CAST(SUM(
-             CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
-             * CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT))
+         CAST(CAST(SUM((CAST(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) * CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)))
            AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxx
   FROM events GROUP BY event_type, user_id % 2
 ),
@@ -1540,9 +1538,7 @@ WITH s AS (
   SELECT event_type, user_id % 2 AS arm,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-         CAST(CAST(SUM(
-             CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
-             * CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT))
+         CAST(CAST(SUM((CAST(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) * CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)))
            AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxx
   FROM events GROUP BY event_type, user_id % 2
 ),
@@ -1587,16 +1583,11 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec25).cast("double").alias("sx"),
-        # integer micros then the same two-step conversion the oracle
-        # does (int -> double, / 1e12): a direct decimal -> double single
-        # rounding differs by 1 ulp from the oracle's pair of roundings
-        (
-            F.sum(
-                (dec25 * 1_000_000).cast("decimal(38,0)")
-                * (dec25 * 1_000_000).cast("decimal(38,0)")
-            ).cast("double")
-            / 1_000_000_000_000.0
-        ).alias("sxx"),
+        # qprod long-micro squares (the round-12 second-moment idiom):
+        # codegen floor+long per row instead of two BigDecimal parses,
+        # then the oracle's two-step int -> double -> /1e12 conversion
+        (F.sum(qprod(F.col("value"), F.col("value"))).cast("double")
+         / 1_000_000_000_000.0).alias("sxx"),
     )
     p = s.groupBy("event_type").agg(
         F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
@@ -2103,9 +2094,7 @@ WITH s AS (
   SELECT event_type, user_id % 2 AS arm,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-         CAST(CAST(SUM(
-             CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
-             * CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT))
+         CAST(CAST(SUM((CAST(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) * CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)))
            AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxx
   FROM events GROUP BY event_type, user_id % 2
 ),
@@ -2146,16 +2135,11 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.groupBy("event_type", (F.col("user_id") % 2).alias("arm")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec25).cast("double").alias("sx"),
-        # integer micros then the same two-step conversion the oracle
-        # does (int -> double, / 1e12): a direct decimal -> double single
-        # rounding differs by 1 ulp from the oracle's pair of roundings
-        (
-            F.sum(
-                (dec25 * 1_000_000).cast("decimal(38,0)")
-                * (dec25 * 1_000_000).cast("decimal(38,0)")
-            ).cast("double")
-            / 1_000_000_000_000.0
-        ).alias("sxx"),
+        # qprod long-micro squares (the round-12 second-moment idiom):
+        # codegen floor+long per row instead of two BigDecimal parses,
+        # then the oracle's two-step int -> double -> /1e12 conversion
+        (F.sum(qprod(F.col("value"), F.col("value"))).cast("double")
+         / 1_000_000_000_000.0).alias("sxx"),
     )
     p = s.groupBy("event_type").agg(
         F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
@@ -2223,9 +2207,7 @@ cells AS (
          CASE WHEN epoch_us(ts) >= b.cut THEN 1 ELSE 0 END AS post,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-         CAST(CAST(SUM(
-             CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
-             * CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT))
+         CAST(CAST(SUM((CAST(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) * CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)))
            AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxx
   FROM events CROSS JOIN bounds b
   GROUP BY 1, 2, 3
@@ -2301,16 +2283,11 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(dec25).cast("double").alias("sx"),
-            # integer micros then the same two-step conversion the oracle
-        # does (int -> double, / 1e12): a direct decimal -> double single
-        # rounding differs by 1 ulp from the oracle's pair of roundings
-        (
-            F.sum(
-                (dec25 * 1_000_000).cast("decimal(38,0)")
-                * (dec25 * 1_000_000).cast("decimal(38,0)")
-            ).cast("double")
-            / 1_000_000_000_000.0
-        ).alias("sxx"),
+            # qprod long-micro squares (the round-12 second-moment idiom):
+        # codegen floor+long per row instead of two BigDecimal parses,
+        # then the oracle's two-step int -> double -> /1e12 conversion
+        (F.sum(qprod(F.col("value"), F.col("value"))).cast("double")
+         / 1_000_000_000_000.0).alias("sxx"),
         )
     )
 
@@ -4616,11 +4593,9 @@ WITH g AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          SUM(CAST(value AS DECIMAL(25,6))) AS sx,
-         -- HUGEINT micro product: DuckDB multiplies DECIMAL(18) in int64
-         -- and overflows at |value| ~1e9; micros of the same 6-dp decimal
-         -- keep the identical rational value in int128
-         SUM(CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
-             * CAST(CAST(value AS DECIMAL(25,6)) * 1000000 AS HUGEINT)) AS sxx
+         -- qprod floor-micro product (round-12 idiom): exact int128
+         -- squares; DuckDB's DECIMAL(18) multiply overflows at ~1e9
+         SUM((CAST(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) * CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT))) AS sxx
   FROM events GROUP BY event_type
 ),
 t AS (
@@ -4674,13 +4649,13 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(dec25).alias("sx"),
-        F.sum(dec18 * dec18).alias("sxx"),
+        F.sum(qprod(F.col("value"), F.col("value"))).alias("sxx"),
     )
     t = g.select(
         "n",
         "sx",
         F.col("sx").cast("double").alias("sxd"),
-        F.col("sxx").cast("double").alias("sxxd"),
+        (F.col("sxx").cast("double") / 1_000_000_000_000.0).alias("sxxd"),
     )
     b_term = F.col("sxd") * F.col("sxd") / F.col("n")
     w_term = F.col("sxxd") - b_term
@@ -5869,11 +5844,9 @@ g AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          SUM(CAST(z AS DECIMAL(25,6))) AS sz,
-         -- HUGEINT micro product: DuckDB multiplies DECIMAL(18) in int64
-         -- and overflows at |z| ~1e9; micros of the same 6-dp decimal
-         -- keep the identical rational value in int128
-         SUM(CAST(CAST(z AS DECIMAL(25,6)) * 1000000 AS HUGEINT)
-             * CAST(CAST(z AS DECIMAL(25,6)) * 1000000 AS HUGEINT)) AS szz
+         -- qprod floor-micro product (round-12 idiom): exact int128
+         -- squares; DuckDB's DECIMAL(18) multiply overflows at ~1e9
+         SUM((CAST(CAST(FLOOR((z) * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) * CAST(FLOOR((z) * 1000000.0 + 0.5) AS BIGINT))) AS szz
   FROM z GROUP BY event_type
 ),
 t AS (
@@ -5944,13 +5917,13 @@ def agg_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = z.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(dec25).alias("sz"),
-        F.sum(dec18 * dec18).alias("szz"),
+        F.sum(qprod(F.col("z"), F.col("z"))).alias("szz"),
     )
     t = g.select(
         "n",
         "sz",
         F.col("sz").cast("double").alias("szd"),
-        F.col("szz").cast("double").alias("szzd"),
+        (F.col("szz").cast("double") / 1_000_000_000_000.0).alias("szzd"),
     )
     b_term = F.col("szd") * F.col("szd") / F.col("n")
     w_term = F.col("szzd") - b_term
