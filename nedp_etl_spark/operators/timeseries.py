@@ -30,6 +30,7 @@ from nedp_etl_spark.util import (
     oqprod,
     osum,
     osum_prod,
+    q6,
     qprod,
     ts_str,
 )
@@ -453,15 +454,27 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TS_EWMA_ORACLE = """
 WITH t AS (
+  -- FILTER mirrors Spark's collect_list, which SKIPS NULL values: the
+  -- frame still counts 10 ROWS, but routed-out (NULL) measurements
+  -- neither occupy a weight slot nor change the normalizer (round-12
+  -- magnitude sweep: the unfiltered list weighted by raw position)
   SELECT event_type, event_id, ts, value,
-         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         list(value) FILTER (WHERE value IS NOT NULL)
+             OVER (PARTITION BY event_type ORDER BY ts, event_id
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
   FROM events WHERE event_type IN ('click', 'purchase')
 )
 SELECT event_type, event_id, ROUND(value, 6) AS value,
-       ROUND(
-         list_sum(list_transform(l, (x, i) -> x * pow(0.7, len(l) - i)))
-         / ((1 - pow(0.7, len(l))) / 0.3), 6) AS ewma
+       -- literal weight/normalizer tables, not pow(): JVM Math.pow and
+       -- libm pow differ by an ulp on some exponents, which a 1e9-scale
+       -- value amplifies past the 6-dp grid; list_reduce folds in
+       -- Spark-aggregate order
+       CASE WHEN len(l) > 0 THEN FLOOR(
+         list_reduce(list_transform(l,
+             (x, i) -> x * ([1.0, 0.7, 0.48999999999999994, 0.3429999999999999, 0.24009999999999995, 0.16806999999999994, 0.11764899999999996, 0.08235429999999996, 0.05764800999999997, 0.04035360699999998])[len(l) - i + 1]),
+             (x, y) -> x + y)
+         / ([1.0000000000000002, 1.7000000000000002, 2.1900000000000004, 2.5330000000000004, 2.7731000000000003, 2.94117, 3.058819, 3.1411733, 3.19882131, 3.239174917])[len(l)] * 1000000.0 + 0.5) / 1000000.0
+       END AS ewma
 FROM t
 """
 
@@ -477,19 +490,24 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list("value").over(frame).alias("l"),
     )
     # Spark transform index is 0-based; DuckDB list_transform is 1-based —
-    # both weight the j-th most recent tick by 0.7^j.
+    # both weight the j-th most recent tick by the LITERAL 0.7^j table
+    # (pow() differs by an ulp between JVM and libm; see the oracle note)
     num = F.expr(
-        "aggregate(transform(l, (x, i) -> x * pow(0.7, size(l) - 1 - i)),"
-        " 0D, (acc, v) -> acc + v)"
+        "aggregate(transform(l, (x, i) -> x * element_at(array(1.0, 0.7, 0.48999999999999994, 0.3429999999999999, 0.24009999999999995, 0.16806999999999994, 0.11764899999999996, 0.08235429999999996, 0.05764800999999997, 0.04035360699999998),"
+        " size(l) - i)), 0D, (acc, v) -> acc + v)"
     )
-    denom = (F.lit(1.0) - F.pow(F.lit(0.7), F.size("l"))) / F.lit(0.3)
+    denom = F.element_at(
+        F.array(*[F.lit(x) for x in [1.0000000000000002, 1.7000000000000002, 2.1900000000000004, 2.5330000000000004, 2.7731000000000003, 2.94117, 3.058819, 3.1411733, 3.19882131, 3.239174917]]), F.size("l")
+    )
     # collect_list skips NULL values, so a frame whose 10 ticks are all
     # routed-out (NULL/non-finite) measurements leaves l empty and denom 0
     # (ANSI divide-by-zero) — no observations means no EWMA: NULL.
     return t.select(
         "event_type", "event_id",
         F.round("value", 6).alias("value"),
-        F.when(F.size("l") > 0, F.round(num / denom, 6)).alias("ewma"),
+        # q6, not round: ROUND disagrees across engines on half-ulp
+        # boundaries at large magnitudes (hit by the magnitude fixture)
+        F.when(F.size("l") > 0, q6(num / denom)).alias("ewma"),
     )
 
 
