@@ -233,12 +233,31 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str, tables) -> DataFrame:
     Word-boundary substitution is safe for the fixture vocabulary: no
     table name contains another as a ``\\b``-delimited word, and derived
     identifiers (``stg_orders``, ``n_orders``) sit behind ``_`` which is a
-    word character.
+    word character.  Substitution is LITERAL-AWARE: table words inside
+    single-quoted strings, ``--`` line comments, and ``/* */`` block
+    comments are left untouched (``WHERE src = 'orders'`` stays a string),
+    and SQL text containing a raw ``{``/``}`` is rejected loudly rather
+    than silently mis-bound by the format-style parameter pass.
     """
     import re
 
-    bound = {}
-    for n in dict.fromkeys(tables):
-        sql = re.sub(rf"\b{n}\b", f"{{{n}}}", sql)
-        bound[n] = load(spark, sf_dir, n)
-    return spark.sql(sql, **bound)
+    if "{" in sql or "}" in sql:
+        raise ValueError(
+            "run_sql: SQL text contains a literal '{' or '}' — incompatible "
+            "with format-style parameter binding; rewrite the query or use "
+            "views() on a session you own"
+        )
+    names = list(dict.fromkeys(tables))
+    out = sql
+    if names:
+        seg = re.compile(r"'(?:[^']|'')*'|--[^\n]*|/\*.*?\*/", re.S)
+        word = re.compile(r"\b(" + "|".join(map(re.escape, names)) + r")\b")
+        parts, pos = [], 0
+        for m in seg.finditer(sql):
+            parts.append(word.sub(lambda mm: "{" + mm.group(1) + "}", sql[pos:m.start()]))
+            parts.append(m.group(0))
+            pos = m.end()
+        parts.append(word.sub(lambda mm: "{" + mm.group(1) + "}", sql[pos:]))
+        out = "".join(parts)
+    bound = {n: load(spark, sf_dir, n) for n in names}
+    return spark.sql(out, **bound)

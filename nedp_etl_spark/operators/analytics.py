@@ -409,10 +409,8 @@ WITH s AS (
   SELECT event_type, user_id % 2 AS arm,
          COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-         -- squares at DECIMAL(18,6): the product keeps scale 12 in BOTH
-         -- engines (25,6 squared overflows Spark's 38-digit cap, which
-         -- clamps scale to 6 while DuckDB keeps 12 — a latent mismatch
-         -- for values with >3 decimal digits)
+         -- squares as exact floor-micro HUGEINT products (scale 1e12),
+         -- the oqprod idiom mirrored by dsum_prod on the Spark side
          CAST(CAST(SUM((CAST(CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) * CAST(FLOOR((value) * 1000000.0 + 0.5) AS BIGINT)))
            AS VARCHAR) AS DOUBLE) / 1000000000000.0 AS sxx
   FROM events GROUP BY event_type, user_id % 2
@@ -443,16 +441,18 @@ FROM p
 def agg_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     vdec = F.col("value").cast("decimal(25,6)")
-    # squares at decimal(18,6): product = decimal(37,12), inside Spark's
-    # 38-digit cap, so the scale-12 result matches DuckDB exactly (a
-    # (25,6) square would clamp scale to 6 on the Spark side only)
-    vsq = F.col("value").cast("decimal(18,6)")
+    # squares via the z-test family's exact floor-micro idiom (qprod:
+    # int64 micros → decimal(38,0) product, scale 1e12) — the former
+    # decimal(18,6) route quantized HALF_UP (≠ the oracle's
+    # floor(x·1e6+0.5)) and overflowed the ANSI cast for |x| > ~1e12,
+    # both in-domain under VALUE_ABS_MAX
+    from nedp_etl_spark.util import dsum_prod
     s = ev.groupBy(
         "event_type", (F.col("user_id") % 2).alias("arm")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(vdec).cast("double").alias("sx"),
-        F.sum(vsq * vsq).cast("double").alias("sxx"),
+        dsum_prod(F.col("value"), F.col("value")).alias("sxx"),
     )
     arm = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))  # noqa: E731
     p = s.groupBy("event_type").agg(
@@ -2029,13 +2029,22 @@ def agg_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").cast("bigint").alias("yi"),
     )
     xi = F.col("xi")
+    # xm: exact integer micros of xi, mirroring the oracle's s1m CTE —
+    # sxx/sxy then follow the oracle's EXACT op order (integer sum →
+    # one double conversion → double divide by 1e12/1e6).  The former
+    # F.sum(xi*xi).cast('double') was a single-rounding conversion of the
+    # exact rational, which can differ by 1 ulp from the oracle's
+    # two-step path once the sum exceeds 2^53, amplified by the
+    # (sxx − sx²/n) cancellation below.
+    xm = (xi.cast("decimal(25,6)") * 1000000).cast("decimal(38,0)")
     s2 = s1.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xi).cast("double").alias("sx"),
-        F.sum(xi * xi).cast("double").alias("sxx"),
+        (F.sum(xm * xm).cast("double") / F.lit(1e12)).alias("sxx"),
         F.sum("yi").cast("double").alias("sy"),
         F.sum(F.col("yi") * F.col("yi")).cast("double").alias("syy"),
-        F.sum(xi * F.col("yi").cast("decimal(12,0)")).cast("double").alias("sxy"),
+        (F.sum(xm * F.col("yi").cast("decimal(38,0)")).cast("double")
+         / F.lit(1e6)).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     m = s2.filter(n >= 2).select(

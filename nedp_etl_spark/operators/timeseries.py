@@ -3059,11 +3059,19 @@ co AS (
   SELECT event_type, cutoff, n, slope, sx, sy FROM co0
 ),
 scored AS (
+  -- saturation guard (q6/q6l class): an extrapolated prediction on a
+  -- near-degenerate det can push |pred·1e6| past 2^63 even with all
+  -- inputs in-domain — Spark's floor(double) would silently pin while
+  -- this CAST throws.  NULL the row on BOTH engines instead.
   SELECT co.event_type, co.cutoff,
-         CAST(ABS(CAST(FLOOR((CAST(co.sy AS DOUBLE) / 1000000.0
-                              + co.slope * (co.n * q.x - co.sx)) / co.n
-                             * 1000000.0 + 0.5)
-                       AS BIGINT) - q.yq) AS BIGINT) AS aeq
+         CASE WHEN ABS((CAST(co.sy AS DOUBLE) / 1000000.0
+                        + co.slope * (co.n * q.x - co.sx)) / co.n
+                       * 1000000.0 + 0.5) < 9.223372036854775808e18
+              THEN CAST(ABS(CAST(FLOOR((CAST(co.sy AS DOUBLE) / 1000000.0
+                                        + co.slope * (co.n * q.x - co.sx))
+                                       / co.n * 1000000.0 + 0.5)
+                            AS BIGINT) - q.yq) AS BIGINT)
+         END AS aeq
   FROM co
   JOIN q ON q.event_type = co.event_type
         AND q.d > co.cutoff
@@ -3126,23 +3134,21 @@ def ts_backtest_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("et") == F.col("event_type"))
         & (F.col("d") > F.col("cutoff"))
         & (F.col("d") <= F.date_add(F.col("cutoff"), _BACKTEST_HORIZON)),
-    ).select(
+    )
+    predq = (
+        F.col("sy").cast("double") / 1_000_000.0
+        + F.col("slope") * (F.col("n") * F.col("x") - F.col("sx"))
+    ) / F.col("n") * 1_000_000.0 + F.lit(0.5)
+    # saturation guard mirrored in the oracle's scored CTE: floor(double)
+    # silently pins at ±2^63 on Spark while the oracle CAST throws —
+    # NULL the quantize on both engines past the int64 edge
+    scored = scored.select(
         "event_type",
         "cutoff",
-        F.abs(
-            F.floor(
-                (
-                    F.col("sy").cast("double") / 1_000_000.0
-                    + F.col("slope") * (F.col("n") * F.col("x") - F.col("sx"))
-                )
-                / F.col("n")
-                * 1_000_000.0
-                + F.lit(0.5)
-            ).cast("bigint")
-            - F.col("yq")
-        )
-        .cast("bigint")
-        .alias("aeq"),
+        F.when(
+            F.abs(predq) < F.lit(float(1 << 63)),
+            F.abs(F.floor(predq).cast("bigint") - F.col("yq")).cast("bigint"),
+        ).alias("aeq"),
     )
     return scored.groupBy("event_type", "cutoff").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_test_days"),

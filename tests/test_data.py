@@ -95,3 +95,38 @@ def test_all_tables_consistent_across_scale_factors(spark):
     for name in TABLES:
         schemas = {d: load(spark, d, name).schema.simpleString() for d in dirs}
         assert len(set(schemas.values())) == 1, (name, schemas)
+
+
+def test_run_sql_literal_aware_binding(spark):
+    """run_sql must not rewrite table words inside string literals or
+    comments, and must reject SQL containing raw braces (they would be
+    swallowed or misparsed by format-style parameter binding)."""
+    import pytest
+
+    from nedp_etl_spark.data import run_sql
+
+    sf = "/root/testdata/sf0.001"
+    # 'orders' inside a literal and a comment stays text; the FROM orders
+    # reference binds.  The query result proves both behaviors at once.
+    rows = run_sql(
+        spark,
+        sf,
+        """
+        -- orders in a comment must not bind
+        SELECT 'orders' AS lit, COUNT(*) AS n
+        FROM orders /* orders again */
+        """,
+        ["orders"],
+    ).collect()
+    assert rows[0]["lit"] == "orders" and rows[0]["n"] > 0
+
+    # Escaped-quote literal containing a table word stays intact.
+    rows = run_sql(
+        spark, sf,
+        "SELECT 'it''s the orders table' AS lit FROM region LIMIT 1",
+        ["orders", "region"],
+    ).collect()
+    assert rows[0]["lit"] == "it's the orders table"
+
+    with pytest.raises(ValueError, match="literal '{' or '}'"):
+        run_sql(spark, sf, "SELECT '{bad}' FROM orders", ["orders"])
