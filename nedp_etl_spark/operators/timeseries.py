@@ -327,7 +327,10 @@ WITH r AS (
                             ORDER BY value ASC, event_id) AS rn_min,
          ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
                             ORDER BY value DESC, event_id) AS rn_max
-  FROM events
+  -- NULL values carry no magnitude and cannot be extremes; without the
+  -- filter Spark ranks NULLS FIRST on ASC while DuckDB ranks them LAST
+  -- (round-12 NULL-gap tail)
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, strftime(day, '%Y-%m-%d') AS day, 'min' AS kind,
        event_id, ROUND(value, 6) AS value
@@ -342,7 +345,9 @@ FROM r WHERE rn_max = 1
 @register("ts_downsample", oracle=_TS_DOWNSAMPLE_ORACLE)
 def ts_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    d = ev.select(
+    # NULL-value points are not renderable extremes — mirror the oracle's
+    # IS NOT NULL (Spark/DuckDB disagree on NULL placement in rank order)
+    d = ev.filter(F.col("value").isNotNull()).select(
         "event_type", F.col("ts").cast("date").alias("day"), "event_id", "value"
     )
     part = Window.partitionBy("event_type", "day")
@@ -882,7 +887,11 @@ dev AS (
 )
 SELECT event_type,
        CAST(day AS VARCHAR) AS cp_date,
-       ROUND(CAST(c_abs AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+       -- q6 idiom, not ROUND: Spark F.round (BigDecimal HALF_UP on the
+       -- shortest repr) and DuckDB ROUND (binary) disagree by 1 ulp on
+       -- half-boundary quotients at 1e9-scale peaks (round-12 tail)
+       FLOOR(CAST(c_abs AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+             * 1000000.0 + 0.5) / 1000000.0
          AS cusum_peak,
        CAST(n AS BIGINT) AS n_days
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
@@ -932,8 +941,8 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak.select(
         "event_type",
         F.col("day").cast("string").alias("cp_date"),
-        F.round(
-            F.col("c_abs").cast("double") / (F.col("n").cast("double") * 1000000.0), 6
+        q6(
+            F.col("c_abs").cast("double") / (F.col("n").cast("double") * 1000000.0)
         ).alias("cusum_peak"),
         F.col("n").cast("long").alias("n_days"),
     )
@@ -1075,9 +1084,12 @@ holt AS (
              AND n.rn = h.rn + 1
 )
 SELECT event_type, d, v,
-       ROUND(level, 6) AS level,
-       ROUND(trend, 6) AS trend,
-       ROUND(level + trend, 6) AS forecast_next
+       -- q6, not ROUND: the trajectories are bit-identical, but Spark
+       -- F.round (BigDecimal HALF_UP) and DuckDB ROUND (binary) disagree
+       -- on half-boundary levels at 1e8+ magnitudes (round-12 tail)
+       FLOOR(level * 1000000.0 + 0.5) / 1000000.0 AS level,
+       FLOOR(trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+       FLOOR((level + trend) * 1000000.0 + 0.5) / 1000000.0 AS forecast_next
 FROM holt
 """
 
@@ -1106,18 +1118,19 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["trend"] = trends
         return pdf
 
-    # Display rounding happens Spark-side (F.round ≡ DuckDB ROUND, the
-    # established parity pair) — Python's round() is banker's rounding and
-    # would diverge on exact half-ties.
+    # Display rounding happens Spark-side via the q6 idiom (explicit
+    # FLOOR op sequence, identical IEEE on both engines) — F.round's
+    # BigDecimal HALF_UP diverges from DuckDB ROUND on half-boundary
+    # levels at 1e8+ magnitudes, and Python's round() is banker's.
     raw = daily.groupBy("event_type").applyInPandas(
         _holt,
         "event_type string, d date, v double, level double, trend double",
     )
     return raw.select(
         "event_type", "d", "v",
-        F.round("level", 6).alias("level"),
-        F.round("trend", 6).alias("trend"),
-        F.round(F.col("level") + F.col("trend"), 6).alias("forecast_next"),
+        q6(F.col("level")).alias("level"),
+        q6(F.col("trend")).alias("trend"),
+        q6(F.col("level") + F.col("trend")).alias("forecast_next"),
     )
 
 
@@ -1800,7 +1813,9 @@ WITH r AS (
                             ORDER BY ts ASC, event_id) AS rn_first,
          ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
                             ORDER BY ts DESC, event_id) AS rn_last
-  FROM events
+  -- NULL-value points are unplottable; drop them before ranking (the
+  -- ts_downsample NULL-placement parity fix, applied to all four roles)
+  FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, strftime(day, '%Y-%m-%d') AS day, 'min' AS role,
        event_id, ROUND(value, 6) AS value FROM r WHERE rn_min = 1
@@ -1819,7 +1834,8 @@ SELECT event_type, strftime(day, '%Y-%m-%d'), 'last',
 @register("ts_m4_downsample", oracle=_M4_ORACLE)
 def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    d = ev.select(
+    # unplottable NULL-value points drop before ranking (oracle mirror)
+    d = ev.filter(F.col("value").isNotNull()).select(
         "event_type", F.col("ts").cast("date").alias("day"), "event_id", "value", "ts"
     )
     part = Window.partitionBy("event_type", "day")
