@@ -147,6 +147,7 @@ def main() -> None:
     try:
         import inspect
 
+        from nedp_etl_spark.llm.curation import e2e_features
         from nedp_etl_spark.llm.dedup import candidate_pairs, simhash_pairs
 
         # Subset runs (SPARK_GRAFT_BENCH_ONLY) skip builds no subset key
@@ -166,6 +167,7 @@ def main() -> None:
         for _nm, _fn in (
             ("candidate_pairs", candidate_pairs),
             ("simhash_pairs", simhash_pairs),
+            ("e2e_features", e2e_features),
         ):
             if _only and _subset_src is not None and _nm not in _subset_src:
                 continue

@@ -1055,7 +1055,10 @@ _OUTLIER_FRAC = 10  # flag rank <= ceil(n/10)
 
 _EMBED_OUTLIERS_ORACLE = """
 WITH e AS (
+  -- route-out mirror: corrupt vectors are NULLed at ingestion and carry
+  -- no geometry — exclude them from centroids AND from scoring
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 s AS (
   SELECT label, t.i AS pos,
@@ -1087,8 +1090,12 @@ FROM (
 
 @register("llm_embed_outliers", oracle=_EMBED_OUTLIERS_ORACLE)
 def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _dvec("embedding").alias("v")
+    # route-out: ingestion NULLs corrupt vectors; they have no geometry,
+    # so they join neither the centroid sums nor the scored population
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+        .select("vec_id", "label", _dvec("embedding").alias("v"))
     )
     s = (
         e.select(
@@ -1333,7 +1340,11 @@ WITH q AS (
          CAST(FLOOR(CAST(embedding[CAST(ti.i + 1 AS INT)] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS qi,
          CAST(FLOOR(CAST(embedding[CAST(tj.j + 1 AS INT)] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS qj
   FROM embeddings, range(0, {_EMBED_DIM}) ti(i), range(0, {_EMBED_DIM}) tj(j)
-  WHERE tj.j >= ti.i
+  -- route-out mirror: ingestion NULLs corrupt vectors wholesale and the
+  -- Spark Gram partials skip NULL / wrong-length vectors; without this
+  -- filter COUNT(*) still counts the NULLed rows (round-12 tail)
+  WHERE tj.j >= ti.i AND embedding IS NOT NULL
+    AND len(embedding) = {_EMBED_DIM}
 ),
 s AS (
   SELECT i, j, COUNT(*) AS n,
@@ -1932,7 +1943,10 @@ WITH q AS (
          CAST(FLOOR(CAST(embedding[CAST(tj.j + 1 AS INT)] AS DOUBLE)
                     * 1000.0 + 0.5) AS BIGINT) AS qj
   FROM embeddings, range(0, {d}) ti(i), range(0, {d}) tj(j)
-  WHERE tj.j >= ti.i
+  -- route-out mirror: NULLed corrupt vectors contribute no moments and
+  -- must not inflate COUNT(*) (the llm_embed_covariance fix)
+  WHERE tj.j >= ti.i AND embedding IS NOT NULL
+    AND len(embedding) = {d}
 ),
 s AS MATERIALIZED (
   SELECT i, j, COUNT(*) AS n,
@@ -2165,6 +2179,10 @@ WITH q AS (
          CAST(FLOOR(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE)
                     * 1000.0 + 0.5) AS BIGINT) AS qv
   FROM embeddings, range(0, {_EMBED_DIM}) t(i)
+  -- route-out mirror: NULLed corrupt vectors leave the population on
+  -- both engines (Spark's posexplode of NULL emits no rows; without
+  -- this filter COUNT(*) here still counts them — round-12 tail)
+  WHERE embedding IS NOT NULL AND len(embedding) = {_EMBED_DIM}
 ),
 g AS (
   SELECT coh, dim, CAST(COUNT(*) AS BIGINT) AS n,
@@ -2223,7 +2241,11 @@ FROM agg
 
 @register("profile_embedding_drift", oracle=_EMB_DRIFT_ORACLE)
 def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    # length filter mirrors the oracle's len() predicate; NULL vectors
+    # already vanish via posexplode(NULL) — made explicit for parity
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _EMBED_DIM)
+    )
     d = _EMBED_DIM
     q = e.select(
         (F.col("label") % 2).cast("int").alias("coh"),

@@ -6026,7 +6026,11 @@ WITH u AS (
   SELECT user_id, CAST(user_id % 2 AS BIGINT) AS z,
          CAST(FLOOR(COALESCE(
            SUM(CASE WHEN event_type <> 'purchase' THEN value END)
-             / NULLIF(COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END), 0),
+             -- COUNT of VALUES, not rows: the SUM skips NULL values, so
+             -- the denominator must too (Spark F.count(expr) semantics;
+             -- a THEN-1 count silently shrank the mean on NULL-bearing
+             -- days — round-12 tail)
+             / NULLIF(COUNT(CASE WHEN event_type <> 'purchase' THEN value END), 0),
            0.0) * 1000000.0 + 0.5) AS BIGINT) AS xq,
          CAST(FLOOR(COALESCE(
            SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0)

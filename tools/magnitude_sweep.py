@@ -103,7 +103,7 @@ def main() -> int:
     fails = []
     for i, k in enumerate(keys):
         try:
-            compare(spark, k, fdir)
+            compare(spark, k, fdir, allow_empty=True)
         except Exception:
             tail = traceback.format_exc().splitlines()[-1]
             fails.append((k, tail))
