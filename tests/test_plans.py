@@ -1302,13 +1302,34 @@ def test_moments_two_pass_keyed(spark, sf_dir):
 
 
 def test_bh_window_only_over_bounded_family(spark, sf_dir):
-    # The ranking window input is the ≤ #metrics aggregate, not raw rows:
-    # upstream of the window there must be a full aggregate collapse.
+    # The ranking window input is the ≤ #metrics aggregate, not raw rows.
+    # Since the r13 regression fix the MWU family is localCheckpoint'ed (the
+    # janino-64KB / double-execution fix), so the window sits on the
+    # checkpoint's LogicalRDD barrier; the boundedness proof splits in two:
+    # (a) the window's input is the checkpointed family (or a plain
+    # aggregate, if the checkpoint is ever removed), never a raw scan, and
+    # (b) the family relation itself collapses through an Aggregate.
     df = eng.queries()["agg_benjamini_hochberg"](spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" in plan
     w_idx = plan.index("Window")
-    assert "Aggregate" in plan[w_idx:], "window must sit on the aggregate family"
+    below = plan[w_idx:]
+    assert "Aggregate" in below or "LogicalRDD" in below, (
+        "window must sit on the aggregate family (directly or via its "
+        "checkpoint barrier)"
+    )
+    assert "Relation" not in below.replace("LogicalRDD", ""), (
+        "no raw fixture scan may feed the ranking window"
+    )
+    from nedp_etl_spark.operators.analytics import agg_mannwhitney_u
+
+    fam_plan = (
+        agg_mannwhitney_u(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Aggregate" in fam_plan, "the MWU family must be an aggregate collapse"
 
 
 def test_paragraph_dedup_keyed_joins_no_window(spark, sf_dir):
