@@ -39,12 +39,22 @@ TABLES = (
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     # Streaming state-store partitioning follows shuffle.partitions and AQE
-    # cannot coalesce it — pin to the local core count instead of the 200
-    # default (on a real cluster this is sized to total executor cores).
-    "spark.sql.shuffle.partitions": "32",
+    # cannot coalesce it — sized to the session's core count in prepare()
+    # (defaultParallelism) instead of a constant: a literal was tuned to one
+    # core count and wrong at every other (r13 optimization round, guide
+    # §2.2 — on a real cluster defaultParallelism is total executor cores,
+    # which is exactly the sizing the old comment described).
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE rewrite sort-merge → shuffled-hash when EVERY post-shuffle
+    # build partition is under 64 MB (guide §3.1): skips both sort passes on
+    # equi-joins of quantized key maps (spearman/roc ranks, dedup band
+    # joins).  Runtime-measured sizes, not estimates, so it is scale-safe:
+    # an oversized build side keeps sort-merge and its graceful spill; 64 MB
+    # × one build map per task core bounds worst-case memory at the same
+    # order as a coalesced shuffle partition.  Default is 0 (off).
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Local-fixture split sizing: the default 4 MB file-open cost caps a
     # 10 MB parquet at ~3 input splits, serializing scan-heavy aggregates
@@ -72,6 +82,13 @@ def prepare(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime-settable on this build — defaults are fine
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 1)),
+        )
+    except Exception:
+        pass
     return spark
 
 
@@ -200,6 +217,65 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if len(_DF_CACHE) >= _DF_CACHE_CAP:
             _DF_CACHE.clear()
         _DF_CACHE[key] = df
+    return df
+
+
+# Row-group counts per (sf_dir, table): a parquet ROW GROUP is Spark's
+# atomic split unit, so it is the hard ceiling on scan-task parallelism —
+# maxPartitionBytes/openCostInBytes can schedule more tasks, but every row
+# of a 1-row-group file lands in ONE of them.  Probed once per table from
+# the local footer (pure metadata, no data read); layouts that cannot be
+# probed report "many" so fan_out stays a no-op.
+_RG_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _scan_row_groups(sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    n = _RG_CACHE.get(key)
+    if n is None:
+        import glob as _glob
+        import os as _os
+
+        try:
+            import pyarrow.parquet as _pq
+
+            path = f"{sf_dir}/{name}.parquet"
+            if _os.path.isdir(path):
+                n = sum(
+                    _pq.ParquetFile(f).metadata.num_row_groups
+                    for f in _glob.glob(_os.path.join(path, "*.parquet"))
+                ) or 1
+            else:
+                n = _pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            n = 1 << 30  # not locally probe-able: assume well-split
+        _RG_CACHE[key] = n
+    return n
+
+
+def fan_out(df: DataFrame, sf_dir: str, *names: str) -> DataFrame:
+    """Input-skew guard for heavy per-row compute (optimization guide §2.5,
+    "one huge unsplittable file → repartition immediately after the read").
+
+    When the named source tables' combined row-group count is below the
+    session's ``defaultParallelism``, their scans CANNOT parallelize (row
+    groups are parquet's atomic splits), so every narrow transform above —
+    per-row md5/shingling, quantize+limb products, vector folds — runs on a
+    handful of cores while the rest idle.  Round-robin repartition spreads
+    the rows first; call it on the NARROW projection so the exchange moves
+    only needed columns (guide §2.3).  The decision derives from the input
+    layout, not from a tuned constant: at production scale (row groups ≫
+    cores) this returns ``df`` unchanged and the plan is identical.
+
+    Safe by construction: every registry result is partition-invariant
+    (pinned by tests/test_partition_invariance.py), and round-robin
+    repartition is deterministic under retry (sortBeforeRepartition, on by
+    default — guide §2.5).
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if sum(_scan_row_groups(sf_dir, n) for n in names) < par:
+        return df.repartition(par)
     return df
 
 

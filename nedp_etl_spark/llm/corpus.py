@@ -217,7 +217,15 @@ FROM isl GROUP BY doc_id, island
 
 @register("llm_suffix_dedup", oracle=_SUFFIX_DEDUP_ORACLE)
 def llm_suffix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    from nedp_etl_spark.data import fan_out
+
+    # fan_out: the per-position md5-of-8-token-window chain runs before the
+    # first shuffle — single-core on a 1-row-group fixture (no-op at scale).
+    d = fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir,
+        "documents",
+    )
     toks = d.select("doc_id", F.split("text", " ").alias("l")).filter(
         F.size("l") >= _SUFFIX_K
     )

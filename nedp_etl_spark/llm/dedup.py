@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nedp_etl_spark.data import load
+from nedp_etl_spark.data import fan_out, load
 from nedp_etl_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -207,6 +207,13 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_key"),
     )
+    # Materialize the narrow band rows once (doc_id, band, band_key — no
+    # text): they feed the stats aggregate, both sides of the pair
+    # self-join, and the hot-bucket branch, and without the cut each branch
+    # re-runs the whole split→shingle→md5→minhash lineage (4-5 executions
+    # observed in the executed plan; r13 optimization round, guide §5
+    # "reuse + recompute cost" and §2.4).
+    bands = bands.localCheckpoint(eager=False)
     # Hot-bucket cap: bucket sizes + hubs are one keyed aggregate over the
     # band rows (bucket-cardinality-sized); joining them back is an
     # equi-join on the band key.  Small buckets keep the exact all-pairs
@@ -215,7 +222,9 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = bands.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("bsz"), F.min("doc_id").alias("hub")
     )
-    bb = bands.join(stats, ["band", "band_key"])
+    # bb feeds the self-join (twice) + the hot-pair branch: materialize the
+    # narrow join result too, so stats is not re-aggregated per branch.
+    bb = bands.join(stats, ["band", "band_key"]).localCheckpoint(eager=False)
     small = bb.filter(F.col("bsz") <= _HOT_BUCKET_CAP).select(
         "doc_id", "band", "band_key"
     )
@@ -498,7 +507,13 @@ def llm_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         off = i * 5 + 1
         return F.array_min(F.transform(F.col("hs"), lambda h: F.substring(h, off, 5)))
 
-    mh = hsh.select("doc_id", "sd", F.array(*[_minhash(i) for i in range(_N_HASHES)]).alias("m"))
+    # Materialize (doc_id, sd, m) once: it feeds both sides of the band
+    # self-join AND both shingle-set re-joins below — without the cut the
+    # split→shingle→md5→minhash lineage executes 4× (r13 optimization
+    # round; same reuse discipline as llm_dedup_near's band checkpoint).
+    mh = hsh.select(
+        "doc_id", "sd", F.array(*[_minhash(i) for i in range(_N_HASHES)]).alias("m")
+    ).localCheckpoint(eager=False)
     n_bands = _N_HASHES // _BAND_ROWS
     # Band rows carry ONLY (doc_id, band, band_key): the shingle sets would
     # otherwise be replicated ×n_bands through the explode and shuffled on

@@ -6473,7 +6473,14 @@ def agg_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("m0"))
                 .alias("mu"),
             )
-            .localCheckpoint(eager=True)  # k rows; linear plan in T
+            # NO per-pass materialization (r13 optimization round): each
+            # pass references the previous μ exactly ONCE (the singular
+            # fallback is init.m0, not prev μ), so the unrolled plan is
+            # LINEAR in T and the whole fit runs as one job — the old
+            # eager localCheckpoint here paid T full job launches to
+            # materialize a k-row relation each pass (guide §1.2: remove
+            # passes before tuning inside them).  init stays checkpointed:
+            # it fans into every pass and the final join.
         )
     return init.join(mu, "event_type").select(
         "event_type",

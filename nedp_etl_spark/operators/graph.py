@@ -355,7 +355,18 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         e = _cc_sym(small).localCheckpoint(eager=True)
         cur = canon(e)
-        changed = cur.exceptAll(prev).count() + prev.exceptAll(cur).count()
+        # ONE action per round for the symmetric difference (the two
+        # exceptAll counts were two full jobs each round): canon sets are
+        # distinct by construction, so a ±1 signed count per edge is zero
+        # everywhere iff the sets are equal (r13 optimization round).
+        changed = (
+            cur.withColumn("__s", F.lit(1))
+            .unionAll(prev.withColumn("__s", F.lit(-1)))
+            .groupBy("u", "v")
+            .agg(F.sum("__s").alias("__d"))
+            .filter(F.col("__d") != 0)
+            .count()
+        )
         prev = cur
         if changed == 0:
             break
@@ -1451,9 +1462,34 @@ def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("x.n") > F.coalesce(F.col("y.n"), F.lit(0)))
         .select(F.col("x.src").alias("src"), F.col("x.dst").alias("dst"))
-        .localCheckpoint(eager=True)
     )
-    nodes = ev.select("event_type").distinct().localCheckpoint(eager=True)
+    nodes = ev.select("event_type").distinct()
+    # Bounded driver-page peel (r13 optimization round): the model is
+    # ≤ k nodes / ≤ k² edges for a SCHEMA-bounded event vocabulary (the
+    # _SPEAR_BOUNDED discipline), so the ten Kahn rounds — 30 eager
+    # checkpoint jobs in the distributed loop — collapse to two bounded
+    # collects and a Python peel.  Corpus-sized work (firsts, cnt) stays
+    # distributed; the cap guards the declaration, falling back to the
+    # distributed loop if a vocabulary ever exceeds it.
+    _TOPO_PAGE_CAP = 1 << 14
+    e_page = edges.limit(_TOPO_PAGE_CAP + 1).collect()
+    n_page = nodes.limit(_TOPO_PAGE_CAP + 1).collect()
+    if len(e_page) <= _TOPO_PAGE_CAP and len(n_page) <= _TOPO_PAGE_CAP:
+        nd_left = sorted(r["event_type"] for r in n_page)
+        ed_left = {(r["src"], r["dst"]) for r in e_page}
+        rows = []
+        for rnd in range(_TOPO_ROUNDS):
+            dsts = {d for _, d in ed_left}
+            peel = {nd for nd in nd_left if nd not in dsts}
+            rows += [(nd, rnd, False) for nd in sorted(peel)]
+            nd_left = [nd for nd in nd_left if nd not in peel]
+            ed_left = {(s, d) for (s, d) in ed_left if s not in peel}
+        rows += [(nd, None, True) for nd in nd_left]
+        return spark.createDataFrame(
+            rows, "event_type string, level int, in_cycle boolean"
+        )
+    edges = edges.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
     out = None
     for r in range(_TOPO_ROUNDS):
         peel = nodes.join(
