@@ -1688,20 +1688,20 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     b = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.col("event_id").cast("string"), F.col("b").cast("string")
-                )
-            ),
-            1,
-            8,
+    # Membership test: first 8 md5 hex digits < 2^31 = 0x80000000 ⇔ the
+    # FIRST hex digit is 0-7 — one substring compare instead of an 8-char
+    # hex parse per (row, b); md5 emits lowercase so '0'-'7' is a single
+    # ASCII range (r13 optimization round, same predicate bit for bit).
+    h1 = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("event_id").cast("string"), F.col("b").cast("string")
+            )
         ),
-        16,
-        10,
-    ).cast("bigint")
-    expanded = ev.select("event_type", "value", b).filter(h < F.lit(2147483648))
+        1,
+        1,
+    )
+    expanded = ev.select("event_type", "value", b).filter(h1 < F.lit("8"))
     from nedp_etl_spark.util import q6
 
     means = expanded.groupBy("event_type", "b").agg(
@@ -5455,7 +5455,16 @@ def agg_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # T IRLS passes re-read local blocks
     )
-    beta = spark.createDataFrame([(0.0, 0.0, 0.0)], "b0 double, b1 double, b2 double")
+    # Driver-resident β (r13 optimization round — the MLlib/llm_kmeans
+    # shape): each IRLS pass is ONE aggregate-collect job with the current
+    # β baked in as three double literals; the 3×3 cofactor solve runs on
+    # the driver in Python floats, which ARE IEEE doubles, replicating the
+    # oracle's op sequence term for term — bit-identical to the old 1-row
+    # Spark select.  Removes two broadcast exchanges and one eager
+    # checkpoint job per pass (13 jobs → 7).
+    import math
+
+    b0, b1, b2 = 0.0, 0.0, 0.0
 
     def _sq(e: F.Column, n: str) -> F.Column:
         return (
@@ -5464,10 +5473,10 @@ def agg_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000_000.0
         ).alias(n)
 
-    q9 = lambda c: F.floor(c * 1_000_000_000.0 + F.lit(0.5)) / 1_000_000_000.0  # noqa: E731
+    q9 = lambda v: math.floor(v * 1_000_000_000.0 + 0.5) / 1_000_000_000.0  # noqa: E731
     for _ in range(_IRLS_T):
-        eta = F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")
-        rows = u.crossJoin(F.broadcast(beta)).select(
+        eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+        rows = u.select(
             "y",
             "x1",
             "x2",
@@ -5493,39 +5502,34 @@ def agg_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sq(wv * x1 * x1, "s11"), _sq(wv * x1 * x2, "s12"),
             _sq(wv * x2 * x2, "s22"),
             _sq(wv * z, "r0"), _sq(wv * z * x1, "r1"), _sq(wv * z * x2, "r2"),
+        ).collect()[0]
+        s00, s01, s02 = s["s00"], s["s01"], s["s02"]
+        s11, s12, s22 = s["s11"], s["s12"], s["s22"]
+        r0, r1, r2 = s["r0"], s["r1"], s["r2"]
+        if None in (s00, s01, s02, s11, s12, s22, r0, r1, r2):
+            # empty input: NULL sums → NULL det → the old 1-row select fell
+            # through to the previous β; keep the same semantics here.
+            continue
+        c00 = s11 * s22 - s12 * s12
+        c01 = s02 * s12 - s01 * s22
+        c02 = s01 * s12 - s02 * s11
+        c11 = s00 * s22 - s02 * s02
+        c12 = s01 * s02 - s00 * s12
+        c22 = s00 * s11 - s01 * s01
+        det = (
+            s00 * (s11 * s22 - s12 * s12)
+            - s01 * (s01 * s22 - s12 * s02)
+            + s02 * (s01 * s12 - s11 * s02)
         )
-        c = lambda n: F.col(n)  # noqa: E731
-        solved = s.crossJoin(F.broadcast(beta.selectExpr(
-            "b0 as pb0", "b1 as pb1", "b2 as pb2"
-        ))).select(
-            "*",
-            (c("s11") * c("s22") - c("s12") * c("s12")).alias("c00"),
-            (c("s02") * c("s12") - c("s01") * c("s22")).alias("c01"),
-            (c("s01") * c("s12") - c("s02") * c("s11")).alias("c02"),
-            (c("s00") * c("s22") - c("s02") * c("s02")).alias("c11"),
-            (c("s01") * c("s02") - c("s00") * c("s12")).alias("c12"),
-            (c("s00") * c("s11") - c("s01") * c("s01")).alias("c22"),
-            (
-                c("s00") * (c("s11") * c("s22") - c("s12") * c("s12"))
-                - c("s01") * (c("s01") * c("s22") - c("s12") * c("s02"))
-                + c("s02") * (c("s01") * c("s12") - c("s11") * c("s02"))
-            ).alias("det"),
-        )
-        det = F.col("det")
-        beta = solved.select(
-            F.when(
-                det != 0,
-                q9((c("c00") * c("r0") + c("c01") * c("r1") + c("c02") * c("r2")) / det),
-            ).otherwise(F.col("pb0")).alias("b0"),
-            F.when(
-                det != 0,
-                q9((c("c01") * c("r0") + c("c11") * c("r1") + c("c12") * c("r2")) / det),
-            ).otherwise(F.col("pb1")).alias("b1"),
-            F.when(
-                det != 0,
-                q9((c("c02") * c("r0") + c("c12") * c("r1") + c("c22") * c("r2")) / det),
-            ).otherwise(F.col("pb2")).alias("b2"),
-        ).localCheckpoint(eager=True)  # 1 row; keeps plan size linear in T
+        if det != 0:
+            b0, b1, b2 = (
+                q9((c00 * r0 + c01 * r1 + c02 * r2) / det),
+                q9((c01 * r0 + c11 * r1 + c12 * r2) / det),
+                q9((c02 * r0 + c12 * r1 + c22 * r2) / det),
+            )
+    beta = spark.createDataFrame(
+        [(b0, b1, b2)], "b0 double, b1 double, b2 double"
+    )
     nstat = u.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("y").cast("bigint").alias("n_converted"),

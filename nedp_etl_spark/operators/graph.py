@@ -231,9 +231,15 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     nodes = edges.select(F.col("src").alias("id")).distinct()
+    # LAZY checkpoints (r13 optimization round): the BFS depth is fixed and
+    # there is no per-step action, so the whole frontier chain materializes
+    # inside the consumer's single job instead of one eager job per step
+    # (5 jobs → 1); every step's lineage is still truncated at its
+    # checkpoint, and all relations are deterministic so late
+    # materialization cannot re-sample anything.
     visited = nodes.filter(F.col("id") % 100 == 0).select(
         "id", F.lit(0).alias("depth")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     frontier = visited
     for k in range(1, _BFS_DEPTH + 1):
         nxt = (
@@ -242,7 +248,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited, "id", "left_anti")
             .select("id", F.lit(k).alias("depth"))
-            .localCheckpoint(eager=True)  # truncate per-step lineage
+            .localCheckpoint(eager=False)  # truncate per-step lineage
         )
         visited = visited.unionAll(nxt)
         frontier = nxt
@@ -330,6 +336,10 @@ def _cc_mins(e_sym: DataFrame) -> DataFrame:
 
 @register("graph_connected_components", oracle=_CC_ORACLE)
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EAGER star-round checkpoints are the measured optimum (r13
+    # optimization round probed lazy: e feeds both the mins aggregate and
+    # the re-pointing join each round, and lazy blocks double-computed
+    # inside the convergence job — 4.8 → 6.0 s).
     e = _cc_sym(_cc_edges(spark, sf_dir)).localCheckpoint(eager=True)
 
     def canon(edges: DataFrame) -> DataFrame:
@@ -545,12 +555,17 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v", ((F.col("u") * 7 + F.col("v") * 13) % 9 + 1).alias("w"))
         .localCheckpoint(eager=True)  # freeze the edge lineage (one derivation)
     )
+    # LAZY per-round checkpoints (r13 optimization round): fixed round
+    # count, no per-round action — the whole relaxation chain materializes
+    # in the consumer's single job instead of one eager job per round
+    # (9 jobs → 1); lineage still truncated per round, and every relation
+    # is deterministic so late materialization is sound.
     dist = (
         e.select(F.col("u").alias("node"))
         .distinct()
         .filter(F.col("node") % 50 == 0)
         .select("node", F.lit(0).cast("bigint").alias("dist"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(_SP_ROUNDS):
         relaxed = (
@@ -563,7 +578,7 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)  # truncate per-round lineage
+            .localCheckpoint(eager=False)  # truncate per-round lineage
         )
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
 

@@ -174,22 +174,53 @@ def _asof_enrich_fn(
         )
     )
     if len(whole):
-        # itertuples renames underscore-prefixed columns — use plain names
+        import numpy as np
+
+        # Vectorized replay of the per-row state machine (r13 optimization
+        # round, guide §4.2 — the itertuples loop was ~5 s/run at sf0.1):
+        # after the (us, signup-first, event_id) sort, the state visible to
+        # a fact row is the LAST signup row above it (signups arrive in
+        # ascending (us, event_id), so last-seen ≡ max — exactly the loop's
+        # "newer wins" update), unless the carried-in state is newer still.
         whole = whole.assign(
             us=whole["ts"].astype("int64") // 1000,
             fact=(whole["event_type"] != "signup").astype("int8"),
         ).sort_values(["us", "fact", "event_id"])
-        for row in whole.itertuples(index=False):
-            if row.fact == 0:  # signup: newer (ts, event_id) wins
-                if (row.us, row.event_id) > (s_us, s_eid):
-                    s_us, s_eid, s_value = int(row.us), int(row.event_id), float(row.value)
-            else:
-                out["event_id"].append(int(row.event_id))
-                out["user_id"].append(int(key[0]))
-                out["ts_us"].append(int(row.us))
-                out["event_type"].append(row.event_type)
-                out["signup_ts_us"].append(s_us if s_us >= 0 else None)
-                out["signup_value"].append(s_value)
+        us = whole["us"].to_numpy(np.int64)
+        eid = whole["event_id"].to_numpy(np.int64)
+        val = whole["value"].to_numpy(np.float64)  # None → NaN, as itertuples saw
+        isf = whole["fact"].to_numpy() == 1
+        n = len(us)
+        sg_idx = np.where(~isf, np.arange(n), -1)
+        last_sg = np.maximum.accumulate(sg_idx)  # last signup index ≤ i, -1 none
+        safe = np.clip(last_sg, 0, None)
+        c_us, c_eid, c_val = us[safe], eid[safe], val[safe]
+        s_val_f = np.nan if s_value is None else float(s_value)
+        better = (last_sg >= 0) & (
+            (c_us > s_us) | ((c_us == s_us) & (c_eid > s_eid))
+        )
+        e_us = np.where(better, c_us, s_us)
+        e_val = np.where(better, c_val, s_val_f)
+        fm = isf
+        has = e_us[fm] >= 0
+        out = {
+            "event_id": eid[fm],
+            "user_id": np.full(int(fm.sum()), int(key[0]), dtype=np.int64),
+            "ts_us": us[fm],
+            "event_type": whole["event_type"].to_numpy()[fm],
+            # object arrays: None where no signup yet — the exact cells the
+            # row loop emitted
+            "signup_ts_us": np.where(has, e_us[fm].astype(object), None),
+            "signup_value": np.where(
+                has, e_val[fm].astype(object), None
+            ),
+        }
+        # final state: the last batch signup (max (us, eid) by sort order)
+        # vs the carried-in state — the same "newer wins" rule
+        if (~isf).any():
+            j = int(np.where(~isf)[0].max())
+            if (int(us[j]), int(eid[j])) > (s_us, s_eid):
+                s_us, s_eid, s_value = int(us[j]), int(eid[j]), float(val[j])
     state.update((s_us, s_eid, s_value))
     yield pd.DataFrame(out)
 
