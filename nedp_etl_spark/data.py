@@ -279,6 +279,23 @@ def fan_out(df: DataFrame, sf_dir: str, *names: str) -> DataFrame:
     return df
 
 
+def local_rows(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Single-slice ``createDataFrame`` for BOUNDED driver pages (literal
+    grids, prefix-sum offsets, centroid/probe pages).
+
+    The default ``createDataFrame(list, …)`` parallelizes the list across
+    ``defaultParallelism`` slices, so every aggregate/shuffle over an 8-row
+    helper relation schedules cores-many (mostly empty) tasks — measured
+    0.38 s vs 0.25 s for one 8-row collect_list at local[32], multiplied by
+    every such relation in every query (r13 optimization round).  These
+    relations are bounded by construction at ANY corpus size, so one slice
+    is the honest layout everywhere, not a local-mode tune."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register fixture tables as temp views for ``spark.sql`` queries.
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nedp_etl_spark.data import load
+from nedp_etl_spark.data import load, local_rows
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import dsum, osum
 
@@ -380,7 +380,7 @@ def llm_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    q = spark.createDataFrame(
+    q = local_rows(spark, 
         [(qid, t) for qid, terms in _RAG_QUERIES for t in terms.split(" ")],
         "query_id string, term string",
     )
@@ -715,7 +715,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         words = unchanged.unionAll(new_changed).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return local_rows(spark, 
         merges, "round int, pair_a string, pair_b string, n bigint"
     )
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nedp_etl_spark.data import load
+from nedp_etl_spark.data import load, local_rows
 from nedp_etl_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -1165,7 +1165,7 @@ def llm_mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
-    grid = spark.createDataFrame(
+    grid = local_rows(spark, 
         [(float(a),) for a in _MIX_ALPHAS], "alpha double"
     )
     pw = counts.crossJoin(F.broadcast(grid)).select(

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nedp_etl_spark.data import fan_out, load
+from nedp_etl_spark.data import fan_out, load, local_rows
 from nedp_etl_spark.registry import register
 
 # --------------------------------------------------------------------------
@@ -1483,7 +1483,7 @@ FROM cfg JOIN area ON area.b = cfg.b AND area.r = cfg.r
 
 @register("llm_minhash_band_tuning", oracle=_BAND_TUNE_ORACLE)
 def llm_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cfg = spark.createDataFrame(_BAND_CONFIGS, "b int, r int")
+    cfg = local_rows(spark, _BAND_CONFIGS, "b int, r int")
     steps = spark.range(_TUNE_STEPS).select(
         ((F.col("id") + 0.5) / float(_TUNE_STEPS)).alias("s")
     )
@@ -1569,7 +1569,7 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = llm_dedup_lsh_verified(spark, sf_dir).localCheckpoint(
         eager=True
     )  # the expensive verify runs once; 5 grid consumers
-    grid = spark.createDataFrame(
+    grid = local_rows(spark, 
         [(float(t),) for t in _SWEEP_TAUS], "tau double"
     )
     hits = verified.join(

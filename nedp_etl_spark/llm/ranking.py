@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nedp_etl_spark.data import load
+from nedp_etl_spark.data import load, local_rows
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import dsum, histogram_rank_walk, osum
 
@@ -383,10 +383,10 @@ def exact_rank_values(
     schema = ", ".join(f"{c} double" for c in names)
     lo, hi = li.agg(F.min("v"), F.max("v")).first()
     if lo is None:  # empty input: all ranks undefined
-        return spark.createDataFrame([tuple(None for _ in names)], schema)
+        return local_rows(spark, [tuple(None for _ in names)], schema)
     if lo == hi:
         # Fully degenerate distribution: every rank's value IS that value.
-        return spark.createDataFrame([tuple(lo for _ in names)], schema)
+        return local_rows(spark, [tuple(lo for _ in names)], schema)
     # Level-1 histogram is shared by all cuts: ONE pass over the input.
     width = (hi - lo) / _PPL_B
     b0 = _bucket_expr(lo, width)
@@ -427,7 +427,7 @@ def exact_rank_values(
             .select("cut_id", "v")
         )
     for cut_id, value in (s for s in cut_specs if len(s) == 2):
-        lit_row = spark.createDataFrame([(cut_id, float(value))], "cut_id int, v double")
+        lit_row = local_rows(spark, [(cut_id, float(value))], "cut_id int, v double")
         cut_rows = lit_row if cut_rows is None else cut_rows.unionAll(lit_row)
     return cut_rows.agg(
         *[

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nedp_etl_spark.data import load
+from nedp_etl_spark.data import load, local_rows
 from nedp_etl_spark.registry import register
 
 
@@ -713,7 +713,7 @@ def _lloyd_assign_df(
         # verdict).  Argmin via array_min over struct(dist, cid): lexicographic
         # struct ordering = lowest rounded distance, then lowest cid on ties —
         # the oracle's ROW_NUMBER tie-break exactly.
-        cdf = spark.createDataFrame(
+        cdf = local_rows(spark, 
             [(int(cid), [float(x) for x in c]) for cid, c in centroids],
             "cid INT, c ARRAY<DOUBLE>",
         )
@@ -1897,7 +1897,7 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append(vid)
         remaining.remove(vid)
         out.append((rank, vid, rels[vid], ms, score))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         out, "rank int, vec_id bigint, relevance double, max_sim double,"
         " mmr_score double"
     )
@@ -2090,7 +2090,7 @@ def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = s.select("i", "j", "n", "si", "sj", "sij").collect()
     # oracle arithmetic, op for op (CAST(x AS DOUBLE) ≡ float(x))
     if not rows:  # empty corpus: no moments, no component — empty result
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [],
             "dim int, loading double, lambda_top double,"
             " explained_var_ratio double, n_vectors bigint",
@@ -2145,7 +2145,7 @@ def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, math.floor(u[i] * flip * 1e6 + 0.5) / 1e6, lam_q, evr, n_vectors)
         for i in range(d)
     ]
-    return spark.createDataFrame(
+    return local_rows(spark, 
         out,
         "dim int, loading double, lambda_top double,"
         " explained_var_ratio double, n_vectors bigint",

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nedp_etl_spark.data import load
+from nedp_etl_spark.data import load, local_rows
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import (
     dsum,
@@ -617,7 +617,7 @@ def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice"), F.max("l_extendedprice")
     ).first()
     if lo is None:  # empty input: no groups, empty result with the contract schema
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "l_returnflag string, n bigint, p50_disc double"
         )
     width = (hi - lo) / _PCT_HIST_B if hi > lo else 1.0
@@ -642,7 +642,7 @@ def agg_percentile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank = -(-n // 2)  # ceil(0.5 * n)
         b, k = histogram_rank_walk(sorted(buckets), rank)
         targets.append((g, b, k, n))
-    tgt = spark.createDataFrame(
+    tgt = local_rows(spark, 
         targets, "l_returnflag string, b long, k long, n long"
     )
     # eqNullSafe on the group key: GROUP BY keeps a NULL group (the oracle's
@@ -4872,7 +4872,7 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cum += cnt
                 if q_val is not None:
                     entries.append((q_val, 2 * cum - cnt + 1))
-            rmap = spark.createDataFrame(
+            rmap = local_rows(spark, 
                 entries, schema=f"q_{n_} bigint, r_{n_} bigint"
             )
             ranked = ranked.join(F.broadcast(rmap), f"q_{n_}")
@@ -5298,7 +5298,7 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
          math.floor(w[(nk, seg)] * 1e6 + 0.5) / 1e6)
         for (nk, seg) in sorted(cells)
     ]
-    return spark.createDataFrame(
+    return local_rows(spark, 
         out,
         "c_nationkey bigint, c_mktsegment string, n_sample bigint,"
         " n_population bigint, raked_weight double",
@@ -5527,7 +5527,7 @@ def agg_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q9((c01 * r0 + c11 * r1 + c12 * r2) / det),
                 q9((c02 * r0 + c12 * r1 + c22 * r2) / det),
             )
-    beta = spark.createDataFrame(
+    beta = local_rows(spark, 
         [(b0, b1, b2)], "b0 double, b1 double, b2 double"
     )
     nstat = u.agg(

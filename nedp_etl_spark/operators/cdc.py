@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nedp_etl_spark.data import TABLES, load
+from nedp_etl_spark.data import TABLES, load, local_rows
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import dsum, osum
 
@@ -183,7 +183,7 @@ def dbt_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, f_ in enumerate(load(spark, sf_dir, t).schema.fields, start=1):
             dt = f_.dataType.simpleString()
             rows.append((t, f_.name, i, _CATALOG_TYPE_MAP.get(dt, dt)))
-    return spark.createDataFrame(
+    return local_rows(spark, 
         rows, "table_name string, column_name string, "
               "ordinal_position bigint, data_type string"
     )

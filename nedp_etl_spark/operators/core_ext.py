@@ -17,7 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nedp_etl_spark.data import load
+from nedp_etl_spark.data import load, local_rows
 from nedp_etl_spark.operators.scans import _scratch, _sf_tag
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import dsum, osum
@@ -600,7 +600,7 @@ def sink_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = obs.get
     # SUM over zero rows observes NULL (SQL semantics) — keep it NULL
     total = float(m["total_price"]) if m["total_price"] is not None else None
-    return spark.createDataFrame(
+    return local_rows(spark, 
         [(m["n_rows"], m["n_null_priority"], total)],
         "n_rows bigint, n_null_priority bigint, total_price double",
     )
@@ -1231,7 +1231,7 @@ def sink_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         if e.startswith("day=") and not e.endswith("__HIVE_DEFAULT_PARTITION__")
     )
     if not days:  # empty source → no partitions, nothing to expire
-        return spark.createDataFrame(
+        return local_rows(spark, 
             [], "day string, n bigint, n_expired_partitions bigint"
         )
     cutoff = (

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nedp_etl_spark.data import load
+from nedp_etl_spark.data import load, local_rows
 from nedp_etl_spark.registry import register
 
 # 40 article nodes (doc_id % 40; every fixture sf has ≥ 40 docs).  Two edge
@@ -1500,7 +1500,7 @@ def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             nd_left = [nd for nd in nd_left if nd not in peel]
             ed_left = {(s, d) for (s, d) in ed_left if s not in peel}
         rows += [(nd, None, True) for nd in nd_left]
-        return spark.createDataFrame(
+        return local_rows(spark, 
             rows, "event_type string, level int, in_cycle boolean"
         )
     edges = edges.localCheckpoint(eager=True)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from nedp_etl_spark.data import load
+from nedp_etl_spark.data import load, local_rows
 from nedp_etl_spark.registry import register
 from nedp_etl_spark.util import dsum_dec, osum_dec
 
@@ -1211,7 +1211,7 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
         " order_year int"
     ).parquet(_dpp_layout(spark, sf_dir))
-    dim = spark.createDataFrame(
+    dim = local_rows(spark, 
         [
             (y, "target" if y in _DPP_TARGET_YEARS else "other")
             for y in range(1992, 1999)
@@ -1491,7 +1491,7 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ledger.extend(
             (cycle, name, obs, passed, now_live) for name, obs, passed in checks
         )
-    return spark.createDataFrame(
+    return local_rows(spark, 
         ledger,
         "cycle int, check_name string, observed bigint, passed boolean,"
         " live_version int",

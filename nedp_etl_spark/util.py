@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from nedp_etl_spark.data import local_rows
 
 # Wide enough for sf0.1 money sums (~1e10) at 6 decimal digits; Spark widens
 # sum(decimal(25,6)) to decimal(35,6), DuckDB to decimal(38,6) — both exact.
@@ -255,7 +256,7 @@ def global_running_sums(df, order_cols, values, num_partitions=None):
     off_schema = "__grs_pid int, " + ", ".join(
         f"__grs_off{i} bigint" for i in range(len(values))
     )
-    off = spark.createDataFrame(offsets, off_schema)
+    off = local_rows(spark, offsets, off_schema)
     out = local.join(F.broadcast(off), "__grs_pid")
     for i, (_, out_col) in enumerate(values):
         out = out.withColumn(out_col, F.col(out_col) + F.col(f"__grs_off{i}"))
