@@ -732,10 +732,12 @@ def _lloyd_assign_df(
             )
         )
 
-    cents = [
+    # sort the ≤k-row page on the driver: .orderBy before a bounded collect
+    # paid a range exchange + sort stage per Lloyd consumer
+    cents = sorted(
         (int(r["vec_id"]), list(r["v"]))
-        for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    ]
+        for r in emb.filter(F.col("vec_id") < k).collect()
+    )
     assigned = assign(cents)
     for _ in range(iters - 1):
         new = (
@@ -745,10 +747,9 @@ def _lloyd_assign_df(
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
             .select("cluster", F.col("pc.cv").alias("c"))
-            .orderBy("cluster")
-            .collect()
+            .collect()  # ≤k rows; sorted on the driver (no orderBy exchange)
         )
-        assigned = assign([(int(r["cluster"]), list(r["c"])) for r in new])
+        assigned = assign(sorted((int(r["cluster"]), list(r["c"])) for r in new))
     return assigned
 
 
@@ -879,8 +880,19 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("jv"),
         F.col("vn").alias("jnorm"),
     )
+    # Salt the within-cluster pair join (guide §2.5): the join key has only
+    # k=_KMEANS_K distinct values, so the O(Σ s²) pairwise verify collapsed
+    # onto ≤ k tasks.  j-rows take a deterministic salt, the (capped) i-side
+    # replicates salt-ways — same pair set, k×salt-way parallelism.  The
+    # salt count derives from cores/clusters: at production k (~√n ≫ cores)
+    # it is 1 and the plan is unchanged.
+    par = spark.sparkContext.defaultParallelism
+    n_salt = max(1, -(-par // _KMEANS_K))
+    j = j.withColumn("salt", F.pmod(F.col("j_id"), F.lit(n_salt)).cast("int"))
+    salts = local_rows(spark, [(s,) for s in range(n_salt)], "salt int")
+    i = i.crossJoin(F.broadcast(salts))
     drops = (
-        j.join(i, "cid")
+        j.join(i, ["cid", "salt"])
         .filter(F.col("i_rnk") < F.col("j_rnk"))
         .filter(
             F.round(
