@@ -1319,10 +1319,14 @@ def _simhash_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "block_val"),
     )
+    # same reuse discipline as llm_dedup_near (r13 optimization round):
+    # bands feeds the stats aggregate + the join; bb feeds the self-join
+    # twice + the hot branch — materialize the narrow relations once.
+    bands = bands.localCheckpoint(eager=False)
     stats = bands.groupBy("band", "block_val").agg(
         F.count(F.lit(1)).alias("bsz"), F.min("doc_id").alias("hub")
     )
-    bb = bands.join(stats, ["band", "block_val"])
+    bb = bands.join(stats, ["band", "block_val"]).localCheckpoint(eager=False)
     small = bb.filter(F.col("bsz") <= _HOT_BUCKET_CAP).select(
         "doc_id", "band", "block_val"
     )

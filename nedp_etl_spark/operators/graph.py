@@ -1490,13 +1490,17 @@ def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_page = edges.limit(_TOPO_PAGE_CAP + 1).collect()
     n_page = nodes.limit(_TOPO_PAGE_CAP + 1).collect()
     if len(e_page) <= _TOPO_PAGE_CAP and len(n_page) <= _TOPO_PAGE_CAP:
-        nd_left = sorted(r["event_type"] for r in n_page)
+        # NULL-safe ordering: a NULL event_type is a valid node (it takes
+        # level 0 — NULL never equi-joins, so it has no incoming edge, the
+        # same fate the distributed anti-join gives it).
+        _k = lambda v: (v is not None, v if v is not None else "")  # noqa: E731
+        nd_left = sorted((r["event_type"] for r in n_page), key=_k)
         ed_left = {(r["src"], r["dst"]) for r in e_page}
         rows = []
         for rnd in range(_TOPO_ROUNDS):
             dsts = {d for _, d in ed_left}
             peel = {nd for nd in nd_left if nd not in dsts}
-            rows += [(nd, rnd, False) for nd in sorted(peel)]
+            rows += [(nd, rnd, False) for nd in sorted(peel, key=_k)]
             nd_left = [nd for nd in nd_left if nd not in peel]
             ed_left = {(s, d) for (s, d) in ed_left if s not in peel}
         rows += [(nd, None, True) for nd in nd_left]

@@ -207,14 +207,18 @@ def test_contamination_is_keyed_join(spark, sf_dir):
 
 def test_dedup_near_single_band_shuffle(spark, sf_dir):
     # MinHash-LSH: signatures are map-side; the only exchanges are the band
-    # self-join + final pair aggregate — no shuffle of raw text.
+    # self-join + final pair aggregate — no shuffle of raw text.  Since the
+    # r13 optimization the narrow band relation is localCheckpoint'ed (its
+    # lineage ran 4-5× across the stats/self-join/hot branches), so the
+    # executed plan reads the checkpoint's ExistingRDD — the FileScan then
+    # lives inside the checkpoint materialization, not this plan.
     df = eng.queries()["llm_dedup_near"](spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     if "Exchange" in plan:
         first_exchange = plan.split("Exchange")[1][:400]
         assert "text" not in first_exchange
-    assert plan.count("FileScan") >= 1
+    assert plan.count("FileScan") >= 1 or "Scan ExistingRDD" in plan
 
 
 # Queries allowed to show row-at-a-time Python in their plans (the one

@@ -76,6 +76,10 @@ def main() -> None:
         if args.plans_dir and not args.no_explain:
             os.makedirs(os.path.join(ROOT, args.plans_dir), exist_ok=True)
             df = qs[k](spark, args.sf_dir)
+            # execute THIS df's own QueryExecution (count()/noop-write each
+            # build a separate one) so AQE's FINAL plan (isFinalPlan=true)
+            # prints; registry outputs are small aggregates, collect is safe
+            df.collect()
             txt = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
