@@ -1145,13 +1145,28 @@ def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_ij").cast("bigint").alias("wins_raw"),
         F.sum("n_ij").cast("bigint").alias("n_matches"),
     ).localCheckpoint(eager=False)
-    p = wins.select("i", F.lit(1.0).alias("p"))
+    # Driver-resident strength vector (r13 optimization round): the lazy MM
+    # chain referenced p_{t-1} TWICE per pass (pi and pj), so the unrolled
+    # plan subtree DOUBLED per iteration (2^T copies, each re-running the
+    # denom/raw/mean chain).  The vector is model-sized (#players); collect
+    # the new p each pass — every arithmetic op (denominator sums, the mean
+    # normalization, the 1e-9 floor) stays in Spark exactly as before, so
+    # results are bit-identical — and re-inject it as a LOCAL-relation leaf
+    # (no subtree to duplicate).  One bounded collect per pass, linear plan.
+    from nedp_etl_spark.data import local_rows
+
+    p_rows = None  # None ⇒ p ≡ 1.0 (the p0 initialization)
     for _ in range(_BT_ITERS):
-        pi = p.select(F.col("i").alias("pi_i"), F.col("p").alias("pi_p"))
-        pj = p.select(F.col("i").alias("pj_i"), F.col("p").alias("pj_p"))
+        if p_rows is None:
+            pi = wins.select(F.col("i").alias("pi_i"), F.lit(1.0).alias("pi_p"))
+            pj = wins.select(F.col("i").alias("pj_i"), F.lit(1.0).alias("pj_p"))
+        else:
+            pdf = local_rows(spark, p_rows, "i string, p double")
+            pi = pdf.select(F.col("i").alias("pi_i"), F.col("p").alias("pi_p"))
+            pj = pdf.select(F.col("i").alias("pj_i"), F.col("p").alias("pj_p"))
         denom = (
-            sym.join(pi, sym["i"] == pi["pi_i"])
-            .join(pj, sym["j"] == pj["pj_i"])
+            sym.join(F.broadcast(pi), sym["i"] == pi["pi_i"])
+            .join(F.broadcast(pj), sym["j"] == pj["pj_i"])
             .groupBy("i")
             .agg(
                 F.sum((F.col("n_ij") + 1.0) / (F.col("pi_p") + F.col("pj_p")))
@@ -1162,13 +1177,21 @@ def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", (F.col("w_sm") / F.col("denom")).alias("rawp")
         )
         mean = raw.agg(F.avg("rawp").alias("mp"))
-        p = raw.crossJoin(F.broadcast(mean)).select(
-            "i",
-            (
-                F.floor(F.col("rawp") / F.col("mp") * 1_000_000_000.0 + F.lit(0.5))
-                / 1_000_000_000.0
-            ).alias("p"),
-        )
+        p_rows = [
+            (r["i"], r["p"])
+            for r in raw.crossJoin(F.broadcast(mean))
+            .select(
+                "i",
+                (
+                    F.floor(
+                        F.col("rawp") / F.col("mp") * 1_000_000_000.0 + F.lit(0.5)
+                    )
+                    / 1_000_000_000.0
+                ).alias("p"),
+            )
+            .collect()
+        ]
+    p = local_rows(spark, p_rows, "i string, p double")
     rnk = F.row_number().over(
         Window.orderBy(F.col("p").desc(), F.col("source"))
     )
