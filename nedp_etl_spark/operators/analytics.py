@@ -4819,6 +4819,184 @@ s AS (SELECT {sums} FROM r)
 _SPEARMAN_ORACLE = _spearman_oracle()
 
 
+def _spear_rank_entries(page: list) -> list:
+    """(q, cnt) marginal page → (q, rank2) entries, replicating the
+    distributed path exactly: ascending NULLS FIRST cumulation (a NULL
+    group shifts later ranks, as repartitionByRange/orderBy would), ranks
+    emitted only for non-NULL values (the equi-join drops NULLs anyway)."""
+    page.sort(key=lambda qc: (qc[0] is not None, qc[0]))
+    cum, entries = 0, []
+    for q_val, cnt in page:
+        cum += cnt
+        if q_val is not None:
+            entries.append((q_val, 2 * cum - cnt + 1))
+    return entries
+
+
+def _spearman_rho_cols(names: list, prods: list) -> list:
+    """The rho assembly over a 1-row moment relation with columns
+    n (bigint-ish), s_<n> decimal(19,0), s_<a>_<b> decimal(38,0)-ish.
+    Shared by both execution paths so the IEEE op sequence — and therefore
+    the emitted doubles — is identical whenever the integer moments are."""
+
+    def rho(a: str, b: str) -> F.Column:
+        nd = F.col("n").cast("decimal(19,0)")
+        dx = nd * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        dy = nd * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        sab = F.col(f"s_{a}_{b}").cast("double")
+        return F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                (n * sab - sa * sb) / F.sqrt(dx.cast("double") * dy.cast("double")),
+                6,
+            ),
+        )
+
+    return [
+        F.struct(
+            F.lit(a).alias("var_a"),
+            F.lit(b).alias("var_b"),
+            rho(a, b).alias("rho"),
+        )
+        for a, b in _SPEAR_PAIRS
+    ]
+
+
+def _spearman_aggregate_first(
+    spark: SparkSession, rows: DataFrame, names: list, bounded: list, pages: dict
+) -> DataFrame:
+    """Aggregate-first Spearman (r13 "not yet optimized" item 1 / guide
+    §2.3-§2.4): the corpus collapses to DISTINCT-VALUE granularity of the
+    one unbounded variable in a single map-side-combining aggregate, so NO
+    corpus-sized exchange remains (the old plan shuffled all rows through
+    the rank join-back and ran the 30-column limb aggregate per row).
+
+    Exactness: rank2 values are exact integers (bounded-variable ranks from
+    the marginal driver pages, the unbounded rank from the same prefix-sum
+    machinery now run at distinct granularity); every moment is an exact
+    integer sum accumulated in decimal — Σ r_a·r_b over valid rows equals
+    Σ_v r_ub(v)·Σ_{rows=v} r_b and Σ_cells r_a·r_b·cnt by associativity, so
+    the final 1-row moment relation is bit-identical to the old per-row
+    accumulation, and the shared rho assembly emits identical doubles.
+    Envelope: terms are ≤ 4n³ like the old decimal(38,0) limb assembly
+    (exact to n ≈ 2.9e12 rows; the decimal(19,0) s_<n> cast keeps the old
+    n ≈ 7e9 first-moment envelope)."""
+    ub = [n for n in names if n not in _SPEAR_BOUNDED][0]
+    d18 = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    rmaps = {
+        n_: F.broadcast(
+            local_rows(
+                spark,
+                _spear_rank_entries(pages[n_]),
+                f"q_{n_} bigint, r_{n_} bigint",
+            )
+        )
+        for n_ in bounded
+    }
+    withr = rows
+    for n_ in bounded:
+        # LEFT join: a NULL q keeps its row (it still counts toward the
+        # unbounded variable's rank cumulation) with a NULL rank; every
+        # non-NULL q is present in the marginal map by construction.
+        withr = withr.join(rmaps[n_], f"q_{n_}", "left")
+    valid = F.lit(True)
+    for n_ in bounded:
+        valid = valid & F.col(f"r_{n_}").isNotNull()
+    d = withr.groupBy(f"q_{ub}").agg(
+        F.count(F.lit(1)).alias("__cnt_all"),
+        F.count(F.when(valid, 1)).alias("__cnt"),
+        *[
+            F.sum(F.when(valid, F.col(f"r_{n_}")).cast("decimal(38,0)")).alias(
+                f"__sb_{n_}"
+            )
+            for n_ in bounded
+        ],
+    )
+    cum = global_running_sum(d, [f"q_{ub}"], F.col("__cnt_all"), "__cum")
+    dd = cum.select(
+        f"q_{ub}",
+        "__cnt",
+        *[f"__sb_{n_}" for n_ in bounded],
+        (2 * F.col("__cum") - F.col("__cnt_all") + 1).alias(f"r_{ub}"),
+    ).filter(F.col(f"q_{ub}").isNotNull())
+    prods = [
+        (a, b) for a in names for b in names if (a, b) in _SPEAR_PAIRS or a == b
+    ]
+    ub_prods = [(a, b) for a, b in prods if a == ub or b == ub]
+    bb_prods = [(a, b) for a, b in prods if a != ub and b != ub]
+    tot = dd.agg(
+        F.sum("__cnt").cast("bigint").alias("n"),
+        F.sum(d18(F.col(f"r_{ub}")) * d18(F.col("__cnt")))
+        .cast("decimal(19,0)")
+        .alias(f"s_{ub}"),
+        *[
+            F.sum(F.col(f"__sb_{n_}")).cast("decimal(19,0)").alias(f"s_{n_}")
+            for n_ in bounded
+        ],
+        *[
+            (
+                F.sum(
+                    d18(F.col(f"r_{ub}")) * d18(F.col(f"r_{ub}")) * d18(F.col("__cnt"))
+                ).alias(f"s_{a}_{b}")
+                if a == b
+                else F.sum(
+                    d18(F.col(f"r_{ub}"))
+                    * F.col(f"__sb_{a if a != ub else b}")
+                ).alias(f"s_{a}_{b}")
+            )
+            for a, b in ub_prods
+        ],
+    )
+    # Bounded×bounded moments at JOINT-vocabulary granularity (schema-
+    # bounded cell count): one more map-side-combining corpus aggregate,
+    # never collected — rank products weight by exact cell counts.
+    jnt = rows.filter(
+        F.col(f"q_{ub}").isNotNull()
+        & F.lit(True)
+        & _spear_all_notnull([f"q_{n_}" for n_ in bounded])
+    ).groupBy(*[f"q_{n_}" for n_ in bounded]).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    for n_ in bounded:
+        jnt = jnt.join(rmaps[n_], f"q_{n_}")
+    tot2 = jnt.agg(
+        *[
+            F.sum(d18(F.col(f"r_{a}")) * d18(F.col(f"r_{b}")) * d18(F.col("__cnt")))
+            .alias(f"s_{a}_{b}")
+            for a, b in bb_prods
+        ]
+    )
+    # 1-row + 1-row combine as union + re-aggregate (sum over one non-NULL
+    # value per column): joins of two 1-row aggregates fold to
+    # BroadcastNestedLoopJoin and would trip the cartesian-hazard plan pin
+    # this query rightly carries.  Casts re-pin the old path's exact moment
+    # types so the shared rho assembly sees identical inputs.
+    s = tot.unionByName(tot2, allowMissingColumns=True).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        *[F.sum(f"s_{n_}").cast("decimal(19,0)").alias(f"s_{n_}") for n_ in names],
+        *[
+            F.sum(f"s_{a}_{b}").cast("decimal(38,0)").alias(f"s_{a}_{b}")
+            for a, b in prods
+        ],
+    )
+    pairs = F.explode(F.array(*_spearman_rho_cols(names, prods))).alias("p")
+    return s.select(F.col("n").cast("bigint").alias("n_rows"), pairs).select(
+        F.col("p.var_a").alias("var_a"),
+        F.col("p.var_b").alias("var_b"),
+        "n_rows",
+        F.col("p.rho").alias("rho"),
+    )
+
+
+def _spear_all_notnull(cols: list) -> F.Column:
+    out = F.lit(True)
+    for c in cols:
+        out = out & F.col(c).isNotNull()
+    return out
+
+
 @register("agg_spearman_rho", oracle=_SPEARMAN_ORACLE)
 def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -4858,22 +5036,20 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pages[r["var"]].append((r["q"], r["__cnt"]))
         else:  # vocabulary blew the declared bound — distributed path for all
             pages = {n: None for n in bounded}
+    unbounded = [n for n in names if n not in _SPEAR_BOUNDED]
+    if len(unbounded) == 1 and all(
+        pages.get(n) is not None and len(pages[n]) <= _SPEAR_PAGE_CAP
+        for n in bounded
+    ):
+        return _spearman_aggregate_first(spark, rows, names, bounded, pages)
     ranked = rows
     for n_ in names:
         page = pages.get(n_)
         if page is not None and len(page) <= _SPEAR_PAGE_CAP:
-            # Driver-page rank map: replicate the distributed path exactly —
-            # ascending NULLS FIRST cumulation (a NULL group shifts later
-            # ranks, as repartitionByRange/orderBy would), then emit ranks
-            # only for non-NULL values (the equi-join drops NULLs anyway).
-            page.sort(key=lambda qc: (qc[0] is not None, qc[0]))
-            cum, entries = 0, []
-            for q_val, cnt in page:
-                cum += cnt
-                if q_val is not None:
-                    entries.append((q_val, 2 * cum - cnt + 1))
-            rmap = local_rows(spark, 
-                entries, schema=f"q_{n_} bigint, r_{n_} bigint"
+            # Driver-page rank map (see _spear_rank_entries for the
+            # NULLS FIRST parity rules).
+            rmap = local_rows(spark,
+                _spear_rank_entries(page), schema=f"q_{n_} bigint, r_{n_} bigint"
             )
             ranked = ranked.join(F.broadcast(rmap), f"q_{n_}")
         else:
@@ -4948,33 +5124,7 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def rho(a: str, b: str) -> F.Column:
-        nd = F.col("n").cast("decimal(19,0)")
-        dx = nd * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
-        dy = nd * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
-        n = F.col("n").cast("double")
-        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
-        sab = F.col(f"s_{a}_{b}").cast("double")
-        return F.when(
-            (dx > 0) & (dy > 0),
-            F.round(
-                (n * sab - sa * sb) / F.sqrt(dx.cast("double") * dy.cast("double")),
-                6,
-            ),
-        )
-
-    pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(a).alias("var_a"),
-                    F.lit(b).alias("var_b"),
-                    rho(a, b).alias("rho"),
-                )
-                for a, b in _SPEAR_PAIRS
-            ]
-        )
-    ).alias("p")
+    pairs = F.explode(F.array(*_spearman_rho_cols(names, prods))).alias("p")
     return s.select(F.col("n").cast("bigint").alias("n_rows"), pairs).select(
         F.col("p.var_a").alias("var_a"),
         F.col("p.var_b").alias("var_b"),
@@ -5624,16 +5774,33 @@ def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
         (F.col("label") % 2).cast("int").alias("y"),
     )
-    dv = s.groupBy("q").agg(F.count(F.lit(1)).alias("__cnt"))
+    # Aggregate-first (r13 "not yet optimized" item 1 / guide §2.3-§2.4):
+    # ONE map-side-combining corpus aggregate collapses scores to distinct-
+    # value granularity carrying per-value class tallies, the prefix-sum
+    # rank map derives on that distinct relation, and the positive-rank sum
+    # assembles as Σ_v r2(v)·np(v) = Σ_{y=1} r2 — exact integers, so the
+    # old corpus-sized rank join-back (and its exchange) is gone with
+    # bit-identical moments.  NULL q keeps counting toward the cumulation
+    # (rank shift) but is excluded from the moments, exactly as the old
+    # inner equi-join dropped it.
+    dv = s.groupBy("q").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("__np"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("__nn"),
+    )
     cum = global_running_sum(dv, ["q"], F.col("__cnt"), "__cum")
-    rmap = cum.select("q", (2 * F.col("__cum") - F.col("__cnt") + 1).alias("r2"))
-    ranked = s.join(rmap, "q")
-    agg = ranked.agg(
-        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("bigint").alias("np"),
-        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).cast("bigint").alias("nn"),
-        F.sum(
-            F.when(F.col("y") == 1, F.col("r2")).otherwise(0).cast("decimal(38,0)")
-        ).alias("rp2"),
+    dd = cum.select(
+        "q",
+        "__np",
+        "__nn",
+        (2 * F.col("__cum") - F.col("__cnt") + 1).alias("r2"),
+    ).filter(F.col("q").isNotNull())
+    agg = dd.agg(
+        F.sum("__np").cast("bigint").alias("np"),
+        F.sum("__nn").cast("bigint").alias("nn"),
+        F.sum(F.col("r2").cast("decimal(18,0)") * F.col("__np").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("rp2"),
     )
     np_, nn_ = F.col("np"), F.col("nn")
     auc = (

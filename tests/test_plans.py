@@ -1690,6 +1690,11 @@ def test_spearman_ranks_avoid_global_window(spark, sf_dir):
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # Aggregate-first (r14): moments accumulate at distinct-value
+    # granularity, so NO shuffled join remains — every join is a broadcast
+    # of a bounded rank/offset page onto the corpus or distinct relation.
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_ljung_box_calendar_bounded_like_acf(spark, sf_dir):
@@ -1844,11 +1849,15 @@ def test_spatial_neighbors_cell_equijoin_only(spark, sf_dir):
 
 
 def test_roc_auc_no_global_window(spark, sf_dir):
-    # Ranks via the two-phase prefix sum; one corpus join on the score
-    # key; no single-partition window.
+    # Ranks via the two-phase prefix sum, moments at distinct-value
+    # granularity (aggregate-first, r14): no single-partition window and
+    # no shuffled join at all — the only join is the broadcast prefix-sum
+    # offset page.
     plan = _plan(spark, sf_dir, "agg_roc_auc")
     assert not _has_global_window(plan)
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_forecast_reconcile_broadcast_dims(spark, sf_dir):
