@@ -1094,6 +1094,10 @@ FROM wins w JOIN p{_BT_ITERS} p ON p.i = w.i
 
 _BT_ORACLE = _bt_oracle()
 
+# Driver-page bound for the per-pass strength-vector collect (module-level
+# so the fallback-parity test can monkeypatch it).
+_BT_PAGE_CAP = 1 << 16
+
 
 @register("llm_bradley_terry", oracle=_BT_ORACLE)
 def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,13 +1159,15 @@ def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (no subtree to duplicate).  One bounded collect per pass, linear plan.
     from nedp_etl_spark.data import local_rows
 
-    p_rows = None  # None ⇒ p ≡ 1.0 (the p0 initialization)
-    for _ in range(_BT_ITERS):
-        if p_rows is None:
+    def mm_update(pdf) -> DataFrame:
+        """One MM pass: p_{t-1} (None ⇒ p ≡ 1.0) → the new normalized p.
+        Shared by the driver-page loop and the distributed fallback so both
+        run the identical plan (same broadcasts, same float sum order) and
+        produce bit-identical vectors."""
+        if pdf is None:
             pi = wins.select(F.col("i").alias("pi_i"), F.lit(1.0).alias("pi_p"))
             pj = wins.select(F.col("i").alias("pj_i"), F.lit(1.0).alias("pj_p"))
         else:
-            pdf = local_rows(spark, p_rows, "i string, p double")
             pi = pdf.select(F.col("i").alias("pi_i"), F.col("p").alias("pi_p"))
             pj = pdf.select(F.col("i").alias("pj_i"), F.col("p").alias("pj_p"))
         denom = (
@@ -1177,21 +1183,38 @@ def llm_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", (F.col("w_sm") / F.col("denom")).alias("rawp")
         )
         mean = raw.agg(F.avg("rawp").alias("mp"))
-        p_rows = [
-            (r["i"], r["p"])
-            for r in raw.crossJoin(F.broadcast(mean))
-            .select(
-                "i",
-                (
-                    F.floor(
-                        F.col("rawp") / F.col("mp") * 1_000_000_000.0 + F.lit(0.5)
-                    )
-                    / 1_000_000_000.0
-                ).alias("p"),
-            )
-            .collect()
-        ]
-    p = local_rows(spark, p_rows, "i string, p double")
+        return raw.crossJoin(F.broadcast(mean)).select(
+            "i",
+            (
+                F.floor(
+                    F.col("rawp") / F.col("mp") * 1_000_000_000.0 + F.lit(0.5)
+                )
+                / 1_000_000_000.0
+            ).alias("p"),
+        )
+
+    # Bounded-page discipline (ADVICE r13: the per-pass collect had no size
+    # guard): #players grows with distinct sources, so the driver page is
+    # capped like graph_topo_levels'.  Past the cap, the loop falls back to
+    # a DISTRIBUTED p relation with an eager per-pass localCheckpoint —
+    # same arithmetic, linear plan (the checkpoint leaf stops the 2^T
+    # subtree doubling the driver page was introduced to fix).
+    p_rows, p = None, None
+    for _ in range(_BT_ITERS):
+        page = mm_update(
+            None if p_rows is None else local_rows(spark, p_rows, "i string, p double")
+        ).limit(_BT_PAGE_CAP + 1).collect()
+        if len(page) > _BT_PAGE_CAP:
+            p_rows = None
+            break
+        p_rows = [(r["i"], r["p"]) for r in page]
+    if p_rows is not None:
+        p = local_rows(spark, p_rows, "i string, p double")
+    else:
+        pdf = None
+        for _ in range(_BT_ITERS):
+            pdf = mm_update(pdf).localCheckpoint(eager=True)
+        p = pdf
     rnk = F.row_number().over(
         Window.orderBy(F.col("p").desc(), F.col("source"))
     )

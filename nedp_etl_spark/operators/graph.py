@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nedp_etl_spark.data import load, local_rows
 from nedp_etl_spark.registry import register
@@ -334,12 +335,66 @@ def _cc_mins(e_sym: DataFrame) -> DataFrame:
     )
 
 
+def _cc_round(e: DataFrame) -> DataFrame:
+    """One FUSED large-star + small-star round as a single lazy plan
+    (r13 left this as "not yet optimized" item 2; r14 optimization round).
+
+    The r13 shape ran 3 jobs/round: two eager checkpoints (each sub-round's
+    ``e`` fed both the mins aggregate and the re-pointing join, so lazy
+    double-computed) plus the convergence count.  Two restructurings make
+    the whole round SINGLE-REFERENCE so it chains lazily into one job:
+
+    - closed-neighborhood mins via a u-partitioned window (``min(v) over
+      (partition by u)``) instead of groupBy+join — the relation is read
+      once, no self-join;
+    - symmetric closure via per-row ``explode(array(edge, reversed))``
+      instead of ``unionAll(e, swap(e))`` — no second reference.
+
+    Duplicates flow freely between the sub-rounds (mins over a multiset
+    equals mins over its set; the emitted edge SET is unchanged) and the
+    round output is ``.distinct()``-ed exactly as before, so each round
+    produces the identical edge set to the r13 join formulation.
+    """
+    w = Window.partitionBy("u")
+    # large-star: every neighbor v > u re-points at m(u) = min closed nbhd;
+    # emit both directions in one pass (multiset — dedup deferred).
+    lg = e.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    lg_sym = (
+        lg.filter(F.col("v") > F.col("u"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("m").alias("u"), F.col("v").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+    )
+    # small-star over the symmetrized large output: neighbors v < u
+    # re-point at m(u), plus every (u, m(u)) star edge — again both
+    # directions per row, self-loops dropped, ONE distinct per round.
+    sm = lg_sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    pair = lambda a, b: F.struct(a.alias("u"), b.alias("v"))  # noqa: E731
+    u, v, m = F.col("u"), F.col("v"), F.col("m")
+    return (
+        sm.select(
+            F.explode(
+                F.when(
+                    v < u,
+                    F.array(pair(v, m), pair(m, v), pair(u, m), pair(m, u)),
+                ).otherwise(F.array(pair(u, m), pair(m, u)))
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 @register("graph_connected_components", oracle=_CC_ORACLE)
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # EAGER star-round checkpoints are the measured optimum (r13
-    # optimization round probed lazy: e feeds both the mins aggregate and
-    # the re-pointing join each round, and lazy blocks double-computed
-    # inside the convergence job — 4.8 → 6.0 s).
     e = _cc_sym(_cc_edges(spark, sf_dir)).localCheckpoint(eager=True)
 
     def canon(edges: DataFrame) -> DataFrame:
@@ -349,21 +404,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = 0
     for _ in range(20):  # hard bound: 2*log2(n) + slack for any real graph
         rounds += 1
-        mins = _cc_mins(e)
-        large = (
-            e.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        e = _cc_sym(large).localCheckpoint(eager=True)
-        mins = _cc_mins(e)
-        small = (
-            e.join(mins, "u")
-            .filter(F.col("v") < F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionAll(mins.select("u", F.col("m").alias("v")))
-        )
-        e = _cc_sym(small).localCheckpoint(eager=True)
+        # LAZY checkpoint: the round plan is single-reference, so the
+        # convergence count below is the one job that materializes it —
+        # 1 job/round where r13 ran 3 (two eager star checkpoints + count).
+        e = _cc_round(e).localCheckpoint(eager=False)
         cur = canon(e)
         # ONE action per round for the symmetric difference (the two
         # exceptAll counts were two full jobs each round): canon sets are
@@ -1411,7 +1455,16 @@ edges0 AS MATERIALIZED (
   LEFT JOIN cnt y ON y.src = x.dst AND y.dst = x.src
   WHERE x.n > COALESCE(y.n, 0)
 ),
-nodes0 AS MATERIALIZED (SELECT DISTINCT event_type FROM events)"""
+nodes0 AS MATERIALIZED (
+  -- NULL event_type carries no usable node key: route it out (the
+  -- engine-wide corrupt-NULL convention).  Without this the three
+  -- implementations DIVERGE on NULL: the oracle's NOT IN against a peel
+  -- set containing NULL empties every later round, while Spark's
+  -- distributed anti-join loop would re-peel the NULL node forever
+  -- (ADVICE r13).  Edges are NULL-free already on both engines (the
+  -- a.event_type <> b.event_type precedence filter drops NULLs).
+  SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+)"""
     ]
     for r in range(1, _TOPO_ROUNDS + 1):
         parts.append(
@@ -1446,6 +1499,10 @@ FROM nodes{_TOPO_ROUNDS}"""
 
 _TOPO_ORACLE = _topo_oracle()
 
+# Module-level so the fallback-parity test can monkeypatch it to force the
+# distributed Kahn loop on a page-sized fixture.
+_TOPO_PAGE_CAP = 1 << 14
+
 
 @register("graph_topo_levels", oracle=_TOPO_ORACLE)
 def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,7 +1535,18 @@ def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x.n") > F.coalesce(F.col("y.n"), F.lit(0)))
         .select(F.col("x.src").alias("src"), F.col("x.dst").alias("dst"))
     )
-    nodes = ev.select("event_type").distinct()
+    # NULL event_type routes out (matched-pair with the oracle's nodes0
+    # filter): a NULL node key is corrupt input, and the three
+    # implementations disagreed on it — the Python peel emitted it once at
+    # level 0, the distributed anti-join loop re-peeled it every round
+    # (NULL never equi-joins, so the left_anti removal never matched), and
+    # the oracle's NOT IN against a NULL-bearing peel set emptied all later
+    # rounds (ADVICE r13).  Pinned by the NULL-event_type parity tests.
+    nodes = (
+        ev.select("event_type")
+        .filter(F.col("event_type").isNotNull())
+        .distinct()
+    )
     # Bounded driver-page peel (r13 optimization round): the model is
     # ≤ k nodes / ≤ k² edges for a SCHEMA-bounded event vocabulary (the
     # _SPEAR_BOUNDED discipline), so the ten Kahn rounds — 30 eager
@@ -1486,13 +1554,12 @@ def graph_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collects and a Python peel.  Corpus-sized work (firsts, cnt) stays
     # distributed; the cap guards the declaration, falling back to the
     # distributed loop if a vocabulary ever exceeds it.
-    _TOPO_PAGE_CAP = 1 << 14
     e_page = edges.limit(_TOPO_PAGE_CAP + 1).collect()
     n_page = nodes.limit(_TOPO_PAGE_CAP + 1).collect()
     if len(e_page) <= _TOPO_PAGE_CAP and len(n_page) <= _TOPO_PAGE_CAP:
-        # NULL-safe ordering: a NULL event_type is a valid node (it takes
-        # level 0 — NULL never equi-joins, so it has no incoming edge, the
-        # same fate the distributed anti-join gives it).
+        # Defensive NULLS-FIRST ordering (nodes are NULL-free after the
+        # route-out above; the key keeps the sort total if that ever
+        # changes).
         _k = lambda v: (v is not None, v if v is not None else "")  # noqa: E731
         nd_left = sorted((r["event_type"] for r in n_page), key=_k)
         ed_left = {(r["src"], r["dst"]) for r in e_page}

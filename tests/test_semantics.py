@@ -4100,6 +4100,26 @@ def test_bradley_terry_strict_dominance(spark, tmp_path):
     assert out["x"]["strength"] > out["y"]["strength"] > out["z"]["strength"] > 0
 
 
+def test_bradley_terry_page_cap_fallback_matches(spark, tmp_path, monkeypatch):
+    # The per-pass strength-vector collect is capped (ADVICE r13); force
+    # the cap to 0 so the MM loop takes the distributed localCheckpoint
+    # fallback, and pin that both paths emit the identical leaderboard.
+    import nedp_etl_spark.llm.ranking as rk
+
+    rows = []
+    for i in range(4):
+        rows.append((i, "a" * 100, "en", "x", 100))
+        rows.append((10 + i, "b" * 50, "en", "y", 50))
+        rows.append((20 + i, "c" * 10, "en", "z", 10))
+    _write(spark, tmp_path, "documents", rows, _DOC_SCHEMA)
+    fast = sorted(map(tuple, eng.queries()["llm_bradley_terry"](
+        spark, str(tmp_path)).collect()))
+    monkeypatch.setattr(rk, "_BT_PAGE_CAP", 0)
+    slow = sorted(map(tuple, eng.queries()["llm_bradley_terry"](
+        spark, str(tmp_path)).collect()))
+    assert fast == slow
+
+
 def test_msprt_planted_shift_detects_and_p_monotone(spark, tmp_path):
     # Arms identical for days 1-10, then a large persistent shift in the
     # treatment arm: the always-valid p must be monotone nonincreasing by
@@ -4710,6 +4730,38 @@ def test_topo_levels_condorcet_cycle_flagged(spark, tmp_path):
     for et in "pqr":
         assert out[et]["in_cycle"] and out[et]["level"] is None
     assert out["z"]["level"] == 0 and not out["z"]["in_cycle"]
+
+
+def test_topo_levels_null_event_type_parity_both_paths(spark, tmp_path, monkeypatch):
+    # ADVICE r13: a NULL event_type made the three implementations diverge
+    # (Python peel: level 0 once; distributed loop: re-peeled every round;
+    # oracle: NOT IN against a NULL-bearing peel set emptied later rounds).
+    # NULL node keys now route OUT on both engines (matched pair), so the
+    # oracle compare must be hash-exact on a NULL-bearing fixture via BOTH
+    # the driver-page peel and the cap-forced distributed Kahn loop.
+    import os
+
+    import nedp_etl_spark.operators.graph as gr
+    from tests.oracle import compare
+
+    base = datetime.datetime(2024, 1, 1, 12, 0)
+    m = lambda k: base + datetime.timedelta(minutes=k)  # noqa: E731
+    rows, eid = [], 0
+    for uid, order in [(1, ["a", "b", "c"]), (2, ["a", "b", "c"])]:
+        for k, et in enumerate(order):
+            rows.append((eid, m(k), uid, et, 1.0, "{}")); eid += 1
+    rows.append((eid, m(9), 3, None, 1.0, "{}"))  # the NULL node key
+    _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"):
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet",
+                   str(tmp_path / f"{t}.parquet"))
+    compare(spark, "graph_topo_levels", str(tmp_path))
+    out = {r["event_type"]: r for r in
+           eng.queries()["graph_topo_levels"](spark, str(tmp_path)).collect()}
+    assert None not in out and out["a"]["level"] == 0 and out["c"]["level"] == 2
+    monkeypatch.setattr(gr, "_TOPO_PAGE_CAP", 0)  # force the distributed loop
+    compare(spark, "graph_topo_levels", str(tmp_path))
 
 
 def test_conformal_interval_hand_computed(spark, tmp_path):

@@ -49,7 +49,8 @@ def main() -> None:
     qs["agg_global"](spark, args.sf_dir).count()
 
     app = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))[0]["id"]
-    mark = len(json.load(urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")))
+    warm = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages"))
+    warm_ids = {s["stageId"] for s in warm}
 
     for i in range(args.runs):
         t0 = time.perf_counter()
@@ -59,8 +60,13 @@ def main() -> None:
     stages = json.load(
         urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages?status=complete")
     )
-    # keep only stages submitted after the warmup mark, newest API returns all
-    stages = [s for s in stages if s.get("status") == "COMPLETE"]
+    # keep only stages submitted after the warmup mark (ADVICE r13: the
+    # mark was computed but unused, pooling warmup stages into the profile)
+    stages = [
+        s
+        for s in stages
+        if s.get("status") == "COMPLETE" and s["stageId"] not in warm_ids
+    ]
     stages.sort(key=lambda s: -(s.get("executorRunTime") or 0))
     print(f"\ntop stages by executorRunTime (all {args.runs} runs pooled):")
     print(f"{'stage':>6} {'runTime_s':>9} {'wall_s':>7} {'tasks':>5} {'in_MB':>7} {'sh_r_MB':>8} {'sh_w_MB':>8}  name")
