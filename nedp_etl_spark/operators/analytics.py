@@ -4769,6 +4769,11 @@ _SPEAR_PAIRS = _CORR_PAIRS
 # variable silently takes the distributed prefix-sum path instead.
 _SPEAR_BOUNDED = {"qty", "disc", "tax"}
 _SPEAR_PAGE_CAP = 1 << 16
+# Cap on the JOINT bounded vocabulary page (product of per-var
+# vocabularies; TPC-H pins it at 51·11·9 ≈ 5k cells × 2 nullness splits).
+# A blown joint page falls back to the fully-distributed path even when
+# the marginals are individually bounded.
+_SPEAR_CELL_CAP = 1 << 18
 
 
 def _spearman_oracle() -> str:
@@ -4865,31 +4870,41 @@ def _spearman_rho_cols(names: list, prods: list) -> list:
 
 
 def _spearman_aggregate_first(
-    spark: SparkSession, rows: DataFrame, names: list, bounded: list, pages: dict
+    spark: SparkSession,
+    rows: DataFrame,
+    names: list,
+    bounded: list,
+    pages: dict,
+    cells: list,
 ) -> DataFrame:
     """Aggregate-first Spearman (r13 "not yet optimized" item 1 / guide
     §2.3-§2.4): the corpus collapses to DISTINCT-VALUE granularity of the
     one unbounded variable in a single map-side-combining aggregate, so NO
     corpus-sized exchange remains (the old plan shuffled all rows through
-    the rank join-back and ran the 30-column limb aggregate per row).
+    the rank join-back and ran the 30-column limb aggregate per row), and
+    the bounded×bounded moments assemble on the driver from the JOINT
+    vocabulary cells — exact integer arithmetic, no third corpus pass.
 
     Exactness: rank2 values are exact integers (bounded-variable ranks from
     the marginal driver pages, the unbounded rank from the same prefix-sum
     machinery now run at distinct granularity); every moment is an exact
-    integer sum accumulated in decimal — Σ r_a·r_b over valid rows equals
-    Σ_v r_ub(v)·Σ_{rows=v} r_b and Σ_cells r_a·r_b·cnt by associativity, so
-    the final 1-row moment relation is bit-identical to the old per-row
-    accumulation, and the shared rho assembly emits identical doubles.
-    Envelope: terms are ≤ 4n³ like the old decimal(38,0) limb assembly
-    (exact to n ≈ 2.9e12 rows; the decimal(19,0) s_<n> cast keeps the old
-    n ≈ 7e9 first-moment envelope)."""
+    integer sum — Σ r_a·r_b over valid rows equals Σ_v r_ub(v)·Σ_{rows=v}
+    r_b (distributed, decimal) and Σ_cells r_a·r_b·cnt (driver, arbitrary-
+    precision ints) by associativity — so the final 1-row moment relation
+    is bit-identical to the old per-row accumulation, and the shared rho
+    assembly emits identical doubles.  Envelope: terms are ≤ 4n³ like the
+    old decimal(38,0) limb assembly (exact to n ≈ 2.9e12 rows; the
+    decimal(19,0) s_<n> cast keeps the old n ≈ 7e9 first-moment envelope)."""
+    import decimal
+
     ub = [n for n in names if n not in _SPEAR_BOUNDED][0]
     d18 = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    entries = {n_: dict(_spear_rank_entries(pages[n_])) for n_ in bounded}
     rmaps = {
         n_: F.broadcast(
             local_rows(
                 spark,
-                _spear_rank_entries(pages[n_]),
+                list(entries[n_].items()),
                 f"q_{n_} bigint, r_{n_} bigint",
             )
         )
@@ -4949,24 +4964,22 @@ def _spearman_aggregate_first(
             for a, b in ub_prods
         ],
     )
-    # Bounded×bounded moments at JOINT-vocabulary granularity (schema-
-    # bounded cell count): one more map-side-combining corpus aggregate,
-    # never collected — rank products weight by exact cell counts.
-    jnt = rows.filter(
-        F.col(f"q_{ub}").isNotNull()
-        & F.lit(True)
-        & _spear_all_notnull([f"q_{n_}" for n_ in bounded])
-    ).groupBy(*[f"q_{n_}" for n_ in bounded]).agg(
-        F.count(F.lit(1)).alias("__cnt")
-    )
-    for n_ in bounded:
-        jnt = jnt.join(rmaps[n_], f"q_{n_}")
-    tot2 = jnt.agg(
-        *[
-            F.sum(d18(F.col(f"r_{a}")) * d18(F.col(f"r_{b}")) * d18(F.col("__cnt")))
-            .alias(f"s_{a}_{b}")
-            for a, b in bb_prods
-        ]
+    # Bounded×bounded moments on the DRIVER from the joint-vocabulary cells
+    # (valid rows only: every bounded value non-NULL and the unbounded
+    # variable non-NULL — exactly the rows the old inner rank joins kept).
+    # Arbitrary-precision Python ints, injected as one decimal(38,0) row.
+    bb = {(a, b): 0 for a, b in bb_prods}
+    for r in cells:
+        if r["__ubnull"] or any(r[f"q_{n_}"] is None for n_ in bounded):
+            continue
+        rks = {n_: entries[n_][r[f"q_{n_}"]] for n_ in bounded}
+        cnt = r["__cnt"]
+        for a, b in bb_prods:
+            bb[(a, b)] += rks[a] * rks[b] * cnt
+    tot2 = local_rows(
+        spark,
+        [tuple(decimal.Decimal(bb[p]) for p in bb_prods)],
+        ", ".join(f"s_{a}_{b} decimal(38,0)" for a, b in bb_prods),
     )
     # 1-row + 1-row combine as union + re-aggregate (sum over one non-NULL
     # value per column): joins of two 1-row aggregates fold to
@@ -4990,13 +5003,6 @@ def _spearman_aggregate_first(
     )
 
 
-def _spear_all_notnull(cols: list) -> F.Column:
-    out = F.lit(True)
-    for c in cols:
-        out = out & F.col(c).isNotNull()
-    return out
-
-
 @register("agg_spearman_rho", oracle=_SPEARMAN_ORACLE)
 def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -5008,40 +5014,48 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bounded = [n for n in names if n in _SPEAR_BOUNDED]
-    pages: dict[str, list] = {n: [] for n in bounded}
+    unbounded = [n for n in names if n not in _SPEAR_BOUNDED]
+    pages: dict[str, list] = {n: None for n in bounded}
+    cells = None
     if bounded:
-        # One corpus pass serves every bounded variable's distinct-count
-        # page: explode to (var, value) — map-side combine collapses each
-        # partition to vocabulary size before the shuffle.
-        tagged = rows.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(n).alias("var"), F.col(f"q_{n}").alias("q")
-                        )
-                        for n in bounded
-                    ]
-                )
-            ).alias("t")
+        # ONE corpus pass serves every bounded need (r14: the old explode
+        # pass tripled the rows before its aggregate, and a THIRD corpus
+        # pass later re-counted the joint cells for the bounded×bounded
+        # moments): aggregate the JOINT bounded vocabulary once, split by
+        # unbounded-var nullness.  Marginal rank pages are row sums of the
+        # cells; the joint cells themselves carry the bounded×bounded
+        # moments.  The cell count is bounded by the product of the
+        # declared vocabularies — the cap guards that declaration, falling
+        # back to the distributed path if it ever blows.
+        keys = [f"q_{n}" for n in bounded]
+        flags = (
+            [F.col(f"q_{unbounded[0]}").isNull().alias("__ubnull")]
+            if len(unbounded) == 1
+            else []
         )
-        counted = (
-            tagged.groupBy("t.var", "t.q")
+        cells = (
+            rows.groupBy(*keys, *flags)
             .agg(F.count(F.lit(1)).alias("__cnt"))
-            .limit(len(bounded) * _SPEAR_PAGE_CAP + 1)
+            .limit(_SPEAR_CELL_CAP + 1)
             .collect()
         )
-        if len(counted) <= len(bounded) * _SPEAR_PAGE_CAP:
-            for r in counted:
-                pages[r["var"]].append((r["q"], r["__cnt"]))
-        else:  # vocabulary blew the declared bound — distributed path for all
-            pages = {n: None for n in bounded}
-    unbounded = [n for n in names if n not in _SPEAR_BOUNDED]
-    if len(unbounded) == 1 and all(
-        pages.get(n) is not None and len(pages[n]) <= _SPEAR_PAGE_CAP
-        for n in bounded
+        if len(cells) <= _SPEAR_CELL_CAP:
+            for n_ in bounded:
+                marg: dict = {}
+                for r in cells:
+                    q = r[f"q_{n_}"]
+                    marg[q] = marg.get(q, 0) + r["__cnt"]
+                pages[n_] = (
+                    list(marg.items()) if len(marg) <= _SPEAR_PAGE_CAP else None
+                )
+        else:  # joint vocabulary blew the bound — distributed path for all
+            cells = None
+    if (
+        len(unbounded) == 1
+        and cells is not None
+        and all(pages.get(n) is not None for n in bounded)
     ):
-        return _spearman_aggregate_first(spark, rows, names, bounded, pages)
+        return _spearman_aggregate_first(spark, rows, names, bounded, pages, cells)
     ranked = rows
     for n_ in names:
         page = pages.get(n_)
