@@ -356,28 +356,28 @@ def _cc_round(e: DataFrame) -> DataFrame:
     produces the identical edge set to the r13 join formulation.
     """
     w = Window.partitionBy("u")
+    pair = lambda a, b: F.struct(a.alias("u"), b.alias("v"))  # noqa: E731
+    u, v, m = F.col("u"), F.col("v"), F.col("m")
     # large-star: every neighbor v > u re-points at m(u) = min closed nbhd;
-    # emit both directions in one pass (multiset — dedup deferred).
-    lg = e.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+    # emit both directions in one pass (multiset — dedup deferred).  The
+    # window reads the round input's hash(u) layout with NO exchange (the
+    # previous round ends `repartition(u)`, preserved through the
+    # checkpoint), and the explicit `repartition(u)` after each explode is
+    # the sub-round's ONE exchange: hash(u) satisfies both the next
+    # u-window and the (u,v)-keyed distinct (ClusteredDistribution is
+    # subset-satisfied), so neither plans an exchange of its own.
+    lg = e.withColumn("m", F.least(F.min("v").over(w), u))
     lg_sym = (
-        lg.filter(F.col("v") > F.col("u"))
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
-                    F.struct(F.col("m").alias("u"), F.col("v").alias("v")),
-                )
-            ).alias("e")
-        )
+        lg.filter(v > u)
+        .select(F.explode(F.array(pair(v, m), pair(m, v))).alias("e"))
         .select("e.u", "e.v")
         .filter(F.col("u") != F.col("v"))
+        .repartition(F.col("u"))
     )
     # small-star over the symmetrized large output: neighbors v < u
     # re-point at m(u), plus every (u, m(u)) star edge — again both
     # directions per row, self-loops dropped, ONE distinct per round.
-    sm = lg_sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
-    pair = lambda a, b: F.struct(a.alias("u"), b.alias("v"))  # noqa: E731
-    u, v, m = F.col("u"), F.col("v"), F.col("m")
+    sm = lg_sym.withColumn("m", F.least(F.min("v").over(w), u))
     return (
         sm.select(
             F.explode(
@@ -389,13 +389,20 @@ def _cc_round(e: DataFrame) -> DataFrame:
         )
         .select("e.u", "e.v")
         .filter(F.col("u") != F.col("v"))
+        .repartition(F.col("u"))
         .distinct()
     )
 
 
 @register("graph_connected_components", oracle=_CC_ORACLE)
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _cc_sym(_cc_edges(spark, sf_dir)).localCheckpoint(eager=True)
+    # Init in the same hash(u) layout the round loop maintains, so round
+    # 1's first window starts exchange-free too.
+    e = (
+        _cc_sym(_cc_edges(spark, sf_dir))
+        .repartition(F.col("u"))
+        .localCheckpoint(eager=True)
+    )
 
     def canon(edges: DataFrame) -> DataFrame:
         return edges.filter(F.col("u") < F.col("v"))
